@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan / projection / filter / aggregation / sort operator families
+  * (SURVEY.md §2.1 S1, §2.2 P1-P7, §2.4 A1-A10, §2.6 O1-O3) re-expressed over
+  * the driver testdata. Every query ends in a total ORDER BY so the DuckDB
+  * oracle compare is deterministic; double aggregates are rounded on both
+  * sides (per-row IEEE arithmetic is order-independent, cross-partition sums
+  * are not).
+  */
+object Relational {
+
+  /** S1 + P1/P2/P6: pruned scan — projection and filter both reach the
+    * parquet reader (PushedFilters + narrow ReadSchema in .explain). */
+  val s1ScanPrune = QueryDef(
+    "q_s1_scan_prune",
+    """SELECT l_orderkey, l_linenumber, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      |ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |LIMIT 500""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .limit(500)
+  }
+
+  /** P1 + F18/F19/F20: projection with per-row arithmetic and casts
+    * (reference: net-price style derivations, stg_fight_results.sql:44-55). */
+  val p1ProjectArith = QueryDef(
+    "q_p1_project_arith",
+    """SELECT l_orderkey, l_linenumber,
+      |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price,
+      |       CAST(l_quantity AS INT) AS qty_int
+      |FROM lineitem
+      |WHERE l_returnflag <> 'N'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_returnflag") =!= "N")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("net_price"),
+        col("l_quantity").cast("int").as("qty_int"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P3 + P6: in-list and threshold predicates (reference:
+    * clutch_wins.sql:25-26 `method_group in (...) and round_number >= 4`). */
+  val p3InList = QueryDef(
+    "q_p3_inlist_filter",
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A', 'R') AND l_quantity >= 30
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") >= 30)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Fns.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** P4: case-insensitive LIKE / NOT LIKE (reference: weightclass
+    * `ilike '%Title Bout%' and not ilike '%interim%'`, title_reigns.sql:14-16). */
+  val p4Ilike = QueryDef(
+    "q_p4_ilike",
+    """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size
+      |FROM part
+      |WHERE p_name ILIKE '%red%' AND p_type NOT ILIKE '%promo%'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    T.part(s, d)
+      .filter(col("p_name").ilike("%red%") && !col("p_type").ilike("%promo%"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  /** P5 + F8: POSIX-style regex predicate guarding classification
+    * (reference: date-format guards, stg_event_details.sql:17-25). */
+  val p5Regex = QueryDef(
+    "q_p5_regex_guard",
+    """SELECT source, count(*) AS n_docs
+      |FROM documents
+      |WHERE regexp_matches(text, '^[a-z]+\s+[a-z]+')
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .filter(col("text").rlike("^[a-z]+\\s+[a-z]+"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** A1 + A4 + A9: the flagship TPC-H-Q1-shaped aggregation — multi-key
+    * groupBy with sum/avg/count (reference: fighters_by_wins.sql A1,
+    * fight_time_per_division.sql A4). Partial (map-side) aggregation +
+    * final HashAggregate; scales linearly with no extra shuffle. */
+  val a1CountGroup = QueryDef(
+    "q_a1_agg_pricing",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Fns.dsum(col("l_quantity")).as("sum_qty"),
+        Fns.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Fns.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        Fns.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A2 + A3 + A7: conditional-sum pivot, FILTER-clause count, HAVING
+    * (reference: fighters_best_record.sql:17-20,
+    * consecutive_title_defenses.sql:82, championship_rounds_fought.sql:40). */
+  val a2CondSum = QueryDef(
+    "q_a2_cond_sum_having",
+    """SELECT o_custkey,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_orders,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+      |       count(*) AS total_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) >= 15
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("f_orders"),
+        count(when(col("o_orderstatus") === "O", 1)).as("o_orders"),
+        count(lit(1)).as("total_orders"))
+      .filter(col("total_orders") >= 15)
+      .orderBy("o_custkey")
+  }
+
+  /** A4 + A5: avg / min / max over doubles and timestamps
+    * (reference: fight_time_per_division.sql:6-7, wins_over_champions.sql:20). */
+  val a4MinMaxAvg = QueryDef(
+    "q_a4_minmax_avg",
+    """SELECT l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       min(l_shipdate) AS first_ship,
+      |       max(l_shipdate) AS last_ship,
+      |       min(l_extendedprice) AS min_price,
+      |       max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        Fns.davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_linestatus")
+  }
+
+  /** A6: exact COUNT(DISTINCT) — two distinct aggregates in one query uses
+    * Spark's expand+two-phase plan, still shuffle-efficient
+    * (reference: wins_over_champions_agg.sql:5). */
+  val a6CountDistinct = QueryDef(
+    "q_a6_count_distinct",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_suppkey) AS n_supp,
+      |       count(DISTINCT l_partkey) AS n_part
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A10 + U3: DISTINCT projection (reference: dim_division.sql:3-6). */
+  val a10Distinct = QueryDef(
+    "q_a10_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** O1 + O3: multi-key mixed-direction sort + LIMIT top-k. Spark plans
+    * TakeOrderedAndProject — per-partition top-k then merge, no global sort
+    * (reference: fighters_best_record.sql:44 + the 13 LIMIT'd Metabase cards). */
+  val o1MultiSort = QueryDef(
+    "q_o1_multisort_topk",
+    """SELECT o_custkey,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+      |       count(*) AS n_orders,
+      |       max(o_orderdate) AS last_order
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY total_spent DESC, n_orders ASC, o_custkey ASC
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        Fns.dsum(col("o_totalprice")).as("total_spent"),
+        count(lit(1)).as("n_orders"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(desc("total_spent"), asc("n_orders"), asc("o_custkey"))
+      .limit(100)
+  }
+
+  /** O2 + J1: explicit NULLS LAST ordering over a null-producing left join
+    * (reference: title_reigns.sql:317 `order by reign_days desc nulls last`;
+    * PG/Spark default null-order differ — SURVEY §7.4.1). */
+  val o2NullsLast = QueryDef(
+    "q_o2_nulls_last",
+    """SELECT c.c_custkey, max(o.o_orderdate) AS last_order,
+      |       count(o.o_orderkey) AS n_recent
+      |FROM customer c
+      |LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-07-01') o
+      |  ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey
+      |ORDER BY last_order DESC NULLS LAST, c.c_custkey
+      |LIMIT 300""".stripMargin) { (s, d) =>
+    val recent = T.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-07-01").cast("timestamp"))
+    T.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(col("o_orderkey")).as("n_recent"))
+      .orderBy(desc_nulls_last("last_order"), asc("c_custkey"))
+      .limit(300)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    s1ScanPrune, p1ProjectArith, p3InList, p4Ilike, p5Regex,
+    a1CountGroup, a2CondSum, a4MinMaxAvg, a6CountDistinct, a10Distinct,
+    o1MultiSort, o2NullsLast)
+}

@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated testdata tables
+  * (/root/testdata/sf0.01/<name>.parquet etc. — see TESTDATA.md / FIXTURES.md §2).
+  * Plain parquet scans: schema comes from the footer, and Catalyst pushes
+  * filters/column pruning down into the scan (verified via .explain in
+  * PlanSpec) — at 100 TB these become partitioned/bucketed table reads with
+  * identical query code.
+  */
+object T {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = T(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = T(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = T(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = T(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = T(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = T(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = T(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = T(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")
+}
