@@ -20,7 +20,16 @@ object T {
   def part(s: SparkSession, d: String): DataFrame = T(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = T(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = T(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = T(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as raw long nanos (legacy conf) and truncate to
+    * microseconds — the same truncation DuckDB applies when casting nanos to
+    * its native µs timestamps. Integer `div` (not `/`): ns-since-epoch
+    * (~1.7e18) exceeds double's 2^53 integer range. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")
 }
