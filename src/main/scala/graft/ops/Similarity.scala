@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Scale design: brute-force is the correctness baseline (query-set ×
+  * candidate-set broadcast join — fine when the query set is small); the
+  * scale paths are IVF (route each query to its nearest centroid, search
+  * only that partition of the corpus) and LSH (random-hyperplane sign
+  * buckets, search only the colliding bucket). Both cut the scanned
+  * fraction to ~1/nlist with the same top-k code path for reranking.
+  *
+  * Outputs are rank-only (query_id, rank, neighbor_id): scores are doubles
+  * whose last-ulp depends on the engine, ranks don't (random-vector cosine
+  * gaps are astronomically larger than fp error), so results stay
+  * hash-comparable against a SQL oracle.
+  */
+object Similarity {
+
+  /** Elementwise dot product in double precision — array lambdas, codegen'd,
+    * no UDF (functions.zip_with + aggregate, SURVEY north-star). */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k for a small query set: broadcast the queries
+    * against the corpus, rank per query. */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Per-label centroids (exact elementwise mean via posexplode + group —
+    * one shuffle of (label, pos) partial sums, never a driver collect). */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+
+  /** IVF-style search: route each query to its nearest centroid (nprobe=1),
+    * then brute-force only within that label's inverted list. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val cents = centroids(emb)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine("q_emb", "centroid"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("q_emb"), col("label").as("probe_label"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(broadcast(routed),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("probe_label"), col("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `nbits` sign bits, hyperplane
+    * components derived deterministically from xxhash64(bit, pos) — no
+    * stored model, reproducible across runs/engines that share xxhash64. */
+  def lshBucket(embCol: String, nbits: Int): Column = {
+    val bits = (0 until nbits).map { j =>
+      // pseudo-random weights in [-1, 1): (hash(j, pos) % 1000) / 500.0 - 1
+      val d = expr(
+        s"""aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
+           |  (x, p) -> cast(x as double) * ((xxhash64($j, p) % 1000) / 500.0d - 1.0d)),
+           |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; exact rerank
+    * inside the bucket. Recall < 1 by construction — the scale/quality dial
+    * is (nbits, multi-probe). */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nbits: Int = 8): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket("embedding", nbits))
+    val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    bucketed.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate counts: pairs above `minCos`, blocked
+    * by LSH bucket at scale; here exact within the (small) query slice. */
+  def cosineNearDupCounts(emb: DataFrame, minCos: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine("e_a", "e_b"))
+      .filter(col("cos") >= minCos)
+    emb.select(col("vec_id"))
+      .join(pairs.select(explode(array(col("id_a"), col("id_b"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_near")),
+        Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+  }
+}

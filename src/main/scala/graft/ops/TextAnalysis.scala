@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, marker-based language ID, and content fingerprinting.
+  * All per-row array/string expressions (codegen'd, shuffle-free) — on
+  * 100 TB these run map-only at scan speed.
+  */
+object TextAnalysis {
+
+  private def words(textCol: String): Column =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  /** Whitespace token count + BPE-ish pre-tokenizer count (letter runs,
+    * digit runs, single punctuation — the GPT-2-style pretokenize shape). */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_ws_tokens",
+        when(trim(col(textCol)) === "", 0)
+          .otherwise(size(words(textCol))).cast("bigint"))
+      .withColumn("n_bpe_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          .cast("bigint"))
+
+  /** Quality signals: char/word counts, mean word length, punctuation and
+    * stopword ratios, plus a weighted score. Per-row double math only —
+    * bit-identical across engines. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = words(textCol)
+    val nChars = length(col(textCol)).cast("double")
+    val nWords = size(w).cast("double")
+    val sumWordLen = expr(
+      "aggregate(transform(split(lower(trim(text)), '\\\\s+'), x -> length(x)), 0, (a, x) -> a + x)")
+      .cast("double")
+    val nPunct = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")).cast("double")
+    val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+    val nStop = expr(
+      s"size(filter(split(lower(trim(text)), '\\\\s+'), x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))")
+      .cast("double")
+    docs
+      .withColumn("n_words", nWords.cast("bigint"))
+      .withColumn("mean_word_len", sumWordLen / nWords)
+      .withColumn("punct_ratio", nPunct / nChars)
+      .withColumn("stopword_ratio", nStop / nWords)
+      .withColumn("quality_score",
+        (sumWordLen / nWords) * lit(0.2) + (nStop / nWords) * lit(2.0) -
+          (nPunct / nChars) * lit(5.0))
+  }
+
+  /** Marker words per language for the n-gram-free language-ID heuristic.
+    * Real pipelines use char-n-gram profiles; the operator shape (score per
+    * language, argmax with deterministic tie-break) is identical. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "value", "table"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pour"))
+
+  /** Language ID: hit count per marker set, predicted = argmax
+    * (score desc, lang asc), 'und' when nothing hits. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", expr(
+        s"size(filter(split(lower(trim($textCol)), '\\\\s+'), " +
+          s"x -> x in (${markers.map("'" + _ + "'").mkString(",")})))").cast("bigint"))
+    }
+    // argmax via lambda-comparator array_sort: score desc, lang asc tiebreak
+    val total = langMarkers.map(m => s"score_${m._1}").mkString(" + ")
+    val arr = langMarkers
+      .map { case (lang, _) => s"named_struct('s', score_$lang, 'l', '$lang')" }
+      .mkString(", ")
+    val pred = expr(
+      s"""CASE WHEN $total = 0 THEN 'und'
+         |ELSE array_sort(array($arr), (x, y) ->
+         |  CASE WHEN x.s > y.s THEN -1 WHEN x.s < y.s THEN 1
+         |       WHEN x.l < y.l THEN -1 WHEN x.l > y.l THEN 1 ELSE 0 END)[0].l
+         |END""".stripMargin)
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  /** Content fingerprints: md5 of the raw text plus an order-insensitive
+    * canonical fingerprint (md5 of the sorted distinct word set — the
+    * "bag of words" fingerprint used for shuffled-duplicate detection). */
+  def withFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col(textCol)))
+      .withColumn("canon_fp",
+        md5(array_join(array_sort(array_distinct(words(textCol))), " ")))
+      .withColumn("fp_prefix", substring(col("canon_fp"), 1, 8))
+}

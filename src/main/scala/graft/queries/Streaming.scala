@@ -1,5 +1,52 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Batch-equivalent views of the streaming operators (the identical
+  * transforms run under readStream in StreamingSpec — Structured Streaming
+  * incrementalizes the same plan). */
 object Streaming {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Tumbling 1h window counts per event_type. */
+  val tumbling = QueryDef(
+    "q_stream_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    StreamOps.tumblingCounts(T.events(s, d))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sessionization (30-minute inactivity gap) per user. */
+  val sessions = QueryDef(
+    "q_stream_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id,
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+      |       max(session_events) AS max_session_events
+      |FROM (SELECT user_id, session_id, count(*) AS session_events
+      |      FROM sess GROUP BY user_id, session_id) g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    StreamOps.sessionStats(T.events(s, d))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tumbling, sessions)
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Streaming-shaped operators over the events table. Each transform takes a
+  * DataFrame and works unchanged on a batch read OR a readStream source —
+  * that symmetry is the point (Structured Streaming's incrementalization of
+  * the same logical plan). The streaming path (readStream + watermark +
+  * memory sink) is exercised in StreamingSpec; the batch path feeds the
+  * DuckDB oracle gate. The reference itself has no streaming surface
+  * (SURVEY §2.10) — this is the scale-extension stretch (§7.6).
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event_type. On a stream: add
+    * `.withWatermark("ts", ...)` upstream and this same expression runs
+    * incrementally with append output. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding-window event counts (1h window, 30m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Batch sessionization: gap > `gapSeconds` starts a new session
+    * (lag + running-sum — the gaps-and-islands technique from SURVEY §2.5 W7
+    * applied to time gaps). The streaming twin is session_window/
+    * flatMapGroupsWithState in StreamingSpec. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      lag(col("ts"), 1).over(wOrd).isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wOrd)) > gapSeconds,
+      1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats from the sessionized stream. */
+  def sessionStats(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    sessionize(events, gapSeconds)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("session_events")).as("max_session_events"))
+}
