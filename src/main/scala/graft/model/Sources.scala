@@ -1,0 +1,51 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** UFC source-table ingestion (SURVEY §2.1 S1-S3).
+  *
+  * Mirrors the reference loader's contract (dlt/load.py:18-46): every raw
+  * column is text, headers are snake_case-normalized ("TIME FORMAT" →
+  * time_format, dlt/load.py behavior the staging SQL relies on —
+  * SURVEY §7.4.8), and table identity follows the fact_/dim_ filename
+  * convention (dlt/load.py:25-29). Write side is full-replace
+  * (write_disposition="replace", dlt/load.py:35) →
+  * `mode("overwrite")` parquet/saveAsTable.
+  */
+object Sources {
+
+  /** dlt-style identifier normalization: lower-case, runs of
+    * non-alphanumerics → '_', trimmed of edge underscores. */
+  def snakeCase(name: String): String =
+    name.trim.toLowerCase
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+
+  /** fact_/dim_ routing by filename stem (dlt/load.py:18-29). */
+  private val factStems = Set("ufc_fight_results", "ufc_fight_details", "ufc_fight_stats")
+
+  def tableNameFor(fileStem: String): String = {
+    val stem = snakeCase(fileStem)
+    if (factStems.contains(stem)) s"fact_$stem" else s"dim_$stem"
+  }
+
+  /** All-text schema from a header list (dlt infers text for CSV). */
+  def textSchema(columns: Seq[String]): StructType =
+    StructType(columns.map(c => StructField(snakeCase(c), StringType, nullable = true)))
+
+  /** CSV scan with header + snake_case normalization; all columns text,
+    * exactly like the dlt load (strong types are created in staging). */
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+    raw.toDF(raw.columns.map(snakeCase).toIndexedSeq: _*)
+  }
+
+  /** Full-replace relational sink (S3): idempotent rebuild per run. */
+  def writeReplace(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
