@@ -92,6 +92,27 @@ def main() -> None:
         n = con.execute(f"SELECT count(*) FROM {name}").fetchone()[0]
         print(f"{name}: {n} rows")
 
+    # Metabase card goldens: run the charts.sh card SQL verbatim (minus the
+    # schema prefix; view alias -> model name)
+    alias = {}
+    for path in glob.glob(f"{REF}/**/*.sql", recursive=True):
+        name = os.path.splitext(os.path.basename(path))[0]
+        m = re.search(r"alias='([^']+)'", open(path).read())
+        if m:
+            alias[m.group(1)] = name
+    charts = open("/root/reference/metabase/charts.sh").read()
+    cards = re.findall(
+        r"QUERY=\$\(cat <<'SQL'\n(.*?)\nSQL\n\)\ncreate_card \"([^\"]+)\"",
+        charts, flags=re.S)
+    for i, (sql, title) in enumerate(cards):
+        q = re.sub(r"fighters_extracted_goat_status\.(\w+)",
+                   lambda m: alias.get(m.group(1), m.group(1)), sql).rstrip(";\n")
+        slug = re.sub(r"[^a-z0-9]+", "_", title.lower()).strip("_")
+        con.execute(
+            f"COPY ({q}) TO '{OUT}/card_{i:02d}_{slug}.csv' (HEADER, NULLSTR '\\N')")
+        n = con.execute(f"SELECT count(*) FROM ({q})").fetchone()[0]
+        print(f"card {i:02d} {title}: {n} rows")
+
 
 if __name__ == "__main__":
     main()
