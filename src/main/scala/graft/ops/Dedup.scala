@@ -40,7 +40,10 @@ object Dedup {
     * higher-order-function path. */
   def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(k => s"w[i + $k]").mkString(", ")
-    s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts)))"
+    // guard: sequence(0, negative) steps backwards in Spark, so short texts
+    // must short-circuit to an empty array
+    s"CASE WHEN size(w) < $n THEN array() " +
+      s"ELSE array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts))) END"
   }
 
   /** docs + `shingles` column of word n-grams. */

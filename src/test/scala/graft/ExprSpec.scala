@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.ArrayExprs.{jaccardSorted, minhashSignature}
+import graft.expr.ShingleHashes.shingleHashes
+import graft.expr.UfcExprs
+
+/** Unit tests for the custom Catalyst expressions and shared scalar
+  * helpers — the custom expressions must be bit-compatible with their
+  * built-in composable equivalents (they exist purely as fast paths).
+  */
+class ExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("ShingleHashes matches the built-in xxhash64 pipeline bit-for-bit") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "a b c", "one two", "  spaced   out   words  here ").toDF("text")
+    val custom = docs.select(shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val builtin = graft.ops.Dedup.withShingles(docs)
+      .select(expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    custom.zip(builtin).foreach { case (c, b) => assert(c == b) }
+  }
+
+  test("ShingleHashes: fewer words than n yields empty array") {
+    val out = Seq("one two", "").toDF("text")
+      .select(shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("JaccardSorted equals array_intersect/array_union jaccard") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 5L), Array(2L, 3L, 4L, 5L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val got = df.select(jaccardSorted(col("a"), col("b"))).as[Double].collect().toSeq
+    val want = df.select(
+      size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as[Double].collect().toSeq
+    assert(got == want)
+  }
+
+  test("MinHashSignature: 64 slots, deterministic, more-similar => more collisions") {
+    val df = Seq(
+      ("a", Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+      ("b", Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L)), // 7/9 jaccard with a
+      ("c", Array(100L, 200L, 300L))).toDF("id", "hs")
+    val sigs = df.select(col("id"), minhashSignature(col("hs")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a").size == 64)
+    val simAB = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    val simAC = sigs("a").zip(sigs("c")).count { case (x, y) => x == y }
+    assert(simAB > simAC, s"expected sig(a,b) collisions ($simAB) > sig(a,c) ($simAC)")
+    // determinism across evaluations
+    val again = df.select(col("id"), minhashSignature(col("hs")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs == again)
+  }
+
+  test("date ladder parses all four reference formats and rejects garbage") {
+    val rows = Seq("Nov 12, 1993", "March 11, 1994", "Aug 2005",
+      "September 1996", "someday soon", "13/04/2024").toDF("raw")
+      .select(UfcExprs.dateLadder(col("raw")).cast("string")).as[String]
+      .collect().toSeq
+    assert(rows == Seq("1993-11-12", "1994-03-11", "2005-08-01",
+      "1996-09-01", null, null))
+  }
+
+  test("split_part matches PG semantics: '' past the last part") {
+    val r = Seq("a b").toDF("s")
+      .select(split_part(col("s"), lit(" "), lit(5))).as[String].head()
+    assert(r == "")
+  }
+
+  test("weight-category normalizers: working vs no-op reference variants") {
+    val df = Seq("Interim UFC Heavyweight Title Bout", "UFC Lightweight Title Bout")
+      .toDF("wc")
+    val full = df.select(UfcExprs.weightCategoryFull(col("wc"))).as[String].collect()
+    // strip order: ^UFC runs before ^Interim, so the prefix survives
+    assert(full.toSeq == Seq("UFC Heavyweight", "Lightweight"))
+    val noop = df.select(UfcExprs.weightCategoryNoop(col("wc"))).as[String].collect()
+    assert(noop.toSeq == Seq("Interim UFC Heavyweight Title Bout", "UFC Lightweight Title Bout"))
+  }
+
+  test("fighter token cleaner only strips the working ' retired' arm") {
+    val toks = Seq("Both Khabib (retired)", "McGregor", "Jones retired")
+      .toDF("f").select(UfcExprs.fighterToken(col("f"))).as[String].collect()
+    assert(toks.toSeq == Seq("Both Khabib (retired)", "McGregor", "Jones"))
+  }
+}

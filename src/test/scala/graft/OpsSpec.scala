@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavioral tests for the LLM-pipeline operators: planted near-duplicates
+  * must be found, ANN recall must be sane vs brute force, the multimodal
+  * batch path must round-trip.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** testdata docs + two planted near-duplicate pairs and one exact dup. */
+  lazy val docsWithDups: DataFrame = {
+    val base = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val planted = base.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        // near-dup: append two words to an existing text
+        concat(col("text"), lit(" extra tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val exact = base.filter(col("doc_id") === 5)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    base.unionByName(planted).unionByName(exact)
+  }
+
+  test("exact dedup finds the planted exact duplicate") {
+    val groups = Dedup.exactGroups(docsWithDups)
+    assert(groups.filter(col("n_copies") === 2).count() == 1)
+    val survivor = groups.filter(col("n_copies") === 2)
+      .select("keep_doc_id").as[Long].head()
+    assert(survivor == 5L)
+  }
+
+  test("minhash LSH surfaces planted near-duplicates with high jaccard") {
+    val cands = Dedup.minHashCandidates(docsWithDups)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 10000L)), s"missing (0,10000) in $cands")
+    assert(cands.contains((1L, 10001L)), s"missing (1,10001) in $cands")
+    assert(cands.contains((5L, 20005L)), s"missing exact pair in $cands")
+  }
+
+  test("ngram jaccard best-match finds the planted duplicates") {
+    // note: the corpus has NATURAL near-dups (e.g. docs 0 and 82 at
+    // jaccard 0.95), so doc 0's best match may beat the planted 0.91 pair;
+    // assert on the planted docs' side, where the planted source IS best
+    val best = Dedup.ngramJaccardBestMatch(docsWithDups)
+      .filter(col("doc_id").isin(10000L, 20005L, 5L))
+      .select("doc_id", "best_match_id", "best_jaccard")
+      .as[(Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(best(10000L)._1.contains(0L))
+    assert(best(10000L)._2.exists(_ > 0.85))
+    assert(best(20005L)._1.contains(5L)) // exact dup: jaccard 1.0
+    assert(best(20005L)._2.contains(1.0))
+    assert(best(5L)._2.contains(1.0))
+  }
+
+  test("simhash marks the exact duplicate as near (hamming 0)") {
+    val near = Dedup.simHashNearDups(docsWithDups)
+      .filter(col("doc_id").isin(5L, 20005L))
+      .select("n_near").as[Long].collect()
+    assert(near.forall(_ >= 1))
+  }
+
+  test("IVF routes to the right label and LSH recall is sane vs brute force") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // IVF: query's own-label list contains its true nearest neighbors often;
+    // check the op returns k results routed to the query's nearest centroid
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 3)
+    assert(ivf.groupBy("query_id").count().select("count").as[Long]
+      .collect().forall(_ == 3))
+    // LSH: every returned neighbor shares the query's bucket; recall@10 of
+    // the bucket-restricted search vs brute force must be nonzero overall
+    val lsh = Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val hits = lsh.count { case (q, n) => brute.getOrElse(q, Set()).contains(n) }
+    assert(hits > 0, "LSH found none of the brute-force top-10")
+  }
+
+  test("text analysis columns are consistent") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val t = TextAnalysis.withTokenCounts(docs)
+    assert(t.filter(col("n_ws_tokens") <= 0).count() == 0)
+    val q = TextAnalysis.withQuality(docs)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    val l = TextAnalysis.withLangId(docs)
+    assert(l.filter(col("predicted_lang").isNull).count() == 0)
+    val f = TextAnalysis.withFingerprints(docs)
+    // canonical fingerprint is order-insensitive: shuffled words same fp
+    val fp = TextAnalysis.withFingerprints(
+      Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text"))
+      .select("canon_fp").as[String].collect()
+    assert(fp(0) == fp(1))
+    assert(f.select("text_md5").distinct().count() == 50)
+  }
+
+  test("multimodal batch decode round-trips deterministically") {
+    implicit val s: SparkSession = spark
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    // n_bytes must equal the text's UTF-8 byte length
+    val expected = docs.select(col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n")).as[(Long, Long)]
+      .collect().toMap
+    rows.foreach { r => assert(r.n_bytes == expected(r.doc_id)) }
+    assert(rows.forall(r => r.fake_width >= 1 && r.fake_height >= 1))
+  }
+}

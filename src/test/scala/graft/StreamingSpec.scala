@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming parity: the SAME StreamOps transforms that feed the
+  * batch oracle queries run under readStream (file source → watermark →
+  * memory sink) and must produce the batch answer once the source drains —
+  * Structured Streaming incrementalizes the identical logical plan.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def events = graft.queries.T.events(spark, sfDir)
+
+  /** The on-disk schema: ts is TIMESTAMP(NANOS) read as raw long
+    * (nanosAsLong), converted after — same as T.events. */
+  private def rawSchema: StructType =
+    StructType(events.schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** File stream sources need a directory; stage the single parquet file. */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("tumbling window counts: streaming == batch") {
+    val batch = StreamOps.tumblingCounts(events)
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.tumblingCounts(stream.withWatermark("ts", "1 hour"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("sessionization finds gap-separated sessions") {
+    import spark.implicits._
+    val data = Seq(
+      // user 1: two sessions (gap of 2h between event 2 and 3)
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
+      (3L, "2024-01-01 02:30:00", 1L), (4L, "2024-01-01 02:40:00", 1L),
+      (5L, "2024-01-01 02:50:00", 1L),
+      // user 2: one session
+      (6L, "2024-01-01 05:00:00", 2L))
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val stats = StreamOps.sessionStats(data).orderBy("user_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("streaming readStream path of events schema works end-to-end") {
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val counts = stream.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("etype_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("etype_out").collect().map(_.getLong(1)).sum
+    assert(got == events.count())
+  }
+}
