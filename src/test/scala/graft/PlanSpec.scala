@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB contract encoded as tests so plan
+  * quality can't silently regress: filters and projections must reach the
+  * parquet scan, small sides must broadcast, top-k must plan as
+  * TakeOrderedAndProject (per-partition top-k, no global sort).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = queries.Registry.byName(name).fn(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("scan prune: filter and projection are pushed to the parquet reader") {
+    val p = plan("q_s1_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed down:\n$p")
+    assert(p.contains("ReadSchema") &&
+      p.contains("l_orderkey") && !p.contains("l_extendedprice"),
+      s"projection not pruned:\n$p")
+  }
+
+  test("pre-agg join broadcasts the small aggregated side") {
+    val p = plan("q_j3_preagg_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast join:\n$p")
+  }
+
+  test("theta join stays an equi-join with residual, not a cartesian") {
+    val p = plan("q_j5_theta_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"theta join degenerated to a product:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_o1_multisort_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("flagship aggregation is two-phase (partial + final) hash aggregation") {
+    val p = plan("q_a1_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final hash aggregation:\n$p")
+  }
+
+  test("windowed sequence shuffles once on the partition key") {
+    val df = queries.Registry.byName("q_w1_rownum_seq").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges:\n$p")
+  }
+}
