@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Operators beyond the reference's surface that any warehouse user of this
+  * engine expects (the reference simply never needed them — SURVEY notes
+  * "no semi/anti joins, no grouping sets" as observations, not constraints):
+  * semi/anti joins, ROLLUP, PIVOT, scalar subqueries, sliding windows.
+  * All oracle-checked.
+  */
+object Extended {
+
+  /** LEFT SEMI join (EXISTS). */
+  val semiJoin = QueryDef(
+    "q_j9_semi_join",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT'
+      |                AND o.o_totalprice >= 150000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val urgent = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 150000)
+    T.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI join (NOT EXISTS). */
+  val antiJoin = QueryDef(
+    "q_j10_anti_join",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val recent = T.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    T.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** GROUP BY ROLLUP — subtotal + grand-total rows. */
+  val rollup = QueryDef(
+    "q_a11_rollup",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Fns.dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** PIVOT order counts per status into columns. */
+  val pivot = QueryDef(
+    "q_a12_pivot",
+    """SELECT o_custkey,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders
+      |WHERE o_custkey < 300
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .filter(col("o_custkey") < 300)
+      .groupBy("o_custkey")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_custkey")
+  }
+
+  /** Scalar subquery: rows above the (decimal-exact) global average. */
+  val scalarSubquery = QueryDef(
+    "q_p8_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                             / count(*) * 1.8
+      |                      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val thr = orders.agg((Fns.davg(col("o_totalprice")) * 1.8).as("thr"))
+    orders
+      .join(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Sliding window (1h width, 30m slide) — each event lands in two
+    * windows; Spark's epoch-aligned window() vs an explicit window-series
+    * join in the oracle. */
+  val slidingWindow = QueryDef(
+    "q_stream_sliding_window",
+    """WITH bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS a, max(ts) AS b FROM events
+      |),
+      |wins AS (
+      |  SELECT unnest(generate_series(a - INTERVAL 30 MINUTE, b, INTERVAL 30 MINUTE)) AS ws
+      |  FROM bounds
+      |)
+      |SELECT ws AS window_start, event_type, count(*) AS n_events
+      |FROM wins JOIN events ON ts >= ws AND ts < ws + INTERVAL 1 HOUR
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.slidingCounts(T.events(s, d))
+      .orderBy("window_start", "event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow)
+}
