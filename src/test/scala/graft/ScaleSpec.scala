@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ScaleOps
+
+/** Scale-technique correctness + plan proofs: salting must not change join
+  * or aggregation results, and bucketed joins must plan without a shuffle.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${System.nanoTime()}")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join result equals plain join result") {
+    val li = queries.T.lineitem(spark, sf)
+    val orders = queries.T.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val salted = ScaleOps
+      .saltedJoin(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+        "o_orderkey", col("l_linenumber"), 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted distinct count equals countDistinct") {
+    val li = queries.T.lineitem(spark, sf)
+    val plain = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_distinct_l_partkey"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = ScaleOps
+      .saltedDistinctCount(li, "l_returnflag", "l_partkey", col("l_orderkey"), 8)
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed join plans with zero Exchange") {
+    val orders = queries.T.orders(spark, sf)
+    val li = queries.T.lineitem(spark, sf)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    ScaleOps.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    ScaleOps.writeBucketed(li, "b_lineitem", "o_orderkey", 8)
+    // disable auto-broadcast: the point is the bucket layout replacing the
+    // shuffle, not a broadcast sidestepping it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(joined.count() ==
+        queries.T.lineitem(spark, sf).join(queries.T.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
