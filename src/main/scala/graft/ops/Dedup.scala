@@ -168,4 +168,20 @@ object Dedup {
         col("jaccard").as("best_jaccard"))
     docs.select("doc_id").join(best, Seq("doc_id"), "left")
   }
+
+  /** End-to-end corpus dedup — the API a training-data pipeline calls:
+    * drop exact duplicates (keep min doc_id per digest), then drop the
+    * larger id of every MinHash-verified near-dup pair at `minJaccard`.
+    * Returns the retained rows of `docs` unchanged. */
+  def dedupCorpus(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.8): DataFrame = {
+    val exactKeep = exactGroups(docs, textCol)
+      .select(col("keep_doc_id").as("doc_id"))
+    val kept = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    val nearDrop = minHashCandidates(kept, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
+      .distinct()
+    kept.join(nearDrop, Seq("doc_id"), "left_anti")
+  }
 }

@@ -58,4 +58,24 @@ object StreamOps {
       .agg(
         count(lit(1)).as("n_sessions"),
         max(col("session_events")).as("max_session_events"))
+
+  /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
+    * source files into a parquet sink, exactly-once via checkpointing.
+    * The reference's ingestion is full-replace (dlt write_disposition);
+    * this is the append-mode upgrade a 100 TB pipeline runs instead —
+    * restartable, picks up only unseen files. Caller drives the returned
+    * query (processAllAvailable for batch-like runs, or leave running). */
+  def incrementalIngest(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      sinkDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

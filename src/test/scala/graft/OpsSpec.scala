@@ -68,6 +68,18 @@ class OpsSpec extends AnyFunSuite {
     assert(best(5L)._2.contains(1.0))
   }
 
+  test("dedupCorpus drops exact and near duplicates, keeps the rest") {
+    val deduped = Dedup.dedupCorpus(docsWithDups, minJaccard = 0.85)
+    val ids = deduped.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(20005L), "exact duplicate must drop (keep min id)")
+    assert(ids.contains(5L))
+    assert(!ids.contains(10000L), "near-dup (jaccard ~0.91) must drop the larger id")
+    assert(ids.contains(1L) || ids.contains(10001L))
+    // the sf0.001 corpus has ~25 NATURAL near-dup pairs at jaccard >= 0.85
+    // (e.g. docs 0/82 at 0.95) — drops beyond the planted ones are real
+    assert(deduped.count() >= docsWithDups.count() - 40)
+  }
+
   test("simhash marks the exact duplicate as near (hamming 0)") {
     val near = Dedup.simHashNearDups(docsWithDups)
       .filter(col("doc_id").isin(5L, 20005L))

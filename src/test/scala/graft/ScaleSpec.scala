@@ -52,6 +52,17 @@ class ScaleSpec extends AnyFunSuite {
     val orders = queries.T.orders(spark, sf)
     val li = queries.T.lineitem(spark, sf)
       .withColumnRenamed("l_orderkey", "o_orderkey")
+    // a prior JVM's managed-table dirs survive while catalog entries don't;
+    // clear both so Overwrite can recreate cleanly
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     ScaleOps.writeBucketed(orders, "b_orders", "o_orderkey", 8)
     ScaleOps.writeBucketed(li, "b_lineitem", "o_orderkey", 8)
     // disable auto-broadcast: the point is the bucket layout replacing the

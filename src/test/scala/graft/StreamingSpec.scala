@@ -78,6 +78,29 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("incremental ingest appends only unseen files across restarts") {
+    val src = java.nio.file.Files.createTempDirectory("ingest_src")
+    val sink = java.nio.file.Files.createTempDirectory("ingest_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt")
+    import spark.implicits._
+    // batch 1: two files
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val q1 = StreamOps.incrementalIngest(spark, src.toString, schema,
+      sink.toString, ckpt.toString)
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(sink.toString).count() == 2)
+    // batch 2: one more file; restart picks up ONLY the new one
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src.toString)
+    val q2 = StreamOps.incrementalIngest(spark, src.toString, schema,
+      sink.toString, ckpt.toString)
+    q2.awaitTermination(120000)
+    val rows = spark.read.parquet(sink.toString)
+    assert(rows.count() == 3, "restart must append only the unseen file")
+    assert(rows.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("streaming readStream path of events schema works end-to-end") {
     val stream = spark.readStream
       .schema(rawSchema)
