@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{columnToExpr, exprToColumn}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -12,10 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * no per-row hash-set allocation (the built-in
   * array_intersect/array_union pair costs ~100µs/row interpreted; this is
   * ~1µs). Inputs must be sorted ascending and distinct (ShingleHashes
-  * guarantees both).
+  * guarantees both). Whole-stage-codegen'd via a static kernel call.
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
@@ -27,9 +27,23 @@ case class JaccardSorted(left: Expression, right: Expression)
       s"jaccard_sorted requires array<long> inputs, got ${left.dataType}, ${right.dataType}")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaccardSorted.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.JaccardSorted.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSorted {
+  /** Static merge-walk kernel shared by interpreted eval and codegen. */
+  def compute(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
     var i = 0
     var j = 0
     var inter = 0
@@ -41,19 +55,16 @@ case class JaccardSorted(left: Expression, right: Expression)
     val union = a.length + b.length - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): JaccardSorted =
-    copy(left = newLeft, right = newRight)
 }
 
 /** 64-slot MinHash signature of a hashed-shingle array in one compiled
   * pass: slot j = min over shingle hashes h of XXH64(h, seed = j). The
   * built-in nested-lambda form re-enters the interpreted expression
-  * evaluator 64×|shingles| times per row.
+  * evaluator 64×|shingles| times per row. Whole-stage-codegen'd via a
+  * static kernel call.
   */
 case class MinHashSignature(child: Expression, slots: Int = 64)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -66,8 +77,21 @@ case class MinHashSignature(child: Expression, slots: Int = 64)
         s"minhash_signature requires array<long> input, got ${child.dataType}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], slots)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.MinHashSignature.compute($c, $slots);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Static signature kernel shared by interpreted eval and codegen. */
+  def compute(input: ArrayData, slots: Int): ArrayData = {
+    val hs = input.toLongArray()
     val sig = new Array[Long](slots)
     var j = 0
     while (j < slots) {
@@ -83,9 +107,6 @@ case class MinHashSignature(child: Expression, slots: Int = 64)
     }
     new GenericArrayData(sig)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
 }
 
 object ArrayExprs {

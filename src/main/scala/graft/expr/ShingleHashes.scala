@@ -3,15 +3,17 @@ package graft.expr
 import java.util.Locale
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{columnToExpr, exprToColumn}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expression: text → distinct xxhash64 hashes of its
-  * lower-cased word `n`-gram shingles, in one compiled pass.
+  * lower-cased word `n`-gram shingles, sorted ascending, in one compiled
+  * pass.
   *
   * The composable built-in form —
   * `array_distinct(transform(sequence(...), i -> xxhash64(concat_ws(...))))`
@@ -19,30 +21,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 150 words); this expression does the same work in a tight loop at
   * ~1% of the cost. Preference order per the build contract: built-ins
   * where they're efficient, a scalar `Expression` (this) when they're not,
-  * never a Scala UDF (no codegen'd child pruning, opaque to Catalyst).
+  * never a Scala UDF (opaque to Catalyst, breaks codegen).
   *
-  * Hash is Spark's own XXH64 with the default seed 42, matching the SQL
-  * `xxhash64(shingle_string)` bit-for-bit (verified in DedupSpec), so the
-  * expression is a drop-in for the built-in pipeline. Output is sorted
-  * ascending so pair scoring can merge-walk (JaccardSorted).
+  * Participates in whole-stage codegen via `doGenCode` (emits a call to the
+  * static `compute`), so it never forces a span break the way
+  * CodegenFallback would. Hash is Spark's own XXH64 with the default seed
+  * 42, matching SQL `xxhash64(shingle_string)` bit-for-bit (ExprSpec).
+  * Sorted output lets pair scoring merge-walk (JaccardSorted).
   */
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType) {
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    } else {
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"shingle_hashes requires a string input, got ${child.dataType}")
-    }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string input, got ${child.dataType}")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Column API: hashed word-n-gram shingles of a text column. */
+  def shingleHashes(c: Column, n: Int): Column =
+    exprToColumn(ShingleHashes(columnToExpr(c), n))
+
+  /** Static single-pass kernel shared by interpreted eval and codegen. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
     val words = text.trim.toLowerCase(Locale.ROOT).split("\\s+")
     if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
       return new GenericArrayData(Array.empty[Long])
@@ -70,13 +87,4 @@ case class ShingleHashes(child: Expression, n: Int)
     java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-object ShingleHashes {
-  /** Column API: hashed word-n-gram shingles of a text column. */
-  def shingleHashes(c: Column, n: Int): Column =
-    exprToColumn(ShingleHashes(columnToExpr(c), n))
 }
