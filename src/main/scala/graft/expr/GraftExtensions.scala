@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's custom expressions as SQL
+  * functions, so `spark.sql` users get them alongside the built-ins:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or: --conf spark.sql.extensions=graft.expr.GraftExtensions
+  *
+  *   SELECT shingle_hashes(text, 3),
+  *          minhash_signature(shingle_hashes(text, 3), 64),
+  *          jaccard_sorted(a, b)
+  *
+  * This is the (c) extension path from the build contract — injection via
+  * SparkSessionExtensions rather than session-local temp functions, so the
+  * functions exist in every session created with the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The function set, shared by extension injection and direct session
+    * registration. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - sorted distinct xxhash64 hashes of word n-gram shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleHashes(text, 3)
+        case Seq(text, n) => ShingleHashes(text, n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("shingle_hashes expects (text[, n])")
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes[, slots]) - MinHash signature of a hashed-shingle array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(hs) => MinHashSignature(hs)
+        case Seq(hs, slots) => MinHashSignature(hs, slots.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("minhash_signature expects (hashes[, slots])")
+      }),
+    (FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted",
+        "jaccard_sorted(a, b) - Jaccard similarity of two sorted distinct long arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaccardSorted(a, b)
+        case _ => throw new IllegalArgumentException("jaccard_sorted expects (a, b)")
+      }))
+
+  /** Register into an ALREADY-RUNNING session (extensions only apply at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -117,6 +117,79 @@ object Extended {
       .orderBy("window_start", "event_type")
   }
 
+  /** INTERSECT / EXCEPT (distinct set semantics both engines). */
+  val setOps = QueryDef(
+    "q_u4_intersect_except",
+    """WITH f_parts AS (SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                 WHERE o_orderstatus = 'F'),
+      |     o_parts AS (SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                 WHERE o_orderstatus = 'O')
+      |SELECT 'both' AS grp, count(*) AS n
+      |FROM (SELECT l_partkey FROM f_parts INTERSECT SELECT l_partkey FROM o_parts) x
+      |UNION ALL
+      |SELECT 'only_f' AS grp, count(*) AS n
+      |FROM (SELECT l_partkey FROM f_parts EXCEPT SELECT l_partkey FROM o_parts) y
+      |ORDER BY grp""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d)
+    val orders = T.orders(s, d)
+    def parts(status: String) = li
+      .join(orders.filter(col("o_orderstatus") === status),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_partkey")
+    val f = parts("F")
+    val o = parts("O")
+    f.intersect(o).agg(count(lit(1)).as("n")).select(lit("both").as("grp"), col("n"))
+      .unionByName(
+        f.except(o).agg(count(lit(1)).as("n")).select(lit("only_f").as("grp"), col("n")))
+      .orderBy("grp")
+  }
+
+  /** Exact percentiles. l_quantity is integer-valued, so quantile
+    * interpolation at .25/.5/.75 is exact in both engines (fractions are
+    * powers of two — no fp divergence between the a+(b-a)f and weighted
+    * forms). */
+  val percentiles = QueryDef(
+    "q_a13_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.5) AS median,
+      |       quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Population stddev via decimal-exact sum and sum-of-squares, so the
+    * only double math is the identical final expression on both sides. */
+  val stddevExact = QueryDef(
+    "q_a14_stddev_exact",
+    """SELECT l_returnflag,
+      |       sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |             - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |               * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |            / count(*)) AS stddev_pop_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val s2 = sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(18, 4)))
+      .cast("double")
+    val s1 = sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+    val n = count(lit(1))
+    T.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sqrt((s2 - s1 * s1 / n) / n).as("stddev_pop_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow)
+    semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
+    setOps, percentiles, stddevExact)
 }

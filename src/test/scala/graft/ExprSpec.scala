@@ -95,6 +95,17 @@ class ExprSpec extends AnyFunSuite {
     assert(noop.toSeq == Seq("Interim UFC Heavyweight Title Bout", "UFC Lightweight Title Bout"))
   }
 
+  test("GraftExtensions registers SQL functions for spark.sql users") {
+    graft.expr.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT jaccard_sorted(shingle_hashes('a b c d e', 3),
+        |                      shingle_hashes('a b c d e x', 3)) AS j,
+        |       size(minhash_signature(shingle_hashes('a b c d e', 3), 16)) AS slots
+        |""".stripMargin).head()
+    assert(row.getDouble(0) > 0.4 && row.getDouble(0) < 1.0)
+    assert(row.getInt(1) == 16)
+  }
+
   test("fighter token cleaner only strips the working ' retired' arm") {
     val toks = Seq("Both Khabib (retired)", "McGregor", "Jones retired")
       .toDF("f").select(UfcExprs.fighterToken(col("f"))).as[String].collect()
