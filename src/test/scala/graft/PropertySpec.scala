@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Analytics
+import graft.ops.Dedup
+import graft.streaming.StreamOps
+
+/** Property-based invariants (SURVEY §5.3): generated inputs, structural
+  * laws that must hold for ANY data — streak ≤ wins, unpivot doubles rows,
+  * wins+losses+nc = total, session events conserve, dedup is idempotent.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Deterministic property driver: evaluate the generator at fixed seeds
+    * (scalatestplus isn't in the offline cache; raw ScalaCheck is). */
+  private def forSamples[T](gen: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val fighters = Gen.oneOf("Ana", "Bo", "Cy", "Dee", "Ed", "Fay")
+  private val outcomes = Gen.oneOf("W/L", "L/W", "D/D", "NC/NC")
+
+  private val fightGen = for {
+    f1 <- fighters
+    f2 <- fighters.suchThat(_ != f1)
+    out <- outcomes
+    ev <- Gen.choose(1, 12)
+    rnd <- Gen.choose(1, 5)
+  } yield (s"Event $ev", s"$f1 vs. $f2", out, "Lightweight Bout",
+    "Decision - Unanimous", rnd.toString, "5:00", "3 Rnd (5-5-5)",
+    s"http://f/${f1}_${f2}_$ev$rnd${out.hashCode.abs}")
+
+  private def resultsDf(rows: List[(String, String, String, String, String, String, String, String, String)]) =
+    Staging0.stg(spark, rows)
+
+  object Staging0 {
+    def stg(spark: SparkSession,
+        rows: List[(String, String, String, String, String, String, String, String, String)]) = {
+      import spark.implicits._
+      graft.model.Staging.stgFightResults(
+        rows.toDF("event", "bout", "outcome", "weightclass", "method",
+          "round", "time", "time_format", "url"))
+    }
+  }
+
+  test("best record: wins + losses + nc == total_fights, and unpivot doubles rows") {
+    forSamples(Gen.listOfN(40, fightGen)) { rows =>
+      if (rows.nonEmpty) {
+        val stg = resultsDf(rows)
+        val rec = Analytics.fightersBestRecord(stg)
+        val bad = rec.filter(col("wins") + col("losses") + col("nc") =!= col("total_fights"))
+        assert(bad.count() == 0)
+        // unpivot law: total fight-slots across fighters = 2 x fights
+        val slots = stg.select(col("fighter_1").as("f"))
+          .unionByName(stg.select(col("fighter_2").as("f")))
+          .filter(col("f").isNotNull && col("f") =!= "")
+        assert(slots.count() == 2L * stg.count())
+      }
+    }
+  }
+
+  test("longest winning streak never exceeds total wins") {
+    forSamples(Gen.listOfN(40, fightGen)) { rows =>
+      if (rows.nonEmpty) {
+        val stg = resultsDf(rows)
+        val events = rows.map(_._1).distinct
+          .map(e => (e, s"http://e/$e", "Jan 1, 2000", "X"))
+          .toDF("event", "url", "date", "location")
+        val stgEv = graft.model.Staging.stgEventDetails(events)
+        // streaks at threshold 1 so small corpora still produce rows
+        val streaks = Analytics.fightersByLongestWinningStreak(stg, stgEv)
+        val wins = Analytics.fightersByWins(stg)
+        val joined = streaks.join(wins, "fighter")
+        val bad = joined.filter(col("longest_win_streak") > col("wins"))
+        assert(bad.count() == 0)
+      }
+    }
+  }
+
+  test("sessionization conserves events and session counts are positive") {
+    val evGen = for {
+      user <- Gen.choose(1L, 5L)
+      minute <- Gen.choose(0L, 5000L)
+    } yield (minute, user)
+    forSamples(Gen.listOfN(60, evGen)) { rows =>
+      if (rows.nonEmpty) {
+        val distinctRows = rows.distinct
+        val df = distinctRows.zipWithIndex
+          .map { case ((m, u), i) => (i.toLong, m, u) }
+          .toDF("event_id", "m", "user_id")
+          .withColumn("ts", expr("timestamp_seconds(m * 60)"))
+        val stats = StreamOps.sessionStats(df)
+        val totalBySessions = StreamOps.sessionize(df)
+          .groupBy("user_id", "session_id").count()
+          .agg(sum("count")).as[Long].head()
+        assert(totalBySessions == distinctRows.size.toLong)
+        assert(stats.filter(col("n_sessions") < 1).count() == 0)
+        assert(stats.filter(col("max_session_events") < 1).count() == 0)
+      }
+    }
+  }
+
+  test("corpus dedup is idempotent") {
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("spark table scan", "row batch merge", "key value hash"))
+      .map(_.mkString(" "))
+    forSamples(Gen.listOfN(25, textGen), 3) { texts =>
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val once = Dedup.dedupCorpus(docs, minJaccard = 0.9)
+        val twice = Dedup.dedupCorpus(once, minJaccard = 0.9)
+        assert(once.select("doc_id").as[Long].collect().sorted.toSeq ==
+          twice.select("doc_id").as[Long].collect().sorted.toSeq)
+      }
+    }
+  }
+}
