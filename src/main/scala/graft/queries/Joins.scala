@@ -173,11 +173,14 @@ object Joins {
       .orderBy("p_partkey")
   }
 
-  /** J7 + W2: as-of / interval join — for each event, the user's most recent
-    * order at or before the event time (reference: title_reigns.sql:273-286
-    * status→reign-window join deduped by row_number). At 100 TB: both sides
-    * range-partitioned by key, per-key sort, residual stays in the
-    * sort-merge join. */
+  /** J7 + W2: as-of join — for each event, the user's most recent order at
+    * or before the event time (reference: title_reigns.sql:273-286
+    * status→reign-window join deduped by row_number). Implemented with the
+    * union + carry-forward technique: tag both sides, single shuffle on the
+    * key, sort by (time, side, orderkey), and last(..., ignoreNulls) carries
+    * the latest order forward onto each event row. No per-pair expansion —
+    * at 100 TB this is the structural win over join+dedup (the naive plan
+    * materializes events × matching-orders before pruning). */
   val j7AsOfJoin = QueryDef(
     "q_j7_asof_join",
     """SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
@@ -190,15 +193,28 @@ object Joins {
       |) x
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val ev = T.events(s, d).select("event_id", "user_id", "ts")
-    val o = T.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    ev.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("o_orderkey").as("asof_orderkey"),
-        col("o_orderdate").as("asof_orderdate"))
+    val ev = T.events(s, d).select(
+      col("user_id").as("key"), col("ts").as("t"),
+      lit(1).as("is_event"), col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("o_orderdate"))
+    val o = T.orders(s, d).select(
+      col("o_custkey").as("key"), col("o_orderdate").as("t"),
+      lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), col("o_orderdate"))
+    // order rows sort before events at equal t (<= semantics); among equal-t
+    // orders the max orderkey wins (matches the row_number desc dedup)
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("is_event"), col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = o.unionByName(ev)
+      .withColumn("asof", last(
+        when(col("is_event") === 0, struct(col("o_orderkey"), col("o_orderdate"))),
+        ignoreNulls = true).over(w))
+    carried
+      .filter(col("is_event") === 1 && col("asof").isNotNull)
+      .select(col("event_id"), col("asof.o_orderkey").as("asof_orderkey"),
+        col("asof.o_orderdate").as("asof_orderdate"))
       .orderBy("event_id")
   }
 
