@@ -59,6 +59,17 @@ object StreamOps {
         count(lit(1)).as("n_sessions"),
         max(col("session_events")).as("max_session_events"))
 
+  /** Native session windows (gap-based), usable in batch or streaming —
+    * the Structured Streaming twin of the lag/cumsum sessionize (boundary
+    * note: session_window closes at a gap >= `gap`, the lag/cumsum form at
+    * a gap > gapSeconds; identical off exact-boundary gaps). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("session_events"))
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -101,6 +101,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("session_window (batch) matches lag/cumsum sessionization off-boundary") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
+      (3L, "2024-01-01 02:30:00", 1L), (4L, "2024-01-01 02:40:00", 1L),
+      (5L, "2024-01-01 05:00:00", 2L), (6L, "2024-01-01 05:29:00", 2L))
+      .toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val sw = StreamOps.sessionWindowCounts(data)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_events").as[(Long, Long)].collect().toSeq
+    val batch = StreamOps.sessionize(data)
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "session_id")
+      .select("user_id", "n").as[(Long, Long)].collect().toSeq
+    assert(sw == batch)
+    assert(sw == Seq((1L, 2L), (1L, 2L), (2L, 2L)))
+  }
+
+  test("watermark drops late data in append-mode streaming aggregation") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("late_src")
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .withColumn("ts", to_timestamp(col("ts_s")))
+        .select("event_id", "ts", "user_id")
+        .write.mode("append").parquet(src.toString)
+    // batch 1 advances the watermark far past the late event's window
+    write(Seq((1L, "2024-01-01 00:05:00", 1L), (2L, "2024-01-01 10:00:00", 1L)))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // micro-batch 2: an event ~10 hours older than the max seen — beyond
+      // the 1h watermark, its window is already finalized => dropped
+      write(Seq((3L, "2024-01-01 00:10:00", 1L)))
+      q.processAllAvailable()
+      // one more empty-ish advance so closed windows flush to the sink
+      write(Seq((4L, "2024-01-01 20:00:00", 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 00:00 window emitted exactly 1 event: the late arrival (00:10,
+    // behind the watermark) was dropped before it could join the window
+    assert(out.getOrElse("2024-01-01 00:00:00.0", 0L) == 1L,
+      s"late event was not dropped: $out")
+  }
+
   test("streaming readStream path of events schema works end-to-end") {
     val stream = spark.readStream
       .schema(rawSchema)
