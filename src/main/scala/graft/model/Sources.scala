@@ -48,4 +48,13 @@ object Sources {
   /** Full-replace relational sink (S3): idempotent rebuild per run. */
   def writeReplace(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Full-replace JDBC sink — the reference's actual target is Postgres
+    * (dlt → PG schema `ufc`, dlt/load.py:55-63); this is the drop-in when a
+    * relational warehouse is wanted instead of parquet. Not exercised in
+    * this container (zero egress, no database) — the parquet path above is
+    * the tested sink. */
+  def writeJdbcReplace(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
 }
