@@ -48,6 +48,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("full-replace sink is idempotent (reference write semantics, SURVEY §1.4)") {
+    val out = java.nio.file.Files.createTempDirectory("replace_sink").toString
+    val df = queries.T.region(spark, sf)
+    graft.model.Sources.writeReplace(df, out)
+    val first = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    // rebuild over the same target — mode("overwrite") must fully replace
+    graft.model.Sources.writeReplace(df.filter(col("r_regionkey") < 100), out)
+    val second = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(first == second)
+    assert(second.size == df.count())
+  }
+
   test("bucketed join plans with zero Exchange") {
     val orders = queries.T.orders(spark, sf)
     val li = queries.T.lineitem(spark, sf)
