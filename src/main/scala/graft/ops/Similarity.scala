@@ -55,9 +55,12 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
 
-  /** IVF-style search: route each query to its nearest centroid (nprobe=1),
-    * then brute-force only within that label's inverted list. */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  /** IVF-style search: route each query to its `nprobe` nearest centroids,
+    * then brute-force only within those labels' inverted lists. nprobe is
+    * the recall/scan-fraction dial: 1 scans ~1/nlist of the corpus,
+    * nlist recovers exact brute force. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 1): DataFrame = {
     val cents = centroids(emb)
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -66,8 +69,9 @@ object Similarity {
     val routed = queries.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine("q_emb", "centroid"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("q_emb"), col("label").as("probe_label"))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("label").as("probe_label"),
+        col("rn") === 1 as "is_primary")
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     emb.join(broadcast(routed),
@@ -75,6 +79,11 @@ object Similarity {
       .withColumn("cos", cosine("q_emb", "embedding"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
+      // probe_label reported for the rank-1 route only keeps the output
+      // schema stable across nprobe settings
+      .withColumn("probe_label",
+        first(when(col("is_primary"), col("probe_label")), ignoreNulls = true)
+          .over(Window.partitionBy("query_id")))
       .select(col("query_id"), col("probe_label"), col("rank"),
         col("vec_id").as("neighbor_id"))
   }

@@ -239,9 +239,30 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary: global word frequencies with document frequency —
+    * the tokenizer-training / stopword-mining primitive. One explode + one
+    * partial-aggregated count shuffle at any scale. */
+  val textVocab = QueryDef(
+    "q_ns_text_vocab",
+    """SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |      FROM documents) w
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY tf DESC, word
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("word"))
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupCosine,
     simBrute, simIvf, simLsh,
-    textTokens, textQuality, textLangId, textFingerprint,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab,
     multimodalMeta, multimodalFeatures)
 }
