@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through undecorated (no sbt [info]/[error]
+// prefixes) so the driver can parse Bench's single JSON stdout line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -31,3 +34,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Suites share one SparkSession (getOrCreate) and some tests toggle session
 // confs — parallel suite execution races on them.
 Test / parallelExecution := false
+// Whichever suite creates the shared session first wins the warehouse dir;
+// pin it JVM-wide so managed-table tests never dirty the repo checkout.
+Test / javaOptions += "-Dspark.sql.warehouse.dir=/tmp/graft_test_warehouse"

@@ -32,6 +32,26 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Extract a foldable integral literal argument (INT or BIGINT both
+    * accepted — SQL integer literals default to INT but callers may write
+    * `3L`/BIGINT) with a clear analysis-time error otherwise. */
+  private def intArg(fn: String, arg: String, e: Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    e match {
+      case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
+        v.intValue()
+      case other if other.foldable =>
+        other.eval() match {
+          case v: Number => v.intValue()
+          case _ => throw new IllegalArgumentException(
+            s"$fn: argument '$arg' must be an integral literal, got ${other.sql}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a foldable integral literal, got ${other.sql}")
+    }
+  }
+
   /** The function set, shared by extension injection and direct session
     * registration. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
@@ -40,7 +60,7 @@ object GraftExtensions {
         "shingle_hashes(text, n) - sorted distinct xxhash64 hashes of word n-gram shingles"),
       (args: Seq[Expression]) => args match {
         case Seq(text) => ShingleHashes(text, 3)
-        case Seq(text, n) => ShingleHashes(text, n.eval().asInstanceOf[Int])
+        case Seq(text, n) => ShingleHashes(text, intArg("shingle_hashes", "n", n))
         case _ => throw new IllegalArgumentException("shingle_hashes expects (text[, n])")
       }),
     (FunctionIdentifier("minhash_signature"),
@@ -48,7 +68,7 @@ object GraftExtensions {
         "minhash_signature(hashes[, slots]) - MinHash signature of a hashed-shingle array"),
       (args: Seq[Expression]) => args match {
         case Seq(hs) => MinHashSignature(hs)
-        case Seq(hs, slots) => MinHashSignature(hs, slots.eval().asInstanceOf[Int])
+        case Seq(hs, slots) => MinHashSignature(hs, intArg("minhash_signature", "slots", slots))
         case _ => throw new IllegalArgumentException("minhash_signature expects (hashes[, slots])")
       }),
     (FunctionIdentifier("jaccard_sorted"),

@@ -113,17 +113,37 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup candidate count per doc: bucket on the top-16-bit
-    * prefix, pair within buckets, keep Hamming distance <= maxHamming. */
+  /** SimHash near-dup candidate count per doc, with multi-table probing:
+    * the 64-bit signature splits into `maxHamming + 1` disjoint bit blocks,
+    * each block is a bucket table, and candidates collide in ANY table. By
+    * pigeonhole, <= maxHamming differing bits cannot touch all
+    * maxHamming + 1 blocks, so every true pair shares at least one bucket —
+    * recall is exactly 1 (single-prefix bucketing silently missed pairs
+    * differing in a prefix bit). The quadratic check still runs only inside
+    * buckets; pairs are deduped before counting (a near pair collides in
+    * several tables). */
   def simHashNearDups(docs: DataFrame, textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(docs, textCol)
-      .withColumn("bucket", expr("simhash >> 48"))
-    val a = sh.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = sh.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    val pairs = a.join(b, Seq("bucket"))
+      maxHamming: Int = 3): DataFrame =
+    simHashNearDupsFromSig(simHash(docs, textCol), maxHamming)
+
+  /** Multi-table near-dup counts over precomputed (doc_id, simhash)
+    * signatures — split out so tests can plant exact signatures. */
+  def simHashNearDupsFromSig(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tables = maxHamming + 1
+    val width = 64 / tables
+    val buckets = (0 until tables).map(t =>
+      expr(s"(simhash >> ${t * width}) & ${(1L << width) - 1}"))
+    val bucketed = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
+    val a = bucketed.select(col("t"), col("bucket"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bucketed.select(col("t"), col("bucket"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    val pairs = a.join(b, Seq("t", "bucket"))
       .filter(col("doc_a") < col("doc_b") &&
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .select("doc_a", "doc_b")
+      .distinct()
     sh.select(col("doc_id"), col("simhash"))
       .join(
         pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -143,15 +163,23 @@ object Dedup {
       shingleN: Int = 3, prefixK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleTable(docs, textCol, shingleN)
-    val exploded = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
-    val wRare = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
-    val prefix = exploded.join(dfreq, "h")
+    // rarest-prefix selection works on STRING shingles ordered by
+    // (df, shingle) — a deterministic, engine-neutral order (hash-value
+    // tie-breaks can't be reproduced by a SQL oracle), so the candidate set
+    // is exactly reproducible in DuckDB; exact pair scoring still runs on
+    // the hashed arrays (merge-walk kernel), where the volume is. At 100 TB
+    // the exploded string shingles would be dictionary-encoded first; the
+    // shuffle key order (df, shingle) is the same either way.
+    val exploded = withShingles(docs, textCol, shingleN)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    val wRare = Window.partitionBy("doc_id").orderBy(col("df").asc, col("g").asc)
+    val prefix = exploded.join(dfreq, "g")
       .withColumn("rn", row_number().over(wRare))
       .filter(col("rn") <= prefixK)
-      .select("doc_id", "h")
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .select("doc_id", "g")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("g"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()

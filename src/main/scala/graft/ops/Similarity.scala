@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.expr.VecExprs
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]).
   *
@@ -13,23 +15,31 @@ import org.apache.spark.sql.expressions.Window
   * only that partition of the corpus) and LSH (random-hyperplane sign
   * buckets, search only the colliding bucket). Both cut the scanned
   * fraction to ~1/nlist with the same top-k code path for reranking.
+  * Near-dup pair detection blocks on multi-table LSH buckets — the only
+  * joins are equi-joins on (table, bucket), never all-pairs.
   *
   * Outputs are rank-only (query_id, rank, neighbor_id): scores are doubles
   * whose last-ulp depends on the engine, ranks don't (random-vector cosine
   * gaps are astronomically larger than fp error), so results stay
   * hash-comparable against a SQL oracle.
+  *
+  * Per-pair scoring runs in the compiled CosineSim kernel
+  * (graft.expr.VecExprs) — the interpreted `aggregate(zip_with(...))`
+  * lambda form costs ~25µs per 64-dim cosine, the kernel sub-µs, and both
+  * accumulate left-to-right in double so results are bit-identical.
   */
 object Similarity {
 
   /** Elementwise dot product in double precision — array lambdas, codegen'd,
-    * no UDF (functions.zip_with + aggregate, SURVEY north-star). */
+    * no UDF (functions.zip_with + aggregate, SURVEY north-star). Kept as the
+    * composable reference form; hot paths use the CosineSim kernel. */
   def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
       "cast(0.0 as double), (acc, v) -> acc + v)")
 
   def norm(a: String): Column = sqrt(dot(a, a))
 
-  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: String, b: String): Column = VecExprs.cosineSim(col(a), col(b))
 
   /** Brute-force cosine top-k for a small query set: broadcast the queries
     * against the corpus, rank per query. */
@@ -72,6 +82,11 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("label").as("probe_label"),
         col("rn") === 1 as "is_primary")
+    // probe_label reported from the rank-1 route only keeps the output
+    // schema stable across nprobe settings; a broadcast join of the tiny
+    // primary-route table, not a whole-result window exchange
+    val primary = routed.filter(col("is_primary"))
+      .select(col("query_id").as("p_query_id"), col("probe_label").as("primary_label"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     emb.join(broadcast(routed),
@@ -79,29 +94,16 @@ object Similarity {
       .withColumn("cos", cosine("q_emb", "embedding"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
-      // probe_label reported for the rank-1 route only keeps the output
-      // schema stable across nprobe settings
-      .withColumn("probe_label",
-        first(when(col("is_primary"), col("probe_label")), ignoreNulls = true)
-          .over(Window.partitionBy("query_id")))
-      .select(col("query_id"), col("probe_label"), col("rank"),
-        col("vec_id").as("neighbor_id"))
+      .join(broadcast(primary), col("query_id") === col("p_query_id"))
+      .select(col("query_id"), col("primary_label").as("probe_label"),
+        col("rank"), col("vec_id").as("neighbor_id"))
   }
 
-  /** Random-hyperplane LSH bucket id: `nbits` sign bits, hyperplane
-    * components derived deterministically from xxhash64(bit, pos) — no
-    * stored model, reproducible across runs/engines that share xxhash64. */
-  def lshBucket(embCol: String, nbits: Int): Column = {
-    val bits = (0 until nbits).map { j =>
-      // pseudo-random weights in [-1, 1): (hash(j, pos) % 1000) / 500.0 - 1
-      val d = expr(
-        s"""aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
-           |  (x, p) -> cast(x as double) * ((xxhash64($j, p) % 1000) / 500.0d - 1.0d)),
-           |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
-      when(d > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  /** Random-hyperplane LSH bucket id: `nbits` sign bits over hyperplanes
+    * derived deterministically from XXH64 — no stored model, reproducible
+    * across runs. Compiled kernel (graft.expr.LshBuckets). */
+  def lshBucket(embCol: String, nbits: Int): Column =
+    VecExprs.lshBuckets(col(embCol), nbits, 1).getItem(0)
 
   /** LSH-bucketed ANN: candidates share the query's bucket; exact rerank
     * inside the bucket. Recall < 1 by construction — the scale/quality dial
@@ -121,14 +123,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
-  /** Embedding-cosine near-duplicate counts: pairs above `minCos`, blocked
-    * by LSH bucket at scale; here exact within the (small) query slice. */
-  def cosineNearDupCounts(emb: DataFrame, minCos: Double): DataFrame = {
+  /** Embedding-cosine near-duplicate counts at `minCos`, blocked by
+    * multi-table LSH buckets: each vector lands in `tables` buckets
+    * (`nbits` sign bits each), candidate pairs share (table, bucket), and
+    * candidates are verified with the exact cosine kernel. OR-amplification
+    * across tables keeps recall high for genuinely-near pairs (a cos 0.95
+    * pair flips any given hyperplane with p = angle/pi ~ 0.1) while the only
+    * shuffle is the equi-join on (table, bucket) — candidate volume scales
+    * with bucket occupancy, never all-pairs. Pairs are deduped on narrow
+    * (id, id) keys before embeddings are re-attached for scoring. */
+  def cosineNearDupCounts(emb: DataFrame, minCos: Double,
+      nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val bucketed = emb.select(col("vec_id"),
+      posexplode(VecExprs.lshBuckets(col("embedding"), nbits, tables))
+        .as(Seq("t", "bucket")))
+    val cand = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
+      .filter(cosine("e_a", "e_b") >= minCos)
+    emb.select(col("vec_id"))
+      .join(pairs.select(explode(array(col("id_a"), col("id_b"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_near")),
+        Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+  }
+
+  /** Exact all-pairs variant of [[cosineNearDupCounts]] — the correctness
+    * baseline and oracle anchor. O(n²) BY DESIGN: only ever run it on a
+    * bounded slice (the driver query caps vec_id < 200); the LSH-blocked
+    * form above is the corpus-scale path. */
+  def cosineNearDupCountsExact(emb: DataFrame, minCos: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     val pairs = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine("e_a", "e_b"))
-      .filter(col("cos") >= minCos)
+      .filter(cosine("e_a", "e_b") >= minCos)
     emb.select(col("vec_id"))
       .join(pairs.select(explode(array(col("id_a"), col("id_b"))).as("vec_id"))
         .groupBy("vec_id").agg(count(lit(1)).as("n_near")),

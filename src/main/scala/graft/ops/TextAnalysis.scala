@@ -32,12 +32,12 @@ object TextAnalysis {
     val nChars = length(col(textCol)).cast("double")
     val nWords = size(w).cast("double")
     val sumWordLen = expr(
-      "aggregate(transform(split(lower(trim(text)), '\\\\s+'), x -> length(x)), 0, (a, x) -> a + x)")
+      s"aggregate(transform(split(lower(trim($textCol)), '\\\\s+'), x -> length(x)), 0, (a, x) -> a + x)")
       .cast("double")
     val nPunct = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")).cast("double")
     val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
     val nStop = expr(
-      s"size(filter(split(lower(trim(text)), '\\\\s+'), x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))")
+      s"size(filter(split(lower(trim($textCol)), '\\\\s+'), x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))")
       .cast("double")
     docs
       .withColumn("n_words", nWords.cast("bigint"))

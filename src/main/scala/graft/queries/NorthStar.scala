@@ -45,14 +45,128 @@ object NorthStar {
     Dedup.simHashNearDups(T.documents(s, d)).orderBy("doc_id")
   }
 
-  /** Exact n-gram Jaccard best match per doc, length-band blocked. */
-  val dedupNgram = QueryDef.noOracle("q_ns_dedup_ngram_jaccard") { (s, d) =>
+  /** Exact n-gram Jaccard best match per doc, rarest-prefix blocked. The
+    * whole pipeline — shingling, document frequency, (df, shingle)-ordered
+    * prefix selection, candidate join, exact Jaccard, best-match pick — is
+    * deterministic and engine-neutral, so the oracle reproduces it exactly
+    * (Jaccard on xxhash64'd shingles equals Jaccard on the string shingles
+    * up to negligible collision probability, and equal rationals round to
+    * equal doubles in IEEE division). */
+  val dedupNgram = QueryDef(
+    "q_ns_dedup_ngram_jaccard",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |),
+      |shn AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM tok WHERE len(w) >= 3
+      |),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM shn),
+      |dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+      |pref AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT ex.doc_id, ex.g,
+      |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.df, ex.g) AS rn
+      |    FROM ex JOIN dfreq USING (g)
+      |  ) t WHERE rn <= 5
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b USING (g)
+      |  WHERE a.doc_id <> b.doc_id
+      |),
+      |scored AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |           / len(list_distinct(sa.s || sb.s)) AS jaccard
+      |  FROM cand c
+      |  JOIN shn sa ON sa.doc_id = c.doc_a
+      |  JOIN shn sb ON sb.doc_id = c.doc_b
+      |),
+      |best AS (
+      |  SELECT doc_a AS doc_id, doc_b AS best_match_id, jaccard AS best_jaccard
+      |  FROM (SELECT scored.*,
+      |          row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
+      |        FROM scored) t
+      |  WHERE rn = 1
+      |)
+      |SELECT d.doc_id, b.best_match_id, b.best_jaccard
+      |FROM documents d LEFT JOIN best b USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     Dedup.ngramJaccardBestMatch(T.documents(s, d)).orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup counts at cos >= 0.8. */
+  /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
+    * LSH buckets (no ANSI oracle: bucket membership depends on xxhash64-
+    * derived hyperplanes; recall vs the exact baseline is tracked in
+    * OpsSpec, and the exact baseline itself is oracled below). */
   val dedupCosine = QueryDef.noOracle("q_ns_dedup_cosine") { (s, d) =>
     Similarity.cosineNearDupCounts(T.embeddings(s, d), 0.8).orderBy("vec_id")
+  }
+
+  /** Exact all-pairs cosine near-dup counts on a bounded slice — the oracle
+    * anchor for the LSH-blocked form (O(n²) by design, capped at 200
+    * vectors regardless of sf). */
+  val dedupCosineExact = QueryDef(
+    "q_ns_dedup_cosine_exact",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 200
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+      |),
+      |cnt AS (
+      |  SELECT vec_id, count(*) AS n_near FROM (
+      |    SELECT id_a AS vec_id FROM pairs UNION ALL SELECT id_b FROM pairs
+      |  ) u GROUP BY vec_id
+      |)
+      |SELECT e.vec_id, COALESCE(cnt.n_near, 0) AS n_near
+      |FROM e LEFT JOIN cnt USING (vec_id)
+      |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    Similarity.cosineNearDupCountsExact(
+      T.embeddings(s, d).filter(col("vec_id") < 200), 0.8)
+      .orderBy("vec_id")
+  }
+
+  /** End-to-end corpus dedup under the hash gate: exact-dup removal (keep
+    * min doc_id per content) then MinHash-verified near-dup removal at
+    * jaccard >= 0.8. The oracle recomputes the TRUE jaccard >= 0.8 pair set
+    * all-pairs — parity holds because 16-band/4-row banding finds a
+    * J >= 0.8 pair with p = 1-(1-J^4)^16 > 0.9998 and the verify step
+    * discards false positives exactly. */
+  val dedupCorpusQ = QueryDef(
+    "q_ns_dedup_corpus",
+    """WITH kept AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+      |),
+      |kd AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM kd
+      |),
+      |shn AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM tok WHERE len(w) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(a.s || b.s)) >= 0.8
+      |),
+      |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+      |SELECT kd.doc_id FROM kd
+      |WHERE kd.doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY kd.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dedupCorpus(T.documents(s, d), minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
   }
 
   /** Brute-force cosine top-5 (rank-only output — ranks are stable across
@@ -262,6 +376,7 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupCosine,
+    dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
     multimodalMeta, multimodalFeatures)

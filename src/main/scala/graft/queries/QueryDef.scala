@@ -28,7 +28,8 @@ object QueryDef {
 object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.defs ++ Joins.defs ++ Windows.defs ++ Scalars.defs ++
-      NorthStar.defs ++ Streaming.defs ++ UfcQueries.defs ++ Extended.defs
+      NorthStar.defs ++ Streaming.defs ++ UfcQueries.defs ++ Extended.defs ++
+      ScaleQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -48,5 +48,38 @@ object Streaming {
       .orderBy("user_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(tumbling, sessions)
+  /** Native session_window (30-minute gap) per user — the Structured
+    * Streaming session operator run on the batch path. Boundary semantics:
+    * session_window starts a new session at gap >= 30min (an event at
+    * exactly prev + 30min does NOT extend), hence the >= in the oracle's
+    * lag/cumsum twin; comparisons run at microsecond precision on both
+    * sides (events ts truncates ns -> µs, see T.events / CAST AS
+    * TIMESTAMP). */
+  val sessionWindow = QueryDef(
+    "q_stream_session_window",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |),
+      |marked AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 1800 SECOND
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS session_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    StreamOps.sessionWindowCounts(T.events(s, d))
+      .orderBy("user_id", "session_start")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow)
 }
