@@ -111,4 +111,35 @@ class ExprSpec extends AnyFunSuite {
       .toDF("f").select(UfcExprs.fighterToken(col("f"))).as[String].collect()
     assert(toks.toSeq == Seq("Both Khabib (retired)", "McGregor", "Jones"))
   }
+
+  test("CosineSim kernel is bit-identical to the aggregate(zip_with) fold") {
+    import graft.expr.VecExprs
+    import graft.ops.Similarity
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001").limit(30)
+    val pairs = emb.select(col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")))
+    val mismatches = pairs
+      .withColumn("kern", VecExprs.cosineSim(col("a"), col("b")))
+      .withColumn("fold",
+        Similarity.dot("a", "b") / (Similarity.norm("a") * Similarity.norm("b")))
+      .filter(col("kern") =!= col("fold"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("LshBuckets: deterministic, `tables` entries, scale-invariant") {
+    import graft.expr.VecExprs
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), VecExprs.lshBuckets(col("embedding"), 8, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val b1 = buckets(emb)
+    val b2 = buckets(emb)
+    assert(b1 == b2, "bucket ids must be reproducible across runs")
+    assert(b1.values.forall(_.size == 4))
+    // positive scaling flips no hyperplane sign
+    val scaled = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> float(x * 3.0))").as("embedding"))
+    assert(buckets(scaled) == b1)
+  }
 }

@@ -87,6 +87,46 @@ class OpsSpec extends AnyFunSuite {
     assert(near.forall(_ >= 1))
   }
 
+  test("multi-table simhash probing finds pairs differing in a prefix bit") {
+    // bit 60 lives in the old single-table 16-bit prefix: flipping it used
+    // to move the doc to another bucket and the pair was never compared
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ (1L << 60)),
+      (3L, 0x7edcba9876543210L)).toDF("doc_id", "simhash")
+    val near = Dedup.simHashNearDupsFromSig(sigs, maxHamming = 3)
+      .select("doc_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(near(1L) == 1, s"hamming-1 prefix pair missed: $near")
+    assert(near(2L) == 1)
+    assert(near(3L) == 0)
+  }
+
+  test("LSH-blocked cosine near-dup finds a planted near-identical vector") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    // scaled copy: exactly colinear (cos = 1) and scaling preserves every
+    // hyperplane sign, so it must land in vec 0's bucket in every table
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 2.0))").as("embedding"),
+        col("label"))
+    val withPlant = emb.unionByName(planted)
+    val approx = graft.ops.Similarity.cosineNearDupCounts(withPlant, 0.8)
+      .filter(col("vec_id").isin(0L, 100000L))
+      .select("vec_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(approx(0L) >= 1, s"planted pair missed: $approx")
+    assert(approx(100000L) >= 1)
+    // no false positives: blocked counts never exceed the exact all-pairs
+    // counts (candidates are verified with the exact kernel)
+    val slice = emb.filter(col("vec_id") < 100)
+    val a = graft.ops.Similarity.cosineNearDupCounts(slice, 0.8)
+      .select("vec_id", "n_near").as[(Long, Long)].collect().toMap
+    val e = graft.ops.Similarity.cosineNearDupCountsExact(slice, 0.8)
+      .select("vec_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(a.keySet == e.keySet)
+    a.foreach { case (id, n) => assert(n <= e(id), s"false positive at $id") }
+  }
+
   test("IVF routes to the right label and LSH recall is sane vs brute force") {
     val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)

@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final hash aggregation:\n$p")
   }
 
+  test("LSH-blocked cosine near-dup is equi-join only (no all-pairs)") {
+    val p = plan("q_ns_dedup_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cosine near-dup degenerated to an all-pairs product:\n$p")
+  }
+
+  test("salted join spreads the hot key without a nested-loop fallback") {
+    val p = plan("q_scale_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffle join (merge hint):\n$p")
+  }
+
   test("windowed sequence shuffles once on the partition key") {
     val df = queries.Registry.byName("q_w1_rownum_seq").fn(spark, sf)
     val p = df.queryExecution.executedPlan.toString
