@@ -21,7 +21,10 @@ object Bench {
     "q_o1_multisort_topk",
     "q_ns_dedup_exact",
     "q_ns_dedup_minhash",
+    "q_ns_dedup_cosine",
+    "q_ns_dedup_corpus",
     "q_ns_sim_brute_topk",
+    "q_ns_sim_ivf_topk",
     "q_ns_text_quality",
     "q_stream_tumbling_window",
     "q_scale_skew_plain",

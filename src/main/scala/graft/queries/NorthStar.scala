@@ -345,8 +345,20 @@ object NorthStar {
   }
 
   /** Multimodal batch decode path: typed Dataset + mapPartitions with the
-    * stub codec (deterministic fake features; plumbing is real). */
-  val multimodalFeatures = QueryDef.noOracle("q_ns_multimodal_features") { (s, d) =>
+    * stub codec. The stub's fake features are deterministic byte
+    * arithmetic, so even the mapPartitions path sits under the hash gate
+    * (the corpus is ASCII, so per-char ord == per-byte value; a real codec
+    * would drop this to rows-only). */
+  val multimodalFeatures = QueryDef(
+    "q_ns_multimodal_features",
+    """SELECT doc_id, source,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+      |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS fake_height,
+      |       CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+      |         i -> ord(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
     Multimodal.extractFeatures(Multimodal.asMediaTable(T.documents(s, d)))
       .toDF()
