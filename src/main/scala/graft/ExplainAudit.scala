@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump the formatted physical plan of any registered queries —
+  * `sbt "runMain graft.ExplainAudit q_ns_sim_ivf_topk ..."`. The per-round
+  * plan review ("is this the plan you'd want at 100 TB, not just the first
+  * one that passed") runs through this; the load-bearing plan properties
+  * graduate into PlanSpec assertions. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- args) {
+      val df = graft.queries.Registry.byName(n).fn(spark, sfDir)
+      println(s"===== $n =====")
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // operator tree only (the formatted mode appends per-node details)
+      p.linesIterator.takeWhile(_.nonEmpty).foreach(println)
+    }
+    spark.stop()
+  }
+}

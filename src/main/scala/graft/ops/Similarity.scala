@@ -76,17 +76,18 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("label").asc)
+    // primary_label (the rank-1 route, reported for every output row) rides
+    // along inside the tiny routed table — one extra window over
+    // queries×nprobe rows, so the centroid subtree is planned exactly once
+    // and the big result needs no second window exchange or join
     val routed = queries.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine("q_emb", "centroid"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
+      .withColumn("primary_label",
+        first(col("label")).over(Window.partitionBy("query_id").orderBy(col("rn"))))
       .select(col("query_id"), col("q_emb"), col("label").as("probe_label"),
-        col("rn") === 1 as "is_primary")
-    // probe_label reported from the rank-1 route only keeps the output
-    // schema stable across nprobe settings; a broadcast join of the tiny
-    // primary-route table, not a whole-result window exchange
-    val primary = routed.filter(col("is_primary"))
-      .select(col("query_id").as("p_query_id"), col("probe_label").as("primary_label"))
+        col("primary_label"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     emb.join(broadcast(routed),
@@ -94,7 +95,6 @@ object Similarity {
       .withColumn("cos", cosine("q_emb", "embedding"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
-      .join(broadcast(primary), col("query_id") === col("p_query_id"))
       .select(col("query_id"), col("primary_label").as("probe_label"),
         col("rank"), col("vec_id").as("neighbor_id"))
   }

@@ -189,7 +189,50 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** GROUP BY CUBE with GROUPING() markers — the full grouping-sets
+    * surface (ROLLUP above is the linear slice). */
+  val cube = QueryDef(
+    "q_a15_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** RANGE window frame over a value axis (30-day trailing order count per
+    * customer) — the frame variant the ROWS-frame queries don't cover.
+    * Order key is an integer day offset so the frame bound semantics are
+    * identical across engines. */
+  val rangeFrame = QueryDef(
+    "q_w9_range_frame",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(count(*) OVER (
+      |         PARTITION BY o_custkey
+      |         ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+      |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy(day.cast("long"))
+      .rangeBetween(-30, Window.currentRow)
+    T.orders(s, d)
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select("o_orderkey", "o_custkey", "n_30d")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
-    setOps, percentiles, stddevExact)
+    setOps, percentiles, stddevExact, cube, rangeFrame)
 }
