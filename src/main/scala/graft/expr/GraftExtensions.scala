@@ -63,6 +63,14 @@ object GraftExtensions {
         case Seq(text, n) => ShingleHashes(text, intArg("shingle_hashes", "n", n))
         case _ => throw new IllegalArgumentException("shingle_hashes expects (text[, n])")
       }),
+    (FunctionIdentifier("shingle_strings"),
+      info("shingle_strings",
+        "shingle_strings(text, n) - distinct lower-cased word n-gram shingle strings"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleStrings(text, 3)
+        case Seq(text, n) => ShingleStrings(text, intArg("shingle_strings", "n", n))
+        case _ => throw new IllegalArgumentException("shingle_strings expects (text[, n])")
+      }),
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(hashes[, slots]) - MinHash signature of a hashed-shingle array"),

@@ -52,6 +52,71 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Text → DISTINCT lower-cased word n-gram shingle STRINGS (first-occurrence
+  * order) in one compiled pass — same tokenization as [[ShingleHashes]],
+  * for the pipeline stages that need the strings themselves (engine-neutral
+  * prefix ordering in the n-gram join, where hash-value tie-breaks can't be
+  * reproduced by a SQL oracle). The composable
+  * `array_distinct(transform(sequence(...), ...))` form pays the
+  * interpreted lambda evaluator per shingle per reference — recomputed on
+  * every plan branch that touches it. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleStrings.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  /** Column API: string word-n-gram shingles of a text column. */
+  def shingleStrings(c: Column, n: Int): Column =
+    exprToColumn(ShingleStrings(columnToExpr(c), n))
+
+  /** Static single-pass kernel shared by interpreted eval and codegen. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
+    val words = text.trim.toLowerCase(Locale.ROOT).split("\\s+")
+    if (words.length < n || (words.length == 1 && words(0).isEmpty)) {
+      return new GenericArrayData(Array.empty[Any])
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object ShingleHashes {
   /** Column API: hashed word-n-gram shingles of a text column. */
   def shingleHashes(c: Column, n: Int): Column =

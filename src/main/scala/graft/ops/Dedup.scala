@@ -169,9 +169,12 @@ object Dedup {
     // is exactly reproducible in DuckDB; exact pair scoring still runs on
     // the hashed arrays (merge-walk kernel), where the volume is. At 100 TB
     // the exploded string shingles would be dictionary-encoded first; the
-    // shuffle key order (df, shingle) is the same either way.
-    val exploded = withShingles(docs, textCol, shingleN)
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    // shuffle key order (df, shingle) is the same either way. Compiled
+    // kernel (ShingleStrings): this subtree is planned on four branches
+    // (dfreq + both candidate sides + prefix), and the interpreted lambda
+    // form re-paid ~2ms/doc on each.
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.expr.ShingleStrings.shingleStrings(col(textCol), shingleN)).as("g"))
     val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
     val wRare = Window.partitionBy("doc_id").orderBy(col("df").asc, col("g").asc)
     val prefix = exploded.join(dfreq, "g")

@@ -34,6 +34,19 @@ class ExprSpec extends AnyFunSuite {
     custom.zip(builtin).foreach { case (c, b) => assert(c == b) }
   }
 
+  test("ShingleStrings matches the built-in shingle pipeline exactly") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "a b c", "one two", "  spaced   out   words  here ", "x y z x y z x y")
+      .toDF("text")
+    val custom = docs
+      .select(graft.expr.ShingleStrings.shingleStrings(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    val builtin = graft.ops.Dedup.withShingles(docs)
+      .select(col("shingles"))
+      .collect().map(_.getSeq[String](0))
+    custom.zip(builtin).foreach { case (c, b) => assert(c == b) }
+  }
+
   test("ShingleHashes: fewer words than n yields empty array") {
     val out = Seq("one two", "").toDF("text")
       .select(shingleHashes(col("text"), 3).as("hs"))
