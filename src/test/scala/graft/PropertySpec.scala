@@ -115,6 +115,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vector kernels: cosine bounded and symmetric, buckets scale-invariant") {
+    import graft.expr.VecExprs
+    val vecGen = Gen.listOfN(16, Gen.choose(-4.0f, 4.0f))
+    forSamples(Gen.zip(vecGen, vecGen), 5) { case (av, bv) =>
+      val df = Seq((av.toArray, bv.toArray, av.map(_ * 1.5f).toArray))
+        .toDF("a", "b", "a_scaled")
+      val r = df.select(
+        VecExprs.cosineSim(col("a"), col("b")).as("ab"),
+        VecExprs.cosineSim(col("b"), col("a")).as("ba"),
+        VecExprs.cosineSim(col("a"), col("a")).as("aa"),
+        VecExprs.lshBuckets(col("a"), 8, 4).as("ba4"),
+        VecExprs.lshBuckets(col("a_scaled"), 8, 4).as("bs4")).head()
+      val ab = r.getDouble(0)
+      assert(ab >= -1.0 - 1e-12 && ab <= 1.0 + 1e-12)
+      assert(ab == r.getDouble(1), "cosine must be exactly symmetric")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12 || r.getDouble(2) == 0.0)
+      assert(r.getSeq[Long](3).size == 4)
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        "positive scaling must not move any bucket")
+    }
+  }
+
   test("corpus dedup is idempotent") {
     val textGen = Gen.listOfN(12,
       Gen.oneOf("spark table scan", "row batch merge", "key value hash"))
