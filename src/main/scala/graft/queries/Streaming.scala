@@ -81,5 +81,18 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
-  val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow)
+  /** The flatMapGroupsWithState sessionizer on the batch path — same
+    * session semantics as session_window (gap >= 30min closes, µs
+    * precision), so it shares the same oracle shape. Puts the custom-state
+    * API under the hash gate, not just StreamingSpec. */
+  val statefulSessions = QueryDef(
+    "q_stream_stateful_sessions",
+    sessionWindow.oracle.get) { (s, d) =>
+    implicit val spark = s
+    StreamOps.sessionsWithState(T.events(s, d))
+      .toDF()
+      .orderBy("user_id", "session_start")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow, statefulSessions)
 }

@@ -70,6 +70,87 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("session_events"))
 
+  /** Closed session emitted by [[sessionsWithState]]. */
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_events: Long)
+
+  private def microTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API for session logic the declarative forms can't
+    * express (per-session caps, custom merge rules, enrichment at close).
+    * Semantics match `session_window`: a gap >= `gapSeconds` closes the
+    * session; comparisons run at microsecond precision.
+    *
+    * Batch: one call per key with the whole group; pass `flushOpen = true`
+    * (default) so the trailing open session is emitted (batch never fires
+    * timeouts). Streaming: pass `flushOpen = false`, add
+    * `.withWatermark("ts", ...)` upstream, run in Append mode — state
+    * carries the open session across micro-batches and an event-time
+    * timeout at `last + gap` closes it when the watermark passes
+    * (StreamingSpec drives both paths). State per key is one (start, last,
+    * n) triple — bounded, watermark-evicted, skew-safe (the shuffle key is
+    * user_id, same profile as the windowed forms). */
+  def sessionsWithState(events: DataFrame, gapSeconds: Long = 1800,
+      flushOpen: Boolean = true)
+      (implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    val timeout =
+      if (flushOpen) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout
+    events
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](OutputMode.Append, timeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (!rows.hasNext) {
+            // event-time timeout: the watermark passed last + gap — close
+            if (state.exists && state.hasTimedOut) {
+              val (start, _, n) = state.get
+              state.remove()
+              Iterator.single(SessionOut(uid, microTs(start), n))
+            } else Iterator.empty
+          } else {
+            val ts = rows.map { r =>
+              val i = r._2.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray
+            java.util.Arrays.sort(ts)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var (start, last, n) =
+              if (state.exists) state.get else (ts(0), ts(0), 0L)
+            var i = 0
+            while (i < ts.length) {
+              if (ts(i) - last >= gapMicros) {
+                out += SessionOut(uid, microTs(start), n)
+                start = ts(i)
+                n = 0L
+              }
+              last = math.max(last, ts(i))
+              n += 1L
+              i += 1
+            }
+            if (flushOpen) {
+              out += SessionOut(uid, microTs(start), n)
+              if (state.exists) state.remove()
+            } else {
+              state.update((start, last, n))
+              // close when the watermark passes the gap horizon (must stay
+              // ahead of the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1000L,
+                  last / 1000L + gapSeconds * 1000L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -120,6 +120,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(sw == Seq((1L, 2L), (1L, 2L), (2L, 2L)))
   }
 
+  test("flatMapGroupsWithState sessionization matches session_window in batch") {
+    implicit val s: SparkSession = spark
+    val batch = StreamOps.sessionWindowCounts(events)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    val stateful = StreamOps.sessionsWithState(events)
+      .toDF()
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(stateful == batch)
+  }
+
+  test("flatMapGroupsWithState carries open sessions across micro-batches") {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("fmgws_src")
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .withColumn("ts", to_timestamp(col("ts_s")))
+        .select("event_id", "ts", "user_id")
+        .write.mode("append").parquet(src.toString)
+    // micro-batch 1: user 1's first session starts; session still open
+    write(Seq((1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L)))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .withWatermark("ts", "10 minutes")
+    val sessions = StreamOps.sessionsWithState(stream.toDF(), flushOpen = false)
+    val q = sessions.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("fmgws_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fmgws_out").count() == 0,
+        "open session must not emit before the gap passes")
+      // micro-batch 2: same session continues (gap < 30min), then a far-
+      // future event pushes the watermark past the session's gap horizon
+      write(Seq((3L, "2024-01-01 00:20:00", 1L), (4L, "2024-01-02 00:00:00", 2L)))
+      q.processAllAvailable()
+      // one more advance so the fired timeout's output flushes
+      write(Seq((5L, "2024-01-03 00:00:00", 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fmgws_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(out.contains((1L, "2024-01-01 00:00:00.0", 3L)),
+      s"user 1's session must close with all 3 cross-batch events: $out")
+  }
+
   test("watermark drops late data in append-mode streaming aggregation") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("late_src")
