@@ -60,6 +60,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(second.size == df.count())
   }
 
+  test("partitioned write prunes directories, not just row groups") {
+    val out = java.nio.file.Files.createTempDirectory("part_write").toString
+    val orders = queries.T.orders(spark, sf)
+    ScaleOps.writePartitioned(orders, out, "o_orderstatus")
+    // layout: one directory per status value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("o_orderstatus=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.contains("=")))
+    val back = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"status filter did not become a partition prune:\n$plan")
+    assert(back.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("bucketed join plans with zero Exchange") {
     val orders = queries.T.orders(spark, sf)
     val li = queries.T.lineitem(spark, sf)
