@@ -72,6 +72,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected a shuffle join (merge hint):\n$p")
   }
 
+  test("registry sweep: no query plans a product join, except the bounded baselines") {
+    // Every BroadcastNestedLoopJoin in the repo is a deliberate, bounded
+    // small-side broadcast — never quadratic in corpus size:
+    val allowed = Map(
+      // all-pairs BY DESIGN: the oracle anchor for the LSH-blocked form,
+      // input capped at 200 vectors regardless of sf
+      "q_ns_dedup_cosine_exact" -> "bounded all-pairs oracle anchor",
+      // the linear-scan correctness baseline: small query set broadcast
+      // against the corpus with a non-equi self-exclusion predicate
+      "q_ns_sim_brute_topk" -> "broadcast query set, linear corpus scan",
+      // queries × centroids routing cross: |queries| × nlist rows
+      "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
+      // single-row aggregate threshold broadcast into the filter
+      "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast")
+    for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
+      val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!allowed.contains(name)) {
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
   test("windowed sequence shuffles once on the partition key") {
     val df = queries.Registry.byName("q_w1_rownum_seq").fn(spark, sf)
     val p = df.queryExecution.executedPlan.toString
