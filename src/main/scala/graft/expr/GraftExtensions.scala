@@ -85,6 +85,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => JaccardSorted(a, b)
         case _ => throw new IllegalArgumentException("jaccard_sorted expects (a, b)")
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float/double vectors"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("cosine_sim expects (a, b)")
+      }),
+    (FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(vec, nbits, tables) - multi-table random-hyperplane LSH bucket ids"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => LshBuckets(v, 8, 1)
+        case Seq(v, nbits) => LshBuckets(v, intArg("lsh_buckets", "nbits", nbits), 1)
+        case Seq(v, nbits, tables) => LshBuckets(v,
+          intArg("lsh_buckets", "nbits", nbits), intArg("lsh_buckets", "tables", tables))
+        case _ => throw new IllegalArgumentException("lsh_buckets expects (vec[, nbits[, tables]])")
       }))
 
   /** Register into an ALREADY-RUNNING session (extensions only apply at

@@ -105,18 +105,31 @@ object Similarity {
   def lshBucket(embCol: String, nbits: Int): Column =
     VecExprs.lshBuckets(col(embCol), nbits, 1).getItem(0)
 
-  /** LSH-bucketed ANN: candidates share the query's bucket; exact rerank
-    * inside the bucket. Recall < 1 by construction — the scale/quality dial
-    * is (nbits, multi-probe). */
-  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nbits: Int = 8): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket("embedding", nbits))
+  /** LSH-bucketed ANN with multi-table probing: a candidate shares the
+    * query's bucket in ANY of `tables` independent hash tables
+    * (OR-amplification — per-table recall shortfall multiplies away), then
+    * exact rerank over the deduped candidate set. Recall < 1 by
+    * construction; (nbits, tables) is the scan-fraction/recall dial —
+    * tables = 1 recovers single-bucket LSH. Candidates are deduped on
+    * narrow (query, vec) keys before embeddings re-attach for scoring. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nbits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val bucketed = emb.select(col("vec_id"),
+      posexplode(graft.expr.VecExprs.lshBuckets(col("embedding"), nbits, tables))
+        .as(Seq("t", "bucket")))
     val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val cand = bucketed.join(broadcast(queries), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val qEmb = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    bucketed.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+    cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
       .withColumn("cos", cosine("q_emb", "embedding"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -117,6 +117,12 @@ class ExprSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(row.getDouble(0) > 0.4 && row.getDouble(0) < 1.0)
     assert(row.getInt(1) == 16)
+    val vec = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       size(lsh_buckets(array(0.5d, -0.25d), 8, 4)) AS nt
+        |""".stripMargin).head()
+    assert(math.abs(vec.getDouble(0) - 1.0) < 1e-12)
+    assert(vec.getInt(1) == 4)
   }
 
   test("fighter token cleaner only strips the working ' retired' arm") {
