@@ -236,6 +236,54 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe IVF (nprobe = 2): each query searches its two nearest
+    * centroids' inverted lists — the recall dial — with the rank-1 route
+    * reported as probe_label. Labels partition the corpus, so the probed
+    * lists are disjoint and the rerank window needs no dedup. */
+  val simIvfMultiprobe = QueryDef(
+    "q_ns_sim_ivf_multiprobe",
+    """WITH expanded AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos) g
+      |  GROUP BY label
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 10
+      |),
+      |probes AS (
+      |  SELECT query_id, qe, label, rn
+      |  FROM (
+      |    SELECT q.query_id, q.qe, c.label,
+      |           row_number() OVER (
+      |             PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC, c.label) AS rn
+      |    FROM q CROSS JOIN cent c
+      |  ) x WHERE rn <= 2
+      |),
+      |prim AS (SELECT query_id, label AS primary_label FROM probes WHERE rn = 1)
+      |SELECT x.query_id, p.primary_label AS probe_label, x.rank, x.neighbor_id
+      |FROM (
+      |  SELECT r.query_id, e.vec_id AS neighbor_id,
+      |         row_number() OVER (
+      |           PARTITION BY r.query_id
+      |           ORDER BY list_cosine_similarity(r.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                    e.vec_id) AS rank
+      |  FROM embeddings e JOIN probes r ON e.label = r.label
+      |  WHERE e.vec_id <> r.query_id
+      |) x
+      |JOIN prim p USING (query_id)
+      |WHERE x.rank <= 3
+      |ORDER BY x.query_id, x.rank""".stripMargin) { (s, d) =>
+    Similarity.ivfTopK(T.embeddings(s, d), queryIds, 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN (xxhash64-derived hyperplanes — no cross-engine
     * oracle; recall tracked in ScalaTest against brute force). */
   val simLsh = QueryDef.noOracle("q_ns_sim_lsh_topk") { (s, d) =>
@@ -389,7 +437,7 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupCosine,
     dedupCosineExact, dedupCorpusQ,
-    simBrute, simIvf, simLsh,
+    simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
     multimodalMeta, multimodalFeatures)
 }
