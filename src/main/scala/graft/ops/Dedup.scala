@@ -71,19 +71,40 @@ object Dedup {
   /** MinHash-LSH candidate pairs: signatures banded into `bands` bands of
     * `rows` slots; docs sharing any band bucket become candidates and are
     * verified with exact shingle-set Jaccard. Returns (doc_a, doc_b,
-    * jaccard) with doc_a < doc_b. */
+    * jaccard) with doc_a < doc_b.
+    *
+    * `maxBucket` is the degenerate-corpus guard for 100 TB runs: a bucket
+    * holding B docs emits B² candidate pairs, and a pathological corpus
+    * (boilerplate-heavy, near-constant pages) concentrates mass in few
+    * buckets. Capping skips buckets larger than `maxBucket` — a documented
+    * recall trade (members of a skipped bucket usually co-occur in other,
+    * smaller buckets of their 15 remaining bands). Default off: exact
+    * reference behavior, and what the dedupCorpus oracle reproduces. */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
-      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(bands * rows == 64, "bands*rows must equal the 64-slot signature")
+    import org.apache.spark.sql.expressions.Window
     val sig = shingleTable(docs, textCol, shingleN)
       .withColumn("sig", minhashSignature(col("hs")))
       .select(col("doc_id"), col("hs"), col("sig"))
     // one row per (doc, band): bucket key = hash of the band's slice
-    val banded = sig.select(
+    val banded0 = sig.select(
       col("doc_id"), col("hs"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
         .as(Seq("band", "bucket")))
+    val banded = maxBucket match {
+      case Some(m) =>
+        // window over the same (band, bucket) key the join shuffles on —
+        // the size count reuses that partitioning, no extra exchange
+        banded0
+          .withColumn("bsize",
+            count(lit(1)).over(Window.partitionBy("band", "bucket")))
+          .filter(col("bsize") <= m)
+          .drop("bsize")
+      case None => banded0
+    }
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("hs").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -131,8 +152,11 @@ object Dedup {
   def simHashNearDupsFromSig(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tables = maxHamming + 1
     val width = 64 / tables
+    // width = 64 (maxHamming = 0, exact-match table): 1L << 64 wraps to 1
+    // in JVM shift semantics, so the all-bits mask needs its own arm
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val buckets = (0 until tables).map(t =>
-      expr(s"(simhash >> ${t * width}) & ${(1L << width) - 1}"))
+      expr(s"(simhash >> ${t * width}) & $mask"))
     val bucketed = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
     val a = bucketed.select(col("t"), col("bucket"),

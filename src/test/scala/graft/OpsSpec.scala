@@ -52,6 +52,25 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains((5L, 20005L)), s"missing exact pair in $cands")
   }
 
+  test("minhash hot-bucket cap skips oversized buckets, keeps small ones") {
+    // 30 identical docs: their (band, bucket) groups all hold 30 members
+    val heavy = (0 until 30)
+      .map(i => (1000L + i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val light = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven nine"))
+    val docs = (heavy ++ light).toDF("doc_id", "text")
+    val capped = Dedup.minHashCandidates(docs, maxBucket = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "pairs inside the oversized bucket must be skipped")
+    assert(capped.contains((1L, 2L)), "small buckets must still pair")
+    // default (no cap) still finds the heavy group
+    val uncapped = Dedup.minHashCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (a, b) => a >= 1000L && b >= 1000L })
+  }
+
   test("ngram jaccard best-match finds the planted duplicates") {
     // note: the corpus has NATURAL near-dups (e.g. docs 0 and 82 at
     // jaccard 0.95), so doc 0's best match may beat the planted 0.91 pair;
@@ -100,6 +119,13 @@ class OpsSpec extends AnyFunSuite {
     assert(near(1L) == 1, s"hamming-1 prefix pair missed: $near")
     assert(near(2L) == 1)
     assert(near(3L) == 0)
+    // maxHamming = 0 degenerates to exact-signature match (single 64-bit
+    // table — the width-64 mask edge)
+    val exact = Dedup.simHashNearDupsFromSig(
+      Seq((1L, base), (2L, base), (3L, base ^ 1L)).toDF("doc_id", "simhash"),
+      maxHamming = 0)
+      .select("doc_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(exact(1L) == 1 && exact(2L) == 1 && exact(3L) == 0)
   }
 
   test("LSH-blocked cosine near-dup finds a planted near-identical vector") {

@@ -84,6 +84,7 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_brute_topk" -> "broadcast query set, linear corpus scan",
       // queries × centroids routing cross: |queries| × nlist rows
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
+      "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       // single-row aggregate threshold broadcast into the filter
       "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
