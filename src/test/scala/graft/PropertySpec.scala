@@ -137,6 +137,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stateful sessionization agrees with the lag/cumsum form off-boundary") {
+    implicit val s: SparkSession = spark
+    val evGen = for {
+      user <- Gen.choose(1L, 4L)
+      minute <- Gen.choose(0L, 3000L)
+    } yield (minute, user)
+    forSamples(Gen.listOfN(50, evGen), 3) { rows =>
+      val distinctRows = rows.distinct
+      if (distinctRows.nonEmpty) {
+        val df = distinctRows.zipWithIndex
+          .map { case ((m, u), i) => (i.toLong, m, u) }
+          .toDF("event_id", "m", "user_id")
+          .withColumn("ts", expr("timestamp_seconds(m * 60)"))
+        // gap 1801s: minute-grained data can't land on the boundary, where
+        // the two forms intentionally differ (>= vs >)
+        val stateful = StreamOps.sessionsWithState(df, gapSeconds = 1801)
+          .toDF()
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("session_events").as("total"))
+          .orderBy("user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val cumsum = StreamOps.sessionStats(df, gapSeconds = 1801)
+        val viaLag = StreamOps.sessionize(df, gapSeconds = 1801)
+          .groupBy("user_id")
+          .agg(countDistinct("session_id").as("n"), count(lit(1)).as("total"))
+          .orderBy("user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(stateful == viaLag)
+        assert(cumsum.filter(col("n_sessions") < 1).count() == 0)
+      }
+    }
+  }
+
   test("corpus dedup is idempotent") {
     val textGen = Gen.listOfN(12,
       Gen.oneOf("spark table scan", "row batch merge", "key value hash"))
