@@ -80,6 +80,36 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", pred)
   }
 
+  /** Winnowing document fingerprint (the MOSS scheme): hash every char
+    * k-gram, slide a w-wide window, keep each window's minimum — guarantees
+    * any shared substring of length >= w + k - 1 contributes a shared
+    * fingerprint, which is what makes it the partial-overlap/plagiarism
+    * detector exact dedup can't be. Gram hash here is md5-hex (string min
+    * is engine-neutral, so the op sits under the DuckDB hash gate); the
+    * compiled Rabin-Karp kernel in graft.expr.RollingWinnow is the 100 TB
+    * path — same selection algorithm, O(1) incremental gram hash. */
+  def withWinnowedFingerprint(docs: DataFrame, textCol: String = "text",
+      k: Int = 8, w: Int = 8): DataFrame = {
+    // sequence(1, n) steps backwards for n < 1 — short texts must
+    // short-circuit (no k-gram exists)
+    val fp = expr(
+      s"""CASE WHEN length($textCol) < $k THEN NULL ELSE
+         |  array_sort(array_distinct(
+         |    transform(
+         |      sequence(1, greatest(length($textCol) - ${k - 1} - ${w - 1}, 1)),
+         |      j -> array_min(transform(sequence(j, j + ${w - 1}),
+         |             i -> CASE WHEN i <= length($textCol) - ${k - 1}
+         |                       THEN md5(substring($textCol, i, $k)) END)))))
+         |END""".stripMargin)
+    docs
+      .withColumn("winnow_fp", fp)
+      .withColumn("n_fp",
+        coalesce(size(col("winnow_fp")).cast("bigint"), lit(0L)))
+      .withColumn("fp_digest",
+        when(col("winnow_fp").isNotNull,
+          md5(array_join(col("winnow_fp"), " "))))
+  }
+
   /** Content fingerprints: md5 of the raw text plus an order-insensitive
     * canonical fingerprint (md5 of the sorted distinct word set — the
     * "bag of words" fingerprint used for shuffled-duplicate detection). */

@@ -379,6 +379,46 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprint (MOSS): md5 char-8-gram hashes, 8-window
+    * minimum selection — partial-overlap detection exact dedup can't do.
+    * String-min over md5 hex is engine-neutral, so the full selection
+    * algorithm is oracled; the Rabin-Karp kernel twin below is the
+    * throughput path. */
+  val textWinnow = QueryDef(
+    "q_ns_text_winnow",
+    """SELECT doc_id,
+      |  CAST(COALESCE(len(fp), 0) AS BIGINT) AS n_fp,
+      |  CASE WHEN fp IS NOT NULL THEN md5(array_to_string(fp, ' ')) END AS fp_digest
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) < 8 THEN NULL ELSE
+      |      list_sort(list_distinct(
+      |        list_transform(generate_series(1, greatest(length(text) - 7 - 7, 1)),
+      |          j -> list_min(list_transform(generate_series(j, j + 7),
+      |                 i -> CASE WHEN i <= length(text) - 7
+      |                           THEN md5(substring(text, i, 8)) END)))))
+      |    END AS fp
+      |  FROM documents
+      |) t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.withWinnowedFingerprint(T.documents(s, d))
+      .select("doc_id", "n_fp", "fp_digest")
+      .orderBy("doc_id")
+  }
+
+  /** Rabin-Karp winnowing kernel (rolling hash proper): same selection,
+    * O(1) incremental gram hash — no cross-engine oracle for the hash
+    * family; the selection algorithm is oracled via q_ns_text_winnow and
+    * the shared-substring guarantee is OpsSpec-tested. */
+  val textWinnowFast = QueryDef.noOracle("q_ns_text_winnow_fast") { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        graft.expr.RollingWinnow.rollingWinnow(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).cast("bigint").as("n_fp"),
+        expr("aggregate(fp, cast(0 as bigint), (a, x) -> a ^ x)").as("fp_xor"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -439,5 +479,6 @@ object NorthStar {
     dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
+    textWinnow, textWinnowFast,
     multimodalMeta, multimodalFeatures)
 }

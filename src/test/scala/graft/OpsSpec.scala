@@ -171,6 +171,28 @@ class OpsSpec extends AnyFunSuite {
     assert(hits > 0, "LSH found none of the brute-force top-10")
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    // guarantee: a shared substring of length >= w + k - 1 (= 15 here)
+    // contributes at least one common selected hash, in BOTH hash families
+    val shared = "the five boxing wizards jump quickly over it"
+    val docs = Seq(
+      (1L, s"prefix alpha $shared suffix omega"),
+      (2L, s"completely different lead-in. $shared and another tail"),
+      (3L, "no overlap with anything else at all, entirely disjoint words"))
+      .toDF("doc_id", "text")
+    val md5fp = TextAnalysis.withWinnowedFingerprint(docs)
+      .select("doc_id", "winnow_fp").as[(Long, Seq[String])]
+      .collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((md5fp(1L) & md5fp(2L)).nonEmpty, "md5 winnow: shared substring missed")
+    assert((md5fp(1L) & md5fp(3L)).isEmpty, "md5 winnow: false overlap")
+    val rkfp = docs
+      .select(col("doc_id"),
+        graft.expr.RollingWinnow.rollingWinnow(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((rkfp(1L) & rkfp(2L)).nonEmpty, "rolling winnow: shared substring missed")
+    assert((rkfp(1L) & rkfp(3L)).isEmpty, "rolling winnow: false overlap")
+  }
+
   test("text analysis columns are consistent") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(50)
     val t = TextAnalysis.withTokenCounts(docs)
