@@ -453,6 +453,67 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus preparation (the operator composition a training
+    * pipeline actually runs): language gate → quality floor → exact + near
+    * dedup → token annotation. Every stage reuses a proven operator, so the
+    * whole composite is oracle-expressible. */
+  val prepareCorpusQ = QueryDef(
+    "q_ns_prepare_corpus",
+    """WITH langq AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> list_contains(['the','a','an','of','and','to','in','is','value','table'], x))) AS BIGINT) AS score_en,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], x))) AS BIGINT) AS score_de,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> list_contains(['el','la','de','y','que','los','una','por'], x))) AS BIGINT) AS score_es,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> list_contains(['le','la','et','les','des','une','est','pour'], x))) AS BIGINT) AS score_fr,
+      |    (CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
+      |       / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.2
+      |     + (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |            x -> list_contains(['the','a','an','of','and','to','in','is'], x))) AS DOUBLE)
+      |        / len(string_split_regex(lower(trim(text)), '\s+'))) * 2.0
+      |     - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |        / length(text)) * 5.0 AS quality_score
+      |  FROM documents
+      |),
+      |gated AS (
+      |  SELECT doc_id, text FROM langq
+      |  WHERE CASE WHEN score_en + score_de + score_es + score_fr = 0 THEN 'und'
+      |             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+      |             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+      |             WHEN score_es >= score_fr THEN 'es'
+      |             ELSE 'fr' END = 'en'
+      |    AND quality_score >= 0.8
+      |),
+      |kept AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+      |kd AS (SELECT g.doc_id, g.text FROM gated g JOIN kept USING (doc_id)),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM kd),
+      |shn AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM tok WHERE len(w) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(a.s || b.s)) >= 0.8
+      |),
+      |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+      |SELECT kd.doc_id,
+      |       CASE WHEN trim(kd.text) = '' THEN 0
+      |            ELSE len(string_split_regex(lower(trim(kd.text)), '\s+')) END AS n_ws_tokens,
+      |       len(regexp_extract_all(kd.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+      |FROM kd
+      |WHERE kd.doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY kd.doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Pipeline.prepareCorpus(T.documents(s, d))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary: global word frequencies with document frequency —
     * the tokenizer-training / stopword-mining primitive. One explode + one
     * partial-aggregated count shuffle at any scale. */
@@ -479,6 +540,6 @@ object NorthStar {
     dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
-    textWinnow, textWinnowFast,
+    textWinnow, textWinnowFast, prepareCorpusQ,
     multimodalMeta, multimodalFeatures)
 }

@@ -72,6 +72,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected a shuffle join (merge hint):\n$p")
   }
 
+  test("text-analysis family is map-only: no hash exchange before the output sort") {
+    for (n <- Seq("q_ns_text_tokens", "q_ns_text_quality", "q_ns_text_langid",
+        "q_ns_text_fingerprint", "q_ns_text_winnow", "q_ns_multimodal_meta")) {
+      val p = queries.Registry.byName(n).fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$n should run at scan speed (range partition for ORDER BY only):\n$p")
+    }
+  }
+
   test("registry sweep: no query plans a product join, except the bounded baselines") {
     // Every BroadcastNestedLoopJoin in the repo is a deliberate, bounded
     // small-side broadcast — never quadratic in corpus size:
