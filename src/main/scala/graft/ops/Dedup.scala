@@ -14,8 +14,8 @@ import graft.expr.ArrayExprs.{jaccardSorted, minhashSignature}
   *    pipeline: per-row signature computation is embarrassingly parallel,
   *    and the only shuffle is on (band, bucket_key) — candidate pairs are
   *    generated per-bucket, never all-pairs.
-  *  - SimHash buckets on a 16-bit prefix; the quadratic pair check runs
-  *    only inside a bucket.
+  *  - SimHash probes maxHamming+1 disjoint 16-bit block tables (recall 1
+  *    by pigeonhole); the quadratic pair check runs only inside buckets.
   *  - Hashing/signatures/pair-scoring run in custom Catalyst expressions
   *    (graft.expr.ShingleHashes/MinHashSignature/JaccardSorted) — compiled
   *    single-pass loops where the built-in lambda forms pay interpreted

@@ -39,8 +39,8 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dups: 64-bit signed-bit-vote signature, 16-bit prefix
-    * buckets, Hamming <= 3. */
+  /** SimHash near-dups: 64-bit signed-bit-vote signature, multi-table
+    * 16-bit block probing (recall 1 for Hamming <= 3 by pigeonhole). */
   val dedupSimHash = QueryDef.noOracle("q_ns_dedup_simhash") { (s, d) =>
     Dedup.simHashNearDups(T.documents(s, d)).orderBy("doc_id")
   }
