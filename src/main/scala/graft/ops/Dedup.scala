@@ -176,15 +176,15 @@ object Dedup {
       .na.fill(0L, Seq("n_near"))
   }
 
-  /** Exact n-gram Jaccard best-match per doc with document-frequency-ordered
-    * prefix filtering (PPJoin-style): candidates must share one of each
-    * doc's `prefixK` globally-RAREST shingles — rare shingles have small
-    * inverted lists, so the candidate pair space scales with near-dup
-    * density, not quadratically with corpus size. Pairs are deduped on
-    * narrow (id, id) keys before shingle arrays are re-attached for exact
-    * scoring. Docs with no candidate get a null best match. */
-  def ngramJaccardBestMatch(docs: DataFrame, textCol: String = "text",
-      shingleN: Int = 3, prefixK: Int = 5): DataFrame = {
+  /** Shared core of the n-gram pipeline (PPJoin-style rarest-prefix
+    * blocking): candidates must share one of each doc's `prefixK`
+    * globally-RAREST shingles — rare shingles have small inverted lists,
+    * so the candidate pair space scales with near-dup density, not
+    * quadratically with corpus size. Pairs are deduped on narrow (id, id)
+    * keys before shingle arrays are re-attached for exact scoring.
+    * Returns DIRECTED (doc_a, doc_b, jaccard), both orientations. */
+  private def ngramScoredPairs(docs: DataFrame, textCol: String,
+      shingleN: Int, prefixK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleTable(docs, textCol, shingleN)
     // rarest-prefix selection works on STRING shingles ordered by
@@ -210,18 +210,81 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val scored = cand
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard best-match per doc over the rarest-prefix
+    * candidate set. Docs with no candidate get a null best match. */
+  def ngramJaccardBestMatch(docs: DataFrame, textCol: String = "text",
+      shingleN: Int = 3, prefixK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wBest = Window.partitionBy("doc_a")
       .orderBy(col("jaccard").desc, col("doc_b").asc)
-    val best = scored
+    val best = ngramScoredPairs(docs, textCol, shingleN, prefixK)
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("doc_a").as("doc_id"), col("doc_b").as("best_match_id"),
         col("jaccard").as("best_jaccard"))
     docs.select("doc_id").join(best, Seq("doc_id"), "left")
+  }
+
+  /** UNDIRECTED near-dup pairs (doc_a < doc_b) at `minJaccard` from the
+    * rarest-prefix candidate set — the deterministic, oracle-reproducible
+    * edge list for cluster-level dedup. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      shingleN: Int = 3, prefixK: Int = 5, minJaccard: Double = 0.8): DataFrame =
+    ngramScoredPairs(docs, textCol, shingleN, prefixK)
+      .filter(col("doc_a") < col("doc_b") && col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+
+  /** Connected components over an undirected (doc_a, doc_b) edge list by
+    * min-label propagation: every node repeatedly adopts the smallest
+    * component id among itself and its neighbors until fixpoint — the
+    * cluster identification step that turns pairwise near-dup hits into
+    * dedup groups (pair-level dropping over-drops on transitive chains
+    * A~B~C where A!~C). Each iteration is one join + partial-aggregated
+    * min shuffle; iterations = cluster diameter (near-dup clusters are
+    * shallow — for web-scale diameters switch to large-star/small-star,
+    * same per-iteration plan). The driver loop carries only a convergence
+    * COUNT, never data. Returns (doc_id, component) for every node that
+    * appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("component", col("doc_id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nc")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next
+        .join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** End-to-end corpus dedup — the API a training-data pipeline calls:

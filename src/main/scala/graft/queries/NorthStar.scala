@@ -98,6 +98,69 @@ object NorthStar {
     Dedup.ngramJaccardBestMatch(T.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Near-dup cluster identification: undirected jaccard >= 0.8 pairs from
+    * the rarest-prefix blocking, resolved to connected components by
+    * min-label propagation (iterative join + min shuffle per hop; the
+    * driver loop carries only the convergence count). Pair-level dropping
+    * over-drops transitive chains A~B~C with A!~C — component ids are what
+    * a cluster-aware dedup keeps one doc per. Oracle: the same pair set
+    * fed through a recursive-CTE transitive closure. */
+  val dedupComponents = QueryDef(
+    "q_ns_dedup_components",
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |),
+      |shn AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM tok WHERE len(w) >= 3
+      |),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM shn),
+      |dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+      |pref AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT ex.doc_id, ex.g,
+      |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.df, ex.g) AS rn
+      |    FROM ex JOIN dfreq USING (g)
+      |  ) t WHERE rn <= 5
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b USING (g)
+      |  WHERE a.doc_id < b.doc_id
+      |),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c
+      |  JOIN shn sa ON sa.doc_id = c.doc_a
+      |  JOIN shn sb ON sb.doc_id = c.doc_b
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |          / len(list_distinct(sa.s || sb.s)) >= 0.8
+      |),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+      |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |FROM documents d LEFT JOIN comp c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val cc = Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs))
+    docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
     * LSH buckets (no ANSI oracle: bucket membership depends on xxhash64-
     * derived hyperplanes; recall vs the exact baseline is tracked in
@@ -536,7 +599,8 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupCosine,
+    dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
+    dedupCosine,
     dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,

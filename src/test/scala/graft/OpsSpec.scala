@@ -87,6 +87,19 @@ class OpsSpec extends AnyFunSuite {
     assert(best(5L)._2.contains(1.0))
   }
 
+  test("connected components resolve transitive chains to one cluster id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),           // chain: 1-2-3 (1 and 3 not direct)
+      (10L, 11L),                   // isolated pair
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(cc(_) == 1L), s"chain not merged: $cc")
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
   test("dedupCorpus drops exact and near duplicates, keeps the rest") {
     val deduped = Dedup.dedupCorpus(docsWithDups, minJaccard = 0.85)
     val ids = deduped.select("doc_id").as[Long].collect().toSet
