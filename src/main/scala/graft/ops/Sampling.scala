@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines. Splits must be
+  * reproducible across runs, engines, AND partitionings — `rand()` is none
+  * of those — so the bucket is pure content-independent arithmetic on the
+  * row id: the first 16 bits of md5(id) mod 100. Map-only at any scale,
+  * and a row's split never changes when the corpus grows (the property
+  * that keeps eval sets stable across dataset versions). */
+object Sampling {
+
+  /** Stable bucket in [0, 100) from the row id. */
+  def splitBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+
+  /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
+    * train, next `valPct` → val, rest → test. */
+  def withSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val b = splitBucket(col(idCol))
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, "train")
+          .when(col("split_bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+}

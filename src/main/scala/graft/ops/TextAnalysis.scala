@@ -80,6 +80,29 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", pred)
   }
 
+  private val urlRe = "https?://\\S+"
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Pretraining-style text scrubbing: URLs and emails replaced with
+    * placeholder tokens, plus match counts. Patterns stay in the
+    * RE2-compatible subset (no backrefs/lookaround) so the same regexes
+    * run in the DuckDB oracle; map-only at any scale. */
+  def withScrubbedText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      // expr() goes through the SQL parser, which eats single backslashes
+      // in string literals (the same trap as the reference's '\s' no-op
+      // regexes) — escape them for the literal, unlike the functions.* path
+      .withColumn("n_urls",
+        size(expr(s"regexp_extract_all($textCol, '${urlRe.replace("\\", "\\\\")}', 0)"))
+          .cast("bigint"))
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all($textCol, '${emailRe.replace("\\", "\\\\")}', 0)"))
+          .cast("bigint"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(col(textCol), urlRe, "<URL>"),
+          emailRe, "<EMAIL>"))
+
   /** Winnowing document fingerprint (the MOSS scheme): hash every char
     * k-gram, slide a w-wide window, keep each window's minimum — guarantees
     * any shared substring of length >= w + k - 1 contributes a shared

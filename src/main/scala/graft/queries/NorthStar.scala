@@ -482,6 +482,49 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split: content-independent md5-derived
+    * bucket, stable under corpus growth and repartitioning (never
+    * rand()). */
+  val splitQ = QueryDef(
+    "q_ns_split",
+    """SELECT doc_id,
+      |  CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |    % 100 AS BIGINT) AS split_bucket,
+      |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |    % 100 < 80 THEN 'train'
+      |       WHEN CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |    % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Sampling.withSplit(T.documents(s, d))
+      .select("doc_id", "split_bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** URL/email scrubbing with match counts — RE2-subset patterns shared
+    * verbatim with the oracle. */
+  val textScrub = QueryDef(
+    "q_ns_text_scrub",
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |       md5(regexp_replace(regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+      |                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrub_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.withScrubbedText(T.documents(s, d))
+      .select(col("doc_id"), col("n_urls"), col("n_emails"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -604,6 +647,6 @@ object NorthStar {
     dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
-    textWinnow, textWinnowFast, prepareCorpusQ,
+    textWinnow, textWinnowFast, prepareCorpusQ, splitQ, textScrub,
     multimodalMeta, multimodalFeatures)
 }

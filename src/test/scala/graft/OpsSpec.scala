@@ -224,6 +224,32 @@ class OpsSpec extends AnyFunSuite {
     assert(f.select("text_md5").distinct().count() == 50)
   }
 
+  test("deterministic split: stable under growth, proportions sane") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val s1 = graft.ops.Sampling.withSplit(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // growing the corpus must not move any existing row's split
+    val s2 = graft.ops.Sampling.withSplit(docsWithDups)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    s1.foreach { case (id, sp) => assert(s2(id) == sp, s"split moved for $id") }
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction off: $frac")
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("scrubbing replaces URLs and emails, counts them") {
+    val docs = Seq(
+      (1L, "see https://example.com/x?q=1 and mail bob.smith+a@corp.example.org now"),
+      (2L, "no contacts here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withScrubbedText(docs)
+      .select("doc_id", "n_urls", "n_emails", "scrubbed")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "see <URL> and mail <EMAIL> now")
+    assert(out(2L) == ((0L, 0L, "no contacts here at all")))
+  }
+
   test("multimodal batch decode round-trips deterministically") {
     implicit val s: SparkSession = spark
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(20)
