@@ -287,6 +287,34 @@ object Dedup {
     labels
   }
 
+  /** Eval-set decontamination: per corpus doc, the count of distinct word
+    * n-gram shingles shared with ANY benchmark doc and the count of
+    * benchmark docs touched; `contaminated` when shared shingles >=
+    * `minShared`. The join is an inverted-list equi join on the shingle —
+    * the contamination-check shape every training pipeline runs before a
+    * release (benchmark sets are small: at scale the benchmark side
+    * broadcast-joins against the corpus scan). Self-pairs (same doc id on
+    * both sides) are excluded so a benchmark drawn from the corpus doesn't
+    * flag itself. */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", shingleN: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    def ex(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(graft.expr.ShingleStrings.shingleStrings(col(textCol), shingleN)).as("g"))
+    val shared = ex(docs, "doc_id")
+      .join(ex(benchmark, "bench_id"), Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("g")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    docs.select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared_shingles", "n_bench_docs"))
+      .withColumn("contaminated", col("n_shared_shingles") >= minShared)
+  }
+
   /** End-to-end corpus dedup — the API a training-data pipeline calls:
     * drop exact duplicates (keep min doc_id per digest), then drop the
     * larger id of every MinHash-verified near-dup pair at `minJaccard`.

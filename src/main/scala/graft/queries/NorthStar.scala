@@ -161,6 +161,41 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Eval-set decontamination against a benchmark slice (doc_id < 20):
+    * distinct shared 3-gram shingles + benchmark docs touched per corpus
+    * doc; the release gate every training pipeline runs. */
+  val decontaminate = QueryDef(
+    "q_ns_decontaminate",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |),
+      |shn AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM tok WHERE len(w) >= 3
+      |),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM shn),
+      |bench AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id < 20),
+      |shared AS (
+      |  SELECT e.doc_id,
+      |         count(DISTINCT e.g) AS n_shared_shingles,
+      |         count(DISTINCT b.bench_id) AS n_bench_docs
+      |  FROM ex e JOIN bench b USING (g)
+      |  WHERE e.doc_id <> b.bench_id
+      |  GROUP BY e.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(s.n_shared_shingles, 0) AS n_shared_shingles,
+      |       COALESCE(s.n_bench_docs, 0) AS n_bench_docs,
+      |       COALESCE(s.n_shared_shingles, 0) >= 2 AS contaminated
+      |FROM documents d LEFT JOIN shared s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    Dedup.contaminationCheck(docs, docs.filter(col("doc_id") < 20))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
     * LSH buckets (no ANSI oracle: bucket membership depends on xxhash64-
     * derived hyperplanes; recall vs the exact baseline is tracked in
@@ -643,7 +678,7 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
-    dedupCosine,
+    decontaminate, dedupCosine,
     dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,

@@ -224,6 +224,21 @@ class OpsSpec extends AnyFunSuite {
     assert(f.select("text_md5").distinct().count() == 50)
   }
 
+  test("contamination check flags docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely in this one"),
+      (3L, "xx quick brown fox jumps zz")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox jumps straight")).toDF("doc_id", "text")
+    val out = Dedup.contaminationCheck(corpus, bench)
+      .select("doc_id", "n_shared_shingles", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // docs 1 and 3 share "quick brown fox" + "brown fox jumps" with the bench
+    assert(out(1L) == ((2L, true)), s"got $out")
+    assert(out(3L) == ((2L, true)))
+    assert(out(2L) == ((0L, false)))
+  }
+
   test("deterministic split: stable under growth, proportions sane") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val s1 = graft.ops.Sampling.withSplit(docs)
