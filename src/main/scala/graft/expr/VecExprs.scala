@@ -44,11 +44,15 @@ private[expr] object VecKernels {
 /** Cosine similarity of two FLOAT/DOUBLE vectors in one compiled pass
   * (dot and both norms accumulated left-to-right in double precision —
   * bit-identical to the sequential `aggregate(zip_with(...))` fold it
-  * replaces, so rank-only oracle outputs are unaffected). */
+  * replaces, so rank-only oracle outputs are unaffected). Malformed input
+  * — a null element, or mismatched lengths — yields NULL, matching the
+  * zip_with form (which null-pads the shorter side and poisons the fold)
+  * rather than silently scoring truncated/zero-filled vectors. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -63,12 +67,15 @@ case class CosineSim(left: Expression, right: Expression)
   private lazy val rDouble = VecKernels.isDoubleVec(right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    CosineSim.compute(l.asInstanceOf[ArrayData], lDouble,
+    CosineSim.computeBoxed(l.asInstanceOf[ArrayData], lDouble,
       r.asInstanceOf[ArrayData], rDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expr.CosineSim.compute($a, $lDouble, $b, $rDouble);")
+      s"""java.lang.Double ${ev.value}_r =
+         |  graft.expr.CosineSim.computeBoxed($a, $lDouble, $b, $rDouble);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -76,15 +83,23 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Static kernel shared by interpreted eval and codegen. */
-  def compute(l: ArrayData, lDouble: Boolean, r: ArrayData, rDouble: Boolean): Double = {
+  /** Static kernel shared by interpreted eval and codegen; null on
+    * malformed input (length mismatch or null element). */
+  def computeBoxed(l: ArrayData, lDouble: Boolean,
+      r: ArrayData, rDouble: Boolean): java.lang.Double = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      i += 1
+    }
     val a = VecKernels.toDoubles(l, lDouble)
     val b = VecKernels.toDoubles(r, rDouble)
-    val n = math.min(a.length, b.length)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
-    var i = 0
+    i = 0
     while (i < n) {
       val x = a(i)
       val y = b(i)
@@ -93,7 +108,8 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
@@ -118,6 +134,8 @@ case class LshBuckets(child: Expression, nbits: Int, tables: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"lsh_buckets requires an array<float|double> input, got ${child.dataType}")
 
+  override def nullable: Boolean = true
+
   private lazy val isDouble = VecKernels.isDoubleVec(child.dataType)
 
   override def nullSafeEval(input: Any): Any =
@@ -125,7 +143,8 @@ case class LshBuckets(child: Expression, nbits: Int, tables: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.LshBuckets.compute($c, $isDouble, $nbits, $tables);")
+      s"""${ev.value} = graft.expr.LshBuckets.compute($c, $isDouble, $nbits, $tables);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
@@ -152,8 +171,15 @@ object LshBuckets {
       w
     })
 
-  /** Static kernel shared by interpreted eval and codegen. */
+  /** Static kernel shared by interpreted eval and codegen; null when the
+    * vector contains a null element (a bucket from a zero-filled vector
+    * would silently collide everything). */
   def compute(input: ArrayData, isDouble: Boolean, nbits: Int, tables: Int): ArrayData = {
+    var p0 = 0
+    while (p0 < input.numElements()) {
+      if (input.isNullAt(p0)) return null
+      p0 += 1
+    }
     val v = VecKernels.toDoubles(input, isDouble)
     val w = weights(nbits * tables, v.length)
     val out = new Array[Long](tables)

@@ -251,8 +251,15 @@ object Dedup {
     * shallow — for web-scale diameters switch to large-star/small-star,
     * same per-iteration plan). The driver loop carries only a convergence
     * COUNT, never data. Returns (doc_id, component) for every node that
-    * appears in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * appears in `pairs`. The result is left cached (it caps the iterative
+    * lineage); callers looping over many graphs should unpersist it.
+    *
+    * Errors (rather than silently returning intermediate labels) if the
+    * graph has not converged within `maxIter` hops — near-dup clusters are
+    * shallow, so hitting 100 hops means the input is not the expected
+    * near-dup graph and partial labels would diverge from the exact
+    * closure. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -284,6 +291,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations — " +
+        "component ids would be partial; raise maxIter for deep graphs")
     labels
   }
 

@@ -86,22 +86,26 @@ object TextAnalysis {
   /** Pretraining-style text scrubbing: URLs and emails replaced with
     * placeholder tokens, plus match counts. Patterns stay in the
     * RE2-compatible subset (no backrefs/lookaround) so the same regexes
-    * run in the DuckDB oracle; map-only at any scale. */
-  def withScrubbedText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    * run in the DuckDB oracle; map-only at any scale. Emails are counted
+    * AFTER URL scrubbing, so each count equals the placeholder occurrences
+    * in the output (an email embedded in a URL is consumed by <URL>, not
+    * double-counted). */
+  def withScrubbedText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // expr() goes through the SQL parser, which eats single backslashes
+    // in string literals (the same trap as the reference's '\s' no-op
+    // regexes) — escape them for the literal, unlike the functions.* path
+    val urlSql = urlRe.replace("\\", "\\\\")
+    val emailSql = emailRe.replace("\\", "\\\\")
     docs
-      // expr() goes through the SQL parser, which eats single backslashes
-      // in string literals (the same trap as the reference's '\s' no-op
-      // regexes) — escape them for the literal, unlike the functions.* path
+      .withColumn("__urlscrubbed", regexp_replace(col(textCol), urlRe, "<URL>"))
       .withColumn("n_urls",
-        size(expr(s"regexp_extract_all($textCol, '${urlRe.replace("\\", "\\\\")}', 0)"))
-          .cast("bigint"))
+        size(expr(s"regexp_extract_all($textCol, '$urlSql', 0)")).cast("bigint"))
       .withColumn("n_emails",
-        size(expr(s"regexp_extract_all($textCol, '${emailRe.replace("\\", "\\\\")}', 0)"))
-          .cast("bigint"))
+        size(expr(s"regexp_extract_all(__urlscrubbed, '$emailSql', 0)")).cast("bigint"))
       .withColumn("scrubbed",
-        regexp_replace(
-          regexp_replace(col(textCol), urlRe, "<URL>"),
-          emailRe, "<EMAIL>"))
+        regexp_replace(col("__urlscrubbed"), emailRe, "<EMAIL>"))
+      .drop("__urlscrubbed")
+  }
 
   /** Winnowing document fingerprint (the MOSS scheme): hash every char
     * k-gram, slide a w-wide window, keep each window's minimum — guarantees

@@ -197,9 +197,13 @@ object NorthStar {
   }
 
   /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
-    * LSH buckets (no ANSI oracle: bucket membership depends on xxhash64-
-    * derived hyperplanes; recall vs the exact baseline is tracked in
-    * OpsSpec, and the exact baseline itself is oracled below). */
+    * LSH buckets (no ANSI oracle: bucket membership depends on the
+    * hyperplane hash family). Recall follows the LSH S-curve — near 1 for
+    * genuine near-identical pairs (cos >= ~0.95), degrading toward the
+    * 0.8 threshold boundary (~0.5 for a pair at exactly 0.8 with the
+    * default 4×8-bit tables; tables/nbits are the dial). OpsSpec measures
+    * recall on planted perturbed copies vs the exact baseline, which is
+    * itself oracled below. */
   val dedupCosine = QueryDef.noOracle("q_ns_dedup_cosine") { (s, d) =>
     Similarity.cosineNearDupCounts(T.embeddings(s, d), 0.8).orderBy("vec_id")
   }
@@ -549,7 +553,8 @@ object NorthStar {
     "q_ns_text_scrub",
     """SELECT doc_id,
       |       CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
-      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+      |                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
       |       md5(regexp_replace(regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
       |                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrub_md5
       |FROM documents

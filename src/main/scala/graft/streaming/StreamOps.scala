@@ -121,19 +121,29 @@ object StreamOps {
               i.getEpochSecond * 1000000L + i.getNano / 1000L
             }.toArray
             java.util.Arrays.sort(ts)
+            // cluster merge: the open session is an interval (start, last,
+            // n), batch events are unit clusters; sorted by start, adjacent
+            // clusters merge when next.start - cur.last < gap. A late
+            // (within-watermark) event just BEFORE the open session extends
+            // it backward, exactly like session_window's window merging;
+            // events older than an already-EMITTED session cannot re-open
+            // it — append-mode finality, the one inherent divergence.
+            val clusters = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            if (state.exists) clusters += state.get
+            ts.foreach(t => clusters += ((t, t, 1L)))
+            val sorted = clusters.sortBy(_._1)
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var (start, last, n) =
-              if (state.exists) state.get else (ts(0), ts(0), 0L)
-            var i = 0
-            while (i < ts.length) {
-              if (ts(i) - last >= gapMicros) {
+            var (start, last, n) = sorted.head
+            for ((s2, l2, n2) <- sorted.tail) {
+              if (s2 - last >= gapMicros) {
                 out += SessionOut(uid, microTs(start), n)
-                start = ts(i)
-                n = 0L
+                start = s2
+                last = l2
+                n = n2
+              } else {
+                last = math.max(last, l2)
+                n += n2
               }
-              last = math.max(last, ts(i))
-              n += 1L
-              i += 1
             }
             if (flushOpen) {
               out += SessionOut(uid, microTs(start), n)

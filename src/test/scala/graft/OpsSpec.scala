@@ -166,6 +166,28 @@ class OpsSpec extends AnyFunSuite {
     a.foreach { case (id, n) => assert(n <= e(id), s"false positive at $id") }
   }
 
+  test("LSH-blocked near-dup recall on realistic perturbed copies") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    // perturbed copies at cos ~0.98 (add 0.2x a rotated copy of the
+    // vector): the realistic near-dup regime, where the 4-table S-curve
+    // should sit near recall 1
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("""zip_with(embedding,
+              |  concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1)),
+              |  (x, y) -> float(x + 0.2f * y))""".stripMargin).as("embedding"),
+        col("label"))
+    val all = emb.unionByName(planted)
+    def found(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .filter(col("vec_id") >= 100000L && col("n_near") >= 1)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = found(graft.ops.Similarity.cosineNearDupCountsExact(all, 0.9))
+    val approx = found(graft.ops.Similarity.cosineNearDupCounts(all, 0.9))
+    assert(exact.size == 20, s"perturbation drifted below 0.9: ${exact.size}")
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH-blocked recall too low on near-identical pairs: $recall")
+  }
+
   test("IVF routes to the right label and LSH recall is sane vs brute force") {
     val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)

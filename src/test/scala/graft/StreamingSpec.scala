@@ -144,8 +144,11 @@ class StreamingSpec extends AnyFunSuite {
     // micro-batch 1: user 1's first session starts; session still open
     write(Seq((1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L)))
     val schema = spark.read.parquet(src.toString).schema
+    // 30-min allowed lateness: the batch-2 event at 23:50 is LATE (behind
+    // batch 1's max) but within the watermark, so it reaches the stateful
+    // operator instead of being dropped by the watermark filter
     val stream = spark.readStream.schema(schema).parquet(src.toString)
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", "30 minutes")
     val sessions = StreamOps.sessionsWithState(stream.toDF(), flushOpen = false)
     val q = sessions.toDF().writeStream.outputMode("append").format("memory")
       .queryName("fmgws_out").start()
@@ -153,9 +156,11 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("fmgws_out").count() == 0,
         "open session must not emit before the gap passes")
-      // micro-batch 2: same session continues (gap < 30min), then a far-
-      // future event pushes the watermark past the session's gap horizon
-      write(Seq((3L, "2024-01-01 00:20:00", 1L), (4L, "2024-01-02 00:00:00", 2L)))
+      // micro-batch 2: a LATE event 10 minutes BEFORE the open session's
+      // start (within its gap) must extend the session backward — the
+      // session_window merge semantics — then a far-future event pushes
+      // the watermark past the session's gap horizon
+      write(Seq((3L, "2023-12-31 23:50:00", 1L), (4L, "2024-01-02 00:00:00", 2L)))
       q.processAllAvailable()
       // one more advance so the fired timeout's output flushes
       write(Seq((5L, "2024-01-03 00:00:00", 2L)))
@@ -163,8 +168,9 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val out = spark.table("fmgws_out").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
-    assert(out.contains((1L, "2024-01-01 00:00:00.0", 3L)),
-      s"user 1's session must close with all 3 cross-batch events: $out")
+    assert(out.contains((1L, "2023-12-31 23:50:00.0", 3L)),
+      s"user 1's session must close with all 3 cross-batch events, " +
+        s"start extended backward by the late event: $out")
   }
 
   test("watermark drops late data in append-mode streaming aggregation") {
