@@ -246,6 +246,24 @@ class OpsSpec extends AnyFunSuite {
     assert(f.select("text_md5").distinct().count() == 50)
   }
 
+  test("prepareCorpus drops non-target-language, low-quality, and duplicate docs") {
+    val en = "the project report is ready and the table of values is in the appendix"
+    val docs = Seq(
+      (1L, en),                                  // keeps: english, clean, unique
+      (2L, "der bericht ist nicht fertig und das ist ein problem zu melden"), // de
+      (3L, "@@@@@@@@@@ %%%%%%%%%% !!!!!!!!!! " + en + " ?????????? **********"), // punct-heavy: quality floor
+      (4L, en),                                  // exact dup of 1 (larger id drops)
+      (5L, "the quick brown fox jumps over the lazy dog near the old river table"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val kept = graft.ops.Pipeline.prepareCorpus(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(5L), s"kept: $kept")
+    assert(!kept.contains(2L), "german doc must fail the language gate")
+    assert(!kept.contains(3L), "punctuation-heavy doc must fail the quality floor")
+    assert(!kept.contains(4L), "exact duplicate must drop the larger id")
+  }
+
   test("contamination check flags docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

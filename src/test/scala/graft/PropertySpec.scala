@@ -170,6 +170,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee holds for generated docs with a shared substring") {
+    import graft.expr.RollingWinnow.rollingWinnow
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega", "sigma")
+    val docGen = for {
+      pre <- Gen.listOfN(6, word)
+      post <- Gen.listOfN(6, word)
+    } yield (pre, post)
+    // shared block: 30+ chars >> w + k - 1 = 15
+    val shared = "the five boxing wizards jump quickly tonight"
+    forSamples(Gen.zip(docGen, docGen), 5) { case ((p1, s1x), (p2, s2x)) =>
+      val docs = Seq(
+        (1L, s"${p1.mkString(" ")} $shared ${s1x.mkString(" ")}"),
+        (2L, s"${p2.mkString(" ")} $shared ${s2x.mkString(" ")}"))
+        .toDF("doc_id", "text")
+      val fp = docs.select(col("doc_id"), rollingWinnow(col("text")).as("fp"))
+        .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+      assert((fp(1L) & fp(2L)).nonEmpty,
+        "docs sharing a >= w+k-1 substring must share a rolling-hash fingerprint")
+    }
+  }
+
   test("corpus dedup is idempotent") {
     val textGen = Gen.listOfN(12,
       Gen.oneOf("spark table scan", "row batch merge", "key value hash"))
