@@ -16,6 +16,23 @@ object Sampling {
     conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
 
+  /** Deterministic stratified sample: keep `rates(stratum)`% of each
+    * stratum (`defaultPct`% for unlisted strata) using the same md5 bucket
+    * as [[withSplit]] — the language/source-rebalancing primitive. Map-only
+    * (the rate lookup folds into a CASE expression, no join), reproducible,
+    * and monotone in the rate: raising a stratum's rate only ADDS rows,
+    * never swaps them (bucket membership is fixed per id). */
+  def stratifiedSample(df: DataFrame, idCol: String = "doc_id",
+      stratumCol: String = "lang", rates: Map[String, Int] = Map.empty,
+      defaultPct: Int = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates must be percentages in [0, 100]")
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(splitBucket(col(idCol)) < pct)
+  }
+
   /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
     * train, next `valPct` → val, rest → test. */
   def withSplit(df: DataFrame, idCol: String = "doc_id",

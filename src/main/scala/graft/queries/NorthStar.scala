@@ -547,6 +547,28 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sample: rebalance by language (en 60%,
+    * de 30%, others 10%) over the md5 split bucket — same arithmetic as
+    * q_ns_split, rate folded into a CASE. */
+  val stratified = QueryDef(
+    "q_ns_stratified_sample",
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |      i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |           * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |      % 100 AS BIGINT) AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang FROM b
+      |WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Sampling.stratifiedSample(T.documents(s, d),
+        rates = Map("en" -> 60, "de" -> 30), defaultPct = 10)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** URL/email scrubbing with match counts — RE2-subset patterns shared
     * verbatim with the oracle. */
   val textScrub = QueryDef(
@@ -687,6 +709,6 @@ object NorthStar {
     dedupCosineExact, dedupCorpusQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
-    textWinnow, textWinnowFast, prepareCorpusQ, splitQ, textScrub,
+    textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,
     multimodalMeta, multimodalFeatures)
 }

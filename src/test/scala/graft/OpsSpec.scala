@@ -292,6 +292,22 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("stratified sample: per-stratum rates honored, subset-monotone in rate") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val low = graft.ops.Sampling.stratifiedSample(docs,
+      rates = Map("en" -> 30), defaultPct = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val high = graft.ops.Sampling.stratifiedSample(docs,
+      rates = Map("en" -> 60), defaultPct = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high), "raising a rate must only add rows")
+    val n = docs.filter(col("lang") === "en").count().toDouble
+    val kept = graft.ops.Sampling.stratifiedSample(docs,
+      rates = Map("en" -> 60), defaultPct = 0)
+      .filter(col("lang") === "en").count().toDouble
+    assert(kept / n > 0.4 && kept / n < 0.8, s"en rate off: ${kept / n}")
+  }
+
   test("scrubbing replaces URLs and emails, counts them") {
     val docs = Seq(
       (1L, "see https://example.com/x?q=1 and mail bob.smith+a@corp.example.org now"),
