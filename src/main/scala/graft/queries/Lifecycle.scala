@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Evolve, Quality}
+
+/** Table-lifecycle operators as driver-facing queries: SCD2 snapshot
+  * history, last-write-wins incremental merge, and a dbt-style data-quality
+  * expectation suite. All three are exactly SQL-expressible, so each ships
+  * a DuckDB oracle.
+  */
+object Lifecycle {
+
+  /** SCD Type-2 history of each user's event_type, built from the events
+    * change log (first observation kept, then every null-safe change;
+    * valid_from/valid_to intervals, open-ended current row). */
+  val scd2 = QueryDef(
+    "q_e_scd2",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         row_number() OVER w AS rn,
+      |         lag(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), chg AS (
+      |  SELECT * FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+      |)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |       lead(ts) OVER w2 AS valid_to,
+      |       lead(ts) OVER w2 IS NULL AS is_current
+      |FROM chg
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+    Evolve.scd2(T.events(s, d), "user_id", "ts",
+        attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** Incremental merge: split events at a cutoff into a base load and a
+    * delta, merge last-write-wins per user — must equal the latest row per
+    * user over the whole log. */
+  val mergeUpsert = QueryDef(
+    "q_e_merge_upsert",
+    """SELECT user_id, event_id, ts, event_type, value
+      |FROM (SELECT user_id, event_id, ts, event_type, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    val base = ev.filter(col("ts") < cutoff)
+    val delta = ev.filter(col("ts") >= cutoff)
+    Evolve.mergeUpsert(base, delta,
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** dbt-style expectation suite over orders: fused one-scan row checks
+    * (not_null / accepted_values / in_range), key uniqueness, and
+    * referential integrity against customer. accepted_values deliberately
+    * omits status 'P' so the suite demonstrably REPORTS violations. */
+  val expectations = QueryDef(
+    "q_dq_expectations",
+    """WITH checks AS (
+      |  SELECT 'not_null:o_custkey' AS check_name,
+      |         CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'not_null:o_orderdate',
+      |         CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'accepted_values:o_orderstatus',
+      |         CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F')
+      |                               OR o_orderstatus IS NULL) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_range:o_totalprice',
+      |         CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+      |                               OR o_totalprice < 0
+      |                               OR o_totalprice > 1000000) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'unique:o_orderkey', CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) t
+      |  UNION ALL
+      |  SELECT 'references:o_custkey->c_custkey', CAST(count(*) AS BIGINT)
+      |  FROM orders o
+      |  WHERE o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)
+      |)
+      |SELECT check_name, violations, violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    Quality.suite(Seq(
+      Quality.rowChecks(orders, Seq(
+        Quality.notNull("o_custkey"),
+        Quality.notNull("o_orderdate"),
+        Quality.acceptedValues("o_orderstatus", Seq("O", "F")),
+        Quality.inRange("o_totalprice", 0.0, 1e6))),
+      Quality.unique(orders, Seq("o_orderkey")),
+      Quality.references(orders, "o_custkey", T.customer(s, d), "c_custkey")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(scd2, mergeUpsert, expectations)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Evolve, Quality}
+
+/** Behavioral tests for the table-lifecycle operators: SCD2 change
+  * collapsing and interval chaining, merge-equals-full-recompute, and
+  * planted data-quality violations.
+  */
+class LifecycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("scd2 collapses unchanged runs and chains validity intervals") {
+    val log = Seq(
+      // key 1: a -> a -> b -> b -> a   => versions a, b, a
+      (1L, 1L, "2024-01-01 00:00:00", "a"),
+      (1L, 2L, "2024-01-02 00:00:00", "a"),
+      (1L, 3L, "2024-01-03 00:00:00", "b"),
+      (1L, 4L, "2024-01-04 00:00:00", "b"),
+      (1L, 5L, "2024-01-05 00:00:00", "a"),
+      // key 2: single observation
+      (2L, 6L, "2024-01-01 12:00:00", "x")
+    ).toDF("k", "seq", "ts_s", "v").withColumn("ts", $"ts_s".cast("timestamp"))
+
+    val hist = Evolve.scd2(log, "k", "ts", Seq("v"), tieBreak = Seq("seq"))
+      .orderBy("k", "valid_from").collect()
+
+    assert(hist.length == 4)
+    val k1 = hist.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getAs[String]("v")).toSeq == Seq("a", "b", "a"))
+    // intervals chain: valid_to of row i == valid_from of row i+1
+    k1.sliding(2).foreach { case Array(prev, next) =>
+      assert(prev.getAs[java.sql.Timestamp]("valid_to") ==
+        next.getAs[java.sql.Timestamp]("valid_from"))
+    }
+    assert(k1.count(_.getAs[Boolean]("is_current")) == 1)
+    assert(k1.last.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2 keeps a first version whose tracked attribute is NULL") {
+    val log = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", Option.empty[String]),
+      (1L, 2L, "2024-01-02 00:00:00", Some("a"))
+    ).toDF("k", "seq", "ts_s", "v").withColumn("ts", $"ts_s".cast("timestamp"))
+    val hist = Evolve.scd2(log, "k", "ts", Seq("v"), tieBreak = Seq("seq"))
+    assert(hist.count() == 2)
+  }
+
+  test("mergeUpsert(base, delta) equals latest-per-key over the full log") {
+    val ev = queries.T.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "ts", "event_type")
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val merged = Evolve.mergeUpsert(
+      ev.filter($"ts" < cutoff), ev.filter($"ts" >= cutoff),
+      Seq("user_id"), Seq("ts", "event_id"))
+
+    val expected = ev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1).drop("rn")
+
+    assert(merged.count() == expected.count())
+    assert(merged.join(expected,
+      merged.columns.toSeq, "left_anti").count() == 0)
+  }
+
+  test("quality suite counts planted violations per check") {
+    val child = Seq(
+      (1L, Some("ok"), 5.0), (1L, Some("ok"), 5.0), // dup key (1 excess)
+      (2L, None, -1.0),                             // null status, low value
+      (3L, Some("bad"), 99.0),                      // not accepted
+      (99L, Some("ok"), 5.0)                        // orphan parent ref
+    ).toDF("id", "status", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+
+    val res = Quality.suite(Seq(
+      Quality.rowChecks(child, Seq(
+        Quality.notNull("status"),
+        Quality.acceptedValues("status", Seq("ok")),
+        Quality.inRange("v", 0.0, 50.0))),
+      Quality.unique(child, Seq("id")),
+      Quality.references(child, "id", parent, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(res("not_null:status") == 1L)
+    assert(res("accepted_values:status") == 2L) // 'bad' + NULL
+    assert(res("in_range:v") == 2L)             // -1.0 and 99.0
+    assert(res("unique:id") == 1L)
+    assert(res("references:id->id") == 1L)      // key 99
+  }
+}
