@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus retrieval primitives: TF-IDF term weighting and Okapi BM25
+  * scoring — the sparse-retrieval half of a training-data curation stack
+  * (the dense half is `Similarity`). Built shuffle-minimal:
+  *
+  *  - one explode + one partial-aggregated (doc, term) count shuffle builds
+  *    the posting statistics; doc length is derived from that relation (far
+  *    smaller than the raw token stream);
+  *  - document frequency for a BM25 query is computed AFTER filtering the
+  *    postings to the query's terms, so the df relation is bounded by the
+  *    query vocabulary and broadcast;
+  *  - corpus-level scalars (N, avgdl) are a 1-row broadcast.
+  *
+  * At 100 TB the only O(corpus) shuffles are the (doc, term) count and the
+  * per-doc score combine — both partial-aggregated map-side. Nothing is
+  * proportional to corpus² and no collect touches the driver.
+  *
+  * Cross-engine determinism: per-term scores pass through `ln`, whose last
+  * ulp differs between the JVM and libm (~1.5e-4 of inputs). Every score is
+  * therefore rounded to DECIMAL(18,6) BEFORE any sum or rank — the decimal
+  * sum is then exact and order-independent on both engines.
+  */
+object Retrieval {
+
+  /** (id, word) token stream: whitespace tokenization, lowercased. Same
+    * tokenizer as `TextAnalysis`/the corpus-vocab query so stats compose. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Posting stats per (doc, term): tf, df, corpus size and raw tf-idf
+    * (tf * ln(N/df)). The df join stays a plain equi join — query-term
+    * vocabularies broadcast under AQE, open-vocab corpora shuffle on word. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "word")
+      .join(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+  }
+
+  /** Okapi BM25 scores of every document against a bag of query terms.
+    * Returns (idCol, score) — score is an exact decimal(18,6) sum of
+    * per-term contributions, cast to double. */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val hits = tf.filter(col("word").isin(terms: _*))
+    val dfreq = hits.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    hits
+      .join(dl, idCol)
+      .join(broadcast(dfreq), "word")
+      .join(broadcast(stats))
+      .withColumn("c", contrib.cast(DecimalType(18, 6)))
+      .groupBy(idCol)
+      .agg(sum(col("c")).cast("double").as("score"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.Retrieval
+
+/** Sparse-retrieval queries over `documents`: TF-IDF term ranking and Okapi
+  * BM25 search. Both are exactly SQL-expressible, so both carry DuckDB
+  * oracles. Scores are rounded to DECIMAL(18,6) before every sum/rank (JVM
+  * vs libm `ln` differs in the last ulp on ~1.5e-4 of inputs; 6dp rounding
+  * collapses that noise, and ties then break on deterministic columns).
+  * The oracle SQL mirrors the Spark expression tree literal-for-literal so
+  * all other per-row double arithmetic is bit-identical.
+  */
+object Retrieve {
+
+  /** Top-3 TF-IDF terms per document. Rank orders by the 6dp-rounded score
+    * then word; the score column itself is the same rounded decimal, cast
+    * back to double. */
+  val tfidfTopK = QueryDef(
+    "q_ret_tfidf_topk",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE word <> '' GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+      |         CAST(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS s
+      |  FROM tf JOIN dfq USING (word) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, word, tf, df, CAST(s AS DOUBLE) AS tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, word) AS rnk
+      |  FROM scored
+      |)
+      |SELECT doc_id, word, tf, df, tfidf, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val scored = Retrieval.tfidf(T.documents(s, d), "doc_id", "text")
+      .withColumn("s", col("tfidf").cast(DecimalType(18, 6)))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("s"), asc("word"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("s").cast("double").as("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** BM25 top-20 documents for a three-term query (k1=1.2, b=0.75). The
+    * score is an exact decimal sum of 6dp-rounded per-term contributions,
+    * so the double output is bit-identical across engines. */
+  val bm25TopK = QueryDef(
+    "q_ret_bm25_topk",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE word <> '' GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+      |), hits AS (
+      |  SELECT * FROM tf WHERE word IN ('vector', 'join', 'hash')
+      |), dfq AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY 1
+      |), contrib AS (
+      |  SELECT hits.doc_id,
+      |         CAST(ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE))
+      |                     / (df + CAST(0.5 AS DOUBLE)))
+      |              * tf * (CAST(1.2 AS DOUBLE) + 1)
+      |              / (tf + CAST(1.2 AS DOUBLE)
+      |                      * ((1 - CAST(0.75 AS DOUBLE))
+      |                         + CAST(0.75 AS DOUBLE) * dl / avgdl))
+      |              AS DECIMAL(18,6)) AS c
+      |  FROM hits JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN stats
+      |)
+      |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Retrieval.bm25(T.documents(s, d), "doc_id", "text",
+        terms = Seq("vector", "join", "hash"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK)
+}

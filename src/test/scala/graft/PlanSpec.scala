@@ -95,7 +95,10 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       // single-row aggregate threshold broadcast into the filter
-      "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast")
+      "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast",
+      // 1-row corpus stats (N / avgdl) broadcast into the scorer
+      "q_ret_tfidf_topk" -> "1-row corpus-size broadcast",
+      "q_ret_bm25_topk" -> "1-row corpus-stats broadcast")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Retrieval
+
+/** Behavioral tests for sparse retrieval: a hand-built corpus with a known
+  * best answer — a doc stuffed with a rare query term must outrank longer
+  * docs that mention it once, and TF-IDF must zero out a term that appears
+  * in every document.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (0L, "zebra zebra zebra cat"),               // dense in the rare term
+    (1L, "zebra cat dog dog dog dog dog dog dog dog dog dog dog dog"),
+    (2L, "cat dog bird fish cat dog bird fish"), // no zebra
+    (3L, "dog cat"),
+    (4L, "bird fish cat dog bird fish bird bird")).toDF("doc_id", "text")
+
+  test("bm25 ranks the term-dense short doc first and excludes non-matching docs") {
+    val scored = Retrieval.bm25(corpus, "doc_id", "text", terms = Seq("zebra"))
+      .orderBy(desc("score")).collect()
+    assert(scored.map(_.getLong(0)).toSeq == Seq(0L, 1L),
+      "only docs containing the term, dense-short first")
+    assert(scored.head.getDouble(1) > scored.last.getDouble(1))
+  }
+
+  test("tfidf gives zero weight to a corpus-wide term and df counts documents") {
+    val t = Retrieval.tfidf(corpus, "doc_id", "text")
+    val catRows = t.filter(col("word") === "cat").collect()
+    assert(catRows.length == 5 && catRows.forall(_.getAs[Double]("tfidf") == 0.0),
+      "'cat' appears in all 5 docs -> ln(5/5) = 0")
+    assert(t.filter(col("word") === "zebra").head().getAs[Long]("df") == 2L)
+  }
+
+  test("bm25 multi-term sums per-term contributions (superset doc wins)") {
+    val scored = Retrieval.bm25(corpus, "doc_id", "text", terms = Seq("bird", "fish"))
+      .orderBy(desc("score")).collect()
+    // doc 4 has bird x4 + fish x2; doc 2 has bird x2 + fish x2; others none
+    assert(scored.map(_.getLong(0)).toSeq == Seq(4L, 2L))
+  }
+}
