@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Approximate sketch aggregates — the 100 TB cardinality/quantile path.
+  *
+  * Exact COUNT(DISTINCT) shuffles every distinct key twice (expand +
+  * final); HyperLogLog++ partials are fixed-size (~1.5 KB at 5% rsd) and
+  * merge associatively, so the shuffle is O(groups), not O(distinct keys).
+  * Same shape for quantiles: the Greenwald-Khanna sketch behind
+  * `percentile_approx` keeps O((1/eps) log(eps n)) tuples per partial
+  * versus a full sort for exact percentiles. Both are Spark built-ins with
+  * codegen'd partial aggregation — nothing custom needed.
+  *
+  * Gate design: a sketch's value is engine-specific, so the driver queries
+  * emit the EXACT answer (oracle-comparable) plus a boolean asserting the
+  * sketch landed within its guaranteed tolerance; the oracle pins the
+  * boolean to true. Spark's sketches are deterministic for a fixed input,
+  * so the boolean is stable, and a regression that degrades sketch accuracy
+  * beyond spec flips the gate red.
+  */
+object Sketches {
+
+  /** HLL distinct orders per status vs exact. rsd = 5%; the gate allows
+    * 3 standard errors (15%) — a miss means the sketch is broken, not
+    * unlucky. */
+  val hllCardinality = QueryDef(
+    "q_sk_hll_distinct",
+    """SELECT o_orderstatus,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cnt,
+      |       true AS within_tol
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cnt"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.05).as("approx_cnt"))
+      .select(col("o_orderstatus"), col("exact_cnt"),
+        (abs(col("approx_cnt") - col("exact_cnt"))
+          <= col("exact_cnt") * lit(0.15)).as("within_tol"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** GK-sketch median of o_totalprice per status vs exact. accuracy = 100
+    * bounds rank error at 1%; the gate checks the sketch value lies between
+    * the exact 0.48 and 0.52 quantiles (1% rank error + interpolation
+    * slack). Exact percentiles use the same continuous interpolation in
+    * both engines (precedent: q_a13_percentiles). */
+  val gkQuantile = QueryDef(
+    "q_sk_quantile_median",
+    """SELECT o_orderstatus,
+      |       quantile_cont(o_totalprice, 0.5) AS exact_p50,
+      |       true AS within_tol
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("percentile_approx(o_totalprice, 0.5, 100)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.48)").as("lo"),
+        expr("percentile(o_totalprice, 0.52)").as("hi"))
+      .select(col("o_orderstatus"), col("exact_p50"),
+        (col("approx_p50") >= col("lo") && col("approx_p50") <= col("hi"))
+          .as("within_tol"))
+      .orderBy("o_orderstatus")
+  }
+
+  val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile)
+}

@@ -94,5 +94,48 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
-  val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow, statefulSessions)
+  /** At-least-once feed repaired to exactly-once: a planted duplicate
+    * slice (every 7th user's events delivered twice) must vanish under
+    * key dedup — per-type stats equal the clean feed's. Streaming twin
+    * (dropDuplicatesWithinWatermark) runs in StreamingSpec. */
+  val streamDedup = QueryDef(
+    "q_stream_dedup",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val redelivered = ev.unionByName(ev.filter(col("user_id") % 7 === 0))
+    StreamOps.dedupDeliveries(redelivered)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Fns.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Stream-stream interval join on the batch path: clicks attributed to
+    * same-user views within the previous hour. The readStream twin (both
+    * sides watermarked, state evicted past the attribution window) runs in
+    * StreamingSpec. */
+  val streamJoin = QueryDef(
+    "q_stream_join_attrib",
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |  FROM events WHERE event_type = 'view'
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT v.user_id, view_id, click_id
+      |FROM v JOIN c ON v.user_id = c.user_id
+      | AND click_ts >= view_ts AND click_ts < view_ts + INTERVAL 1 HOUR
+      |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
+    StreamOps.attributionJoin(T.events(s, d))
+      .select("user_id", "view_id", "click_id")
+      .orderBy("view_id", "click_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
+    statefulSessions, streamDedup, streamJoin)
 }

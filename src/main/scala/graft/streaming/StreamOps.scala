@@ -161,6 +161,40 @@ object StreamOps {
       }
   }
 
+  /** Exactly-once view of an at-least-once delivery feed: drop duplicate
+    * deliveries by key. Batch: plain dropDuplicates (duplicate deliveries
+    * are bit-identical rows, so the arbitrary keep is deterministic).
+    * Streaming (`withinWatermark = true`, watermark set upstream):
+    * `dropDuplicatesWithinWatermark` — state holds one entry per key only
+    * inside the watermark horizon and is evicted as it advances, unlike
+    * plain streaming dropDuplicates whose state grows forever. The shuffle
+    * key is the dedup key — same partitioning profile at any scale. */
+  def dedupDeliveries(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      withinWatermark: Boolean = false): DataFrame =
+    if (withinWatermark) events.dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
+  /** Attribution join: every click matched to same-user views it followed
+    * within `within` (half-open `[view_ts, view_ts + within)`). Works
+    * batch or streaming unchanged; on two streams (both watermarked) the
+    * event-time bound lets Spark evict join state past
+    * `watermark - within`, so state is bounded by the attribution window.
+    * Equi key user_id + time-range residual — a SortMergeJoin in batch,
+    * never a product join (PlanSpec precedent q_j5). */
+  def attributionJoin(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -209,6 +209,55 @@ class StreamingSpec extends AnyFunSuite {
       s"late event was not dropped: $out")
   }
 
+  test("dropDuplicatesWithinWatermark kills a cross-micro-batch redelivery") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("dedup_src")
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .withColumn("ts", to_timestamp(col("ts_s")))
+        .select("event_id", "ts", "user_id")
+        .write.mode("append").parquet(src.toString)
+    write(Seq((1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:05:00", 1L)))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .withWatermark("ts", "1 hour")
+    val deduped = StreamOps.dedupDeliveries(stream, withinWatermark = true)
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // micro-batch 2 re-delivers event 2 (same key, within the watermark
+      // horizon) plus a genuinely new event
+      write(Seq((2L, "2024-01-01 00:05:00", 1L), (3L, "2024-01-01 00:30:00", 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      s"each delivery must survive exactly once: ${ids.toSeq}")
+  }
+
+  test("stream-stream attribution join matches the batch interval join") {
+    val batch = StreamOps.attributionJoin(events)
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def side = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+    // a watermarked stream self-join (views leg × clicks leg); join state
+    // is evicted past watermark - window on each side
+    val q = StreamOps.attributionJoin(side)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attrib_out")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "streamed join must equal batch interval join")
+  }
+
   test("streaming readStream path of events schema works end-to-end") {
     val stream = spark.readStream
       .schema(rawSchema)
