@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed graph analytics over edge lists (the component-labeling half
+  * lives in `Dedup.connectedComponents`). Each PageRank iteration is one
+  * equi join (edges × scores, shuffled on src) plus one partial-aggregated
+  * sum shuffled on dst — the standard scalable formulation; nothing is ever
+  * materialized driver-side and no step is quadratic. At 100 TB the edge
+  * list would be pre-bucketed by src so the per-iteration join is
+  * shuffle-free; iterations would checkpoint every ~5 steps to cut lineage.
+  *
+  * Determinism contract (shared with `Retrieval`): cross-partition double
+  * sums are order-dependent, so every per-edge contribution is rounded to
+  * DECIMAL(18,9) before the exact decimal sum, and each new score is
+  * re-rounded after the damping step. Both engines then agree bit-for-bit
+  * at EVERY iteration, which is what lets a fixed-depth unrolled SQL oracle
+  * hash-match the Spark loop.
+  */
+object Graph {
+
+  /** PageRank with a fixed iteration count over directed edges (src, dst).
+    * Returns (node, score DECIMAL(18,9)). Dangling-node mass is dropped
+    * (nodes with no out-edges contribute nothing), the common simplified
+    * form; scores still sum to < 1 and ranks are unaffected for connected
+    * graphs. */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val dec = DecimalType(18, 9)
+    // cache the derived graph: every iteration re-reads edges/outdeg/nodes,
+    // and without this the (possibly expensive) edge derivation re-executes
+    // ~3x per iteration through the growing lineage
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var scores = nodes.join(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).cast(dec).as("score"))
+    for (_ <- 1 to iters) {
+      // pin each iteration's frontier: keeps the optimizer's plan depth
+      // constant and the shuffle count at 2 per iteration
+      scores = scores.localCheckpoint(eager = true)
+      val insum = e
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("score").cast("double") / col("od")).cast(dec).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("insum"))
+      scores = nodes
+        .join(insum, Seq("node"), "left")
+        .join(broadcast(nRow))
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("n")
+            + lit(damping) * coalesce(col("insum").cast("double"), lit(0.0)))
+            .cast(dec).as("score"))
+    }
+    scores
+  }
+
+  /** The DuckDB twin of [[pageRank]]: the same fixed-point arithmetic
+    * unrolled as nested CTEs (recursive CTEs cannot aggregate in the
+    * recursive term). Every CTE is MATERIALIZED — the oracle's analogue of
+    * the Spark side's cache/localCheckpoint; inlined, the multiply-
+    * referenced chain would re-derive the edge list exponentially.
+    * `edgesSql` must produce columns (src, dst). */
+  def pageRankOracleSql(edgesSql: String, iters: Int = 5, damping: Double = 0.85): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+         |outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |s0 AS MATERIALIZED (SELECT node, CAST(CAST(1 AS DOUBLE) / n AS DECIMAL(18,9)) AS score
+         |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT dst AS node,
+         |       sum(CAST(CAST(score AS DOUBLE) / od AS DECIMAL(18,9))) AS insum
+         |       FROM e JOIN s${i - 1} ON e.src = s${i - 1}.node
+         |       JOIN outdeg USING (src) GROUP BY dst),
+         |s$i AS MATERIALIZED (SELECT nodes.node,
+         |       CAST((1 - CAST($damping AS DOUBLE)) / n
+         |            + CAST($damping AS DOUBLE)
+         |              * coalesce(CAST(insum AS DOUBLE), CAST(0 AS DOUBLE))
+         |            AS DECIMAL(18,9)) AS score
+         |       FROM nodes LEFT JOIN c$i USING (node) CROSS JOIN nn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT node, score FROM s$iters"
+  }
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Graph analytics over a graph DERIVED at scale: the nation-level trade
+  * network (customer nation → supplier nation, one edge per distinct
+  * trading pair observed in lineitem). The derivation is the heavy part at
+  * 100 TB — a four-table key join chain — and the iteration layer is the
+  * standard join+aggregate PageRank that distributes at any node count.
+  */
+object GraphQueries {
+
+  private val edgesSql =
+    """SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE c.c_nationkey <> s.s_nationkey""".stripMargin
+
+  /** 5-iteration PageRank over the trade graph, named by nation. The
+    * oracle unrolls the same decimal-rounded fixed point (see
+    * Graph.pageRank's determinism contract) so scores hash-match exactly. */
+  val pagerank = QueryDef(
+    "q_graph_pagerank",
+    s"""SELECT n_name, CAST(score AS DOUBLE) AS score
+       |FROM (${Graph.pageRankOracleSql(edgesSql, iters = 5)}) pr
+       |JOIN nation ON pr.node = n_nationkey
+       |ORDER BY score DESC, n_name""".stripMargin) { (s, d) =>
+    val edges = T.customer(s, d)
+      .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    val pr = Graph.pageRank(edges, iters = 5)
+    pr.join(T.nation(s, d), pr("node") === col("n_nationkey"))
+      .select(col("n_name"), col("score").cast("double").as("score"))
+      .orderBy(desc("score"), asc("n_name"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pagerank)
+}

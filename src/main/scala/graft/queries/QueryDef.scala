@@ -29,7 +29,8 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.defs ++ Joins.defs ++ Windows.defs ++ Scalars.defs ++
       NorthStar.defs ++ Streaming.defs ++ UfcQueries.defs ++ Extended.defs ++
-      ScaleQueries.defs ++ Lifecycle.defs ++ Retrieve.defs ++ Sketches.defs
+      ScaleQueries.defs ++ Lifecycle.defs ++ Retrieve.defs ++ Sketches.defs ++
+      GraphQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -98,7 +98,9 @@ class PlanSpec extends AnyFunSuite {
       "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast",
       // 1-row corpus stats (N / avgdl) broadcast into the scorer
       "q_ret_tfidf_topk" -> "1-row corpus-size broadcast",
-      "q_ret_bm25_topk" -> "1-row corpus-stats broadcast")
+      "q_ret_bm25_topk" -> "1-row corpus-stats broadcast",
+      // 1-row node-count broadcast into each damping step
+      "q_graph_pagerank" -> "1-row node-count broadcast per iteration")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
