@@ -28,7 +28,12 @@ object Bench {
     "q_ns_text_quality",
     "q_stream_tumbling_window",
     "q_scale_skew_plain",
-    "q_scale_salted_join")
+    "q_scale_salted_join",
+    // round-3 families: retrieval, graph, stream-stream join, lifecycle
+    "q_ret_bm25_topk",
+    "q_graph_pagerank",
+    "q_stream_join_attrib",
+    "q_e_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
