@@ -27,4 +27,31 @@ object Pipeline {
     TextAnalysis.withTokenCounts(deduped)
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
   }
+
+  /** Concat-and-chunk sequence packing (the GPT-style pre-training layout):
+    * documents are laid head-to-tail in deterministic (groupCol, doc_id)
+    * order and cut every `budget` tokens; a doc belongs to the sequence
+    * containing its first token. Returns per-sequence stats
+    * (group, seq_id, n_docs, seq_tokens).
+    *
+    * Scale shape: ONE window cumsum partitioned by `groupCol` — packing
+    * parallelizes across groups (source shards / languages), which is how
+    * production packers run anyway; a single global order would serialize.
+    * The cumsum is rank-partitioned within each group by Spark's window
+    * sort, and everything downstream is a partial-aggregated groupBy. */
+  def packSequences(docs: DataFrame, textCol: String = "text",
+      groupCol: String = "source", budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= ""))
+    val w = Window.partitionBy(groupCol).orderBy("doc_id")
+    docs
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // budget is a power of two in practice, so the double division below
+      // is exact; floor (not cast) because engines disagree on double->int
+      // rounding (Spark truncates, DuckDB rounds)
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / budget))
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+  }
 }

@@ -65,6 +65,21 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
 
+  /** Oracle-deterministic centroid view, one row per (label, dimension):
+    * the cross-row element sum accumulates in DECIMAL(18,6) (exact,
+    * order-independent at any partition count — see Retrieval's
+    * determinism contract), then one double division by the count. The
+    * internal `centroids` keeps plain double avg (rank-only consumers). */
+  def labelCentroidsFlat(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("s") / col("n")).as("mean_v"))
+
   /** IVF-style search: route each query to its `nprobe` nearest centroids,
     * then brute-force only within those labels' inverted lists. nprobe is
     * the recall/scan-fraction dial: 1 scans ~1/nlist of the corpus,

@@ -232,7 +232,33 @@ object Extended {
       .orderBy("o_orderkey")
   }
 
+  /** The `spark.sql` TEXT entry point (SURVEY §3.2's dashboard hot path is
+    * SQL text over views): registers temp views and runs pure ANSI SQL
+    * through Catalyst's SQL parser — same plan as the DataFrame twin, and
+    * the oracle is literally the same statement. */
+  val sqlTextApi = QueryDef(
+    "q_sql_text_api",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_lines,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
-    setOps, percentiles, stddevExact, cube, rangeFrame)
+    setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi)
 }

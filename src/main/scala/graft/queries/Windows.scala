@@ -204,7 +204,41 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist plus
+    * nth_value/first/last over the full-partition frame. percent_rank and
+    * cume_dist are per-row integer ratios ((rank-1)/(n-1), rank_hi/n) —
+    * bit-identical across engines without decimal help. */
+  val w10Distribution = QueryDef(
+    "q_w10_distribution",
+    """SELECT c_nationkey, c_custkey,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       nth_value(c_custkey, 2) OVER
+      |         (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest,
+      |       first_value(c_custkey) OVER w AS richest,
+      |       last_value(c_custkey) OVER
+      |         (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, pct_rank, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.customer(s, d)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("c_custkey"), 2).over(wFull).as("second_richest"),
+        first(col("c_custkey")).over(w).as("richest"),
+        last(col("c_custkey")).over(wFull).as("poorest"))
+      .orderBy(col("c_nationkey"), col("pct_rank"), col("c_custkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     w1RowNumber, w2TopPerGroup, w3GlobalRowNumber, w4LagLead, w6DenseRank,
-    w7GapsIslands, w8PriorFrame)
+    w7GapsIslands, w8PriorFrame, w10Distribution)
 }
