@@ -68,4 +68,37 @@ object Multimodal {
       col("source"),
       length(col("payload")).cast("bigint").as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  /** Resize plan: fit (width, height) into a `target`-px box preserving
+    * aspect ratio. Pure INTEGER arithmetic (`a * target div max(a, b)`) so
+    * the plan is deterministic and engine-exact — the actual pixel resample
+    * would run inside the batch decode; this computes the target geometry
+    * every image-prep pipeline needs first. Map-only, scan speed. */
+  def resizePlan(features: DataFrame, target: Int = 224): DataFrame =
+    features.select(
+      col("doc_id"),
+      col("fake_width"), col("fake_height"),
+      expr(s"(fake_width * $target) div greatest(fake_width, fake_height)")
+        .cast("int").as("out_width"),
+      expr(s"(fake_height * $target) div greatest(fake_width, fake_height)")
+        .cast("int").as("out_height"))
+
+  /** Frame-sampling plan for video-shaped media: the blob's byte length
+    * stands in for duration (ms), `fps` frames per second, sampled every
+    * `n_frames div maxFrames` frames (≥ 1). Emits one row per sampled
+    * frame with its timestamp — the (id, frame_idx) fan-out a real
+    * frame-extract job feeds to the decoder. The sequence is guarded:
+    * Spark's sequence(0, -1) steps BACKWARD, so zero-frame media must
+    * yield an empty array, matching the oracle's empty generate_series. */
+  def sampleFrames(media: DataFrame, fps: Int = 25, maxFrames: Int = 8): DataFrame =
+    media
+      .withColumn("n_frames",
+        expr(s"(length(payload) * $fps) div 1000").cast("long"))
+      .withColumn("step", greatest(lit(1L), expr(s"n_frames div $maxFrames")))
+      .withColumn("frame_idx",
+        explode(when(col("n_frames") > 0,
+            expr("sequence(0L, n_frames - 1, step)"))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"(frame_idx * 1000) div $fps").as("ts_ms"))
 }

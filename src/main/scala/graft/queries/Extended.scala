@@ -258,7 +258,57 @@ object Extended {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Calendar-spine gap-fill + forward-fill: per-user daily stats with
+    * missing days materialized (count 0) and the last observed daily value
+    * carried forward — the time-series densification every reporting
+    * layer needs. Spine = per-user date sequence explode (parallel across
+    * users); fill = one left join + one carry-forward window, both keyed
+    * on user_id. */
+  val gapFill = QueryDef(
+    "q_ts_gapfill",
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      |  FROM events WHERE user_id < 20
+      |), daily AS (
+      |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM e GROUP BY user_id, day
+      |), spine AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+      |                                     CAST(max(day) AS TIMESTAMP),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id
+      |), j AS (
+      |  SELECT s.user_id, s.day,
+      |         COALESCE(n, CAST(0 AS BIGINT)) AS n_events, day_value
+      |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |)
+      |SELECT user_id, day, n_events,
+      |       last_value(day_value IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+      |FROM j ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, d).filter(col("user_id") < 20)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), graft.queries.Fns.dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("carried_value"))
+      .orderBy("user_id", "day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
-    setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi)
+    setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill)
 }

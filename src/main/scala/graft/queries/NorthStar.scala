@@ -621,6 +621,51 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Resize geometry plan over the decoded fake dims — integer-exact
+    * aspect-preserving fit into a 224px box (map-only). */
+  val multimodalResize = QueryDef(
+    "q_ns_multimodal_resize",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+      |         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS fake_height
+      |  FROM documents
+      |)
+      |SELECT doc_id, fake_width, fake_height,
+      |       CAST((fake_width * 224) // greatest(fake_width, fake_height) AS INTEGER) AS out_width,
+      |       CAST((fake_height * 224) // greatest(fake_width, fake_height) AS INTEGER) AS out_height
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.resizePlan(
+        Multimodal.extractFeatures(Multimodal.asMediaTable(T.documents(s, d))).toDF())
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sampling plan: byte length stands in for duration (ms), 25 fps,
+    * every (n_frames div 8)-th frame — one output row per sampled frame
+    * with its timestamp, the fan-out a frame-extract job feeds a codec. */
+  val multimodalFrames = QueryDef(
+    "q_ns_multimodal_frames",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST((octet_length(encode(text)) * 25) // 1000 AS BIGINT) AS n_frames
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_frames,
+      |         greatest(CAST(1 AS BIGINT), n_frames // 8) AS step
+      |  FROM m
+      |), x AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, n_frames - 1, CAST(step AS INTEGER))) AS frame_idx
+      |  FROM s
+      |)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST((frame_idx * 1000) // 25 AS BIGINT) AS ts_ms
+      |FROM x ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    Multimodal.sampleFrames(Multimodal.asMediaTable(T.documents(s, d)))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** End-to-end corpus preparation (the operator composition a training
     * pipeline actually runs): language gate → quality floor → exact + near
     * dedup → token annotation. Every stage reuses a proven operator, so the
@@ -710,5 +755,5 @@ object NorthStar {
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,
-    multimodalMeta, multimodalFeatures)
+    multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
 }
