@@ -69,5 +69,35 @@ object Sketches {
       .orderBy("o_orderstatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile)
+  /** Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    * path: per-shard DataSketches HLL sketches (here: orders split by
+    * orderkey parity, standing in for 1000 executor partials) union-merge
+    * into the same estimate a single pass would give. Estimate gated
+    * within 5% of exact (lgConfigK=12 → rsd ≈ 1.6%, gate at ~3σ). */
+  val hllMerge = QueryDef(
+    "q_sk_hll_merge",
+    """SELECT o_orderstatus,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cnt,
+      |       true AS within_tol
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val shardSketches = orders
+      .withColumn("shard", col("o_orderkey") % 2)
+      .groupBy("o_orderstatus", "shard")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = shardSketches
+      .groupBy("o_orderstatus")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_cnt"))
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
+    exact.join(merged, "o_orderstatus")
+      .select(col("o_orderstatus"), col("exact_cnt"),
+        (abs(col("approx_cnt") - col("exact_cnt"))
+          <= col("exact_cnt") * lit(0.05)).as("within_tol"))
+      .orderBy("o_orderstatus")
+  }
+
+  val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge)
 }

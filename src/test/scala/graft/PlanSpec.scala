@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: cumsum window and stats agg share one hash partitioning") {
+    // groupBy(source, seq_id) must reuse the window's `source` exchange —
+    // the second hash exchange in the plan is only the output sort's range
+    // partitioning
+    val df = queries.Registry.byName("q_ns_pack_sequences").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"packing should shuffle once on source, got $exchanges:\n$p")
+  }
+
   test("windowed sequence shuffles once on the partition key") {
     val df = queries.Registry.byName("q_w1_rownum_seq").fn(spark, sf)
     val p = df.queryExecution.executedPlan.toString
