@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the composable->kernel rewrite (see KernelSubstitution): sessions
+    // built with the extension optimize the naive cosine fold automatically
+    ext.injectOptimizerRule(_ => KernelSubstitution)
   }
 }
 

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def exprToColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Materialize the optimizer rules an extension set would inject
+    * (buildOptimizerRules is private[sql]; tests assert injection). */
+  def optimizerRulesOf(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

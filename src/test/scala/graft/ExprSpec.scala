@@ -125,6 +125,37 @@ class ExprSpec extends AnyFunSuite {
     assert(vec.getInt(1) == 4)
   }
 
+  test("KernelSubstitution rewrites the composable cosine fold to the kernel") {
+    import graft.expr.KernelSubstitution
+    import graft.ops.Similarity
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ KernelSubstitution
+    try {
+      val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001").limit(25)
+      val pairs = emb.select(col("embedding").as("a"))
+        .crossJoin(emb.select(col("embedding").as("b")))
+      val folded = pairs.withColumn("c",
+        Similarity.dot("a", "b") / (Similarity.norm("a") * Similarity.norm("b")))
+      assert(folded.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+        "the fold must be rewritten to the CosineSim kernel")
+      // semantics preserved bit-for-bit vs the un-rewritten fold
+      spark.experimental.extraOptimizations = prev
+      val reference = pairs.withColumn("c",
+        Similarity.dot("a", "b") / (Similarity.norm("a") * Similarity.norm("b")))
+      assert(!reference.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+      spark.experimental.extraOptimizations = prev :+ KernelSubstitution
+      val got = folded.select("c").collect().map(_.getDouble(0)).toSeq
+      val want = reference.select("c").collect().map(_.getDouble(0)).toSeq
+      assert(got == want)
+    } finally spark.experimental.extraOptimizations = prev
+    // and the session extension injects it (construction-time path)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expr.GraftExtensions().apply(ext)
+    val rules = org.apache.spark.sql.graftbridge.optimizerRulesOf(ext, spark)
+    assert(rules.exists(_ eq KernelSubstitution),
+      "GraftExtensions must inject KernelSubstitution as an optimizer rule")
+  }
+
   test("fighter token cleaner only strips the working ' retired' arm") {
     val toks = Seq("Both Khabib (retired)", "McGregor", "Jones retired")
       .toDF("f").select(UfcExprs.fighterToken(col("f"))).as[String].collect()
