@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Operators beyond the reference's surface that any warehouse user of this
   * engine expects (the reference simply never needed them — SURVEY notes
@@ -308,7 +309,78 @@ object Extended {
       .orderBy("user_id", "day")
   }
 
+  /** Pearson correlation from decimal-exact moments: money columns carry
+    * ≤ 2dp, so every power/cross term has ≤ 4dp and the five moment sums
+    * are EXACT in DECIMAL(28,4) — the final per-group double formula is
+    * then bit-identical across engines (sqrt is correctly rounded, unlike
+    * ln). The built-in streaming corr must agree within 1e-9 (pinned
+    * boolean), tying the exact path to the built-in. */
+  val corrMoments = QueryDef(
+    "q_a16_corr_decimal",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |       (n * sxy - sx * sy)
+      |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+      |       true AS builtin_agrees
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dec = DecimalType(28, 4)
+    val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+      sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+      sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("sxx"),
+      sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).cast("double").as("syy"),
+      sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).cast("double").as("sxy"),
+      corr(col("l_quantity"), col("l_extendedprice")).as("builtin"))
+    val corrExact = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+        * sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(
+        col("l_returnflag"),
+        corrExact.as("corr_qty_price"),
+        (abs(corrExact - col("builtin")) < lit(1e-9)).as("builtin_agrees"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Explicit GROUPING SETS (finer than rollup/cube) with grouping()
+    * markers, through the SQL text path on both engines. */
+  val groupingSets = QueryDef(
+    "q_a19_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |         o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
-    setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill)
+    setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
+    corrMoments, groupingSets)
 }

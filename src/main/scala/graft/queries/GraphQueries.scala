@@ -41,5 +41,33 @@ object GraphQueries {
       .orderBy(desc("score"), asc("n_name"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pagerank)
+  /** Bounded-hop reachability via WITH RECURSIVE (new in Spark 4) — the
+    * same statement runs on both engines. Edges are thinned to pairs with
+    * > 5 observed trades so hop distances are non-trivial; the recursion
+    * is hop-bounded (UNION ALL + depth guard), then min-hop aggregated.
+    * Integer-only — no float parity concerns. */
+  private val reachSql =
+    s"""WITH RECURSIVE thin AS (
+       |  SELECT src, dst FROM ($edgesSql) e
+       |  GROUP BY src, dst HAVING count(*) > 5
+       |), reach(node, hops) AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+       |  UNION ALL
+       |  SELECT CAST(t.dst AS BIGINT), r.hops + 1
+       |  FROM reach r JOIN thin t ON t.src = r.node
+       |  WHERE r.hops < 3
+       |)
+       |SELECT node, CAST(min(hops) AS INTEGER) AS min_hops,
+       |       CAST(count(*) AS BIGINT) AS n_paths
+       |FROM reach GROUP BY node
+       |ORDER BY node""".stripMargin
+
+  val reachability = QueryDef("q_graph_reach_cte", reachSql) { (s, d) =>
+    Seq("customer" -> T.customer(s, d), "orders" -> T.orders(s, d),
+      "lineitem" -> T.lineitem(s, d), "supplier" -> T.supplier(s, d))
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    s.sql(reachSql)
+  }
+
+  val defs: Seq[QueryDef] = Seq(pagerank, reachability)
 }
