@@ -81,4 +81,33 @@ object Evolve {
         struct(versionCols.map(col): _*)).as("_top"))
       .select(keyCols.map(col) ++ payload.map(p => col(s"_top.`$p`").as(p)): _*)
   }
+
+  /** Snapshot reconciliation: classify every key across two table versions
+    * as added / removed / changed / unchanged by comparing an md5 over the
+    * compare columns (cast to string explicitly — engine-neutral only for
+    * string/integer columns; floats and dates format differently across
+    * engines and must not be fed here uncast).
+    *
+    * One full-outer shuffle join on the key with fixed-width digests —
+    * the audit pattern that diffs two 100 TB snapshots without moving
+    * payload data. Returns (diff_status, n). */
+  def tableDiff(
+      base: DataFrame,
+      current: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(
+      keyCols.map(col) :+
+        md5(concat_ws("|", compareCols.map(c => col(c).cast("string")): _*)).as(h): _*)
+    val a = hashed(base, "h_base")
+    val b = hashed(current, "h_cur")
+    a.join(b, keyCols, "full_outer")
+      .select(
+        when(col("h_base").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_base") =!= col("h_cur"), "changed")
+          .otherwise("unchanged").as("diff_status"))
+      .groupBy("diff_status")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -379,8 +379,46 @@ object Extended {
         |         o_orderpriority NULLS FIRST""".stripMargin)
   }
 
+  /** Ordered conversion funnel: users who viewed, then clicked AFTER their
+    * first view, then purchased AFTER that first qualified click. Each
+    * stage is an equi join on user_id + a time guard against the previous
+    * stage's timestamp — no window over the whole event log, so each stage
+    * shuffles only its own event type. */
+  val funnel = QueryDef(
+    "q_funnel_ordered",
+    """WITH v AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(CAST(ts AS TIMESTAMP)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |   AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(CAST(ts AS TIMESTAMP)) AS t_buy
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |   AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      |)
+      |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+      |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_after,
+      |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d).select("user_id", "ts", "event_type")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, col("e.user_id") === v("user_id") && col("ts") >= col("t_view"))
+      .groupBy(col("e.user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").as("e2")
+      .join(c, col("e2.user_id") === c("user_id") && col("ts") >= col("t_click"))
+      .groupBy(col("e2.user_id")).agg(min(col("ts")).as("t_buy"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .join(c.agg(count(lit(1)).as("n_clicked_after")))
+      .join(p.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
-    corrMoments, groupingSets)
+    corrMoments, groupingSets, funnel)
 }

@@ -107,5 +107,41 @@ object Lifecycle {
       Quality.references(orders, "o_custkey", T.customer(s, d), "c_custkey")))
   }
 
-  val defs: Seq[QueryDef] = Seq(scd2, mergeUpsert, expectations)
+  /** Snapshot diff: the current version drops every 7th order and
+    * reprioritizes every 13th; reconciliation must classify exactly those
+    * as removed/changed. String/int columns only feed the digest
+    * (engine-neutral casts). */
+  val tableDiff = QueryDef(
+    "q_e_table_diff",
+    """WITH a AS (
+      |  SELECT o_orderkey,
+      |         md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+      |                            CAST(o_orderpriority AS VARCHAR))) AS h_base
+      |  FROM orders
+      |), b AS (
+      |  SELECT o_orderkey,
+      |         md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+      |              CAST(CASE WHEN o_orderkey % 13 = 0 THEN 'X-RECLASSED'
+      |                        ELSE o_orderpriority END AS VARCHAR))) AS h_cur
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |)
+      |SELECT CASE WHEN h_base IS NULL THEN 'added'
+      |            WHEN h_cur IS NULL THEN 'removed'
+      |            WHEN h_base <> h_cur THEN 'changed'
+      |            ELSE 'unchanged' END AS diff_status,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM a FULL OUTER JOIN b USING (o_orderkey)
+      |GROUP BY 1 ORDER BY diff_status""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val current = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit("X-RECLASSED"))
+          .otherwise(col("o_orderpriority")))
+    Evolve.tableDiff(orders, current,
+        keyCols = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy("diff_status")
+  }
+
+  val defs: Seq[QueryDef] = Seq(scd2, mergeUpsert, expectations, tableDiff)
 }

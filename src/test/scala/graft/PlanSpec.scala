@@ -100,7 +100,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ret_tfidf_topk" -> "1-row corpus-size broadcast",
       "q_ret_bm25_topk" -> "1-row corpus-stats broadcast",
       // 1-row node-count broadcast into each damping step
-      "q_graph_pagerank" -> "1-row node-count broadcast per iteration")
+      "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
+      // three 1-row funnel-stage counts joined into one output row
+      "q_funnel_ordered" -> "1-row x 1-row stage-count combine")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
