@@ -182,5 +182,66 @@ object Scalars {
       .orderBy("event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(fStrings, fDateLadder, fRegexSlug, fCaseMath, fJson)
+  /** Array function surface: distinct / sort / element access / contains.
+    * Spark's array_distinct keeps first-occurrence order while DuckDB's
+    * list_distinct doesn't guarantee one — so every distinct passes
+    * through a sort before any order-sensitive access; out-of-range access
+    * uses try_element_at (ANSI mode throws on plain element_at, DuckDB
+    * yields NULL). */
+  val fArrayOps = QueryDef(
+    "q_f_array_ops",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_sort(list_distinct(
+      |           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                       x -> x <> ''))) AS ws
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(ws) AS INTEGER) AS n_distinct,
+      |       ws[1] AS first_word,
+      |       ws[30] AS word30,
+      |       list_contains(ws, 'join') AS has_join
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= ""))).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_distinct"),
+        try_element_at(col("ws"), lit(1)).as("first_word"),
+        try_element_at(col("ws"), lit(30)).as("word30"),
+        array_contains(col("ws"), "join").as("has_join"))
+      .orderBy("doc_id")
+  }
+
+  /** Higher-order function surface: transform / aggregate / filter /
+    * exists — integer-only lambda bodies, so results are engine-exact.
+    * (Hot paths use compiled kernels; this pins the composable API.) */
+  val fHofOps = QueryDef(
+    "q_f_hof_ops",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS total_chars,
+      |       CAST(len(list_filter(ws, x -> length(x) > 4)) AS INTEGER) AS n_long,
+      |       len(list_filter(ws, x -> x = 'vector')) > 0 AS has_vector
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "").as("ws"))
+      .select(col("doc_id"),
+        aggregate(transform(col("ws"), x => length(x)), lit(0L),
+          (acc, x) => acc + x).as("total_chars"),
+        size(filter(col("ws"), x => length(x) > 4)).as("n_long"),
+        exists(col("ws"), x => x === "vector").as("has_vector"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(fStrings, fDateLadder, fRegexSlug, fCaseMath,
+    fJson, fArrayOps, fHofOps)
 }

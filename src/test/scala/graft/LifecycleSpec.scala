@@ -100,4 +100,34 @@ class LifecycleSpec extends AnyFunSuite {
     assert(res("unique:id") == 1L)
     assert(res("references:id->id") == 1L)      // key 99
   }
+
+  test("tableDiff classifies planted add/remove/change exactly") {
+    import graft.ops.Evolve
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val cur = Seq((1L, "a"), (2L, "CHANGED"), (4L, "d"), (5L, "e"))
+      .toDF("id", "v")
+    val res = Evolve.tableDiff(base, cur, Seq("id"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("sequence packing: budget boundaries, totals conserved, order deterministic") {
+    import graft.ops.Pipeline
+    val docs = Seq(
+      (0L, "s1", ("w " * 100).trim),   // 100 tokens
+      (1L, "s1", ("w " * 200).trim),   // crosses into seq 1
+      (2L, "s1", ("w " * 10).trim),
+      (3L, "s2", ("w " * 300).trim))   // separate shard restarts at seq 0
+      .toDF("doc_id", "source", "text")
+    val packs = Pipeline.packSequences(docs, budget = 256)
+      .orderBy("source", "seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s1: doc0 starts at 0 (seq 0), doc1 starts at 100 (seq 0), doc2 at 300 (seq 1)
+    assert(packs.toSeq == Seq(("s1", 0L, 2L, 300L), ("s1", 1L, 1L, 10L),
+      ("s2", 0L, 1L, 300L)))
+    // token totals conserved across sequences
+    assert(packs.filter(_._1 == "s1").map(_._4).sum == 310L)
+  }
 }
