@@ -309,44 +309,48 @@ object Extended {
       .orderBy("user_id", "day")
   }
 
-  /** Pearson correlation from decimal-exact moments: money columns carry
-    * ≤ 2dp, so every power/cross term has ≤ 4dp and the five moment sums
-    * are EXACT in DECIMAL(28,4) — the final per-group double formula is
-    * then bit-identical across engines (sqrt is correctly rounded, unlike
-    * ln). The built-in streaming corr must agree within 1e-9 (pinned
-    * boolean), tying the exact path to the built-in. */
+  /** Pearson correlation from decimal-exact moments: l_quantity (int, ≤50)
+    * × l_discount (2dp, ≤0.1) keep every power/cross term at ≤ 4dp AND
+    * every moment sum's scaled integer far below 2^53 through sf0.1 — the
+    * bound that matters, because DuckDB's DECIMAL→DOUBLE cast double-
+    * rounds (int128→double, then scale divide) while Spark single-rounds,
+    * so a sum needing > 53 bits can differ by 1 ulp (bitten by
+    * l_extendedprice² at sf0.001). Under the bound every component cast is
+    * exact, the closed-form double math is bit-identical (sqrt is
+    * correctly rounded, unlike ln), and the built-in streaming corr is
+    * pinned within 1e-9. */
   val corrMoments = QueryDef(
     "q_a16_corr_decimal",
     """WITH m AS (
       |  SELECT l_returnflag,
       |         CAST(count(*) AS DOUBLE) AS n,
       |         CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sy,
       |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-      |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-      |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      |         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag
       |)
       |SELECT l_returnflag,
       |       (n * sxy - sx * sy)
-      |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+      |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc,
       |       true AS builtin_agrees
       |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val dec = DecimalType(28, 4)
     val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
-      sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+      sum(col("l_discount").cast(dec)).cast("double").as("sy"),
       sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("sxx"),
-      sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec)).cast("double").as("syy"),
-      sum((col("l_quantity") * col("l_extendedprice")).cast(dec)).cast("double").as("sxy"),
-      corr(col("l_quantity"), col("l_extendedprice")).as("builtin"))
+      sum((col("l_discount") * col("l_discount")).cast(dec)).cast("double").as("syy"),
+      sum((col("l_quantity") * col("l_discount")).cast(dec)).cast("double").as("sxy"),
+      corr(col("l_quantity"), col("l_discount")).as("builtin"))
     val corrExact = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
         * sqrt(col("n") * col("syy") - col("sy") * col("sy")))
     m.select(
         col("l_returnflag"),
-        corrExact.as("corr_qty_price"),
+        corrExact.as("corr_qty_disc"),
         (abs(corrExact - col("builtin")) < lit(1e-9)).as("builtin_agrees"))
       .orderBy("l_returnflag")
   }

@@ -113,6 +113,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints steer the physical operator") {
+    val orders = queries.T.orders(spark, sf)
+    val cust = queries.T.customer(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val joined = (h: String) =>
+      orders.hint(h).join(cust, col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(joined("broadcast").contains("BroadcastHashJoin"))
+    assert(joined("merge").contains("SortMergeJoin"))
+    assert(joined("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("sequence packing: cumsum window and stats agg share one hash partitioning") {
     // groupBy(source, seq_id) must reuse the window's `source` exchange —
     // the second hash exchange in the plan is only the output sort's range

@@ -106,4 +106,19 @@ class ScaleSpec extends AnyFunSuite {
           col("l_orderkey") === col("o_orderkey")).count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("ORC round-trips with filter pushdown, same results as parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt")
+    val src = queries.T.orders(spark, sf)
+    src.write.mode("overwrite").orc(dir.toString)
+    val back = spark.read.orc(dir.toString).filter(col("o_custkey") < 100)
+      .select("o_orderkey", "o_custkey")
+    val expected = src.filter(col("o_custkey") < 100)
+      .select("o_orderkey", "o_custkey")
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq ==
+      expected.collect().map(_.getLong(0)).sorted.toSeq)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)]"),
+      s"ORC scan must push the filter:\n$scan")
+  }
 }
