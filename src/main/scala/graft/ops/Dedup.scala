@@ -333,7 +333,9 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     val exactKeep = exactGroups(docs, textCol)
       .select(col("keep_doc_id").as("doc_id"))
-    val kept = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    // kept feeds both the near-dup candidate search and the final anti
+    // join — uncached, the exact-dedup digest groupBy re-executes twice
+    val kept = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
     val nearDrop = minHashCandidates(kept, textCol)
       .filter(col("jaccard") >= minJaccard)
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))

@@ -77,9 +77,9 @@ object Evolve {
     val payload = all.columns.filterNot(keyCols.contains)
     all
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*),
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*),
         struct(versionCols.map(col): _*)).as("_top"))
-      .select(keyCols.map(col) ++ payload.map(p => col(s"_top.`$p`").as(p)): _*)
+      .select(keyCols.map(col) ++ payload.toIndexedSeq.map(p => col(s"_top.`$p`").as(p)): _*)
   }
 
   /** Snapshot reconciliation: classify every key across two table versions

@@ -22,7 +22,7 @@ object Pipeline {
     val gated = TextAnalysis.withQuality(TextAnalysis.withLangId(docs))
       .filter(col("predicted_lang") === lang &&
         col("quality_score") >= minQuality)
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     val deduped = Dedup.dedupCorpus(gated, minJaccard = minJaccard)
     TextAnalysis.withTokenCounts(deduped)
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
