@@ -54,5 +54,78 @@ object TrainPrep {
       .orderBy("label", "pos")
   }
 
-  val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids)
+  /** Corpus bigram statistics — the pair-counting step a BPE/merge-rule
+    * trainer runs each round. Adjacent pairs come from zipping the token
+    * array with its own tail (map-only), then one partial-aggregated
+    * count shuffle; top pairs by (count desc, pair asc). */
+  val bigramStats = QueryDef(
+    "q_ns_text_bigrams",
+    """WITH w AS (
+      |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+      |  FROM w WHERE len(ws) >= 2
+      |)
+      |SELECT pr[1] AS w1, pr[2] AS w2,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM pairs
+      |GROUP BY w1, w2
+      |ORDER BY n DESC, w1, w2
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("pr"))
+      .select(col("pr.0").as("w1"), col("pr.1").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w1"), asc("w2"))
+      .limit(50)
+  }
+
+  /** Unigram LM quality score (the CCNet-style perplexity filter): each
+    * token scores ln(corpus_tf / corpus_total), rounded to DECIMAL(18,6)
+    * BEFORE the per-document sum (ln ulp contract), averaged per doc.
+    * Higher = more typical of the corpus; the low tail is what a quality
+    * gate would drop. The unigram table is vocabulary-sized — broadcast
+    * at any corpus scale. */
+  val lmScore = QueryDef(
+    "q_ns_lm_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), toks AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+      |lm AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY word
+      |), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM lm),
+      |scored AS (
+      |  SELECT doc_id,
+      |         CAST(ln(CAST(tf AS DOUBLE) / total) AS DECIMAL(18,6)) AS lp
+      |  FROM toks JOIN lm USING (word) CROSS JOIN tot
+      |)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = graft.ops.Retrieval.tokens(T.documents(s, d), "doc_id", "text")
+    val lm = toks.groupBy("word").agg(count(lit(1)).as("tf"))
+    val tot = lm.agg(sum(col("tf")).as("total"))
+    toks
+      .join(lm, "word")
+      .join(broadcast(tot))
+      .select(col("doc_id"),
+        log(col("tf").cast("double") / col("total"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats, lmScore)
 }

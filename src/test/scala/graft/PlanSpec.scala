@@ -102,7 +102,9 @@ class PlanSpec extends AnyFunSuite {
       // 1-row node-count broadcast into each damping step
       "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
       // three 1-row funnel-stage counts joined into one output row
-      "q_funnel_ordered" -> "1-row x 1-row stage-count combine")
+      "q_funnel_ordered" -> "1-row x 1-row stage-count combine",
+      // 1-row corpus token total broadcast into the unigram scorer
+      "q_ns_lm_score" -> "1-row corpus-total broadcast")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
