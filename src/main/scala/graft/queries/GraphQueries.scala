@@ -46,15 +46,12 @@ object GraphQueries {
     * > 5 observed trades so hop distances are non-trivial; the recursion
     * is hop-bounded (UNION ALL + depth guard), then min-hop aggregated.
     * Integer-only — no float parity concerns. */
-  private val reachSql =
-    s"""WITH RECURSIVE thin AS (
-       |  SELECT src, dst FROM ($edgesSql) e
-       |  GROUP BY src, dst HAVING count(*) > 5
-       |), reach(node, hops) AS (
+  private def reachBody(thinRelation: String) =
+    s"""reach(node, hops) AS (
        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
        |  UNION ALL
        |  SELECT CAST(t.dst AS BIGINT), r.hops + 1
-       |  FROM reach r JOIN thin t ON t.src = r.node
+       |  FROM reach r JOIN $thinRelation t ON t.src = r.node
        |  WHERE r.hops < 3
        |)
        |SELECT node, CAST(min(hops) AS INTEGER) AS min_hops,
@@ -62,11 +59,21 @@ object GraphQueries {
        |FROM reach GROUP BY node
        |ORDER BY node""".stripMargin
 
-  val reachability = QueryDef("q_graph_reach_cte", reachSql) { (s, d) =>
+  private val thinSql =
+    s"SELECT src, dst FROM ($edgesSql) e GROUP BY src, dst HAVING count(*) > 5"
+
+  val reachability = QueryDef(
+    "q_graph_reach_cte",
+    s"WITH RECURSIVE thin AS MATERIALIZED ($thinSql),\n" + reachBody("thin")) { (s, d) =>
     Seq("customer" -> T.customer(s, d), "orders" -> T.orders(s, d),
       "lineitem" -> T.lineitem(s, d), "supplier" -> T.supplier(s, d))
       .foreach { case (n, df) => df.createOrReplaceTempView(n) }
-    s.sql(reachSql)
+    // pre-materialize the thin edge list: the recursive step references it
+    // once per iteration, and uncached that re-derives the 4-table join
+    // every hop (same pattern as Graph.pageRank's cache; the oracle's
+    // MATERIALIZED hint is the DuckDB analogue)
+    s.sql(thinSql).cache().createOrReplaceTempView("thin_edges")
+    s.sql("WITH RECURSIVE " + reachBody("thin_edges"))
   }
 
   val defs: Seq[QueryDef] = Seq(pagerank, reachability)
