@@ -509,10 +509,48 @@ object NorthStar {
   }
 
   /** Rabin-Karp winnowing kernel (rolling hash proper): same selection,
-    * O(1) incremental gram hash — no cross-engine oracle for the hash
-    * family; the selection algorithm is oracled via q_ns_text_winnow and
-    * the shared-substring guarantee is OpsSpec-tested. */
-  val textWinnowFast = QueryDef.noOracle("q_ns_text_winnow_fast") { (s, d) =>
+    * O(1) incremental gram hash. The kernel's wrapping-64-bit rolling
+    * update is congruent mod 2^64 to a direct polynomial fold, so the
+    * oracle recomputes each gram hash per-position in HUGEINT mod-2^64
+    * arithmetic, maps to signed BIGINT for the window-min (the kernel
+    * compares signed longs), and xor-folds the distinct selection —
+    * bit-exact, no hash-seed dependence (unlike the xxhash-seeded ops). */
+  val textWinnowFast = QueryDef(
+    "q_ns_text_winnow_fast",
+    """WITH g AS (
+      |  SELECT doc_id, text, length(text) - 8 + 1 AS ng FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i.p AS p,
+      |         list_reduce(
+      |           list_transform(generate_series(CAST(i.p AS INTEGER), CAST(i.p AS INTEGER) + 7),
+      |             j -> CAST(ord(substring(text, j + 1, 1)) AS HUGEINT)),
+      |           (a, b) -> (a * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)
+      |         ) AS hu
+      |  FROM g, unnest(generate_series(0, ng - 1)) AS i(p)
+      |  WHERE ng >= 1
+      |), signed AS (
+      |  SELECT doc_id, p,
+      |         CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |                   THEN hu - CAST('18446744073709551616' AS HUGEINT)
+      |                   ELSE hu END AS BIGINT) AS h
+      |  FROM grams
+      |), mins AS (
+      |  SELECT doc_id, p,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+      |         count(*) OVER (PARTITION BY doc_id) AS gcount
+      |  FROM signed
+      |), fp AS (
+      |  SELECT doc_id, list_distinct(list(m)) AS fps
+      |  FROM mins WHERE p < greatest(gcount - 8 + 1, 1)
+      |  GROUP BY doc_id
+      |)
+      |SELECT g.doc_id,
+      |       CAST(COALESCE(len(fps), 0) AS BIGINT) AS n_fp,
+      |       CASE WHEN fps IS NULL OR len(fps) = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE list_reduce(fps, (a, b) -> xor(a, b)) END AS fp_xor
+      |FROM g LEFT JOIN fp ON g.doc_id = fp.doc_id
+      |ORDER BY g.doc_id""".stripMargin) { (s, d) =>
     T.documents(s, d)
       .select(col("doc_id"),
         graft.expr.RollingWinnow.rollingWinnow(col("text")).as("fp"))
