@@ -421,8 +421,60 @@ object Extended {
       .join(p.agg(count(lit(1)).as("n_purchased_after")))
   }
 
+  /** Equi-width histogram via width_bucket — the profiling primitive.
+    * Bucket boundaries are (v - lo) * n / (hi - lo) arithmetic on doubles;
+    * o_totalprice is discrete 2dp money far from any boundary, so the
+    * bucket assignment is engine-exact. */
+  val histogram = QueryDef(
+    "q_a20_histogram",
+    """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+      |                  WHEN o_totalprice >= 600000 THEN 25
+      |                  ELSE floor(o_totalprice / (CAST(600000 AS DOUBLE) / 24)) + 1
+      |             END AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .select(expr("width_bucket(o_totalprice, 0, 600000, 24)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** The NOT IN + NULL trap, pinned: a NULL in the subquery's result makes
+    * NOT IN return no rows (three-valued logic), while NOT EXISTS keeps
+    * them — both engines must agree on both branches. */
+  val notInNull = QueryDef(
+    "q_p9_not_in_null",
+    """SELECT CAST((SELECT count(*) FROM customer
+      |             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT)
+      |         AS not_in_count,
+      |       CAST((SELECT count(*) FROM customer
+      |             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                                     UNION ALL SELECT NULL)) AS BIGINT)
+      |         AS not_in_with_null,
+      |       CAST((SELECT count(*) FROM customer c
+      |             WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                               WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+      |         AS not_exists_count""".stripMargin) { (s, d) =>
+    T.customer(s, d).createOrReplaceTempView("customer")
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT CAST((SELECT count(*) FROM customer
+        |             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT)
+        |         AS not_in_count,
+        |       CAST((SELECT count(*) FROM customer
+        |             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                                     UNION ALL SELECT NULL)) AS BIGINT)
+        |         AS not_in_with_null,
+        |       CAST((SELECT count(*) FROM customer c
+        |             WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                               WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+        |         AS not_exists_count""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
-    corrMoments, groupingSets, funnel)
+    corrMoments, groupingSets, funnel, histogram, notInNull)
 }
