@@ -473,8 +473,32 @@ object Extended {
         |         AS not_exists_count""".stripMargin)
   }
 
+  /** Median absolute deviation — the outlier-robust spread statistic.
+    * Two passes: per-group exact median (broadcast back, tiny), then the
+    * median of absolute deviations. Exact percentile parity is proven
+    * (q_a13); per-row abs/sub double math is bit-identical. */
+  val mad = QueryDef(
+    "q_a21_mad",
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l.l_returnflag,
+      |       quantile_cont(abs(l.l_quantity - m), 0.5) AS mad_qty
+      |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d)
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(abs(l_quantity - m), 0.5)").as("mad_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
-    corrMoments, groupingSets, funnel, histogram, notInNull)
+    corrMoments, groupingSets, funnel, histogram, notInNull, mad)
 }
