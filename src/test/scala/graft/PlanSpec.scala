@@ -104,7 +104,11 @@ class PlanSpec extends AnyFunSuite {
       // three 1-row funnel-stage counts joined into one output row
       "q_funnel_ordered" -> "1-row x 1-row stage-count combine",
       // 1-row corpus token total broadcast into the unigram scorer
-      "q_ns_lm_score" -> "1-row corpus-total broadcast")
+      "q_ns_lm_score" -> "1-row corpus-total broadcast",
+      // 1-row corpus totals (tokens, n_sources) broadcast into per-source weights
+      "q_ns_domain_mix" -> "1-row corpus-totals broadcast",
+      // 1-row x 1-row split totals broadcast into per-bucket KL terms
+      "q_ns_split_drift" -> "1-row split-totals broadcast")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
