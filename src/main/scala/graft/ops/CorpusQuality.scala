@@ -80,6 +80,9 @@ object CorpusQuality {
       segTokens: Int = 8, dfThreshold: Int = 2): DataFrame = {
     val segs = docs
       .select(col("doc_id"), tokens(textCol).as("ws"))
+      // guard: Spark's sequence(0, x) DESCENDS for x < 0 (phantom segments
+      // for an empty doc); DuckDB's range(0) is empty and drops the doc
+      .filter(size(col("ws")) > 0)
       .select(col("doc_id"), size(col("ws")).as("n"),
         explode(sequence(lit(0),
           floor((size(col("ws")) + (segTokens - 1)) / lit(segTokens)).cast("int") - 1)).as("i"),
@@ -99,7 +102,7 @@ object CorpusQuality {
   }
 
   /** Sliding-window chunking with overlap — the context-window packing
-    * shape RAG/pretraining ingestion uses (size 64, stride 48 → 16-token
+    * shape RAG/pretraining ingestion uses (size 32, stride 24 → 8-token
     * overlap). Map-only: each document fans out to its own chunks via one
     * sequence explode; no shuffle at any corpus size. Chunk count is
     * 1 + ceil(max(0, n - size) / stride), so a short doc still yields its
@@ -165,18 +168,22 @@ object CorpusQuality {
       .select(col("bucket"), col("n").as("n_train"))
     val va = counts.filter(col("split") === "val")
       .select(col("bucket"), col("n").as("n_val"))
-    val tot = counts.groupBy("split").agg(sum(col("n")).as("t"))
-    val totTr = tot.filter(col("split") === "train").select(col("t").as("tot_train"))
-    val totVa = tot.filter(col("split") === "val").select(col("t").as("tot_val"))
+    // ungrouped conditional aggregate: always exactly one row (NULL totals
+    // when a split is empty), matching the oracle's ungrouped tt/tv CTEs —
+    // a groupBy here would yield zero rows and empty the whole output
+    val tot = counts.agg(
+      sum(when(col("split") === "train", col("n"))).as("tot_train"),
+      sum(when(col("split") === "val", col("n"))).as("tot_val"))
     tr.join(va, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_train", "n_val"))
-      .join(broadcast(totTr.crossJoin(totVa)))
+      .join(broadcast(tot))
       .withColumn("p_train", col("n_train").cast("double") / col("tot_train"))
       .withColumn("p_val", col("n_val").cast("double") / col("tot_val"))
       .withColumn("kl_term",
         when(col("n_train") > 0 && col("n_val") > 0,
           (col("p_train") * log(col("p_train") / col("p_val")))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"))
       .select("bucket", "n_train", "n_val", "p_train", "p_val", "kl_term")
   }
 }

@@ -144,11 +144,11 @@ object CorpusQueries {
       |       COALESCE(n_val, 0) AS n_val,
       |       CAST(COALESCE(n_train, 0) AS DOUBLE) / tot_train AS p_train,
       |       CAST(COALESCE(n_val, 0) AS DOUBLE) / tot_val AS p_val,
-      |       CASE WHEN COALESCE(n_train, 0) > 0 AND COALESCE(n_val, 0) > 0 THEN
+      |       CAST(CASE WHEN COALESCE(n_train, 0) > 0 AND COALESCE(n_val, 0) > 0 THEN
       |         CAST((CAST(n_train AS DOUBLE) / tot_train)
       |              * ln((CAST(n_train AS DOUBLE) / tot_train)
       |                   / (CAST(n_val AS DOUBLE) / tot_val)) AS DECIMAL(18,6))
-      |       END AS kl_term
+      |       END AS DOUBLE) AS kl_term
       |FROM tr FULL OUTER JOIN va USING (bucket) CROSS JOIN tt CROSS JOIN tv
       |ORDER BY bucket""".stripMargin) { (s, d) =>
     CQ.splitDrift(T.documents(s, d)).orderBy("bucket")
