@@ -33,6 +33,20 @@ object Sampling {
     df.filter(splitBucket(col(idCol)) < pct)
   }
 
+  /** Quality-weighted deterministic sampling: keep a row with probability
+    * proportional to a per-row weight in [0, 1] (a quality score), decided
+    * by the same md5 bucket as [[withSplit]] — reproducible across runs and
+    * engines, map-only, and monotone (raising a row's weight can only flip
+    * it from dropped to kept). The per-row acceptance percentage is
+    * floor(weight·100) clamped to [0, 100]. */
+  def weightedKeep(df: DataFrame, idCol: String = "doc_id",
+      weightCol: String = "quality_score"): DataFrame =
+    df.withColumn("keep_pct",
+        greatest(lit(0L), least(lit(100L),
+          floor(col(weightCol) * 100).cast("long"))))
+      .withColumn("keep_bucket", splitBucket(col(idCol)))
+      .withColumn("kept", col("keep_bucket") < col("keep_pct"))
+
   /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
     * train, next `valPct` → val, rest → test. */
   def withSplit(df: DataFrame, idCol: String = "doc_id",

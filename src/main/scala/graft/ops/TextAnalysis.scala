@@ -137,6 +137,20 @@ object TextAnalysis {
           md5(array_join(col("winnow_fp"), " "))))
   }
 
+  /** Canonical text normalization — the pre-fingerprint/pre-tokenize
+    * cleanup pass (lowercase, non-alphanumerics to spaces, whitespace
+    * collapsed, trimmed). Map-only; patterns stay in the RE2 subset so the
+    * identical regexes run in the oracle. Emits the normalized text, its
+    * length, and an md5 equality witness. */
+  def withNormalizedText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "),
+          "\\s+", " ")))
+      .withColumn("norm_chars", length(col("norm_text")).cast("bigint"))
+      .withColumn("norm_hash", md5(col("norm_text")))
+
   /** Content fingerprints: md5 of the raw text plus an order-insensitive
     * canonical fingerprint (md5 of the sorted distinct word set — the
     * "bag of words" fingerprint used for shuffled-duplicate detection). */

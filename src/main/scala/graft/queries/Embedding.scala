@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cluster, Quantize, Sampling, TextAnalysis}
+
+/** Embedding-corpus preparation queries: deterministic k-means + SemDeDup,
+  * int8 scalar quantization, quality-weighted sampling, and canonical text
+  * normalization. The iterative k-means oracle is the PageRank pattern —
+  * the fixed-point unrolled into one MATERIALIZED CTE per step, each step
+  * bit-reproducible via the decimal-mean determinism contract; assignment
+  * parity rides on argmax ranks (cosine gaps between centroids dwarf any
+  * cross-engine ulp difference, the same rank-only argument the ANN
+  * queries use).
+  */
+object EmbeddingQueries {
+
+  private val K = 8
+  private val ITERS = 3
+  private val SEM_MIN_COS = 0.45
+
+  /** Unrolled Lloyd iterations: e (double-cast corpus), c0 (md5-ordered
+    * seeds), then a1, c1, a2, c2, ..., a_iters. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cluster,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM e
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k) s
+         |)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$i AS MATERIALIZED (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT e.vec_id, c.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cluster) AS rn
+           |    FROM e CROSS JOIN c${i - 1} c) t WHERE rn = 1
+           |)""".stripMargin)
+      if (i < iters) sb.append(
+        s""",
+           |c$i AS MATERIALIZED (
+           |  SELECT cluster, list(mean_v ORDER BY pos) AS c FROM (
+           |    SELECT x.cluster, x.pos,
+           |           CAST(sum(CAST(x.val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+           |    FROM (
+           |      SELECT a$i.cluster, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS val
+           |      FROM a$i JOIN e USING (vec_id)
+           |    ) x GROUP BY x.cluster, x.pos
+           |  ) m GROUP BY cluster
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Deterministic k-means cluster assignments after a fixed number of
+    * Lloyd iterations. */
+  val kmeans = QueryDef(
+    "q_ns_kmeans",
+    kmeansCtes(K, ITERS) +
+      s"""
+         |SELECT vec_id, cluster FROM a$ITERS ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Cluster.kmeansAssign(T.embeddings(s, d), K, ITERS).orderBy("vec_id")
+  }
+
+  /** SemDeDup: intra-cluster near-dup pruning (keep the smallest vec_id of
+    * each near pair) on top of the k-means assignment. */
+  val semDedup = QueryDef(
+    "q_ns_semdedup",
+    kmeansCtes(K, ITERS) +
+      s""",
+         |ae AS MATERIALIZED (
+         |  SELECT a$ITERS.vec_id, a$ITERS.cluster, e.v FROM a$ITERS JOIN e USING (vec_id)
+         |),
+         |dropped AS MATERIALIZED (
+         |  SELECT DISTINCT b.vec_id FROM ae a JOIN ae b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= $SEM_MIN_COS
+         |)
+         |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+         |FROM ae a LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    Cluster.semDedup(T.embeddings(s, d), SEM_MIN_COS, K, ITERS).orderBy("vec_id")
+  }
+
+  /** Int8 scalar quantization: per-vector code digest + decimal-rounded
+    * reconstruction error. */
+  val quantize = QueryDef(
+    "q_ns_embed_quantize",
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |),
+      |st AS MATERIALIZED (
+      |  SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos
+      |),
+      |qq AS (
+      |  SELECT vec_id, pos, v, mn, mx,
+      |         CASE WHEN mx > mn
+      |              THEN least(255, greatest(0, CAST(floor(((v - mn) * 255.0) / (mx - mn)) AS BIGINT)))
+      |              ELSE 0 END AS q
+      |  FROM x JOIN st USING (pos)
+      |),
+      |r AS (
+      |  SELECT vec_id, pos, q,
+      |         CAST(abs(v - (CASE WHEN mx > mn
+      |                            THEN mn + ((CAST(q AS DOUBLE) + 0.5) * (mx - mn)) / 255.0
+      |                            ELSE mn END)) AS DECIMAL(18,6)) AS err
+      |  FROM qq
+      |)
+      |SELECT vec_id,
+      |       md5(array_to_string(list(CAST(q AS VARCHAR) ORDER BY pos), ',')) AS code_hash,
+      |       CAST(sum(err) AS DOUBLE) AS recon_err
+      |FROM r GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Quantize.sqQuantize(T.embeddings(s, d)).orderBy("vec_id")
+  }
+
+  private val bucketSql =
+    """CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |    % 100 AS BIGINT)""".stripMargin
+
+  private val qualityScoreSql =
+    """(CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
+      |          / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.2
+      |        + (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |               x -> list_contains(['the','a','an','of','and','to','in','is'], x))) AS DOUBLE)
+      |           / len(string_split_regex(lower(trim(text)), '\s+'))) * 2.0
+      |        - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |           / length(text)) * 5.0""".stripMargin
+
+  /** Quality-weighted deterministic sampling: acceptance percentage
+    * floor(quality_score·100) clamped to [0,100], decided by the stable
+    * md5 split bucket. */
+  val qualitySample = QueryDef(
+    "q_ns_quality_sample",
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         $bucketSql AS keep_bucket,
+       |         greatest(0, least(100, CAST(floor(($qualityScoreSql) * 100) AS BIGINT))) AS keep_pct
+       |  FROM documents
+       |)
+       |SELECT doc_id, keep_bucket, keep_pct,
+       |       keep_bucket < keep_pct AS kept
+       |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.weightedKeep(TextAnalysis.withQuality(T.documents(s, d)))
+      .select("doc_id", "keep_bucket", "keep_pct", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Canonical text normalization: lowercase, punctuation to spaces,
+    * whitespace collapsed; md5 equality witness. */
+  val textNormalize = QueryDef(
+    "q_ns_text_normalize",
+    """SELECT doc_id,
+      |       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+      |              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_chars,
+      |       md5(trim(regexp_replace(regexp_replace(lower(text),
+      |              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.withNormalizedText(T.documents(s, d))
+      .select("doc_id", "norm_chars", "norm_hash")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(kmeans, semDedup, quantize, qualitySample, textNormalize)
+}

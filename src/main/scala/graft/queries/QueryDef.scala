@@ -30,7 +30,8 @@ object Registry {
     Relational.defs ++ Joins.defs ++ Windows.defs ++ Scalars.defs ++
       NorthStar.defs ++ Streaming.defs ++ UfcQueries.defs ++ Extended.defs ++
       ScaleQueries.defs ++ Lifecycle.defs ++ Retrieve.defs ++ Sketches.defs ++
-      GraphQueries.defs ++ TrainPrep.defs ++ CorpusQueries.defs
+      GraphQueries.defs ++ TrainPrep.defs ++ CorpusQueries.defs ++
+      EmbeddingQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

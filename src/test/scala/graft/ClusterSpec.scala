@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Cluster, Quantize, Sampling}
+
+/** Behavioral tests for the embedding-clustering / quantization operators:
+  * k-means must be deterministic and actually cluster (planted tight groups
+  * end up together), SemDeDup must drop exactly the planted intra-cluster
+  * near-dups, int8 quantization must round-trip within the step bound.
+  */
+class ClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val emb: DataFrame =
+    graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+
+  /** Fixture embeddings plus a planted near-copy of vec 3 (one component
+    * nudged): cosine vs the original is ~1, far above any fixture pair. */
+  lazy val embWithDup: DataFrame = {
+    val dup = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        // pure scaling preserves direction exactly — cosine vs the
+        // original is 1 up to float rounding, so assignment can't flip
+        transform(col("embedding"),
+          x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    emb.unionByName(dup)
+  }
+
+  test("kmeans assignment is deterministic across reruns and repartitionings") {
+    val a1 = Cluster.kmeansAssign(emb, k = 4, iters = 2)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    val a2 = Cluster.kmeansAssign(emb.repartition(7), k = 4, iters = 2)
+      .orderBy("vec_id").as[(Long, Int)].collect()
+    assert(a1.sameElements(a2))
+    assert(a1.length == emb.count())
+  }
+
+  test("kmeans puts a planted near-copy in its original's cluster") {
+    val a = Cluster.kmeansAssign(embWithDup, k = 4, iters = 2)
+      .filter(col("vec_id").isin(3L, 10003L))
+      .select("cluster").as[Int].collect()
+    assert(a.length == 2 && a(0) == a(1))
+  }
+
+  test("kmeans iterations reduce (never increase) mean assignment distance") {
+    def meanBestCos(iters: Int): Double = {
+      val a = Cluster.kmeansAssign(emb, k = 4, iters = iters)
+      val cents = Cluster.updateCentroids(
+        emb.select(col("vec_id"), col("embedding")), a)
+      // mean cosine to own centroid — higher is tighter
+      emb.join(a, "vec_id").join(cents, "cluster")
+        .select(graft.expr.VecExprs.cosineSim(col("embedding"), col("c")).as("cos"))
+        .agg(avg("cos")).as[Double].head()
+    }
+    assert(meanBestCos(3) >= meanBestCos(1) - 1e-9)
+  }
+
+  test("semDedup drops the planted near-copy and keeps the original") {
+    val r = Cluster.semDedup(embWithDup, minCos = 0.9, k = 4, iters = 2)
+    val dropped = r.filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(dropped.contains(10003L), s"planted copy not dropped: $dropped")
+    assert(!dropped.contains(3L), "keep-the-minimum rule must keep the original")
+  }
+
+  test("int8 quantization reconstructs every element within half a step") {
+    val stats = Quantize.sqStats(emb)
+    val maxStep = stats
+      .select(((col("mx") - col("mn")) / 255.0).as("step"))
+      .agg(max("step")).as[Double].head()
+    val maxErr = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"),
+        col("mn"), col("mx"))
+      .join(Quantize.sqQuantize(emb).select("vec_id", "recon_err"), "vec_id")
+      .agg(max("recon_err")).as[Double].head()
+    // per-vector error sums 64 elements, each bounded by step/2
+    assert(maxErr <= 64 * maxStep / 2 + 1e-6,
+      s"recon_err $maxErr exceeds bound ${64 * maxStep / 2}")
+  }
+
+  test("quantization codes are stable under repartitioning") {
+    val h1 = Quantize.sqQuantize(emb).orderBy("vec_id")
+      .select("code_hash").as[String].collect()
+    val h2 = Quantize.sqQuantize(emb.repartition(5)).orderBy("vec_id")
+      .select("code_hash").as[String].collect()
+    assert(h1.sameElements(h2))
+  }
+
+  test("weightedKeep is monotone: raising the weight never drops a kept row") {
+    val base = spark.range(1000).select(col("id").as("doc_id"),
+      (col("id") % 10).cast("double").divide(10.0).as("quality_score"))
+    val low = Sampling.weightedKeep(base)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val high = Sampling.weightedKeep(
+      base.withColumn("quality_score", col("quality_score") + 0.3))
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+}
