@@ -33,7 +33,10 @@ object Bench {
     "q_ret_bm25_topk",
     "q_graph_pagerank",
     "q_stream_join_attrib",
-    "q_e_scd2")
+    "q_e_scd2",
+    // round-5 families: iterative clustering + semantic dedup, quantization
+    "q_ns_semdedup",
+    "q_ns_embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

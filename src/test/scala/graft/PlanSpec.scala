@@ -108,7 +108,11 @@ class PlanSpec extends AnyFunSuite {
       // 1-row corpus totals (tokens, n_sources) broadcast into per-source weights
       "q_ns_domain_mix" -> "1-row corpus-totals broadcast",
       // 1-row x 1-row split totals broadcast into per-bucket KL terms
-      "q_ns_split_drift" -> "1-row split-totals broadcast")
+      "q_ns_split_drift" -> "1-row split-totals broadcast",
+      // corpus × k-row centroid table per Lloyd iteration (k-means
+      // assignment); the SemDeDup PAIR stage joins equi on cluster
+      "q_ns_kmeans" -> "k-row centroid broadcast cross",
+      "q_ns_semdedup" -> "k-row centroid broadcast cross")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -117,6 +121,33 @@ class PlanSpec extends AnyFunSuite {
           s"$name plans a BroadcastNestedLoopJoin")
       }
     }
+  }
+
+  test("kmeans assignment argmax is a partial aggregation, not a window") {
+    val p = plan("q_ns_kmeans")
+    assert(!p.contains("Window"), s"argmax degenerated to a window:\n$p")
+    // struct-max is not hash-aggregable — it plans as partial+final
+    // SortAggregate, which still combines map-side
+    assert("partial_max".r.findAllIn(p).nonEmpty &&
+      "(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final argmax aggregation:\n$p")
+  }
+
+  test("semDedup pair stage joins equi on cluster (hash/merge, with the " +
+      "only nested loops being the k-row centroid broadcasts)") {
+    val p = plan("q_ns_semdedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in semdedup:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi join for the pair stage:\n$p")
+  }
+
+  test("quantization stats side broadcasts (dim-sized table)") {
+    val p = plan("q_ns_embed_quantize")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected dim-stats broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quantize plans a product join:\n$p")
   }
 
   test("join strategy hints steer the physical operator") {
