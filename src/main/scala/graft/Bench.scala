@@ -58,21 +58,43 @@ object Bench {
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
       else headline.filter(all.contains)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     var errors = List.empty[String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { all(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => errors ::= name; false }
-      // a crashed query is flagged with negative time, never folded into total
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Per-RUN isolation: several operators intentionally return a cached
+    // result (pageRank, kmeans/semDedup) or keep an internal intermediate
+    // cached (dedup's shingle table, bm25's postings). In a single-JVM bench
+    // those accumulate across queries — memory/GC pressure that round 5
+    // showed inflating UNRELATED later queries 2-7x — and between reps of
+    // the SAME query a surviving cache would let the CacheManager serve
+    // rep 2 from rep 1's data, faking the steady-state number. Clearing
+    // both the SQL cache and any persistent RDDs before every run keeps
+    // each timing an honest end-to-end execution.
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = names.map { name =>
+      val times = (1 to reps).map { _ =>
+        clearState()
+        val t0 = System.nanoTime()
+        try { all(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      if (times.exists(_ < 0)) errors ::= name
+      // cold = first run; steady = min over reps. A crashed query is
+      // flagged with negative time, never folded into total.
+      val steady = if (times.exists(_ < 0)) -1.0 else times.min
+      (name, steady, times.head)
+    }
+    def mapJson(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = mapJson(_._2)
+    val cold = mapJson(_._3)
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

@@ -23,30 +23,31 @@ import graft.expr.VecExprs
   * size; assignment is one map-side crossJoin with a partially-aggregated
   * max-struct argmax (no window over n×k rows); the centroid update
   * shuffles (cluster, pos) partial sums only. Per iteration the lineage is
-  * truncated with a localCheckpoint of the k×dim centroid table, so cost
-  * is linear in iterations (uncached, the re-derived assignment subtree
-  * doubles per iteration). SemDeDup pairing joins on the cluster id —
+  * truncated by pinning the k×dim centroid table in the block cache (the
+  * superseded pin is released immediately), so cost is linear in
+  * iterations (uncached, the re-derived assignment subtree doubles per
+  * iteration). SemDeDup pairing joins on the cluster id —
   * never corpus-wide all-pairs; with k scaled ∝ corpus size the per-cluster
   * candidate volume stays bounded, which is the point of clustering first.
   */
 object Cluster {
 
   /** Deterministic seeds: the k vectors with smallest md5(vec_id), labeled
-    * 0..k-1 in that order. The window runs over k pre-limited rows. */
-  def seedCentroids(emb: DataFrame, k: Int): DataFrame = {
-    // constant partition key: the window runs over the k pre-limited rows
-    // only, so a single partition is the point (silences the global-window
-    // warning without changing the plan's work)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("h"), col("vec_id"))
+    * 0..k-1 in that order. No window: the pre-limited k rows are gathered
+    * into one sorted array (struct order = (h, vec_id), unique) and
+    * posexplode's position is the label — a global row_number over a
+    * foldable partition key gets its partition eliminated by the optimizer
+    * and logs the single-partition WindowExec warning on every run. */
+  def seedCentroids(emb: DataFrame, k: Int): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
         md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id"))
       .limit(k)
-      .withColumn("cluster", (row_number().over(w) - 1).cast("int"))
-      .select(col("cluster"),
-        transform(col("embedding"), _.cast("double")).as("c"))
-  }
+      .agg(array_sort(collect_list(
+        struct(col("h"), col("vec_id"), col("embedding")))).as("seeds"))
+      .select(posexplode(col("seeds")).as(Seq("cluster", "s")))
+      .select(col("cluster").cast("int").as("cluster"),
+        transform(col("s.embedding"), _.cast("double")).as("c"))
 
   /** Nearest-centroid assignment: argmax cosine, ties to the smallest
     * cluster id. max(struct(cos, -cluster)) keeps the argmax inside a
@@ -81,12 +82,29 @@ object Cluster {
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
     val e = emb.select(col("vec_id"), col("embedding"))
-    var cents = seedCentroids(e, k).localCheckpoint()
+    // Pin each iteration's k×dim centroid table and release the superseded
+    // pin immediately (cache+count, not localCheckpoint: unpersistable
+    // through the public API, and recompute-on-eviction is safe — every
+    // step is deterministic). Holding all iters pins alive was measurable
+    // memory/GC pressure for every LATER query in a single-JVM run.
+    var pinned: DataFrame = null
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      if (pinned != null) pinned.unpersist()
+      pinned = c
+      c
+    }
+    var cents = pin(seedCentroids(e, k))
     var a = assign(e, cents)
     for (_ <- 2 to iters) {
-      cents = updateCentroids(e, a).localCheckpoint()
+      cents = pin(updateCentroids(e, a))
       a = assign(e, cents)
     }
+    // The returned assignment stays LAZY over the final pinned centroid
+    // table (so callers/tests see the real argmax plan, and a single
+    // consumer pays exactly one pass); the one surviving cache is that
+    // k×dim table — released by the per-query clearState in Bench/Verify.
     a
   }
 

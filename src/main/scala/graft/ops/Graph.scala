@@ -31,7 +31,8 @@ object Graph {
     val dec = DecimalType(18, 9)
     // cache the derived graph: every iteration re-reads edges/outdeg/nodes,
     // and without this the (possibly expensive) edge derivation re-executes
-    // ~3x per iteration through the growing lineage
+    // ~3x per iteration through the growing lineage. All three are released
+    // before returning — the caller receives ONE cached result table.
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).cache()
     val nodes = e.select(col("src").as("node"))
@@ -39,10 +40,26 @@ object Graph {
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var scores = nodes.join(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).cast(dec).as("score"))
-    for (_ <- 1 to iters) {
-      // pin each iteration's frontier: keeps the optimizer's plan depth
-      // constant and the shuffle count at 2 per iteration
-      scores = scores.localCheckpoint(eager = true)
+    // Pin the frontier every `pinEvery` iterations (bounded plan depth) and
+    // release the superseded pin immediately: a deep loop must hold at most
+    // ONE frontier in memory, not iters of them. NOT every iteration — each
+    // eager pin is a full job, and for a small graph the per-job overhead
+    // dominates the 2 tiny shuffles an iteration actually does; a 5-deep
+    // lazy chain folds into the next materialization at no extra cost.
+    // cache+count rather than localCheckpoint — cached plans can be
+    // unpersisted through the public API, and recompute-on-eviction is safe
+    // because every step here is deterministic.
+    val pinEvery = 5
+    var pinned: DataFrame = null
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      if (pinned != null) pinned.unpersist()
+      pinned = c
+      c
+    }
+    for (i <- 1 to iters) {
+      if (i > 1 && (i - 1) % pinEvery == 0) scores = pin(scores)
       val insum = e
         .join(scores.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -58,13 +75,22 @@ object Graph {
             + lit(damping) * coalesce(col("insum").cast("double"), lit(0.0)))
             .cast(dec).as("score"))
     }
-    scores
+    // materialize the result, then free every intermediate: the only cache
+    // surviving the call is the returned table (per-query clearState in
+    // Bench/Verify releases that one)
+    val out = scores.cache()
+    out.count()
+    if (pinned != null) pinned.unpersist()
+    e.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** The DuckDB twin of [[pageRank]]: the same fixed-point arithmetic
     * unrolled as nested CTEs (recursive CTEs cannot aggregate in the
     * recursive term). Every CTE is MATERIALIZED — the oracle's analogue of
-    * the Spark side's cache/localCheckpoint; inlined, the multiply-
+    * the Spark side's per-iteration cache pin; inlined, the multiply-
     * referenced chain would re-derive the edge list exponentially.
     * `edgesSql` must produce columns (src, dst). */
   def pageRankOracleSql(edgesSql: String, iters: Int = 5, damping: Double = 0.85): String = {
