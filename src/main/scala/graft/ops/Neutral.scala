@@ -1,0 +1,431 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.ArrayExprs.jaccardSorted
+
+/** Engine-neutral (md5-seeded) twins of the hash-randomized dedup/ANN
+  * operators, so the FULL pipelines — signature, banding, bucketing,
+  * verification — are reproducible in ANSI-ish SQL and sit under the
+  * driver's DuckDB hash gate. The xxhash64-kernel forms in [[Dedup]] /
+  * [[Similarity]] remain the raw-throughput path (one fused hash per
+  * element); these twins pay one md5 per element plus cheap integer/float
+  * arithmetic, an acceptable constant for a fully cross-engine-checkable
+  * pipeline. Same scale shape as the kernel forms: per-row signatures are
+  * embarrassingly parallel and every join is equi on (band/table, bucket).
+  *
+  * Seeding contract (everything below derives from md5, which both engines
+  * share bit-for-bit):
+  *  - `hex8(s)` = the first 8 hex chars of md5(s) as a BIGINT in [0, 2^32).
+  *  - MinHash lane j applies the affine permutation x -> (a_j x + b_j) mod
+  *    p over Z_p, p = 2^31 - 1, with (a_j, b_j) derived from
+  *    hex8("a:j") / hex8("b:j") — products stay < 2^62, so the arithmetic
+  *    never overflows a signed 64-bit in either engine.
+  *  - SimHash word hashes are the two 32-bit halves (lo, hi) of the first
+  *    16 md5 hex chars; signatures are kept as two 32-bit halves so no
+  *    shift ever touches the sign bit in either engine.
+  *  - LSH hyperplanes are Rademacher (+1/-1) vectors: component (t, b,
+  *    pos) is +1 iff the first hex digit of md5("lsh:t:b:pos") is in 0-7.
+  *    Sign-projection dots accumulate left-to-right in double on both
+  *    sides, so the sign bits — and therefore the buckets — match exactly.
+  */
+object Neutral {
+
+  /** 2^31 - 1, the Mersenne prime all MinHash permutations live in. */
+  val P: Long = 2147483647L
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  private def hex8(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  /** MinHash lane constants (a_j in [1, p), b_j in [0, p)), md5-derived. */
+  val laneConsts: IndexedSeq[(Long, Long)] =
+    (0 until 64).map(j => (hex8(s"a:$j") % (P - 1) + 1, hex8(s"b:$j") % P))
+
+  /** Rademacher hyperplane component for (table, bit, position). */
+  def lshSign(t: Int, b: Int, pos: Int): Double =
+    if (md5hex(s"lsh:$t:$b:$pos").charAt(0) <= '7') 1.0 else -1.0
+
+  /** Spark column: first 8 md5 hex chars of `c` (from `start`, 1-based) as
+    * a non-negative BIGINT — the exact twin of DuckDB's
+    * CAST('0x' || substring(md5(x), start, 8) AS BIGINT). */
+  private def hex8Col(c: Column, start: Int = 1): Column =
+    conv(substring(md5(c), start, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash-LSH candidate pairs with md5-seeded permutations — same
+    * banding pipeline as [[Dedup.minHashCandidates]] (one row per (doc,
+    * band), equi join on (band, bucket), exact-Jaccard verification), but
+    * every lane min is reproducible in SQL. One md5 per distinct shingle;
+    * the 64 lane permutations are integer multiply-adds. */
+  def minHashCandidates(docs: DataFrame, textCol: String = "text",
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
+    val sh = docs.select(col("doc_id"),
+        graft.expr.ShingleStrings.shingleStrings(col(textCol), shingleN).as("s"),
+        graft.expr.ShingleHashes.shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("s")) > 0)
+      .withColumn("hv", transform(col("s"), g => hex8Col(g) % P))
+    val sig: Seq[Column] = laneConsts.map { case (aj, bj) =>
+      array_min(transform(col("hv"), h => (lit(aj) * h + lit(bj)) % lit(P)))
+    }
+    val buckets: Seq[Column] = (0 until bands).map { b =>
+      concat_ws(",", (0 until rows).map(r => sig(b * rows + r).cast("string")): _*)
+    }
+    val banded = sh.select(col("doc_id"), col("hs"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("hs").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("hs").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB twin of the md5-seeded MinHash candidate-count query: same
+    * shingling, same lane mins, same band buckets, exact string-set
+    * Jaccard for verification (Jaccard on xxhash64'd shingles equals
+    * Jaccard on the strings up to negligible collision probability). */
+  def minHashOracleSql(minJaccard: Double): String = {
+    val lanes = laneConsts
+      .map { case (a, b) => s"list_min(list_transform(h, x -> ($a * x + $b) % $P))" }
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |),
+       |shn AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |  FROM tok WHERE len(w) >= 3
+       |),
+       |hv AS (
+       |  SELECT doc_id, s,
+       |         list_transform(s, g -> CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % $P) AS h
+       |  FROM shn WHERE len(s) > 0
+       |),
+       |sig AS (SELECT doc_id, $lanes AS sg FROM hv),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |         array_to_string(list_transform(
+       |           list_slice(sg, band * 4 + 1, band * 4 + 4),
+       |           x -> CAST(x AS VARCHAR)), ',') AS bucket
+       |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) bs
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |hits AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN shn sa ON sa.doc_id = c.doc_a
+       |  JOIN shn sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |          / len(list_distinct(sa.s || sb.s)) >= $minJaccard
+       |),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n_candidates FROM (
+       |    SELECT doc_a AS doc_id FROM hits UNION ALL SELECT doc_b FROM hits
+       |  ) u GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(cnt.n_candidates, 0) AS BIGINT) AS n_candidates
+       |FROM documents d LEFT JOIN cnt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash as two 32-bit halves (lo = md5 hex chars 1-8, hi =
+    * chars 9-16 per word): signed bit-votes per position, assembled with
+    * bit ORs. Halves keep every shift inside non-negative 32-bit values —
+    * identical semantics in Spark and DuckDB (no sign-bit wraparound). */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(Dedup.words(textCol)).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"),
+        hex8Col(col("word"), 1).as("lo"), hex8Col(col("word"), 9).as("hi"))
+    val votes = (0 until 32).flatMap { j =>
+      Seq(
+        sum(when(shiftright(col("lo"), j).bitwiseAND(lit(1L)) === 1, 1)
+          .otherwise(-1)).as(s"vl$j"),
+        sum(when(shiftright(col("hi"), j).bitwiseAND(lit(1L)) === 1, 1)
+          .otherwise(-1)).as(s"vh$j"))
+    }
+    val agg = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    def assemble(prefix: String): Column = (0 until 32)
+      .map(j => when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"),
+      assemble("vl").as("sim_lo"), assemble("vh").as("sim_hi"))
+  }
+
+  /** Multi-table near-dup counts over (sim_lo, sim_hi) halves: the 64 bits
+    * split into maxHamming+1 disjoint blocks (recall 1 by pigeonhole, as in
+    * [[Dedup.simHashNearDupsFromSig]]); blocks must align with the 32-bit
+    * halves, so maxHamming+1 must be a power of two >= 2. */
+  def simHashNearDups(docs: DataFrame, textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val tables = maxHamming + 1
+    val width = 64 / tables
+    require(tables >= 2 && 64 % tables == 0 && 32 % width == 0,
+      "maxHamming+1 must be a power of two >= 2 (blocks align with halves)")
+    val mask = (1L << width) - 1
+    val sh = simHash(docs, textCol)
+    val buckets = (0 until tables).map { t =>
+      val bitpos = t * width
+      val half = if (bitpos < 32) col("sim_lo") else col("sim_hi")
+      shiftright(half, bitpos % 32).bitwiseAND(lit(mask))
+    }
+    val bucketed = sh.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
+    val a = bucketed.select(col("t"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sim_lo").as("lo_a"), col("sim_hi").as("hi_a"))
+    val b = bucketed.select(col("t"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sim_lo").as("lo_b"), col("sim_hi").as("hi_b"))
+    val pairs = a.join(b, Seq("t", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))) <= maxHamming)
+      .select("doc_a", "doc_b")
+      .distinct()
+    sh.join(
+        pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .select("doc_id", "sim_lo", "sim_hi", "n_near")
+  }
+
+  /** DuckDB twin of the md5-seeded SimHash near-dup query (maxHamming=3,
+    * 4 tables of 16 bits). Bit votes are computed by exploding the 32 bit
+    * positions — different plan, identical arithmetic. */
+  def simHashOracleSql(maxHamming: Int = 3): String = {
+    require(maxHamming == 3, "oracle is written for the 4x16-bit scheme")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents
+       |),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substring(md5(word), 1, 8) AS BIGINT) AS lo,
+       |         CAST('0x' || substring(md5(word), 9, 8) AS BIGINT) AS hi
+       |  FROM w WHERE word <> ''
+       |),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vl,
+       |         sum(CASE WHEN (hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vh
+       |  FROM h, (SELECT unnest(generate_series(0, 31)) AS j) js
+       |  GROUP BY doc_id, j
+       |),
+       |sg AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN vl > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sim_lo,
+       |         CAST(sum(CASE WHEN vh > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sim_hi
+       |  FROM bits GROUP BY doc_id
+       |),
+       |bk AS (
+       |  SELECT doc_id, sim_lo, sim_hi, t,
+       |         CASE t WHEN 0 THEN sim_lo & 65535
+       |                WHEN 1 THEN sim_lo >> 16
+       |                WHEN 2 THEN sim_hi & 65535
+       |                ELSE sim_hi >> 16 END AS bucket
+       |  FROM sg, (SELECT unnest(generate_series(0, 3)) AS t) ts
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b USING (t, bucket)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.sim_lo, b.sim_lo))
+       |        + bit_count(xor(a.sim_hi, b.sim_hi)) <= $maxHamming
+       |),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n_near FROM (
+       |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+       |  ) u GROUP BY doc_id
+       |)
+       |SELECT sg.doc_id, sg.sim_lo, sg.sim_hi,
+       |       CAST(COALESCE(cnt.n_near, 0) AS BIGINT) AS n_near
+       |FROM sg LEFT JOIN cnt USING (doc_id)
+       |ORDER BY sg.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ hyperplane LSH
+
+  /** Max embedding dimension the precomputed sign tables cover; raise the
+    * constant for wider embeddings (the tables are sliced to the actual
+    * vector length per row). */
+  val lshMaxDim: Int = 128
+
+  private def signsLit(t: Int, b: Int): Column =
+    typedLit((0 until lshMaxDim).map(p => lshSign(t, b, p)))
+
+  /** `tables` md5-seeded sign-projection buckets (`nbits` bits each) per
+    * vector. Dot products run left-to-right in double — the exact order the
+    * oracle's list_reduce uses — so bucket bits match bit-for-bit. */
+  def lshBuckets(embCol: Column, nbits: Int = 8, tables: Int = 4): Column =
+    array((0 until tables).map { t =>
+      (0 until nbits).map { b =>
+        val dot = aggregate(
+          zip_with(slice(signsLit(t, b), lit(1), size(embCol)), embCol,
+            (s, x) => s * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** SQL fragment: the bucket of table `t` (an in-scope integer column)
+    * for a DOUBLE[] column `v`, signs re-derived from md5 inline (compact;
+    * the oracle does not need the precomputed tables' speed). */
+  private def duckBucket(v: String, t: String, nbits: Int): String =
+    // NOTE: no line may START with '||' — this fragment is re-interpolated
+    // into templates that call .stripMargin, which would eat one pipe
+    s"""CAST(list_sum(list_transform(generate_series(0, ${nbits - 1}), bb ->
+       |    CASE WHEN list_reduce(list_transform(generate_series(1, len($v)), i ->
+       |           $v[i] * CASE WHEN instr('01234567',
+       |               substring(md5('lsh:' || CAST($t AS VARCHAR) || ':' ||
+       |                 CAST(bb AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+       |             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END),
+       |           (a, b) -> a + b) >= 0
+       |         THEN CAST(1 AS BIGINT) << bb ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
+  /** Embedding-cosine near-dup counts at `minCos`, blocked by md5-seeded
+    * multi-table sign-LSH — same pipeline as
+    * [[Similarity.cosineNearDupCounts]], oracle-reproducible buckets. The
+    * per-table bucket ids ride along in the output so the hash gate
+    * validates the cross-engine bucket computation DIRECTLY — on a corpus
+    * with no qualifying pair, count parity alone would not prove the
+    * candidate generation matches. */
+  def cosineNearDupCounts(emb: DataFrame, minCos: Double,
+      nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      lshBuckets(col("embedding"), nbits, tables).as("bks"))
+    val bucketed = withB.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("t", "bucket")))
+    val cand = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
+      .filter(Similarity.cosine("e_a", "e_b") >= minCos)
+    val bucketCols = (0 until tables).map(t =>
+      element_at(col("bks"), t + 1).as(s"bucket_t$t"))
+    withB.select(col("vec_id") +: bucketCols: _*)
+      .join(pairs.select(explode(array(col("id_a"), col("id_b"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_near")),
+        Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+  }
+
+  /** DuckDB twin of [[cosineNearDupCounts]] (bucket ids in the output). */
+  def cosineNearDupOracleSql(minCos: Double, nbits: Int = 8,
+      tables: Int = 4): String = {
+    val bucketCols = (0 until tables)
+      .map(t => s"bks[${t + 1}] AS bucket_t$t").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |bl AS (
+       |  SELECT vec_id, v, list_transform(generate_series(0, ${tables - 1}), tt ->
+       |    ${duckBucket("v", "tt", nbits)}) AS bks
+       |  FROM e
+       |),
+       |bk AS (
+       |  SELECT vec_id, ts.t AS t, bks[ts.t + 1] AS bucket
+       |  FROM bl, (SELECT unnest(generate_series(0, ${tables - 1})) AS t) ts
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b USING (t, bucket)
+       |  WHERE a.vec_id < b.vec_id
+       |),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b
+       |  WHERE list_cosine_similarity(ea.v, eb.v) >= $minCos
+       |),
+       |cnt AS (
+       |  SELECT vec_id, count(*) AS n_near FROM (
+       |    SELECT id_a AS vec_id FROM pairs UNION ALL SELECT id_b FROM pairs
+       |  ) u GROUP BY vec_id
+       |)
+       |SELECT bl.vec_id, $bucketCols,
+       |       CAST(COALESCE(cnt.n_near, 0) AS BIGINT) AS n_near
+       |FROM bl LEFT JOIN cnt USING (vec_id)
+       |ORDER BY bl.vec_id""".stripMargin
+  }
+
+  /** Multi-table sign-LSH ANN with exact rerank — the md5-seeded twin of
+    * [[Similarity.lshTopK]] (rank-only output; ranks are engine-stable). */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nbits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = emb.select(col("vec_id"),
+      posexplode(lshBuckets(col("embedding"), nbits, tables))
+        .as(Seq("t", "bucket")))
+    val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val cand = bucketed.join(broadcast(queries), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val qEmb = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** DuckDB twin of [[lshTopK]] for the `vec_id < 10` query set. */
+  def lshTopKOracleSql(k: Int, nbits: Int = 8, tables: Int = 4): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |bk AS (
+       |  SELECT vec_id, ts.t AS t, ${duckBucket("v", "ts.t", nbits)} AS bucket
+       |  FROM e, (SELECT unnest(generate_series(0, ${tables - 1})) AS t) ts
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM bk q JOIN bk c USING (t, bucket)
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, rank, neighbor_id
+       |FROM (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |         row_number() OVER (
+       |           PARTITION BY cand.query_id
+       |           ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, cand.vec_id) AS rank
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = cand.query_id
+       |  JOIN e ec ON ec.vec_id = cand.vec_id
+       |) x
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+}

@@ -7,8 +7,9 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
   * cosine), similarity search (brute-force, IVF, LSH), text analysis
   * (tokens, quality, language-ID, fingerprints), and multimodal binary
-  * plumbing. Approximate/hash-based ops have no ANSI oracle (driver records
-  * the rows-only check); everything deterministic ships one.
+  * plumbing. EVERY query ships a DuckDB oracle: the hash-randomized ops
+  * (MinHash/SimHash/sign-LSH) run md5-seeded (graft.ops.Neutral), so even
+  * their bucket assignments reproduce cross-engine.
   */
 object NorthStar {
 
@@ -26,11 +27,18 @@ object NorthStar {
     Dedup.exactGroups(T.documents(s, d)).orderBy("content_sha")
   }
 
-  /** MinHash-LSH near-dup candidates (shingle → 64-slot signature → banded
-    * buckets → verified Jaccard); per-doc candidate count. */
-  val dedupMinHash = QueryDef.noOracle("q_ns_dedup_minhash") { (s, d) =>
+  /** MinHash-LSH near-dup candidates (shingle → 64-lane signature → banded
+    * buckets → verified Jaccard); per-doc candidate count. md5-seeded
+    * permutations (graft.ops.Neutral) make the whole pipeline — lane mins,
+    * band buckets, candidate set — reproducible in the DuckDB oracle; the
+    * xxhash64 kernel form (Dedup.minHashCandidates) stays the raw-
+    * throughput path with behavioral ScalaTest coverage. */
+  val dedupMinHash = QueryDef(
+    "q_ns_dedup_minhash",
+    graft.ops.Neutral.minHashOracleSql(0.5)) { (s, d) =>
     val docs = T.documents(s, d)
-    val cands = Dedup.minHashCandidates(docs).filter(col("jaccard") >= 0.5)
+    val cands = graft.ops.Neutral.minHashCandidates(docs)
+      .filter(col("jaccard") >= 0.5)
     docs.select(col("doc_id"))
       .join(cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates")),
@@ -39,10 +47,13 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dups: 64-bit signed-bit-vote signature, multi-table
-    * 16-bit block probing (recall 1 for Hamming <= 3 by pigeonhole). */
-  val dedupSimHash = QueryDef.noOracle("q_ns_dedup_simhash") { (s, d) =>
-    Dedup.simHashNearDups(T.documents(s, d)).orderBy("doc_id")
+  /** SimHash near-dups: 64-bit signed-bit-vote signature (md5 word hashes
+    * kept as two 32-bit halves), multi-table 16-bit block probing (recall 1
+    * for Hamming <= 3 by pigeonhole) — fully oracle-reproducible. */
+  val dedupSimHash = QueryDef(
+    "q_ns_dedup_simhash",
+    graft.ops.Neutral.simHashOracleSql()) { (s, d) =>
+    graft.ops.Neutral.simHashNearDups(T.documents(s, d)).orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard best match per doc, rarest-prefix blocked. The
@@ -197,15 +208,18 @@ object NorthStar {
   }
 
   /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
-    * LSH buckets (no ANSI oracle: bucket membership depends on the
-    * hyperplane hash family). Recall follows the LSH S-curve — near 1 for
-    * genuine near-identical pairs (cos >= ~0.95), degrading toward the
-    * 0.8 threshold boundary (~0.5 for a pair at exactly 0.8 with the
-    * default 4×8-bit tables; tables/nbits are the dial). OpsSpec measures
-    * recall on planted perturbed copies vs the exact baseline, which is
-    * itself oracled below. */
-  val dedupCosine = QueryDef.noOracle("q_ns_dedup_cosine") { (s, d) =>
-    Similarity.cosineNearDupCounts(T.embeddings(s, d), 0.8).orderBy("vec_id")
+    * sign-LSH buckets. Hyperplanes are md5-seeded Rademacher vectors
+    * (graft.ops.Neutral), so bucket membership — and therefore the exact
+    * candidate set — is reproduced by the DuckDB oracle. Recall follows the
+    * LSH S-curve — near 1 for genuine near-identical pairs (cos >= ~0.95),
+    * degrading toward the 0.8 threshold boundary (tables/nbits are the
+    * dial). OpsSpec additionally measures recall on planted perturbed
+    * copies vs the exact baseline, which is itself oracled below. */
+  val dedupCosine = QueryDef(
+    "q_ns_dedup_cosine",
+    graft.ops.Neutral.cosineNearDupOracleSql(0.8)) { (s, d) =>
+    graft.ops.Neutral.cosineNearDupCounts(T.embeddings(s, d), 0.8)
+      .orderBy("vec_id")
   }
 
   /** Exact all-pairs cosine near-dup counts on a bounded slice — the oracle
@@ -386,10 +400,13 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN (xxhash64-derived hyperplanes — no cross-engine
-    * oracle; recall tracked in ScalaTest against brute force). */
-  val simLsh = QueryDef.noOracle("q_ns_sim_lsh_topk") { (s, d) =>
-    Similarity.lshTopK(T.embeddings(s, d), queryIds, 3)
+  /** LSH-bucketed ANN with md5-seeded hyperplanes (oracle reproduces the
+    * buckets, candidates, and exact rerank; recall additionally tracked in
+    * ScalaTest against brute force for the kernel form). */
+  val simLsh = QueryDef(
+    "q_ns_sim_lsh_topk",
+    graft.ops.Neutral.lshTopKOracleSql(3)) { (s, d) =>
+    graft.ops.Neutral.lshTopK(T.embeddings(s, d), queryIds, 3)
       .orderBy("query_id", "rank")
   }
 

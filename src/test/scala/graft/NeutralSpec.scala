@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Neutral
+
+/** Behavioral coverage for the md5-seeded (oracle-reproducible) dedup/ANN
+  * twins in graft.ops.Neutral: same planted-duplicate recall expectations
+  * as the xxhash64 kernel forms in OpsSpec. Cross-engine bit-parity is
+  * covered by the driver's DuckDB gate (the queries emit bucket ids
+  * precisely so the gate hashes the bucket computation itself).
+  */
+class NeutralSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  lazy val docsWithDups: DataFrame = {
+    val base = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val planted = base.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val exact = base.filter(col("doc_id") === 5)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    base.unionByName(planted).unionByName(exact)
+  }
+
+  test("md5 minhash surfaces planted near-duplicates with high jaccard") {
+    val cands = Neutral.minHashCandidates(docsWithDups)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 10000L)), s"missing (0,10000) in $cands")
+    assert(cands.contains((1L, 10001L)), s"missing (1,10001) in $cands")
+    assert(cands.contains((5L, 20005L)), s"missing exact pair in $cands")
+  }
+
+  test("md5 simhash marks the exact duplicate as near (hamming 0)") {
+    val near = Neutral.simHashNearDups(docsWithDups)
+      .filter(col("doc_id").isin(5L, 20005L))
+      .select("doc_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(near(5L) >= 1, s"exact dup not near: $near")
+    assert(near(20005L) >= 1)
+  }
+
+  test("md5 sign-LSH cosine near-dup finds a planted colinear vector") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    // scaled copy: exactly colinear, and doubling is exact in IEEE so every
+    // hyperplane sign — hence every bucket — is preserved
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 2.0))").as("embedding"),
+        col("label"))
+    val withPlant = emb.unionByName(planted)
+    val counts = Neutral.cosineNearDupCounts(withPlant, 0.8)
+      .filter(col("vec_id").isin(0L, 100000L))
+      .select("vec_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(counts(0L) >= 1, s"planted pair missed: $counts")
+    assert(counts(100000L) >= 1)
+  }
+
+  test("md5 sign-LSH topk ranks the planted colinear copy first") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 2.0))").as("embedding"),
+        col("label"))
+    val withPlant = emb.unionByName(planted)
+    val top = Neutral.lshTopK(withPlant, Seq(0L), k = 3)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.sameElements(Array(100000L)), s"rank-1 was ${top.toSeq}")
+  }
+
+  test("md5 minhash candidate verification never admits a below-threshold pair") {
+    // verified jaccard is exact, so filtering at 0.9 keeps only the exact dup
+    val strict = Neutral.minHashCandidates(docsWithDups)
+      .filter(col("jaccard") >= 0.9999)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((5L, 20005L)), s"unexpected pairs: $strict")
+  }
+}
