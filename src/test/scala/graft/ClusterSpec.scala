@@ -109,4 +109,31 @@ class ClusterSpec extends AnyFunSuite {
       .filter(col("kept")).select("doc_id").as[Long].collect().toSet
     assert(low.subsetOf(high))
   }
+
+  test("semdedup scale knob: k scaled with the corpus bounds per-cluster pair volume") {
+    // The SemDeDup pair stage is quadratic ONLY inside a cluster. The
+    // scaling contract (Cluster scaladoc) is that growing k in proportion
+    // to the corpus keeps the per-cluster candidate volume bounded — this
+    // measures it at two real scales with the same n/k ratio (62.5).
+    def pairStats(dir: String, k: Int): (Long, Long, Double) = {
+      val e = graft.queries.T.embeddings(spark, dir)
+      val sizes = Cluster.kmeansAssign(e, k = k, iters = 3)
+        .groupBy("cluster").count().select("count").as[Long].collect()
+      val pairs = sizes.map(c => c * (c - 1) / 2).sum
+      (sizes.max, pairs, pairs.toDouble / k)
+      // (largest cluster, total intra-cluster pairs, mean pairs/cluster)
+    }
+    val (max001, pairs001, mean001) = pairStats("/root/testdata/sf0.01", 8)
+    val (max01, pairs01, mean01) = pairStats("/root/testdata/sf0.1", 32)
+    info(f"sf0.01 n=500  k=8:  max cluster $max001%d, pairs $pairs001%d, mean/cluster $mean001%.0f")
+    info(f"sf0.1  n=2000 k=32: max cluster $max01%d, pairs $pairs01%d, mean/cluster $mean01%.0f")
+    // bounded: mean per-cluster pair volume must not grow with the corpus
+    // beyond cluster-balance noise (unbounded would be ~16x here: (4n)^2/4k)
+    assert(mean01 <= 3 * mean001,
+      f"per-cluster pair volume grew $mean001%.0f -> $mean01%.0f despite k scaling")
+    // and the pair stage must stay far below all-pairs at the larger scale
+    val allPairs = 2000L * 1999 / 2
+    assert(pairs01.toDouble / allPairs < 0.2,
+      s"pair stage scanned ${pairs01}/$allPairs of all pairs")
+  }
 }
