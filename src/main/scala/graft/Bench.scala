@@ -58,7 +58,7 @@ object Bench {
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
       else headline.filter(all.contains)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     var errors = List.empty[String]
     // Per-RUN isolation: several operators intentionally return a cached
     // result (pageRank, kmeans/semDedup) or keep an internal intermediate
@@ -85,16 +85,20 @@ object Bench {
       // cold = first run; steady = min over reps. A crashed query is
       // flagged with negative time, never folded into total.
       val steady = if (times.exists(_ < 0)) -1.0 else times.min
-      (name, steady, times.head)
+      (name, steady, times)
     }
-    def mapJson(f: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = mapJson(_._2)
-    val cold = mapJson(_._3)
+    val qs = results.map(r => s"\"" + r._1 + "\":" + r._2)
+      .mkString("{", ",", "}")
+    val cold = results.map(r => s"\"" + r._1 + "\":" + r._3.head)
+      .mkString("{", ",", "}")
+    // every rep's time, so run-to-run spread is auditable from the artifact
+    val allReps = results
+      .map(r => s"\"" + r._1 + "\":" + r._3.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.
