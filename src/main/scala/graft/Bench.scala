@@ -36,7 +36,10 @@ object Bench {
     "q_e_scd2",
     // round-5 families: iterative clustering + semantic dedup, quantization
     "q_ns_semdedup",
-    "q_ns_embed_quantize")
+    "q_ns_embed_quantize",
+    // round-6: cluster-aware corpus dedup (md5-minhash pairs -> connected
+    // components -> one survivor per component)
+    "q_ns_dedup_corpus_clustered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,7 +81,17 @@ object Bench {
       val times = (1 to reps).map { _ =>
         clearState()
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // noop sink, NOT count(): count() lets the optimizer ELIMINATE a
+        // cardinality-preserving left join (right side provably unique on
+        // the key) plus the output sort — for the "per-row annotation"
+        // query shape (docs LEFT JOIN counts) that pruned the entire
+        // operator under test and timed a bare table count. The noop
+        // write consumes every row and column, so the timed plan is the
+        // plan the driver's parquet dump actually executes.
+        try {
+          all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case _: Throwable => -1.0 }
       }
       if (times.exists(_ < 0)) errors ::= name

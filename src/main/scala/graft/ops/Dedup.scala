@@ -260,14 +260,36 @@ object Dedup {
     * near-dup graph and partial labels would diverge from the exact
     * closure. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    // localCheckpoint, not cache: the pair list usually arrives with a BIG
+    // logical plan behind it (a full minhash/ngram candidate pipeline), and
+    // a cache only saves EXECUTION — every loop iteration's plan would
+    // still embed and re-analyze the giant lineage driver-side, which
+    // measured as ~1s per action at sf0.1 (~15s per components call).
+    // Checkpointing truncates the logical plan to the materialized rows,
+    // so the iteration plans stay a few nodes deep. The checkpoint RDD is
+    // released by the per-query clearState in Bench/Verify.
+    val sc = pairs.sparkSession.sparkContext
+    val rddsBefore = sc.getPersistentRDDs.keySet
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
+    val checkpointIds = sc.getPersistentRDDs.keySet -- rddsBefore
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("component", col("doc_id"))
       .cache()
+    // Convergence via the label-sum invariant: every step takes a least()
+    // of the current label, so per-node labels are monotonically
+    // non-increasing and the (exact, BIGINT) sum is strictly decreasing
+    // until the fixpoint — equal sums ⟺ no label moved. This replaces a
+    // per-iteration join against the previous labels with a one-row
+    // aggregate in the same action that materializes the new labels.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -275,22 +297,42 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nc")).as("nbr_min"))
-      val next = labels
+      // cached: the pointer-jump below reads it on BOTH join sides —
+      // uncached it would re-execute the neighbor-min subtree twice per
+      // round (released before the round ends)
+      val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .cache()
-      val changed = next
-        .join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
-        .filter(col("component") =!= col("old"))
-        .count()
+      // pointer jumping: follow component -> that node's own component
+      // (labels are always node ids, so the lookup relation is `stepped`
+      // itself). Halves the remaining path length every round on top of
+      // the 1-hop neighbor min, so convergence is O(log diameter) rounds
+      // instead of O(diameter) — a 15-long near-dup chain converges in 4
+      // rounds, and each driver round costs a full job. Same fixpoint:
+      // jumping only short-circuits label flow along already-discovered
+      // paths, it never crosses a non-edge.
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("component"), col("component").as("jc")),
+          Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("jc"), col("component")))
+            .as("component"))
+        .cache()
+      val newSum = labelSum(next)
       labels.unpersist()
+      stepped.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
-    edges.unpersist()
+    // release the edge checkpoint (df.unpersist cannot reach a checkpoint
+    // RDD, so the ids were captured at creation)
+    checkpointIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     require(converged,
       s"connectedComponents did not converge within $maxIter iterations — " +
         "component ids would be partial; raise maxIter for deep graphs")

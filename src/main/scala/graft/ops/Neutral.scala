@@ -58,6 +58,18 @@ object Neutral {
   private def hex8Col(c: Column, start: Int = 1): Column =
     conv(substring(md5(c), start, 8), 16, 10).cast("long")
 
+  /** Built-in-functions form of the 64-lane signature over the md5-hashed
+    * shingle values — the semantic reference the compiled kernel
+    * (graft.expr.Md5MinHashSig) must match bit-for-bit (NeutralSpec); the
+    * operators below run the kernel (64 interpreted transform+array_min
+    * lanes measured ~3 s per bench query at sf0.1, the kernel ~100x less). */
+  private[graft] def minHashSigRef(shinglesCol: Column): Column = {
+    val hv = transform(shinglesCol, g => hex8Col(g) % P)
+    array(laneConsts.map { case (aj, bj) =>
+      array_min(transform(hv, h => (lit(aj) * h + lit(bj)) % lit(P)))
+    }: _*)
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** MinHash-LSH candidate pairs with md5-seeded permutations — same
@@ -68,41 +80,51 @@ object Neutral {
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
+    // cached: the table feeds the two banding sides and both verify
+    // re-attach joins — uncached, the shingle + signature kernels would
+    // re-execute per branch (released by the per-query clearState)
     val sh = docs.select(col("doc_id"),
         graft.expr.ShingleStrings.shingleStrings(col(textCol), shingleN).as("s"),
         graft.expr.ShingleHashes.shingleHashes(col(textCol), shingleN).as("hs"))
       .filter(size(col("s")) > 0)
-      .withColumn("hv", transform(col("s"), g => hex8Col(g) % P))
-    val sig: Seq[Column] = laneConsts.map { case (aj, bj) =>
-      array_min(transform(col("hv"), h => (lit(aj) * h + lit(bj)) % lit(P)))
-    }
-    val buckets: Seq[Column] = (0 until bands).map { b =>
-      concat_ws(",", (0 until rows).map(r => sig(b * rows + r).cast("string")): _*)
-    }
-    val banded = sh.select(col("doc_id"), col("hs"),
-      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("hs").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("hs").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .withColumn("sig", graft.expr.Md5MinHashSig.minHashSig(col("s")))
+      .cache()
+    // ONE expression referencing sig once (16 separate per-band columns
+    // would let CollapseProject inline — and so re-evaluate — the
+    // signature kernel 16x per row), and NARROW banding rows: candidate
+    // pairs are deduped on (doc_a, doc_b) before the shingle-hash arrays
+    // re-attach for exact scoring, so no array ever rides the bucket
+    // shuffle (the ngram pipeline's PPJoin shape)
+    val banded = sh.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"array_join(transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string)), ','))"))
+        .as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** DuckDB twin of the md5-seeded MinHash candidate-count query: same
-    * shingling, same lane mins, same band buckets, exact string-set
-    * Jaccard for verification (Jaccard on xxhash64'd shingles equals
-    * Jaccard on the strings up to negligible collision probability). */
-  def minHashOracleSql(minJaccard: Double): String = {
+  /** Shared oracle CTE chain `tok -> shn -> hv -> sig -> banded -> cand ->
+    * hits` over the relation `docsRel` (must expose doc_id, text): the
+    * md5-seeded MinHash pipeline up to verified candidate pairs at
+    * `minJaccard`. Jaccard verification runs on the string shingle sets
+    * (equals Jaccard on xxhash64'd shingles up to negligible collision
+    * probability). */
+  private def minHashCandidateCtes(docsRel: String, minJaccard: Double): String = {
     val lanes = laneConsts
       .map { case (a, b) => s"list_min(list_transform(h, x -> ($a * x + $b) % $P))" }
       .mkString("[\n    ", ",\n    ", "]")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    s"""tok AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM $docsRel
        |),
        |shn AS (
        |  SELECT doc_id,
@@ -135,7 +157,12 @@ object Neutral {
        |  JOIN shn sb ON sb.doc_id = c.doc_b
        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
        |          / len(list_distinct(sa.s || sb.s)) >= $minJaccard
-       |),
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of the md5-seeded MinHash candidate-count query. */
+  def minHashOracleSql(minJaccard: Double): String =
+    s"""WITH ${minHashCandidateCtes("documents", minJaccard)},
        |cnt AS (
        |  SELECT doc_id, count(*) AS n_candidates FROM (
        |    SELECT doc_a AS doc_id FROM hits UNION ALL SELECT doc_b FROM hits
@@ -144,7 +171,54 @@ object Neutral {
        |SELECT d.doc_id, CAST(COALESCE(cnt.n_candidates, 0) AS BIGINT) AS n_candidates
        |FROM documents d LEFT JOIN cnt USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Cluster-aware corpus dedup: drop exact duplicates (keep min doc_id
+    * per digest), resolve the md5-MinHash-verified near-dup pairs to
+    * connected components, keep ONE representative (the min doc_id) per
+    * component. Pair-level dropping (Dedup.dedupCorpus) keeps a doc unless
+    * it is the greater of some qualifying pair — on a hub-shaped cluster
+    * (1~3, 2~3, 1!~2) it keeps {1, 2}; the clustered policy keeps exactly
+    * one doc per transitive near-dup group: {1}. Which is right depends on
+    * the pipeline; both are offered, both oracled. */
+  def dedupCorpusClustered(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.8): DataFrame = {
+    val exactKeep = Dedup.exactGroups(docs, textCol)
+      .select(col("keep_doc_id").as("doc_id"))
+    val kept = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
+    val pairs = minHashCandidates(kept, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    kept.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  /** DuckDB twin of [[dedupCorpusClustered]]: exact-dup keep, the banded
+    * candidate pair set (exactly reproduced — no probabilistic argument
+    * needed), a recursive-CTE transitive closure, min-label per component,
+    * keep component representatives only. */
+  def dedupClusteredOracleSql(minJaccard: Double): String =
+    s"""WITH RECURSIVE kept AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+       |),
+       |kd AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+       |${minHashCandidateCtes("kd", minJaccard)},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM hits
+       |  UNION
+       |  SELECT doc_b, doc_a FROM hits
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT kd.doc_id FROM kd
+       |LEFT JOIN comp USING (doc_id)
+       |WHERE comp.doc_id IS NULL OR comp.component = kd.doc_id
+       |ORDER BY kd.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- SimHash
 
@@ -274,10 +348,10 @@ object Neutral {
   private def signsLit(t: Int, b: Int): Column =
     typedLit((0 until lshMaxDim).map(p => lshSign(t, b, p)))
 
-  /** `tables` md5-seeded sign-projection buckets (`nbits` bits each) per
-    * vector. Dot products run left-to-right in double — the exact order the
-    * oracle's list_reduce uses — so bucket bits match bit-for-bit. */
-  def lshBuckets(embCol: Column, nbits: Int = 8, tables: Int = 4): Column =
+  /** Built-in-functions form of the sign-projection buckets — the semantic
+    * reference the compiled kernel must match bit-for-bit (NeutralSpec). */
+  private[graft] def lshBucketsRef(embCol: Column, nbits: Int = 8,
+      tables: Int = 4): Column =
     array((0 until tables).map { t =>
       (0 until nbits).map { b =>
         val dot = aggregate(
@@ -287,6 +361,13 @@ object Neutral {
         when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
+
+  /** `tables` md5-seeded sign-projection buckets (`nbits` bits each) per
+    * vector, computed by the compiled kernel (graft.expr.Md5LshBuckets).
+    * Dot products accumulate left-to-right in double — the exact order the
+    * oracle's list_reduce uses — so bucket bits match bit-for-bit. */
+  def lshBuckets(embCol: Column, nbits: Int = 8, tables: Int = 4): Column =
+    graft.expr.Md5LshBuckets.lshBuckets(embCol, nbits, tables)
 
   /** SQL fragment: the bucket of table `t` (an in-scope integer column)
     * for a DOUBLE[] column `v`, signs re-derived from md5 inline (compact;

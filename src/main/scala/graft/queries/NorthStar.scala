@@ -285,6 +285,21 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Cluster-aware corpus dedup: exact-dup removal, then ONE survivor (min
+    * doc_id) per transitive MinHash near-dup component — the policy that
+    * can't over- or under-keep on hub-shaped clusters (see
+    * Neutral.dedupCorpusClustered's scaladoc for the contrast with the
+    * pair-level policy above). The md5-seeded banding means the oracle
+    * reproduces the EXACT candidate pair set; the closure is a recursive
+    * CTE, the Spark side min-label propagation. */
+  val dedupCorpusClusteredQ = QueryDef(
+    "q_ns_dedup_corpus_clustered",
+    graft.ops.Neutral.dedupClusteredOracleSql(0.8)) { (s, d) =>
+    graft.ops.Neutral.dedupCorpusClustered(T.documents(s, d), minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Brute-force cosine top-5 (rank-only output — ranks are stable across
     * engines, raw scores differ in the last ulp). */
   val simBrute = QueryDef(
@@ -806,7 +821,7 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
     decontaminate, dedupCosine,
-    dedupCosineExact, dedupCorpusQ,
+    dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,

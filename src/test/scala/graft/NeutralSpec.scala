@@ -81,6 +81,57 @@ class NeutralSpec extends AnyFunSuite {
     assert(top.sameElements(Array(100000L)), s"rank-1 was ${top.toSeq}")
   }
 
+  test("clustered corpus dedup keeps one survivor per transitive component") {
+    // hub cluster via shared prefix: a = X+Y, b = X+Z, hub = X+Y+Z. With
+    // 20-word segments: jaccard(a,hub) ≈ 0.66 and jaccard(b,hub) ≈ 0.60
+    // (both near-dups at 0.45) while jaccard(a,b) ≈ 0.31 (not). Pair-level
+    // dropping keeps {a, b}; the clustered policy keeps only a. The word
+    // prefixes are chosen so the FIXED md5 banding seeds give both near
+    // pairs a shared band (verified: 1 band each, 0 for the far pair) —
+    // at jaccard ~0.6 a 16x4 banding hits with p ~0.89 per pair, so an
+    // arbitrary fixture could deterministically miss.
+    def seg(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    val (xx, yy, zz) = (seg("alpha"), seg("bravo"), seg("carbon"))
+    val docs = Seq(
+      (100L, s"$xx $yy"), (101L, s"$xx $zz"), (102L, s"$xx $yy $zz"),
+      (103L, "completely unrelated text with many distinct words here now"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val keptClustered = graft.ops.Neutral
+      .dedupCorpusClustered(docs, minJaccard = 0.45)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptClustered == Set(100L, 103L), s"got $keptClustered")
+    val keptPairwise = graft.ops.Dedup.dedupCorpus(docs, minJaccard = 0.45)
+      .select("doc_id").as[Long].collect().toSet
+    // pair-level policy keeps the non-near pair {100, 101} — both valid
+    // semantics, different guarantees (see Neutral scaladoc)
+    assert(keptPairwise == Set(100L, 101L, 103L), s"got $keptPairwise")
+  }
+
+  test("kernel bit-compat: Md5MinHashSig equals the built-in-functions form") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val sh = docs.select(col("doc_id"),
+        graft.expr.ShingleStrings.shingleStrings(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val mismatch = sh.select(
+        graft.expr.Md5MinHashSig.minHashSig(col("s")).as("k"),
+        graft.ops.Neutral.minHashSigRef(col("s")).as("r"))
+      .filter(col("k") =!= col("r"))
+      .count()
+    assert(mismatch == 0, s"$mismatch docs with kernel/reference signature mismatch")
+  }
+
+  test("kernel bit-compat: Md5LshBuckets equals the built-in-functions form") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    val mismatch = emb.select(
+        graft.expr.Md5LshBuckets.lshBuckets(col("embedding"), 8, 4).as("k"),
+        graft.ops.Neutral.lshBucketsRef(col("embedding"), 8, 4).as("r"))
+      .filter(col("k") =!= col("r"))
+      .count()
+    assert(mismatch == 0, s"$mismatch vectors with kernel/reference bucket mismatch")
+  }
+
   test("md5 minhash candidate verification never admits a below-threshold pair") {
     // verified jaccard is exact, so filtering at 0.9 keeps only the exact dup
     val strict = Neutral.minHashCandidates(docsWithDups)
