@@ -75,11 +75,13 @@ object Cluster {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pc"))
       .select(col("cluster"), expr("transform(pc, x -> x.mean_v)").as("c"))
 
-  /** Fixed-iteration Lloyd k-means: returns the assignment computed from
-    * the (iters-1)-times-updated centroids — iteration i assigns with the
-    * current centroids, then recomputes them (the final update is skipped;
-    * nothing reads it). */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  /** Fixed-iteration Lloyd k-means: returns the final centroid table (the
+    * (iters-1)-times-updated centroids, pinned in the block cache) and the
+    * assignment computed from it — iteration i assigns with the current
+    * centroids, then recomputes them (the final update is skipped; nothing
+    * reads it). Callers that need the model (PQ codebooks, ADC lookup
+    * tables) take the centroids; the assignment stays LAZY over them. */
+  def kmeansFit(emb: DataFrame, k: Int = 8, iters: Int = 3): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
     val e = emb.select(col("vec_id"), col("embedding"))
     // Pin each iteration's k×dim centroid table and release the superseded
@@ -105,8 +107,12 @@ object Cluster {
     // table (so callers/tests see the real argmax plan, and a single
     // consumer pays exactly one pass); the one surviving cache is that
     // k×dim table — released by the per-query clearState in Bench/Verify.
-    a
+    (cents, a)
   }
+
+  /** Assignment-only view of [[kmeansFit]]. */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansFit(emb, k, iters)._2
 
   /** SemDeDup: cluster, then drop any vector that has a smaller-id
     * intra-cluster neighbor at cosine >= minCos (keep-the-minimum rule —

@@ -173,6 +173,123 @@ object EmbeddingQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ product quantization
+
+  private val PQ_M = 4
+  private val PQ_SUBDIM = 16
+  private val PQ_K = 8
+  private val PQ_ITERS = 2
+
+  /** Per-subspace unrolled k-means CTE chain, suffixed `_s$s`: e_s$s is
+    * the subvector slice, then c0_s$s, a1_s$s, c1_s$s, ..., a{iters}_s$s
+    * — the kmeansCtes pattern parameterized by subspace. */
+  private def pqKmeansCtes(s: Int, subDim: Int, k: Int, iters: Int): String = {
+    val lo = s * subDim + 1
+    val hi = (s + 1) * subDim
+    val sb = new StringBuilder
+    sb.append(
+      s"""e_s$s AS MATERIALIZED (
+         |  SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), $lo, $hi) AS v
+         |  FROM embeddings
+         |),
+         |c0_s$s AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cluster,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM e_s$s
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k) x
+         |)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           |a${i}_s$s AS MATERIALIZED (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT e.vec_id, c.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cluster) AS rn
+           |    FROM e_s$s e CROSS JOIN c${i - 1}_s$s c) t WHERE rn = 1
+           |)""".stripMargin)
+      if (i < iters) sb.append(
+        s""",
+           |c${i}_s$s AS MATERIALIZED (
+           |  SELECT cluster, list(mean_v ORDER BY pos) AS c FROM (
+           |    SELECT x.cluster, x.pos,
+           |           CAST(sum(CAST(x.val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+           |    FROM (
+           |      SELECT a.cluster, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS val
+           |      FROM a${i}_s$s a JOIN e_s$s e USING (vec_id)
+           |    ) x GROUP BY x.cluster, x.pos
+           |  ) mm GROUP BY cluster
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def pqAllCtes: String =
+    "WITH " + (0 until PQ_M).map(s =>
+      pqKmeansCtes(s, PQ_SUBDIM, PQ_K, PQ_ITERS)).mkString(",\n")
+
+  /** PQ code table: m=4 subspaces × 16 dims, k=8 codes each — the code
+    * columns are the oracle-parity witness (same idea as the LSH bucket
+    * ids: code equality proves the whole per-subspace k-means matched). */
+  val pqCodes = QueryDef(
+    "q_ns_pq_codes",
+    pqAllCtes +
+      s"""
+         |SELECT a0.vec_id, ${(0 until PQ_M).map(s => s"CAST(a$s.cluster AS BIGINT) AS code_$s").mkString(", ")}
+         |FROM a${PQ_ITERS}_s0 a0
+         |${(1 until PQ_M).map(s => s"JOIN a${PQ_ITERS}_s$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n")}
+         |ORDER BY a0.vec_id""".stripMargin) { (s, d) =>
+    Quantize.pqEncode(T.embeddings(s, d), PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+      .orderBy("vec_id")
+  }
+
+  /** Inner-product ADC top-5 over the PQ codes: per-query m×k dot lookup
+    * tables against the subspace codebooks (c{iters-1}), score = the m
+    * lookups summed in fixed order (bit-exact cross-engine), rank-only
+    * output with vec_id tie-break (identical code tuples tie exactly). */
+  val pqTopK = QueryDef(
+    "q_ns_pq_topk",
+    pqAllCtes + ",\n" +
+      s"""q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10
+         |),
+         |${(0 until PQ_M).map(s =>
+          s"""lut_$s AS MATERIALIZED (
+             |  SELECT q.query_id, CAST(c.cluster AS BIGINT) AS code_$s,
+             |         list_reduce(list_transform(generate_series(1, len(c.c)),
+             |           i -> qv[${s * PQ_SUBDIM} + i] * c.c[i]), (a, b) -> a + b) AS d_$s
+             |  FROM q CROSS JOIN c${PQ_ITERS - 1}_s$s c
+             |)""".stripMargin).mkString(",\n")},
+         |codes AS (
+         |  SELECT a0.vec_id, ${(0 until PQ_M).map(s => s"CAST(a$s.cluster AS BIGINT) AS code_$s").mkString(", ")}
+         |  FROM a${PQ_ITERS}_s0 a0
+         |  ${(1 until PQ_M).map(s => s"JOIN a${PQ_ITERS}_s$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n  ")}
+         |),
+         |scored AS (
+         |  SELECT l0.query_id, codes.vec_id,
+         |         (${(0 until PQ_M).map(s => s"d_$s").mkString(" + ")}) AS score
+         |  FROM codes
+         |  ${(0 until PQ_M).map(s =>
+            if (s == 0) s"JOIN lut_0 l0 ON l0.code_0 = codes.code_0"
+            else s"JOIN lut_$s l$s ON l$s.query_id = l0.query_id AND l$s.code_$s = codes.code_$s")
+           .mkString("\n  ")}
+         |  WHERE codes.vec_id <> l0.query_id
+         |)
+         |SELECT query_id, rank, neighbor_id
+         |FROM (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    Quantize.pqTopK(T.embeddings(s, d), (0L until 10L), 5,
+      PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(kmeans, semDedup, quantize, qualitySample, textNormalize)
+    Seq(kmeans, semDedup, quantize, qualitySample, textNormalize,
+      pqCodes, pqTopK)
 }

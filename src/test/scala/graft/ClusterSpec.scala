@@ -110,6 +110,31 @@ class ClusterSpec extends AnyFunSuite {
     assert(low.subsetOf(high))
   }
 
+  test("pq codes: deterministic under repartitioning, colinear copy gets identical codes") {
+    val c1 = Quantize.pqEncode(embWithDup, m = 4, subDim = 16, k = 4, iters = 2)
+      .orderBy("vec_id").collect()
+    val c2 = Quantize.pqEncode(embWithDup.repartition(7), m = 4, subDim = 16, k = 4, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(c1.sameElements(c2), "pq codes changed under repartitioning")
+    val byId = c1.map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // scaling preserves per-subspace cosine argmax: the planted copy of
+    // vec 3 must land in the same cell of every sub-codebook
+    assert(byId(3L) == byId(10003L),
+      s"colinear copy coded differently: ${byId(3L)} vs ${byId(10003L)}")
+  }
+
+  test("pq ADC topk returns a full, distinct ranking per query") {
+    val top = Quantize.pqTopK(emb, Seq(0L, 1L), kNN = 5, m = 4, subDim = 16,
+      k = 4, iters = 2).collect()
+    assert(top.length == 10)
+    val byQ = top.groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5), s"ranks broken for $q")
+      assert(rows.map(_.getLong(2)).distinct.length == 5, s"dup neighbors for $q")
+      assert(!rows.map(_.getLong(2)).contains(q), s"query $q returned itself")
+    }
+  }
+
   test("semdedup scale knob: k scaled with the corpus bounds per-cluster pair volume") {
     // The SemDeDup pair stage is quadratic ONLY inside a cluster. The
     // scaling contract (Cluster scaladoc) is that growing k in proportion

@@ -112,7 +112,11 @@ class PlanSpec extends AnyFunSuite {
       // corpus × k-row centroid table per Lloyd iteration (k-means
       // assignment); the SemDeDup PAIR stage joins equi on cluster
       "q_ns_kmeans" -> "k-row centroid broadcast cross",
-      "q_ns_semdedup" -> "k-row centroid broadcast cross")
+      "q_ns_semdedup" -> "k-row centroid broadcast cross",
+      // per-subspace k-row codebook crosses (m of them) + the queries×k
+      // ADC lookup-table broadcasts — all bounded by m·k rows
+      "q_ns_pq_codes" -> "k-row sub-codebook broadcast crosses",
+      "q_ns_pq_topk" -> "k-row sub-codebook / ADC LUT broadcasts")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
