@@ -160,4 +160,66 @@ object TextAnalysis {
       .withColumn("canon_fp",
         md5(array_join(array_sort(array_distinct(words(textCol))), " ")))
       .withColumn("fp_prefix", substring(col("canon_fp"), 1, 8))
+
+  /** Apply one BPE merge (a, b) → a+b to a symbol array: a left fold that
+    * greedily merges leftmost non-overlapping occurrences — the exact
+    * semantics the oracle's list_reduce reruns (Spark starts the fold from
+    * an empty array, DuckDB from the first singleton; the step sequences
+    * coincide). Built with Column lambdas, so symbols containing quotes
+    * never meet a SQL-literal escape. */
+  private def applyBpeMerge(s: Column, a: String, b: String): Column =
+    aggregate(s, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The byte-pair-encoding training inner loop: `rounds` greedy merges
+    * over the word-internal character symbols of the corpus, each round
+    * picking the most frequent adjacent symbol pair (count desc, then
+    * lexicographic — fully deterministic) and rewriting every word's
+    * symbol sequence. Returns the merge table
+    * (round, pair_a, pair_b, merged, cnt) — the artifact a tokenizer fit
+    * produces.
+    *
+    * Scale shape: the corpus reduces ONCE to (word, count) — vocabulary-
+    * sized, not corpus-sized — and every round is one explode + partial-
+    * aggregated pair count plus a map-only fold rewrite over that
+    * vocabulary table. The driver carries one (pair, count) row per round
+    * (the fitted model parameter, not data) — the same contract as the
+    * convergence counts in the iterative operators. */
+  def bpeTopMerges(docs: DataFrame, textCol: String = "text",
+      rounds: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val wordCounts = docs
+      .select(explode(words(textCol)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var syms = wordCounts.select(col("wc"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("s"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = syms
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      require(top.nonEmpty, s"no adjacent pairs left to merge in round $r")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, a, b, a + b, cnt))
+      val next = syms.select(col("wc"), applyBpeMerge(col("s"), a, b).as("s")).cache()
+      next.count()
+      syms.unpersist()
+      syms = next
+    }
+    syms.unpersist()
+    import spark.implicits._
+    merges.result().toDF("round", "pair_a", "pair_b", "merged", "cnt")
+  }
 }

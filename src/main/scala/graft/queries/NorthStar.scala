@@ -797,6 +797,62 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Unrolled BPE oracle: wc → s0, then per round r: pair counts p$r, top
+    * pair t$r (count desc, lexicographic), merged symbols s$r via the same
+    * greedy leftmost fold the Spark side runs. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY w
+        |),
+        |s0 AS (
+        |  SELECT wc, list_transform(generate_series(1, length(w)),
+        |           i -> substring(w, i, 1)) AS s
+        |  FROM wc
+        |)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |p$r AS (
+           |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM s${r - 1}, unnest(generate_series(1, len(s) - 1)) AS ii(i)
+           |  GROUP BY 1, 2
+           |),
+           |t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin)
+      if (r < rounds) sb.append(
+        s""",
+           |s$r AS (
+           |  SELECT wc,
+           |         CASE WHEN len(s) < 2 THEN s ELSE
+           |           list_reduce(list_transform(s, x -> [x]),
+           |             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+           |                  THEN list_append(list_slice(acc, 1, len(acc) - 1), t.a || t.b)
+           |                  ELSE list_append(acc, x[1]) END)
+           |         END AS s
+           |  FROM s${r - 1} CROSS JOIN t$r t
+           |)""".stripMargin)
+    }
+    sb.append("\n" +
+      (1 to rounds).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM t$r")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+
+  /** BPE tokenizer-fitting inner loop: 4 greedy merge rounds over the
+    * word-internal character symbols (see TextAnalysis.bpeTopMerges). The
+    * oracle reruns every round — pair counts, deterministic argmax, the
+    * leftmost-greedy merge fold — unrolled as CTEs. */
+  val bpeMerges = QueryDef(
+    "q_ns_bpe_merges",
+    bpeOracleSql(4)) { (s, d) =>
+    TextAnalysis.bpeTopMerges(T.documents(s, d), rounds = 4).orderBy("round")
+  }
+
   /** Corpus vocabulary: global word frequencies with document frequency —
     * the tokenizer-training / stopword-mining primitive. One explode + one
     * partial-aggregated count shuffle at any scale. */
@@ -823,7 +879,7 @@ object NorthStar {
     decontaminate, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
-    textTokens, textQuality, textLangId, textFingerprint, textVocab,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
 }

@@ -321,6 +321,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, "no contacts here at all")))
   }
 
+  test("bpe merges: hand-computable corpus, greedy leftmost overlap handling") {
+    // 3x "abab" + 1x "aaa": round 1 pairs are ab=6, ba=3, aa=2
+    // -> merge (a,b). Round 2: "abab"->[ab,ab] gives (ab,ab)=3;
+    // "aaa" stays [a,a,a] giving (a,a)=2 -> merge (ab,ab).
+    val docs = Seq((1L, "abab abab"), (2L, "abab aaa"))
+      .toDF("doc_id", "text")
+    val m = graft.ops.TextAnalysis.bpeTopMerges(docs, rounds = 2)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1, "a", "b", "ab", 6L), (2, "ab", "ab", "abab", 3L)), m.toSeq)
+    // leftmost-greedy: "aaa" under merge (a,a) becomes [aa, a], never [a, aa]
+    val m2 = graft.ops.TextAnalysis.bpeTopMerges(
+        Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text"), rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // round 1: (a,a)=6 (two per word). round 2: symbols [aa, a] -> (aa, a)=3
+    assert(m2.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)), m2.toSeq)
+  }
+
   test("multimodal batch decode round-trips deterministically") {
     implicit val s: SparkSession = spark
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(20)

@@ -121,4 +121,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)]"),
       s"ORC scan must push the filter:\n$scan")
   }
+
+  test("JSON-lines round-trips with an explicit schema and prunes columns") {
+    // the raw-crawl interchange format a training-data pipeline ingests
+    // before columnarizing: write documents as JSONL, read back with the
+    // parquet schema pinned (never inferSchema at scale — one extra full
+    // pass over 100 TB), project two columns, expect identical rows
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt")
+    val src = queries.T.documents(spark, sf)
+    src.write.mode("overwrite").json(dir.toString)
+    val back = spark.read.schema(src.schema).json(dir.toString)
+    assert(back.count() == src.count())
+    val got = back.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = src.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    // schema-pinned JSON scans prune to the projected fields at the reader
+    val scan = back.select("doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"JSON scan must prune columns:\n$scan")
+  }
 }
