@@ -191,6 +191,15 @@ object TextAnalysis {
   def bpeTopMerges(docs: DataFrame, textCol: String = "text",
       rounds: Int = 4): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeFit(docs, textCol, rounds)
+      .toDF("round", "pair_a", "pair_b", "merged", "cnt")
+  }
+
+  /** The fitted merge list (round, a, b, merged, count) as local data —
+    * a tokenizer model is parameters, not a dataset. */
+  def bpeFit(docs: DataFrame, textCol: String = "text",
+      rounds: Int = 4): Seq[(Int, String, String, String, Long)] = {
     val wordCounts = docs
       .select(explode(words(textCol)).as("w"))
       .filter(col("w") =!= "")
@@ -219,7 +228,29 @@ object TextAnalysis {
       syms = next
     }
     syms.unpersist()
-    import spark.implicits._
-    merges.result().toDF("round", "pair_a", "pair_b", "merged", "cnt")
+    merges.result()
+  }
+
+  /** Tokenize the corpus with its own fitted BPE merges: per doc, the
+    * word count and the post-merge token count (characters minus the
+    * merges that fired). Fit happens once (vocabulary-sized); application
+    * is a map-only chain of the `rounds` merge folds over each word. */
+  def bpeTokenize(docs: DataFrame, textCol: String = "text",
+      rounds: Int = 4): DataFrame = {
+    val fitted = bpeFit(docs, textCol, rounds)
+    val symsCol: Column =
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    val folded = fitted.foldLeft(symsCol) { case (c, (_, a, b, _, _)) =>
+      applyBpeMerge(c, a, b)
+    }
+    val perDoc = docs
+      .select(col("doc_id"), explode(words(textCol)).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), size(folded).cast("long").as("n_tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_bpe_tokens"))
   }
 }

@@ -797,10 +797,10 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
-  /** Unrolled BPE oracle: wc → s0, then per round r: pair counts p$r, top
-    * pair t$r (count desc, lexicographic), merged symbols s$r via the same
-    * greedy leftmost fold the Spark side runs. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** Unrolled BPE fit CTEs: wc → s0, then per round r: pair counts p$r,
+    * top pair t$r (count desc, lexicographic), merged symbols s$r via the
+    * same greedy leftmost fold the Spark side runs. */
+  private def bpeFitCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH wc AS (
@@ -836,11 +836,61 @@ object NorthStar {
            |  FROM s${r - 1} CROSS JOIN t$r t
            |)""".stripMargin)
     }
-    sb.append("\n" +
+    sb.toString
+  }
+
+  private def bpeOracleSql(rounds: Int): String =
+    bpeFitCtes(rounds) + "\n" +
       (1 to rounds).map(r =>
         s"SELECT CAST($r AS INTEGER) AS round, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM t$r")
-        .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
-    sb.toString
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** Tokenize-apply oracle: the fit CTEs, then every doc word folded
+    * through the `rounds` merges in order (f1..f$rounds), token counts
+    * summed per doc. */
+  private def bpeTokenizeOracleSql(rounds: Int): String = {
+    val folds = (1 to rounds).map { r =>
+      val prev = if (r == 1) "sym" else s"f${r - 1}"
+      s"""f$r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(s) < 2 THEN s ELSE
+         |           list_reduce(list_transform(s, x -> [x]),
+         |             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+         |                  THEN list_append(list_slice(acc, 1, len(acc) - 1), t.a || t.b)
+         |                  ELSE list_append(acc, x[1]) END)
+         |         END AS s
+         |  FROM $prev CROSS JOIN t$r t
+         |)""".stripMargin
+    }.mkString(",\n")
+    bpeFitCtes(rounds) +
+      s""",
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents
+         |),
+         |sym AS (
+         |  SELECT doc_id, list_transform(generate_series(1, length(w)),
+         |           i -> substring(w, i, 1)) AS s
+         |  FROM dw WHERE w <> ''
+         |),
+         |$folds,
+         |cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens
+         |  FROM f$rounds GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(cnt.n_words, 0) AS n_words,
+         |       COALESCE(cnt.n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN cnt USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Corpus tokenized with its own fitted BPE merges: per-doc word and
+    * post-merge token counts (see TextAnalysis.bpeTokenize). */
+  val bpeTokenizeQ = QueryDef(
+    "q_ns_bpe_tokenize",
+    bpeTokenizeOracleSql(4)) { (s, d) =>
+    TextAnalysis.bpeTokenize(T.documents(s, d), rounds = 4).orderBy("doc_id")
   }
 
   /** BPE tokenizer-fitting inner loop: 4 greedy merge rounds over the
@@ -879,7 +929,7 @@ object NorthStar {
     decontaminate, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
-    textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
 }
