@@ -180,3 +180,105 @@ object Md5LshBuckets {
   def lshBuckets(c: Column, nbits: Int, tables: Int): Column =
     exprToColumn(Md5LshBuckets(columnToExpr(c), nbits, tables))
 }
+
+/** text → sorted distinct md5 winnowing fingerprint (MOSS selection over
+  * md5 char-k-gram hex hashes, window w), or null for texts shorter than
+  * k characters — the compiled twin of the
+  * `array_sort(array_distinct(transform(..., j -> array_min(...))))`
+  * expression form, which recomputes each gram's md5 once per covering
+  * window (w times) through interpreted lambdas: measured 78 s for the
+  * full corpus pass at sf0.1 vs ~0.5 s here. Character indexing is code-
+  * point based, matching SQL substring; hex strings are ASCII so Java
+  * string order == UTF8 binary order for both the window min and the
+  * final sort. */
+case class Md5Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, "gram and window sizes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_winnow requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Winnow.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.Md5Winnow.compute($c, $k, $w);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Winnow =
+    copy(child = newChild)
+}
+
+object Md5Winnow {
+  def md5Winnow(c: Column, k: Int, w: Int): Column =
+    exprToColumn(Md5Winnow(columnToExpr(c), k, w))
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = input.toString
+    val numChars = text.codePointCount(0, text.length)
+    if (numChars < k) return null
+    val nGrams = numChars - k + 1
+    // UTF-16 offset of each code point (SQL substring counts code points)
+    val offsets = new Array[Int](numChars + 1)
+    var idx = 0
+    var cp = 0
+    while (cp < numChars) {
+      offsets(cp) = idx
+      idx = text.offsetByCodePoints(idx, 1)
+      cp += 1
+    }
+    offsets(numChars) = text.length
+    val md = md5Local.get()
+    val hex = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(text.substring(offsets(i), offsets(i + k))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val sb = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        sb(b * 2) = HEX((d(b) >> 4) & 0xf)
+        sb(b * 2 + 1) = HEX(d(b) & 0xf)
+        b += 1
+      }
+      hex(i) = new String(sb)
+      i += 1
+    }
+    // one window min per start position (at least one window even when
+    // fewer than w grams exist — mirrors greatest(nGrams - w + 1, 1))
+    val nWin = math.max(nGrams - w + 1, 1)
+    val seen = new java.util.TreeSet[String]()
+    var j = 0
+    while (j < nWin) {
+      var m = hex(j)
+      var t = j + 1
+      val end = math.min(j + w, nGrams)
+      while (t < end) {
+        if (hex(t).compareTo(m) < 0) m = hex(t)
+        t += 1
+      }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+}

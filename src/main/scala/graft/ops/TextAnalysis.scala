@@ -116,26 +116,31 @@ object TextAnalysis {
     * compiled Rabin-Karp kernel in graft.expr.RollingWinnow is the 100 TB
     * path — same selection algorithm, O(1) incremental gram hash. */
   def withWinnowedFingerprint(docs: DataFrame, textCol: String = "text",
-      k: Int = 8, w: Int = 8): DataFrame = {
-    // sequence(1, n) steps backwards for n < 1 — short texts must
-    // short-circuit (no k-gram exists)
-    val fp = expr(
-      s"""CASE WHEN length($textCol) < $k THEN NULL ELSE
-         |  array_sort(array_distinct(
-         |    transform(
-         |      sequence(1, greatest(length($textCol) - ${k - 1} - ${w - 1}, 1)),
-         |      j -> array_min(transform(sequence(j, j + ${w - 1}),
-         |             i -> CASE WHEN i <= length($textCol) - ${k - 1}
-         |                       THEN md5(substring($textCol, i, $k)) END)))))
-         |END""".stripMargin)
+      k: Int = 8, w: Int = 8): DataFrame =
     docs
-      .withColumn("winnow_fp", fp)
+      .withColumn("winnow_fp",
+        graft.expr.Md5Winnow.md5Winnow(col(textCol), k, w))
       .withColumn("n_fp",
         coalesce(size(col("winnow_fp")).cast("bigint"), lit(0L)))
       .withColumn("fp_digest",
         when(col("winnow_fp").isNotNull,
           md5(array_join(col("winnow_fp"), " "))))
-  }
+
+  /** Built-in-functions form of the winnowing selection — the semantic
+    * reference the compiled Md5Winnow kernel must match bit-for-bit
+    * (NeutralSpec). Each gram's md5 is recomputed once per covering
+    * window through interpreted lambdas (w times); sequence(1, n) steps
+    * backwards for n < 1, so short texts short-circuit to NULL. */
+  private[graft] def winnowRef(textCol: String, k: Int = 8,
+      w: Int = 8): Column = expr(
+    s"""CASE WHEN length($textCol) < $k THEN NULL ELSE
+       |  array_sort(array_distinct(
+       |    transform(
+       |      sequence(1, greatest(length($textCol) - ${k - 1} - ${w - 1}, 1)),
+       |      j -> array_min(transform(sequence(j, j + ${w - 1}),
+       |             i -> CASE WHEN i <= length($textCol) - ${k - 1}
+       |                       THEN md5(substring($textCol, i, $k)) END)))))
+       |END""".stripMargin)
 
   /** Canonical text normalization — the pre-fingerprint/pre-tokenize
     * cleanup pass (lowercase, non-alphanumerics to spaces, whitespace
@@ -243,10 +248,16 @@ object TextAnalysis {
     val folded = fitted.foldLeft(symsCol) { case (c, (_, a, b, _, _)) =>
       applyBpeMerge(c, a, b)
     }
-    val perDoc = docs
+    val exploded = docs
       .select(col("doc_id"), explode(words(textCol)).as("w"))
       .filter(col("w") =!= "")
-      .select(col("doc_id"), size(folded).cast("long").as("n_tok"))
+    // fold per DISTINCT word, not per occurrence: the interpreted merge
+    // folds are the expensive part and the corpus repeats its vocabulary
+    // ~50x — tokenize the vocabulary once and join the counts back
+    val perWord = exploded.select("w").distinct()
+      .select(col("w"), size(folded).cast("long").as("n_tok"))
+    val perDoc = exploded
+      .join(perWord, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
     docs.select("doc_id")

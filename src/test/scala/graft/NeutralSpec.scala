@@ -132,6 +132,19 @@ class NeutralSpec extends AnyFunSuite {
     assert(mismatch == 0, s"$mismatch vectors with kernel/reference bucket mismatch")
   }
 
+  test("kernel bit-compat: Md5Winnow equals the built-in-functions form") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      // plant a short text to exercise the < k null arm
+      .unionByName(Seq((90000L, "tiny", "en", "t", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val mismatch = docs.select(
+        graft.expr.Md5Winnow.md5Winnow(col("text"), 8, 8).as("k"),
+        graft.ops.TextAnalysis.winnowRef("text").as("r"))
+      .filter(not(col("k") <=> col("r")))
+      .count()
+    assert(mismatch == 0, s"$mismatch docs with kernel/reference winnow mismatch")
+  }
+
   test("md5 minhash candidate verification never admits a below-threshold pair") {
     // verified jaccard is exact, so filtering at 0.9 keeps only the exact dup
     val strict = Neutral.minHashCandidates(docsWithDups)
