@@ -73,21 +73,76 @@ object Quantize {
     * decimal means, ascending tie-breaks), so codes are oracle-exact. */
   def pqFit(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
       iters: Int = 2, idCol: String = "vec_id",
-      embCol: String = "embedding"): Seq[(DataFrame, DataFrame)] =
-    (0 until m).map { s =>
-      Cluster.kmeansFit(
-        emb.select(col(idCol).as("vec_id"),
-          slice(col(embCol), s * subDim + 1, subDim).as("embedding")),
-        k, iters)
+      embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    // All m sub-codebooks fit in ONE grouped Lloyd loop: the subspace id
+    // rides as a key through every stage, so each iteration is exactly one
+    // assignment shuffle and one centroid-update shuffle for ALL subspaces
+    // (m separate kmeansFit calls paid m independent job chains — measured
+    // ~2x the whole query's cost). Identical output by construction: the
+    // seeds are the same k smallest-md5 vec_ids in every subspace, and
+    // argmax / decimal means group per (s, cluster).
+    val subs = emb.select(col(idCol).as("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))"))
+          .as(Seq("s", "sv")))
+      .select(col("s"), col("vec_id"),
+        transform(col("sv"), _.cast("double")).as("sv"))
+      .cache()
+    val seedIds = emb
+      .select(col(idCol).as("vec_id"), md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .agg(array_sort(collect_list(struct(col("h"), col("vec_id")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("cluster", "x")))
+      .select(col("cluster").cast("int").as("cluster"), col("x.vec_id").as("vec_id"))
+    var pinned: DataFrame = null
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      if (pinned != null) pinned.unpersist()
+      pinned = c
+      c
     }
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), Seq("s"))
+        .select(col("s"), col("vec_id"),
+          graft.expr.VecExprs.cosineSim(col("sv"), col("c")).as("cos"),
+          col("cluster"))
+        .groupBy("s", "vec_id")
+        .agg(max(struct(col("cos"), (-col("cluster")).as("negc"))).as("m"))
+        .select(col("s"), col("vec_id"), (-col("m.negc")).cast("int").as("cluster"))
+    def update(a: DataFrame): DataFrame =
+      subs.join(a, Seq("s", "vec_id"))
+        .select(col("s"), col("cluster"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "cluster", "pos")
+        .agg((sum(col("v").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("mean_v"))
+        .groupBy("s", "cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pc"))
+        .select(col("s"), col("cluster"), expr("transform(pc, x -> x.mean_v)").as("c"))
+    var cents = pin(subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("s"), col("cluster"), col("sv").as("c")))
+    var a = assign(cents)
+    for (_ <- 2 to iters) {
+      cents = pin(update(a))
+      a = assign(cents)
+    }
+    // cents: (s, cluster, c); a: (s, vec_id, cluster) — a stays lazy over
+    // the final pin + the cached subspace table (per-query clearState
+    // releases both)
+    (cents, a)
+  }
 
   /** Per-vector PQ codes as flat columns code_0..code_{m-1}. */
   def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
-      iters: Int = 2): DataFrame =
-    pqFit(emb, m, subDim, k, iters).zipWithIndex
-      .map { case ((_, a), s) =>
-        a.select(col("vec_id"), col("cluster").cast("long").as(s"code_$s")) }
-      .reduce(_.join(_, "vec_id"))
+      iters: Int = 2): DataFrame = {
+    val (_, a) = pqFit(emb, m, subDim, k, iters)
+    a.groupBy("vec_id")
+      .agg(
+        max(when(col("s") === 0, col("cluster"))).cast("long").as("code_0"),
+        (1 until m).map(s =>
+          max(when(col("s") === s, col("cluster"))).cast("long").as(s"code_$s")): _*)
+  }
 
   /** Left-to-right double dot product — textually the same fold the DuckDB
     * oracle's list_reduce runs, so scores are bit-identical. */
@@ -108,18 +163,19 @@ object Quantize {
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], kNN: Int, m: Int = 4,
       subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fits = pqFit(emb, m, subDim, k, iters)
-    val codes = fits.zipWithIndex
-      .map { case ((_, a), s) =>
-        a.select(col("vec_id"), col("cluster").cast("long").as(s"code_$s")) }
-      .reduce(_.join(_, "vec_id"))
+    val (cents, a) = pqFit(emb, m, subDim, k, iters)
+    val codes = a.groupBy("vec_id")
+      .agg(
+        max(when(col("s") === 0, col("cluster"))).cast("long").as("code_0"),
+        (1 until m).map(s =>
+          max(when(col("s") === s, col("cluster"))).cast("long").as(s"code_$s")): _*)
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val luts = fits.zipWithIndex.map { case ((cents, _), s) =>
+    val luts = (0 until m).map { s =>
       queries
         .select(col("query_id"),
           slice(col("embedding"), s * subDim + 1, subDim).as("qs"))
-        .crossJoin(broadcast(cents))
+        .crossJoin(broadcast(cents.filter(col("s") === s)))
         .select(col("query_id"), col("cluster").cast("long").as(s"code_$s"),
           dotLR(col("qs"), col("c")).as(s"d_$s"))
     }
