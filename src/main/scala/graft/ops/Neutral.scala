@@ -77,29 +77,38 @@ object Neutral {
     * band), equi join on (band, bucket), exact-Jaccard verification), but
     * every lane min is reproducible in SQL. One md5 per distinct shingle;
     * the 64 lane permutations are integer multiply-adds. */
-  def minHashCandidates(docs: DataFrame, textCol: String = "text",
-      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
-    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
-    // cached: the table feeds the two banding sides and both verify
-    // re-attach joins — uncached, the shingle + signature kernels would
-    // re-execute per branch (released by the per-query clearState)
-    val sh = docs.select(col("doc_id"),
+  /** (cached) md5 signature table: (doc_id, hs, sig). Cached because every
+    * consumer fans out over it (banding sides + verify re-attach joins) —
+    * uncached, the shingle + signature kernels would re-execute per branch
+    * (released by the per-query clearState). */
+  private def sigTable(docs: DataFrame, textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col("doc_id"),
         graft.expr.ShingleStrings.shingleStrings(col(textCol), shingleN).as("s"),
         graft.expr.ShingleHashes.shingleHashes(col(textCol), shingleN).as("hs"))
       .filter(size(col("s")) > 0)
       .withColumn("sig", graft.expr.Md5MinHashSig.minHashSig(col("s")))
       .cache()
-    // ONE expression referencing sig once (16 separate per-band columns
-    // would let CollapseProject inline — and so re-evaluate — the
-    // signature kernel 16x per row), and NARROW banding rows: candidate
-    // pairs are deduped on (doc_a, doc_b) before the shingle-hash arrays
-    // re-attach for exact scoring, so no array ever rides the bucket
-    // shuffle (the ngram pipeline's PPJoin shape)
-    val banded = sh.select(col("doc_id"),
+
+  /** NARROW (doc_id, band, bucket) rows from a signature table. ONE
+    * expression references sig once — 16 separate per-band columns would
+    * let CollapseProject inline, and so re-evaluate, the signature kernel
+    * 16x per row. */
+  private def bandedOf(sh: DataFrame, bands: Int, rows: Int): DataFrame =
+    sh.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"array_join(transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string)), ','))"))
         .as(Seq("band", "bucket")))
+
+  def minHashCandidates(docs: DataFrame, textCol: String = "text",
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
+    val sh = sigTable(docs, textCol, shingleN)
+    // candidate pairs dedup on narrow (doc_a, doc_b) keys before the
+    // shingle-hash arrays re-attach for exact scoring, so no array ever
+    // rides the bucket shuffle (the ngram pipeline's PPJoin shape)
+    val banded = bandedOf(sh, bands, rows)
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))
@@ -113,38 +122,106 @@ object Neutral {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Shared oracle CTE chain `tok -> shn -> hv -> sig -> banded -> cand ->
-    * hits` over the relation `docsRel` (must expose doc_id, text): the
-    * md5-seeded MinHash pipeline up to verified candidate pairs at
-    * `minJaccard`. Jaccard verification runs on the string shingle sets
-    * (equals Jaccard on xxhash64'd shingles up to negligible collision
-    * probability). */
-  private def minHashCandidateCtes(docsRel: String, minJaccard: Double): String = {
+  /** Ingest-time dedup: keep only incoming docs that neither exactly
+    * duplicate (content digest) nor near-duplicate (md5-MinHash banding,
+    * verified Jaccard >= minJaccard) ANY document already in `corpus` —
+    * the daily-crawl admission filter. Within-batch duplicates are left
+    * alone (chain with dedupCorpus for those). Candidates are strictly
+    * incoming × corpus bucket collisions; at scale the incoming batch is
+    * orders of magnitude smaller than the corpus, so the banding join
+    * shuffles a day of data against the corpus's precomputed (and in
+    * practice persisted) signature table. */
+  def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
+      textCol: String = "text", minJaccard: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val corpusSha = corpus.select(sha2(col(textCol), 256).as("sha")).distinct()
+    val cleanExact = incoming.join(corpusSha,
+      sha2(col(textCol), 256) === col("sha"), "left_anti")
+    val shI = sigTable(cleanExact, textCol, shingleN)
+    val shC = sigTable(corpus, textCol, shingleN)
+    val cand = bandedOf(shI, 16, 4)
+      .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
+      .join(bandedOf(shC, 16, 4)
+        .select(col("band"), col("bucket"), col("doc_id").as("cor_id")),
+        Seq("band", "bucket"))
+      .select("inc_id", "cor_id")
+      .distinct()
+    val dropped = cand
+      .join(shI.select(col("doc_id").as("inc_id"), col("hs").as("h_i")), Seq("inc_id"))
+      .join(shC.select(col("doc_id").as("cor_id"), col("hs").as("h_c")), Seq("cor_id"))
+      .filter(jaccardSorted(col("h_i"), col("h_c")) >= minJaccard)
+      .select(col("inc_id").as("doc_id"))
+      .distinct()
+    cleanExact.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** DuckDB twin of [[dedupAgainst]] for corpus/incoming slices of the
+    * documents table defined by SQL predicates. */
+  def dedupAgainstOracleSql(corpusPred: String, incomingPred: String,
+      minJaccard: Double): String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE $corpusPred),
+       |inc AS (SELECT * FROM documents WHERE $incomingPred),
+       |cs AS (SELECT DISTINCT sha256(text) AS sha FROM corpus),
+       |ce AS (
+       |  SELECT i.* FROM inc i LEFT JOIN cs ON sha256(i.text) = cs.sha
+       |  WHERE cs.sha IS NULL
+       |),
+       |${bandedCtes("ce", "_i")},
+       |${bandedCtes("corpus", "_c")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS cor_id
+       |  FROM banded_i a JOIN banded_c b USING (band, bucket)
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT c.inc_id FROM cand c
+       |  JOIN shn_i si ON si.doc_id = c.inc_id
+       |  JOIN shn_c sc ON sc.doc_id = c.cor_id
+       |  WHERE CAST(len(list_intersect(si.s, sc.s)) AS DOUBLE)
+       |          / len(list_distinct(si.s || sc.s)) >= $minJaccard
+       |)
+       |SELECT ce.doc_id FROM ce
+       |LEFT JOIN dropped d ON d.inc_id = ce.doc_id
+       |WHERE d.inc_id IS NULL
+       |ORDER BY ce.doc_id""".stripMargin
+
+  /** Oracle CTE chain `tok$p -> shn$p -> hv$p -> sig$p -> banded$p` over
+    * the relation `docsRel` (must expose doc_id, text): the md5-seeded
+    * MinHash pipeline up to banded bucket rows, CTE names suffixed `$p`
+    * (empty for the single-relation queries). */
+  private def bandedCtes(docsRel: String, p: String): String = {
     val lanes = laneConsts
       .map { case (a, b) => s"list_min(list_transform(h, x -> ($a * x + $b) % $P))" }
       .mkString("[\n    ", ",\n    ", "]")
-    s"""tok AS (
+    s"""tok$p AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM $docsRel
        |),
-       |shn AS (
+       |shn$p AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(generate_series(1, len(w) - 2),
        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-       |  FROM tok WHERE len(w) >= 3
+       |  FROM tok$p WHERE len(w) >= 3
        |),
-       |hv AS (
+       |hv$p AS (
        |  SELECT doc_id, s,
        |         list_transform(s, g -> CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % $P) AS h
-       |  FROM shn WHERE len(s) > 0
+       |  FROM shn$p WHERE len(s) > 0
        |),
-       |sig AS (SELECT doc_id, $lanes AS sg FROM hv),
-       |banded AS (
+       |sig$p AS (SELECT doc_id, $lanes AS sg FROM hv$p),
+       |banded$p AS (
        |  SELECT doc_id, band,
        |         array_to_string(list_transform(
        |           list_slice(sg, band * 4 + 1, band * 4 + 4),
        |           x -> CAST(x AS VARCHAR)), ',') AS bucket
-       |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) bs
-       |),
+       |  FROM sig$p, (SELECT unnest(generate_series(0, 15)) AS band) bs$p
+       |)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain up to verified candidate pairs at
+    * `minJaccard` within one relation. Jaccard verification runs on the
+    * string shingle sets (equals Jaccard on xxhash64'd shingles up to
+    * negligible collision probability). */
+  private def minHashCandidateCtes(docsRel: String, minJaccard: Double): String =
+    s"""${bandedCtes(docsRel, "")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b USING (band, bucket)
@@ -158,7 +235,6 @@ object Neutral {
        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
        |          / len(list_distinct(sa.s || sb.s)) >= $minJaccard
        |)""".stripMargin
-  }
 
   /** DuckDB twin of the md5-seeded MinHash candidate-count query. */
   def minHashOracleSql(minJaccard: Double): String =

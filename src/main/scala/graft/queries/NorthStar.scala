@@ -300,6 +300,22 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Ingest-time incremental dedup: the incoming half of the corpus
+    * (doc_id >= 250) admitted against the existing half — exact digests
+    * plus md5-MinHash near-dups, both directions of the daily-crawl
+    * admission filter reproduced exactly by the oracle. */
+  val dedupIncremental = QueryDef(
+    "q_ns_dedup_incremental",
+    graft.ops.Neutral.dedupAgainstOracleSql(
+      "doc_id < 250", "doc_id >= 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    graft.ops.Neutral.dedupAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Brute-force cosine top-5 (rank-only output — ranks are stable across
     * engines, raw scores differ in the last ulp). */
   val simBrute = QueryDef(
@@ -927,7 +943,7 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
     decontaminate, dedupCosine,
-    dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
+    dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ, dedupIncremental,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,

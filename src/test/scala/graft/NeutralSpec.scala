@@ -109,6 +109,24 @@ class NeutralSpec extends AnyFunSuite {
     assert(keptPairwise == Set(100L, 101L, 103L), s"got $keptPairwise")
   }
 
+  test("incremental dedup admits fresh docs, rejects exact and near dups of the corpus") {
+    val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val incoming = corpus.filter(col("doc_id") === 7)
+      .select(lit(50000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")) // exact copy of corpus doc 7
+      .unionByName(corpus.filter(col("doc_id") === 8)
+        .select(lit(50001L).as("doc_id"),
+          concat(col("text"), lit(" extra tail")).as("text"),
+          col("lang"), col("source"), col("n_chars"))) // near dup of doc 8
+      .unionByName(Seq((50002L,
+        "entirely fresh content nothing like the corpus at all zebra quark",
+        "en", "t", 64L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val kept = graft.ops.Neutral.dedupAgainst(corpus, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(50002L), s"got $kept")
+  }
+
   test("kernel bit-compat: Md5MinHashSig equals the built-in-functions form") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val sh = docs.select(col("doc_id"),
