@@ -38,9 +38,11 @@ object Bench {
     "q_ns_semdedup",
     "q_ns_embed_quantize",
     // round-6: cluster-aware corpus dedup (md5-minhash pairs -> connected
-    // components -> one survivor per component) and product-quantized ANN
+    // components -> one survivor per component), product-quantized ANN,
+    // ingest-time incremental dedup
     "q_ns_dedup_corpus_clustered",
-    "q_ns_pq_topk")
+    "q_ns_pq_topk",
+    "q_ns_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,7 +32,9 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("cache-heavy queries leave a bounded persisted footprint; clearState empties it") {
     val cacheHeavy = Seq("q_graph_pagerank", "q_ns_kmeans", "q_ns_semdedup",
       "q_ns_dedup_corpus", "q_ret_bm25_topk", "q_ns_dedup_components",
-      "q_graph_reach_cte")
+      "q_graph_reach_cte", "q_ns_dedup_corpus_clustered",
+      "q_ns_dedup_incremental", "q_ns_dedup_minhash", "q_ns_pq_topk",
+      "q_ns_bpe_tokenize")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()
