@@ -193,4 +193,29 @@ object Quantize {
       .filter(col("rank") <= kNN)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  /** PQ recall@k vs the EXACT inner-product ranking — the quality metric
+    * that decides whether a (m, k, iters) configuration is servable. The
+    * exact side is the brute broadcast scan (bounded query set); both
+    * rankings and the per-query hit count are oracle-reproducible. */
+  def pqRecallAtK(emb: DataFrame, queryIds: Seq[Long], kNN: Int, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = pqTopK(emb, queryIds, kNN, m, subDim, k, iters)
+      .select("query_id", "neighbor_id")
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score", dotLR(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+  }
 }

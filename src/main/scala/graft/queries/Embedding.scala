@@ -243,39 +243,44 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
+  /** Shared ADC oracle tail: q (query vectors), lut_s (per-subspace
+    * query x codebook dots), codes, scored (fixed-order score sum). */
+  private def pqAdcCtes: String =
+    s"""q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10
+       |),
+       |${(0 until PQ_M).map(s =>
+        s"""lut_$s AS MATERIALIZED (
+           |  SELECT q.query_id, CAST(c.cluster AS BIGINT) AS code_$s,
+           |         list_reduce(list_transform(generate_series(1, len(c.c)),
+           |           i -> qv[${s * PQ_SUBDIM} + i] * c.c[i]), (a, b) -> a + b) AS d_$s
+           |  FROM q CROSS JOIN c${PQ_ITERS - 1}_s$s c
+           |)""".stripMargin).mkString(",\n")},
+       |codes AS (
+       |  SELECT a0.vec_id, ${(0 until PQ_M).map(s => s"CAST(a$s.cluster AS BIGINT) AS code_$s").mkString(", ")}
+       |  FROM a${PQ_ITERS}_s0 a0
+       |  ${(1 until PQ_M).map(s => s"JOIN a${PQ_ITERS}_s$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n  ")}
+       |),
+       |scored AS (
+       |  SELECT l0.query_id, codes.vec_id,
+       |         (${(0 until PQ_M).map(s => s"d_$s").mkString(" + ")}) AS score
+       |  FROM codes
+       |  ${(0 until PQ_M).map(s =>
+          if (s == 0) s"JOIN lut_0 l0 ON l0.code_0 = codes.code_0"
+          else s"JOIN lut_$s l$s ON l$s.query_id = l0.query_id AND l$s.code_$s = codes.code_$s")
+         .mkString("\n  ")}
+       |  WHERE codes.vec_id <> l0.query_id
+       |)""".stripMargin
+
   /** Inner-product ADC top-5 over the PQ codes: per-query m×k dot lookup
     * tables against the subspace codebooks (c{iters-1}), score = the m
     * lookups summed in fixed order (bit-exact cross-engine), rank-only
     * output with vec_id tie-break (identical code tuples tie exactly). */
   val pqTopK = QueryDef(
     "q_ns_pq_topk",
-    pqAllCtes + ",\n" +
-      s"""q AS (
-         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings WHERE vec_id < 10
-         |),
-         |${(0 until PQ_M).map(s =>
-          s"""lut_$s AS MATERIALIZED (
-             |  SELECT q.query_id, CAST(c.cluster AS BIGINT) AS code_$s,
-             |         list_reduce(list_transform(generate_series(1, len(c.c)),
-             |           i -> qv[${s * PQ_SUBDIM} + i] * c.c[i]), (a, b) -> a + b) AS d_$s
-             |  FROM q CROSS JOIN c${PQ_ITERS - 1}_s$s c
-             |)""".stripMargin).mkString(",\n")},
-         |codes AS (
-         |  SELECT a0.vec_id, ${(0 until PQ_M).map(s => s"CAST(a$s.cluster AS BIGINT) AS code_$s").mkString(", ")}
-         |  FROM a${PQ_ITERS}_s0 a0
-         |  ${(1 until PQ_M).map(s => s"JOIN a${PQ_ITERS}_s$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n  ")}
-         |),
-         |scored AS (
-         |  SELECT l0.query_id, codes.vec_id,
-         |         (${(0 until PQ_M).map(s => s"d_$s").mkString(" + ")}) AS score
-         |  FROM codes
-         |  ${(0 until PQ_M).map(s =>
-            if (s == 0) s"JOIN lut_0 l0 ON l0.code_0 = codes.code_0"
-            else s"JOIN lut_$s l$s ON l$s.query_id = l0.query_id AND l$s.code_$s = codes.code_$s")
-           .mkString("\n  ")}
-         |  WHERE codes.vec_id <> l0.query_id
-         |)
+    pqAllCtes + ",\n" + pqAdcCtes +
+      s"""
          |SELECT query_id, rank, neighbor_id
          |FROM (
          |  SELECT query_id, vec_id AS neighbor_id,
@@ -289,7 +294,54 @@ object EmbeddingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ recall@5 against the EXACT inner-product ranking — ANN quality
+    * measured inside the hash gate: both rankings and the per-query hit
+    * count reproduce cross-engine (exact dots run the same left-to-right
+    * fold, ADC score ties break on vec_id). NOTE on the value itself: the
+    * synthetic embeddings are near-uniform random, the worst case for PQ
+    * (no cluster structure to exploit), so recall@5 at m=4/k=8 sits
+    * around 0.1-0.3 here — the point of the query is that the metric a
+    * config decision needs is computed and verified in-gate; structured
+    * inputs code tightly (ClusterSpec's planted-copy test). */
+  val pqRecall = QueryDef(
+    "q_ns_pq_recall",
+    pqAllCtes + ",\n" + pqAdcCtes +
+      s""",
+         |approx AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, vec_id) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5
+         |),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM (
+         |    SELECT q.query_id, ev.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_reduce(list_transform(generate_series(1, len(ev.v)),
+         |               i -> q.qv[i] * ev.v[i]), (a, b) -> a + b) DESC, ev.vec_id) AS rank
+         |    FROM ev CROSS JOIN q
+         |    WHERE ev.vec_id <> q.query_id) t
+         |  WHERE rank <= 5
+         |),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact USING (query_id, neighbor_id)
+         |  GROUP BY a.query_id
+         |)
+         |SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM q LEFT JOIN hits h USING (query_id)
+         |ORDER BY q.query_id""".stripMargin) { (s, d) =>
+    Quantize.pqRecallAtK(T.embeddings(s, d), (0L until 10L), 5,
+      PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+      .orderBy("query_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(kmeans, semDedup, quantize, qualitySample, textNormalize,
-      pqCodes, pqTopK)
+      pqCodes, pqTopK, pqRecall)
 }

@@ -116,7 +116,10 @@ class PlanSpec extends AnyFunSuite {
       // per-subspace k-row codebook crosses (m of them) + the queries×k
       // ADC lookup-table broadcasts — all bounded by m·k rows
       "q_ns_pq_codes" -> "k-row sub-codebook broadcast crosses",
-      "q_ns_pq_topk" -> "k-row sub-codebook / ADC LUT broadcasts")
+      "q_ns_pq_topk" -> "k-row sub-codebook / ADC LUT broadcasts",
+      // recall metric: the exact side is the labeled brute baseline
+      // (broadcast query set, linear scan) like q_ns_sim_brute_topk
+      "q_ns_pq_recall" -> "brute exact side: broadcast query set")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
