@@ -101,14 +101,34 @@ object Neutral {
           s"array_join(transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string)), ','))"))
         .as(Seq("band", "bucket")))
 
+  /** `maxBucket` is the degenerate-corpus guard (same trade as
+    * [[Dedup.minHashCandidates]]): a bucket holding B docs emits B²
+    * candidate pairs, and a boilerplate-heavy corpus concentrates mass in
+    * few buckets; capping skips oversized buckets — a documented recall
+    * trade (skipped members usually co-occur in other, smaller buckets of
+    * their remaining bands). Default off: the oracle reproduces the
+    * uncapped candidate set. */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
-      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
     val sh = sigTable(docs, textCol, shingleN)
     // candidate pairs dedup on narrow (doc_a, doc_b) keys before the
     // shingle-hash arrays re-attach for exact scoring, so no array ever
     // rides the bucket shuffle (the ngram pipeline's PPJoin shape)
-    val banded = bandedOf(sh, bands, rows)
+    val banded0 = bandedOf(sh, bands, rows)
+    val banded = maxBucket match {
+      case Some(cap) =>
+        // size window over the SAME (band, bucket) key the join shuffles
+        // on — the count reuses that partitioning, no extra exchange
+        import org.apache.spark.sql.expressions.Window
+        banded0
+          .withColumn("bsize",
+            count(lit(1)).over(Window.partitionBy("band", "bucket")))
+          .filter(col("bsize") <= cap)
+          .drop("bsize")
+      case None => banded0
+    }
     val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))

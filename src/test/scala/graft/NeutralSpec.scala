@@ -163,6 +163,30 @@ class NeutralSpec extends AnyFunSuite {
     assert(mismatch == 0, s"$mismatch docs with kernel/reference winnow mismatch")
   }
 
+  test("md5 minhash hot-bucket cap skips oversized buckets, keeps small ones") {
+    // 30 identical docs flood every (band, bucket) they touch; a distinct
+    // near-dup pair lives in small buckets and must survive the cap
+    val heavy = (0 until 30)
+      .map(i => (1000L + i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val light = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven dozen"))
+    val docs = (heavy ++ light).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val capped = graft.ops.Neutral
+      .minHashCandidates(docs, maxBucket = Some(10))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), s"small-bucket pair lost: $capped")
+    assert(!capped.exists(p => p._1 >= 1000 && p._2 >= 1000),
+      s"oversized-bucket pairs should be skipped: $capped")
+    // uncapped finds the flood pairs (30*29/2 of them)
+    val uncapped = graft.ops.Neutral.minHashCandidates(docs)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(uncapped >= 435, s"uncapped should see the flood: $uncapped")
+  }
+
   test("md5 minhash candidate verification never admits a below-threshold pair") {
     // verified jaccard is exact, so filtering at 0.9 keeps only the exact dup
     val strict = Neutral.minHashCandidates(docsWithDups)
