@@ -136,6 +136,23 @@ object Streaming {
       .orderBy("view_id", "click_id")
   }
 
+  /** Stream-static dim enrichment on the batch path: per-segment event
+    * stats via a broadcast customer join — the no-state streaming join
+    * (the readStream twin runs in StreamingSpec; stream-static equi joins
+    * need no watermark, the static side re-broadcasts per micro-batch). */
+  val streamStaticEnrich = QueryDef(
+    "q_stream_static_enrich",
+    """SELECT c_mktsegment AS segment, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY segment, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps
+      .enrichedSegmentStats(T.events(s, d), T.customer(s, d))
+      .orderBy("segment", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
-    statefulSessions, streamDedup, streamJoin)
+    statefulSessions, streamDedup, streamJoin, streamStaticEnrich)
 }

@@ -195,6 +195,21 @@ object StreamOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension on the user key and aggregated per (segment, event_type).
+    * Stream-static equi joins need no watermark and hold no join state —
+    * the static side is simply (re-)broadcast into each micro-batch, which
+    * is why dim enrichment is the cheapest join a streaming pipeline can
+    * do at any scale. Left join: events with no dim row keep flowing with
+    * a null segment rather than silently dropping. Identical code runs
+    * batch (the driver query) and under readStream (StreamingSpec). */
+  def enrichedSegmentStats(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Fns.dsum(col("value")).as("total_value"))
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static dim enrichment: streaming == batch, no watermark needed") {
+    val customer = graft.queries.T.customer(spark, sfDir)
+    val batch = StreamOps.enrichedSegmentStats(events, customer)
+      .orderBy("segment", "event_type").collect().toSeq
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // stream-static equi join: static side broadcast per micro-batch,
+    // zero join state — no watermark required even in complete mode
+    val agg = StreamOps.enrichedSegmentStats(stream, customer)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_out")
+      .orderBy("segment", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("sessionization finds gap-separated sessions") {
     import spark.implicits._
     val data = Seq(
