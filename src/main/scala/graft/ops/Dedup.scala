@@ -247,12 +247,13 @@ object Dedup {
     * cluster identification step that turns pairwise near-dup hits into
     * dedup groups (pair-level dropping over-drops on transitive chains
     * A~B~C where A!~C). Each iteration is one join + partial-aggregated
-    * min shuffle; iterations = cluster diameter (near-dup clusters are
-    * shallow — for web-scale diameters switch to large-star/small-star,
-    * same per-iteration plan). The driver loop carries only a convergence
-    * COUNT, never data. Returns (doc_id, component) for every node that
-    * appears in `pairs`. The result is left cached (it caps the iterative
-    * lineage); callers looping over many graphs should unpersist it.
+    * min shuffle, plus a pointer jump (component -> that node's own
+    * component) that halves remaining path lengths — O(log diameter)
+    * rounds. The driver loop carries only a 1-row label-sum convergence
+    * check, never data. Returns (doc_id, component) for every node that
+    * appears in `pairs`. The result is left as one materialized local
+    * checkpoint (constant-size plan for downstream consumers); the
+    * per-query clearState in Bench/Verify releases it.
     *
     * Errors (rather than silently returning intermediate labels) if the
     * graph has not converged within `maxIter` hops — near-dup clusters are
@@ -275,10 +276,20 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val checkpointIds = sc.getPersistentRDDs.keySet -- rddsBefore
+    // Labels are localCheckpoint'ed per iteration, NOT cached: the
+    // pointer-jump below references the step result on BOTH sides of a
+    // self-join, so a cached-but-lazy plan TREE doubles per iteration —
+    // measured as ~700 exchanges in the returned plan after 6 rounds
+    // (execution dedups through the cache, but the driver re-analyzes the
+    // exponential tree on every downstream action). Checkpointing resets
+    // each round's plan to its materialized rows; superseded checkpoint
+    // RDDs are released by id as the loop advances.
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("component", col("doc_id"))
       .cache()
+    val initialLabels = labels
+    var labelCkptIds: scala.collection.Set[Int] = Set.empty[Int]
     // Convergence via the label-sum invariant: every step takes a least()
     // of the current label, so per-node labels are monotonically
     // non-increasing and the (exact, BIGINT) sum is strictly decreasing
@@ -314,15 +325,20 @@ object Dedup {
       // rounds, and each driver round costs a full job. Same fixpoint:
       // jumping only short-circuits label flow along already-discovered
       // paths, it never crosses a non-edge.
+      val before = sc.getPersistentRDDs.keySet
       val next = stepped
         .join(stepped.select(col("doc_id").as("component"), col("component").as("jc")),
           Seq("component"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("jc"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint(true)
+      val newIds = sc.getPersistentRDDs.keySet -- before
       val newSum = labelSum(next)
-      labels.unpersist()
+      if (iter == 0) initialLabels.unpersist()
+      labelCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      labelCkptIds = newIds
       stepped.unpersist()
       labels = next
       converged = newSum == prevSum
