@@ -52,6 +52,11 @@ object Neutral {
   def lshSign(t: Int, b: Int, pos: Int): Double =
     if (md5hex(s"lsh:$t:$b:$pos").charAt(0) <= '7') 1.0 else -1.0
 
+  /** Rademacher random-projection component for (output dim, position) —
+    * a separate seed family from the LSH hyperplanes. */
+  def rpSign(j: Int, pos: Int): Double =
+    if (md5hex(s"rp:$j:$pos").charAt(0) <= '7') 1.0 else -1.0
+
   /** Spark column: first 8 md5 hex chars of `c` (from `start`, 1-based) as
     * a non-negative BIGINT — the exact twin of DuckDB's
     * CAST('0x' || substring(md5(x), start, 8) AS BIGINT). */
@@ -551,6 +556,49 @@ object Neutral {
        |FROM bl LEFT JOIN cnt USING (vec_id)
        |ORDER BY bl.vec_id""".stripMargin
   }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions with
+    * md5-seeded Rademacher vectors — the cheap dimensionality cut ahead of
+    * clustering/ANN when the full embedding width is overkill (a ±1
+    * projection needs no stored model and JL's distance-preservation
+    * guarantees hold for Rademacher entries). Map-only: outDim fixed-order
+    * double folds per row, no shuffle at any scale. Output is FLAT
+    * (vec_id, pos, v) rows — projections are exact doubles cross-engine
+    * (same fold order as the oracle's list_reduce), and flat doubles are
+    * what the hash gate compares exactly (the labelCentroidsFlat
+    * pattern). Linearity is exact in IEEE: proj(c·v) = c·proj(v) for
+    * power-of-two c (NeutralSpec). */
+  def randomProjectFlat(emb: DataFrame, outDim: Int = 8): DataFrame = {
+    require(outDim >= 1, "need at least one output dimension")
+    val projections = (0 until outDim).map { j =>
+      val signs = typedLit((0 until lshMaxDim).map(p => rpSign(j, p)))
+      aggregate(
+        zip_with(slice(signs, lit(1), size(col("embedding"))), col("embedding"),
+          (s, x) => s * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    emb.select(col("vec_id"),
+        posexplode(array(projections: _*)).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"), col("v"))
+  }
+
+  /** DuckDB twin of [[randomProjectFlat]]. */
+  def randomProjectOracleSql(outDim: Int = 8): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+       |),
+       |p AS (
+       |  SELECT vec_id, CAST(js.j AS INTEGER) AS pos,
+       |         list_reduce(list_transform(generate_series(1, len(ev)), i ->
+       |           CASE WHEN instr('01234567',
+       |               substring(md5('rp:' || CAST(js.j AS VARCHAR) || ':' ||
+       |                 CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+       |             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END * ev[i]),
+       |           (a, b) -> a + b) AS v
+       |  FROM e, (SELECT unnest(generate_series(0, ${outDim - 1})) AS j) js
+       |)
+       |SELECT vec_id, pos, v FROM p
+       |ORDER BY vec_id, pos""".stripMargin
 
   /** Multi-table sign-LSH ANN with exact rerank — the md5-seeded twin of
     * [[Similarity.lshTopK]] (rank-only output; ranks are engine-stable). */

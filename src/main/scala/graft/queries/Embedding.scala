@@ -341,7 +341,17 @@ object EmbeddingQueries {
       .orderBy("query_id")
   }
 
+  /** md5-seeded Rademacher (Johnson-Lindenstrauss) projection to 8 dims,
+    * flat (vec_id, pos, v) output — projections are exact doubles on both
+    * engines (same fold order), so the hash gate compares them directly. */
+  val randomProjection = QueryDef(
+    "q_ns_random_projection",
+    graft.ops.Neutral.randomProjectOracleSql(8)) { (s, d) =>
+    graft.ops.Neutral.randomProjectFlat(T.embeddings(s, d), outDim = 8)
+      .orderBy("vec_id", "pos")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(kmeans, semDedup, quantize, qualitySample, textNormalize,
-      pqCodes, pqTopK, pqRecall)
+      pqCodes, pqTopK, pqRecall, randomProjection)
 }

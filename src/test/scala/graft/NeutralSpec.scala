@@ -127,6 +127,20 @@ class NeutralSpec extends AnyFunSuite {
     assert(kept == Set(50002L), s"got $kept")
   }
 
+  test("random projection is exactly linear under power-of-two scaling") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 50)
+    val doubled = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> float(x * 2.0))").as("embedding"))
+    val p1 = graft.ops.Neutral.randomProjectFlat(emb, outDim = 4)
+      .orderBy("vec_id", "pos").select("v").as[Double].collect()
+    val p2 = graft.ops.Neutral.randomProjectFlat(doubled, outDim = 4)
+      .orderBy("vec_id", "pos").select("v").as[Double].collect()
+    // float doubling and the per-term double products/sums all scale by an
+    // exact power of two, so proj(2v) == 2*proj(v) BIT-exactly
+    assert(p1.map(_ * 2.0).sameElements(p2), "projection not exactly linear")
+  }
+
   test("kernel bit-compat: Md5MinHashSig equals the built-in-functions form") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val sh = docs.select(col("doc_id"),
