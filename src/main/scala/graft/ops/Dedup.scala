@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.expr.ArrayExprs.{jaccardSorted, minhashSignature}
 
@@ -292,13 +293,18 @@ object Dedup {
     var labelCkptIds: scala.collection.Set[Int] = Set.empty[Int]
     // Convergence via the label-sum invariant: every step takes a least()
     // of the current label, so per-node labels are monotonically
-    // non-increasing and the (exact, BIGINT) sum is strictly decreasing
-    // until the fixpoint — equal sums ⟺ no label moved. This replaces a
+    // non-increasing and the exact sum is strictly decreasing until the
+    // fixpoint — equal sums ⟺ no label moved. This replaces a
     // per-iteration join against the previous labels with a one-row
     // aggregate in the same action that materializes the new labels.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("component"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // DECIMAL(38,0), not BIGINT: Spark's non-ANSI sum(LongType) wraps
+    // silently on overflow, and a billion-node graph with large doc_ids
+    // overflows 2^63 — a wrapped sum could alias across iterations and
+    // fake convergence. Decimal sums are exact (and error on 38-digit
+    // overflow instead of wrapping).
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
     }
     var prevSum = labelSum(labels)
     var iter = 0

@@ -158,15 +158,16 @@ object Neutral {
     * practice persisted) signature table. */
   def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
       textCol: String = "text", minJaccard: Double = 0.8,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
     val corpusSha = corpus.select(sha2(col(textCol), 256).as("sha")).distinct()
     val cleanExact = incoming.join(corpusSha,
       sha2(col(textCol), 256) === col("sha"), "left_anti")
     val shI = sigTable(cleanExact, textCol, shingleN)
     val shC = sigTable(corpus, textCol, shingleN)
-    val cand = bandedOf(shI, 16, 4)
+    val cand = bandedOf(shI, bands, rows)
       .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
-      .join(bandedOf(shC, 16, 4)
+      .join(bandedOf(shC, bands, rows)
         .select(col("band"), col("bucket"), col("doc_id").as("cor_id")),
         Seq("band", "bucket"))
       .select("inc_id", "cor_id")
@@ -181,9 +182,12 @@ object Neutral {
   }
 
   /** DuckDB twin of [[dedupAgainst]] for corpus/incoming slices of the
-    * documents table defined by SQL predicates. */
+    * documents table defined by SQL predicates. Takes the same
+    * shingleN/bands/rows knobs as the Scala twin so non-default callers
+    * cannot silently diverge from the oracle. */
   def dedupAgainstOracleSql(corpusPred: String, incomingPred: String,
-      minJaccard: Double): String =
+      minJaccard: Double, shingleN: Int = 3, bands: Int = 16,
+      rows: Int = 4): String =
     s"""WITH corpus AS (SELECT * FROM documents WHERE $corpusPred),
        |inc AS (SELECT * FROM documents WHERE $incomingPred),
        |cs AS (SELECT DISTINCT sha256(text) AS sha FROM corpus),
@@ -191,8 +195,8 @@ object Neutral {
        |  SELECT i.* FROM inc i LEFT JOIN cs ON sha256(i.text) = cs.sha
        |  WHERE cs.sha IS NULL
        |),
-       |${bandedCtes("ce", "_i")},
-       |${bandedCtes("corpus", "_c")},
+       |${bandedCtes("ce", "_i", shingleN, bands, rows)},
+       |${bandedCtes("corpus", "_c", shingleN, bands, rows)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS cor_id
        |  FROM banded_i a JOIN banded_c b USING (band, bucket)
@@ -212,19 +216,26 @@ object Neutral {
   /** Oracle CTE chain `tok$p -> shn$p -> hv$p -> sig$p -> banded$p` over
     * the relation `docsRel` (must expose doc_id, text): the md5-seeded
     * MinHash pipeline up to banded bucket rows, CTE names suffixed `$p`
-    * (empty for the single-relation queries). */
-  private def bandedCtes(docsRel: String, p: String): String = {
+    * (empty for the single-relation queries). Parameterized by the SAME
+    * shingleN/bands/rows knobs as the Scala twins (minHashCandidates,
+    * dedupAgainst) so a non-default caller gets a matching oracle instead
+    * of a silent divergence. */
+  private def bandedCtes(docsRel: String, p: String, shingleN: Int = 3,
+      bands: Int = 16, rows: Int = 4): String = {
+    require(shingleN >= 1, "shingleN must be >= 1")
+    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
     val lanes = laneConsts
       .map { case (a, b) => s"list_min(list_transform(h, x -> ($a * x + $b) % $P))" }
       .mkString("[\n    ", ",\n    ", "]")
+    val gram = (0 until shingleN).map(o => s"w[i+$o]").mkString(" || ' ' || ")
     s"""tok$p AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM $docsRel
        |),
        |shn$p AS (
        |  SELECT doc_id,
-       |         list_distinct(list_transform(generate_series(1, len(w) - 2),
-       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-       |  FROM tok$p WHERE len(w) >= 3
+       |         list_distinct(list_transform(generate_series(1, len(w) - ${shingleN - 1}),
+       |           i -> $gram)) AS s
+       |  FROM tok$p WHERE len(w) >= $shingleN
        |),
        |hv$p AS (
        |  SELECT doc_id, s,
@@ -235,9 +246,9 @@ object Neutral {
        |banded$p AS (
        |  SELECT doc_id, band,
        |         array_to_string(list_transform(
-       |           list_slice(sg, band * 4 + 1, band * 4 + 4),
+       |           list_slice(sg, band * $rows + 1, band * $rows + $rows),
        |           x -> CAST(x AS VARCHAR)), ',') AS bucket
-       |  FROM sig$p, (SELECT unnest(generate_series(0, 15)) AS band) bs$p
+       |  FROM sig$p, (SELECT unnest(generate_series(0, ${bands - 1})) AS band) bs$p
        |)""".stripMargin
   }
 
@@ -245,8 +256,9 @@ object Neutral {
     * `minJaccard` within one relation. Jaccard verification runs on the
     * string shingle sets (equals Jaccard on xxhash64'd shingles up to
     * negligible collision probability). */
-  private def minHashCandidateCtes(docsRel: String, minJaccard: Double): String =
-    s"""${bandedCtes(docsRel, "")},
+  private def minHashCandidateCtes(docsRel: String, minJaccard: Double,
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): String =
+    s"""${bandedCtes(docsRel, "", shingleN, bands, rows)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b USING (band, bucket)
@@ -262,8 +274,9 @@ object Neutral {
        |)""".stripMargin
 
   /** DuckDB twin of the md5-seeded MinHash candidate-count query. */
-  def minHashOracleSql(minJaccard: Double): String =
-    s"""WITH ${minHashCandidateCtes("documents", minJaccard)},
+  def minHashOracleSql(minJaccard: Double, shingleN: Int = 3,
+      bands: Int = 16, rows: Int = 4): String =
+    s"""WITH ${minHashCandidateCtes("documents", minJaccard, shingleN, bands, rows)},
        |cnt AS (
        |  SELECT doc_id, count(*) AS n_candidates FROM (
        |    SELECT doc_a AS doc_id FROM hits UNION ALL SELECT doc_b FROM hits
@@ -449,11 +462,24 @@ object Neutral {
   private def signsLit(t: Int, b: Int): Column =
     typedLit((0 until lshMaxDim).map(p => lshSign(t, b, p)))
 
+  /** Fails the query (raise_error) when `embCol` is wider than the
+    * precomputed [[lshMaxDim]] sign tables. Without this, `slice` truncates
+    * the sign vector, `zip_with` null-pads the short side, the dot folds to
+    * null, and buckets/projections silently come out null — broken blocking
+    * with no error. The compiled kernel (Md5LshBuckets) requires the same
+    * bound at eval; this guard gives the built-in expression forms the same
+    * fail-fast contract. */
+  private def requireDim(embCol: Column, result: Column): Column =
+    when(size(embCol) <= lshMaxDim, result).otherwise(raise_error(concat(
+      lit(s"embedding dim "), size(embCol).cast("string"),
+      lit(s" exceeds the precomputed sign table ($lshMaxDim); " +
+        "raise Neutral.lshMaxDim for wider embeddings"))))
+
   /** Built-in-functions form of the sign-projection buckets — the semantic
     * reference the compiled kernel must match bit-for-bit (NeutralSpec). */
   private[graft] def lshBucketsRef(embCol: Column, nbits: Int = 8,
       tables: Int = 4): Column =
-    array((0 until tables).map { t =>
+    requireDim(embCol, array((0 until tables).map { t =>
       (0 until nbits).map { b =>
         val dot = aggregate(
           zip_with(slice(signsLit(t, b), lit(1), size(embCol)), embCol,
@@ -461,7 +487,7 @@ object Neutral {
           lit(0.0), (acc, v) => acc + v)
         when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-    }: _*)
+    }: _*))
 
   /** `tables` md5-seeded sign-projection buckets (`nbits` bits each) per
     * vector, computed by the compiled kernel (graft.expr.Md5LshBuckets).
@@ -578,7 +604,8 @@ object Neutral {
         lit(0.0), (acc, v) => acc + v)
     }
     emb.select(col("vec_id"),
-        posexplode(array(projections: _*)).as(Seq("pos", "v")))
+        posexplode(requireDim(col("embedding"), array(projections: _*)))
+          .as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("int").as("pos"), col("v"))
   }
 

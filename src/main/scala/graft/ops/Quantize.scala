@@ -81,10 +81,19 @@ object Quantize {
     // ~2x the whole query's cost). Identical output by construction: the
     // seeds are the same k smallest-md5 vec_ids in every subspace, and
     // argmax / decimal means group per (s, cluster).
+    // Fail fast on a dimension mismatch: slice() past the end of a shorter
+    // embedding yields short/empty subvectors and the fit would "succeed"
+    // with degenerate codes — a silent quality bug. The guard turns it into
+    // an immediate error at the first materializing action.
+    val subsArr = expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))")
+    val guarded = when(size(col(embCol)) >= m * subDim, subsArr)
+      .otherwise(raise_error(concat(
+        lit("embedding dim "), size(col(embCol)).cast("string"),
+        lit(s" is shorter than m*subDim = ${m * subDim}; " +
+          "PQ subvectors would be truncated — fix m/subDim"))))
     val subs = emb.select(col(idCol).as("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))"))
-          .as(Seq("s", "sv")))
+        posexplode(guarded).as(Seq("s", "sv")))
       .select(col("s"), col("vec_id"),
         transform(col("sv"), _.cast("double")).as("sv"))
       .cache()

@@ -142,11 +142,11 @@ object Streaming {
     * need no watermark, the static side re-broadcasts per micro-batch). */
   val streamStaticEnrich = QueryDef(
     "q_stream_static_enrich",
-    """SELECT c_mktsegment AS segment, event_type,
+    """SELECT COALESCE(c_mktsegment, '<none>') AS segment, event_type,
       |       CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-      |GROUP BY c_mktsegment, event_type
+      |GROUP BY 1, event_type
       |ORDER BY segment, event_type""".stripMargin) { (s, d) =>
     graft.streaming.StreamOps
       .enrichedSegmentStats(T.events(s, d), T.customer(s, d))

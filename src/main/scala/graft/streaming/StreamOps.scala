@@ -206,7 +206,12 @@ object StreamOps {
   def enrichedSegmentStats(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
         col("user_id") === col("c_custkey"), "left")
-      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      // dim-less events keep flowing under an explicit '<none>' segment:
+      // a left join makes `segment` nullable, and NULL sorts first in Spark
+      // but last in DuckDB — coalescing on BOTH sides removes the
+      // engine-dependent null placement from the output entirely
+      .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.queries.Fns.dsum(col("value")).as("total_value"))
 

@@ -123,6 +123,22 @@ class ClusterSpec extends AnyFunSuite {
       s"colinear copy coded differently: ${byId(3L)} vs ${byId(10003L)}")
   }
 
+  test("pq fit fails fast when m*subDim exceeds the embedding width") {
+    // before the guard, slice() past the end yielded short/empty subvectors
+    // and the fit "succeeded" with degenerate codes — silent quality bug
+    val e = intercept[Exception] {
+      // 64-dim vectors, m=8 x subDim=16 = 128 required
+      Quantize.pqEncode(emb, m = 8, subDim = 16, k = 4, iters = 1).collect()
+    }
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgOf(e).contains("shorter than m*subDim"), msgOf(e))
+  }
+
   test("pq ADC topk returns a full, distinct ranking per query") {
     val top = Quantize.pqTopK(emb, Seq(0L, 1L), kNN = 5, m = 4, subDim = 16,
       k = 4, iters = 2).collect()

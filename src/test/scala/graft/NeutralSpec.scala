@@ -201,6 +201,36 @@ class NeutralSpec extends AnyFunSuite {
     assert(uncapped >= 435, s"uncapped should see the flood: $uncapped")
   }
 
+  test("dimension guards fire on embeddings wider than the sign tables") {
+    // 200-dim > lshMaxDim (128): before the guards, slice() truncated the
+    // sign vector and zip_with null-padded, so buckets/projections came out
+    // NULL — broken blocking with no error. Now every path fails fast.
+    val wide = Seq((0L, (0 until 200).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    val eProj = intercept[Exception] {
+      Neutral.randomProjectFlat(wide, outDim = 2).collect()
+    }
+    assert(msgOf(eProj).contains("exceeds the precomputed sign table"), msgOf(eProj))
+    val eRef = intercept[Exception] {
+      wide.select(Neutral.lshBucketsRef(col("embedding"), 8, 4)).collect()
+    }
+    assert(msgOf(eRef).contains("exceeds the precomputed sign table"), msgOf(eRef))
+    val eKernel = intercept[Exception] {
+      wide.select(Neutral.lshBuckets(col("embedding"), 8, 4)).collect()
+    }
+    assert(msgOf(eKernel).contains("exceeds the precomputed sign table"), msgOf(eKernel))
+    // and the boundary case still works: exactly lshMaxDim dims is fine
+    val atMax = Seq((0L, (0 until Neutral.lshMaxDim).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    assert(Neutral.randomProjectFlat(atMax, outDim = 2).count() == 2)
+  }
+
   test("md5 minhash candidate verification never admits a below-threshold pair") {
     // verified jaccard is exact, so filtering at 0.9 keeps only the exact dup
     val strict = Neutral.minHashCandidates(docsWithDups)
