@@ -686,44 +686,53 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
-  /** Multimodal batch decode path: typed Dataset + mapPartitions with the
-    * stub codec. The stub's fake features are deterministic byte
-    * arithmetic, so even the mapPartitions path sits under the hash gate
-    * (the corpus is ASCII, so per-char ord == per-byte value; a real codec
-    * would drop this to rows-only). */
+  /** Multimodal batch decode path: one REAL image file per doc (24-bit BMP
+    * / binary PPM / binary PGM round-robin, geometry planted from doc_id),
+    * decoded by actually parsing the binary headers in mapPartitions. The
+    * oracle recomputes the planted geometry AND the exact file size (BMP
+    * 4-byte row alignment, netpbm ASCII header width) from the formula — a
+    * decoder that misreads a little-endian offset or the netpbm grammar
+    * hash-mismatches immediately. */
   val multimodalFeatures = QueryDef(
     "q_ns_multimodal_features",
-    """SELECT doc_id, source,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
-      |       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS fake_height,
-      |       CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
-      |         i -> ord(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |         doc_id % 61 + 4 AS w, doc_id % 47 + 4 AS h, doc_id % 3 AS f
+      |  FROM documents
+      |)
+      |SELECT doc_id, source,
+      |       CAST(CASE f WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+      |            ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+      |                 + CASE f WHEN 1 THEN 3 * w * h ELSE w * h END
+      |            END AS BIGINT) AS n_bytes,
+      |       CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+      |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CAST(CASE f WHEN 2 THEN 1 ELSE 3 END AS INTEGER) AS channels
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
-    Multimodal.extractFeatures(Multimodal.asMediaTable(T.documents(s, d)))
+    Multimodal.extractFeatures(Multimodal.syntheticImageTable(T.documents(s, d)))
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** Resize geometry plan over the decoded fake dims — integer-exact
+  /** Resize geometry plan over the header-decoded dims — integer-exact
     * aspect-preserving fit into a 224px box (map-only). */
   val multimodalResize = QueryDef(
     "q_ns_multimodal_resize",
     """WITH f AS (
       |  SELECT doc_id,
-      |         CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
-      |         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS fake_height
+      |         CAST(doc_id % 61 + 4 AS INTEGER) AS width,
+      |         CAST(doc_id % 47 + 4 AS INTEGER) AS height
       |  FROM documents
       |)
-      |SELECT doc_id, fake_width, fake_height,
-      |       CAST((fake_width * 224) // greatest(fake_width, fake_height) AS INTEGER) AS out_width,
-      |       CAST((fake_height * 224) // greatest(fake_width, fake_height) AS INTEGER) AS out_height
+      |SELECT doc_id, width, height,
+      |       CAST((width * 224) // greatest(width, height) AS INTEGER) AS out_width,
+      |       CAST((height * 224) // greatest(width, height) AS INTEGER) AS out_height
       |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
     Multimodal.resizePlan(
-        Multimodal.extractFeatures(Multimodal.asMediaTable(T.documents(s, d))).toDF())
+        Multimodal.extractFeatures(
+          Multimodal.syntheticImageTable(T.documents(s, d))).toDF())
       .orderBy("doc_id")
   }
 

@@ -341,18 +341,41 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)), m2.toSeq)
   }
 
-  test("multimodal batch decode round-trips deterministically") {
+  test("multimodal decode recovers planted geometry from real image bytes") {
     implicit val s: SparkSession = spark
-    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(20)
-    val media = Multimodal.asMediaTable(docs)
-    val feats = Multimodal.extractFeatures(media)
-    val rows = feats.collect()
-    assert(rows.length == 20)
-    // n_bytes must equal the text's UTF-8 byte length
-    val expected = docs.select(col("doc_id"),
-      length(encode(col("text"), "UTF-8")).cast("long").as("n")).as[(Long, Long)]
-      .collect().toMap
-    rows.foreach { r => assert(r.n_bytes == expected(r.doc_id)) }
-    assert(rows.forall(r => r.fake_width >= 1 && r.fake_height >= 1))
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val media = Multimodal.syntheticImageTable(docs)
+    val rows = Multimodal.extractFeatures(media).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val (w, h, f) = Multimodal.plantedDims(r.doc_id)
+      val fmt = Seq("bmp", "ppm", "pgm")(f)
+      assert(r.format == fmt && r.width == w && r.height == h,
+        s"doc ${r.doc_id}: decoded (${r.format},${r.width},${r.height}) " +
+          s"vs planted ($fmt,$w,$h)")
+      assert(r.channels == (if (fmt == "pgm") 1 else 3))
+      // file size must equal the real byte count of the generated file
+      assert(r.n_bytes == Multimodal.makeImage(r.doc_id).length.toLong)
+    }
+  }
+
+  test("image codec parses hand-built headers per the public specs") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // top-down BMP: negative height in BITMAPINFOHEADER, 8 bpp
+    val bmp = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0)
+      .putInt(54).putInt(40).putInt(17).putInt(-9).putShort(1).putShort(8)
+    assert(Multimodal.decodeMeta(bmp.array()) == (("bmp", 17, 9, 1)))
+    // PPM with a comment line and multi-space separators in the header
+    val ppm = "P6\n# a comment\n 12  7\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12 * 7 * 3)(1.toByte)
+    assert(Multimodal.decodeMeta(ppm) == (("ppm", 12, 7, 3)))
+    val pgm = "P5\n3 2\n255\n".getBytes("US-ASCII") ++ Array.fill(6)(9.toByte)
+    assert(Multimodal.decodeMeta(pgm) == (("pgm", 3, 2, 1)))
+    // garbage, truncated, and malformed-header payloads all degrade to raw
+    assert(Multimodal.decodeMeta("not an image".getBytes)._1 == "raw")
+    assert(Multimodal.decodeMeta(Array[Byte]('B', 'M', 3))._1 == "raw")
+    assert(Multimodal.decodeMeta("P6\nx y\n".getBytes)._1 == "raw")
+    assert(Multimodal.decodeMeta(Array.empty[Byte])._1 == "raw")
   }
 }
