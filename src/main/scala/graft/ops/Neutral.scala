@@ -334,6 +334,69 @@ object Neutral {
        |WHERE comp.doc_id IS NULL OR comp.component = kd.doc_id
        |ORDER BY kd.doc_id""".stripMargin
 
+  /** The full ingest chain a daily crawl actually runs: admission filter
+    * against the existing corpus ([[dedupAgainst]] — exact digest + banded
+    * near-dup) THEN within-batch dedup of the admitted docs
+    * ([[dedupCorpusClustered]] — the incoming batch itself carries internal
+    * duplicates a corpus-only filter never sees). Both stages are the
+    * md5-seeded oracle-exact paths; at scale stage 1 joins a day of data
+    * against the corpus signature table and stage 2 runs on the (much
+    * smaller) admitted batch only. */
+  def ingestE2e(corpus: DataFrame, incoming: DataFrame,
+      textCol: String = "text", minJaccard: Double = 0.8): DataFrame =
+    dedupCorpusClustered(dedupAgainst(corpus, incoming, textCol, minJaccard),
+      textCol, minJaccard)
+
+  /** DuckDB twin of [[ingestE2e]]: the [[dedupAgainstOracleSql]] admission
+    * CTEs (renamed `cand_in`/`dropped_in` to clear the within-batch names)
+    * feeding the [[dedupClusteredOracleSql]] exact-keep → banded pairs →
+    * recursive transitive closure → component-representative chain over the
+    * admitted relation. */
+  def ingestE2eOracleSql(corpusPred: String, incomingPred: String,
+      minJaccard: Double): String =
+    s"""WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE $corpusPred),
+       |inc AS (SELECT * FROM documents WHERE $incomingPred),
+       |cs AS (SELECT DISTINCT sha256(text) AS sha FROM corpus),
+       |ce AS (
+       |  SELECT i.* FROM inc i LEFT JOIN cs ON sha256(i.text) = cs.sha
+       |  WHERE cs.sha IS NULL
+       |),
+       |${bandedCtes("ce", "_i")},
+       |${bandedCtes("corpus", "_c")},
+       |cand_in AS (
+       |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS cor_id
+       |  FROM banded_i a JOIN banded_c b USING (band, bucket)
+       |),
+       |dropped_in AS (
+       |  SELECT DISTINCT c.inc_id FROM cand_in c
+       |  JOIN shn_i si ON si.doc_id = c.inc_id
+       |  JOIN shn_c sc ON sc.doc_id = c.cor_id
+       |  WHERE CAST(len(list_intersect(si.s, sc.s)) AS DOUBLE)
+       |          / len(list_distinct(si.s || sc.s)) >= $minJaccard
+       |),
+       |adm AS (
+       |  SELECT ce.* FROM ce LEFT JOIN dropped_in d ON d.inc_id = ce.doc_id
+       |  WHERE d.inc_id IS NULL
+       |),
+       |kept AS (SELECT min(doc_id) AS doc_id FROM adm GROUP BY text),
+       |kd AS (SELECT a.doc_id, a.text FROM adm a JOIN kept USING (doc_id)),
+       |${minHashCandidateCtes("kd", minJaccard)},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM hits
+       |  UNION
+       |  SELECT doc_b, doc_a FROM hits
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT kd.doc_id FROM kd
+       |LEFT JOIN comp USING (doc_id)
+       |WHERE comp.doc_id IS NULL OR comp.component = kd.doc_id
+       |ORDER BY kd.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash as two 32-bit halves (lo = md5 hex chars 1-8, hi =

@@ -316,6 +316,23 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** The chained ingest a daily crawl runs end-to-end: admission against
+    * the existing corpus (exact + banded near-dup) THEN within-batch
+    * clustered dedup of the admitted docs — the incoming slice carries
+    * internal duplicates the corpus-only filter never sees, so both stages
+    * do real work (OpsSpec pins that). */
+  val dedupIngestE2e = QueryDef(
+    "q_ns_dedup_ingest_e2e",
+    graft.ops.Neutral.ingestE2eOracleSql(
+      "doc_id < 250", "doc_id >= 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    graft.ops.Neutral.ingestE2e(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Brute-force cosine top-5 (rank-only output — ranks are stable across
     * engines, raw scores differ in the last ulp). */
   val simBrute = QueryDef(
@@ -953,6 +970,7 @@ object NorthStar {
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
     decontaminate, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ, dedupIncremental,
+    dedupIngestE2e,
     simBrute, simIvf, simIvfMultiprobe, simLsh,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,

@@ -127,6 +127,31 @@ class NeutralSpec extends AnyFunSuite {
     assert(kept == Set(50002L), s"got $kept")
   }
 
+  test("ingest e2e chains the admission filter with within-batch dedup") {
+    val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    // incoming: a near-dup of corpus doc 8 (admission must drop it), an
+    // exact within-batch pair (50003/50004 — admission keeps BOTH, the
+    // within-batch stage keeps the min id), and one fresh doc
+    val incoming = corpus.filter(col("doc_id") === 8)
+      .select(lit(50001L).as("doc_id"),
+        concat(col("text"), lit(" extra tail")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(Seq(
+        (50003L, "entirely fresh content nothing like the corpus at all zebra quark", "en", "t", 64L),
+        (50004L, "entirely fresh content nothing like the corpus at all zebra quark", "en", "t", 64L),
+        (50005L, "another genuinely new document speaking of unrelated affairs today", "en", "t", 66L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val kept = graft.ops.Neutral.ingestE2e(corpus, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(50003L, 50005L), s"got $kept")
+    // admission alone keeps the within-batch duplicate — proving the
+    // second stage is what removes it
+    val admittedOnly = graft.ops.Neutral
+      .dedupAgainst(corpus, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedOnly == Set(50003L, 50004L, 50005L), s"got $admittedOnly")
+  }
+
   test("random projection is exactly linear under power-of-two scaling") {
     val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 50)
