@@ -65,6 +65,12 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
       else headline.filter(all.contains)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // flaky-watch list: r6 showed these two with cross-rep spread from JVM
+    // noise (a 2.2x GC/contention outlier rep for pageRank, ~25% for scd2)
+    // even though every rep starts from cleared state. Extra reps tighten
+    // the steady estimate and queries_reps makes the envelope auditable;
+    // SCALING.md records the measured variance.
+    val extraReps = Map("q_graph_pagerank" -> 5, "q_e_scd2" -> 5)
     var errors = List.empty[String]
     // Per-RUN isolation: several operators intentionally return a cached
     // result (pageRank, kmeans/semDedup) or keep an internal intermediate
@@ -76,12 +82,14 @@ object Bench {
     // both the SQL cache and any persistent RDDs before every run keeps
     // each timing an honest end-to-end execution.
     def clearState(): Unit = {
+      ops.Pins.releaseAll() // also empties the op-level ledger
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
     val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+      val qReps = if (reps == 1) 1 else extraReps.getOrElse(name, reps)
+      val times = (1 to qReps).map { _ =>
         clearState()
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets the optimizer ELIMINATE a
@@ -111,10 +119,21 @@ object Bench {
     val allReps = results
       .map(r => s"\"" + r._1 + "\":" + r._3.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
+    // median over the warm reps (cold excluded when reps > 1): the noise-
+    // robust per-query estimate the flaky-watch queries gate on
+    def median(ts: Seq[Double]): Double = {
+      val warm = (if (ts.length > 1) ts.tail else ts).sorted
+      if (warm.exists(_ < 0)) -1.0
+      else if (warm.length % 2 == 1) warm(warm.length / 2)
+      else (warm(warm.length / 2 - 1) + warm(warm.length / 2)) / 2.0
+    }
+    val medians = results
+      .map(r => s"\"" + r._1 + "\":" + median(r._3))
+      .mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

@@ -29,6 +29,7 @@ object Verify {
       // some operators return/keep cached tables by contract; in a
       // 144-query single-JVM sweep those would accumulate into real
       // memory/GC pressure — release everything between queries
+      ops.Pins.releaseAll() // also empties the op-level ledger
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -91,7 +91,7 @@ object Cluster {
     // memory/GC pressure for every LATER query in a single-JVM run.
     var pinned: DataFrame = null
     def pin(df: DataFrame): DataFrame = {
-      val c = df.cache()
+      val c = Pins.track(df.cache())
       c.count()
       if (pinned != null) pinned.unpersist()
       pinned = c

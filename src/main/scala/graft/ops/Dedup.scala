@@ -68,6 +68,7 @@ object Dedup {
         graft.expr.ShingleHashes.shingleHashes(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
+      .transform(Pins.track)
 
   /** MinHash-LSH candidate pairs: signatures banded into `bands` bands of
     * `rows` slots; docs sharing any band bucket become candidates and are
@@ -358,6 +359,11 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within $maxIter iterations — " +
         "component ids would be partial; raise maxIter for deep graphs")
+    // the returned labels ride the final checkpoint — register its RDD ids
+    // so Pins.releaseAll() can free what DataFrame.unpersist cannot reach.
+    // NOTE the checkpoint contract: release only AFTER consuming the result
+    // (truncated lineage cannot recompute).
+    Pins.trackRdds(sc, labelCkptIds)
     labels
   }
 
@@ -399,7 +405,7 @@ object Dedup {
       .select(col("keep_doc_id").as("doc_id"))
     // kept feeds both the near-dup candidate search and the final anti
     // join — uncached, the exact-dedup digest groupBy re-executes twice
-    val kept = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
+    val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
     val nearDrop = minHashCandidates(kept, textCol)
       .filter(col("jaccard") >= minJaccard)
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))

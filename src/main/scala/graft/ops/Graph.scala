@@ -33,10 +33,10 @@ object Graph {
     // and without this the (possibly expensive) edge derivation re-executes
     // ~3x per iteration through the growing lineage. All three are released
     // before returning — the caller receives ONE cached result table.
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val e = Pins.track(edges.select(col("src"), col("dst")).distinct().cache())
+    val outdeg = Pins.track(e.groupBy("src").agg(count(lit(1)).as("od")).cache())
+    val nodes = Pins.track(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache())
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var scores = nodes.join(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).cast(dec).as("score"))
@@ -52,7 +52,7 @@ object Graph {
     val pinEvery = 5
     var pinned: DataFrame = null
     def pin(df: DataFrame): DataFrame = {
-      val c = df.cache()
+      val c = Pins.track(df.cache())
       c.count()
       if (pinned != null) pinned.unpersist()
       pinned = c
@@ -76,9 +76,9 @@ object Graph {
             .cast(dec).as("score"))
     }
     // materialize the result, then free every intermediate: the only cache
-    // surviving the call is the returned table (per-query clearState in
-    // Bench/Verify releases that one)
-    val out = scores.cache()
+    // surviving the call is the returned table (release via Pins.releaseAll
+    // after consuming, or the per-query clearState in Bench/Verify)
+    val out = Pins.track(scores.cache())
     out.count()
     if (pinned != null) pinned.unpersist()
     e.unpersist()

@@ -94,6 +94,7 @@ object Neutral {
       .filter(size(col("s")) > 0)
       .withColumn("sig", graft.expr.Md5MinHashSig.minHashSig(col("s")))
       .cache()
+      .transform(Pins.track)
 
   /** NARROW (doc_id, band, bucket) rows from a signature table. ONE
     * expression references sig once — 16 separate per-band columns would
@@ -298,7 +299,7 @@ object Neutral {
       minJaccard: Double = 0.8): DataFrame = {
     val exactKeep = Dedup.exactGroups(docs, textCol)
       .select(col("keep_doc_id").as("doc_id"))
-    val kept = docs.join(exactKeep, Seq("doc_id"), "left_semi").cache()
+    val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
     val pairs = minHashCandidates(kept, textCol)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")

@@ -92,11 +92,11 @@ object Quantize {
         lit("embedding dim "), size(col(embCol)).cast("string"),
         lit(s" is shorter than m*subDim = ${m * subDim}; " +
           "PQ subvectors would be truncated — fix m/subDim"))))
-    val subs = emb.select(col(idCol).as("vec_id"),
+    val subs = Pins.track(emb.select(col(idCol).as("vec_id"),
         posexplode(guarded).as(Seq("s", "sv")))
       .select(col("s"), col("vec_id"),
         transform(col("sv"), _.cast("double")).as("sv"))
-      .cache()
+      .cache())
     val seedIds = emb
       .select(col(idCol).as("vec_id"), md5(col(idCol).cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id"))
@@ -106,7 +106,7 @@ object Quantize {
       .select(col("cluster").cast("int").as("cluster"), col("x.vec_id").as("vec_id"))
     var pinned: DataFrame = null
     def pin(df: DataFrame): DataFrame = {
-      val c = df.cache()
+      val c = Pins.track(df.cache())
       c.count()
       if (pinned != null) pinned.unpersist()
       pinned = c

@@ -53,9 +53,9 @@ object Retrieval {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // postings feed four consumers (dl, stats, hits->df, score join);
     // uncached, the explode+count lineage re-executes for each
-    val tf = tokens(df, idCol, textCol)
+    val tf = Pins.track(tokens(df, idCol, textCol)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-      .cache()
+      .cache())
     val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val hits = tf.filter(col("word").isin(terms: _*))

@@ -209,9 +209,9 @@ object TextAnalysis {
       .select(explode(words(textCol)).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wc"))
-    var syms = wordCounts.select(col("wc"),
+    var syms = Pins.track(wordCounts.select(col("wc"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("s"))
-      .cache()
+      .cache())
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (r <- 1 to rounds) {
       val top = syms
@@ -227,7 +227,8 @@ object TextAnalysis {
       require(top.nonEmpty, s"no adjacent pairs left to merge in round $r")
       val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((r, a, b, a + b, cnt))
-      val next = syms.select(col("wc"), applyBpeMerge(col("s"), a, b).as("s")).cache()
+      val next = Pins.track(
+        syms.select(col("wc"), applyBpeMerge(col("s"), a, b).as("s")).cache())
       next.count()
       syms.unpersist()
       syms = next

@@ -5,12 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Cache-lifecycle contract: operators may pin intermediates while they
   * run, but (a) iterative loops must release superseded pins as they go,
-  * (b) a finished query leaves at most a small bounded set of persisted
-  * tables (its documented result/intermediate handles), and (c) the
-  * per-query clearState that Bench/Verify run between queries empties the
-  * JVM completely. Round 5 showed what happens otherwise: leaked pins
-  * compounding across a single-JVM bench inflated UNRELATED later queries
-  * 2-7x.
+  * (b) a finished query leaves at most its documented pinned footprint,
+  * (c) EVERY pin an operator leaves is registered in the `ops.Pins` ledger
+  * so a library consumer can release it without the harness-level
+  * clearState sweep, and (d) `Pins.releaseAll()` alone empties the JVM's
+  * persistent-RDD registry. Round 5 showed what happens otherwise: leaked
+  * pins compounding across a single-JVM bench inflated UNRELATED later
+  * queries 2-7x.
   */
 class CacheHygieneSpec extends AnyFunSuite {
 
@@ -24,27 +25,81 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def clearState(): Unit = {
+    ops.Pins.releaseAll()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
 
-  test("cache-heavy queries leave a bounded persisted footprint; clearState empties it") {
+  test("cache-heavy queries: every pin is ledger-tracked; releaseAll alone empties the JVM") {
     val cacheHeavy = Seq("q_graph_pagerank", "q_ns_kmeans", "q_ns_semdedup",
       "q_ns_dedup_corpus", "q_ret_bm25_topk", "q_ns_dedup_components",
       "q_graph_reach_cte", "q_ns_dedup_corpus_clustered",
       "q_ns_dedup_incremental", "q_ns_dedup_minhash", "q_ns_pq_topk",
-      "q_ns_bpe_tokenize")
+      "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()
       val persisted = spark.sparkContext.getPersistentRDDs.size
       assert(persisted <= 4,
         s"$name left $persisted persisted RDDs — leaked intermediates?")
-      clearState()
+      // ledger completeness: no operator cache escapes the Pins registry
+      assert(ops.Pins.liveCount >= persisted,
+        s"$name: ${ops.Pins.liveCount} ledger pins < $persisted persisted " +
+          "RDDs — an untracked cache exists")
+      // the self-contained release path (NO clearCache sweep)
+      ops.Pins.releaseAll()
       assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        s"$name: clearState did not empty the persistent-RDD registry")
+        s"$name: Pins.releaseAll left persisted RDDs behind")
     }
+  }
+
+  test("per-op pinned footprint is exactly the documented contract") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 1) % 40)).toDF("src", "dst")
+    val emb = queries.T.embeddings(spark, sf)
+    val docs = queries.T.documents(spark, sf)
+    def footprint(body: => Unit): Int = {
+      clearState()
+      body
+      val n = spark.sparkContext.getPersistentRDDs.size
+      clearState()
+      n
+    }
+    // pageRank: ONE pin — the returned result table
+    assert(footprint(ops.Graph.pageRank(edges, iters = 7).count()) == 1)
+    // kmeans: ONE pin — the final centroid table the lazy assignment reads
+    assert(footprint(ops.Cluster.kmeansAssign(emb, k = 4, iters = 4).count()) == 1)
+    // bm25: ONE pin — the postings (tf) table
+    assert(footprint(
+      ops.Retrieval.bm25(docs, "doc_id", "text", Seq("the", "a")).count()) == 1)
+    // md5 minhash candidates: ONE pin — the signature table
+    assert(footprint(ops.Neutral.minHashCandidates(docs).count()) == 1)
+    // pair-level corpus dedup: TWO pins — exact-kept docs + xxhash shingles
+    assert(footprint(ops.Dedup.dedupCorpus(docs).count()) == 2)
+    // incremental admission: TWO pins — incoming + corpus signature tables
+    assert(footprint(ops.Neutral.dedupAgainst(
+      docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250)).count()) == 2)
+  }
+
+  test("looped calls with releaseAll keep a flat pin count") {
+    import spark.implicits._
+    clearState()
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 1) % 40)).toDF("src", "dst")
+    val docs = queries.T.documents(spark, sf).filter($"doc_id" < 100)
+    val counts = (1 to 10).map { _ =>
+      ops.Graph.pageRank(edges, iters = 3).count()
+      // clustered dedup exercises caches AND the components localCheckpoint
+      // path (releasable only through the ledger's RDD-id tracking)
+      ops.Neutral.dedupCorpusClustered(docs).count()
+      val n = spark.sparkContext.getPersistentRDDs.size
+      ops.Pins.releaseAll()
+      n
+    }
+    assert(counts.distinct.size == 1,
+      s"pin count drifted across identical calls: $counts")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "registry not empty after the final releaseAll")
   }
 
   test("pageRank releases every intermediate — only the result table survives") {
