@@ -185,4 +185,39 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges:\n$p")
   }
+
+  test("exchange budget: the most expensive queries keep their live exchange counts") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // ExplainAudit's per-round plan review, graduated to a regression gate
+    // for the bench's heaviest queries. TYPED traversal (not plan-string
+    // grep): InMemoryTableScan / localCheckpoint boundaries stop descent,
+    // so these are the exchanges that actually re-execute when the
+    // returned plan runs — cached-lineage noise excluded. A lost
+    // broadcast resurfaces as an extra shuffle join (fails maxShuffles)
+    // or a dropped BroadcastExchange (fails minBroadcasts); a new
+    // exchange fails here instead of surfacing as a bench anomaly.
+    // (name -> (maxShuffles incl. the output sort's range partition,
+    //           minBroadcasts))
+    val budget = Map(
+      "q_ns_dedup_minhash"          -> ((4, 3)),
+      "q_ns_dedup_corpus_clustered" -> ((3, 0)),
+      "q_ns_semdedup"               -> ((7, 6)),
+      "q_ns_pq_topk"                -> ((4, 9)),
+      "q_ns_dedup_incremental"      -> ((5, 4)),
+      "q_ns_dedup_ingest_e2e"       -> ((2, 0)),
+      "q_ret_bm25_topk"             -> ((5, 3)))
+    for ((name, (maxSh, minBc)) <- budget) {
+      val plan = queries.Registry.byName(name).fn(spark, sf)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case o => o
+        }
+      val sh = plan.collect { case _: ShuffleExchangeExec => 1 }.size
+      val bc = plan.collect { case _: BroadcastExchangeExec => 1 }.size
+      assert(sh <= maxSh,
+        s"$name grew a shuffle: $sh live exchanges > budget $maxSh\n$plan")
+      assert(bc >= minBc,
+        s"$name lost a broadcast: $bc BroadcastExchange < expected $minBc\n$plan")
+    }
+  }
 }
