@@ -42,7 +42,10 @@ object Bench {
     // ingest-time incremental dedup
     "q_ns_dedup_corpus_clustered",
     "q_ns_pq_topk",
-    "q_ns_dedup_incremental")
+    "q_ns_dedup_incremental",
+    // round-7: chained ingest (admission + within-batch dedup), IVF-PQ
+    "q_ns_dedup_ingest_e2e",
+    "q_ns_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

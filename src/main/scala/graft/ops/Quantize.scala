@@ -142,15 +142,20 @@ object Quantize {
     (cents, a)
   }
 
-  /** Per-vector PQ codes as flat columns code_0..code_{m-1}. */
-  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val (_, a) = pqFit(emb, m, subDim, k, iters)
+  /** (vec_id, code_0..code_{m-1}) from a pqFit assignment — one pivot
+    * aggregation over the per-subspace rows. */
+  private def codesOf(a: DataFrame, m: Int): DataFrame =
     a.groupBy("vec_id")
       .agg(
         max(when(col("s") === 0, col("cluster"))).cast("long").as("code_0"),
         (1 until m).map(s =>
           max(when(col("s") === s, col("cluster"))).cast("long").as(s"code_$s")): _*)
+
+  /** Per-vector PQ codes as flat columns code_0..code_{m-1}. */
+  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val (_, a) = pqFit(emb, m, subDim, k, iters)
+    codesOf(a, m)
   }
 
   /** Left-to-right double dot product — textually the same fold the DuckDB
@@ -169,18 +174,11 @@ object Quantize {
     * Scores sum the m lookups in fixed textual order (bit-exact
     * cross-engine); rank-only output, ties (identical code tuples) broken
     * by vec_id. */
-  def pqTopK(emb: DataFrame, queryIds: Seq[Long], kNN: Int, m: Int = 4,
-      subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (cents, a) = pqFit(emb, m, subDim, k, iters)
-    val codes = a.groupBy("vec_id")
-      .agg(
-        max(when(col("s") === 0, col("cluster"))).cast("long").as("code_0"),
-        (1 until m).map(s =>
-          max(when(col("s") === s, col("cluster"))).cast("long").as(s"code_$s")): _*)
-    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val luts = (0 until m).map { s =>
+  /** Per-query m×k ADC lookup tables: (query_id, code_s, d_s) for each
+    * subspace — queries×m×k rows total, broadcast at any corpus size. */
+  private def lutsOf(queries: DataFrame, cents: DataFrame, m: Int,
+      subDim: Int): Seq[DataFrame] =
+    (0 until m).map { s =>
       queries
         .select(col("query_id"),
           slice(col("embedding"), s * subDim + 1, subDim).as("qs"))
@@ -188,6 +186,15 @@ object Quantize {
         .select(col("query_id"), col("cluster").cast("long").as(s"code_$s"),
           dotLR(col("qs"), col("c")).as(s"d_$s"))
     }
+
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], kNN: Int, m: Int = 4,
+      subDim: Int = 16, k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, a) = pqFit(emb, m, subDim, k, iters)
+    val codes = codesOf(a, m)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val luts = lutsOf(queries, cents, m, subDim)
     val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, s)) =>
       val keys = if (s == 0) Seq(s"code_$s") else Seq("query_id", s"code_$s")
       acc.join(broadcast(lut), keys)
@@ -197,6 +204,55 @@ object Quantize {
       .orderBy(col("score").desc, col("vec_id").asc)
     scored
       .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** IVF-PQ: the standard billion-vector serving composition — a coarse
+    * quantizer (per-label centroids, the same routing as
+    * [[Similarity.ivfTopK]]) bounds the scan to each query's `nprobe`
+    * inverted lists, and the scanned fraction is scored by PQ-ADC lookups
+    * over m-int codes, never full-precision vectors. At scale: centroids
+    * are nlist×dim (broadcast), LUTs are queries×m×k (broadcast), and the
+    * corpus side reads only (vec_id, label, codes) — the footprint that
+    * makes a 10^9-vector index servable from a fraction of the raw bytes.
+    * Labels partition the corpus, so probed lists are disjoint and the
+    * rerank window needs no dedup. Rank-only output (ADC score ordering,
+    * vec_id tie-break) keeps it hash-comparable cross-engine. */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], kNN: Int,
+      nprobe: Int = 2, m: Int = 4, subDim: Int = 16, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, a) = pqFit(emb, m, subDim, k, iters)
+    val codes = codesOf(a, m)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // coarse route: nprobe nearest label-centroids per query
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = queries.crossJoin(broadcast(Similarity.centroids(emb)))
+      .withColumn("ccos",
+        graft.expr.VecExprs.cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("label").as("probe_label"))
+    // candidates: vectors in the probed lists, carried as narrow
+    // (query_id, vec_id) keys; codes + LUT dots attach by equi join
+    val cand = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(routed),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val luts = lutsOf(queries, cents, m, subDim)
+    val scored = luts.zipWithIndex.foldLeft(cand.join(codes, Seq("vec_id"))) {
+      case (acc, (lut, s)) =>
+        acc.join(broadcast(lut), Seq("query_id", s"code_$s"))
+    }
+    val score = (0 until m).map(s => col(s"d_$s")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)

@@ -243,9 +243,10 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
-  /** Shared ADC oracle tail: q (query vectors), lut_s (per-subspace
-    * query x codebook dots), codes, scored (fixed-order score sum). */
-  private def pqAdcCtes: String =
+  /** Shared ADC building blocks: q (query vectors), lut_s (per-subspace
+    * query x codebook dots), codes — reused by the brute ADC tail and the
+    * IVF-routed variant. */
+  private def pqQLutCodesCtes: String =
     s"""q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings WHERE vec_id < 10
@@ -261,7 +262,12 @@ object EmbeddingQueries {
        |  SELECT a0.vec_id, ${(0 until PQ_M).map(s => s"CAST(a$s.cluster AS BIGINT) AS code_$s").mkString(", ")}
        |  FROM a${PQ_ITERS}_s0 a0
        |  ${(1 until PQ_M).map(s => s"JOIN a${PQ_ITERS}_s$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n  ")}
-       |),
+       |)""".stripMargin
+
+  /** Full-corpus ADC oracle tail: blocks + scored (fixed-order score sum
+    * over every corpus vector). */
+  private def pqAdcCtes: String =
+    s"""$pqQLutCodesCtes,
        |scored AS (
        |  SELECT l0.query_id, codes.vec_id,
        |         (${(0 until PQ_M).map(s => s"d_$s").mkString(" + ")}) AS score
@@ -341,6 +347,63 @@ object EmbeddingQueries {
       .orderBy("query_id")
   }
 
+  /** IVF-PQ: coarse label-centroid routing (nprobe = 2) bounding the scan
+    * to the probed inverted lists, PQ-ADC scoring within them — the
+    * billion-vector serving composition with both halves already
+    * oracle-proven separately (q_ns_sim_ivf_* routing, q_ns_pq_topk ADC).
+    * Rank-only output; routing ranks and ADC score ordering are both
+    * stable cross-engine. */
+  val ivfPqTopK = QueryDef(
+    "q_ns_ivfpq_topk",
+    pqAllCtes + ",\n" + pqQLutCodesCtes +
+      s""",
+         |expanded AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |),
+         |cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS centroid
+         |  FROM (SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos) g
+         |  GROUP BY label
+         |),
+         |routed AS (
+         |  SELECT query_id, label AS probe_label
+         |  FROM (
+         |    SELECT q.query_id, c.label,
+         |           row_number() OVER (
+         |             PARTITION BY q.query_id
+         |             ORDER BY list_cosine_similarity(q.qv, c.centroid) DESC, c.label) AS rn
+         |    FROM q CROSS JOIN cent c
+         |  ) x WHERE rn <= 2
+         |),
+         |cand AS (
+         |  SELECT r.query_id, e.vec_id
+         |  FROM embeddings e JOIN routed r ON e.label = r.probe_label
+         |  WHERE e.vec_id <> r.query_id
+         |),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |         (${(0 until PQ_M).map(s => s"d_$s").mkString(" + ")}) AS score
+         |  FROM cand
+         |  JOIN codes ON codes.vec_id = cand.vec_id
+         |  ${(0 until PQ_M).map(s =>
+            s"JOIN lut_$s l$s ON l$s.query_id = cand.query_id AND l$s.code_$s = codes.code_$s")
+           .mkString("\n  ")}
+         |)
+         |SELECT query_id, rank, neighbor_id
+         |FROM (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    Quantize.ivfPqTopK(T.embeddings(s, d), (0L until 10L), 3,
+      nprobe = 2, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+      .orderBy("query_id", "rank")
+  }
+
   /** md5-seeded Rademacher (Johnson-Lindenstrauss) projection to 8 dims,
     * flat (vec_id, pos, v) output — projections are exact doubles on both
     * engines (same fold order), so the hash gate compares them directly. */
@@ -353,5 +416,5 @@ object EmbeddingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(kmeans, semDedup, quantize, qualitySample, textNormalize,
-      pqCodes, pqTopK, pqRecall, randomProjection)
+      pqCodes, pqTopK, pqRecall, ivfPqTopK, randomProjection)
 }

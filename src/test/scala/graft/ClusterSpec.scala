@@ -151,6 +151,24 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq with full-coverage nprobe equals plain pq-adc") {
+    // when every label is probed the candidate set is the whole corpus
+    // minus self, so the routed variant must reproduce the brute ADC
+    // ranking exactly — pins that routing only FILTERS, never re-scores
+    val nLabels = emb.select("label").distinct().count().toInt
+    val full = Quantize.ivfPqTopK(emb, Seq(0L, 1L, 2L), kNN = 5,
+        nprobe = nLabels, m = 4, subDim = 16, k = 4, iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Quantize.pqTopK(emb, Seq(0L, 1L, 2L), kNN = 5, m = 4,
+        subDim = 16, k = 4, iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full == brute, s"routed != brute:\n$full\nvs\n$brute")
+    // nprobe=1 returns a full distinct ranking from the probed list only
+    val one = Quantize.ivfPqTopK(emb, Seq(0L), kNN = 5, nprobe = 1,
+      m = 4, subDim = 16, k = 4, iters = 2).collect()
+    assert(one.length == 5 && one.map(_.getLong(2)).distinct.length == 5)
+  }
+
   test("semdedup scale knob: k scaled with the corpus bounds per-cluster pair volume") {
     // The SemDeDup pair stage is quadratic ONLY inside a cluster. The
     // scaling contract (Cluster scaladoc) is that growing k in proportion
