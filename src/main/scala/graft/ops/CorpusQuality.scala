@@ -149,6 +149,35 @@ object CorpusQuality {
       .select("source", "n_docs", "tokens", "token_share", "weight")
   }
 
+  /** Temperature-weighted source mixing at α = 0.5: per-source sampling
+    * weights w ∝ p^α over token shares — the multilingual/multi-source
+    * rebalancing curve (upweights tail sources toward, but not all the way
+    * to, uniform). α is FIXED at 0.5 because sqrt is correctly rounded per
+    * IEEE-754 in both engines, unlike pow(x, α) whose last ulp is
+    * libm-dependent — the determinism contract extended to the temperature
+    * curve (general α runs the same plan, rank-stable but not hash-exact).
+    * Normalization sums the sqrt terms in DECIMAL(18,9) (order-independent
+    * exact sum); `boost` = w/p is the per-source up/down-sampling factor a
+    * sampler multiplies in. One count shuffle + two 1-row broadcasts. */
+  def temperatureMixWeights(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val perSrc = docs
+      .select(col(sourceCol).as("source"), tokens(textCol).as("ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws")).cast("long")).as("tokens"))
+    val tot = perSrc.agg(sum(col("tokens")).as("total_tokens"))
+    val ps = perSrc.join(broadcast(tot))
+      .withColumn("p", col("tokens").cast("double") / col("total_tokens"))
+      .withColumn("sp",
+        sqrt(col("p")).cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+    val z = ps.agg(sum(col("sp")).as("z"))
+    ps.join(broadcast(z))
+      .withColumn("w", col("sp").cast("double") / col("z").cast("double"))
+      .withColumn("boost", col("w") / col("p"))
+      .select("source", "n_docs", "tokens", "p", "w", "boost")
+  }
+
   /** Distribution drift between the train and val splits: per length-bucket
     * KL(train‖val) contributions. Catches a broken split (or a corpus
     * update that skewed one side) before training does. Bucket counts are

@@ -114,6 +114,38 @@ object Similarity {
         col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Hard-negative mining for metric-learning data prep: per query, the
+    * `k` most-similar vectors with a DIFFERENT label. Routed like
+    * [[ivfTopK]], but over the query's `nprobe` nearest FOREIGN
+    * label-centroids — since the inverted lists are label partitions,
+    * every candidate in a probed list is different-label by construction,
+    * so no per-candidate label check or self-exclusion is needed and the
+    * scan stays bounded to nprobe lists at any corpus size. Rank-only
+    * output with the negative's label as the parity witness. */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = centroids(emb)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = queries.crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("q_label")) // foreign lists only
+      .withColumn("ccos", cosine("q_emb", "centroid"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("label").as("probe_label"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(broadcast(routed), col("label") === col("probe_label"))
+      .withColumn("cos", cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"))
+  }
+
   /** Random-hyperplane LSH bucket id: `nbits` sign bits over hyperplanes
     * derived deterministically from XXH64 — no stored model, reproducible
     * across runs. Compiled kernel (graft.expr.LshBuckets). */

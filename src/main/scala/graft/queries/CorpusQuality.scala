@@ -120,6 +120,35 @@ object CorpusQueries {
     CQ.domainMixWeights(T.documents(s, d)).orderBy("source")
   }
 
+  /** Temperature-weighted source mixing (α = 0.5 — sqrt is IEEE-exact in
+    * both engines; pow's last ulp is not): w ∝ sqrt(token share),
+    * normalized with a DECIMAL(18,9) exact sum; boost = w/p is the
+    * sampler's per-source multiplier. */
+  val temperatureMix = QueryDef(
+    "q_ns_temperature_mix",
+    s"""WITH w AS (
+      |  SELECT source, $toks AS ws FROM documents
+      |), per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(ws)) AS BIGINT) AS tokens
+      |  FROM w GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per
+      |), ps AS (
+      |  SELECT source, n_docs, tokens,
+      |         CAST(tokens AS DOUBLE) / total_tokens AS p,
+      |         CAST(sqrt(CAST(tokens AS DOUBLE) / total_tokens)
+      |              AS DECIMAL(18,9)) AS sp
+      |  FROM per CROSS JOIN tot
+      |), z AS (SELECT sum(sp) AS z FROM ps)
+      |SELECT source, n_docs, tokens, p,
+      |       CAST(sp AS DOUBLE) / CAST(z AS DOUBLE) AS w,
+      |       (CAST(sp AS DOUBLE) / CAST(z AS DOUBLE)) / p AS boost
+      |FROM ps CROSS JOIN z
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    CQ.temperatureMixWeights(T.documents(s, d)).orderBy("source")
+  }
+
   val splitDrift = QueryDef(
     "q_ns_split_drift",
     """WITH b AS (
@@ -155,5 +184,6 @@ object CorpusQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(gopherQuality, boilerplate, chunkOverlap, domainMix, splitDrift)
+    Seq(gopherQuality, boilerplate, chunkOverlap, domainMix, temperatureMix,
+      splitDrift)
 }

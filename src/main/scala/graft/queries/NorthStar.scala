@@ -400,6 +400,54 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining (metric-learning data prep): per query, the 3
+    * most-similar DIFFERENT-label vectors, routed over the query's two
+    * nearest FOREIGN label-centroids — lists are label partitions, so
+    * every candidate in a probed list is a negative by construction and
+    * the scan stays bounded to nprobe lists at any corpus size. */
+  val hardNegatives = QueryDef(
+    "q_ns_hard_negatives",
+    """WITH expanded AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos) g
+      |  GROUP BY label
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+      |         label AS q_label
+      |  FROM embeddings WHERE vec_id < 10
+      |),
+      |routed AS (
+      |  SELECT query_id, qe, label AS probe_label
+      |  FROM (
+      |    SELECT q.query_id, q.qe, c.label,
+      |           row_number() OVER (
+      |             PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC, c.label) AS rn
+      |    FROM q CROSS JOIN cent c
+      |    WHERE c.label <> q.q_label
+      |  ) x WHERE rn <= 2
+      |)
+      |SELECT query_id, rank, neighbor_id, neighbor_label
+      |FROM (
+      |  SELECT r.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+      |         row_number() OVER (
+      |           PARTITION BY r.query_id
+      |           ORDER BY list_cosine_similarity(r.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                    e.vec_id) AS rank
+      |  FROM embeddings e JOIN routed r ON e.label = r.probe_label
+      |) x
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    Similarity.hardNegatives(T.embeddings(s, d), queryIds, 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-probe IVF (nprobe = 2): each query searches its two nearest
     * centroids' inverted lists — the recall dial — with the rank-1 route
     * reported as probe_label. Labels partition the corpus, so the probed
@@ -971,7 +1019,7 @@ object NorthStar {
     decontaminate, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ, dedupIncremental,
     dedupIngestE2e,
-    simBrute, simIvf, simIvfMultiprobe, simLsh,
+    simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
     textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)

@@ -341,6 +341,41 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)), m2.toSeq)
   }
 
+  test("hard negatives are all different-label, full distinct rankings") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    val qLabels = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val rows = Similarity.hardNegatives(emb, (0L until 5L), k = 4, nprobe = 2)
+      .collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val (q, rank, nid, nl) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      assert(nl != qLabels(q), s"query $q got a same-label 'negative' $nid")
+      assert(rank >= 1 && rank <= 4)
+      assert(nid != q)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length == 4, s"dup negatives for $q")
+    }
+  }
+
+  test("temperature mix: weights normalize, tail sources boost up, head down") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.ops.CorpusQuality.temperatureMixWeights(docs)
+      .select("source", "p", "w", "boost")
+      .as[(String, Double, Double, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "weights must sum to 1")
+    // sqrt-temperature flattens the mixture: below-average shares gain,
+    // above-average shares shrink, and boost is monotone decreasing in p
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.head._4 > 1.0 && sorted.last._4 < 1.0,
+      s"tail should upweight / head downweight: ${sorted.head} ${sorted.last}")
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4 - 1e-12, s"boost not monotone: $a then $b")
+    }
+  }
+
   test("multimodal decode recovers planted geometry from real image bytes") {
     implicit val s: SparkSession = spark
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(30)
