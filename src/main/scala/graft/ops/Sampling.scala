@@ -47,6 +47,34 @@ object Sampling {
       .withColumn("keep_bucket", splitBucket(col(idCol)))
       .withColumn("kept", col("keep_bucket") < col("keep_pct"))
 
+  /** Materialize per-source mix weights into an actual resampled corpus:
+    * each doc is emitted `floor(boost)` times plus one more with
+    * probability frac(boost), decided by the stable md5 bucket — the step
+    * that turns [[CorpusQuality.temperatureMixWeights]]' `boost` column
+    * (or any per-source multiplier) into training rows. Deterministic
+    * across runs/engines/partitionings, map-only after a broadcast join
+    * of the (tiny) weight table; a boost < 1 degenerates to weighted
+    * downsampling, a boost > 1 to replication with a fractional tail.
+    * Output keys are (doc_id, copy) — downstream shuffles see distinct
+    * keys, not duplicated ids. */
+  def resampleByWeight(docs: DataFrame, weights: DataFrame,
+      idCol: String = "doc_id", keyCol: String = "source",
+      boostCol: String = "boost"): DataFrame = {
+    val nCopies =
+      (floor(col(boostCol)).cast("long")
+        + when(splitBucket(col(idCol)).cast("double") / 100.0
+            < col(boostCol) - floor(col(boostCol)), 1L).otherwise(0L))
+        .as("n_copies")
+    docs
+      .join(broadcast(weights.select(col(keyCol), col(boostCol))), keyCol)
+      .select(col(idCol), col(keyCol), nCopies)
+      .withColumn("copy",
+        explode(when(col("n_copies") > 0,
+            sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))))
+      .select(idCol, keyCol, "copy")
+  }
+
   /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
     * train, next `valPct` → val, rest → test. */
   def withSplit(df: DataFrame, idCol: String = "doc_id",

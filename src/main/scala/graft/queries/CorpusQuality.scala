@@ -120,33 +120,71 @@ object CorpusQueries {
     CQ.domainMixWeights(T.documents(s, d)).orderBy("source")
   }
 
+  /** Shared temperature-mix CTE chain: per-source token shares, sqrt
+    * weights (DECIMAL-exact normalizer) — tail ends at `ps`/`z`. */
+  private val tempCtes =
+    s"""w AS (
+       |  SELECT source, $toks AS ws FROM documents
+       |), per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(ws)) AS BIGINT) AS tokens
+       |  FROM w GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per
+       |), ps AS (
+       |  SELECT source, n_docs, tokens,
+       |         CAST(tokens AS DOUBLE) / total_tokens AS p,
+       |         CAST(sqrt(CAST(tokens AS DOUBLE) / total_tokens)
+       |              AS DECIMAL(18,9)) AS sp
+       |  FROM per CROSS JOIN tot
+       |), z AS (SELECT sum(sp) AS z FROM ps)""".stripMargin
+
   /** Temperature-weighted source mixing (α = 0.5 — sqrt is IEEE-exact in
     * both engines; pow's last ulp is not): w ∝ sqrt(token share),
     * normalized with a DECIMAL(18,9) exact sum; boost = w/p is the
     * sampler's per-source multiplier. */
   val temperatureMix = QueryDef(
     "q_ns_temperature_mix",
-    s"""WITH w AS (
-      |  SELECT source, $toks AS ws FROM documents
-      |), per AS (
-      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |         CAST(sum(len(ws)) AS BIGINT) AS tokens
-      |  FROM w GROUP BY source
-      |), tot AS (
-      |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per
-      |), ps AS (
-      |  SELECT source, n_docs, tokens,
-      |         CAST(tokens AS DOUBLE) / total_tokens AS p,
-      |         CAST(sqrt(CAST(tokens AS DOUBLE) / total_tokens)
-      |              AS DECIMAL(18,9)) AS sp
-      |  FROM per CROSS JOIN tot
-      |), z AS (SELECT sum(sp) AS z FROM ps)
+    s"""WITH $tempCtes
       |SELECT source, n_docs, tokens, p,
       |       CAST(sp AS DOUBLE) / CAST(z AS DOUBLE) AS w,
       |       (CAST(sp AS DOUBLE) / CAST(z AS DOUBLE)) / p AS boost
       |FROM ps CROSS JOIN z
       |ORDER BY source""".stripMargin) { (s, d) =>
     CQ.temperatureMixWeights(T.documents(s, d)).orderBy("source")
+  }
+
+  /** The DuckDB twin of Sampling.splitBucket(doc_id): first 4 md5 hex
+    * digits as an integer, mod 100. */
+  private val bucketExpr =
+    """CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |    % 100 AS BIGINT)""".stripMargin
+
+  /** The mix weights MATERIALIZED: every doc emitted floor(boost) times
+    * plus a fractional extra decided by the stable md5 bucket — the
+    * weights-to-training-rows step, deterministic across engines. */
+  val temperatureResample = QueryDef(
+    "q_ns_temperature_resample",
+    s"""WITH $tempCtes,
+      |bw AS (
+      |  SELECT source,
+      |         (CAST(sp AS DOUBLE) / CAST(z AS DOUBLE)) / p AS boost
+      |  FROM ps CROSS JOIN z
+      |), nc AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(floor(boost) AS BIGINT)
+      |         + CASE WHEN CAST($bucketExpr AS DOUBLE) / 100.0
+      |                     < boost - floor(boost) THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN bw USING (source)
+      |)
+      |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+      |FROM nc, unnest(generate_series(1, CAST(n_copies AS INTEGER))) AS t(copy)
+      |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    graft.ops.Sampling.resampleByWeight(docs, CQ.temperatureMixWeights(docs))
+      .orderBy("doc_id", "copy")
   }
 
   val splitDrift = QueryDef(
@@ -185,5 +223,5 @@ object CorpusQueries {
 
   val defs: Seq[QueryDef] =
     Seq(gopherQuality, boilerplate, chunkOverlap, domainMix, temperatureMix,
-      splitDrift)
+      temperatureResample, splitDrift)
 }

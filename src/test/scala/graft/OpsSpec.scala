@@ -376,6 +376,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resample materializes boosts: up-sampled sources gain, down-sampled lose") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val weights = graft.ops.CorpusQuality.temperatureMixWeights(docs)
+    val out = graft.ops.Sampling.resampleByWeight(docs, weights)
+    // (doc_id, copy) is a key: no duplicate rows ride downstream shuffles
+    assert(out.count() == out.select("doc_id", "copy").distinct().count())
+    val before = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val after = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val boosts = weights.select("source", "boost")
+      .as[(String, Double)].collect().toMap
+    for ((src, b) <- boosts) {
+      val (n0, n1) = (before(src), after.getOrElse(src, 0L))
+      // deterministic bound: each doc emits floor(b) or ceil(b) copies
+      assert(n1 >= n0 * math.floor(b) && n1 <= n0 * math.ceil(b),
+        s"$src: $n0 docs at boost $b resampled to $n1")
+      if (b >= 1.3) assert(n1 > n0, s"$src should gain rows at boost $b")
+      if (b <= 0.7) assert(n1 < n0, s"$src should lose rows at boost $b")
+    }
+  }
+
   test("multimodal decode recovers planted geometry from real image bytes") {
     implicit val s: SparkSession = spark
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(30)
