@@ -94,6 +94,11 @@ class PlanSpec extends AnyFunSuite {
       // queries × centroids routing cross: |queries| × nlist rows
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
+      "q_ns_ivfpq_topk" -> "tiny centroid routing + k-row LUT crosses",
+      "q_ns_hard_negatives" -> "tiny foreign-centroid routing cross",
+      // 1-row corpus-total / normalizer broadcasts into per-source weights
+      "q_ns_temperature_mix" -> "1-row totals broadcast",
+      "q_ns_temperature_resample" -> "1-row totals broadcast",
       // single-row aggregate threshold broadcast into the filter
       "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast",
       // 1-row corpus stats (N / avgdl) broadcast into the scorer
