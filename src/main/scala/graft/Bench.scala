@@ -73,7 +73,8 @@ object Bench {
     // even though every rep starts from cleared state. Extra reps tighten
     // the steady estimate and queries_reps makes the envelope auditable;
     // SCALING.md records the measured variance.
-    val extraReps = Map("q_graph_pagerank" -> 5, "q_e_scd2" -> 5)
+    val extraReps = Map("q_graph_pagerank" -> 5, "q_e_scd2" -> 5,
+      "q_ns_dedup_ingest_e2e" -> 5)
     var errors = List.empty[String]
     // Per-RUN isolation: several operators intentionally return a cached
     // result (pageRank, kmeans/semDedup) or keep an internal intermediate

@@ -153,6 +153,26 @@ object Streaming {
       .orderBy("segment", "event_type")
   }
 
+  /** Streaming ingest admission on the batch path: the incoming half of
+    * the documents table admitted against the existing half by content
+    * digest — a stream-static LEFT ANTI join with zero state (the
+    * readStream twin and the foreachBatch near-dup chain run in
+    * StreamingSpec). */
+  val streamAdmitExact = QueryDef(
+    "q_stream_admit_exact",
+    """SELECT i.doc_id FROM documents i
+      |WHERE i.doc_id >= 250 AND NOT EXISTS (
+      |  SELECT 1 FROM documents c
+      |  WHERE c.doc_id < 250 AND sha256(c.text) = sha256(i.text))
+      |ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    StreamOps.admitNewDocs(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
-    statefulSessions, streamDedup, streamJoin, streamStaticEnrich)
+    statefulSessions, streamDedup, streamJoin, streamStaticEnrich,
+    streamAdmitExact)
 }

@@ -215,6 +215,41 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         graft.queries.Fns.dsum(col("value")).as("total_value"))
 
+  /** Streaming ingest admission, exact tier: drop stream docs whose
+    * content digest already exists in the static corpus — a stream-static
+    * LEFT ANTI equi join against the corpus digest set. Zero state, no
+    * watermark: the static side is just re-read/broadcast per micro-batch
+    * (at scale, the digest set is the persisted 32-bytes-per-doc artifact
+    * the batch admission filter also keys on). Identical code runs batch
+    * (the driver query) and under readStream (StreamingSpec). The NEAR-DUP
+    * tier is [[admissionIngest]]: banded verification is a multi-join +
+    * per-doc aggregation no streaming operator holds bounded state for, so
+    * it runs the full batch [[graft.ops.Neutral.dedupAgainst]] per
+    * micro-batch via foreachBatch — the idiomatic Spark shape for
+    * stream-vs-big-static set logic. */
+  def admitNewDocs(stream: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame =
+    stream.join(
+      corpus.select(sha2(col(textCol), 256).as("__sha")).distinct(),
+      sha2(col(textCol), 256) === col("__sha"), "left_anti")
+
+  /** Streaming ingest admission, full chain: per micro-batch, run the
+    * batch admission filter (exact digest + banded near-dup vs the static
+    * corpus) and append survivors to the sink — exactly-once via the
+    * checkpoint. Caller drives the returned query. */
+  def admissionIngest(corpus: DataFrame, stream: DataFrame, sinkDir: String,
+      checkpointDir: String, minJaccard: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Neutral.dedupAgainst(corpus, batch, minJaccard = minJaccard)
+          .write.mode("append").parquet(sinkDir)
+        graft.ops.Pins.releaseAll() // per-batch signature tables
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

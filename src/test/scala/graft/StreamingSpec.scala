@@ -85,6 +85,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact admission: streaming == batch, zero state") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 250)
+    // plant an exact copy of corpus doc 7 so the filter provably drops it
+    // (sf0.001 has no natural exact dup across the 250 boundary)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionByName(corpus.filter(col("doc_id") === 7)
+        .withColumn("doc_id", lit(51000L)))
+    val batch = StreamOps.admitNewDocs(incoming, corpus)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val src = java.nio.file.Files.createTempDirectory("admit_src")
+    incoming.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(incoming.schema).parquet(src.toString)
+    val q = StreamOps.admitNewDocs(stream, corpus)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("admit_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("admit_out").orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(!batch.exists(_.getLong(0) == 51000L),
+      "the planted exact duplicate must be dropped")
+    assert(batch.size == incoming.count() - 1,
+      "only the planted duplicate should be dropped at sf0.001")
+  }
+
+  test("foreachBatch near-dup admission matches the batch dedupAgainst") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+    val expected = graft.ops.Neutral.dedupAgainst(corpus, incoming)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val src = java.nio.file.Files.createTempDirectory("admitnd_src")
+    val sink = java.nio.file.Files.createTempDirectory("admitnd_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("admitnd_ckpt")
+    incoming.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(incoming.schema).parquet(src.toString)
+    val q = StreamOps.admissionIngest(corpus, stream, sink.toString, ckpt.toString)
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(sink.toString)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(got == expected)
+  }
+
   test("sessionization finds gap-separated sessions") {
     import spark.implicits._
     val data = Seq(
