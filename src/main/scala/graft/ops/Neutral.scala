@@ -116,9 +116,13 @@ object Neutral {
     * uncapped candidate set. */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      precomputedSig: Option[DataFrame] = None): DataFrame = {
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
-    val sh = sigTable(docs, textCol, shingleN)
+    // precomputedSig: a sigTable already restricted to `docs` (signatures
+    // are a pure function of text, so reuse is result-identical) — lets
+    // composite pipelines skip re-hashing every shingle per stage
+    val sh = precomputedSig.getOrElse(sigTable(docs, textCol, shingleN))
     // candidate pairs dedup on narrow (doc_a, doc_b) keys before the
     // shingle-hash arrays re-attach for exact scoring, so no array ever
     // rides the bucket shuffle (the ngram pipeline's PPJoin shape)
@@ -159,7 +163,15 @@ object Neutral {
     * practice persisted) signature table. */
   def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
       textCol: String = "text", minJaccard: Double = 0.8,
-      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame =
+    admitWithSig(corpus, incoming, textCol, minJaccard, shingleN, bands, rows)._1
+
+  /** [[dedupAgainst]] body, also returning the incoming-side signature
+    * table (covers every admitted doc) so composite pipelines
+    * ([[ingestE2e]]) can reuse it instead of re-hashing each shingle. */
+  private def admitWithSig(corpus: DataFrame, incoming: DataFrame,
+      textCol: String, minJaccard: Double, shingleN: Int, bands: Int,
+      rows: Int): (DataFrame, DataFrame) = {
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
     val corpusSha = corpus.select(sha2(col(textCol), 256).as("sha")).distinct()
     val cleanExact = incoming.join(corpusSha,
@@ -179,7 +191,7 @@ object Neutral {
       .filter(jaccardSorted(col("h_i"), col("h_c")) >= minJaccard)
       .select(col("inc_id").as("doc_id"))
       .distinct()
-    cleanExact.join(dropped, Seq("doc_id"), "left_anti")
+    (cleanExact.join(dropped, Seq("doc_id"), "left_anti"), shI)
   }
 
   /** DuckDB twin of [[dedupAgainst]] for corpus/incoming slices of the
@@ -296,11 +308,17 @@ object Neutral {
     * one doc per transitive near-dup group: {1}. Which is right depends on
     * the pipeline; both are offered, both oracled. */
   def dedupCorpusClustered(docs: DataFrame, textCol: String = "text",
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      precomputedSig: Option[DataFrame] = None): DataFrame = {
     val exactKeep = Dedup.exactGroups(docs, textCol)
       .select(col("keep_doc_id").as("doc_id"))
     val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
-    val pairs = minHashCandidates(kept, textCol)
+    // a caller-supplied signature table (covering ⊇ docs) restricts to the
+    // exact-kept rows by semi join — signatures are pure functions of text,
+    // so reuse is result-identical and skips the per-shingle md5 pass
+    val keptSig = precomputedSig.map(
+      _.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val pairs = minHashCandidates(kept, textCol, precomputedSig = keptSig)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
     val dropped = Dedup.connectedComponents(pairs)
@@ -344,9 +362,14 @@ object Neutral {
     * against the corpus signature table and stage 2 runs on the (much
     * smaller) admitted batch only. */
   def ingestE2e(corpus: DataFrame, incoming: DataFrame,
-      textCol: String = "text", minJaccard: Double = 0.8): DataFrame =
-    dedupCorpusClustered(dedupAgainst(corpus, incoming, textCol, minJaccard),
-      textCol, minJaccard)
+      textCol: String = "text", minJaccard: Double = 0.8): DataFrame = {
+    val (admitted, shI) =
+      admitWithSig(corpus, incoming, textCol, minJaccard, 3, 16, 4)
+    // stage 2 reuses stage 1's cached incoming-side signatures (shI covers
+    // every admitted doc) — the chain hashes each shingle exactly once
+    dedupCorpusClustered(admitted, textCol, minJaccard,
+      precomputedSig = Some(shI))
+  }
 
   /** DuckDB twin of [[ingestE2e]]: the [[dedupAgainstOracleSql]] admission
     * CTEs (renamed `cand_in`/`dropped_in` to clear the within-batch names)
