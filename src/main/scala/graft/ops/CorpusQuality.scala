@@ -134,11 +134,13 @@ object CorpusQuality {
     * engines evaluate the identical IEEE expression tree. */
   def domainMixWeights(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source", cap: Double = 4.0): DataFrame = {
-    val perSrc = docs
+    // cached for the same double-reference reason as temperatureMixWeights
+    val perSrc = Pins.track(docs
       .select(col(sourceCol).as("source"), tokens(textCol).as("ws"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("ws")).cast("long")).as("tokens"))
+      .cache())
     val tot = perSrc.agg(sum(col("tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
     perSrc.join(broadcast(tot))
@@ -161,11 +163,16 @@ object CorpusQuality {
     * sampler multiplies in. One count shuffle + two 1-row broadcasts. */
   def temperatureMixWeights(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val perSrc = docs
+    // cached: the n_sources-row table feeds BOTH the normalizer aggregate
+    // and the output join — uncached, each reference re-runs the full
+    // corpus token-count scan (ReuseExchange does not fire across the
+    // branches), which is 2 extra corpus passes at scale
+    val perSrc = Pins.track(docs
       .select(col(sourceCol).as("source"), tokens(textCol).as("ws"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("ws")).cast("long")).as("tokens"))
+      .cache())
     val tot = perSrc.agg(sum(col("tokens")).as("total_tokens"))
     val ps = perSrc.join(broadcast(tot))
       .withColumn("p", col("tokens").cast("double") / col("total_tokens"))

@@ -191,6 +191,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("resampler is invariant under repartitioning and monotone in boost") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val weights = graft.ops.CorpusQuality.temperatureMixWeights(docs)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.resampleByWeight(d, weights)
+        .orderBy("doc_id", "copy").collect().toSeq
+    // content-independent md5 buckets: the SAME rows regardless of layout
+    assert(rows(docs) == rows(docs.repartition(7)))
+    assert(rows(docs) == rows(docs.coalesce(1)))
+    // doubling every boost at least doubles floor-copies; no doc vanishes
+    import org.apache.spark.sql.functions.col
+    val doubled = graft.ops.Sampling.resampleByWeight(docs,
+      weights.withColumn("boost", col("boost") * 2))
+    assert(doubled.count() >= 2 * (rows(docs).size - docs.count()) + docs.count(),
+      "doubling boosts must not shrink the resampled corpus")
+    assert(doubled.select("doc_id").distinct().count() == docs.count(),
+      "with boost >= 1 every doc must survive")
+  }
+
   test("corpus dedup is idempotent") {
     val textGen = Gen.listOfN(12,
       Gen.oneOf("spark table scan", "row batch merge", "key value hash"))
