@@ -412,4 +412,90 @@ object Dedup {
       .distinct()
     kept.join(nearDrop, Seq("doc_id"), "left_anti")
   }
+
+  /** Duplicated-span detection — the exact-substring dedup family of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-expressed for Spark. The reference algorithm
+    * builds a corpus-wide suffix array, which is inherently sequential;
+    * the distributed equivalent anchors on fixed-width token k-grams: any
+    * duplicated substring of >= k tokens is a run of duplicated k-grams,
+    * so marking every occurrence whose gram appears >= 2 times corpus-wide
+    * (in another doc OR elsewhere in the same doc) and merging the
+    * overlapping marks per document recovers every maximal duplicated span
+    * (boundaries resolved to k-gram granularity).
+    *
+    * Scale: the occurrence stream is map-generated; grams travel as
+    * 16-hex-char md5 digests so the duplicate-count groupBy and the
+    * join back both shuffle on the same narrow key (colocated, partial
+    * aggregation on the count side). The island merge is a per-document
+    * window — one shuffle on doc_id, then partition-local. No all-pairs
+    * stage exists at any point, so the plan survives a 100x scale-up;
+    * candidate volume is proportional to actual duplication.
+    *
+    * Returns one row per maximal span: (doc_id, span_start, span_end,
+    * span_tokens), positions 0-based token indexes, end inclusive. */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span gram width k must be >= 2, got $k")
+    val toks = docs
+      .select(col("doc_id"), split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+    val occ = toks
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => substring(md5(array_join(slice(col("w"), i + 1, lit(k)), " ")), 1, 16))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("g"))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("g")
+    val marked = occ.join(dup, Seq("g")).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("pos"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    // a new island starts when this gram's span [pos, pos+k-1] neither
+    // overlaps nor touches the furthest end seen so far (prevMax + k - 1)
+    val isl = marked
+      .withColumn("brk", when(col("pos") > prevMax + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Rewrite each document with its duplicated spans (duplicatedSpans at
+    * the same k) removed. Output text is the surviving token stream joined
+    * by single spaces — i.e. whitespace-normalized, lower-cased, exactly
+    * the stream the span detector tokenized. Documents whose every token
+    * is covered come back as ''. Covered positions are span-exploded then
+    * anti-joined — both map-side from the span table's perspective; the
+    * rebuild is one per-doc aggregation. */
+  def scrubSpans(docs: DataFrame, textCol: String = "text",
+      k: Int = 5): DataFrame = {
+    val tokens = split(lower(trim(col(textCol))), "\\s+")
+    val cov = duplicatedSpans(docs, textCol, k)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+    val kept = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+    val res = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .join(res, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -207,6 +207,98 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-span detection (Lee et al. suffix-array dedup,
+    * k-gram-anchored for distribution — Dedup.duplicatedSpans): maximal
+    * runs of 5-grams occurring >= 2 times corpus-wide, merged per doc. */
+  val spanDedup = QueryDef(
+    "q_ns_span_dedup",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |),
+      |pos0 AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |  FROM tok WHERE len(w) >= 5
+      |),
+      |occ AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |         substring(md5(array_to_string(list_slice(w, i, i + 4), ' ')), 1, 16) AS g
+      |  FROM pos0
+      |),
+      |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+      |mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM mk
+      |),
+      |isl2 AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl
+      |)
+      |SELECT doc_id,
+      |       CAST(MIN(pos) AS BIGINT) AS span_start,
+      |       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+      |       CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
+      |FROM isl2
+      |GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpans(T.documents(s, d), k = 5)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Span scrubbing: each document rewritten with its duplicated spans
+    * removed (Dedup.scrubSpans) — the apply step of suffix-array-style
+    * dedup, where only the repeated substring is cut, not the document. */
+  val spanScrub = QueryDef(
+    "q_ns_span_scrub",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |),
+      |pos0 AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |  FROM tok WHERE len(w) >= 5
+      |),
+      |occ AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |         substring(md5(array_to_string(list_slice(w, i, i + 4), ' ')), 1, 16) AS g
+      |  FROM pos0
+      |),
+      |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+      |mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM mk
+      |),
+      |isl2 AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl
+      |),
+      |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e FROM isl2 GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp),
+      |tokpos AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM tok
+      |),
+      |kept AS (
+      |  SELECT t.doc_id, t.i - 1 AS pos, t.word
+      |  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.i - 1
+      |  WHERE c.doc_id IS NULL
+      |),
+      |res AS (
+      |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text, count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(r.clean_text, '') AS clean_text,
+      |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM documents d LEFT JOIN res r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Dedup.scrubSpans(T.documents(s, d), k = 5).orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
     * sign-LSH buckets. Hyperplanes are md5-seeded Rademacher vectors
     * (graft.ops.Neutral), so bucket membership — and therefore the exact
@@ -1016,6 +1108,7 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
+    spanDedup, spanScrub,
     decontaminate, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ, dedupIncremental,
     dedupIngestE2e,

@@ -435,4 +435,49 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta("P6\nx y\n".getBytes)._1 == "raw")
     assert(Multimodal.decodeMeta(Array.empty[Byte])._1 == "raw")
   }
+
+  test("duplicatedSpans recovers planted cross-doc and intra-doc spans") {
+    // docs 1 & 2 share the 6-token run "a b c d e f"; doc 3 repeats its own
+    // 5-token prefix later (intra-doc duplication); doc 4 is all-unique.
+    val docs = Seq(
+      (1L, "a b c d e f u1 u2 u3 u4 u5"),
+      (2L, "v1 v2 a b c d e f v3 v4 v5"),
+      (3L, "p q r s t x1 x2 x3 p q r s t"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 5)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 5L, 6L),   // shared run covers 2 overlapping 5-grams -> merged
+      (2L, 2L, 7L, 6L),
+      (3L, 0L, 4L, 5L),   // the repeated prefix, both occurrences
+      (3L, 8L, 12L, 5L)))
+  }
+
+  test("duplicatedSpans merges adjacent islands and requires k >= 2") {
+    // one doc containing the same 5-gram twice back-to-back: positions 0
+    // and 5 touch (0..4 then 5..9) and must merge into a single span
+    val docs = Seq((1L, "m n o p q m n o p q")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 5).collect()
+    assert(spans.length == 1)
+    val r = spans.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 9L, 10L)))
+    assertThrows[IllegalArgumentException](Dedup.duplicatedSpans(docs, k = 1))
+  }
+
+  test("scrubSpans removes only the duplicated tokens and keeps the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f u1 u2 u3 u4 u5"),
+      (2L, "v1 v2 a b c d e f v3 v4 v5"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs, k = 5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "u1 u2 u3 u4 u5", 5L, 6L),
+      (2L, "v1 v2 v3 v4 v5", 5L, 6L),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", 9L, 0L)))
+  }
 }
