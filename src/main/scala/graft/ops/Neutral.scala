@@ -353,6 +353,64 @@ object Neutral {
        |WHERE comp.doc_id IS NULL OR comp.component = kd.doc_id
        |ORDER BY kd.doc_id""".stripMargin
 
+  /** [[dedupCorpusClustered]] with a quality-weighted survivor policy:
+    * instead of the min doc_id, each near-dup component keeps its
+    * highest-`scoreCol` member (ties broken by min doc_id) — the policy a
+    * real pipeline wants when near-dups differ in completeness (keep the
+    * longest / highest-quality variant, drop the fragments). The exact-dup
+    * stage is unaffected: exact copies have identical text, hence
+    * identical scores, so min-doc_id is already the tiebreak there.
+    * Survivor selection is one row_number window partitioned by component
+    * — a single extra shuffle on the component label. */
+  def dedupCorpusClusteredQuality(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.8, scoreCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exactKeep = Dedup.exactGroups(docs, textCol)
+      .select(col("keep_doc_id").as("doc_id"))
+    val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
+    val pairs = minHashCandidates(kept, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val w = Window.partitionBy("component")
+      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+    kept.join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "component")
+  }
+
+  /** DuckDB twin of [[dedupCorpusClusteredQuality]] (score = n_chars). */
+  def dedupClusteredQualityOracleSql(minJaccard: Double): String =
+    s"""WITH RECURSIVE kept AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+       |),
+       |kd AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+       |${minHashCandidateCtes("kd", minJaccard)},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM hits
+       |  UNION
+       |  SELECT doc_b, doc_a FROM hits
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |lab AS (
+       |  SELECT kd.doc_id, COALESCE(comp.component, kd.doc_id) AS component
+       |  FROM kd LEFT JOIN comp USING (doc_id)
+       |),
+       |rk AS (
+       |  SELECT l.doc_id,
+       |         row_number() OVER (PARTITION BY l.component
+       |                            ORDER BY d.n_chars DESC, l.doc_id) AS rn
+       |  FROM lab l JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** The full ingest chain a daily crawl actually runs: admission filter
     * against the existing corpus ([[dedupAgainst]] — exact digest + banded
     * near-dup) THEN within-batch dedup of the admitted docs

@@ -73,4 +73,49 @@ object Quality {
     parts.reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
       .orderBy("check_name")
+
+  /** One-pass dataset profiler — the "describe this table" a pipeline runs
+    * before deciding what to train on: per column, the row count, null
+    * count, exact distinct count, and min/max rendered as strings.
+    *
+    * Everything is fused into a single aggregation over one scan; the
+    * per-column breakout is a driver-free explode over the 1-row result.
+    * Exact multi-column COUNT(DISTINCT) makes Catalyst plan an Expand
+    * (one duplicated stream per distinct aggregate) — acceptable for a
+    * handful of profiled columns; at 100 TB over many columns, switch to
+    * `profileColumnsApprox` (HLL sketches, single stream, no Expand). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    profileWith(df, cols, c => countDistinct(col(c)))
+  }
+
+  /** Approximate profiler: HLL++ distinct counts (rsd 1%) — one pass, no
+    * Expand, the 100 TB default. No DuckDB oracle (sketch-dependent). */
+  def profileColumnsApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumnsApprox needs at least one column")
+    profileWith(df, cols, c => approx_count_distinct(col(c), 0.01))
+  }
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: String => Column): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+      .orderBy("column_name")
+  }
 }

@@ -107,6 +107,43 @@ object Lifecycle {
       Quality.references(orders, "o_custkey", T.customer(s, d), "c_custkey")))
   }
 
+  /** One-pass column profiler over documents (Quality.profileColumns):
+    * per column, rows / nulls / exact distincts / min / max — the
+    * "describe this table" gate a pipeline runs before training. The
+    * Spark side fuses all columns into one aggregation over one scan. */
+  val profileCols = QueryDef(
+    "q_dq_profile_columns",
+    """WITH prof AS (
+      |  SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      |         CAST(min(doc_id) AS VARCHAR) AS min_val,
+      |         CAST(max(doc_id) AS VARCHAR) AS max_val
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(lang) AS BIGINT),
+      |         CAST(count(DISTINCT lang) AS BIGINT),
+      |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(n_chars) AS BIGINT),
+      |         CAST(count(DISTINCT n_chars) AS BIGINT),
+      |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'source', CAST(count(*) AS BIGINT),
+      |         CAST(count(*) - count(source) AS BIGINT),
+      |         CAST(count(DISTINCT source) AS BIGINT),
+      |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+      |  FROM documents
+      |)
+      |SELECT * FROM prof ORDER BY column_name""".stripMargin) { (s, d) =>
+    Quality.profileColumns(T.documents(s, d),
+      Seq("doc_id", "lang", "n_chars", "source"))
+  }
+
   /** Snapshot diff: the current version drops every 7th order and
     * reprioritizes every 13th; reconciliation must classify exactly those
     * as removed/changed. String/int columns only feed the digest
@@ -143,5 +180,6 @@ object Lifecycle {
       .orderBy("diff_status")
   }
 
-  val defs: Seq[QueryDef] = Seq(scd2, mergeUpsert, expectations, tableDiff)
+  val defs: Seq[QueryDef] =
+    Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff)
 }

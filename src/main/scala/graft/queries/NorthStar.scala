@@ -392,6 +392,19 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted survivor selection: same clustered dedup, but each
+    * near-dup component keeps its LONGEST member (n_chars desc, doc_id
+    * tiebreak) instead of the min doc_id — keep the most complete variant,
+    * drop the fragments. */
+  val dedupSurvivorQuality = QueryDef(
+    "q_ns_dedup_survivor_quality",
+    graft.ops.Neutral.dedupClusteredQualityOracleSql(0.8)) { (s, d) =>
+    graft.ops.Neutral
+      .dedupCorpusClusteredQuality(T.documents(s, d), minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Ingest-time incremental dedup: the incoming half of the corpus
     * (doc_id >= 250) admitted against the existing half — exact digests
     * plus md5-MinHash near-dups, both directions of the daily-crawl
@@ -1110,7 +1123,8 @@ object NorthStar {
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
     spanDedup, spanScrub,
     decontaminate, dedupCosine,
-    dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ, dedupIncremental,
+    dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
+    dedupSurvivorQuality, dedupIncremental,
     dedupIngestE2e,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,

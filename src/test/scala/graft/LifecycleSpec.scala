@@ -101,6 +101,24 @@ class LifecycleSpec extends AnyFunSuite {
     assert(res("references:id->id") == 1L)      // key 99
   }
 
+  test("profileColumns reports rows/nulls/distincts/min/max per column") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))
+    ).toDF("k", "v")
+    val prof = Quality.profileColumns(df, Seq("k", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(prof.toSeq == Seq(
+      ("k", 4L, 1L, 2L, "1", "3"),
+      ("v", 4L, 1L, 2L, "a", "b")))
+    // approx variant: same scan shape, sketch counts within rsd of exact
+    val approx = Quality.profileColumnsApprox(df, Seq("k", "v"))
+      .select("n_distinct").as[Long].collect()
+    assert(approx.forall(n => n >= 1 && n <= 3))
+  }
+
   test("tableDiff classifies planted add/remove/change exactly") {
     import graft.ops.Evolve
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))

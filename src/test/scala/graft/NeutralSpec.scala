@@ -109,6 +109,25 @@ class NeutralSpec extends AnyFunSuite {
     assert(keptPairwise == Set(100L, 101L, 103L), s"got $keptPairwise")
   }
 
+  test("quality survivor policy keeps the longest component member, not the min id") {
+    // same hub cluster as above: component {100, 101, 102} with hub doc
+    // 102 the LONGEST (X+Y+Z vs X+Y / X+Z). The min-id policy keeps 100;
+    // the quality policy must keep 102 instead. Singleton 103 survives
+    // under both.
+    def seg(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    val (xx, yy, zz) = (seg("alpha"), seg("bravo"), seg("carbon"))
+    val docs = Seq(
+      (100L, s"$xx $yy"), (101L, s"$xx $zz"), (102L, s"$xx $yy $zz"),
+      (103L, "completely unrelated text with many distinct words here now"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val kept = graft.ops.Neutral
+      .dedupCorpusClusteredQuality(docs, minJaccard = 0.45)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 103L), s"got $kept")
+  }
+
   test("incremental dedup admits fresh docs, rejects exact and near dups of the corpus") {
     val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val incoming = corpus.filter(col("doc_id") === 7)
