@@ -43,9 +43,13 @@ object Bench {
     "q_ns_dedup_corpus_clustered",
     "q_ns_pq_topk",
     "q_ns_dedup_incremental",
-    // round-7: chained ingest (admission + within-batch dedup), IVF-PQ
+    // round-7: chained ingest (admission + within-batch dedup), IVF-PQ,
+    // duplicated-span detection (the heaviest new shuffle: one gram per
+    // token position), token-budget selection
     "q_ns_dedup_ingest_e2e",
-    "q_ns_ivfpq_topk")
+    "q_ns_ivfpq_topk",
+    "q_ns_span_dedup",
+    "q_ns_budget_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

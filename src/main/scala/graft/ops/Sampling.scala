@@ -75,6 +75,56 @@ object Sampling {
       .select(idCol, keyCol, "copy")
   }
 
+  /** Token-budget corpus selection: admit the highest-`scoreCol` documents
+    * until `budgetTokens` whitespace tokens are spent — the "best data
+    * that fits the training budget" gate.
+    *
+    * A naive global running sum would put the whole corpus in ONE window
+    * partition; instead the cutoff is resolved in two scale-safe phases:
+    *  1. docs are bucketed by floor(score·1000); per-bucket token totals
+    *     get a running sum over the (bounded-by-score-range, NOT
+    *     corpus-sized) bucket list — buckets that fit entirely are
+    *     admitted wholesale;
+    *  2. only the single boundary bucket is refined row-by-row: a window
+    *     partitioned BY THAT BUCKET orders (score desc, id) and admits the
+    *     maximal prefix that still fits the remaining budget.
+    * Prefix semantics at the boundary (stop at the first doc that
+    * overflows, don't keep scanning for smaller docs) keeps the result a
+    * deterministic rank cut rather than a knapsack. Ties are broken by id.
+    * Per-row double score math is bit-identical across engines, so the
+    * whole selection is oracle-exact. */
+  def selectWithinTokenBudget(docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", scoreCol: String = "quality_score",
+      tokensCol: String = "n_ws_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    // d is consumed by the bucket totals AND the per-doc join; uncached,
+    // the (regex-heavy) upstream scoring would execute twice. Narrow
+    // projection only — 4 columns, not the document text.
+    val d = Pins.track(
+      docs.select(col(idCol), col(scoreCol), col(tokensCol))
+        .withColumn("__bucket", floor(col(scoreCol) * 1000).cast("long"))
+        .cache())
+    val overBuckets = Window.orderBy(col("__bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = d.groupBy("__bucket")
+      .agg(sum(col(tokensCol)).as("__btok"))
+      .withColumn("__prior", coalesce(sum(col("__btok")).over(overBuckets), lit(0L)))
+    val withPrior = d.join(buckets, Seq("__bucket"))
+    val full = withPrior.filter(col("__prior") + col("__btok") <= budgetTokens)
+    val inBucket = Window.partitionBy("__bucket")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = withPrior
+      .filter(col("__prior") <= lit(budgetTokens) &&
+        col("__prior") + col("__btok") > budgetTokens)
+      .withColumn("__run", sum(col(tokensCol)).over(inBucket))
+      .filter(col("__prior") + col("__run") <= budgetTokens)
+      .drop("__run")
+    full.unionByName(boundary)
+      .select(col(idCol), col(scoreCol), col(tokensCol))
+  }
+
   /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
     * train, next `valPct` → val, rest → test. */
   def withSplit(df: DataFrame, idCol: String = "doc_id",

@@ -825,6 +825,58 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection: highest-quality docs admitted until a
+    * 12k whitespace-token budget fills (Sampling.selectWithinTokenBudget's
+    * two-phase bucket-cutoff — equals the global greedy prefix by (score
+    * desc, doc_id) without a corpus-sized global window). */
+  val budgetSelect = QueryDef(
+    "q_ns_budget_select",
+    """WITH q AS (
+      |  SELECT doc_id,
+      |         (CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
+      |            / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.2
+      |          + (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                 x -> list_contains(['the','a','an','of','and','to','in','is'], x))) AS DOUBLE)
+      |             / len(string_split_regex(lower(trim(text)), '\s+'))) * 2.0
+      |          - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |             / length(text)) * 5.0 AS quality_score,
+      |         CAST(CASE WHEN trim(text) = '' THEN 0
+      |              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_ws_tokens
+      |  FROM documents
+      |  WHERE length(text) > 0 AND trim(text) <> ''
+      |),
+      |d AS (SELECT doc_id, quality_score, n_ws_tokens,
+      |             CAST(floor(quality_score * 1000) AS BIGINT) AS bucket FROM q),
+      |b AS (SELECT bucket, SUM(n_ws_tokens) AS btok FROM d GROUP BY bucket),
+      |bc AS (
+      |  SELECT bucket, btok,
+      |         COALESCE(SUM(btok) OVER (ORDER BY bucket DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM b
+      |),
+      |wp AS (SELECT d.doc_id, d.quality_score, d.n_ws_tokens, d.bucket, bc.btok, bc.prior
+      |       FROM d JOIN bc USING (bucket)),
+      |sel AS (
+      |  SELECT doc_id, quality_score, n_ws_tokens FROM wp WHERE prior + btok <= 12000
+      |  UNION ALL
+      |  SELECT doc_id, quality_score, n_ws_tokens FROM (
+      |    SELECT doc_id, quality_score, n_ws_tokens,
+      |           prior + SUM(n_ws_tokens) OVER (PARTITION BY bucket
+      |             ORDER BY quality_score DESC, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM wp WHERE prior <= 12000 AND prior + btok > 12000
+      |  ) WHERE cum <= 12000
+      |)
+      |SELECT doc_id, quality_score, n_ws_tokens
+      |FROM sel ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+      .filter(length(col("text")) > 0 && trim(col("text")) =!= "")
+    val scored = TextAnalysis.withTokenCounts(
+      TextAnalysis.withQuality(docs))
+    graft.ops.Sampling.selectWithinTokenBudget(scored, budgetTokens = 12000L)
+      .orderBy("doc_id")
+  }
+
   /** URL/email scrubbing with match counts — RE2-subset patterns shared
     * verbatim with the oracle. */
   val textScrub = QueryDef(
@@ -1128,6 +1180,7 @@ object NorthStar {
     dedupIngestE2e,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
-    textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified, textScrub,
+    textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified,
+    budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Behavioral tests for the LLM-pipeline operators: planted near-duplicates
   * must be found, ANN recall must be sane vs brute force, the multimodal
@@ -434,6 +434,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(Array[Byte]('B', 'M', 3))._1 == "raw")
     assert(Multimodal.decodeMeta("P6\nx y\n".getBytes)._1 == "raw")
     assert(Multimodal.decodeMeta(Array.empty[Byte])._1 == "raw")
+  }
+
+  test("selectWithinTokenBudget equals the global greedy prefix") {
+    // scores collide across docs (ties broken by id) and budgets land
+    // mid-bucket — the two-phase cutoff must still equal a single global
+    // (score desc, id) greedy prefix
+    val rows = (1 to 200).map(i =>
+      (i.toLong, (i % 37) / 10.0, (i % 13) + 1L))
+    val docs = rows.toDF("doc_id", "quality_score", "n_ws_tokens")
+    for (budget <- Seq(0L, 7L, 600L, 5000L)) {
+      val got = Sampling.selectWithinTokenBudget(docs, budget)
+        .select("doc_id").as[Long].collect().toSet
+      var cum = 0L
+      var stopped = false
+      val want = scala.collection.mutable.Set[Long]()
+      rows.sortBy { case (id, s, _) => (-s, id) }.foreach { case (id, _, t) =>
+        if (!stopped && cum + t <= budget) { cum += t; want += id }
+        else stopped = true
+      }
+      assert(got == want.toSet, s"budget=$budget")
+    }
   }
 
   test("duplicatedSpans recovers planted cross-doc and intra-doc spans") {

@@ -210,7 +210,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_pq_topk"                -> ((4, 9)),
       "q_ns_dedup_incremental"      -> ((5, 4)),
       "q_ns_dedup_ingest_e2e"       -> ((2, 0)),
-      "q_ret_bm25_topk"             -> ((5, 3)))
+      "q_ret_bm25_topk"             -> ((5, 3)),
+      "q_ns_span_dedup"             -> ((5, 0)),
+      "q_ns_budget_select"          -> ((6, 0)))
     for ((name, (maxSh, minBc)) <- budget) {
       val plan = queries.Registry.byName(name).fn(spark, sf)
         .queryExecution.executedPlan match {
