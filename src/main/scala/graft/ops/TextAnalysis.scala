@@ -126,6 +126,52 @@ object TextAnalysis {
         when(col("winnow_fp").isNotNull,
           md5(array_join(col("winnow_fp"), " "))))
 
+  /** MOSS-style near-dup candidate pairs: documents sharing >= `minShared`
+    * winnowed fingerprints, with the shared count and a containment score
+    * (shared / smaller fingerprint set) — the partial-overlap detector
+    * that catches "doc B embeds a paragraph of doc A", which whole-doc
+    * MinHash dilutes below threshold.
+    *
+    * Scale: fingerprints are winnowing-sparse (~2/(w+1) of positions), so
+    * the inverted list is a fraction of the token stream; the only joins
+    * are equi on the fingerprint hash. Pair volume per fingerprint is
+    * df², so fingerprints appearing in more than `maxPostings` docs are
+    * dropped before pairing — they are boilerplate with no discriminative
+    * value (MOSS does the same), and the cap bounds the worst bucket the
+    * way maxBucket does for MinHash bands. The fingerprint table is
+    * cached: the postings explode and the per-doc sizes both consume it. */
+  def winnowOverlapPairs(docs: DataFrame, textCol: String = "text",
+      k: Int = 8, w: Int = 8, minShared: Int = 2,
+      maxPostings: Int = 1000, minContainment: Double = 0.0): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxPostings >= 2, "maxPostings < 2 would drop every shared fingerprint")
+    val fps = Pins.track(
+      withWinnowedFingerprint(docs, textCol, k, w)
+        .filter(col("winnow_fp").isNotNull)
+        .select(col("doc_id"), col("n_fp"), col("winnow_fp"))
+        .cache())
+    val ex = fps.select(col("doc_id"), explode(col("winnow_fp")).as("f"))
+    val rare = ex.groupBy("f")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxPostings)
+      .select("f")
+    val ex2 = ex.join(rare, Seq("f"))
+    val pairs = ex2.select(col("f"), col("doc_id").as("doc_a"))
+      .join(ex2.select(col("f"), col("doc_id").as("doc_b")), Seq("f"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val sizes = fps.select(col("doc_id"), col("n_fp"))
+    pairs
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_fp" -> "n_fp_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_fp" -> "n_fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Built-in-functions form of the winnowing selection — the semantic
     * reference the compiled Md5Winnow kernel must match bit-for-bit
     * (NeutralSpec). Each gram's md5 is recomputed once per covering

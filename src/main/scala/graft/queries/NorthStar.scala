@@ -726,6 +726,46 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** MOSS pair detection over the winnowed fingerprints: docs sharing >= 2
+    * fingerprints, with shared count + containment — partial-overlap pairs
+    * whole-doc MinHash dilutes away. Fingerprints in > 1000 docs are
+    * dropped as boilerplate before pairing (df² guard). */
+  val winnowPairs = QueryDef(
+    "q_ns_winnow_pairs",
+    """WITH fpt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) < 8 THEN NULL ELSE
+      |      list_sort(list_distinct(
+      |        list_transform(generate_series(1, greatest(length(text) - 7 - 7, 1)),
+      |          j -> list_min(list_transform(generate_series(j, j + 7),
+      |                 i -> CASE WHEN i <= length(text) - 7
+      |                           THEN md5(substring(text, i, 8)) END)))))
+      |    END AS fp
+      |  FROM documents
+      |),
+      |ex AS (SELECT doc_id, unnest(fp) AS f FROM fpt WHERE fp IS NOT NULL),
+      |rare AS (SELECT f FROM ex GROUP BY f HAVING count(DISTINCT doc_id) <= 1000),
+      |ex2 AS (SELECT e.doc_id, e.f FROM ex e JOIN rare USING (f)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM ex2 a JOIN ex2 b USING (f)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2
+      |),
+      |sizes AS (SELECT doc_id, len(fp) AS n_fp FROM fpt WHERE fp IS NOT NULL)
+      |SELECT * FROM (
+      |  SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+      |         CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS containment
+      |  FROM pairs p
+      |  JOIN sizes sa ON sa.doc_id = p.doc_a
+      |  JOIN sizes sb ON sb.doc_id = p.doc_b
+      |) WHERE containment >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    TextAnalysis.winnowOverlapPairs(T.documents(s, d), minContainment = 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Rabin-Karp winnowing kernel (rolling hash proper): same selection,
     * O(1) incremental gram hash. The kernel's wrapping-64-bit rolling
     * update is congruent mod 2^64 to a direct polynomial fold, so the
@@ -1180,7 +1220,7 @@ object NorthStar {
     dedupIngestE2e,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
-    textWinnow, textWinnowFast, prepareCorpusQ, splitQ, stratified,
+    textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ, splitQ, stratified,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
 }

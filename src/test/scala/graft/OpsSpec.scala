@@ -436,6 +436,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(Array.empty[Byte])._1 == "raw")
   }
 
+  test("winnowOverlapPairs finds a planted partial overlap, skips unrelated docs") {
+    // doc 2 embeds doc 1's paragraph inside 3x as much unrelated text —
+    // the whole-doc Jaccard is diluted to ~0.25 but the winnow containment
+    // (shared / smaller fingerprint set) stays high
+    val para = (0 until 30).map(i => s"distinctive$i").mkString(" ")
+    val noise = (0 until 90).map(i => s"unrelated$i").mkString(" ")
+    val other = (0 until 40).map(i => s"elsewhere$i").mkString(" ")
+    val docs = Seq((1L, para), (2L, s"$noise $para"), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, minContainment = 0.3)
+      .collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(3) > 0.8, s"containment ${r.getDouble(3)}")
+  }
+
   test("selectWithinTokenBudget equals the global greedy prefix") {
     // scores collide across docs (ties broken by id) and budgets land
     // mid-bucket — the two-phase cutoff must still equal a single global
