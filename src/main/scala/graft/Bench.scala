@@ -49,7 +49,8 @@ object Bench {
     "q_ns_dedup_ingest_e2e",
     "q_ns_ivfpq_topk",
     "q_ns_span_dedup",
-    "q_ns_budget_select")
+    "q_ns_budget_select",
+    "q_ns_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -142,7 +142,7 @@ object TextAnalysis {
     * cached: the postings explode and the per-doc sizes both consume it. */
   def winnowOverlapPairs(docs: DataFrame, textCol: String = "text",
       k: Int = 8, w: Int = 8, minShared: Int = 2,
-      maxPostings: Int = 1000, minContainment: Double = 0.0): DataFrame = {
+      maxPostings: Int = 50, minContainment: Double = 0.0): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxPostings >= 2, "maxPostings < 2 would drop every shared fingerprint")
     val fps = Pins.track(

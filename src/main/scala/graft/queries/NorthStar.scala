@@ -728,7 +728,7 @@ object NorthStar {
 
   /** MOSS pair detection over the winnowed fingerprints: docs sharing >= 2
     * fingerprints, with shared count + containment — partial-overlap pairs
-    * whole-doc MinHash dilutes away. Fingerprints in > 1000 docs are
+    * whole-doc MinHash dilutes away. Fingerprints in > 50 docs are
     * dropped as boilerplate before pairing (df² guard). */
   val winnowPairs = QueryDef(
     "q_ns_winnow_pairs",
@@ -744,7 +744,7 @@ object NorthStar {
       |  FROM documents
       |),
       |ex AS (SELECT doc_id, unnest(fp) AS f FROM fpt WHERE fp IS NOT NULL),
-      |rare AS (SELECT f FROM ex GROUP BY f HAVING count(DISTINCT doc_id) <= 1000),
+      |rare AS (SELECT f FROM ex GROUP BY f HAVING count(DISTINCT doc_id) <= 50),
       |ex2 AS (SELECT e.doc_id, e.f FROM ex e JOIN rare USING (f)),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared

@@ -36,7 +36,8 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_dedup_corpus", "q_ret_bm25_topk", "q_ns_dedup_components",
       "q_graph_reach_cte", "q_ns_dedup_corpus_clustered",
       "q_ns_dedup_incremental", "q_ns_dedup_minhash", "q_ns_pq_topk",
-      "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e")
+      "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e",
+      "q_ns_budget_select", "q_ns_winnow_pairs", "q_ns_dedup_survivor_quality")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()
@@ -80,6 +81,13 @@ class CacheHygieneSpec extends AnyFunSuite {
     // incremental admission: TWO pins — incoming + corpus signature tables
     assert(footprint(ops.Neutral.dedupAgainst(
       docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250)).count()) == 2)
+    // budget selection: ONE pin — the narrow (id, score, tokens, bucket) table
+    assert(footprint(ops.Sampling.selectWithinTokenBudget(
+      ops.TextAnalysis.withTokenCounts(ops.TextAnalysis.withQuality(docs)),
+      budgetTokens = 5000L).count()) == 1)
+    // winnow pairs: ONE pin — the fingerprint table (postings + sizes)
+    assert(footprint(
+      ops.TextAnalysis.winnowOverlapPairs(docs, minContainment = 0.3).count()) == 1)
   }
 
   test("looped calls with releaseAll keep a flat pin count") {
