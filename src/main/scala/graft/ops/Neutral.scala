@@ -286,6 +286,11 @@ object Neutral {
        |          / len(list_distinct(sa.s || sb.s)) >= $minJaccard
        |)""".stripMargin
 
+  /** The verified-candidate-pair CTE chain (tok → … → hits) over one
+    * relation, for composing new oracles (e.g. the leakage-safe split). */
+  private[graft] def candidateCtesForOracle(rel: String,
+      minJaccard: Double): String = minHashCandidateCtes(rel, minJaccard)
+
   /** DuckDB twin of the md5-seeded MinHash candidate-count query. */
   def minHashOracleSql(minJaccard: Double, shingleN: Int = 3,
       bands: Int = 16, rows: Int = 4): String =
@@ -410,6 +415,36 @@ object Neutral {
        |  FROM lab l JOIN documents d USING (doc_id)
        |)
        |SELECT doc_id FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Leakage-safe train/val/test split: the split unit is the near-dup
+    * CLUSTER, not the document. Per-doc hashing (Sampling.withSplit) lets
+    * two near-duplicates land in train and test — the classic eval
+    * contamination that inflates held-out scores. Here md5-MinHash pairs
+    * resolve to connected components and the stable md5 split bucket is
+    * computed on the component representative, so every member of a
+    * cluster moves to the same split atomically. Singleton docs are their
+    * own component — for them this degenerates to exactly withSplit's
+    * assignment on doc_id. Same split stability contract as withSplit:
+    * content-independent arithmetic, reproducible across runs, engines,
+    * and partitionings. */
+  def leakageSafeSplit(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.8, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val pairs = minHashCandidates(docs, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val b = Sampling.splitBucket(col("component"))
+    docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split_bucket", b)
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, "train")
+          .when(col("split_bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 
   /** The full ingest chain a daily crawl actually runs: admission filter
     * against the existing corpus ([[dedupAgainst]] — exact digest + banded

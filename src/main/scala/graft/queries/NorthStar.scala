@@ -843,6 +843,47 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split: near-dup clusters (md5-MinHash pairs → connected
+    * components) are assigned to train/val/test atomically — the split
+    * bucket hashes the component representative, not the doc, so no
+    * near-dup pair ever straddles train and test. */
+  val leakageSafeSplitQ = QueryDef(
+    "q_ns_leakage_safe_split",
+    s"""WITH RECURSIVE ${graft.ops.Neutral.candidateCtesForOracle("documents", 0.8)},
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM hits
+      |  UNION
+      |  SELECT doc_b, doc_a FROM hits
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)
+      |),
+      |bk AS (
+      |  SELECT doc_id, component,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |      i -> (instr('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), i, 1)) - 1)
+      |           * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |      % 100 AS BIGINT) AS split_bucket
+      |  FROM lab
+      |)
+      |SELECT doc_id, component, split_bucket,
+      |       CASE WHEN split_bucket < 80 THEN 'train'
+      |            WHEN split_bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM bk
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Neutral.leakageSafeSplit(T.documents(s, d))
+      .select("doc_id", "component", "split_bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample: rebalance by language (en 60%,
     * de 30%, others 10%) over the md5 split bucket — same arithmetic as
     * q_ns_split, rate folded into a CASE. */
@@ -1220,7 +1261,8 @@ object NorthStar {
     dedupIngestE2e,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
-    textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ, splitQ, stratified,
+    textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ, splitQ,
+    leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
 }

@@ -128,6 +128,34 @@ class NeutralSpec extends AnyFunSuite {
     assert(kept == Set(102L, 103L), s"got $kept")
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    // the hub cluster {100, 101, 102} plus a singleton; per-doc hashing
+    // would scatter the cluster (buckets 66/18/27 — train is not unanimous),
+    // the cluster-atomic split must not
+    def seg(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    val (xx, yy, zz) = (seg("alpha"), seg("bravo"), seg("carbon"))
+    val docs = Seq(
+      (100L, s"$xx $yy"), (101L, s"$xx $zz"), (102L, s"$xx $yy $zz"),
+      (103L, "completely unrelated text with many distinct words here now"))
+      .toDF("doc_id", "text")
+    val perDocBuckets = docs
+      .select(graft.ops.Sampling.splitBucket(col("doc_id")).as("b"))
+      .as[Long].collect()
+    assert(perDocBuckets.slice(0, 3).distinct.length > 1,
+      "fixture must have per-doc buckets that would scatter the cluster")
+    val out = graft.ops.Neutral.leakageSafeSplit(docs, minJaccard = 0.45)
+      .orderBy("doc_id")
+      .select("doc_id", "component", "split")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val cluster = out.filter(_._1 < 103L)
+    assert(cluster.map(_._2).distinct.toSeq == Seq(100L),
+      s"cluster not unified: ${cluster.toSeq}")
+    assert(cluster.map(_._3).distinct.length == 1,
+      s"cluster split across sets: ${cluster.toSeq}")
+    assert(out.find(_._1 == 103L).get._2 == 103L)
+  }
+
   test("incremental dedup admits fresh docs, rejects exact and near dups of the corpus") {
     val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val incoming = corpus.filter(col("doc_id") === 7)
