@@ -416,6 +416,68 @@ object Neutral {
        |)
        |SELECT doc_id FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy eval-set decontamination: flag corpus docs that are whole-doc
+    * MinHash near-duplicates (verified Jaccard >= `minJaccard`) of ANY
+    * benchmark doc — the paraphrase-level policy modern pipelines run
+    * alongside the n-gram-overlap check ([[Dedup.contaminationCheck]]
+    * counts shared shingles; this one answers "is the doc essentially a
+    * benchmark doc"). Self-pairs are excluded so a benchmark drawn from
+    * the corpus doesn't flag itself. The benchmark side is small by
+    * nature, so its signature/banded tables broadcast at scale; the
+    * corpus side is the same per-row signature map as every banded op. */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", minJaccard: Double = 0.8,
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): DataFrame = {
+    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
+    val shD = sigTable(docs, textCol, shingleN)
+    val shB = sigTable(benchmark, textCol, shingleN)
+    val cand = bandedOf(shD, bands, rows)
+      .join(bandedOf(shB, bands, rows)
+          .select(col("band"), col("bucket"), col("doc_id").as("bench_id")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select("doc_id", "bench_id")
+      .distinct()
+    val hits = cand
+      .join(shD.select(col("doc_id"), col("hs").as("h_d")), Seq("doc_id"))
+      .join(shB.select(col("doc_id").as("bench_id"), col("hs").as("h_b")),
+        Seq("bench_id"))
+      .filter(jaccardSorted(col("h_d"), col("h_b")) >= minJaccard)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_fuzzy_matches"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fuzzy_matches"))
+      .withColumn("fuzzy_contaminated", col("n_fuzzy_matches") > 0)
+  }
+
+  /** DuckDB twin of [[fuzzyDecontaminate]] for a benchmark slice of the
+    * documents table defined by a SQL predicate. */
+  def fuzzyDecontaminateOracleSql(benchPred: String, minJaccard: Double,
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4): String =
+    s"""WITH bench AS (SELECT * FROM documents WHERE $benchPred),
+       |${bandedCtes("documents", "", shingleN, bands, rows)},
+       |${bandedCtes("bench", "_b", shingleN, bands, rows)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+       |  FROM banded a JOIN banded_b b USING (band, bucket)
+       |  WHERE a.doc_id <> b.doc_id
+       |),
+       |hits AS (
+       |  SELECT c.doc_id, count(DISTINCT c.bench_id) AS n_fuzzy_matches
+       |  FROM cand c
+       |  JOIN shn sd ON sd.doc_id = c.doc_id
+       |  JOIN shn_b sb ON sb.doc_id = c.bench_id
+       |  WHERE CAST(len(list_intersect(sd.s, sb.s)) AS DOUBLE)
+       |          / len(list_distinct(sd.s || sb.s)) >= $minJaccard
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(h.n_fuzzy_matches, 0) AS BIGINT) AS n_fuzzy_matches,
+       |       COALESCE(h.n_fuzzy_matches, 0) > 0 AS fuzzy_contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Leakage-safe train/val/test split: the split unit is the near-dup
     * CLUSTER, not the document. Per-doc hashing (Sampling.withSplit) lets
     * two near-duplicates land in train and test — the classic eval

@@ -299,6 +299,19 @@ object NorthStar {
     Dedup.scrubSpans(T.documents(s, d), k = 5).orderBy("doc_id")
   }
 
+  /** Fuzzy decontamination vs the benchmark slice (doc_id < 20): corpus
+    * docs that are whole-doc MinHash near-dups (verified Jaccard >= 0.8)
+    * of a benchmark doc — the paraphrase-level companion to
+    * q_ns_decontaminate's shared-shingle counts. */
+  val decontaminateFuzzy = QueryDef(
+    "q_ns_decontaminate_fuzzy",
+    graft.ops.Neutral.fuzzyDecontaminateOracleSql("doc_id < 20", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    graft.ops.Neutral
+      .fuzzyDecontaminate(docs, docs.filter(col("doc_id") < 20))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup counts at cos >= 0.8, blocked by multi-table
     * sign-LSH buckets. Hyperplanes are md5-seeded Rademacher vectors
     * (graft.ops.Neutral), so bucket membership — and therefore the exact
@@ -1255,7 +1268,7 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
     spanDedup, spanScrub,
-    decontaminate, dedupCosine,
+    decontaminate, decontaminateFuzzy, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     dedupSurvivorQuality, dedupIncremental,
     dedupIngestE2e,

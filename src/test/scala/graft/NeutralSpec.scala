@@ -128,6 +128,26 @@ class NeutralSpec extends AnyFunSuite {
     assert(kept == Set(102L, 103L), s"got $kept")
   }
 
+  test("fuzzy decontamination flags near-dups of benchmark docs, not the bench itself") {
+    def seg(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    val (xx, yy) = (seg("alpha"), seg("bravo"))
+    val docs = Seq(
+      (1L, s"$xx $yy"),                            // the benchmark doc
+      (50L, s"$xx $yy extra trailing words here"), // paraphrase-level copy
+      (51L, seg("carbon")))                        // unrelated
+      .toDF("doc_id", "text")
+    val out = graft.ops.Neutral
+      .fuzzyDecontaminate(docs, docs.filter(col("doc_id") < 10),
+        minJaccard = 0.45)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, false),   // self-pair excluded
+      (50L, 1L, true),
+      (51L, 0L, false)))
+  }
+
   test("leakage-safe split keeps every near-dup cluster in one split") {
     // the hub cluster {100, 101, 102} plus a singleton; per-doc hashing
     // would scatter the cluster (buckets 66/18/27 — train is not unanimous),
