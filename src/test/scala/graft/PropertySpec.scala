@@ -225,4 +225,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("duplicated spans: disjoint, in-bounds, and conserved under scrubbing") {
+    val textGen = Gen.listOfN(15,
+      Gen.oneOf("alpha beta gamma delta", "omicron pi rho sigma",
+        "one two three four five", "alpha beta gamma delta epsilon"))
+      .map(_.mkString(" "))
+    forSamples(Gen.listOfN(12, textGen), 3) { texts =>
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val spans = Dedup.duplicatedSpans(docs, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val nTok = docs
+          .select(col("doc_id"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+          .as[(Long, Long)].collect().toMap
+        // structural laws: 0 <= start <= end < n_tokens, length matches,
+        // spans of one doc pairwise disjoint and non-adjacent (else merged)
+        spans.foreach { case (d, s, e, n) =>
+          assert(s >= 0 && s <= e && e < nTok(d) && n == e - s + 1)
+        }
+        spans.groupBy(_._1).values.foreach { ss =>
+          ss.sortBy(_._2).sliding(2).foreach {
+            case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+            case _ =>
+          }
+        }
+        // conservation: scrub drops exactly the span-covered tokens
+        val dropped = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+        Dedup.scrubSpans(docs, k = 5).collect().foreach { r =>
+          val (d, kept, drop) = (r.getLong(0), r.getLong(2), r.getLong(3))
+          assert(kept + drop == nTok(d))
+          assert(drop == dropped.getOrElse(d, 0L))
+        }
+      }
+    }
+  }
 }
