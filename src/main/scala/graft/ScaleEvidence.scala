@@ -104,6 +104,20 @@ object ScaleEvidence {
         s""""t_candidates_s":${"%.2f".format(tCand)},""" +
         s""""dedup_kept":$keptRows,"t_dedup_clustered_s":${"%.2f".format(tDedup)}}""")
 
+      // exact-substring span detection: the occurrence stream is one row
+      // per token position, but marked volume must track true duplication
+      // — replicas are vocabulary-disjoint, so 10x corpus => ~10x spans
+      // with per-gram group sizes unchanged (no cross-replica collisions)
+      clear()
+      val (spanStats, tSpan) = timed {
+        ops.Dedup.duplicatedSpans(d)
+          .agg(count(lit(1)).as("n_spans"),
+            coalesce(sum("span_tokens"), lit(0L)).as("dup_tokens"))
+          .head()
+      }
+      println(s"""SCALE10 {"scale":"$scale","n_spans":${spanStats.getLong(0)},""" +
+        s""""dup_tokens":${spanStats.getLong(1)},"t_spans_s":${"%.2f".format(tSpan)}}""")
+
       // ANN blocking: per-bucket occupancy. At 10x with the SAME nbits the
       // buckets hold ~10x the vectors (bucket space is fixed at
       // tables * 2^nbits); raising nbits by ~log2(10) restores flat
