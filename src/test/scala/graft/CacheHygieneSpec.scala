@@ -38,7 +38,7 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_dedup_incremental", "q_ns_dedup_minhash", "q_ns_pq_topk",
       "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e",
       "q_ns_budget_select", "q_ns_winnow_pairs", "q_ns_dedup_survivor_quality",
-      "q_ns_leakage_safe_split")
+      "q_ns_leakage_safe_split", "q_ns_decontaminate_fuzzy")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()
@@ -89,6 +89,13 @@ class CacheHygieneSpec extends AnyFunSuite {
     // winnow pairs: ONE pin — the fingerprint table (postings + sizes)
     assert(footprint(
       ops.TextAnalysis.winnowOverlapPairs(docs, minContainment = 0.3).count()) == 1)
+    // fuzzy decontamination: TWO pins — corpus + benchmark signature
+    // tables. Aggregate the computed column: a bare count() would let the
+    // optimizer eliminate the unique-key left join and never run the chain
+    assert(footprint(ops.Neutral.fuzzyDecontaminate(
+      docs, docs.filter($"doc_id" < 20))
+      .agg(org.apache.spark.sql.functions.sum($"n_fuzzy_matches"))
+      .head()) == 2)
   }
 
   test("looped calls with releaseAll keep a flat pin count") {
