@@ -424,10 +424,16 @@ object Dedup {
     * overlapping marks per document recovers every maximal duplicated span
     * (boundaries resolved to k-gram granularity).
     *
-    * Scale: the occurrence stream is map-generated; grams travel as
-    * 16-hex-char md5 digests so the duplicate-count groupBy and the
-    * join back both shuffle on the same narrow key (colocated, partial
-    * aggregation on the count side). The island merge is a per-document
+    * Scale: the occurrence stream is map-generated; grams travel as full
+    * 32-hex-char (128-bit) md5 digests so the duplicate-count groupBy and
+    * the join back both shuffle on the same narrow key (colocated, partial
+    * aggregation on the count side). 128 bits matter here: at the target
+    * scale (~10^12 token positions) a 64-bit key would take ~10^4 birthday
+    * collisions, each falsely marking a unique gram "duplicated" and
+    * letting [[scrubSpans]] silently delete genuinely unique text; at 128
+    * bits the expected collision count is ~10^-15 — the same tolerance the
+    * exact suffix-array formulation has in practice. The island merge is a
+    * per-document
     * window — one shuffle on doc_id, then partition-local. No all-pairs
     * stage exists at any point, so the plan survives a 100x scale-up;
     * candidate volume is proportional to actual duplication.
@@ -445,7 +451,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("w")) - k),
-          i => substring(md5(array_join(slice(col("w"), i + 1, lit(k)), " ")), 1, 16))))
+          i => md5(array_join(slice(col("w"), i + 1, lit(k)), " ")))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("g"))
     val dup = occ.groupBy("g").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)

@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque binary columns with typed
   * metadata, batch-shaped decode/feature-extraction over partitions.
   *
-  * The decode step is a REAL header parser for the self-describing BMP and
-  * PNM (PPM/PGM) formats — magic, width, height, channels read from actual
-  * bytes per the public file-format specs (Windows BITMAPINFOHEADER layout;
-  * netpbm header grammar). Everything around it — binary column handling,
-  * the typed row schema, per-partition batch iteration, partition-parallel
-  * execution — is the 100 TB shape: a scan of (id, blob, meta) parquet
-  * partitions, map-only feature extraction, no shuffle until the consumer
-  * aggregates. Formats needing an external codec (JPEG/PNG/audio) would
-  * slot into the same `decodeMeta` dispatch with a per-partition decoder
-  * handle; the container ships no codecs, so those report `raw`.
+  * The decode step is a REAL header parser for the self-describing BMP,
+  * PNM (PPM/PGM), PNG, and JPEG formats — magic, width, height, channels
+  * read from actual bytes per the public file-format specs (Windows
+  * BITMAPINFOHEADER layout; netpbm header grammar; PNG IHDR chunk; JPEG
+  * marker-segment scan to SOFn). Everything around it — binary column
+  * handling, the typed row schema, per-partition batch iteration,
+  * partition-parallel execution — is the 100 TB shape: a scan of
+  * (id, blob, meta) parquet partitions, map-only feature extraction, no
+  * shuffle until the consumer aggregates. Full pixel decode for the
+  * entropy-coded formats (and audio/video) would slot into the same
+  * dispatch with a per-partition codec handle; the container ships no
+  * codecs, so geometry comes from the headers and unknown payloads report
+  * `raw`.
   */
 object Multimodal {
 
@@ -26,8 +29,8 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
 
   /** Decoded media features: real header-parsed geometry. `format` is
-    * "bmp" / "ppm" / "pgm" for recognized payloads, "raw" (with zero
-    * geometry) for anything the codec table doesn't know. */
+    * "bmp" / "ppm" / "pgm" / "png" / "jpeg" for recognized payloads, "raw"
+    * (with zero geometry) for anything the codec table doesn't know. */
   final case class MediaFeatures(doc_id: Long, source: String, n_bytes: Long,
       format: String, width: Int, height: Int, channels: Int)
 
@@ -46,13 +49,16 @@ object Multimodal {
 
   /** Planted geometry for the synthetic image of `id` — the ground truth
     * the oracle recomputes in SQL while Spark must recover it by parsing
-    * the binary header. */
+    * the binary header. Format selector f in [0, 5): bmp/ppm/pgm/png/jpeg. */
   private[graft] def plantedDims(id: Long): (Int, Int, Int) =
-    ((id % 61 + 4).toInt, (id % 47 + 4).toInt, (id % 3).toInt)
+    ((id % 61 + 4).toInt, (id % 47 + 4).toInt, (id % 5).toInt)
 
   /** Builds a complete, valid image file for `id`: 24-bit bottom-up BMP
-    * (54-byte header + 4-byte-aligned rows), binary PPM (P6), or binary
-    * PGM (P5), round-robined by id. Pixel bytes are a constant
+    * (54-byte header + 4-byte-aligned rows), binary PPM (P6), binary PGM
+    * (P5), 8-bit RGB PNG (spec-valid chunks, stored-block zlib IDAT so the
+    * byte count is formula-exact: 68 + h·(3w+1)), or a JPEG header stream
+    * (SOI + JFIF APP0 + SOF0 + EOI, fixed 41 bytes — geometry real,
+    * entropy data absent), round-robined by id. Pixel bytes are a constant
     * `id % 251` so payloads are deterministic without mattering to the
     * header parse. */
   private[graft] def makeImage(id: Long): Array[Byte] = {
@@ -88,16 +94,77 @@ object Multimodal {
       case 1 => // PPM P6: ASCII header, binary RGB triplets
         val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
         header ++ Array.fill(3 * w * h)(v)
-      case _ => // PGM P5: ASCII header, binary grayscale
+      case 2 => // PGM P5: ASCII header, binary grayscale
         val header = s"P5\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
         header ++ Array.fill(w * h)(v)
+      case 3 => // PNG: signature + IHDR + stored-block zlib IDAT + IEND
+        // raw scanlines: filter byte 0 then RGB per row
+        val raw = new Array[Byte](h * (1 + 3 * w))
+        var idx = 0
+        var row = 0
+        while (row < h) {
+          raw(idx) = 0; idx += 1
+          var i = 0
+          while (i < 3 * w) { raw(idx) = v; idx += 1; i += 1 }
+          row += 1
+        }
+        // zlib stream written by hand as ONE final stored block (raw fits
+        // well under the 65535-byte block cap) so the total byte count is
+        // formula-exact: 2 (zlib hdr) + 5 (block hdr) + n + 4 (adler)
+        val n = raw.length
+        val zlib = ByteBuffer.allocate(n + 11)
+        zlib.put(0x78.toByte).put(0x01.toByte)
+        zlib.put(0x01.toByte) // BFINAL=1, BTYPE=00 (stored)
+        zlib.put((n & 0xff).toByte).put(((n >> 8) & 0xff).toByte)
+        zlib.put(((~n) & 0xff).toByte).put((((~n) >> 8) & 0xff).toByte)
+        zlib.put(raw)
+        val adler = new java.util.zip.Adler32
+        adler.update(raw)
+        zlib.putInt(adler.getValue.toInt) // Adler-32 is big-endian
+        def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+          val t = typ.getBytes(StandardCharsets.US_ASCII)
+          val bb = ByteBuffer.allocate(12 + data.length) // BE per PNG spec
+          bb.putInt(data.length).put(t).put(data)
+          val crc = new java.util.zip.CRC32
+          crc.update(t); crc.update(data)
+          bb.putInt(crc.getValue.toInt)
+          bb.array()
+        }
+        val ihdr = ByteBuffer.allocate(13)
+        ihdr.putInt(w).putInt(h)
+          .put(8.toByte)  // bit depth
+          .put(2.toByte)  // color type: truecolor RGB
+          .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+        pngSignature ++ chunk("IHDR", ihdr.array()) ++
+          chunk("IDAT", zlib.array()) ++ chunk("IEND", Array.emptyByteArray)
+      case _ => // JPEG: SOI + JFIF APP0 + SOF0 (real geometry) + EOI
+        val bb = ByteBuffer.allocate(41) // BE, as JPEG requires
+        bb.putShort(0xffd8.toShort)                      // SOI
+        bb.putShort(0xffe0.toShort).putShort(16.toShort) // APP0, len 16
+        bb.put("JFIF".getBytes(StandardCharsets.US_ASCII)).put(0.toByte)
+        bb.put(1.toByte).put(1.toByte)                   // version 1.1
+        bb.put(0.toByte)                                 // density units
+        bb.putShort(1.toShort).putShort(1.toShort)       // x/y density
+        bb.put(0.toByte).put(0.toByte)                   // no thumbnail
+        bb.putShort(0xffc0.toShort).putShort(17.toShort) // SOF0, len 8+3*3
+        bb.put(8.toByte)                                 // precision
+        bb.putShort(h.toShort).putShort(w.toShort)       // lines, samples
+        bb.put(3.toByte)                                 // 3 components
+        bb.put(1.toByte).put(0x22.toByte).put(0.toByte)  // Y  2x2, qtbl 0
+        bb.put(2.toByte).put(0x11.toByte).put(1.toByte)  // Cb 1x1, qtbl 1
+        bb.put(3.toByte).put(0x11.toByte).put(1.toByte)  // Cr 1x1, qtbl 1
+        bb.putShort(0xffd9.toShort)                      // EOI
+        bb.array()
     }
   }
 
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
   /** Documents → synthetic image table: one REAL image file per doc (BMP /
-    * PPM / PGM round-robin, planted geometry). Exercises the decode path on
-    * actual binary headers while keeping an exact SQL oracle (the planting
-    * formula). */
+    * PPM / PGM / PNG / JPEG round-robin, planted geometry). Exercises the
+    * decode path on actual binary headers while keeping an exact SQL
+    * oracle (the planting formula). */
   def syntheticImageTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("source")).as[(Long, String)]
@@ -132,27 +199,97 @@ object Multimodal {
     out
   }
 
+  private val Raw = ("raw", 0, 0, 0)
+
+  /** PNG geometry: 8-byte signature, then the IHDR chunk the spec requires
+    * FIRST — length (int32-BE, must be 13) at offset 8, type "IHDR" at 12,
+    * then width/height int32-BE, bit depth, color type. Channels follow
+    * from the color type (0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    * 6 RGBA). */
+  private def pngMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    if (bytes.length < 33) return Raw
+    val bb = ByteBuffer.wrap(bytes) // big-endian per the PNG spec
+    if (bb.getInt(8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' ||
+      bytes(14) != 'D' || bytes(15) != 'R') return Raw
+    val w = bb.getInt(16)
+    val h = bb.getInt(20)
+    val depth = bytes(24) & 0xff
+    val channels = (bytes(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => 0
+    }
+    val depthOk =
+      depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+    if (w <= 0 || h <= 0 || channels == 0 || !depthOk) Raw
+    else ("png", w, h, channels)
+  }
+
+  /** JPEG geometry: after SOI, walk the length-prefixed marker segments to
+    * the first SOFn (0xC0–0xCF minus the non-frame DHT 0xC4, JPG 0xC8,
+    * DAC 0xCC), whose payload is precision, lines (uint16-BE), samples
+    * (uint16-BE), component count. Standalone markers (RSTn, TEM) carry no
+    * length; EOI or SOS before any SOF means no recoverable geometry. */
+  private def jpegMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    var i = 2
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return Raw
+      var m = bytes(i + 1) & 0xff
+      while (m == 0xff && i + 2 < bytes.length) { i += 1; m = bytes(i + 1) & 0xff }
+      if (m == 0xd9 || m == 0xda) return Raw // EOI / SOS: no SOF seen
+      else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+      else {
+        if (i + 3 >= bytes.length) return Raw
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2) return Raw
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 9 >= bytes.length) return Raw
+          val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+          val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+          val nComp = bytes(i + 9) & 0xff
+          return if (w <= 0 || h <= 0 || nComp <= 0) Raw
+          else ("jpeg", w, h, nComp)
+        }
+        i += 2 + len
+      }
+    }
+    Raw
+  }
+
   /** Real metadata decode: BMP (BITMAPINFOHEADER: width int32-LE @18,
     * height int32-LE @22 — negative means top-down, bits-per-pixel
-    * uint16-LE @28) and binary netpbm (P6 RGB / P5 gray: magic then
-    * whitespace/comment-separated width, height, maxval). Unrecognized
-    * payloads come back as ("raw", 0, 0, 0) rather than erroring — at
-    * 100 TB a poison blob must not kill the job. */
+    * uint16-LE @28), binary netpbm (P6 RGB / P5 gray: magic, then
+    * whitespace/comment-separated width, height, maxval — the magic MUST
+    * be followed by whitespace or a comment per the netpbm grammar, so
+    * "P6123..." is not a 123-wide PPM), PNG ([[pngMeta]]), and JPEG
+    * ([[jpegMeta]]). Unrecognized or malformed payloads come back as
+    * ("raw", 0, 0, 0) rather than erroring — at 100 TB a poison blob must
+    * not kill the job, and must not parse to confidently wrong geometry
+    * either. */
   private[graft] def decodeMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
     if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val w = bb.getInt(18)
       val hRaw = bb.getInt(22)
       val bits = bb.getShort(28) & 0xffff
-      if (w <= 0 || hRaw == 0 || bits % 8 != 0 || bits == 0) ("raw", 0, 0, 0)
+      if (w <= 0 || hRaw == 0 || bits % 8 != 0 || bits == 0) Raw
       else ("bmp", w, math.abs(hRaw), bits / 8)
-    } else if (bytes.length >= 2 && bytes(0) == 'P' &&
-        (bytes(1) == '5' || bytes(1) == '6')) {
+    } else if (bytes.length >= 3 && bytes(0) == 'P' &&
+        (bytes(1) == '5' || bytes(1) == '6') && {
+          val c = bytes(2) & 0xff
+          c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '#'
+        }) {
       val dims = pnmInts(bytes, 2, 3) // width, height, maxval
-      if (dims == null || dims(0) <= 0 || dims(1) <= 0) ("raw", 0, 0, 0)
+      if (dims == null || dims(0) <= 0 || dims(1) <= 0) Raw
       else if (bytes(1) == '6') ("ppm", dims(0), dims(1), 3)
       else ("pgm", dims(0), dims(1), 1)
-    } else ("raw", 0, 0, 0)
+    } else if (bytes.length >= 8 &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, 0, 8), pngSignature)) {
+      pngMeta(bytes)
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+      jpegMeta(bytes)
+    } else Raw
   }
 
   private def decodeRow(row: MediaRow): MediaFeatures = {

@@ -16,6 +16,18 @@ object Sampling {
     conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
 
+  /** [[splitBucket]] salted with a purpose tag, so operators composed in
+    * one pipeline draw INDEPENDENT deterministic decisions per row. The
+    * unsalted bucket is shared by withSplit / stratifiedSample /
+    * weightedKeep by design (split stability); an operator that layers a
+    * second random decision on top of a split (e.g. fractional resampling
+    * AFTER an 80/10/10 split) must not reuse the same bucket — otherwise
+    * a fraction < 0.8 lands exclusively inside train-bucket docs and the
+    * realized rate on the train subset becomes frac/0.8, not frac. */
+  def saltedBucket(purpose: String, idCol: Column): Column =
+    conv(substring(md5(concat(lit(purpose + ":"), idCol.cast("string"))),
+      1, 4), 16, 10).cast("long") % 100
+
   /** Deterministic stratified sample: keep `rates(stratum)`% of each
     * stratum (`defaultPct`% for unlisted strata) using the same md5 bucket
     * as [[withSplit]] — the language/source-rebalancing primitive. Map-only
@@ -49,7 +61,9 @@ object Sampling {
 
   /** Materialize per-source mix weights into an actual resampled corpus:
     * each doc is emitted `floor(boost)` times plus one more with
-    * probability frac(boost), decided by the stable md5 bucket — the step
+    * probability frac(boost), decided by a PURPOSE-SALTED stable md5
+    * bucket ([[saltedBucket]] with tag "resample") so the fractional-copy
+    * decision is independent of the split/stratify/keep buckets — the step
     * that turns [[CorpusQuality.temperatureMixWeights]]' `boost` column
     * (or any per-source multiplier) into training rows. Deterministic
     * across runs/engines/partitionings, map-only after a broadcast join
@@ -62,7 +76,7 @@ object Sampling {
       boostCol: String = "boost"): DataFrame = {
     val nCopies =
       (floor(col(boostCol)).cast("long")
-        + when(splitBucket(col(idCol)).cast("double") / 100.0
+        + when(saltedBucket("resample", col(idCol)).cast("double") / 100.0
             < col(boostCol) - floor(col(boostCol)), 1L).otherwise(0L))
         .as("n_copies")
     docs

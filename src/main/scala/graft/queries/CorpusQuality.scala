@@ -154,13 +154,18 @@ object CorpusQueries {
     CQ.temperatureMixWeights(T.documents(s, d)).orderBy("source")
   }
 
-  /** The DuckDB twin of Sampling.splitBucket(doc_id): first 4 md5 hex
-    * digits as an integer, mod 100. */
-  private val bucketExpr =
-    """CAST(CAST(list_sum(list_transform(generate_series(1, 4),
-      |    i -> (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+  /** The DuckDB twin of Sampling.splitBucket / saltedBucket: first 4 md5
+    * hex digits of `arg` as an integer, mod 100. */
+  private def bucketExprOf(arg: String) =
+    s"""CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5($arg), i, 1)) - 1)
       |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
       |    % 100 AS BIGINT)""".stripMargin
+
+  /** Resampling uses the "resample"-salted bucket (independent of the
+    * split bucket — see Sampling.saltedBucket). */
+  private val resampleBucketExpr =
+    bucketExprOf("'resample:' || CAST(doc_id AS VARCHAR)")
 
   /** The mix weights MATERIALIZED: every doc emitted floor(boost) times
     * plus a fractional extra decided by the stable md5 bucket — the
@@ -175,7 +180,7 @@ object CorpusQueries {
       |), nc AS (
       |  SELECT d.doc_id, d.source,
       |         CAST(floor(boost) AS BIGINT)
-      |         + CASE WHEN CAST($bucketExpr AS DOUBLE) / 100.0
+      |         + CASE WHEN CAST($resampleBucketExpr AS DOUBLE) / 100.0
       |                     < boost - floor(boost) THEN 1 ELSE 0 END AS n_copies
       |  FROM documents d JOIN bw USING (source)
       |)

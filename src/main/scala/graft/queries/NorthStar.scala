@@ -221,7 +221,7 @@ object NorthStar {
       |),
       |occ AS (
       |  SELECT doc_id, i - 1 AS pos,
-      |         substring(md5(array_to_string(list_slice(w, i, i + 4), ' ')), 1, 16) AS g
+      |         md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS g
       |  FROM pos0
       |),
       |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
@@ -261,7 +261,7 @@ object NorthStar {
       |),
       |occ AS (
       |  SELECT doc_id, i - 1 AS pos,
-      |         substring(md5(array_to_string(list_slice(w, i, i + 4), ' ')), 1, 16) AS g
+      |         md5(array_to_string(list_slice(w, i, i + 4), ' ')) AS g
       |  FROM pos0
       |),
       |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
@@ -1003,25 +1003,30 @@ object NorthStar {
   }
 
   /** Multimodal batch decode path: one REAL image file per doc (24-bit BMP
-    * / binary PPM / binary PGM round-robin, geometry planted from doc_id),
-    * decoded by actually parsing the binary headers in mapPartitions. The
-    * oracle recomputes the planted geometry AND the exact file size (BMP
-    * 4-byte row alignment, netpbm ASCII header width) from the formula — a
-    * decoder that misreads a little-endian offset or the netpbm grammar
-    * hash-mismatches immediately. */
+    * / binary PPM / binary PGM / 8-bit RGB PNG / JFIF JPEG round-robin,
+    * geometry planted from doc_id), decoded by actually parsing the binary
+    * headers in mapPartitions. The oracle recomputes the planted geometry
+    * AND the exact file size (BMP 4-byte row alignment, netpbm ASCII
+    * header width, PNG 68 + h·(3w+1) chunk/stored-zlib overhead, JPEG's
+    * fixed 41-byte marker stream) from the formula — a decoder that
+    * misreads a little-endian offset, the netpbm grammar, the IHDR layout,
+    * or the SOFn scan hash-mismatches immediately. */
   val multimodalFeatures = QueryDef(
     "q_ns_multimodal_features",
     """WITH p AS (
       |  SELECT doc_id, source,
-      |         doc_id % 61 + 4 AS w, doc_id % 47 + 4 AS h, doc_id % 3 AS f
+      |         doc_id % 61 + 4 AS w, doc_id % 47 + 4 AS h, doc_id % 5 AS f
       |  FROM documents
       |)
       |SELECT doc_id, source,
       |       CAST(CASE f WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+      |            WHEN 3 THEN 68 + h * (3 * w + 1)
+      |            WHEN 4 THEN 41
       |            ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
       |                 + CASE f WHEN 1 THEN 3 * w * h ELSE w * h END
       |            END AS BIGINT) AS n_bytes,
-      |       CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+      |       CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+      |              WHEN 3 THEN 'png' ELSE 'jpeg' END AS format,
       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
       |       CAST(CASE f WHEN 2 THEN 1 ELSE 3 END AS INTEGER) AS channels
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -236,15 +236,21 @@ object StreamOps {
   /** Streaming ingest admission, full chain: per micro-batch, run the
     * batch admission filter (exact digest + banded near-dup vs the static
     * corpus) and append survivors to the sink — exactly-once via the
-    * checkpoint. Caller drives the returned query. */
+    * checkpoint. Caller drives the returned query. The per-batch signature
+    * caches are released via [[graft.ops.Pins.scoped]] — the micro-batch
+    * thread frees only the pins IT created, so a concurrently running graft
+    * operator on another thread keeps its caches and checkpoints intact
+    * (a global releaseAll here would force their recompute or, for
+    * lineage-truncated checkpoints, fail their job). */
   def admissionIngest(corpus: DataFrame, stream: DataFrame, sinkDir: String,
       checkpointDir: String, minJaccard: Double = 0.8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Neutral.dedupAgainst(corpus, batch, minJaccard = minJaccard)
-          .write.mode("append").parquet(sinkDir)
-        graft.ops.Pins.releaseAll() // per-batch signature tables
+        graft.ops.Pins.scoped {
+          graft.ops.Neutral.dedupAgainst(corpus, batch, minJaccard = minJaccard)
+            .write.mode("append").parquet(sinkDir)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

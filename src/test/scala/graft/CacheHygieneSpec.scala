@@ -118,6 +118,38 @@ class CacheHygieneSpec extends AnyFunSuite {
       "registry not empty after the final releaseAll")
   }
 
+  test("Pins.scoped releases only the calling thread's pins — concurrent operators keep theirs") {
+    import spark.implicits._
+    clearState()
+    val docs = queries.T.documents(spark, sf).filter($"doc_id" < 100)
+    // an "other operator" pin created on THIS thread before the scope opens
+    val outer = ops.Pins.track(docs.select($"doc_id").cache())
+    outer.count()
+    // an "other operator" pin created on a DIFFERENT thread while the scope
+    // is conceptually open — must survive the scoped release
+    @volatile var otherDf: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      otherDf = ops.Pins.track(docs.select($"text").cache())
+      otherDf.count()
+    })
+    ops.Pins.scoped {
+      t.start(); t.join()
+      // pins created by the scope's own thread: the minhash signature table
+      ops.Neutral.minHashCandidates(docs).count()
+      assert(ops.Pins.liveCount >= 3, "expected scope + outer + other-thread pins live")
+    }
+    // scope released ONLY its own thread's in-scope pin(s)
+    assert(outer.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "scoped release clobbered a pre-existing pin on the same thread")
+    assert(otherDf.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "scoped release clobbered a concurrent thread's pin")
+    assert(ops.Pins.liveCount == 2,
+      s"expected exactly the 2 out-of-scope pins, got ${ops.Pins.liveCount}")
+    ops.Pins.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    clearState()
+  }
+
   test("pageRank releases every intermediate — only the result table survives") {
     import spark.implicits._
     clearState()

@@ -406,7 +406,7 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.length == 30)
     rows.foreach { r =>
       val (w, h, f) = Multimodal.plantedDims(r.doc_id)
-      val fmt = Seq("bmp", "ppm", "pgm")(f)
+      val fmt = Seq("bmp", "ppm", "pgm", "png", "jpeg")(f)
       assert(r.format == fmt && r.width == w && r.height == h,
         s"doc ${r.doc_id}: decoded (${r.format},${r.width},${r.height}) " +
           s"vs planted ($fmt,$w,$h)")
@@ -429,11 +429,45 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(ppm) == (("ppm", 12, 7, 3)))
     val pgm = "P5\n3 2\n255\n".getBytes("US-ASCII") ++ Array.fill(6)(9.toByte)
     assert(Multimodal.decodeMeta(pgm) == (("pgm", 3, 2, 1)))
+    // PNG: signature + IHDR, 16-bit grayscale+alpha — parsed per spec
+    val png = ByteBuffer.allocate(33)
+    png.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    png.putInt(640).putInt(480)
+      .put(16.toByte).put(4.toByte) // depth 16, color type gray+alpha
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    png.putInt(0) // CRC (not validated by the header parse)
+    assert(Multimodal.decodeMeta(png.array()) == (("png", 640, 480, 2)))
+    // JPEG: SOI, then a COM segment the scan must SKIP, then SOF2
+    // (progressive), 1 component
+    val jpg = ByteBuffer.allocate(2 + 9 + 13 + 2)
+    jpg.putShort(0xffd8.toShort)
+    jpg.putShort(0xfffe.toShort).putShort(7.toShort)
+      .put("comnt".getBytes("US-ASCII"))
+    jpg.putShort(0xffc2.toShort).putShort(11.toShort)
+      .put(8.toByte).putShort(123.toShort).putShort(456.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
+    jpg.putShort(0xffd9.toShort)
+    assert(Multimodal.decodeMeta(jpg.array()) == (("jpeg", 456, 123, 1)))
     // garbage, truncated, and malformed-header payloads all degrade to raw
     assert(Multimodal.decodeMeta("not an image".getBytes)._1 == "raw")
     assert(Multimodal.decodeMeta(Array[Byte]('B', 'M', 3))._1 == "raw")
     assert(Multimodal.decodeMeta("P6\nx y\n".getBytes)._1 == "raw")
     assert(Multimodal.decodeMeta(Array.empty[Byte])._1 == "raw")
+    // netpbm grammar: the magic must be followed by whitespace/comment —
+    // "P6123 7 255 ..." is NOT a 123-wide PPM, it is garbage
+    assert(Multimodal.decodeMeta(
+      ("P6123 7 255 " + "x" * 64).getBytes("US-ASCII"))._1 == "raw")
+    // PNG signature with a truncated / non-IHDR first chunk → raw
+    assert(Multimodal.decodeMeta(
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))._1 == "raw")
+    val badPng = png.array().clone()
+    badPng(12) = 'X' // first chunk not IHDR
+    assert(Multimodal.decodeMeta(badPng)._1 == "raw")
+    // JPEG that hits SOS/EOI before any SOF → raw, not a crash
+    val noSof = ByteBuffer.allocate(4)
+    noSof.putShort(0xffd8.toShort).putShort(0xffd9.toShort)
+    assert(Multimodal.decodeMeta(noSof.array())._1 == "raw")
   }
 
   test("winnowOverlapPairs finds a planted partial overlap, skips unrelated docs") {
