@@ -50,7 +50,31 @@ object Bench {
     "q_ns_ivfpq_topk",
     "q_ns_span_dedup",
     "q_ns_budget_select",
-    "q_ns_winnow_pairs")
+    "q_ns_winnow_pairs",
+    // round-8: the fit/apply split — IVF-PQ served from a persisted index
+    // (first rep builds the artifact, warm reps serve with zero fitting;
+    // the warm median is the serving cost the fit/apply split buys)
+    "q_ns_ivfpq_served")
+
+  /** Contention sentinel: a fixed single-threaded CPU workload (one-
+    * partition range sum — no IO, no shuffle, size-independent of sf)
+    * timed at sweep start and end. On an idle container it lands inside
+    * [[CalEnvelopeSec]]; under external CPU contention it inflates with
+    * everything else, so a calibration rep >2x the envelope marks the
+    * whole artifact `contended` — the r7 lesson, where a 291 s headline
+    * run (vs 119 s steady) reported per-query "regressions" that the
+    * same round's full sweep reversed. A flagged artifact says "re-run
+    * before judging deltas" in the data itself. */
+  val CalEnvelopeSec = 0.20 // committed idle-container envelope (measured
+                            // 0.14-0.21 s across runs on this machine;
+                            // the 2x contended threshold is 0.40 s)
+
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 30000000L, 1L, 1)
+      .selectExpr("sum(id * 31 + (id % 7))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +92,8 @@ object Bench {
     // JVM/codegen/parquet-footer warmup so per-query timings measure the
     // query, not first-touch JIT and classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    calibrate(spark) // warm the calibration path itself (JIT) before timing
+    val calStart = calibrate(spark)
     val all = SparkEntry.queries
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
@@ -96,23 +122,35 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    def runOnce(name: String): Double = {
+      clearState()
+      val t0 = System.nanoTime()
+      // noop sink, NOT count(): count() lets the optimizer ELIMINATE a
+      // cardinality-preserving left join (right side provably unique on
+      // the key) plus the output sort — for the "per-row annotation"
+      // query shape (docs LEFT JOIN counts) that pruned the entire
+      // operator under test and timed a bare table count. The noop
+      // write consumes every row and column, so the timed plan is the
+      // plan the driver's parquet dump actually executes.
+      try {
+        all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      catch { case _: Throwable => -1.0 }
+    }
     val results = names.map { name =>
       val qReps = if (reps == 1) 1 else extraReps.getOrElse(name, reps)
-      val times = (1 to qReps).map { _ =>
-        clearState()
-        val t0 = System.nanoTime()
-        // noop sink, NOT count(): count() lets the optimizer ELIMINATE a
-        // cardinality-preserving left join (right side provably unique on
-        // the key) plus the output sort — for the "per-row annotation"
-        // query shape (docs LEFT JOIN counts) that pruned the entire
-        // operator under test and timed a bare table count. The noop
-        // write consumes every row and column, so the timed plan is the
-        // plan the driver's parquet dump actually executes.
-        try {
-          all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        catch { case _: Throwable => -1.0 }
+      var times = (1 to qReps).map(_ => runOnce(name))
+      // variance fold-in: when THIS run's warm reps spread >50% of their
+      // median, the flakiness is happening here and now — take extra reps
+      // (to 5 total) so the median is estimated where the noise occurs,
+      // not where it was last seen. (The static extraReps list stays for
+      // the known offenders; this catches new ones automatically.)
+      if (reps > 1 && times.forall(_ >= 0) && times.length < 5) {
+        val warm = times.tail
+        val med = warm.sorted.apply(warm.length / 2)
+        if (med > 0 && (warm.max - warm.min) / med > 0.5)
+          times = times ++ (times.length until 5).map(_ => runOnce(name))
       }
       if (times.exists(_ < 0)) errors ::= name
       // cold = first run; steady = min over reps. A crashed query is
@@ -141,8 +179,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val calEnd = calibrate(spark)
+    val contended =
+      calStart > 2 * CalEnvelopeSec || calEnd > 2 * CalEnvelopeSec
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

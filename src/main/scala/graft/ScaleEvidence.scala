@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
   *   (D^2 = I), so each replica has sf0.1's neighbor structure, while
   *   cross-replica cosines are scrambled.
   *
-  * Usage: `sbt "runMain graft.ScaleEvidence"` (SPARK_GRAFT_CPUS to size
-  * the local master; /tmp/graft_scale10 holds the synthesized parquet).
+  * Usage: `sbt "runMain graft.ScaleEvidence [mode]"` (SPARK_GRAFT_CPUS to
+  * size the local master; /tmp/graft_scale10 holds the synthesized
+  * parquet). Modes:
+  *  - (none)   the 10x candidate-volume / bucket-occupancy sweep
+  *  - stages   per-stage wall-time split of the ingest chain
+  *             (exact admission / banded near-dup verify / clustered
+  *             closure) — the q_ns_dedup_ingest_e2e breakdown
+  *  - ivf      IVF inverted-list occupancy at 1x/10x and the k-knob
+  *             (cluster count ∝ corpus) that restores flat list sizes
+  *  - spill    the dedup path under a deliberately small heap
+  *             (SPARK_DRIVER_MEM=2g) with per-stage spill bytes from a
+  *             SparkListener — memory-bounded completion evidence
   */
 object ScaleEvidence {
 
@@ -35,14 +45,29 @@ object ScaleEvidence {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // spill mode mixes a large evictable cache with sort-heavy joins on a
+    // deliberately small heap; the default storageFraction (0.5) protects
+    // half the unified region for the cache, starving the sorters' page
+    // allocations outright ("got 0" SparkOutOfMemoryError) instead of
+    // letting them spill. 0.1 is the mixed-workload posture: caches keep
+    // re-reading from disk, sorters get room to spill gracefully. Static
+    // conf — must be set before the context exists.
+    if (args.headOption.contains("spill"))
+      builder.config("spark.memory.storageFraction", "0.1")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.headOption match {
+      case Some("stages") => ingestStages(spark, sfDir); spark.stop(); return
+      case Some("ivf") => ivfOccupancy(spark, sfDir); spark.stop(); return
+      case Some("spill") => spillEvidence(spark, sfDir); spark.stop(); return
+      case _ => ()
+    }
     val out = "/tmp/graft_scale10"
     val reps = 10
 
@@ -140,5 +165,197 @@ object ScaleEvidence {
       }
     }
     spark.stop()
+  }
+
+  private def clearAll(spark: SparkSession): Unit = {
+    ops.Pins.releaseAll()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def medianOf(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Per-stage wall-time split of the q_ns_dedup_ingest_e2e chain (same
+    * corpus/incoming slices as the driver query): exact digest admission
+    * alone, full admission (+ banded candidates + Jaccard verify), full
+    * chain (+ within-batch clustered closure). Increments between the
+    * three isolate each stage's cost; every measurement is a full
+    * clear-state noop-sink run, the bench's timing contract. */
+  private def ingestStages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.sha2
+    val reps = 5
+    def docs = queries.T.documents(spark, sfDir)
+    def corpus = docs.filter(col("doc_id") < 250)
+    def incoming = docs.filter(col("doc_id") >= 250)
+    def run(name: String)(body: => DataFrame): Double = {
+      val ts = (1 to reps).map { _ =>
+        clearAll(spark)
+        timed(noop(body))._2
+      }
+      val med = medianOf(ts.tail)
+      println(s"""STAGES {"stage":"$name","median_s":${"%.2f".format(med)},""" +
+        s""""reps":[${ts.map("%.2f".format(_)).mkString(",")}]}""")
+      med
+    }
+    val tExact = run("exact_admission") {
+      incoming.join(
+        corpus.select(sha2(col("text"), 256).as("sha")).distinct(),
+        sha2(col("text"), 256) === col("sha"), "left_anti")
+    }
+    val tAdmit = run("full_admission") {
+      ops.Neutral.dedupAgainst(corpus, incoming, minJaccard = 0.8)
+    }
+    val tChain = run("full_chain") {
+      ops.Neutral.ingestE2e(corpus, incoming, minJaccard = 0.8)
+        .select("doc_id")
+    }
+    // same-JVM A/B: would pinning the admitted batch help? (measured: no —
+    // caching the wide rows costs more than re-running the admission joins
+    // over the already-cached signature tables)
+    val tChainPinned = run("full_chain_pinned_admitted") {
+      ops.Neutral.ingestE2eImpl(corpus, incoming, "text", 0.8,
+        pinAdmitted = true).select("doc_id")
+    }
+    // closure floor: connected components alone over the chain's verified
+    // pair set (pairs precomputed and cached outside the timer) — the
+    // fixed per-iteration job latency nothing upstream can remove
+    val pairs = ops.Pins.track(
+      ops.Neutral.minHashCandidates(incoming)
+        .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b").cache())
+    pairs.count()
+    val tComp = {
+      val ts = (1 to reps).map { _ =>
+        // Pins.scoped releases only the checkpoints each rep creates,
+        // keeping the pre-scope `pairs` cache alive across reps
+        ops.Pins.scoped {
+          timed(noop(ops.Dedup.connectedComponents(pairs)))._2
+        }
+      }
+      val med = medianOf(ts.tail)
+      println(s"""STAGES {"stage":"components_only","median_s":${"%.2f".format(med)},""" +
+        s""""reps":[${ts.map("%.2f".format(_)).mkString(",")}]}""")
+      med
+    }
+    println(s"""STAGES {"split":{"exact_admission_s":${"%.2f".format(tExact)},""" +
+      s""""banded_verify_increment_s":${"%.2f".format(tAdmit - tExact)},""" +
+      s""""clustered_closure_increment_s":${"%.2f".format(tChain - tAdmit)},""" +
+      s""""total_s":${"%.2f".format(tChain)},""" +
+      s""""pinned_admitted_total_s":${"%.2f".format(tChainPinned)},""" +
+      s""""components_only_s":${"%.2f".format(tComp)}}}""")
+  }
+
+  /** IVF inverted-list occupancy: lists are label partitions in
+    * Similarity.ivfTopK/ivfPqTopK, so occupancy = rows per label. At 10x
+    * corpus with a FIXED list count the lists grow 10x (scan cost per
+    * probe grows with them); the restoring knob is nlist ∝ corpus — here
+    * demonstrated with k-means coarse lists (k=8 at 1x vs k=80 at 10x),
+    * which hold per-list occupancy flat the same way a production IVF
+    * retrains its coarse quantizer as the corpus grows. */
+  private def ivfOccupancy(spark: SparkSession, sfDir: String): Unit = {
+    val emb1 = queries.T.embeddings(spark, sfDir)
+    // reuse the ScaleEvidence replica transform: ±1 diagonal per replica
+    // preserves intra-replica neighbor structure
+    val out = "/tmp/graft_scale10/embeddings.parquet"
+    if (!new java.io.File(out + "/_SUCCESS").exists()) {
+      (0 until 10).map { k =>
+        emb1.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"""transform(embedding, (x, d) ->
+               |  CASE WHEN substring(md5(concat('sf', '$k', ':', d)), 1, 1) < '8'
+               |       THEN x ELSE float(-x) END)""".stripMargin)
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(out)
+    }
+    val emb10 = spark.read.parquet(out)
+    def occStats(assigned: DataFrame, listCol: String): (Long, Double, Long) = {
+      val r = assigned.groupBy(listCol).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), avg("n"), max("n")).head()
+      (r.getLong(0), r.getDouble(1), r.getLong(2))
+    }
+    for ((scale, e) <- Seq(("1x", emb1), ("10x", emb10))) {
+      clearAll(spark)
+      val (nl, av, mx) = occStats(e.select(col("label")), "label")
+      println(s"""IVF {"scale":"$scale","lists":"label","n_lists":$nl,""" +
+        s""""avg_occ":${"%.1f".format(av)},"max_occ":$mx}""")
+    }
+    for ((scale, e, k) <- Seq(("1x", emb1, 8), ("10x", emb10, 80))) {
+      clearAll(spark)
+      val a = ops.Cluster.kmeansAssign(e, k = k, iters = 2)
+      val (nl, av, mx) = occStats(a, "cluster")
+      println(s"""IVF {"scale":"$scale","lists":"kmeans_k$k","n_lists":$nl,""" +
+        s""""avg_occ":${"%.1f".format(av)},"max_occ":$mx}""")
+    }
+  }
+
+  /** Memory-bounded completion: run the clustered dedup path over the 10x
+    * corpus under whatever heap the caller set (SPARK_DRIVER_MEM) and
+    * report per-stage spill — the evidence that the plan degrades to disk
+    * instead of OOMing when partitions stop fitting in memory. */
+  private def spillEvidence(spark: SparkSession, sfDir: String): Unit = {
+    // default 100x: at this container's sf0.1 the 10x corpus still fits
+    // each task's execution memory even at -Xmx1g, so the spill-vs-OOM
+    // demonstration needs another order of magnitude of rows per task
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SPILL_SCALE", "100").toInt
+    val out = s"/tmp/graft_scale$scale/documents.parquet"
+    if (!new java.io.File(out + "/_SUCCESS").exists()) {
+      val docs = queries.T.documents(spark, sfDir)
+      (0 until scale).map { k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(out)
+    }
+    // 100 TB posture for the stress run: no broadcast side (a real corpus
+    // digest/signature table wouldn't fit an executor), so every join is
+    // a sort-merge whose sorts go through spillable external sorters
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    // The first constrained-heap run OOM'd NOT in a join or sort but in
+    // the cache's columnar batch builder (ColumnBuilder.ensureFreeSpace):
+    // batches default to 10k rows, and the signature table's rows carry
+    // three arrays (~KBs each), so one in-flight batch buffer is tens of
+    // MB of UNMANAGED allocation per task — invisible to the memory
+    // manager, un-spillable, doubling as it grows. Bounding the batch row
+    // count is the correct knob for wide-array caches at scale.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", 1000)
+    val d10 = spark.read.parquet(out)
+    val spills =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null)
+          spills.add((sc.stageInfo.stageId, m.memoryBytesSpilled,
+            m.diskBytesSpilled, m.shuffleWriteMetrics.bytesWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    clearAll(spark)
+    val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val (kept, t) = timed(ops.Neutral.dedupCorpusClustered(d10).count())
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val rows = spills.asScala.toSeq
+    val memSpill = rows.map(_._2).sum
+    val diskSpill = rows.map(_._3).sum
+    val topStages = rows.filter(r => r._2 > 0 || r._3 > 0)
+      .sortBy(-_._3).take(8)
+      .map(r => s"""{"stage":${r._1},"mem_spill_mb":${r._2 / 1048576},""" +
+        s""""disk_spill_mb":${r._3 / 1048576},"shuffle_write_mb":${r._4 / 1048576}}""")
+      .mkString("[", ",", "]")
+    println(s"""SPILL {"heap_mb":$heap,"kept":$kept,"t_s":${"%.1f".format(t)},""" +
+      s""""mem_spill_mb":${memSpill / 1048576},"disk_spill_mb":${diskSpill / 1048576},""" +
+      s""""n_stages_spilled":${rows.count(r => r._2 > 0 || r._3 > 0)},""" +
+      s""""spilling_stages":$topStages,"oom":false}""")
   }
 }

@@ -114,6 +114,21 @@ object Cluster {
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
     kmeansFit(emb, k, iters)._2
 
+  /** Fit once and persist the k×dim centroid table under `dir` (parquet —
+    * the durable model artifact). Deterministic fit ⇒ byte-identical on
+    * rebuild, so served assignments share the fit form's oracle. */
+  def kmeansBuild(emb: DataFrame, dir: String, k: Int = 8,
+      iters: Int = 3): Unit =
+    Pins.scoped { Models.save(kmeansFit(emb, k, iters)._1, dir) }
+
+  /** Assign a corpus against PERSISTED centroids ([[kmeansBuild]]) — no
+    * Lloyd iterations, just the one broadcast argmax pass. The apply half
+    * of the fit/apply split: the same map-only scan serves any number of
+    * corpora (or corpus increments) against one fitted model. */
+  def kmeansAssignServed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, emb: DataFrame): DataFrame =
+    assign(emb, Models.load(spark, dir))
+
   /** SemDeDup: cluster, then drop any vector that has a smaller-id
     * intra-cluster neighbor at cosine >= minCos (keep-the-minimum rule —
     * deterministic, one pass, no iterative peeling). Output: every vector

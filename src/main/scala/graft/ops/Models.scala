@@ -1,0 +1,65 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted model artifacts: the fit/apply split for the
+  * learned-parameter operators (PQ codebooks, IVF coarse centroids,
+  * k-means centroids, BPE merges).
+  *
+  * The anti-pattern this removes: an operator like ivfPqTopK that refits
+  * its codebooks inside the serving query re-pays the whole Lloyd
+  * iteration — the part that scans the full corpus — on every top-k
+  * batch. At 10^9 vectors the fit dominates serving by orders of
+  * magnitude. The correct lifecycle is the one every ANN system ships:
+  * fit ONCE into a durable artifact (here: plain parquet directories —
+  * readable by any engine, partition-parallel, no custom format), then
+  * serve any number of query batches from the loaded artifact. Because
+  * every fit in this library is bit-deterministic (md5 seeds, decimal
+  * means, fixed tie-breaks), a rebuilt artifact is byte-identical to the
+  * original — loading is purely a cost optimization, never a semantics
+  * change, which is what lets a served query share its oracle with the
+  * refitting form.
+  *
+  * [[save]]/[[load]]/[[exists]] work on any Hadoop-visible path (local
+  * fs in tests, HDFS/object store at scale). [[ensureBuilt]] is the
+  * in-JVM memoization the bench/verify harness uses: first caller builds
+  * into a fresh temp dir, every later caller (and bench rep) serves from
+  * it — exactly the build-once/serve-many shape, without any risk of a
+  * stale artifact outliving the JVM's dataset.
+  */
+object Models {
+
+  /** Persist one model table (overwrite — an artifact is replaced
+    * atomically per path, never appended). */
+  def save(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** True iff a completed save exists at `dir` (the _SUCCESS marker —
+    * a torn write never serves). */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, "_SUCCESS"))
+  }
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-JVM: the first call for `key` runs `build` against a
+    * fresh temp directory and returns it; later calls return the same
+    * directory without building. Keyed per (operator, dataset, params) by
+    * the caller. Temp-dir scoped so an artifact can never outlive the JVM
+    * and serve a different dataset generation. */
+  def ensureBuilt(key: String)(build: String => Unit): String =
+    built.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_model_")
+        .toString
+      build(dir)
+      dir
+    })
+}

@@ -517,9 +517,25 @@ object Neutral {
     * against the corpus signature table and stage 2 runs on the (much
     * smaller) admitted batch only. */
   def ingestE2e(corpus: DataFrame, incoming: DataFrame,
-      textCol: String = "text", minJaccard: Double = 0.8): DataFrame = {
-    val (admitted, shI) =
+      textCol: String = "text", minJaccard: Double = 0.8): DataFrame =
+    ingestE2eImpl(corpus, incoming, textCol, minJaccard, pinAdmitted = false)
+
+  /** [[ingestE2e]] body; `pinAdmitted` exists only for the ScaleEvidence
+    * stage-breakdown A/B. Stage 2 consumes the admitted batch from two
+    * subtrees (exactGroups' digest groupBy and the kept-table fill), so
+    * the admission anti/banded joins re-execute once — but those joins
+    * read the CACHED signature tables, and the measured A/B (SCALING.md)
+    * shows re-running them (~4.3 s total) beats materializing the wide
+    * admitted rows into the block cache (~5.1 s total): the pin's
+    * serialize-and-barrier cost exceeds the recompute it saves. Default
+    * is therefore unpinned; the expensive per-shingle hashing is cached
+    * either way. */
+  private[graft] def ingestE2eImpl(corpus: DataFrame, incoming: DataFrame,
+      textCol: String, minJaccard: Double, pinAdmitted: Boolean): DataFrame = {
+    val (admitted0, shI) =
       admitWithSig(corpus, incoming, textCol, minJaccard, 3, 16, 4)
+    val admitted =
+      if (pinAdmitted) Pins.track(admitted0.cache()) else admitted0
     // stage 2 reuses stage 1's cached incoming-side signatures (shI covers
     // every admitted doc) — the chain hashes each shingle exactly once
     dedupCorpusClustered(admitted, textCol, minJaccard,

@@ -224,15 +224,29 @@ object Quantize {
   def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], kNN: Int,
       nprobe: Int = 2, m: Int = 4, subDim: Int = 16, k: Int = 8,
       iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (cents, a) = pqFit(emb, m, subDim, k, iters)
     val codes = codesOf(a, m)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
+    ivfPqScan(queries, Similarity.centroids(emb), cents, codes,
+      kNN, nprobe, m, subDim)
+  }
+
+  /** The serving half of IVF-PQ, shared by the refitting form
+    * ([[ivfPqTopK]]) and the artifact form ([[ivfPqServe]]): coarse route
+    * via broadcast centroids, candidates as narrow (query_id, vec_id)
+    * keys from the probed inverted lists, ADC scoring by broadcast LUT
+    * equi joins, per-query top-k. Contains NO fitting — every input table
+    * is either the query batch or a model/index table. */
+  private def ivfPqScan(queries: DataFrame, coarse: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, kNN: Int, nprobe: Int,
+      m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // coarse route: nprobe nearest label-centroids per query
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("label").asc)
-    val routed = queries.crossJoin(broadcast(Similarity.centroids(emb)))
+    val routed = queries.crossJoin(broadcast(coarse))
       .withColumn("ccos",
         graft.expr.VecExprs.cosineSim(col("embedding"), col("centroid")))
       .withColumn("rn", row_number().over(wProbe))
@@ -240,15 +254,16 @@ object Quantize {
       .select(col("query_id"), col("label").as("probe_label"))
     // candidates: vectors in the probed lists, carried as narrow
     // (query_id, vec_id) keys; codes + LUT dots attach by equi join
-    val cand = emb.select(col("vec_id"), col("label"))
+    val cand = codes.select(col("vec_id"), col("label"))
       .join(broadcast(routed),
         col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-    val luts = lutsOf(queries, cents, m, subDim)
-    val scored = luts.zipWithIndex.foldLeft(cand.join(codes, Seq("vec_id"))) {
-      case (acc, (lut, s)) =>
-        acc.join(broadcast(lut), Seq("query_id", s"code_$s"))
-    }
+    val luts = lutsOf(queries, codebooks, m, subDim)
+    val scored = luts.zipWithIndex
+      .foldLeft(cand.join(codes.drop("label"), Seq("vec_id"))) {
+        case (acc, (lut, s)) =>
+          acc.join(broadcast(lut), Seq("query_id", s"code_$s"))
+      }
     val score = (0 until m).map(s => col(s"d_$s")).reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -258,6 +273,40 @@ object Quantize {
       .filter(col("rank") <= kNN)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  /** Fit the complete IVF-PQ index ONCE and persist it under `dir` as
+    * three parquet tables — the durable artifact a serving fleet loads:
+    *  - `coarse`:    (label, centroid)            nlist×dim, broadcastable
+    *  - `codebooks`: (s, cluster, c)              m×k×subDim
+    *  - `codes`:     (vec_id, label, code_0..m-1) the encoded corpus —
+    *    m small ints + a route label per vector, the fraction-of-raw-bytes
+    *    footprint that makes 10^9 vectors servable.
+    * Every fit is bit-deterministic, so rebuilding reproduces the artifact
+    * exactly; [[ivfPqServe]] therefore shares the refitting form's oracle. */
+  def ivfPqBuild(emb: DataFrame, dir: String, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, iters: Int = 2): Unit =
+    Pins.scoped {
+      val (cents, a) = pqFit(emb, m, subDim, k, iters)
+      Models.save(Similarity.centroids(emb), s"$dir/coarse")
+      Models.save(cents, s"$dir/codebooks")
+      Models.save(
+        codesOf(a, m).join(emb.select(col("vec_id"), col("label")),
+          Seq("vec_id")),
+        s"$dir/codes")
+    }
+
+  /** Serve IVF-PQ top-k from a persisted index — NO fitting: the coarse
+    * centroids, codebooks, and encoded corpus are loaded from `dir`
+    * ([[ivfPqBuild]]); the only corpus-shaped input read is the code
+    * table. `queries` is the (query_id, embedding) batch. */
+  def ivfPqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, kNN: Int, nprobe: Int = 2, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    ivfPqScan(queries,
+      Models.load(spark, s"$dir/coarse"),
+      Models.load(spark, s"$dir/codebooks"),
+      Models.load(spark, s"$dir/codes"),
+      kNN, nprobe, m, subDim)
 
   /** PQ recall@k vs the EXACT inner-product ranking — the quality metric
     * that decides whether a (m, k, iters) configuration is servable. The

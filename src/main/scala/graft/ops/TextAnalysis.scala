@@ -80,6 +80,59 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", pred)
   }
 
+  /** Per-language character-trigram weight profiles (the fastText/langid
+    * family's feature shape, reduced to a literal table): frequent
+    * trigrams of each language incl. word-boundary spaces, weight 3 for
+    * the most distinctive, 1 for common-but-shared. Literal and integer
+    * so the score sum is exact on any engine and partitioning. */
+  val langTrigrams: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq(" th" -> 3, "the" -> 3, "he " -> 2, "and" -> 2, "nd " -> 1,
+      "ing" -> 3, "ng " -> 2, " of" -> 3, "of " -> 2, "ion" -> 1,
+      " to" -> 2, "to " -> 1, " is" -> 2, "is " -> 1, "ed " -> 2,
+      " in" -> 1, "ent" -> 1, "ati" -> 2, " wi" -> 2, "th " -> 1),
+    "de" -> Seq("der" -> 3, "er " -> 2, " de" -> 1, "die" -> 3, "ie " -> 2,
+      "und" -> 3, " un" -> 1, "ein" -> 3, "ich" -> 3, "ch " -> 2,
+      "sch" -> 3, "ung" -> 3, " ge" -> 2, "ten" -> 2, "cht" -> 3,
+      "das" -> 2, "ver" -> 2, "gen" -> 2, "nde" -> 1, "ens" -> 1),
+    "es" -> Seq(" de" -> 2, "de " -> 2, "os " -> 3, " la" -> 3, "la " -> 2,
+      " el" -> 3, "el " -> 2, "que" -> 2, "ue " -> 1, " qu" -> 1,
+      "es " -> 2, "ar " -> 2, " co" -> 1, "ado" -> 3, "por" -> 2,
+      " po" -> 1, "una" -> 2, "nte" -> 1, "cio" -> 3, "ien" -> 2),
+    "fr" -> Seq(" le" -> 3, "le " -> 2, "es " -> 1, " de" -> 2, "de " -> 1,
+      "ent" -> 2, "nt " -> 2, " et" -> 3, "et " -> 2, " la" -> 2,
+      "ait" -> 3, "que" -> 1, " qu" -> 1, "les" -> 2, " pa" -> 2,
+      "our" -> 3, "pou" -> 3, "eur" -> 3, "ais" -> 3, "une" -> 2))
+
+  /** Character-trigram language ID — the upgrade over [[withLangId]]'s
+    * marker-word argmax: scores are weighted counts of each language's
+    * profile trigrams over ALL character trigrams of the text (boundary
+    * spaces included), so inflected/unseen words still contribute signal
+    * where the marker heuristic sees nothing. Integer per-row sums
+    * (engine-exact), argmax with the same (score desc, lang asc)
+    * tie-break, 'und' when no profile hits. Map-only at scan speed. */
+  def withLangIdTrigram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = s"lower(trim($textCol))"
+    val gramsSql =
+      s"CASE WHEN length($t) >= 3 THEN transform(sequence(1, length($t) - 2), " +
+        s"i -> substring($t, i, 3)) ELSE array() END"
+    val scored = langTrigrams.foldLeft(docs) { case (df, (lang, ws)) =>
+      val cases = ws.map { case (g, w) => s"WHEN '$g' THEN ${w}L" }.mkString(" ")
+      df.withColumn(s"tscore_$lang", expr(
+        s"aggregate($gramsSql, 0L, (acc, g) -> acc + CASE g $cases ELSE 0L END)"))
+    }
+    val total = langTrigrams.map(m => s"tscore_${m._1}").mkString(" + ")
+    val arr = langTrigrams
+      .map { case (lang, _) => s"named_struct('s', tscore_$lang, 'l', '$lang')" }
+      .mkString(", ")
+    val pred = expr(
+      s"""CASE WHEN $total = 0 THEN 'und'
+         |ELSE array_sort(array($arr), (x, y) ->
+         |  CASE WHEN x.s > y.s THEN -1 WHEN x.s < y.s THEN 1
+         |       WHEN x.l < y.l THEN -1 WHEN x.l > y.l THEN 1 ELSE 0 END)[0].l
+         |END""".stripMargin)
+    scored.withColumn("predicted_lang", pred)
+  }
+
   private val urlRe = "https?://\\S+"
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
@@ -283,16 +336,43 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Fit once and persist the merge table under `dir` (parquet: round,
+    * pair_a, pair_b, merged, cnt — the tokenizer model artifact).
+    * Deterministic fit ⇒ byte-identical on rebuild, so served
+    * tokenization shares the fit form's oracle. */
+  def bpeBuild(docs: DataFrame, dir: String, textCol: String = "text",
+      rounds: Int = 4): Unit =
+    Models.save(bpeTopMerges(docs, textCol, rounds), dir)
+
+  /** Tokenize against a PERSISTED merge table ([[bpeBuild]]) — no fit:
+    * the merges (model parameters, `rounds` rows) load to the driver and
+    * compile into the same map-only fold chain [[bpeTokenize]] builds.
+    * The apply half of the tokenizer's fit/apply split. */
+  def bpeTokenizeServed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fitted = Models.load(spark, dir)
+      .select("round", "pair_a", "pair_b")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    tokenizeWith(docs, textCol, fitted)
+  }
+
   /** Tokenize the corpus with its own fitted BPE merges: per doc, the
     * word count and the post-merge token count (characters minus the
     * merges that fired). Fit happens once (vocabulary-sized); application
     * is a map-only chain of the `rounds` merge folds over each word. */
   def bpeTokenize(docs: DataFrame, textCol: String = "text",
-      rounds: Int = 4): DataFrame = {
-    val fitted = bpeFit(docs, textCol, rounds)
+      rounds: Int = 4): DataFrame =
+    tokenizeWith(docs, textCol,
+      bpeFit(docs, textCol, rounds).map { case (_, a, b, _, _) => (a, b) })
+
+  private def tokenizeWith(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val symsCol: Column =
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    val folded = fitted.foldLeft(symsCol) { case (c, (_, a, b, _, _)) =>
+    val folded = merges.foldLeft(symsCol) { case (c, (a, b)) =>
       applyBpeMerge(c, a, b)
     }
     val exploded = docs

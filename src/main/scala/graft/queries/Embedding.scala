@@ -59,14 +59,31 @@ object EmbeddingQueries {
     sb.toString
   }
 
+  private val kmeansOracleSql =
+    kmeansCtes(K, ITERS) +
+      s"""
+         |SELECT vec_id, cluster FROM a$ITERS ORDER BY vec_id""".stripMargin
+
   /** Deterministic k-means cluster assignments after a fixed number of
     * Lloyd iterations. */
   val kmeans = QueryDef(
     "q_ns_kmeans",
-    kmeansCtes(K, ITERS) +
-      s"""
-         |SELECT vec_id, cluster FROM a$ITERS ORDER BY vec_id""".stripMargin) { (s, d) =>
+    kmeansOracleSql) { (s, d) =>
     Cluster.kmeansAssign(T.embeddings(s, d), K, ITERS).orderBy("vec_id")
+  }
+
+  /** k-means assignment served from PERSISTED centroids (ops.Models
+    * fit/apply split): build-once per JVM via Cluster.kmeansBuild, then a
+    * single broadcast argmax pass with no Lloyd iterations — the shape
+    * that classifies corpus increments against a fixed fitted model.
+    * Deterministic fit ⇒ oracle shared with q_ns_kmeans. */
+  val kmeansServed = QueryDef(
+    "q_ns_kmeans_served",
+    kmeansOracleSql) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"kmeans|$d|k=$K,it=$ITERS") {
+      tmp => Cluster.kmeansBuild(T.embeddings(s, d), tmp, K, ITERS)
+    }
+    Cluster.kmeansAssignServed(s, dir, T.embeddings(s, d)).orderBy("vec_id")
   }
 
   /** SemDeDup: intra-cluster near-dup pruning (keep the smallest vec_id of
@@ -353,8 +370,7 @@ object EmbeddingQueries {
     * oracle-proven separately (q_ns_sim_ivf_* routing, q_ns_pq_topk ADC).
     * Rank-only output; routing ranks and ADC score ordering are both
     * stable cross-engine. */
-  val ivfPqTopK = QueryDef(
-    "q_ns_ivfpq_topk",
+  private val ivfPqOracleSql =
     pqAllCtes + ",\n" + pqQLutCodesCtes +
       s""",
          |expanded AS (
@@ -398,9 +414,37 @@ object EmbeddingQueries {
          |           ORDER BY score DESC, vec_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+         |ORDER BY query_id, rank""".stripMargin
+
+  val ivfPqTopK = QueryDef(
+    "q_ns_ivfpq_topk",
+    ivfPqOracleSql) { (s, d) =>
     Quantize.ivfPqTopK(T.embeddings(s, d), (0L until 10L), 3,
       nprobe = 2, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ served from a PERSISTED index — the fit/apply split
+    * (ops.Models): the first call in a JVM builds the parquet artifact
+    * (coarse centroids + codebooks + encoded corpus) via
+    * Quantize.ivfPqBuild; every later call — and every later bench rep —
+    * serves top-k with ZERO fitting, reading only the query batch and the
+    * index tables. Deterministic fit ⇒ identical output to the refitting
+    * form, so the oracle is shared verbatim with q_ns_ivfpq_topk. This is
+    * the lifecycle a billion-vector index actually runs: Lloyd paid once
+    * offline, serving cost proportional to probed lists only. */
+  val ivfPqServed = QueryDef(
+    "q_ns_ivfpq_served",
+    ivfPqOracleSql) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(
+      s"ivfpq|$d|m=$PQ_M,sub=$PQ_SUBDIM,k=$PQ_K,it=$PQ_ITERS") { tmp =>
+      Quantize.ivfPqBuild(T.embeddings(s, d), tmp,
+        PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+    }
+    val queries = T.embeddings(s, d)
+      .filter(col("vec_id").isin((0L until 10L): _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Quantize.ivfPqServe(s, dir, queries, 3, nprobe = 2, PQ_M, PQ_SUBDIM)
       .orderBy("query_id", "rank")
   }
 
@@ -415,6 +459,7 @@ object EmbeddingQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(kmeans, semDedup, quantize, qualitySample, textNormalize,
-      pqCodes, pqTopK, pqRecall, ivfPqTopK, randomProjection)
+    Seq(kmeans, kmeansServed, semDedup, quantize, qualitySample,
+      textNormalize, pqCodes, pqTopK, pqRecall, ivfPqTopK, ivfPqServed,
+      randomProjection)
 }

@@ -666,6 +666,48 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Char-trigram language ID (q_ns_text_langid's upgrade): weighted
+    * profile-trigram counts over all character trigrams, argmax with the
+    * same alphabetical tie-break. The oracle's CASE weight tables are
+    * GENERATED from TextAnalysis.langTrigrams — one source of truth for
+    * both engines; integer sums are exact, so the whole classifier sits
+    * under the hash gate. */
+  val textLangIdTrigram = QueryDef(
+    "q_ns_text_langid_trigram", {
+      val t = "lower(trim(text))"
+      def caseOf(ws: Seq[(String, Int)]): String =
+        ws.map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+      val scoreCols = TextAnalysis.langTrigrams.map { case (lang, ws) =>
+        s"""    COALESCE(CAST(list_sum(list_transform(grams,
+           |      g -> CASE g ${caseOf(ws)} ELSE 0 END)) AS BIGINT), 0) AS tscore_$lang"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length($t) >= 3
+         |         THEN list_transform(generate_series(1, length($t) - 2),
+         |                i -> substring($t, i, 3))
+         |         ELSE [] END AS grams
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, lang,
+         |$scoreCols
+         |  FROM g
+         |)
+         |SELECT doc_id, lang, tscore_en, tscore_de, tscore_es, tscore_fr,
+         |  CASE WHEN tscore_en + tscore_de + tscore_es + tscore_fr = 0 THEN 'und'
+         |       WHEN tscore_de >= tscore_en AND tscore_de >= tscore_es AND tscore_de >= tscore_fr THEN 'de'
+         |       WHEN tscore_en >= tscore_es AND tscore_en >= tscore_fr THEN 'en'
+         |       WHEN tscore_es >= tscore_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    TextAnalysis.withLangIdTrigram(T.documents(s, d))
+      .select("doc_id", "lang", "tscore_en", "tscore_de", "tscore_es",
+        "tscore_fr", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
   /** Language ID: marker-set hit counts, argmax with alphabetical
     * tie-break, 'und' on zero evidence. */
   val textLangId = QueryDef(
@@ -1239,6 +1281,21 @@ object NorthStar {
     TextAnalysis.bpeTokenize(T.documents(s, d), rounds = 4).orderBy("doc_id")
   }
 
+  /** Tokenization served from a PERSISTED merge table (ops.Models
+    * fit/apply split): fit once per JVM via TextAnalysis.bpeBuild, then
+    * apply the loaded merges as the same map-only fold chain — the
+    * tokenizer-as-artifact lifecycle. Deterministic fit ⇒ oracle shared
+    * with q_ns_bpe_tokenize. */
+  val bpeTokenizeServedQ = QueryDef(
+    "q_ns_bpe_tokenize_served",
+    bpeTokenizeOracleSql(4)) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bpe|$d|rounds=4") { tmp =>
+      TextAnalysis.bpeBuild(T.documents(s, d), tmp, rounds = 4)
+    }
+    TextAnalysis.bpeTokenizeServed(s, dir, T.documents(s, d))
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer-fitting inner loop: 4 greedy merge rounds over the
     * word-internal character symbols (see TextAnalysis.bpeTopMerges). The
     * oracle reruns every round — pair counts, deterministic argmax, the
@@ -1278,7 +1335,9 @@ object NorthStar {
     dedupSurvivorQuality, dedupIncremental,
     dedupIngestE2e,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
-    textTokens, textQuality, textLangId, textFingerprint, textVocab, bpeMerges, bpeTokenizeQ,
+    textTokens, textQuality, textLangId, textLangIdTrigram, textFingerprint,
+    textVocab,
+    bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ, splitQ,
     leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,

@@ -470,6 +470,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(noSof.array())._1 == "raw")
   }
 
+  test("trigram language ID beats the marker heuristic on marker-free text") {
+    import spark.implicits._
+    // labeled fixtures: the de/es/fr sentences contain NONE of the marker
+    // words (withLangId scores them 0 -> 'und'); trigram profiles still
+    // see sch/ung/cht, ado/cio/os , our/ait/eur etc.
+    val fixture = Seq(
+      (1L, "en", "the quick brown fox is jumping over the lazy dog"),
+      (2L, "en", "reading and writing tests with standard tooling"),
+      (3L, "de", "schlechtes wetter verursachte gestern erhebliche verspaetungen"),
+      (4L, "de", "forschung braucht geduld entwicklung braucht richtung"),
+      (5L, "es", "hemos comprado resultados pintados cocinados preparados"),
+      (6L, "es", "nuestros vecinos cocinaron platos tradicionales deliciosos"),
+      (7L, "fr", "nos voyageurs remarquaient toujours quelques couleurs merveilleuses"),
+      (8L, "fr", "il faisait chaud pourtant nous marchions toujours")
+    ).toDF("doc_id", "lang", "text")
+    def accuracy(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.count()
+      val right = df.filter(col("predicted_lang") === col("lang")).count()
+      (right, n)
+    }
+    val (markerRight, n) = accuracy(TextAnalysis.withLangId(fixture))
+    val (triRight, _) = accuracy(TextAnalysis.withLangIdTrigram(fixture))
+    assert(triRight > markerRight,
+      s"trigram ($triRight/$n) should beat markers ($markerRight/$n) here")
+    assert(triRight >= 7, s"trigram accuracy too low: $triRight/$n")
+    // the marker-free de/es/fr sentences specifically: markers say 'und'
+    val tri = TextAnalysis.withLangIdTrigram(fixture)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    val marker = TextAnalysis.withLangId(fixture)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    for (id <- Seq(3L, 4L, 5L, 6L, 7L)) {
+      assert(marker(id) == "und", s"doc $id unexpectedly has marker words")
+      assert(tri(id) != "und", s"doc $id: trigram profile found no signal")
+    }
+  }
+
   test("winnowOverlapPairs finds a planted partial overlap, skips unrelated docs") {
     // doc 2 embeds doc 1's paragraph inside 3x as much unrelated text —
     // the whole-doc Jaccard is diluted to ~0.25 but the winnow containment

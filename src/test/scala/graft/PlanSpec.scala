@@ -95,6 +95,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_ivfpq_topk" -> "tiny centroid routing + k-row LUT crosses",
+      // served forms plan the same bounded crosses, minus the fit
+      "q_ns_ivfpq_served" -> "tiny centroid routing + k-row LUT crosses",
+      "q_ns_kmeans_served" -> "k-row centroid broadcast cross",
       "q_ns_hard_negatives" -> "tiny foreign-centroid routing cross",
       // 1-row corpus-total / normalizer broadcasts into per-source weights
       "q_ns_temperature_mix" -> "1-row totals broadcast",
@@ -189,6 +192,25 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges:\n$p")
+  }
+
+  test("served IVF-PQ plan reads the index artifact and contains no fitting") {
+    // the fit/apply contract: after ivfPqBuild, the serving query must not
+    // re-run any Lloyd machinery — no posexplode over subspaces, no
+    // collect_list centroid assembly — and must scan the persisted model
+    // parquet instead. A refit sneaking back into the serving path brings
+    // those operators with it and fails here, not in the bench.
+    val p = plan("q_ns_ivfpq_served")
+    assert(p.contains("graft_model_"),
+      s"serving plan does not scan the persisted index artifact:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"serving plan contains centroid-assembly (Lloyd) operators:\n$p")
+    assert(!p.contains("posexplode"),
+      s"serving plan re-explodes embeddings (fit-side work):\n$p")
+    // same contract for the kmeans and BPE served forms
+    val pk = plan("q_ns_kmeans_served")
+    assert(pk.contains("graft_model_") && !pk.contains("collect_list"),
+      s"kmeans served plan refits:\n$pk")
   }
 
   test("exchange budget: the most expensive queries keep their live exchange counts") {
