@@ -81,22 +81,8 @@ object Quantize {
     // ~2x the whole query's cost). Identical output by construction: the
     // seeds are the same k smallest-md5 vec_ids in every subspace, and
     // argmax / decimal means group per (s, cluster).
-    // Fail fast on a dimension mismatch: slice() past the end of a shorter
-    // embedding yields short/empty subvectors and the fit would "succeed"
-    // with degenerate codes — a silent quality bug. The guard turns it into
-    // an immediate error at the first materializing action.
-    val subsArr = expr(
-      s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))")
-    val guarded = when(size(col(embCol)) >= m * subDim, subsArr)
-      .otherwise(raise_error(concat(
-        lit("embedding dim "), size(col(embCol)).cast("string"),
-        lit(s" is shorter than m*subDim = ${m * subDim}; " +
-          "PQ subvectors would be truncated — fix m/subDim"))))
-    val subs = Pins.track(emb.select(col(idCol).as("vec_id"),
-        posexplode(guarded).as(Seq("s", "sv")))
-      .select(col("s"), col("vec_id"),
-        transform(col("sv"), _.cast("double")).as("sv"))
-      .cache())
+    val subs = Pins.track(
+      subspaceSplit(emb, m, subDim, idCol, embCol).cache())
     val seedIds = emb
       .select(col(idCol).as("vec_id"), md5(col(idCol).cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id"))
@@ -112,14 +98,7 @@ object Quantize {
       pinned = c
       c
     }
-    def assign(cents: DataFrame): DataFrame =
-      subs.join(broadcast(cents), Seq("s"))
-        .select(col("s"), col("vec_id"),
-          graft.expr.VecExprs.cosineSim(col("sv"), col("c")).as("cos"),
-          col("cluster"))
-        .groupBy("s", "vec_id")
-        .agg(max(struct(col("cos"), (-col("cluster")).as("negc"))).as("m"))
-        .select(col("s"), col("vec_id"), (-col("m.negc")).cast("int").as("cluster"))
+    def assign(cents: DataFrame): DataFrame = assignSubspaces(subs, cents)
     def update(a: DataFrame): DataFrame =
       subs.join(a, Seq("s", "vec_id"))
         .select(col("s"), col("cluster"), posexplode(col("sv")).as(Seq("pos", "v")))
@@ -141,6 +120,52 @@ object Quantize {
     // releases both)
     (cents, a)
   }
+
+  /** The guarded m×subDim subspace split: one (s, vec_id, sv) row per
+    * subspace. Fails fast on a dimension mismatch: slice() past the end
+    * of a shorter embedding yields short/empty subvectors and a fit or
+    * encode would "succeed" with degenerate codes — a silent quality bug.
+    * The guard turns it into an immediate error at the first
+    * materializing action. */
+  private def subspaceSplit(emb: DataFrame, m: Int, subDim: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val subsArr = expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))")
+    val guarded = when(size(col(embCol)) >= m * subDim, subsArr)
+      .otherwise(raise_error(concat(
+        lit("embedding dim "), size(col(embCol)).cast("string"),
+        lit(s" is shorter than m*subDim = ${m * subDim}; " +
+          "PQ subvectors would be truncated — fix m/subDim"))))
+    emb.select(col(idCol).as("vec_id"), posexplode(guarded).as(Seq("s", "sv")))
+      .select(col("s"), col("vec_id"),
+        transform(col("sv"), _.cast("double")).as("sv"))
+  }
+
+  /** Per-subspace argmax-cosine assignment against broadcast codebooks —
+    * a partial-aggregated max-struct, never a window over n×k rows. */
+  private def assignSubspaces(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("s"))
+      .select(col("s"), col("vec_id"),
+        graft.expr.VecExprs.cosineSim(col("sv"), col("c")).as("cos"),
+        col("cluster"))
+      .groupBy("s", "vec_id")
+      .agg(max(struct(col("cos"), (-col("cluster")).as("negc"))).as("m"))
+      .select(col("s"), col("vec_id"), (-col("m.negc")).cast("int").as("cluster"))
+
+  /** Encode vectors against PERSISTED codebooks (the `codebooks` table an
+    * [[ivfPqBuild]] wrote) — the daily-ingest append path: new embeddings
+    * get PQ codes with ZERO Lloyd work, one broadcast argmax pass per
+    * subspace. Encoding the fit corpus itself reproduces the fit's codes
+    * exactly (the fit's final assignment IS this argmax against the final
+    * codebooks), which is what lets the served form share q_ns_pq_codes'
+    * oracle. */
+  def pqEncodeServed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame =
+    codesOf(
+      assignSubspaces(
+        subspaceSplit(emb, m, subDim, "vec_id", "embedding"),
+        Models.load(spark, s"$dir/codebooks")),
+      m)
 
   /** (vec_id, code_0..code_{m-1}) from a pqFit assignment — one pivot
     * aggregation over the per-subspace rows. */

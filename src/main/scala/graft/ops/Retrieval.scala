@@ -58,6 +58,15 @@ object Retrieval {
       .cache())
     val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    bm25Score(tf, dl, stats, idCol, terms, k1, b)
+  }
+
+  /** The query-time half of BM25, shared by [[bm25]] and [[bm25Serve]]:
+    * filter the postings to the query vocabulary, broadcast the (bounded)
+    * df table and 1-row corpus stats, combine 6dp-rounded per-term
+    * contributions per doc. No corpus tokenization happens here. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      idCol: String, terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val hits = tf.filter(col("word").isin(terms: _*))
     val dfreq = hits.groupBy("word").agg(count(lit(1)).as("df"))
     val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -71,4 +80,37 @@ object Retrieval {
       .groupBy(idCol)
       .agg(sum(col("c")).cast("double").as("score"))
   }
+
+  /** Build and persist the sparse index ONCE (`ops.Models` fit/apply
+    * split): `postings` (id, word, tf), `doclen` (id, dl), `stats`
+    * (1 row: n_docs, avgdl) as parquet under `dir`. The corpus is
+    * tokenized exactly once here; serving never touches the raw text —
+    * the inverted-index lifecycle every search system runs, and the
+    * incremental-ingest shape (re-build appends postings for new docs;
+    * stats recompute from doclen, not from text). */
+  def bm25Build(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = Pins.scoped {
+    val tf = Pins.track(tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .cache())
+    val dl = Pins.track(
+      tf.groupBy(idCol).agg(sum(col("tf")).as("dl")).cache())
+    Models.save(tf, s"$dir/postings")
+    Models.save(dl, s"$dir/doclen")
+    Models.save(
+      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")),
+      s"$dir/stats")
+  }
+
+  /** BM25 from a PERSISTED index ([[bm25Build]]) — reads only the posting
+    * tables, no tokenization: the plan starts at the parquet index scan.
+    * Deterministic build ⇒ identical scores to [[bm25]]. */
+  def bm25Serve(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Score(
+      Models.load(spark, s"$dir/postings"),
+      Models.load(spark, s"$dir/doclen"),
+      Models.load(spark, s"$dir/stats"),
+      idCol, terms, k1, b)
 }

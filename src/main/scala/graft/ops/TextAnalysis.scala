@@ -80,28 +80,11 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", pred)
   }
 
-  /** Per-language character-trigram weight profiles (the fastText/langid
-    * family's feature shape, reduced to a literal table): frequent
-    * trigrams of each language incl. word-boundary spaces, weight 3 for
-    * the most distinctive, 1 for common-but-shared. Literal and integer
-    * so the score sum is exact on any engine and partitioning. */
-  val langTrigrams: Seq[(String, Seq[(String, Int)])] = Seq(
-    "en" -> Seq(" th" -> 3, "the" -> 3, "he " -> 2, "and" -> 2, "nd " -> 1,
-      "ing" -> 3, "ng " -> 2, " of" -> 3, "of " -> 2, "ion" -> 1,
-      " to" -> 2, "to " -> 1, " is" -> 2, "is " -> 1, "ed " -> 2,
-      " in" -> 1, "ent" -> 1, "ati" -> 2, " wi" -> 2, "th " -> 1),
-    "de" -> Seq("der" -> 3, "er " -> 2, " de" -> 1, "die" -> 3, "ie " -> 2,
-      "und" -> 3, " un" -> 1, "ein" -> 3, "ich" -> 3, "ch " -> 2,
-      "sch" -> 3, "ung" -> 3, " ge" -> 2, "ten" -> 2, "cht" -> 3,
-      "das" -> 2, "ver" -> 2, "gen" -> 2, "nde" -> 1, "ens" -> 1),
-    "es" -> Seq(" de" -> 2, "de " -> 2, "os " -> 3, " la" -> 3, "la " -> 2,
-      " el" -> 3, "el " -> 2, "que" -> 2, "ue " -> 1, " qu" -> 1,
-      "es " -> 2, "ar " -> 2, " co" -> 1, "ado" -> 3, "por" -> 2,
-      " po" -> 1, "una" -> 2, "nte" -> 1, "cio" -> 3, "ien" -> 2),
-    "fr" -> Seq(" le" -> 3, "le " -> 2, "es " -> 1, " de" -> 2, "de " -> 1,
-      "ent" -> 2, "nt " -> 2, " et" -> 3, "et " -> 2, " la" -> 2,
-      "ait" -> 3, "que" -> 1, " qu" -> 1, "les" -> 2, " pa" -> 2,
-      "our" -> 3, "pou" -> 3, "eur" -> 3, "ais" -> 3, "une" -> 2))
+  /** Per-language character-trigram weight profiles — the ONE source of
+    * truth lives in [[graft.expr.TrigramLang.table]] (kernel, reference
+    * form, and generated oracle all read it). */
+  val langTrigrams: Seq[(String, Seq[(String, Int)])] =
+    graft.expr.TrigramLang.table
 
   /** Character-trigram language ID — the upgrade over [[withLangId]]'s
     * marker-word argmax: scores are weighted counts of each language's
@@ -109,17 +92,42 @@ object TextAnalysis {
     * spaces included), so inflected/unseen words still contribute signal
     * where the marker heuristic sees nothing. Integer per-row sums
     * (engine-exact), argmax with the same (score desc, lang asc)
-    * tie-break, 'und' when no profile hits. Map-only at scan speed. */
+    * tie-break, 'und' when no profile hits. All four scores come from ONE
+    * compiled pass (graft.expr.TrigramLangScores) — the built-in
+    * aggregate/CASE form ([[withLangIdTrigramRef]], bit-compat-pinned in
+    * ExprSpec) re-enters the interpreted lambda evaluator per trigram per
+    * language and measured 40 s for the sf0.1 registry query vs
+    * sub-second for the kernel. Map-only at scan speed. */
   def withLangIdTrigram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = docs.withColumn("__ts",
+      graft.expr.TrigramLang.trigramLangScores(lower(trim(col(textCol)))))
+    withTrigramArgmax(
+      langTrigrams.zipWithIndex.foldLeft(scored) {
+        case (df, ((lang, _), i)) =>
+          df.withColumn(s"tscore_$lang", element_at(col("__ts"), i + 1))
+      }).drop("__ts")
+  }
+
+  /** Built-in-functions reference form of [[withLangIdTrigram]] — the
+    * semantic spec the kernel must match bit-for-bit (ExprSpec): per
+    * language, `aggregate(grams, 0L, acc + CASE gram WHEN ... )`. Kept
+    * for the bit-compat test; operators run the kernel. */
+  private[graft] def withLangIdTrigramRef(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
     val t = s"lower(trim($textCol))"
     val gramsSql =
       s"CASE WHEN length($t) >= 3 THEN transform(sequence(1, length($t) - 2), " +
         s"i -> substring($t, i, 3)) ELSE array() END"
-    val scored = langTrigrams.foldLeft(docs) { case (df, (lang, ws)) =>
+    withTrigramArgmax(langTrigrams.foldLeft(docs) { case (df, (lang, ws)) =>
       val cases = ws.map { case (g, w) => s"WHEN '$g' THEN ${w}L" }.mkString(" ")
       df.withColumn(s"tscore_$lang", expr(
         s"aggregate($gramsSql, 0L, (acc, g) -> acc + CASE g $cases ELSE 0L END)"))
-    }
+    })
+  }
+
+  /** Shared argmax tail: predicted = (score desc, lang asc), 'und' on
+    * zero total. */
+  private def withTrigramArgmax(scored: DataFrame): DataFrame = {
     val total = langTrigrams.map(m => s"tscore_${m._1}").mkString(" + ")
     val arr = langTrigrams
       .map { case (lang, _) => s"named_struct('s', tscore_$lang, 'l', '$lang')" }

@@ -248,15 +248,36 @@ object EmbeddingQueries {
   /** PQ code table: m=4 subspaces × 16 dims, k=8 codes each — the code
     * columns are the oracle-parity witness (same idea as the LSH bucket
     * ids: code equality proves the whole per-subspace k-means matched). */
-  val pqCodes = QueryDef(
-    "q_ns_pq_codes",
+  private val pqCodesOracleSql =
     pqAllCtes +
       s"""
          |SELECT a0.vec_id, ${(0 until PQ_M).map(s => s"CAST(a$s.cluster AS BIGINT) AS code_$s").mkString(", ")}
          |FROM a${PQ_ITERS}_s0 a0
          |${(1 until PQ_M).map(s => s"JOIN a${PQ_ITERS}_s$s a$s ON a$s.vec_id = a0.vec_id").mkString("\n")}
-         |ORDER BY a0.vec_id""".stripMargin) { (s, d) =>
+         |ORDER BY a0.vec_id""".stripMargin
+
+  val pqCodes = QueryDef(
+    "q_ns_pq_codes",
+    pqCodesOracleSql) { (s, d) =>
     Quantize.pqEncode(T.embeddings(s, d), PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+      .orderBy("vec_id")
+  }
+
+  /** PQ encode served from PERSISTED codebooks (ops.Models fit/apply
+    * split — the daily-ingest append path): vectors get codes via one
+    * broadcast argmax per subspace against the artifact's codebooks,
+    * zero Lloyd work. Encoding the fit corpus reproduces the fit's codes
+    * exactly (the fit's final assignment IS this argmax), so the oracle
+    * is shared verbatim with q_ns_pq_codes. */
+  val pqCodesServed = QueryDef(
+    "q_ns_pq_codes_served",
+    pqCodesOracleSql) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(
+      s"ivfpq|$d|m=$PQ_M,sub=$PQ_SUBDIM,k=$PQ_K,it=$PQ_ITERS") { tmp =>
+      Quantize.ivfPqBuild(T.embeddings(s, d), tmp,
+        PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+    }
+    Quantize.pqEncodeServed(s, dir, T.embeddings(s, d), PQ_M, PQ_SUBDIM)
       .orderBy("vec_id")
   }
 
@@ -460,6 +481,6 @@ object EmbeddingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(kmeans, kmeansServed, semDedup, quantize, qualitySample,
-      textNormalize, pqCodes, pqTopK, pqRecall, ivfPqTopK, ivfPqServed,
-      randomProjection)
+      textNormalize, pqCodes, pqCodesServed, pqTopK, pqRecall, ivfPqTopK,
+      ivfPqServed, randomProjection)
 }

@@ -56,8 +56,7 @@ object Retrieve {
   /** BM25 top-20 documents for a three-term query (k1=1.2, b=0.75). The
     * score is an exact decimal sum of 6dp-rounded per-term contributions,
     * so the double output is bit-identical across engines. */
-  val bm25TopK = QueryDef(
-    "q_ret_bm25_topk",
+  private val bm25OracleSql =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
       |  FROM documents
@@ -86,12 +85,33 @@ object Retrieve {
       |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
       |FROM contrib GROUP BY doc_id
       |ORDER BY score DESC, doc_id
-      |LIMIT 20""".stripMargin) { (s, d) =>
+      |LIMIT 20""".stripMargin
+
+  val bm25TopK = QueryDef(
+    "q_ret_bm25_topk",
+    bm25OracleSql) { (s, d) =>
     Retrieval.bm25(T.documents(s, d), "doc_id", "text",
         terms = Seq("vector", "join", "hash"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(20)
   }
 
-  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK)
+  /** BM25 served from a PERSISTED inverted index (ops.Models fit/apply
+    * split): build-once per JVM via Retrieval.bm25Build, then score query
+    * batches reading only the posting/doclen/stats parquet — the corpus
+    * text is never touched at query time. Deterministic build ⇒ oracle
+    * shared verbatim with q_ret_bm25_topk. */
+  val bm25Served = QueryDef(
+    "q_ret_bm25_served",
+    bm25OracleSql) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bm25|$d") { tmp =>
+      Retrieval.bm25Build(T.documents(s, d), "doc_id", "text", tmp)
+    }
+    Retrieval.bm25Serve(s, dir, "doc_id",
+        terms = Seq("vector", "join", "hash"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served)
 }

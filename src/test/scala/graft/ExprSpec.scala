@@ -34,6 +34,23 @@ class ExprSpec extends AnyFunSuite {
     custom.zip(builtin).foreach { case (c, b) => assert(c == b) }
   }
 
+  test("TrigramLangScores kernel matches the aggregate/CASE reference bit-for-bit") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "ab"), (900003L, "   "),
+        (900004L, "the sch ait cio"), (900005L, "ZZZ UNKNOWN GRAMS")
+      ).toDF("doc_id", "text"))
+    val cols = graft.expr.TrigramLang.langs.map(l => s"tscore_$l") :+ "predicted_lang"
+    val kernel = graft.ops.TextAnalysis.withLangIdTrigram(docs)
+      .select("doc_id", cols: _*).orderBy("doc_id").collect()
+    val ref = graft.ops.TextAnalysis.withLangIdTrigramRef(docs)
+      .select("doc_id", cols: _*).orderBy("doc_id").collect()
+    assert(kernel.length == ref.length)
+    kernel.zip(ref).foreach { case (k, r) => assert(k == r, s"$k != $r") }
+  }
+
   test("ShingleStrings matches the built-in shingle pipeline exactly") {
     val docs = Seq("the quick brown fox jumps over the lazy dog",
       "a b c", "one two", "  spaced   out   words  here ", "x y z x y z x y")

@@ -107,6 +107,7 @@ class PlanSpec extends AnyFunSuite {
       // 1-row corpus stats (N / avgdl) broadcast into the scorer
       "q_ret_tfidf_topk" -> "1-row corpus-size broadcast",
       "q_ret_bm25_topk" -> "1-row corpus-stats broadcast",
+      "q_ret_bm25_served" -> "1-row corpus-stats broadcast (from the index artifact)",
       // 1-row node-count broadcast into each damping step
       "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
       // three 1-row funnel-stage counts joined into one output row
@@ -211,6 +212,20 @@ class PlanSpec extends AnyFunSuite {
     val pk = plan("q_ns_kmeans_served")
     assert(pk.contains("graft_model_") && !pk.contains("collect_list"),
       s"kmeans served plan refits:\n$pk")
+    // BM25 served: the plan must start at the persisted inverted index —
+    // no corpus text scan, no tokenizer (split/explode) at query time
+    val pb = plan("q_ret_bm25_served")
+    assert(pb.contains("graft_model_"),
+      s"bm25 served plan does not scan the persisted index:\n$pb")
+    assert(!pb.toLowerCase.contains("explode") && !pb.contains("split("),
+      s"bm25 served plan re-tokenizes the corpus:\n$pb")
+    assert(!pb.contains("documents.parquet"),
+      s"bm25 served plan scans the raw corpus:\n$pb")
+    // PQ encode served: codes come from the persisted codebooks, with the
+    // argmax pass but no Lloyd update machinery (collect_list assembly)
+    val pe = plan("q_ns_pq_codes_served")
+    assert(pe.contains("graft_model_") && !pe.contains("collect_list"),
+      s"pq encode served plan refits:\n$pe")
   }
 
   test("exchange budget: the most expensive queries keep their live exchange counts") {
