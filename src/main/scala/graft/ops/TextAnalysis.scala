@@ -399,4 +399,108 @@ object TextAnalysis {
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_words", "n_bpe_tokens"))
   }
+
+  // ---- Bigram LM quality scoring (fit/apply) ----------------------------
+
+  /** Fit the bigram-LM quality model over a reference corpus: seen-bigram
+    * conditional log-probs ln(c(w1,w2)/c(w1,*)) plus stupid-backoff unigram
+    * scores ln(0.4 * tf / total) (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the backoff LM built for exactly
+    * this web-scale counting shape). Every ln rounds to DECIMAL(18,6) at
+    * the leaf, BEFORE any cross-row sum (the ln ulp contract), so scores
+    * reproduce bit-exactly in any engine. Both model tables are bounded by
+    * the reference vocabulary (pairs / words), not the corpus — two count
+    * shuffles to fit, and the fitted model is what a serve-side join
+    * ships, never the corpus.
+    */
+  def lmBigramModel(docs: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val ws = docs.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "").as("ws"))
+    // n12 feeds both the context totals and the final join — cache the
+    // vocabulary-bounded counts, re-scan the raw text for unigrams (the
+    // token arrays would be corpus-sized; the counts are not)
+    val n12 = Pins.track(
+      ws.filter(size(col("ws")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("pr"))
+        .select(col("pr.0").as("w1"), col("pr.1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        .cache())
+    val n1 = n12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val big = n12.join(n1, "w1")
+      .select(col("w1"), col("w2"),
+        log(col("n12").cast("double") / col("n1")).cast(dec).as("lp"))
+    val uni = Pins.track(
+      ws.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("tf"))
+        .cache())
+    val tot = uni.agg(sum(col("tf")).as("total"))
+    val bo = uni.join(broadcast(tot))
+      .select(col("word"),
+        log(lit(0.4) * col("tf").cast("double") / col("total")).cast(dec)
+          .as("lp_bo"))
+    (big, bo)
+  }
+
+  /** Apply half: score every adjacent-pair position against a fitted
+    * model — seen bigrams at their conditional log-prob, unseen ones at
+    * the w2 backoff score. Positions whose w2 is outside the reference
+    * vocabulary are out of the model's domain and drop at the vocabulary
+    * join, so `n_scored` counts in-vocabulary positions. One (w1,w2)
+    * equi join against the bigram table plus one broadcast vocabulary
+    * join; the scored corpus is never aggregated corpus-wide — serving
+    * streams at scan speed and the per-doc avg is one partial-agg
+    * shuffle.
+    */
+  def lmBigramScoreWith(docs: DataFrame, big: DataFrame, bo: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("pr"))
+      .select(col(idCol), col("pr.0").as("w1"), col("pr.1").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(bo.withColumnRenamed("word", "w2")), Seq("w2"))
+      .select(col(idCol), coalesce(col("lp"), col("lp_bo")).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_scored"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_lp"))
+
+  /** Fit-and-score in one call: the reference corpus is the deterministic
+    * "lmfit"-salted half of `docs` (the CCNet shape — fit on a curated
+    * reference, score the whole crawl), so the backoff path genuinely
+    * fires on the unseen half's novel bigrams. */
+  def lmBigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (big, bo) = lmBigramModel(
+      docs.filter(Sampling.saltedBucket("lmfit", col(idCol)) < 50), textCol)
+    lmBigramScoreWith(docs, big, bo, idCol, textCol)
+  }
+
+  /** Persist the fitted model (parquet: bigrams + backoff subdirs).
+    * Deterministic fit ⇒ byte-identical on rebuild, so a served score
+    * shares the fit form's oracle. */
+  def lmBigramBuild(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = Pins.scoped {
+    val (big, bo) = lmBigramModel(
+      docs.filter(Sampling.saltedBucket("lmfit", col(idCol)) < 50), textCol)
+    Models.save(big, s"$dir/bigrams")
+    Models.save(bo, s"$dir/backoff")
+  }
+
+  /** Score against a PERSISTED model — zero fitting at serve time: the
+    * daily-crawl scoring pass loads two vocabulary-bounded parquet tables
+    * and joins. */
+  def lmBigramServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    lmBigramScoreWith(docs,
+      Models.load(spark, s"$dir/bigrams"),
+      Models.load(spark, s"$dir/backoff"), idCol, textCol)
 }

@@ -155,8 +155,9 @@ object CorpusQueries {
   }
 
   /** The DuckDB twin of Sampling.splitBucket / saltedBucket: first 4 md5
-    * hex digits of `arg` as an integer, mod 100. */
-  private def bucketExprOf(arg: String) =
+    * hex digits of `arg` as an integer, mod 100. Shared with every oracle
+    * that mirrors a salted-bucket decision (e.g. TrainPrep's lmfit half). */
+  private[queries] def bucketSqlOf(arg: String) =
     s"""CAST(CAST(list_sum(list_transform(generate_series(1, 4),
       |    i -> (instr('0123456789abcdef', substring(md5($arg), i, 1)) - 1)
       |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
@@ -165,7 +166,7 @@ object CorpusQueries {
   /** Resampling uses the "resample"-salted bucket (independent of the
     * split bucket — see Sampling.saltedBucket). */
   private val resampleBucketExpr =
-    bucketExprOf("'resample:' || CAST(doc_id AS VARCHAR)")
+    bucketSqlOf("'resample:' || CAST(doc_id AS VARCHAR)")
 
   /** The mix weights MATERIALIZED: every doc emitted floor(boost) times
     * plus a fractional extra decided by the stable md5 bucket — the

@@ -127,5 +127,81 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats, lmScore)
+  /** Shared oracle for the bigram-LM pair: fit on the "lmfit"-salted half
+    * (so backoff genuinely fires on the other half's novel bigrams),
+    * score every doc. Mirrors ops.TextAnalysis.lmBigramModel/ScoreWith
+    * exactly: MLE conditional ln for seen bigrams, stupid-backoff
+    * 0.4·tf/total for unseen, both rounded to DECIMAL(18,6) at the leaf;
+    * out-of-vocabulary w2 positions drop at the vocabulary join. */
+  private val lmBigramOracle =
+    s"""WITH fitdocs AS (
+      |  SELECT text FROM documents
+      |  WHERE ${CorpusQueries.bucketSqlOf("'lmfit:' || CAST(doc_id AS VARCHAR)")} < 50
+      |), fw AS MATERIALIZED (
+      |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM fitdocs
+      |), n12 AS MATERIALIZED (
+      |  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n12
+      |  FROM (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+      |        FROM fw WHERE len(ws) >= 2)
+      |  GROUP BY 1, 2
+      |), n1 AS (SELECT w1, sum(n12) AS n1 FROM n12 GROUP BY w1),
+      |big AS (
+      |  SELECT n12.w1, n12.w2,
+      |         CAST(ln(CAST(n12 AS DOUBLE) / n1) AS DECIMAL(18,6)) AS lp
+      |  FROM n12 JOIN n1 USING (w1)
+      |), uni AS MATERIALIZED (
+      |  SELECT word, count(*) AS tf
+      |  FROM (SELECT unnest(ws) AS word FROM fw)
+      |  GROUP BY word
+      |), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM uni),
+      |bo AS (
+      |  SELECT word,
+      |         CAST(ln(CAST(0.4 AS DOUBLE) * CAST(tf AS DOUBLE) / total)
+      |              AS DECIMAL(18,6)) AS lp_bo
+      |  FROM uni CROSS JOIN tot
+      |), pw AS (
+      |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+      |  FROM (SELECT doc_id,
+      |               unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+      |        FROM (SELECT doc_id,
+      |                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                                 x -> x <> '') AS ws
+      |              FROM documents)
+      |        WHERE len(ws) >= 2)
+      |), scored AS (
+      |  SELECT pw.doc_id, coalesce(big.lp, bo.lp_bo) AS lp
+      |  FROM pw
+      |  LEFT JOIN big ON pw.w1 = big.w1 AND pw.w2 = big.w2
+      |  JOIN bo ON pw.w2 = bo.word
+      |)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_scored,
+      |       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_lp
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Bigram LM quality score, fit-and-score in one query (the CCNet-style
+    * perplexity filter upgraded from the unigram q_ns_lm_score: context-
+    * conditioned probabilities with stupid backoff for unseen pairs). */
+  val lmBigram = QueryDef("q_ns_lm_bigram", lmBigramOracle) { (s, d) =>
+    graft.ops.TextAnalysis.lmBigramScore(T.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The same score SERVED from a persisted model artifact (bigrams +
+    * backoff parquet) — zero fitting at serve time; shares the fit form's
+    * oracle because the fit is bit-deterministic. */
+  val lmBigramServed = QueryDef("q_ns_lm_bigram_served", lmBigramOracle) {
+    (s, d) =>
+      val dir = graft.ops.Models.ensureBuilt(s"lmbigram|$d") { tmp =>
+        graft.ops.TextAnalysis.lmBigramBuild(T.documents(s, d), tmp)
+      }
+      graft.ops.TextAnalysis.lmBigramServe(s, dir, T.documents(s, d))
+        .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
+    lmScore, lmBigram, lmBigramServed)
 }

@@ -588,4 +588,38 @@ class OpsSpec extends AnyFunSuite {
       (2L, "v1 v2 v3 v4 v5", 5L, 6L),
       (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", 9L, 0L)))
   }
+
+  test("bigram LM: seen bigrams score conditional ln, unseen fall to backoff, OOV drops") {
+    // reference: "a b", "a c" — so c(a,*)=2, and unigrams a:2 b:1 c:1 (total 4)
+    val ref = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val (big, bo) = TextAnalysis.lmBigramModel(ref)
+    // scored doc: (a,b) seen -> ln(1/2); (b,a) unseen, a in vocab ->
+    // ln(0.4*2/4); (a,zz) OOV w2 -> dropped by the vocabulary join
+    val out = TextAnalysis.lmBigramScoreWith(
+        Seq((9L, "a b a zz")).toDF("doc_id", "text"), big, bo)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // mirror the engine exactly: per-leaf DECIMAL(18,6) rounding, exact
+    // decimal sum, THEN one double division — not a sum of rounded doubles
+    val lp = (x: Double) => BigDecimal(math.log(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (lp(1.0 / 2) + lp(0.4 * 2 / 4)).toDouble / 2
+    assert(out.toSeq == Seq((9L, 2L, expected)))
+  }
+
+  test("bigram LM: served scores from the persisted artifact equal the fit form") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("lmtest_").toString
+    TextAnalysis.lmBigramBuild(docs, dir)
+    val served = TextAnalysis.lmBigramServe(spark, dir, docs)
+      .orderBy("doc_id").collect().toSeq
+    val fit = TextAnalysis.lmBigramScore(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(served == fit && served.nonEmpty)
+    // the salted fit-half is a strict subset, so backoff must actually fire:
+    // some doc's avg must differ from a model fit on ALL docs
+    val (bigAll, boAll) = TextAnalysis.lmBigramModel(docs)
+    val all = TextAnalysis.lmBigramScoreWith(docs, bigAll, boAll)
+      .orderBy("doc_id").collect().toSeq
+    assert(all != fit)
+  }
 }

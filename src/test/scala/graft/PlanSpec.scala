@@ -114,6 +114,9 @@ class PlanSpec extends AnyFunSuite {
       "q_funnel_ordered" -> "1-row x 1-row stage-count combine",
       // 1-row corpus token total broadcast into the unigram scorer
       "q_ns_lm_score" -> "1-row corpus-total broadcast",
+      // 1-row reference-total broadcast into the backoff table fit
+      // (the served form loads the persisted model — no cross at all)
+      "q_ns_lm_bigram" -> "1-row reference-total broadcast",
       // 1-row corpus totals (tokens, n_sources) broadcast into per-source weights
       "q_ns_domain_mix" -> "1-row corpus-totals broadcast",
       // 1-row x 1-row split totals broadcast into per-bucket KL terms
