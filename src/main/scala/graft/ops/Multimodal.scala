@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * handling, the typed row schema, per-partition batch iteration,
   * partition-parallel execution — is the 100 TB shape: a scan of
   * (id, blob, meta) parquet partitions, map-only feature extraction, no
-  * shuffle until the consumer aggregates. Full pixel decode for the
-  * entropy-coded formats (and audio/video) would slot into the same
-  * dispatch with a per-partition codec handle; the container ships no
-  * codecs, so geometry comes from the headers and unknown payloads report
+  * shuffle until the consumer aggregates. Audio/video containers get the
+  * same treatment ([[decodeAvMeta]]: WAV via the RIFF chunk walk, MP4 via
+  * the ISO BMFF box walk to mvhd). Full sample decode for the
+  * entropy-coded formats would slot into the same dispatch with a
+  * per-partition codec handle; the container ships no codecs, so
+  * geometry/timing comes from the headers and unknown payloads report
   * `raw`.
   */
 object Multimodal {
@@ -351,4 +353,188 @@ object Multimodal {
           .otherwise(array().cast("array<long>"))))
       .select(col("doc_id"), col("frame_idx"),
         expr(s"(frame_idx * 1000) div $fps").as("ts_ms"))
+
+  // ---------------------------------------------------------------------
+  // Audio/video containers: REAL WAV (RIFF) and MP4 (ISO BMFF) headers
+  // ---------------------------------------------------------------------
+
+  /** Decoded A/V features: header-parsed container parameters. `format` is
+    * "wav" / "mp4" for recognized payloads, "raw" (zero params) otherwise.
+    * For WAV, `sample_rate`/`channels` come from the fmt chunk and
+    * duration from the data chunk's sample count; for MP4, `sample_rate`
+    * carries the mvhd movie timescale (units/sec — the container-level
+    * clock; per-track audio rates live in stsd, out of header scope) and
+    * channels is 0. */
+  final case class AvFeatures(doc_id: Long, source: String, n_bytes: Long,
+      format: String, channels: Int, sample_rate: Int, duration_ms: Long)
+
+  /** Planted A/V parameters for `id` — the oracle's ground truth. Format
+    * g = id%2 (wav/mp4); WAV: standard rate ladder, 1–2 channels,
+    * id%1000+100 samples; MP4: standard movie-timescale ladder,
+    * id%100000+1000 mvhd duration units, id%256-byte mdat payload. */
+  private[graft] val wavRates = Array(8000, 16000, 22050, 44100, 48000)
+  private[graft] val mp4Timescales = Array(600, 1000, 90000, 24000, 48000)
+
+  /** Builds a complete, valid A/V container for `id`: a 16-bit PCM WAV
+    * (RIFF + fmt + data chunks, spec-exact 44-byte header) or an MP4
+    * (ftyp + moov/mvhd version-0 + mdat boxes per ISO/IEC 14496-12).
+    * Payload bytes are zeros — geometry/timing is what a header decode
+    * recovers; the entropy-coded samples would need a codec. */
+  private[graft] def makeAv(id: Long): Array[Byte] = {
+    if (id % 2 == 0) { // WAV: RIFF("WAVE") + fmt(16, PCM) + data
+      val channels = ((id / 2) % 2 + 1).toInt
+      val rate = wavRates((id % 5).toInt)
+      val nSamples = (id % 1000 + 100).toInt
+      val dataSize = nSamples * channels * 2
+      val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(16)                       // PCM fmt chunk size
+      bb.putShort(1)                      // audio format: PCM
+      bb.putShort(channels.toShort)
+      bb.putInt(rate)
+      bb.putInt(rate * channels * 2)      // byte rate
+      bb.putShort((channels * 2).toShort) // block align
+      bb.putShort(16)                     // bits per sample
+      bb.put("data".getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(dataSize)
+      bb.array()
+    } else { // MP4: ftyp + moov(mvhd v0) + mdat, all length-prefixed BE
+      val timescale = mp4Timescales((id % 5).toInt)
+      val duration = (id % 100000 + 1000).toInt
+      val mdatPayload = (id % 256).toInt
+      val bb = ByteBuffer.allocate(16 + 116 + 8 + mdatPayload) // big-endian
+      bb.putInt(16)
+      bb.put("ftyp".getBytes(StandardCharsets.US_ASCII))
+      bb.put("isom".getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(0)                        // minor version
+      bb.putInt(116)
+      bb.put("moov".getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(108)
+      bb.put("mvhd".getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(0)                        // version 0 + flags
+      bb.putInt(0)                        // creation time
+      bb.putInt(0)                        // modification time
+      bb.putInt(timescale)
+      bb.putInt(duration)
+      bb.putInt(0x00010000)               // rate 1.0
+      bb.putShort(0x0100.toShort)         // volume 1.0
+      bb.position(bb.position() + 10)     // reserved
+      for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+        bb.putInt(v)                      // identity matrix
+      bb.position(bb.position() + 24)     // pre_defined
+      bb.putInt(2)                        // next track id
+      bb.putInt(8 + mdatPayload)
+      bb.put("mdat".getBytes(StandardCharsets.US_ASCII))
+      bb.array()
+    }
+  }
+
+  /** Documents → synthetic A/V table (WAV / MP4 round-robin, planted
+    * parameters) — the audio/video twin of [[syntheticImageTable]]. */
+  def syntheticAvTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) => MediaRow(id, makeAv(id), src) }
+      .toDF()
+  }
+
+  private val RawAv = ("raw", 0, 0, 0L)
+
+  /** WAV metadata: "RIFF"+"WAVE" magic, then the chunk walk the RIFF
+    * grammar defines — [id(4) size(4-LE) payload(size, word-aligned)].
+    * Reads channels/rate/bits from "fmt ", sample count from "data"'s
+    * size; either chunk missing or degenerate (zero rate/channels, odd
+    * bits) degrades to raw. duration_ms floors (n·1000)/rate in integer
+    * math — engine-exact. */
+  private def wavMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    if (bytes.length < 12 || bytes(8) != 'W' || bytes(9) != 'A' ||
+      bytes(10) != 'V' || bytes(11) != 'E') return RawAv
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    var channels = 0; var rate = 0; var bits = 0; var dataSize = -1L
+    while (i + 8 <= bytes.length) {
+      val size = bb.getInt(i + 4).toLong & 0xffffffffL
+      val tag = new String(bytes, i, 4, StandardCharsets.US_ASCII)
+      if (tag == "fmt " && size >= 16 && i + 24 <= bytes.length) {
+        channels = bb.getShort(i + 10) & 0xffff
+        rate = bb.getInt(i + 12)
+        bits = bb.getShort(i + 22) & 0xffff
+      } else if (tag == "data") dataSize = size
+      if (size > Int.MaxValue - 16) return RawAv // toInt would go negative
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || bits % 8 != 0 ||
+      dataSize < 0) RawAv
+    else {
+      val nSamples = dataSize / (channels * (bits / 8))
+      ("wav", channels, rate, nSamples * 1000L / rate)
+    }
+  }
+
+  /** MP4 metadata per ISO/IEC 14496-12: walk the top-level length-prefixed
+    * boxes to moov, then moov's children to mvhd; version 0 puts the
+    * movie timescale at byte 12 and duration at 16 of the box payload
+    * (version 1 widens them to 64-bit at the same offsets). A box size
+    * under 8 would loop forever — degrade to raw instead. */
+  private def mp4Meta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    val bb = ByteBuffer.wrap(bytes) // big-endian per ISO BMFF
+    def findBox(from: Int, until: Int, typ: String): Int = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = bb.getInt(i)
+        if (size < 8) return -1
+        if (new String(bytes, i + 4, 4, StandardCharsets.US_ASCII) == typ)
+          return i
+        i += size
+      }
+      -1
+    }
+    val moov = findBox(0, bytes.length, "moov")
+    if (moov < 0) return RawAv
+    val moovEnd = math.min(moov + bb.getInt(moov), bytes.length)
+    val mvhd = findBox(moov + 8, moovEnd, "mvhd")
+    if (mvhd < 0) return RawAv
+    val version = bytes(mvhd + 8) & 0xff
+    if (version == 0 && mvhd + 28 <= bytes.length) {
+      val timescale = bb.getInt(mvhd + 20)
+      val duration = bb.getInt(mvhd + 24).toLong & 0xffffffffL
+      if (timescale <= 0) RawAv
+      else ("mp4", 0, timescale, duration * 1000L / timescale)
+    } else if (version == 1 && mvhd + 40 <= bytes.length) {
+      val timescale = bb.getInt(mvhd + 28)
+      val duration = bb.getLong(mvhd + 32)
+      if (timescale <= 0 || duration < 0) RawAv
+      else ("mp4", 0, timescale, duration * 1000L / timescale)
+    } else RawAv
+  }
+
+  /** Real A/V metadata decode: WAV via the RIFF chunk walk, MP4 via the
+    * ISO BMFF box walk. Same poison-blob contract as [[decodeMeta]]:
+    * unrecognized or malformed payloads are ("raw", 0, 0, 0), never a
+    * crash or confidently wrong timing. */
+  private[graft] def decodeAvMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') wavMeta(bytes)
+    else if (bytes.length >= 12 &&
+      new String(bytes, 4, 4, StandardCharsets.US_ASCII) == "ftyp")
+      mp4Meta(bytes)
+    else RawAv
+  }
+
+  /** Batch A/V feature extraction — the audio/video twin of
+    * [[extractFeatures]]: typed Dataset, mapPartitions batch shape,
+    * allocation-light header parse per row. */
+  def extractAvFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[AvFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { row =>
+        val (fmt, ch, rate, durMs) = decodeAvMeta(row.payload)
+        AvFeatures(row.doc_id, row.source, row.payload.length.toLong,
+          fmt, ch, rate, durMs)
+      }
+    }
+  }
 }

@@ -1124,6 +1124,43 @@ object NorthStar {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio/video header decode: one REAL container per doc (16-bit PCM
+    * WAV / ISO BMFF MP4 round-robin, parameters planted from doc_id),
+    * decoded by actually walking the RIFF chunks / BMFF boxes in
+    * mapPartitions. The oracle recomputes the planted parameters AND the
+    * exact container size (44-byte WAV header + PCM payload; 16-byte ftyp
+    * + 116-byte moov/mvhd + mdat) from the formula — a parser that
+    * misreads the fmt-chunk layout, the LE/BE split (RIFF is LE, BMFF is
+    * BE), or the mvhd offsets hash-mismatches immediately. Integer-floor
+    * duration math on both sides. */
+  val multimodalAv = QueryDef(
+    "q_ns_multimodal_av",
+    """WITH p AS (
+      |  SELECT doc_id, source, doc_id % 2 AS g,
+      |         (doc_id // 2) % 2 + 1 AS ch,
+      |         CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+      |         doc_id % 1000 + 100 AS n_samples,
+      |         CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |              WHEN 2 THEN 90000 WHEN 3 THEN 24000 ELSE 48000 END AS ts,
+      |         doc_id % 100000 + 1000 AS dur_units
+      |  FROM documents
+      |)
+      |SELECT doc_id, source,
+      |       CAST(CASE g WHEN 0 THEN 44 + n_samples * ch * 2
+      |            ELSE 140 + doc_id % 256 END AS BIGINT) AS n_bytes,
+      |       CASE g WHEN 0 THEN 'wav' ELSE 'mp4' END AS format,
+      |       CAST(CASE g WHEN 0 THEN ch ELSE 0 END AS INTEGER) AS channels,
+      |       CAST(CASE g WHEN 0 THEN rate ELSE ts END AS INTEGER) AS sample_rate,
+      |       CAST(CASE g WHEN 0 THEN (n_samples * 1000) // rate
+      |            ELSE (dur_units * 1000) // ts END AS BIGINT) AS duration_ms
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.extractAvFeatures(Multimodal.syntheticAvTable(T.documents(s, d)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus preparation (the operator composition a training
     * pipeline actually runs): language gate → quality floor → exact + near
     * dedup → token annotation. Every stage reuses a proven operator, so the
@@ -1341,5 +1378,6 @@ object NorthStar {
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ, splitQ,
     leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,
-    multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames)
+    multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
+    multimodalAv)
 }

@@ -38,7 +38,8 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_dedup_incremental", "q_ns_dedup_minhash", "q_ns_pq_topk",
       "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e",
       "q_ns_budget_select", "q_ns_winnow_pairs", "q_ns_dedup_survivor_quality",
-      "q_ns_leakage_safe_split", "q_ns_decontaminate_fuzzy")
+      "q_ns_leakage_safe_split", "q_ns_decontaminate_fuzzy",
+      "q_ns_lm_bigram")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()

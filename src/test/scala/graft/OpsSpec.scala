@@ -470,6 +470,78 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(noSof.array())._1 == "raw")
   }
 
+  test("a/v decode recovers planted container params from real WAV/MP4 bytes") {
+    implicit val s: SparkSession = spark
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val rows = Multimodal.extractAvFeatures(
+      Multimodal.syntheticAvTable(docs)).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val id = r.doc_id
+      if (id % 2 == 0) {
+        val ch = ((id / 2) % 2 + 1).toInt
+        val rate = Multimodal.wavRates((id % 5).toInt)
+        val n = id % 1000 + 100
+        assert(r.format == "wav" && r.channels == ch &&
+          r.sample_rate == rate && r.duration_ms == n * 1000 / rate,
+          s"doc $id: $r")
+        assert(r.n_bytes == 44 + n * ch * 2)
+      } else {
+        val ts = Multimodal.mp4Timescales((id % 5).toInt)
+        val dur = id % 100000 + 1000
+        assert(r.format == "mp4" && r.channels == 0 &&
+          r.sample_rate == ts && r.duration_ms == dur * 1000 / ts,
+          s"doc $id: $r")
+        assert(r.n_bytes == 140 + id % 256)
+      }
+    }
+  }
+
+  test("a/v codec parses hand-built containers per the public specs") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV whose fmt chunk comes AFTER an unknown odd-sized chunk (the RIFF
+    // walk must skip it word-aligned), 3 channels, 8-bit samples
+    val wav = ByteBuffer.allocate(12 + 8 + 6 + 24 + 8 + 9)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(0)
+      .put("WAVE".getBytes("US-ASCII"))
+    wav.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array.fill(6)(0.toByte)) // 5-byte chunk + 1 pad byte
+    wav.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(3).putInt(8000).putInt(8000 * 3).putShort(3).putShort(8)
+    wav.put("data".getBytes("US-ASCII")).putInt(9)
+    // 9 bytes / (3 ch * 1 byte) = 3 samples -> 3*1000/8000 = 0 ms (floor)
+    assert(Multimodal.decodeAvMeta(wav.array()) == (("wav", 3, 8000, 0L)))
+    // MP4 with a free box before moov and a VERSION-1 (64-bit) mvhd
+    val mp4 = ByteBuffer.allocate(16 + 8 + 8 + 40)
+    mp4.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    mp4.putInt(8).put("free".getBytes("US-ASCII"))
+    mp4.putInt(48).put("moov".getBytes("US-ASCII"))
+    mp4.putInt(40).put("mvhd".getBytes("US-ASCII"))
+    mp4.putInt(0x01000000) // version 1
+    mp4.putLong(0).putLong(0) // 64-bit creation/modification
+    mp4.putInt(1000).putLong(65_000) // timescale, 64-bit duration
+    assert(Multimodal.decodeAvMeta(mp4.array()) == (("mp4", 0, 1000, 65000L)))
+    // malformed payloads degrade to raw: garbage, RIFF-but-not-WAVE,
+    // truncated RIFF, fmt-less WAV, box-size-under-8 loop guard, no moov
+    assert(Multimodal.decodeAvMeta("not media at all".getBytes)._1 == "raw")
+    assert(Multimodal.decodeAvMeta(
+      "RIFFxxxxAVI LIST".getBytes("US-ASCII"))._1 == "raw")
+    assert(Multimodal.decodeAvMeta("RIFF".getBytes("US-ASCII"))._1 == "raw")
+    val noFmt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    noFmt.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    assert(Multimodal.decodeAvMeta(noFmt.array())._1 == "raw")
+    val badBox = ByteBuffer.allocate(24)
+    badBox.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .putInt(4).put("moov".getBytes("US-ASCII")) // size 4 < 8: must bail
+    assert(Multimodal.decodeAvMeta(badBox.array())._1 == "raw")
+    assert(Multimodal.decodeAvMeta(Array.empty[Byte])._1 == "raw")
+  }
+
   test("trigram language ID beats the marker heuristic on marker-free text") {
     import spark.implicits._
     // labeled fixtures: the de/es/fr sentences contain NONE of the marker
