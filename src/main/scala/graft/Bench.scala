@@ -53,8 +53,11 @@ object Bench {
     "q_ns_winnow_pairs",
     // round-8: the fit/apply split — IVF-PQ served from a persisted index
     // (first rep builds the artifact, warm reps serve with zero fitting;
-    // the warm median is the serving cost the fit/apply split buys)
-    "q_ns_ivfpq_served")
+    // the warm median is the serving cost the fit/apply split buys) —
+    // and the bigram-LM quality filter (fit on the salted reference half
+    // + backoff-scored whole corpus: the heaviest new text chain)
+    "q_ns_ivfpq_served",
+    "q_ns_lm_bigram")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

@@ -172,7 +172,29 @@ object Streaming {
       .orderBy("doc_id")
   }
 
+  /** Streaming LM quality gate on the batch path: the incoming half of
+    * the documents table scored against a bigram-LM model fit on the
+    * existing half's "lmfit"-salted reference slice, kept iff the avg
+    * log-prob clears -3.5 (drops the bottom ~quartile at sf0.01). The
+    * readStream twin (foreachBatch against the PERSISTED model artifact)
+    * runs in StreamingSpec — same model parquet, same scores. */
+  val streamLmGate = QueryDef(
+    "q_stream_lm_gate",
+    TrainPrep.lmOracleSql(
+      s"WHERE doc_id < 250 AND ${CorpusQueries.bucketSqlOf("'lmfit:' || CAST(doc_id AS VARCHAR)")} < 50",
+      "WHERE doc_id >= 250",
+      "HAVING CAST(sum(lp) AS DOUBLE) / count(*) >= -3.5")) { (s, d) =>
+    val docs = T.documents(s, d)
+    val (big, bo) = graft.ops.TextAnalysis.lmBigramModel(
+      docs.filter(col("doc_id") < 250 &&
+        graft.ops.Sampling.saltedBucket("lmfit", col("doc_id")) < 50))
+    graft.ops.TextAnalysis
+      .lmBigramScoreWith(docs.filter(col("doc_id") >= 250), big, bo)
+      .filter(col("avg_lp") >= -3.5)
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
     statefulSessions, streamDedup, streamJoin, streamStaticEnrich,
-    streamAdmitExact)
+    streamAdmitExact, streamLmGate)
 }

@@ -127,16 +127,19 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
-  /** Shared oracle for the bigram-LM pair: fit on the "lmfit"-salted half
-    * (so backoff genuinely fires on the other half's novel bigrams),
-    * score every doc. Mirrors ops.TextAnalysis.lmBigramModel/ScoreWith
-    * exactly: MLE conditional ln for seen bigrams, stupid-backoff
-    * 0.4·tf/total for unseen, both rounded to DECIMAL(18,6) at the leaf;
-    * out-of-vocabulary w2 positions drop at the vocabulary join. */
-  private val lmBigramOracle =
+  /** Parameterized bigram-LM oracle builder (shared by the fit/served
+    * pair here and the streaming gate in queries/Streaming.scala):
+    * mirrors ops.TextAnalysis.lmBigramModel/ScoreWith exactly — MLE
+    * conditional ln for seen bigrams, stupid-backoff 0.4·tf/total for
+    * unseen, both rounded to DECIMAL(18,6) at the leaf; out-of-vocabulary
+    * w2 positions drop at the vocabulary join. `fitWhere` picks the
+    * reference corpus, `scoreWhere` the scored slice, `tail` an optional
+    * HAVING on the per-doc aggregate. */
+  private[queries] def lmOracleSql(fitWhere: String, scoreWhere: String,
+      tail: String = ""): String =
     s"""WITH fitdocs AS (
       |  SELECT text FROM documents
-      |  WHERE ${CorpusQueries.bucketSqlOf("'lmfit:' || CAST(doc_id AS VARCHAR)")} < 50
+      |  $fitWhere
       |), fw AS MATERIALIZED (
       |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
       |                     x -> x <> '') AS ws
@@ -168,7 +171,8 @@ object TrainPrep {
       |        FROM (SELECT doc_id,
       |                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
       |                                 x -> x <> '') AS ws
-      |              FROM documents)
+      |              FROM documents
+      |              $scoreWhere)
       |        WHERE len(ws) >= 2)
       |), scored AS (
       |  SELECT pw.doc_id, coalesce(big.lp, bo.lp_bo) AS lp
@@ -181,7 +185,12 @@ object TrainPrep {
       |       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_lp
       |FROM scored
       |GROUP BY doc_id
+      |$tail
       |ORDER BY doc_id""".stripMargin
+
+  private val lmBigramOracle = lmOracleSql(
+    s"WHERE ${CorpusQueries.bucketSqlOf("'lmfit:' || CAST(doc_id AS VARCHAR)")} < 50",
+    "")
 
   /** Bigram LM quality score, fit-and-score in one query (the CCNet-style
     * perplexity filter upgraded from the unigram q_ns_lm_score: context-

@@ -256,6 +256,33 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming quality gate against a PERSISTED bigram-LM artifact
+    * ([[graft.ops.TextAnalysis.lmBigramBuild]]): per micro-batch, score
+    * incoming docs with the fitted model — zero refit, the two
+    * vocabulary-bounded tables load from parquet — and append docs whose
+    * avg log-prob clears `minAvgLp` to the sink. Per-doc aggregation of
+    * exploded pairs has no bounded-state streaming operator, so like
+    * [[admissionIngest]] it rides foreachBatch; exactly-once via the
+    * checkpoint; per-batch pins release via [[graft.ops.Pins.scoped]].
+    * This is the model-artifact lifecycle meeting the stream: the same
+    * parquet model serves the batch scorer, the driver-gate query, and
+    * the live crawl filter. */
+  def lmGateIngest(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, stream: DataFrame, sinkDir: String,
+      checkpointDir: String, minAvgLp: Double = -3.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.TextAnalysis.lmBigramServe(spark, modelDir, batch)
+            .filter(col("avg_lp") >= minAvgLp)
+            .write.mode("append").parquet(sinkDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

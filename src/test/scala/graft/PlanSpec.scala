@@ -117,6 +117,7 @@ class PlanSpec extends AnyFunSuite {
       // 1-row reference-total broadcast into the backoff table fit
       // (the served form loads the persisted model — no cross at all)
       "q_ns_lm_bigram" -> "1-row reference-total broadcast",
+      "q_stream_lm_gate" -> "1-row reference-total broadcast (in-query fit)",
       // 1-row corpus totals (tokens, n_sources) broadcast into per-source weights
       "q_ns_domain_mix" -> "1-row corpus-totals broadcast",
       // 1-row x 1-row split totals broadcast into per-bucket KL terms

@@ -129,6 +129,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming LM gate scores from the persisted model: streaming == batch") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    // plant an all-OOV doc: every bigram's w2 is outside the reference
+    // vocabulary, so it has zero scorable positions and must be dropped
+    // by BOTH paths (absent from the scored output entirely)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionByName(spark.createDataFrame(Seq(
+        (52000L, "qqqxx1 qqqxx2 qqqxx3", "xx", "planted", 20L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val model = java.nio.file.Files.createTempDirectory("lmgate_model")
+    graft.ops.TextAnalysis.lmBigramBuild(
+      docs.filter(col("doc_id") < 250), model.toString)
+    val expected = graft.ops.TextAnalysis
+      .lmBigramServe(spark, model.toString, incoming)
+      .filter(col("avg_lp") >= -3.5)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val src = java.nio.file.Files.createTempDirectory("lmgate_src")
+    val sink = java.nio.file.Files.createTempDirectory("lmgate_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("lmgate_ckpt")
+    incoming.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(incoming.schema).parquet(src.toString)
+    val q = StreamOps.lmGateIngest(
+      spark, model.toString, stream, sink.toString, ckpt.toString)
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(sink.toString)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(got == expected && got.nonEmpty)
+    assert(!got.exists(_.getLong(0) == 52000L),
+      "the all-OOV planted doc must not pass the gate")
+  }
+
   test("sessionization finds gap-separated sessions") {
     import spark.implicits._
     val data = Seq(
