@@ -343,9 +343,22 @@ object Multimodal {
     * Spark's sequence(0, -1) steps BACKWARD, so zero-frame media must
     * yield an empty array, matching the oracle's empty generate_series. */
   def sampleFrames(media: DataFrame, fps: Int = 25, maxFrames: Int = 8): DataFrame =
-    media
+    frameFanout(media
+        .withColumn("duration_ms", length(col("payload")).cast("long")),
+      fps, maxFrames)
+
+  /** The frame fan-out core over an explicit `duration_ms` column:
+    * `fps` frames/sec, every (n_frames div maxFrames)-th frame (≥ 1), one
+    * row per sampled frame with its timestamp. The sequence is guarded:
+    * Spark's sequence(0, -1) steps BACKWARD, so zero-duration media must
+    * yield an empty array, matching the oracle's empty generate_series.
+    * [[sampleFrames]] feeds it the byte-length stand-in;
+    * [[sampleFramesAv]] feeds it the REAL header-parsed duration. */
+  def frameFanout(withDuration: DataFrame, fps: Int = 25,
+      maxFrames: Int = 8): DataFrame =
+    withDuration
       .withColumn("n_frames",
-        expr(s"(length(payload) * $fps) div 1000").cast("long"))
+        expr(s"(duration_ms * $fps) div 1000").cast("long"))
       .withColumn("step", greatest(lit(1L), expr(s"n_frames div $maxFrames")))
       .withColumn("frame_idx",
         explode(when(col("n_frames") > 0,
@@ -353,6 +366,17 @@ object Multimodal {
           .otherwise(array().cast("array<long>"))))
       .select(col("doc_id"), col("frame_idx"),
         expr(s"(frame_idx * 1000) div $fps").as("ts_ms"))
+
+  /** Frame sampling from REAL container timing: the A/V header decode's
+    * duration_ms (WAV data-chunk sample count / rate, MP4 mvhd
+    * duration / timescale) drives the fan-out, so the frame grid a codec
+    * would be handed matches the actual media clock, not a byte-length
+    * proxy. Map-only before the explode; output is ≤ maxFrames rows per
+    * doc. */
+  def sampleFramesAv(avFeatures: DataFrame, fps: Int = 25,
+      maxFrames: Int = 8): DataFrame =
+    frameFanout(avFeatures.select(col("doc_id"), col("duration_ms")),
+      fps, maxFrames)
 
   // ---------------------------------------------------------------------
   // Audio/video containers: REAL WAV (RIFF) and MP4 (ISO BMFF) headers

@@ -1161,6 +1161,48 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling driven by REAL container timing: the fan-out grid
+    * comes from the header-parsed duration (WAV sample count / rate, MP4
+    * mvhd duration / timescale), not a byte-length proxy — the (id,
+    * frame_idx, ts_ms) work list a frame-extract codec job consumes. */
+  val multimodalAvFrames = QueryDef(
+    "q_ns_multimodal_av_frames",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 2 AS g,
+      |         CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+      |         doc_id % 1000 + 100 AS n_samples,
+      |         CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |              WHEN 2 THEN 90000 WHEN 3 THEN 24000 ELSE 48000 END AS ts,
+      |         doc_id % 100000 + 1000 AS dur_units
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |         CASE g WHEN 0 THEN (n_samples * 1000) // rate
+      |              ELSE (dur_units * 1000) // ts END AS duration_ms
+      |  FROM p
+      |), s AS (
+      |  SELECT doc_id, (duration_ms * 25) // 1000 AS n_frames
+      |  FROM m
+      |), st AS (
+      |  SELECT doc_id, n_frames,
+      |         greatest(CAST(1 AS BIGINT), n_frames // 8) AS step
+      |  FROM s
+      |), x AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, n_frames - 1, CAST(step AS INTEGER))) AS frame_idx
+      |  FROM st
+      |)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST((frame_idx * 1000) // 25 AS BIGINT) AS ts_ms
+      |FROM x ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.sampleFramesAv(
+        Multimodal.extractAvFeatures(
+          Multimodal.syntheticAvTable(T.documents(s, d))).toDF())
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** End-to-end corpus preparation (the operator composition a training
     * pipeline actually runs): language gate → quality floor → exact + near
     * dedup → token annotation. Every stage reuses a proven operator, so the
@@ -1379,5 +1421,5 @@ object NorthStar {
     leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
-    multimodalAv)
+    multimodalAv, multimodalAvFrames)
 }

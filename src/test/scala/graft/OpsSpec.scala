@@ -542,6 +542,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAvMeta(Array.empty[Byte])._1 == "raw")
   }
 
+  test("a/v frame fan-out follows the parsed duration, capped near maxFrames") {
+    import spark.implicits._
+    // 10 s at 25 fps = 250 frames, step 31 -> ceil(250/31) = 9 samples;
+    // zero-duration media must fan out to nothing
+    val av = Seq((1L, 10000L), (2L, 0L)).toDF("doc_id", "duration_ms")
+    val out = Multimodal.sampleFramesAv(av)
+      .orderBy("doc_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._1 == 1L))
+    assert(out.length == 9 && out.head == ((1L, 0L, 0L)))
+    assert(out.last == ((1L, 248L, 9920L))) // 8*31 = 248 -> 248*1000/25
+  }
+
   test("trigram language ID beats the marker heuristic on marker-free text") {
     import spark.implicits._
     // labeled fixtures: the de/es/fr sentences contain NONE of the marker
