@@ -74,7 +74,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("text-analysis family is map-only: no hash exchange before the output sort") {
     for (n <- Seq("q_ns_text_tokens", "q_ns_text_quality", "q_ns_text_langid",
-        "q_ns_text_fingerprint", "q_ns_text_winnow", "q_ns_multimodal_meta")) {
+        "q_ns_text_fingerprint", "q_ns_text_winnow", "q_ns_multimodal_meta",
+        "q_ns_multimodal_av")) {
       val p = queries.Registry.byName(n).fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("Exchange hashpartitioning"),
         s"$n should run at scan speed (range partition for ORDER BY only):\n$p")

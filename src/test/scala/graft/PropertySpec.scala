@@ -226,6 +226,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scores: non-positive, position-bounded, and zero for deterministic text") {
+    val textGen = Gen.listOfN(10,
+      Gen.oneOf("spark table scan", "row batch merge", "key value hash",
+        "scan row key", "merge value table"))
+      .map(_.mkString(" "))
+    forSamples(Gen.listOfN(20, textGen), 3) { texts =>
+      if (texts.nonEmpty) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val (big, bo) = graft.ops.TextAnalysis.lmBigramModel(docs)
+        val out = graft.ops.TextAnalysis.lmBigramScoreWith(docs, big, bo)
+          .as[(Long, Long, Double)].collect()
+        val nTok = docs
+          .select(col("doc_id"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+          .as[(Long, Long)].collect().toMap
+        // laws: probabilities never exceed 1 (avg log-prob <= 0), every
+        // doc with >= 2 tokens scores, and scored positions are at most
+        // the doc's adjacent-pair count
+        assert(out.length == nTok.count(_._2 >= 2))
+        out.foreach { case (id, n, avg) =>
+          assert(avg <= 0.0, s"doc $id: avg_lp $avg > 0")
+          assert(n >= 1 && n <= nTok(id) - 1, s"doc $id: n_scored $n")
+        }
+      }
+    }
+    // a single repeated bigram is fully deterministic under the model fit
+    // on it: conditional prob 1 everywhere -> avg_lp exactly ln(1) = 0
+    val det = Seq((1L, "a b a b a b a")).toDF("doc_id", "text")
+    val (bigD, boD) = graft.ops.TextAnalysis.lmBigramModel(det)
+    val d = graft.ops.TextAnalysis.lmBigramScoreWith(det, bigD, boD)
+      .as[(Long, Long, Double)].head()
+    assert(d == ((1L, 6L, 0.0)))
+  }
+
   test("duplicated spans: disjoint, in-bounds, and conserved under scrubbing") {
     val textGen = Gen.listOfN(15,
       Gen.oneOf("alpha beta gamma delta", "omicron pi rho sigma",
