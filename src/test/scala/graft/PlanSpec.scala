@@ -231,6 +231,17 @@ class PlanSpec extends AnyFunSuite {
     val pe = plan("q_ns_pq_codes_served")
     assert(pe.contains("graft_model_") && !pe.contains("collect_list"),
       s"pq encode served plan refits:\n$pe")
+    // bigram-LM served: score-side pair explode only. The fit brings two
+    // MORE Generates (fit-pair explode + unigram explode) and their count
+    // shuffles; serving must carry exactly the one score-side Generate
+    // and scan both model tables from the artifact.
+    val pl = plan("q_ns_lm_bigram_served")
+    assert(pl.contains("graft_model_"),
+      s"lm served plan does not scan the persisted model:\n$pl")
+    // formatted explain names each node twice (tree line + "(n) Generate"
+    // details header) — count the details headers, one per node
+    assert("\\(\\d+\\) Generate".r.findAllIn(pl).size == 1,
+      s"lm served plan re-runs fit-side explodes:\n$pl")
   }
 
   test("exchange budget: the most expensive queries keep their live exchange counts") {
