@@ -47,6 +47,60 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Measured MinHash-LSH recall vs exact Jaccard ground truth on a
+    * bounded anchor (doc_id < 500 — fixed regardless of sf, the same
+    * bounded-exact-anchor pattern as q_ns_dedup_cosine_exact): every
+    * anchor pair with exact 3-gram Jaccard >= 0.3 is ground truth; the
+    * banded pipeline's verified hits at the same threshold are the found
+    * set (hits ⊆ truth by construction — the verify step computes the
+    * same exact Jaccard, so misses are exactly the never-bucketed pairs).
+    * The 0.3 threshold sits below the 16x4 banding's S-curve knee so the
+    * metric stays sensitive to banding misses; on THIS corpus every
+    * ground-truth pair is a planted J >= 0.9 near-dup, where the
+    * bucket-collision probability 1-(1-J^4)^16 is ~1, and the measured
+    * recall of 1.0 (25/25 at sf0.01) confirms the analysis — the dedup
+    * analogue of q_ns_pq_recall, and the gate that would catch a banding
+    * regression (fewer bands, broken lane seeds) as a recall drop. */
+  val minHashRecall = QueryDef(
+    "q_ns_minhash_recall",
+    s"""WITH anchor AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      |${graft.ops.Neutral.candidateCtesForOracle("anchor", 0.3)},
+      |ex AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      |  FROM shn sa JOIN shn sb ON sa.doc_id < sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |          / len(list_distinct(sa.s || sb.s)) >= 0.3
+      |)
+      |SELECT CAST(ne.n AS BIGINT) AS n_exact, CAST(nf.n AS BIGINT) AS n_found,
+      |       CAST(nf.n AS DOUBLE) / ne.n AS recall
+      |FROM (SELECT count(*) AS n FROM ex) ne
+      |CROSS JOIN (SELECT count(*) AS n FROM ex e
+      |            WHERE EXISTS (SELECT 1 FROM hits h
+      |                          WHERE h.doc_a = e.doc_a AND h.doc_b = e.doc_b)) nf
+      |ORDER BY n_exact""".stripMargin) { (s, d) =>
+    val anchor = T.documents(s, d).filter(col("doc_id") < 500)
+    val shn = anchor
+      .select(col("doc_id"),
+        graft.expr.ShingleStrings.shingleStrings(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val ex = shn.as("a").join(shn.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b")
+    val hits = graft.ops.Neutral.minHashCandidates(anchor)
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b")
+    val exC = graft.ops.Pins.track(ex.cache())
+    exC.agg(count(lit(1)).as("n_exact"))
+      .join(exC.join(hits, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("n_exact")
+  }
+
   /** SimHash near-dups: 64-bit signed-bit-vote signature (md5 word hashes
     * kept as two 32-bit halves), multi-table 16-bit block probing (recall 1
     * for Hamming <= 3 by pigeonhole) — fully oracle-reproducible. */
@@ -1407,7 +1461,8 @@ object NorthStar {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinHash, dedupSimHash, dedupNgram, dedupComponents,
+    dedupExact, dedupMinHash, minHashRecall, dedupSimHash, dedupNgram,
+    dedupComponents,
     spanDedup, spanScrub,
     decontaminate, decontaminateFuzzy, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,

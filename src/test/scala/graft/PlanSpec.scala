@@ -89,6 +89,9 @@ class PlanSpec extends AnyFunSuite {
       // all-pairs BY DESIGN: the oracle anchor for the LSH-blocked form,
       // input capped at 200 vectors regardless of sf
       "q_ns_dedup_cosine_exact" -> "bounded all-pairs oracle anchor",
+      // ground-truth side of the recall metric: <=500-doc anchor all-pairs
+      // plus the two 1-row count combines
+      "q_ns_minhash_recall" -> "bounded exact-anchor all-pairs + 1-row combines",
       // the linear-scan correctness baseline: small query set broadcast
       // against the corpus with a non-equi self-exclusion predicate
       "q_ns_sim_brute_topk" -> "broadcast query set, linear corpus scan",
