@@ -79,14 +79,21 @@ object NorthStar {
       |                          WHERE h.doc_a = e.doc_a AND h.doc_b = e.doc_b)) nf
       |ORDER BY n_exact""".stripMargin) { (s, d) =>
     val anchor = T.documents(s, d).filter(col("doc_id") < 500)
-    val shn = anchor
+    // exact side on HASHED shingles (same Jaccard as the string shingles
+    // up to negligible xxhash64 collisions — the dedupNgram argument),
+    // cached before the self-join so the kernel runs once per doc, not
+    // once per pair, and compared with the codegen'd merge-walk
+    // JaccardSorted (ShingleHashes emits sorted distinct arrays) instead
+    // of two hash-set builds per pair: ~7 s -> ~1 s at sf0.1
+    val shn = graft.ops.Pins.track(anchor
       .select(col("doc_id"),
-        graft.expr.ShingleStrings.shingleStrings(col("text"), 3).as("s"))
+        graft.expr.ShingleHashes.shingleHashes(col("text"), 3).as("s"))
       .filter(size(col("s")) > 0)
+      .cache())
     val ex = shn.as("a").join(shn.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
-          size(array_union(col("a.s"), col("b.s")))).as("jaccard"))
+        graft.expr.ArrayExprs.jaccardSorted(col("a.s"), col("b.s"))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b")
     val hits = graft.ops.Neutral.minHashCandidates(anchor)
