@@ -39,7 +39,7 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e",
       "q_ns_budget_select", "q_ns_winnow_pairs", "q_ns_dedup_survivor_quality",
       "q_ns_leakage_safe_split", "q_ns_decontaminate_fuzzy",
-      "q_ns_lm_bigram")
+      "q_ns_lm_bigram", "q_stream_lm_gate", "q_ns_minhash_recall")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()
