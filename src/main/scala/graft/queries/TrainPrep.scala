@@ -211,6 +211,88 @@ object TrainPrep {
         .orderBy("doc_id")
   }
 
+  /** Shared oracle for the Naive Bayes pair: fit on the "nbfit"-salted
+    * half (held-out evaluation — the scored half's docs are unseen),
+    * predict every tokenized doc. Mirrors ops.Classify exactly: add-one
+    * smoothing, per-class OOV floor, every ln rounded to DECIMAL(18,6)
+    * at the leaf, argmax with label tie-break. */
+  private val nbOracle =
+    s"""WITH fitdocs AS (
+      |  SELECT lang AS label, text FROM documents
+      |  WHERE ${CorpusQueries.bucketSqlOf("'nbfit:' || CAST(doc_id AS VARCHAR)")} < 50
+      |), tok AS (
+      |  SELECT label, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      |  FROM fitdocs
+      |), tk AS (SELECT label, word FROM tok WHERE word <> ''),
+      |cw AS MATERIALIZED (
+      |  SELECT label, word, count(*) AS n FROM tk GROUP BY 1, 2
+      |), ct AS (SELECT label, CAST(sum(n) AS BIGINT) AS tot FROM cw GROUP BY label),
+      |v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cw),
+      |nd AS (SELECT label, count(*) AS nd FROM fitdocs GROUP BY label),
+      |ndt AS (SELECT count(*) AS n FROM fitdocs),
+      |priors AS (
+      |  SELECT nd.label,
+      |         CAST(ln(CAST(nd AS DOUBLE) / n) AS DECIMAL(18,6)) AS prior,
+      |         CAST(ln(CAST(1 AS DOUBLE) / (tot + v)) AS DECIMAL(18,6)) AS oov
+      |  FROM nd CROSS JOIN ndt JOIN ct ON ct.label = nd.label CROSS JOIN v
+      |), ll AS (
+      |  SELECT cw.label, cw.word,
+      |         CAST(ln(CAST(n + 1 AS DOUBLE) / (tot + v)) AS DECIMAL(18,6)) AS ll
+      |  FROM cw JOIN ct ON ct.label = cw.label CROSS JOIN v
+      |), dw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      |    FROM documents) t WHERE word <> ''
+      |), nw AS (SELECT doc_id, count(*) AS n_words FROM dw GROUP BY doc_id),
+      |pres AS (
+      |  SELECT doc_id, label, sum(ll) AS sum_ll, count(*) AS n_present
+      |  FROM dw JOIN ll USING (word) GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT nw.doc_id, p.label,
+      |         p.prior + coalesce(pres.sum_ll, 0)
+      |           + (nw.n_words - coalesce(pres.n_present, 0)) * p.oov AS score
+      |  FROM nw CROSS JOIN priors p
+      |  LEFT JOIN pres ON pres.doc_id = nw.doc_id AND pres.label = p.label
+      |), best AS (
+      |  SELECT doc_id, label, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, label) AS rn
+      |  FROM sc
+      |)
+      |SELECT d.doc_id, b.label AS pred_label, CAST(b.score AS DOUBLE) AS score,
+      |       d.lang AS actual_lang,
+      |       CAST(b.label = d.lang AS BOOLEAN) AS correct
+      |FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+
+  private def nbWithActual(pred: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame) =
+    pred.join(docs.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+      .select(col("doc_id"), col("pred_label"), col("score"),
+        col("actual_lang"),
+        (col("pred_label") === col("actual_lang")).as("correct"))
+      .orderBy("doc_id")
+
+  /** Naive Bayes language classification, fit-and-predict in one query —
+    * the supervised classifier-gate shape (CCNet's fastText stage), with
+    * a real held-out evaluation: the non-fit half's docs are unseen. */
+  val nbClassify = QueryDef("q_ns_nb_classify", nbOracle) { (s, d) =>
+    val docs = T.documents(s, d)
+    nbWithActual(graft.ops.Classify.nbClassify(docs), docs)
+  }
+
+  /** The same predictions SERVED from the persisted model artifact
+    * (priors + likelihoods parquet) — zero fitting at predict time. */
+  val nbClassifyServed = QueryDef("q_ns_nb_classify_served", nbOracle) {
+    (s, d) =>
+      val docs = T.documents(s, d)
+      val dir = graft.ops.Models.ensureBuilt(s"nb|$d") { tmp =>
+        graft.ops.Classify.nbBuild(docs, tmp)
+      }
+      nbWithActual(graft.ops.Classify.nbServe(s, dir, docs), docs)
+  }
+
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
-    lmScore, lmBigram, lmBigramServed)
+    lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed)
 }

@@ -542,6 +542,32 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAvMeta(Array.empty[Byte])._1 == "raw")
   }
 
+  test("naive bayes: separable planted classes classify correctly, served == fit") {
+    import spark.implicits._
+    // two cleanly separable vocabularies; doc 9 is unseen but all-"cat"
+    // words, doc 10 all-"dog" words, doc 11 mixed with a cat majority
+    val train = Seq(
+      (1L, "meow purr whiskers", "cat"), (2L, "purr meow tail", "cat"),
+      (3L, "bark woof fetch", "dog"), (4L, "woof bark bone", "dog")
+    ).toDF("doc_id", "text", "lang")
+    val (priors, ll) = graft.ops.Classify.nbModel(train)
+    val test = Seq((9L, "meow purr"), (10L, "bark bone woof"),
+      (11L, "meow woof purr")).toDF("doc_id", "text")
+    val pred = graft.ops.Classify.nbClassifyWith(test, priors, ll)
+      .orderBy("doc_id")
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toSeq
+    assert(pred == Seq((9L, "cat"), (10L, "dog"), (11L, "cat")))
+    // served-from-artifact equals the in-memory fit on real data
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("nbtest_").toString
+    graft.ops.Classify.nbBuild(docs, dir)
+    val served = graft.ops.Classify.nbServe(spark, dir, docs)
+      .orderBy("doc_id").collect().toSeq
+    val fit = graft.ops.Classify.nbClassify(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(served == fit && served.nonEmpty)
+  }
+
   test("a/v frame fan-out follows the parsed duration, capped near maxFrames") {
     import spark.implicits._
     // 10 s at 25 fps = 250 frames, step 31 -> ceil(250/31) = 9 samples;

@@ -122,6 +122,10 @@ class PlanSpec extends AnyFunSuite {
       // (the served form loads the persisted model — no cross at all)
       "q_ns_lm_bigram" -> "1-row reference-total broadcast",
       "q_stream_lm_gate" -> "1-row reference-total broadcast (in-query fit)",
+      // 1-row doc/vocab totals in the fit + the |classes|-row priors
+      // cross every doc scores against (C = distinct labels, tiny)
+      "q_ns_nb_classify" -> "1-row totals + C-row priors broadcasts",
+      "q_ns_nb_classify_served" -> "C-row priors broadcast (from the artifact)",
       // 1-row corpus totals (tokens, n_sources) broadcast into per-source weights
       "q_ns_domain_mix" -> "1-row corpus-totals broadcast",
       // 1-row x 1-row split totals broadcast into per-bucket KL terms
