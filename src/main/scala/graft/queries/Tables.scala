@@ -20,15 +20,31 @@ object T {
   def part(s: SparkSession, d: String): DataFrame = T(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = T(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = T(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw long nanos (legacy conf) and truncate to
-    * microseconds — the same truncation DuckDB applies when casting nanos to
-    * its native µs timestamps. Integer `div` (not `/`): ns-since-epoch
-    * (~1.7e18) exceeds double's 2^53 integer range. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations. Nanos: Spark's
+    * vectorized reader rejects the type, so read it as raw long nanos
+    * (legacy conf) and truncate to microseconds — the same truncation
+    * DuckDB applies when casting nanos to its native µs timestamps.
+    * Integer `div` (not `/`): ns-since-epoch (~1.7e18) exceeds double's
+    * 2^53 integer range. Micros: pyarrow writes isAdjustedToUTC=false so
+    * Spark infers TIMESTAMP_NTZ — cast to TIMESTAMP (session tz is pinned
+    * UTC everywhere, so the cast is value-preserving) because event-time
+    * watermarks and the rest of the engine expect the LTZ type, which is
+    * also what the nanos branch's timestamp_micros() yields. The branch is
+    * on the FOOTER schema, so either generation reads identically
+    * downstream. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = T(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = T(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = T(s, d, "embeddings")

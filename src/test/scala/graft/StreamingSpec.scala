@@ -26,11 +26,26 @@ class StreamingSpec extends AnyFunSuite {
 
   private def events = graft.queries.T.events(spark, sfDir)
 
-  /** The on-disk schema: ts is TIMESTAMP(NANOS) read as raw long
-    * (nanosAsLong), converted after — same as T.events. */
-  private def rawSchema: StructType =
-    StructType(events.schema.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
+  /** The on-disk schema, exactly as a raw scan sees it: older testdata
+    * generations carry ts as TIMESTAMP(NANOS) (read as raw long via
+    * nanosAsLong, converted after — same as T.events), newer ones as
+    * TIMESTAMP(MICROS) (no conversion needed). */
+  private lazy val rawSchema: StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
+
+  /** Post-scan ts normalization matching T.events: long nanos → µs
+    * timestamp; TIMESTAMP_NTZ (newer pyarrow generations) casts to the LTZ
+    * TIMESTAMP event-time watermarks require — value-preserving under the
+    * UTC session tz pinned above. */
+  private def fixTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rawSchema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** File stream sources need a directory; stage the single parquet file. */
   private lazy val streamDir: String = {
@@ -48,7 +63,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(rawSchema)
       .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(fixTs)
     val agg = StreamOps.tumblingCounts(stream.withWatermark("ts", "1 hour"))
     val q = agg.writeStream
       .outputMode("complete")
@@ -69,7 +84,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(rawSchema)
       .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(fixTs)
     // stream-static equi join: static side broadcast per micro-batch,
     // zero join state — no watermark required even in complete mode
     val agg = StreamOps.enrichedSegmentStats(stream, customer)
@@ -342,7 +357,7 @@ class StreamingSpec extends AnyFunSuite {
     def side = spark.readStream
       .schema(rawSchema)
       .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(fixTs)
       .withWatermark("ts", "2 hours")
     // a watermarked stream self-join (views leg × clicks leg); join state
     // is evicted past watermark - window on each side
@@ -360,7 +375,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(rawSchema)
       .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(fixTs)
     val counts = stream.groupBy("event_type").agg(count(lit(1)).as("n"))
     val q = counts.writeStream
       .outputMode("complete")
