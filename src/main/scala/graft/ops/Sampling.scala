@@ -139,6 +139,35 @@ object Sampling {
       .select(col(idCol), col(scoreCol), col(tokensCol))
   }
 
+  /** Deterministic global shuffle into training shards — the step between
+    * corpus prep and the training loader. Training wants the corpus in a
+    * content-independent random order, reproducibly, as N roughly equal
+    * shards with a dense within-shard position (so a loader can seek /
+    * resume). A true global sort by a random key is the terasort shape —
+    * one full range-partitioned sort of 100 TB; instead:
+    *  - shard = first 16 bits of md5("shard:" || id) mod numShards — a
+    *    map-only hash partition, purpose-salted ([[saltedBucket]] rationale)
+    *    so shard assignment is independent of the split/resample buckets;
+    *  - pos = rank of the FULL md5 hex within the shard (ties by id) — a
+    *    per-shard sort, parallel across shards, never global. With
+    *    numShards sized to the cluster (thousands at 100 TB), each sort is
+    *    corpus/numShards — the same work a shuffle reducer already does.
+    * Hex md5 compares lexicographically as the 128-bit value, so the order
+    * is exactly "by random key" and any engine reproduces it. */
+  def trainShards(df: DataFrame, numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    val perShard = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", md5(concat(lit("shard:"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long")
+          % numShards).cast("long"))
+      .withColumn("pos", (row_number().over(perShard) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
     * train, next `valPct` → val, rest → test. */
   def withSplit(df: DataFrame, idCol: String = "doc_id",

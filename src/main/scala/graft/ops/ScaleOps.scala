@@ -68,4 +68,75 @@ object ScaleOps {
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Heavy hitters: every value of `key` with frequency STRICTLY above
+    * `support`·N — exactly, without ever shuffling the full key space.
+    * Two passes:
+    *  1. candidate generation with Spark's `freqItems` (the Karp/
+    *     Misra-Gries one-pass summary behind `DataFrame.stat`): fixed
+    *     O(1/support) memory per partition, merge-associative, and
+    *     GUARANTEED to return a superset of every item with freq > s·N
+    *     (false positives possible, false negatives not);
+    *  2. exact recount of only the candidate keys — the groupBy shuffles
+    *     just the rows matching ≤ 1/support keys, then the s·N threshold
+    *     drops the false positives.
+    * The superset guarantee makes the output provably EQUAL to the exact
+    * `HAVING count(*) > s·N` answer, so the op is oracle-exact while the
+    * expensive pass stays fixed-memory — this is also the skew detector
+    * that feeds [[saltedJoin]]'s salt list at 100 TB. The candidate list
+    * and row total are driver-side scalars (≤ 1/support items — model-
+    * parameter-sized, the BPE-merge-table precedent), not data rows. */
+  def heavyHitters(df: DataFrame, key: String, support: Double): DataFrame = {
+    require(support > 1e-4 && support < 1.0,
+      "support must be in (1e-4, 1) — freqItems' documented floor")
+    val candidates = df.stat.freqItems(Seq(key), support)
+      .head().getSeq[Any](0)
+    val total = df.count()
+    df.filter(col(key).isin(candidates: _*))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(support) * lit(total))
+  }
+
+  /** Z-order (Morton curve) layout: quantize two layout dimensions to
+    * `bits`-bit grid cells against their global min/max, interleave the
+    * bits into one key, and assign files by key prefix. Sorting a write by
+    * z-key clusters BOTH dimensions into each file, so per-file min/max
+    * stats prune multi-dimensional range predicates — the data-skipping
+    * idiom single-column sorting can't give (a sort by x leaves y striped
+    * across every file). Min/max come from a 1-row aggregate broadcast
+    * (never a global window), the interleave is a literal `bits`·2-term
+    * integer expression (codegen'd, map-only), and the file split is a key
+    * prefix — no global sort is required for the STATS; the physical write
+    * would range-partition by z exactly like any sorted write. */
+  def zorderFileStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 8, fileBits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    require(fileBits >= 1 && fileBits <= 2 * bits, "fileBits in [1, 2*bits]")
+    val bounds = df.agg(
+      min(col(xCol)).cast("double").as("__xmin"),
+      max(col(xCol)).cast("double").as("__xmax"),
+      min(col(yCol)).cast("double").as("__ymin"),
+      max(col(yCol)).cast("double").as("__ymax"))
+    val cells = (1 << bits).toDouble
+    def quant(c: Column, lo: Column, hi: Column): Column =
+      least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((c.cast("double") - lo) / (hi - lo + lit(1e-9)) * cells)
+          .cast("long")))
+    val withQ = df.crossJoin(broadcast(bounds))
+      .withColumn("__qx", quant(col(xCol), col("__xmin"), col("__xmax")))
+      .withColumn("__qy", quant(col(yCol), col("__ymin"), col("__ymax")))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(col("__qx"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("__qy"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    withQ
+      .withColumn("zval", z.cast("long"))
+      .withColumn("zfile", shiftright(col("zval"), 2 * bits - fileBits))
+      .groupBy(col("zfile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
 }

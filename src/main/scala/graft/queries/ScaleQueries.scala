@@ -65,5 +65,61 @@ object ScaleQueries {
         saltBy = col("l_orderkey"), salts = 16))
   }
 
-  val defs: Seq[QueryDef] = Seq(skewPlain, saltedJoin)
+  /** Heavy hitters over the event stream's user key: fixed-memory
+    * Misra-Gries candidate pass, exact recount of candidates only, then the
+    * support·N threshold — provably equal to the exact HAVING answer while
+    * never shuffling the full key space (ScaleOps.heavyHitters; this is
+    * the skew detector that feeds saltedJoin's salt list at 100 TB).
+    * support = 0.5% of rows. */
+  val heavyHitters = QueryDef(
+    "q_scale_heavy_hitters",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events
+      |GROUP BY user_id
+      |HAVING count(*) > CAST(0.005 AS DOUBLE) * (SELECT count(*) FROM events)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    ScaleOps.heavyHitters(T.events(s, d), "user_id", support = 0.005)
+      .orderBy("user_id")
+  }
+
+  /** Z-order layout stats: orders quantized on (o_custkey, o_totalprice)
+    * to an 8-bit grid, Morton-interleaved, split into 64 files by z-prefix;
+    * per-file count + min/max of BOTH dims — the footer stats a reader
+    * prunes multi-dimensional range predicates with. A single-column sort
+    * would leave the other dim spanning every file; the z-curve bounds
+    * both (quantified in ScaleSpec's pruning test). */
+  val zorderLayout = QueryDef(
+    "q_scale_zorder_layout",
+    """WITH b AS (
+      |  SELECT CAST(min(o_custkey) AS DOUBLE) AS xmin,
+      |         CAST(max(o_custkey) AS DOUBLE) AS xmax,
+      |         CAST(min(o_totalprice) AS DOUBLE) AS ymin,
+      |         CAST(max(o_totalprice) AS DOUBLE) AS ymax
+      |  FROM orders
+      |), q AS (
+      |  SELECT o_custkey, o_totalprice,
+      |         least(255, greatest(0, CAST(floor((CAST(o_custkey AS DOUBLE) - xmin)
+      |           / (xmax - xmin + 1e-9) * 256.0) AS BIGINT))) AS qx,
+      |         least(255, greatest(0, CAST(floor((CAST(o_totalprice AS DOUBLE) - ymin)
+      |           / (ymax - ymin + 1e-9) * 256.0) AS BIGINT))) AS qy
+      |  FROM orders CROSS JOIN b
+      |), z AS (
+      |  SELECT o_custkey, o_totalprice,
+      |         CAST(list_sum(list_transform(generate_series(0, 7),
+      |           i -> ((qx >> i) & 1) * (1 << (2 * i + 1))
+      |              + ((qy >> i) & 1) * (1 << (2 * i)))) AS BIGINT) AS zval
+      |  FROM q
+      |)
+      |SELECT CAST(zval >> 10 AS BIGINT) AS zfile,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(o_custkey) AS x_min, max(o_custkey) AS x_max,
+      |       min(o_totalprice) AS y_min, max(o_totalprice) AS y_max
+      |FROM z GROUP BY zfile ORDER BY zfile""".stripMargin) { (s, d) =>
+    ScaleOps.zorderFileStats(T.orders(s, d), "o_custkey", "o_totalprice",
+        bits = 8, fileBits = 6)
+      .orderBy("zfile")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(skewPlain, saltedJoin, heavyHitters, zorderLayout)
 }

@@ -293,6 +293,35 @@ object TrainPrep {
       nbWithActual(graft.ops.Classify.nbServe(s, dir, docs), docs)
   }
 
+  /** Deterministic training-shard shuffle: a content-independent random
+    * order (salted md5 key), 8 hash shards, dense within-shard positions —
+    * the prep→training-loader handoff. Shard assignment is a map-only hash
+    * partition and the position sort runs PER SHARD in parallel, never
+    * globally (Sampling.trainShards for the no-global-sort argument). */
+  val trainShardsQ = QueryDef(
+    "q_ns_train_shards",
+    """WITH h AS (
+      |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, hx,
+      |         CAST(list_sum(list_transform(generate_series(1, 4),
+      |           i -> (instr('0123456789abcdef', substring(hx, i, 1)) - 1)
+      |                * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END))
+      |           AS BIGINT) % 8 AS shard
+      |  FROM h
+      |)
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+      |         AS BIGINT) AS pos
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    graft.ops.Sampling.trainShards(T.documents(s, d), numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
-    lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed)
+    lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed,
+    trainShardsQ)
 }

@@ -279,6 +279,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, false)))
   }
 
+  test("train shards: dense positions, balanced, partition-independent") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.01")
+    val out = Sampling.trainShards(docs, numShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // dense 0..n_i-1 positions per shard (the loader seek/resume contract)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"positions not dense in shard $s")
+    }
+    // hash sharding balances: no shard above 2x the mean
+    val mean = out.length.toDouble / 8
+    assert(out.groupBy(_._2).values.forall(_.length < mean * 2))
+    // the order is a pure function of ids — identical under any input
+    // partitioning (the reproducibility contract rand() can't give)
+    val again = Sampling.trainShards(docs.repartition(7), numShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    // shard draw is salt-independent of the split bucket: train/val/test
+    // docs all land across shards (no correlated striping)
+    val withSplit = Sampling.withSplit(
+      Sampling.trainShards(docs, numShards = 8))
+    val splitsPerShard = withSplit.groupBy("shard")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(splitsPerShard.forall(_.getLong(1) >= 2),
+      "each shard should mix splits")
+  }
+
   test("deterministic split: stable under growth, proportions sane") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val s1 = graft.ops.Sampling.withSplit(docs)

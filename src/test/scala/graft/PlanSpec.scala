@@ -140,7 +140,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_pq_topk" -> "k-row sub-codebook / ADC LUT broadcasts",
       // recall metric: the exact side is the labeled brute baseline
       // (broadcast query set, linear scan) like q_ns_sim_brute_topk
-      "q_ns_pq_recall" -> "brute exact side: broadcast query set")
+      "q_ns_pq_recall" -> "brute exact side: broadcast query set",
+      // 1-row global min/max bounds broadcast for grid quantization
+      "q_scale_zorder_layout" -> "1-row bounds broadcast cross")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

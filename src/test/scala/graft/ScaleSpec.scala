@@ -37,6 +37,59 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("heavy hitters equal the exact HAVING answer (skewed and flat keys)") {
+    // derived skewed key: ~97% of lineitem rows collapse to key 0
+    val skewed = queries.T.lineitem(spark, sf).select(
+      when(col("l_orderkey") % 32 =!= 0, lit(0L))
+        .otherwise(col("l_orderkey")).as("k"))
+    def exact(support: Double): Map[Long, Long] = {
+      val n = skewed.count()
+      skewed.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(support) * lit(n))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def got(support: Double): Map[Long, Long] =
+      ScaleOps.heavyHitters(skewed, "k", support)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // high support: only the hot key survives — the skew-detector shape
+    assert(got(0.5) == exact(0.5))
+    assert(got(0.5).keySet == Set(0L), s"expected only the hot key: ${got(0.5)}")
+    // low support: every qualifying key, exactly (candidate superset + recount)
+    assert(got(0.001) == exact(0.001))
+    assert(got(0.001).size > 1, "low support should admit the cold keys too")
+  }
+
+  test("z-order layout bounds both dims per file; a 2-D box prunes most files") {
+    val stats = ScaleOps
+      .zorderFileStats(queries.T.orders(spark, sf), "o_custkey", "o_totalprice",
+        bits = 8, fileBits = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(stats.nonEmpty && stats.map(_._1).distinct.length == stats.length)
+    val xLo = stats.map(_._2).min.toDouble
+    val xHi = stats.map(_._3).max.toDouble
+    val yLo = stats.map(_._4).min
+    val yHi = stats.map(_._5).max
+    // a box covering the middle 10% of EACH dim — the 2-D range predicate a
+    // reader prunes with per-file min/max footer stats
+    val (bx1, bx2) = (xLo + 0.45 * (xHi - xLo), xLo + 0.55 * (xHi - xLo))
+    val (by1, by2) = (yLo + 0.45 * (yHi - yLo), yLo + 0.55 * (yHi - yLo))
+    val overlapping = stats.count { case (_, fx1, fx2, fy1, fy2) =>
+      fx1 <= bx2 && fx2 >= bx1 && fy1 <= by2 && fy2 >= by1
+    }
+    val frac = overlapping.toDouble / stats.length
+    assert(frac <= 0.25,
+      s"z-order should prune most files for a 2-D box: $overlapping/${stats.length}")
+    // determinism: stats are a pure function of the data
+    val again = ScaleOps
+      .zorderFileStats(queries.T.orders(spark, sf), "o_custkey", "o_totalprice",
+        bits = 8, fileBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(stats.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("salted distinct count equals countDistinct") {
     val li = queries.T.lineitem(spark, sf)
     val plain = li.groupBy("l_returnflag")
