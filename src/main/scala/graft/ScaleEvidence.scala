@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   *             SparkListener — memory-bounded completion evidence
   *  - lm       bigram-LM fit/apply walls + model-table sizes at 1x/10x
   *             (fit bounded by distinct vocabulary, serve scan-shaped)
+  *  - layout   trainShards balance, heavyHitters candidate bound, and
+  *             z-order box-pruning fraction at 1x/10x — the layout-op
+  *             scaling contracts measured
   */
 object ScaleEvidence {
 
@@ -69,6 +72,7 @@ object ScaleEvidence {
       case Some("ivf") => ivfOccupancy(spark, sfDir); spark.stop(); return
       case Some("spill") => spillEvidence(spark, sfDir); spark.stop(); return
       case Some("lm") => lmEvidence(spark, sfDir); spark.stop(); return
+      case Some("layout") => layoutEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
     val out = "/tmp/graft_scale10"
@@ -348,6 +352,68 @@ object ScaleEvidence {
     * corpus under whatever heap the caller set (SPARK_DRIVER_MEM) and
     * report per-stage spill — the evidence that the plan degrades to disk
     * instead of OOMing when partitions stop fitting in memory. */
+  /** Layout-op contracts at 1x/10x (r8): the properties that make the
+    * three layout operators scale are measurable, not just arguable —
+    *  - trainShards: per-shard sorts only, so balance (max/mean shard
+    *    size) stays flat as the corpus grows and wall scales with rows;
+    *  - heavyHitters: the candidate list is bounded by 1/support at ANY
+    *    corpus size (Misra-Gries memory contract) — replicating the
+    *    corpus 10x must not grow it;
+    *  - zorderFileStats: pruning is a property of the grid RESOLUTION,
+    *    not the row count — the 2-D box overlap fraction holds at 10x. */
+  private def layoutEvidence(spark: SparkSession, sfDir: String): Unit = {
+    val docs1 = queries.T.documents(spark, sfDir).select("doc_id")
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"))
+    }.reduce(_ unionByName _)
+    // untimed warmup (JIT + codegen first-touch, lmEvidence precedent)
+    ops.Sampling.trainShards(docs1.limit(100), 4).count()
+    for ((scale, d) <- Seq(("1x", docs1), ("10x", docs10))) {
+      val (bal, w) = timed {
+        val sizes = ops.Sampling.trainShards(d, numShards = 64)
+          .groupBy("shard").count()
+          .agg(max("count").as("mx"), avg("count").as("mean")).head()
+        sizes.getLong(0) / sizes.getDouble(1)
+      }
+      println(s"""SHARDS {"scale":"$scale","n":${d.count()},""" +
+        s""""max_over_mean":${"%.3f".format(bal)},"wall_s":${"%.2f".format(w)}}""")
+    }
+    val ev1 = queries.T.events(spark, sfDir).select("user_id")
+    val ev10 = (0 until 10).map(_ => ev1).reduce(_ unionByName _)
+    for ((scale, d) <- Seq(("1x", ev1), ("10x", ev10))) {
+      val nCand = d.stat.freqItems(Seq("user_id"), 0.005)
+        .head().getSeq[Any](0).size
+      val (nOut, w) = timed {
+        ops.ScaleOps.heavyHitters(d, "user_id", 0.005).count()
+      }
+      println(s"""HH {"scale":"$scale","n":${d.count()},"candidates":$nCand,""" +
+        s""""cand_bound":${(1 / 0.005).toInt},"heavy":$nOut,""" +
+        s""""wall_s":${"%.2f".format(w)}}""")
+    }
+    val ord1 = queries.T.orders(spark, sfDir)
+    val ord10 = (0 until 10).map { k =>
+      ord1.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+    }.reduce(_ unionByName _)
+    for ((scale, d) <- Seq(("1x", ord1), ("10x", ord10))) {
+      val (frac, w) = timed {
+        val st = ops.ScaleOps
+          .zorderFileStats(d, "o_custkey", "o_totalprice", bits = 8, fileBits = 6)
+          .collect()
+          .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        val (xLo, xHi) = (st.map(_._1).min.toDouble, st.map(_._2).max.toDouble)
+        val (yLo, yHi) = (st.map(_._3).min, st.map(_._4).max)
+        val (bx1, bx2) = (xLo + 0.45 * (xHi - xLo), xLo + 0.55 * (xHi - xLo))
+        val (by1, by2) = (yLo + 0.45 * (yHi - yLo), yLo + 0.55 * (yHi - yLo))
+        val hit = st.count { case (fx1, fx2, fy1, fy2) =>
+          fx1 <= bx2 && fx2 >= bx1 && fy1 <= by2 && fy2 >= by1 }
+        (hit.toDouble / st.length, st.length)
+      }
+      println(s"""ZORDER {"scale":"$scale","n":${d.count()},"files":${frac._2},""" +
+        s""""box_overlap_frac":${"%.3f".format(frac._1)},""" +
+        s""""wall_s":${"%.2f".format(w)}}""")
+    }
+  }
+
   private def spillEvidence(spark: SparkSession, sfDir: String): Unit = {
     // default 100x: at this container's sf0.1 the 10x corpus still fits
     // each task's execution memory even at -Xmx1g, so the spill-vs-OOM
