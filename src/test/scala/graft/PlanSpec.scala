@@ -153,6 +153,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("layout ops: candidate filter pushed to scan, single hash shuffle") {
+    // heavy hitters: the recount's isin over the candidate list must reach
+    // the parquet reader (the pass-2 scan reads only matching row groups),
+    // and the count is one partial+final aggregation
+    def live(name: String): String =
+      queries.Registry.byName(name).fn(spark, sf)
+        .queryExecution.executedPlan.toString
+    val hh = live("q_scale_heavy_hitters")
+    assert(hh.contains("PushedFilters: [In(user_id"),
+      s"candidate isin not pushed to the scan:\n$hh")
+    // train shards: exactly one hash exchange (the per-shard window); the
+    // only other exchange is the output sort's range partitioning
+    val ts = live("q_ns_train_shards")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(ts).size
+    assert(hashEx == 1, s"trainShards should shuffle once on shard, got $hashEx:\n$ts")
+    // z-order stats: the bounds side is a 1-row broadcast (never a global
+    // window), and the file stats are one partial+final aggregation
+    val zo = live("q_scale_zorder_layout")
+    assert(zo.contains("BroadcastNestedLoopJoin"),
+      s"bounds should come from a 1-row broadcast:\n$zo")
+    assert(!zo.contains("Window"),
+      s"zorder must not compute global min/max via a window:\n$zo")
+    val zoHash = "Exchange hashpartitioning".r.findAllIn(zo).size
+    assert(zoHash == 1, s"zorder should shuffle once on zfile, got $zoHash:\n$zo")
+  }
+
   test("kmeans assignment argmax is a partial aggregation, not a window") {
     val p = plan("q_ns_kmeans")
     assert(!p.contains("Window"), s"argmax degenerated to a window:\n$p")
