@@ -312,6 +312,44 @@ object Neutral {
     * (1~3, 2~3, 1!~2) it keeps {1, 2}; the clustered policy keeps exactly
     * one doc per transitive near-dup group: {1}. Which is right depends on
     * the pipeline; both are offered, both oracled. */
+  /** Cross-source near-duplicate overlap matrix: for every unordered pair
+    * of sources (diagonal included), the number of verified near-dup pairs
+    * (md5-MinHash banding → true shingle-Jaccard >= minJaccard) with one
+    * doc on each side — "how much of crawl B is already in corpus A", the
+    * curation question behind source weighting and dedup-before-mixing.
+    * Reuses the banded candidate join (bucket-local; no all-pairs), adds
+    * two narrow (doc_id → source) equi joins for the labels; the matrix
+    * itself is at most #sources² rows — broadcastable output. */
+  def crossSourceOverlap(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.5, srcCol: String = "source"): DataFrame = {
+    val pairs = minHashCandidates(docs, textCol)
+      .filter(col("jaccard") >= minJaccard)
+    val src = docs.select(col("doc_id"), col(srcCol))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col(srcCol).as("src_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col(srcCol).as("src_b")),
+        Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** DuckDB twin of [[crossSourceOverlap]]. */
+  def crossSourceOverlapOracleSql(minJaccard: Double): String =
+    s"""WITH ${minHashCandidateCtes("documents", minJaccard)},
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b
+       |  FROM hits h
+       |  JOIN documents da ON da.doc_id = h.doc_a
+       |  JOIN documents db ON db.doc_id = h.doc_b
+       |)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM lab GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   def dedupCorpusClustered(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.8,
       precomputedSig: Option[DataFrame] = None): DataFrame = {

@@ -1467,7 +1467,19 @@ object NorthStar {
       .limit(100)
   }
 
+  /** Cross-source overlap matrix: verified near-dup pairs per unordered
+    * source pair (diagonal = intra-source duplication) — the curation
+    * measurement behind source weighting and dedup-before-mixing. Same
+    * banded machinery as q_ns_dedup_minhash; output is #sources². */
+  val sourceOverlap = QueryDef(
+    "q_ns_source_overlap",
+    graft.ops.Neutral.crossSourceOverlapOracleSql(0.5)) { (s, d) =>
+    graft.ops.Neutral.crossSourceOverlap(T.documents(s, d), minJaccard = 0.5)
+      .orderBy("source_a", "source_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    sourceOverlap,
     dedupExact, dedupMinHash, minHashRecall, dedupSimHash, dedupNgram,
     dedupComponents,
     spanDedup, spanScrub,

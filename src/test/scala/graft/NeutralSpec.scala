@@ -44,6 +44,26 @@ class NeutralSpec extends AnyFunSuite {
     assert(cands.contains((5L, 20005L)), s"missing exact pair in $cands")
   }
 
+  test("cross-source overlap counts a planted cross-source near-dup pair") {
+    // plant a near-dup of doc 0 under a DIFFERENT source label; the matrix
+    // must count it in the (source(doc0), "planted_src") cell
+    val base = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val doc0src = base.filter(col("doc_id") === 0)
+      .select("source").as[String].head()
+    val planted = base.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(col("text"), lit(" tiny tail")).as("text"),
+        col("lang"), lit("planted_src").as("source"), col("n_chars"))
+    val out = Neutral.crossSourceOverlap(base.unionByName(planted))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val key = if (doc0src < "planted_src") (doc0src, "planted_src")
+              else ("planted_src", doc0src)
+    assert(out.getOrElse(key, 0L) >= 1L,
+      s"planted cross-source pair not counted: $out")
+    // every cell is unordered-canonical: source_a <= source_b
+    assert(out.keys.forall { case (a, b) => a <= b })
+  }
+
   test("md5 simhash marks the exact duplicate as near (hamming 0)") {
     val near = Neutral.simHashNearDups(docsWithDups)
       .filter(col("doc_id").isin(5L, 20005L))
