@@ -381,35 +381,49 @@ object ScaleEvidence {
     val ev1 = queries.T.events(spark, sfDir).select("user_id")
     val ev10 = (0 until 10).map(_ => ev1).reduce(_ unionByName _)
     for ((scale, d) <- Seq(("1x", ev1), ("10x", ev10))) {
-      val nCand = d.stat.freqItems(Seq("user_id"), 0.005)
-        .head().getSeq[Any](0).size
+      // candidates computed ONCE and passed through — the sketch pass is
+      // the expensive half, don't pay it twice for the printout
+      val cands = ops.ScaleOps.heavyHitterCandidates(d, "user_id", 0.005)
       val (nOut, w) = timed {
-        ops.ScaleOps.heavyHitters(d, "user_id", 0.005).count()
+        ops.ScaleOps.heavyHitters(d, "user_id", 0.005, Some(cands)).count()
       }
-      println(s"""HH {"scale":"$scale","n":${d.count()},"candidates":$nCand,""" +
+      println(s"""HH {"scale":"$scale","n":${d.count()},"candidates":${cands.size},""" +
         s""""cand_bound":${(1 / 0.005).toInt},"heavy":$nOut,""" +
         s""""wall_s":${"%.2f".format(w)}}""")
     }
+    // 10x z-order corpus = 10 replicas of orders with the layout dims
+    // JITTERED per replica/row (deterministic hash noise, up to ±1 cell
+    // width in each dim) — genuinely new points from the same macro
+    // distribution. A plain replica would carry identical (x, y) values
+    // and make the 10x overlap equal to 1x BY CONSTRUCTION; jittered
+    // points let the 10x run actually falsify the resolution claim.
     val ord1 = queries.T.orders(spark, sfDir)
+    val bounds = ord1.agg(
+        min("o_totalprice"), max("o_totalprice"),
+        min("o_custkey"), max("o_custkey")).head()
+      .toSeq.map(v => v.toString.toDouble)
+    val (yLo, yHi, xLo, xHi) = (bounds(0), bounds(1), bounds(2), bounds(3))
+    val yCell = (yHi - yLo) / 256.0
+    val xCell = math.max(1.0, (xHi - xLo) / 256.0)
     val ord10 = (0 until 10).map { k =>
-      ord1.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+      val h = xxhash64(col("o_orderkey"), lit(k))
+      ord1
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+        .withColumn("o_totalprice", col("o_totalprice")
+          + (pmod(h, lit(2000L)).cast("double") / 1000.0 - 1.0) * yCell)
+        .withColumn("o_custkey", col("o_custkey")
+          + round((pmod(xxhash64(h), lit(2000L)).cast("double") / 1000.0 - 1.0)
+              * xCell).cast("long"))
     }.reduce(_ unionByName _)
     for ((scale, d) <- Seq(("1x", ord1), ("10x", ord10))) {
-      val (frac, w) = timed {
-        val st = ops.ScaleOps
-          .zorderFileStats(d, "o_custkey", "o_totalprice", bits = 8, fileBits = 6)
-          .collect()
-          .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
-        val (xLo, xHi) = (st.map(_._1).min.toDouble, st.map(_._2).max.toDouble)
-        val (yLo, yHi) = (st.map(_._3).min, st.map(_._4).max)
-        val (bx1, bx2) = (xLo + 0.45 * (xHi - xLo), xLo + 0.55 * (xHi - xLo))
-        val (by1, by2) = (yLo + 0.45 * (yHi - yLo), yLo + 0.55 * (yHi - yLo))
-        val hit = st.count { case (fx1, fx2, fy1, fy2) =>
-          fx1 <= bx2 && fx2 >= bx1 && fy1 <= by2 && fy2 >= by1 }
-        (hit.toDouble / st.length, st.length)
+      val ((hit, files), w) = timed {
+        ops.ScaleOps.zorderBoxOverlap(
+          ops.ScaleOps.zorderFileStats(d, "o_custkey", "o_totalprice",
+            bits = 8, fileBits = 6),
+          boxFrac = 0.1)
       }
-      println(s"""ZORDER {"scale":"$scale","n":${d.count()},"files":${frac._2},""" +
-        s""""box_overlap_frac":${"%.3f".format(frac._1)},""" +
+      println(s"""ZORDER {"scale":"$scale","n":${d.count()},"files":$files,""" +
+        s""""box_overlap_frac":${"%.3f".format(hit.toDouble / files)},""" +
         s""""wall_s":${"%.2f".format(w)}}""")
     }
   }

@@ -85,14 +85,26 @@ object ScaleOps {
     * expensive pass stays fixed-memory — this is also the skew detector
     * that feeds [[saltedJoin]]'s salt list at 100 TB. The candidate list
     * and row total are driver-side scalars (≤ 1/support items — model-
-    * parameter-sized, the BPE-merge-table precedent), not data rows. */
-  def heavyHitters(df: DataFrame, key: String, support: Double): DataFrame = {
-    require(support > 1e-4 && support < 1.0,
-      "support must be in (1e-4, 1) — freqItems' documented floor")
-    val candidates = df.stat.freqItems(Seq(key), support)
-      .head().getSeq[Any](0)
+    * parameter-sized, the BPE-merge-table precedent), not data rows.
+    * NULL keys form their own group (as in SQL's GROUP BY): they bypass
+    * the candidate filter entirely — `isin` would null them out and
+    * silently break the exact-equality contract — and are recounted
+    * unconditionally, one group, no sketch needed. */
+  def heavyHitterCandidates(df: DataFrame, key: String,
+      support: Double): Seq[Any] = {
+    require(support >= 1e-4 && support < 1.0,
+      "support must be in [1e-4, 1) — freqItems' documented floor")
+    df.stat.freqItems(Seq(key), support).head().getSeq[Any](0)
+  }
+
+  def heavyHitters(df: DataFrame, key: String, support: Double,
+      precomputedCandidates: Option[Seq[Any]] = None): DataFrame = {
+    require(support >= 1e-4 && support < 1.0,
+      "support must be in [1e-4, 1) — freqItems' documented floor")
+    val candidates = precomputedCandidates
+      .getOrElse(heavyHitterCandidates(df, key, support))
     val total = df.count()
-    df.filter(col(key).isin(candidates: _*))
+    df.filter(col(key).isin(candidates: _*) || col(key).isNull)
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(support) * lit(total))
@@ -138,5 +150,26 @@ object ScaleOps {
         count(lit(1)).as("n_rows"),
         min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
+
+  /** (overlapping, total) file counts for an axis-aligned box covering the
+    * middle `boxFrac` of each dimension's global range, against
+    * [[zorderFileStats]] output — the data-skipping measurement shared by
+    * ScaleSpec and ScaleEvidence. Driver-side on ≤ 2^fileBits stat rows
+    * (the file-stats table a reader's pruning pass scans anyway). */
+  def zorderBoxOverlap(stats: DataFrame, boxFrac: Double = 0.1): (Int, Int) = {
+    val rs = stats.select(
+        col("x_min").cast("double"), col("x_max").cast("double"),
+        col("y_min").cast("double"), col("y_max").cast("double"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val (xLo, xHi) = (rs.map(_._1).min, rs.map(_._2).max)
+    val (yLo, yHi) = (rs.map(_._3).min, rs.map(_._4).max)
+    val (lo, hi) = ((1 - boxFrac) / 2, (1 + boxFrac) / 2)
+    val (bx1, bx2) = (xLo + lo * (xHi - xLo), xLo + hi * (xHi - xLo))
+    val (by1, by2) = (yLo + lo * (yHi - yLo), yLo + hi * (yHi - yLo))
+    val n = rs.count { case (fx1, fx2, fy1, fy2) =>
+      fx1 <= bx2 && fx2 >= bx1 && fy1 <= by2 && fy2 >= by1 }
+    (n, rs.length)
   }
 }

@@ -161,8 +161,8 @@ class PlanSpec extends AnyFunSuite {
       queries.Registry.byName(name).fn(spark, sf)
         .queryExecution.executedPlan.toString
     val hh = live("q_scale_heavy_hitters")
-    assert(hh.contains("PushedFilters: [In(user_id"),
-      s"candidate isin not pushed to the scan:\n$hh")
+    assert(hh.contains("PushedFilters: [Or(In(user_id"),
+      s"candidate isin (+ the NULL-group disjunct) not pushed to the scan:\n$hh")
     // train shards: exactly one hash exchange (the per-shard window); the
     // only other exchange is the output sort's range partitioning
     val ts = live("q_ns_train_shards")

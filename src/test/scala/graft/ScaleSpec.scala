@@ -59,35 +59,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(got(0.001).size > 1, "low support should admit the cold keys too")
   }
 
+  test("heavy hitters include a NULL key group, like SQL's GROUP BY") {
+    // null out the hot key: >97% of rows now carry k = NULL, which the
+    // candidate isin alone would silently drop (isin(NULL) is NULL)
+    val withNulls = queries.T.lineitem(spark, sf).select(
+      when(col("l_orderkey") % 32 =!= 0, lit(null).cast("long"))
+        .otherwise(col("l_orderkey")).as("k"))
+    val out = ScaleOps.heavyHitters(withNulls, "k", support = 0.5).collect()
+    assert(out.length == 1 && out.head.isNullAt(0),
+      s"the NULL group is the only heavy hitter: ${out.toSeq}")
+    val exactNullCnt = withNulls.filter(col("k").isNull).count()
+    assert(out.head.getLong(1) == exactNullCnt)
+  }
+
   test("z-order layout bounds both dims per file; a 2-D box prunes most files") {
-    val stats = ScaleOps
-      .zorderFileStats(queries.T.orders(spark, sf), "o_custkey", "o_totalprice",
-        bits = 8, fileBits = 6)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5)))
-    assert(stats.nonEmpty && stats.map(_._1).distinct.length == stats.length)
-    val xLo = stats.map(_._2).min.toDouble
-    val xHi = stats.map(_._3).max.toDouble
-    val yLo = stats.map(_._4).min
-    val yHi = stats.map(_._5).max
+    def stats = ScaleOps.zorderFileStats(
+      queries.T.orders(spark, sf), "o_custkey", "o_totalprice",
+      bits = 8, fileBits = 6)
+    val rows = stats.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
     // a box covering the middle 10% of EACH dim — the 2-D range predicate a
     // reader prunes with per-file min/max footer stats
-    val (bx1, bx2) = (xLo + 0.45 * (xHi - xLo), xLo + 0.55 * (xHi - xLo))
-    val (by1, by2) = (yLo + 0.45 * (yHi - yLo), yLo + 0.55 * (yHi - yLo))
-    val overlapping = stats.count { case (_, fx1, fx2, fy1, fy2) =>
-      fx1 <= bx2 && fx2 >= bx1 && fy1 <= by2 && fy2 >= by1
-    }
-    val frac = overlapping.toDouble / stats.length
-    assert(frac <= 0.25,
-      s"z-order should prune most files for a 2-D box: $overlapping/${stats.length}")
+    val (overlapping, total) = ScaleOps.zorderBoxOverlap(stats, boxFrac = 0.1)
+    assert(overlapping.toDouble / total <= 0.25,
+      s"z-order should prune most files for a 2-D box: $overlapping/$total")
     // determinism: stats are a pure function of the data
-    val again = ScaleOps
-      .zorderFileStats(queries.T.orders(spark, sf), "o_custkey", "o_totalprice",
-        bits = 8, fileBits = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5)))
-    assert(stats.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val again = stats.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
   test("salted distinct count equals countDistinct") {
