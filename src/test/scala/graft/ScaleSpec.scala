@@ -90,6 +90,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB shuffle-pruning idiom: a selective filter on the dim side
+    // injects a bloom filter into the fact-side scan at runtime, so rows
+    // that cannot join are dropped BEFORE the shuffle. Spark's size
+    // thresholds are tuned for real tables; zero them so the optimizer
+    // applies the rewrite at test scale (the plan shape, not the sizes, is
+    // what's being pinned).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      // creation side must be SMALLER than its threshold (raise it) and the
+      // application-side scan BIGGER than its threshold (zero it)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = queries.T.lineitem(spark, sf)
+      val ord = queries.T.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$plan")
+      // and the rewrite is result-preserving vs the un-bloomed join
+      val n = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(n == plain)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+  }
+
   test("salted distinct count equals countDistinct") {
     val li = queries.T.lineitem(spark, sf)
     val plain = li.groupBy("l_returnflag")
