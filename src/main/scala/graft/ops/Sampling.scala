@@ -160,9 +160,14 @@ object Sampling {
     require(numShards > 0, "numShards must be positive")
     val perShard = Window.partitionBy(col("shard"))
       .orderBy(col("__h").asc, col(idCol).asc)
+    // shard from the top 15 hex chars (60 bits, still a non-negative
+    // long): 16 bits gave numShards-that-don't-divide-65536 a systematic
+    // ~numShards/65536 balance bias and left shards empty past 65536 —
+    // at odds with cluster-sized shard counts. 60 bits makes the bias
+    // ~numShards/2^60 (immaterial at any real shard count).
     df.withColumn("__h", md5(concat(lit("shard:"), col(idCol).cast("string"))))
       .withColumn("shard",
-        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long")
+        (conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
           % numShards).cast("long"))
       .withColumn("pos", (row_number().over(perShard) - 1).cast("long"))
       .drop("__h")

@@ -89,18 +89,30 @@ object ScaleOps {
     * NULL keys form their own group (as in SQL's GROUP BY): they bypass
     * the candidate filter entirely — `isin` would null them out and
     * silently break the exact-equality contract — and are recounted
-    * unconditionally, one group, no sketch needed. */
+    * unconditionally, one group, no sketch needed.
+    *
+    * Superset-guarantee fine print: freqItems sizes its Misra-Gries map as
+    * k = (1/support).toInt counters, and the summary only guarantees
+    * coverage of keys with freq > N/k. For non-integral 1/support (e.g.
+    * 0.003 → k=333, N/k > 0.003·N) a key in the gap (support·N, N/k] could
+    * be silently dropped — a false NEGATIVE, breaking exactness. So the
+    * candidate pass runs at the strictly tighter support
+    * 1/(⌈1/support⌉+1), whose k = ⌈1/support⌉+1 gives N/k < support·N for
+    * every support, restoring the superset guarantee; pass 2 keeps the
+    * caller's true threshold. */
   def heavyHitterCandidates(df: DataFrame, key: String,
       support: Double): Seq[Any] = {
-    require(support >= 1e-4 && support < 1.0,
-      "support must be in [1e-4, 1) — freqItems' documented floor")
-    df.stat.freqItems(Seq(key), support).head().getSeq[Any](0)
+    require(support >= 1.0 / 9999 && support < 1.0,
+      "support must be in [1/9999, 1) — the tightened candidate support " +
+        "must stay above freqItems' documented 1e-4 floor")
+    val tightened = 1.0 / (math.ceil(1.0 / support) + 1)
+    df.stat.freqItems(Seq(key), tightened).head().getSeq[Any](0)
   }
 
   def heavyHitters(df: DataFrame, key: String, support: Double,
       precomputedCandidates: Option[Seq[Any]] = None): DataFrame = {
-    require(support >= 1e-4 && support < 1.0,
-      "support must be in [1e-4, 1) — freqItems' documented floor")
+    require(support >= 1.0 / 9999 && support < 1.0,
+      "support must be in [1/9999, 1) — see heavyHitterCandidates")
     val candidates = precomputedCandidates
       .getOrElse(heavyHitterCandidates(df, key, support))
     val total = df.count()

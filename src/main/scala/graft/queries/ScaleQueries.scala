@@ -77,9 +77,11 @@ object ScaleQueries {
       |FROM events
       |GROUP BY user_id
       |HAVING count(*) > CAST(0.005 AS DOUBLE) * (SELECT count(*) FROM events)
-      |ORDER BY user_id""".stripMargin) { (s, d) =>
+      |ORDER BY user_id NULLS LAST""".stripMargin) { (s, d) =>
+    // null placement pinned on BOTH sides: the op deliberately admits a
+    // NULL key group, Spark sorts NULLs first by default, DuckDB last
     ScaleOps.heavyHitters(T.events(s, d), "user_id", support = 0.005)
-      .orderBy("user_id")
+      .orderBy(col("user_id").asc_nulls_last)
   }
 
   /** Z-order layout stats: orders quantized on (o_custkey, o_totalprice)

@@ -216,8 +216,12 @@ object TrainPrep {
     * predict every tokenized doc. Mirrors ops.Classify exactly: add-one
     * smoothing, per-class OOV floor, every ln rounded to DECIMAL(18,6)
     * at the leaf, argmax with label tie-break. */
-  private val nbOracle =
-    s"""WITH fitdocs AS (
+  /** NB fit + per-doc argmax prediction CTE chain, ending at `best`
+    * (doc_id, label, score, rn; rn = 1 is the prediction) — shared by the
+    * classify queries here and the classifier-gated corpus-prep oracle
+    * (NorthStar.prepareCorpusClassifiedQ). */
+  private[queries] val nbPredCtes =
+    s"""fitdocs AS (
       |  SELECT lang AS label, text FROM documents
       |  WHERE ${CorpusQueries.bucketSqlOf("'nbfit:' || CAST(doc_id AS VARCHAR)")} < 50
       |), tok AS (
@@ -259,7 +263,10 @@ object TrainPrep {
       |         row_number() OVER (PARTITION BY doc_id
       |                            ORDER BY score DESC, label) AS rn
       |  FROM sc
-      |)
+      |)""".stripMargin
+
+  private val nbOracle =
+    s"""WITH $nbPredCtes
       |SELECT d.doc_id, b.label AS pred_label, CAST(b.score AS DOUBLE) AS score,
       |       d.lang AS actual_lang,
       |       CAST(b.label = d.lang AS BOOLEAN) AS correct
@@ -305,9 +312,9 @@ object TrainPrep {
       |  FROM documents
       |), s AS (
       |  SELECT doc_id, hx,
-      |         CAST(list_sum(list_transform(generate_series(1, 4),
-      |           i -> (instr('0123456789abcdef', substring(hx, i, 1)) - 1)
-      |                * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END))
+      |         CAST(list_sum(list_transform(generate_series(1, 15),
+      |           i -> CAST(instr('0123456789abcdef', substring(hx, i, 1)) - 1 AS BIGINT)
+      |                * (CAST(1 AS BIGINT) << (4 * (15 - i)))))
       |           AS BIGINT) % 8 AS shard
       |  FROM h
       |)
