@@ -21,8 +21,15 @@ case class JaccardSorted(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sorted"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = ArrayType(LongType, containsNull = false)
-    if (left.dataType == ok && right.dataType == ok) TypeCheckResult.TypeCheckSuccess
+    // element nullability is accepted either way: a parquet round-trip of
+    // a containsNull=false array reads back annotated containsNull=true
+    // (the persisted dedup-index hs tables) with no actual nulls — the
+    // values are ShingleHashes outputs, non-null by construction
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"jaccard_sorted requires array<long> inputs, got ${left.dataType}, ${right.dataType}")
   }

@@ -32,10 +32,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Models {
 
-  /** Persist one model table (overwrite — an artifact is replaced
-    * atomically per path, never appended). */
+  /** Persist one model table (overwrite — a fitted artifact is replaced
+    * atomically per path; the one append-shaped artifact is the dedup
+    * admission index, via [[append]]). */
   def save(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
+
+  /** Append a delta to an existing artifact table — only for artifacts
+    * whose consumers are multiplicity-insensitive (the dedup index's
+    * digest/signature tables, read via anti/semi joins: Neutral
+    * .dedupIndexAppend). A fitted model (centroids, codebooks, merges)
+    * must never be appended — rebuild and [[save]] instead. */
+  def append(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
 
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

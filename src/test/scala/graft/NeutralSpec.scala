@@ -239,6 +239,71 @@ class NeutralSpec extends AnyFunSuite {
     assert(admittedOnly == Set(50003L, 50004L, 50005L), s"got $admittedOnly")
   }
 
+  test("served admission from the persisted index equals the in-flight form") {
+    val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val incoming = corpus.filter(col("doc_id") === 7)
+      .select(lit(50000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(corpus.filter(col("doc_id") === 8)
+        .select(lit(50001L).as("doc_id"),
+          concat(col("text"), lit(" extra tail")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+      .unionByName(Seq(
+        (50003L, "entirely fresh content nothing like the corpus at all zebra quark", "en", "t", 64L),
+        (50004L, "entirely fresh content nothing like the corpus at all zebra quark", "en", "t", 64L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    graft.ops.Neutral.dedupIndexBuild(corpus, dir)
+    val served = graft.ops.Neutral
+      .dedupAgainstServed(spark, dir, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val inflight = graft.ops.Neutral
+      .dedupAgainst(corpus, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == inflight, s"served $served != in-flight $inflight")
+    // the full chain too: admission + within-batch clustered dedup
+    val servedE2e = graft.ops.Neutral
+      .ingestE2eServed(spark, dir, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val inflightE2e = graft.ops.Neutral
+      .ingestE2e(corpus, incoming, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(servedE2e == inflightE2e,
+      s"served e2e $servedE2e != in-flight $inflightE2e")
+    // e2e collapses the within-batch exact pair admission alone keeps
+    assert(servedE2e == Set(50003L), s"got $servedE2e")
+  }
+
+  test("appended admissions: batch 2 is deduped against batch 1's admissions") {
+    val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val batch1 = Seq(
+      (60001L, "entirely fresh content nothing like the corpus at all zebra quark", "en", "t", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (60002L, "entirely fresh content nothing like the corpus at all zebra quark with tail", "en", "t", 74L),
+      (60003L, "another genuinely new document speaking of unrelated affairs today", "en", "t", 66L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // counterfactual first: against a NON-appended index, batch 2's
+    // near-dup of batch 1's admission slips straight through — that gap
+    // is exactly what the append contract closes
+    val stale = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    graft.ops.Neutral.dedupIndexBuild(corpus, stale)
+    val noAppend = graft.ops.Neutral
+      .dedupAgainstServed(spark, stale, batch2, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noAppend == Set(60002L, 60003L), s"got $noAppend")
+    // the daily-crawl loop: admit batch 1 (appending its signatures),
+    // then batch 2 — the near-dup of batch 1's admission is now caught
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    graft.ops.Neutral.dedupIndexBuild(corpus, dir)
+    val adm1 = graft.ops.Neutral.admitAndAppend(spark, dir, batch1, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm1 == Set(60001L), s"got $adm1")
+    val adm2 = graft.ops.Neutral.admitAndAppend(spark, dir, batch2, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm2 == Set(60003L), s"batch 2 near-dup not deduped: $adm2")
+  }
+
   test("random projection is exactly linear under power-of-two scaling") {
     val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") < 50)
