@@ -66,6 +66,16 @@ object Multimodal {
   private[graft] def makeImage(id: Long): Array[Byte] = {
     val (w, h, f) = plantedDims(id)
     val v = (id % 251).toByte
+    buildImage(w, h, f, (_, _) => v)
+  }
+
+  /** Shared file builder: encodes the pixel function `pix(x, y)` (x left→
+    * right, y top→bottom) into a complete, valid file of format `f`
+    * (0 bmp / 1 ppm / 2 pgm / 3 png / else jpeg-header-only). Color
+    * formats write the gray value into every channel (achromatic planted
+    * pixels — a real pipeline would apply a luma transform on decode). */
+  private def buildImage(w: Int, h: Int, f: Int,
+      pix: (Int, Int) => Byte): Array[Byte] = {
     f match {
       case 0 => // BMP, BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp
         val rowSize = ((3 * w + 3) / 4) * 4
@@ -87,18 +97,44 @@ object Multimodal {
         buf.putInt(0).putInt(0)
         var row = 0
         while (row < h) {
-          var i = 0
-          while (i < 3 * w) { buf.put(v); i += 1 }
+          val y = h - 1 - row // bottom-up: file row 0 is the image bottom
+          var x = 0
+          while (x < w) {
+            val g = pix(x, y)
+            buf.put(g).put(g).put(g) // B, G, R
+            x += 1
+          }
+          var i = 3 * w
           while (i < rowSize) { buf.put(0.toByte); i += 1 }
           row += 1
         }
         buf.array()
       case 1 => // PPM P6: ASCII header, binary RGB triplets
         val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
-        header ++ Array.fill(3 * w * h)(v)
+        val px = new Array[Byte](3 * w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = pix(x, y)
+            px(i) = g; px(i + 1) = g; px(i + 2) = g
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        header ++ px
       case 2 => // PGM P5: ASCII header, binary grayscale
         val header = s"P5\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
-        header ++ Array.fill(w * h)(v)
+        val px = new Array[Byte](w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(i) = pix(x, y); i += 1; x += 1 }
+          y += 1
+        }
+        header ++ px
       case 3 => // PNG: signature + IHDR + stored-block zlib IDAT + IEND
         // raw scanlines: filter byte 0 then RGB per row
         val raw = new Array[Byte](h * (1 + 3 * w))
@@ -106,8 +142,12 @@ object Multimodal {
         var row = 0
         while (row < h) {
           raw(idx) = 0; idx += 1
-          var i = 0
-          while (i < 3 * w) { raw(idx) = v; idx += 1; i += 1 }
+          var x = 0
+          while (x < w) {
+            val g = pix(x, row)
+            raw(idx) = g; raw(idx + 1) = g; raw(idx + 2) = g
+            idx += 3; x += 1
+          }
           row += 1
         }
         // zlib stream written by hand as ONE final stored block (raw fits
@@ -560,5 +600,238 @@ object Multimodal {
           fmt, ch, rate, durMs)
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Perceptual hash (dHash) + Hamming-banded image near-dup
+  // ---------------------------------------------------------------------
+
+  /** Per-image 64-bit dHash as two non-negative 32-bit halves (the
+    * SimHash sign-bit discipline: no shift ever touches bit 63 in either
+    * engine). */
+  final case class ImageHash(doc_id: Long, ph_lo: Long, ph_hi: Long)
+
+  /** Planted geometry for the TEXTURED image of `id`: dims are a function
+    * of the pattern class pid = id % 8 (same pid ⇒ same canvas), format
+    * round-robins over the four pixel-carrying formats (bmp/ppm/pgm/png —
+    * no jpeg: the synthetic jpeg is header-only, nothing to hash). */
+  private[graft] def texturedDims(id: Long): (Int, Int, Int) = {
+    val pid = (id % 8).toInt
+    (16 + pid * 7, 16 + pid * 5, (id % 4).toInt)
+  }
+
+  /** Planted gray value at (x, y) — the oracle's ground truth, recovered
+    * by Spark from the encoded bytes. The quadratic base pattern depends
+    * only on the pattern class (same pid ⇒ same texture; the mod-256
+    * wraps make it non-monotonic so dHash bits are informative), while
+    * the sparse id-dependent perturbation (~1/97 of pixels, +128 mod 256)
+    * gives same-pid images SMALL nonzero Hamming distances and
+    * different-pid images unrelated hashes — exactly the near-dup
+    * geometry a perceptual hash exists to detect. */
+  private[graft] def texturedGray(id: Long, x: Int, y: Int): Int = {
+    val pid = (id % 8).toInt
+    val base = (x * x * 3 + y * y * 5 + x * y * (pid + 1) + pid * 17) % 256
+    if ((x + y * 9 + id) % 97 == 0) (base + 128) % 256 else base
+  }
+
+  private[graft] def makeTexturedImage(id: Long): Array[Byte] = {
+    val (w, h, f) = texturedDims(id)
+    buildImage(w, h, f, (x, y) => texturedGray(id, x, y).toByte)
+  }
+
+  /** Documents → textured image table: REAL encoded files with planted
+    * per-pixel patterns (vs [[syntheticImageTable]]'s constant fill) —
+    * the fixture corpus for the perceptual-hash dedup path. */
+  def syntheticTexturedImageTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) => MediaRow(id, makeTexturedImage(id), src) }
+      .toDF()
+  }
+
+  /** Returns the index just past the netpbm header (magic, width, height,
+    * maxval, then EXACTLY one whitespace byte before the raster per the
+    * spec), or -1 if malformed. */
+  private def pnmRasterStart(bytes: Array[Byte]): Int = {
+    var i = 2
+    var k = 0
+    while (k < 3) {
+      if (i >= bytes.length) return -1
+      val c = bytes(i) & 0xff
+      if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+      else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+      else if (c >= '0' && c <= '9') {
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        k += 1
+      } else return -1
+    }
+    if (i >= bytes.length) -1 else i + 1 // the single post-maxval whitespace
+  }
+
+  /** Full grayscale pixel decode for the formats that carry raster data:
+    * BMP (24 bpp bottom-up), PPM/PGM (binary raster after the header),
+    * PNG (8-bit RGB, any zlib IDAT stream via Inflater, filter-0 rows).
+    * Achromatic contract: color formats take the first channel as gray
+    * (planted pixels write equal channels; a real pipeline would slot a
+    * luma transform here). Poison-blob contract as [[decodeMeta]]:
+    * anything malformed, truncated, filtered, or out of scope (jpeg —
+    * entropy-coded, no codec in-container) returns None, never a crash. */
+  private[graft] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val (fmt, w, h, _) = decodeMeta(bytes)
+    fmt match {
+      case "bmp" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val off = bb.getInt(10)
+        val hRaw = bb.getInt(22)
+        val bits = bb.getShort(28) & 0xffff
+        val rowSize = ((3 * w + 3) / 4) * 4
+        if (bits != 24 || hRaw <= 0 || off < 54 ||
+          off.toLong + rowSize.toLong * h > bytes.length) None
+        else {
+          val g = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val base = off + (h - 1 - y) * rowSize
+            var x = 0
+            while (x < w) { g(y * w + x) = bytes(base + 3 * x) & 0xff; x += 1 }
+            y += 1
+          }
+          Some((w, h, g))
+        }
+      case "ppm" | "pgm" =>
+        val ch = if (fmt == "ppm") 3 else 1
+        val start = pnmRasterStart(bytes)
+        if (start < 0 || start.toLong + ch.toLong * w * h > bytes.length) None
+        else {
+          val g = new Array[Int](w * h)
+          var i = 0
+          while (i < w * h) { g(i) = bytes(start + ch * i) & 0xff; i += 1 }
+          Some((w, h, g))
+        }
+      case "png" =>
+        if ((bytes(24) & 0xff) != 8 || (bytes(25) & 0xff) != 2) None
+        else try {
+          // concatenate IDAT chunk payloads, then inflate (handles any
+          // zlib stream, stored or compressed)
+          val bb = ByteBuffer.wrap(bytes)
+          val idat = new java.io.ByteArrayOutputStream()
+          var i = 8
+          var ok = true
+          while (ok && i + 8 <= bytes.length) {
+            val len = bb.getInt(i)
+            val typ = new String(bytes, i + 4, 4, StandardCharsets.US_ASCII)
+            if (len < 0 || i + 12L + len > bytes.length) ok = false
+            else {
+              if (typ == "IDAT") idat.write(bytes, i + 8, len)
+              if (typ == "IEND") ok = false
+              i += 12 + len
+            }
+          }
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val raw = new Array[Byte](h * (1 + 3 * w))
+          val n = inf.inflate(raw)
+          inf.end()
+          if (n != raw.length) None
+          else {
+            val g = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val rowStart = y * (1 + 3 * w)
+              if (raw(rowStart) != 0) return None // only filter-0 rows
+              var x = 0
+              while (x < w) {
+                g(y * w + x) = raw(rowStart + 1 + 3 * x) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, g))
+          }
+        } catch { case _: java.util.zip.DataFormatException => None }
+      case _ => None
+    }
+  }
+
+  /** 64-bit dHash over a 9×8 nearest-neighbor sample grid: row gy samples
+    * gray at (gx·w div 9, gy·h div 8); bit gy·8+gx is 1 iff the right
+    * neighbor sample is brighter. Integer-exact (no resample filter), so
+    * the oracle reproduces it from the planted formula. Halves keep all
+    * 64 bits out of the sign position. */
+  private[graft] def dHashHalves(w: Int, h: Int, g: Array[Int]): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 9
+        val x1 = (gx + 1) * w / 9
+        if (g(sy * w + x1) > g(sy * w + x0)) {
+          val bit = gy * 8 + gx
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (lo, hi)
+  }
+
+  /** Batch dHash extraction: decode → sample → 64 bits, map-only over
+    * partitions (the [[extractFeatures]] shape). Undecodable payloads
+    * (malformed, or formats without raster data) drop — no hash, no
+    * false near-dup. */
+  def imageDHash(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { row =>
+        decodeGray(row.payload).map { case (w, h, g) =>
+          val (lo, hi) = dHashHalves(w, h, g)
+          ImageHash(row.doc_id, lo, hi)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Image near-dup counts over (ph_lo, ph_hi): the 64 bits split into
+    * maxHamming+1 disjoint blocks — any pair within maxHamming collides
+    * on ≥1 whole block by pigeonhole (recall 1), so candidates are an
+    * equi join on (block, value) and only candidates pay the exact
+    * bit_count verification. The image twin of Neutral.simHashNearDups:
+    * banded, never all-pairs; blocks must align with the 32-bit halves.
+    * At 100 TB true-dup cliques concentrate buckets — the same documented
+    * cap trade as minHashCandidates applies (default uncapped: the
+    * oracle reproduces the full candidate set). */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val tables = maxHamming + 1
+    val width = 64 / tables
+    require(tables >= 2 && 64 % tables == 0 && 32 % width == 0,
+      "maxHamming+1 must be a power of two >= 2 (blocks align with halves)")
+    val mask = (1L << width) - 1
+    val buckets = (0 until tables).map { t =>
+      val bitpos = t * width
+      val half = if (bitpos < 32) col("ph_lo") else col("ph_hi")
+      shiftright(half, bitpos % 32).bitwiseAND(lit(mask))
+    }
+    val bucketed = hashes.select(col("doc_id"), col("ph_lo"), col("ph_hi"),
+      posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
+    val a = bucketed.select(col("t"), col("bucket"),
+      col("doc_id").as("doc_a"), col("ph_lo").as("lo_a"), col("ph_hi").as("hi_a"))
+    val b = bucketed.select(col("t"), col("bucket"),
+      col("doc_id").as("doc_b"), col("ph_lo").as("lo_b"), col("ph_hi").as("hi_b"))
+    val pairs = a.join(b, Seq("t", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))) <= maxHamming)
+      .select("doc_a", "doc_b")
+      .distinct()
+    hashes.join(
+        pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .select("doc_id", "ph_lo", "ph_hi", "n_near")
   }
 }

@@ -28,6 +28,32 @@ object Pipeline {
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
   }
 
+  /** [[prepareCorpus]] with the heuristic language gate replaced by the
+    * SUPERVISED Naive Bayes classifier served from a persisted model
+    * artifact — the CCNet shape: a fastText-style classifier trained on a
+    * labeled slice gates the whole corpus, then the quality floor, dedup,
+    * and token annotation run as before. The model tables arrive by
+    * broadcast (classes x vocab bounded, loaded from `modelDir` — zero
+    * fitting in this plan); the per-doc argmax is a doc-partitioned
+    * window; the only corpus-keyed exchange the gate adds is the doc_id
+    * score aggregation + keep-set semi join — both on the primary key,
+    * both AQE-coalesced. Filter-first still holds: the quality floor is
+    * map-only and prunes rows before the dedup shuffles. */
+  def prepareCorpusClassified(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.8, minJaccard: Double = 0.8): DataFrame = {
+    val keep = Classify.nbServe(spark, modelDir, docs)
+      .filter(col("pred_label") === lang)
+      .select("doc_id")
+    val gated = TextAnalysis.withQuality(docs)
+      .filter(col("quality_score") >= minQuality)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+      .join(keep, Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dedupCorpus(gated, minJaccard = minJaccard)
+    TextAnalysis.withTokenCounts(deduped)
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pre-training layout):
     * documents are laid head-to-tail in deterministic (groupCol, doc_id)
     * order and cut every `budget` tokens; a doc belongs to the sequence

@@ -495,6 +495,59 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** The same admission SERVED from the persisted corpus index
+    * (Neutral.dedupIndexBuild: digest + signature + banded tables via the
+    * Models artifact layer) — admission never re-reads or re-hashes the
+    * corpus text. Shares the refitting form's oracle: the index is a
+    * deterministic function of the corpus, so serving is result-identical. */
+  val dedupIncrementalServed = QueryDef(
+    "q_ns_dedup_incremental_served",
+    graft.ops.Neutral.dedupAgainstOracleSql(
+      "doc_id < 250", "doc_id >= 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"dedup_index|$d") { tmp =>
+      graft.ops.Neutral.dedupIndexBuild(docs.filter(col("doc_id") < 250), tmp)
+    }
+    graft.ops.Neutral.dedupAgainstServed(
+        s, dir, docs.filter(col("doc_id") >= 250), minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Admission at the DAILY-CRAWL shape — corpus (doc_id >= 250) an order
+    * larger than the incoming batch (doc_id < 250). This is the shape the
+    * persisted index exists for: the refitting form re-hashes the large
+    * corpus per call, the served twin hashes only the batch. */
+  val dedupAdmitDaily = QueryDef(
+    "q_ns_dedup_admit_daily",
+    graft.ops.Neutral.dedupAgainstOracleSql(
+      "doc_id >= 250", "doc_id < 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    graft.ops.Neutral.dedupAgainst(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The daily-crawl admission SERVED from the persisted index over the
+    * large corpus — the measured fit/serve delta for ingest (SCALING.md):
+    * at corpus >> batch the serving plan's cost is the batch's own
+    * signatures plus joins against the loaded tables. */
+  val dedupAdmitDailyServed = QueryDef(
+    "q_ns_dedup_admit_daily_served",
+    graft.ops.Neutral.dedupAgainstOracleSql(
+      "doc_id >= 250", "doc_id < 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"dedup_index_daily|$d") { tmp =>
+      graft.ops.Neutral.dedupIndexBuild(docs.filter(col("doc_id") >= 250), tmp)
+    }
+    graft.ops.Neutral.dedupAgainstServed(
+        s, dir, docs.filter(col("doc_id") < 250), minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The chained ingest a daily crawl runs end-to-end: admission against
     * the existing corpus (exact + banded near-dup) THEN within-batch
     * clustered dedup of the admitted docs — the incoming slice carries
@@ -508,6 +561,24 @@ object NorthStar {
     graft.ops.Neutral.ingestE2e(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The chained ingest SERVED from the persisted corpus index: loaded
+    * digest/banded/hash tables drive admission, then the within-batch
+    * clustered dedup reuses the incoming-side signatures — the whole
+    * daily-crawl chain with zero corpus-side recompute. */
+  val dedupIngestE2eServed = QueryDef(
+    "q_ns_dedup_ingest_e2e_served",
+    graft.ops.Neutral.ingestE2eOracleSql(
+      "doc_id < 250", "doc_id >= 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"dedup_index|$d") { tmp =>
+      graft.ops.Neutral.dedupIndexBuild(docs.filter(col("doc_id") < 250), tmp)
+    }
+    graft.ops.Neutral.ingestE2eServed(
+        s, dir, docs.filter(col("doc_id") >= 250), minJaccard = 0.8)
       .select("doc_id")
       .orderBy("doc_id")
   }
@@ -1264,6 +1335,73 @@ object NorthStar {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Perceptual-hash image near-dup: REAL encoded images (bmp/ppm/pgm/png
+    * with planted per-pixel textures) → full pixel decode → 64-bit dHash
+    * over a 9×8 sample grid → Hamming-banded candidate join (8 disjoint
+    * 8-bit blocks, pigeonhole recall 1 at distance ≤ 7) → exact bit_count
+    * verify → per-doc near-dup counts. Spark recovers the pixels by
+    * parsing the actual file bytes; the oracle recomputes them from the
+    * planting formula — same adjudication as the geometry decode
+    * queries. The multimodal twin of the SimHash text near-dup: where
+    * text dedup shingles, an image corpus dHashes, and the banding
+    * machinery is shared shape. */
+  val phashDedup = QueryDef(
+    "q_ns_multimodal_phash_dedup",
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pid FROM documents),
+      |dims AS (SELECT doc_id, pid, 16 + pid*7 AS w, 16 + pid*5 AS h FROM d),
+      |grid AS (
+      |  SELECT doc_id, pid, gxs.gx, gys.gy,
+      |         (gxs.gx * w) // 9 AS sx, (gys.gy * h) // 8 AS sy
+      |  FROM dims,
+      |       (SELECT unnest(generate_series(0,8)) AS gx) gxs,
+      |       (SELECT unnest(generate_series(0,7)) AS gy) gys
+      |),
+      |px AS (
+      |  SELECT doc_id, gx, gy,
+      |         CASE WHEN (sx + sy*9 + doc_id) % 97 = 0
+      |              THEN ((sx*sx*3 + sy*sy*5 + sx*sy*(pid+1) + pid*17) % 256 + 128) % 256
+      |              ELSE (sx*sx*3 + sy*sy*5 + sx*sy*(pid+1) + pid*17) % 256 END AS g
+      |  FROM grid
+      |),
+      |bits AS (
+      |  SELECT a.doc_id, a.gy*8 + a.gx AS bitpos,
+      |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8
+      |),
+      |hh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN bitpos < 32 THEN bit * (CAST(1 AS BIGINT) << bitpos) ELSE 0 END) AS BIGINT) AS ph_lo,
+      |         CAST(sum(CASE WHEN bitpos >= 32 THEN bit * (CAST(1 AS BIGINT) << (bitpos - 32)) ELSE 0 END) AS BIGINT) AS ph_hi
+      |  FROM bits GROUP BY doc_id
+      |),
+      |bk AS (
+      |  SELECT doc_id, ph_lo, ph_hi, ts.t,
+      |         CASE WHEN ts.t < 4 THEN (ph_lo >> (ts.t*8)) & 255
+      |              ELSE (ph_hi >> ((ts.t-4)*8)) & 255 END AS bucket
+      |  FROM hh, (SELECT unnest(generate_series(0,7)) AS t) ts
+      |),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) <= 7
+      |),
+      |nn AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+      |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+      |  ) u GROUP BY doc_id
+      |)
+      |SELECT hh.doc_id, hh.ph_lo, hh.ph_hi,
+      |       CAST(coalesce(nn.n_near, 0) AS BIGINT) AS n_near
+      |FROM hh LEFT JOIN nn USING (doc_id)
+      |ORDER BY hh.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.phashNearDups(
+        Multimodal.imageDHash(
+          Multimodal.syntheticTexturedImageTable(T.documents(s, d))))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus preparation (the operator composition a training
     * pipeline actually runs): language gate → quality floor → exact + near
     * dedup → token annotation. Every stage reuses a proven operator, so the
@@ -1322,6 +1460,63 @@ object NorthStar {
       |WHERE kd.doc_id NOT IN (SELECT doc_id FROM dropped)
       |ORDER BY kd.doc_id""".stripMargin) { (s, d) =>
     graft.ops.Pipeline.prepareCorpus(T.documents(s, d))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus preparation with the SUPERVISED classifier gate (CCNet's
+    * fastText-stage shape): the NB model — fit on the salted labeled
+    * slice, persisted via the Models artifact layer — replaces the
+    * heuristic language gate; quality floor, dedup, and token annotation
+    * run unchanged. The oracle reproduces the full chain: NB fit +
+    * argmax prediction CTEs (shared with q_ns_nb_classify), the quality
+    * expression, and the prepare-corpus dedup tail. */
+  val prepareCorpusClassifiedQ = QueryDef(
+    "q_ns_prepare_corpus_classified",
+    s"""WITH ${TrainPrep.nbPredCtes},
+      |pred AS (SELECT doc_id FROM best WHERE rn = 1 AND label = 'en'),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    (CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x))) AS DOUBLE)
+      |       / len(string_split_regex(lower(trim(text)), '\\s+'))) * 0.2
+      |     + (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |            x -> list_contains(['the','a','an','of','and','to','in','is'], x))) AS DOUBLE)
+      |        / len(string_split_regex(lower(trim(text)), '\\s+'))) * 2.0
+      |     - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      |        / length(text)) * 5.0 AS quality_score
+      |  FROM documents
+      |),
+      |gated AS (
+      |  SELECT q.doc_id, q.text FROM q JOIN pred USING (doc_id)
+      |  WHERE quality_score >= 0.8
+      |),
+      |kept AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+      |kd AS (SELECT g.doc_id, g.text FROM gated g JOIN kept USING (doc_id)),
+      |tok2 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM kd),
+      |shn2 AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM tok2 WHERE len(w) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shn2 a JOIN shn2 b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / len(list_distinct(a.s || b.s)) >= 0.8
+      |),
+      |dropped2 AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+      |SELECT kd.doc_id,
+      |       CASE WHEN trim(kd.text) = '' THEN 0
+      |            ELSE len(string_split_regex(lower(trim(kd.text)), '\\s+')) END AS n_ws_tokens,
+      |       len(regexp_extract_all(kd.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+      |FROM kd
+      |WHERE kd.doc_id NOT IN (SELECT doc_id FROM dropped2)
+      |ORDER BY kd.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"nb|$d") { tmp =>
+      graft.ops.Classify.nbBuild(docs, tmp)
+    }
+    graft.ops.Pipeline.prepareCorpusClassified(s, dir, docs)
       .orderBy("doc_id")
   }
 
@@ -1485,15 +1680,17 @@ object NorthStar {
     spanDedup, spanScrub,
     decontaminate, decontaminateFuzzy, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
-    dedupSurvivorQuality, dedupIncremental,
-    dedupIngestE2e,
+    dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
+    dedupAdmitDaily, dedupAdmitDailyServed,
+    dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textLangIdTrigram, textFingerprint,
     textVocab,
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
-    textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ, splitQ,
+    textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,
+    prepareCorpusClassifiedQ, splitQ,
     leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
-    multimodalAv, multimodalAvFrames)
+    multimodalAv, multimodalAvFrames, phashDedup)
 }

@@ -500,6 +500,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(noSof.array())._1 == "raw")
   }
 
+  test("perceptual dHash: byte decode matches the planted formula; " +
+      "banded near-dups stay within the pattern class") {
+    implicit val s: SparkSession = spark
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .limit(64)
+    val media = Multimodal.syntheticTexturedImageTable(docs)
+    val hashes = Multimodal.imageDHash(media)
+    val got = hashes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every doc hashes: all four raster formats (bmp/ppm/pgm/png) decode
+    assert(got.size == 64, s"only ${got.size}/64 images decoded")
+    // the FILE-BYTE decode (bmp row flip, pnm raster offset, png inflate)
+    // reproduces the planting formula bit-for-bit
+    got.foreach { case (id, (lo, hi)) =>
+      val (w, h, _) = Multimodal.texturedDims(id)
+      val g = Array.tabulate(w * h)(i =>
+        Multimodal.texturedGray(id, i % w, i / w))
+      assert(Multimodal.dHashHalves(w, h, g) == ((lo, hi)),
+        s"doc $id: decoded hash differs from planted formula")
+    }
+    // planted near-dups (same pattern class, sparse per-id noise) are
+    // found; nothing crosses pattern classes (cross-pid hashes unrelated)
+    val nn = Multimodal.phashNearDups(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(nn.values.exists(_ > 0), "planted same-pattern near-dups not found")
+    val classSize = (0L until 64L).groupBy(_ % 8).view.mapValues(_.size).toMap
+    nn.foreach { case (id, n) =>
+      assert(n <= classSize(id % 8) - 1,
+        s"doc $id: $n near-dups exceeds its pattern class — cross-class match")
+    }
+    // no-raster payloads produce no hash, never a bogus one: the synthetic
+    // jpeg is header-only (id % 5 == 4), and garbage is garbage
+    assert(Multimodal.decodeGray(Multimodal.makeImage(4L)).isEmpty)
+    assert(Multimodal.decodeGray("junk, not an image".getBytes).isEmpty)
+  }
+
   test("a/v decode recovers planted container params from real WAV/MP4 bytes") {
     implicit val s: SparkSession = spark
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001").limit(30)

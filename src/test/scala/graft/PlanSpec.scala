@@ -126,6 +126,8 @@ class PlanSpec extends AnyFunSuite {
       // cross every doc scores against (C = distinct labels, tiny)
       "q_ns_nb_classify" -> "1-row totals + C-row priors broadcasts",
       "q_ns_nb_classify_served" -> "C-row priors broadcast (from the artifact)",
+      "q_ns_prepare_corpus_classified" ->
+        "C-row priors broadcast (served classifier gate)",
       // 1-row corpus totals (tokens, n_sources) broadcast into per-source weights
       "q_ns_domain_mix" -> "1-row corpus-totals broadcast",
       // 1-row x 1-row split totals broadcast into per-bucket KL terms
@@ -277,6 +279,40 @@ class PlanSpec extends AnyFunSuite {
     // details header) — count the details headers, one per node
     assert("\\(\\d+\\) Generate".r.findAllIn(pl).size == 1,
       s"lm served plan re-runs fit-side explodes:\n$pl")
+  }
+
+  test("served dedup admission reads the index artifact, never the corpus text") {
+    // the r8 lifecycle gap, closed: admission against a persisted corpus
+    // index must not re-scan or re-hash corpus text. The refitting form's
+    // plan carries the corpus scan (pushed filter doc_id < 250); the
+    // served plan must carry ONLY the incoming scan (doc_id >= 250) plus
+    // the artifact's parquet tables.
+    val p = plan("q_ns_dedup_incremental_served")
+    assert(p.contains("graft_model_"),
+      s"serving plan does not scan the persisted dedup index:\n$p")
+    assert(!p.contains("LessThan(doc_id,250)"),
+      s"serving plan re-scans the corpus slice:\n$p")
+    assert(p.contains("GreaterThanOrEqual(doc_id,250)"),
+      s"serving plan lost the incoming-batch scan:\n$p")
+    // same contract for the full served ingest chain
+    val pe = plan("q_ns_dedup_ingest_e2e_served")
+    assert(pe.contains("graft_model_") && !pe.contains("LessThan(doc_id,250)"),
+      s"served ingest e2e recomputes corpus-side tables:\n$pe")
+  }
+
+  test("classifier-gated corpus prep serves the NB model, never refits") {
+    // the CCNet-shape gate: model tables come from the persisted artifact
+    // by broadcast; the fit (salted 'nbfit' slice, class-word counts)
+    // must be absent from the serving plan
+    val p = plan("q_ns_prepare_corpus_classified")
+    assert(p.contains("graft_model_"),
+      s"gate does not scan the persisted NB model:\n$p")
+    assert(!p.contains("nbfit"),
+      s"NB fit (salted fit-slice filter) leaked into the serving plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model-table joins are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"gate planned an unbounded product:\n$p")
   }
 
   test("exchange budget: the most expensive queries keep their live exchange counts") {
