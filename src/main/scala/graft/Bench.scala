@@ -57,17 +57,29 @@ object Bench {
     // and the bigram-LM quality filter (fit on the salted reference half
     // + backoff-scored whole corpus: the heaviest new text chain)
     "q_ns_ivfpq_served",
-    "q_ns_lm_bigram")
+    "q_ns_lm_bigram",
+    // round-9: admission dedup served from the persisted corpus index —
+    // the refitting twin q_ns_dedup_incremental stays listed above, so
+    // the artifact carries the fit/serve delta for the ingest lifecycle.
+    // The admit_daily pair is the corpus>>batch shape where the index
+    // pays: refit re-hashes the large corpus, served hashes the batch.
+    "q_ns_dedup_incremental_served",
+    "q_ns_dedup_ingest_e2e_served",
+    "q_ns_dedup_admit_daily",
+    "q_ns_dedup_admit_daily_served")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)
-    * timed at sweep start and end. On an idle container it lands inside
-    * [[CalEnvelopeSec]]; under external CPU contention it inflates with
-    * everything else, so a calibration rep >2x the envelope marks the
-    * whole artifact `contended` — the r7 lesson, where a 291 s headline
-    * run (vs 119 s steady) reported per-query "regressions" that the
-    * same round's full sweep reversed. A flagged artifact says "re-run
-    * before judging deltas" in the data itself. */
+    * timed BEFORE EVERY QUERY plus once at sweep end. On an idle
+    * container each probe lands inside [[CalEnvelopeSec]]; under external
+    * CPU contention it inflates with everything else. A probe >2x the
+    * envelope marks the queries it brackets `contended` (per-query span
+    * flags in the artifact) and the whole artifact when any probe fires —
+    * the r7/r8 lesson: start/end-only probes passed a run whose pagerank
+    * median was 2.1x its steady value because the contamination happened
+    * mid-sweep, invisible to the boundary probes. ~0.2 s x n queries of
+    * probe cost buys a per-query trust label. A flagged query says
+    * "re-run before judging its delta" in the data itself. */
   val CalEnvelopeSec = 0.20 // committed idle-container envelope (measured
                             // 0.14-0.21 s across runs on this machine;
                             // the 2x contended threshold is 0.40 s)
@@ -86,6 +98,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // parity with Verify/tests: the NTZ→TIMESTAMP cast in T.events is
+      // only value-preserving under UTC, so bench must pin it too
+      .config("spark.sql.session.timeZone", "UTC")
       // experiment knob for the skew pair: AQE's runtime skew split vs
       // explicit salting (SCALING.md records both)
       .config("spark.sql.adaptive.enabled",
@@ -96,10 +111,14 @@ object Bench {
     // query, not first-touch JIT and classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     calibrate(spark) // warm the calibration path itself (JIT) before timing
-    val calStart = calibrate(spark)
     val all = SparkEntry.queries
     val names =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        // dev knob: comma-separated names — family-level A/Bs in a fresh
+        // JVM (the q_j* drift bisection shape) without sweeping everything
+        sys.env("SPARK_GRAFT_BENCH_ONLY").split(",").toSeq
+          .map(_.trim).filter(all.contains)
+      else if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
       else headline.filter(all.contains)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // flaky-watch list: r6 showed these two with cross-rep spread from JVM
@@ -141,7 +160,12 @@ object Bench {
       }
       catch { case _: Throwable => -1.0 }
     }
+    // one probe before each query + one after the last: probe i and
+    // probe i+1 bracket query i, so a contaminated span is attributable
+    // to the specific queries inside it
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = names.map { name =>
+      probes += calibrate(spark)
       val qReps = if (reps == 1) 1 else extraReps.getOrElse(name, reps)
       var times = (1 to qReps).map(_ => runOnce(name))
       // variance fold-in: when THIS run's warm reps spread >50% of their
@@ -182,11 +206,24 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val calEnd = calibrate(spark)
-    val contended =
-      calStart > 2 * CalEnvelopeSec || calEnd > 2 * CalEnvelopeSec
+    probes += calibrate(spark)
+    val calStart = probes.head
+    val calEnd = probes.last
+    val hot = (p: Double) => p > 2 * CalEnvelopeSec
+    // query i is suspect if either bracketing probe fired
+    val contendedQueries = names.zipWithIndex
+      .filter { case (_, i) => hot(probes(i)) || hot(probes(i + 1)) }
+      .map(_._1)
+    val contended = probes.exists(hot)
+    val calJson = names.zipWithIndex
+      .map { case (n, i) => s"\"" + n + "\":" + probes(i) }
+      .mkString("{", ",", "}")
+    val contQJson = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cpus is part of the measurement conditions: the r7 vs r8 full-sweep
+    // join-family "drift" was uninterpretable partly because the artifacts
+    // didn't record what parallelism they ran at
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"queries_cal":$calJson,"contended_queries":$contQJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.
