@@ -297,13 +297,66 @@ object Multimodal {
     Raw
   }
 
+  /** GIF geometry: "GIF87a"/"GIF89a" signature, then the Logical Screen
+    * Descriptor's canvas width/height (uint16-LE at offsets 6/8) — the
+    * header every GIF must carry before any block. Palette-indexed RGB →
+    * 3 channels. */
+  private def gifMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    if (bytes.length < 13) return Raw
+    val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    if (w <= 0 || h <= 0) Raw else ("gif", w, h, 3)
+  }
+
+  /** WebP geometry per the public container spec (RIFF("WEBP") + one
+    * first chunk):
+    *  - "VP8 " lossy: 3-byte frame tag, 0x9D 0x01 0x2A start code, then
+    *    14-bit width/height (uint16-LE & 0x3fff);
+    *  - "VP8L" lossless: 0x2F signature, then width-1 / height-1 as
+    *    14-bit fields bit-packed little-endian, alpha at bit 28;
+    *  - "VP8X" extended: flags byte (alpha = 0x10), then 24-bit LE
+    *    canvas width-1 / height-1.
+    * Anything else (truncated, bad start code, unknown fourcc) → raw. */
+  private def webpMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    if (bytes.length < 30) return Raw
+    new String(bytes, 12, 4, StandardCharsets.US_ASCII) match {
+      case "VP8 " =>
+        if ((bytes(23) & 0xff) != 0x9d || (bytes(24) & 0xff) != 0x01 ||
+          (bytes(25) & 0xff) != 0x2a) Raw
+        else {
+          val w = ((bytes(26) & 0xff) | ((bytes(27) & 0xff) << 8)) & 0x3fff
+          val h = ((bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)) & 0x3fff
+          if (w <= 0 || h <= 0) Raw else ("webp", w, h, 3)
+        }
+      case "VP8L" =>
+        if ((bytes(20) & 0xff) != 0x2f) Raw
+        else {
+          val b1 = bytes(21) & 0xff; val b2 = bytes(22) & 0xff
+          val b3 = bytes(23) & 0xff; val b4 = bytes(24) & 0xff
+          val w = (b1 | ((b2 & 0x3f) << 8)) + 1
+          val h = ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0f) << 10)) + 1
+          ("webp", w, h, if ((b4 & 0x10) != 0) 4 else 3)
+        }
+      case "VP8X" =>
+        val flags = bytes(20) & 0xff
+        val w = ((bytes(24) & 0xff) | ((bytes(25) & 0xff) << 8) |
+          ((bytes(26) & 0xff) << 16)) + 1
+        val h = ((bytes(27) & 0xff) | ((bytes(28) & 0xff) << 8) |
+          ((bytes(29) & 0xff) << 16)) + 1
+        ("webp", w, h, if ((flags & 0x10) != 0) 4 else 3)
+      case _ => Raw
+    }
+  }
+
   /** Real metadata decode: BMP (BITMAPINFOHEADER: width int32-LE @18,
     * height int32-LE @22 — negative means top-down, bits-per-pixel
     * uint16-LE @28), binary netpbm (P6 RGB / P5 gray: magic, then
     * whitespace/comment-separated width, height, maxval — the magic MUST
     * be followed by whitespace or a comment per the netpbm grammar, so
-    * "P6123..." is not a 123-wide PPM), PNG ([[pngMeta]]), and JPEG
-    * ([[jpegMeta]]). Unrecognized or malformed payloads come back as
+    * "P6123..." is not a 123-wide PPM), PNG ([[pngMeta]]), JPEG
+    * ([[jpegMeta]]), GIF ([[gifMeta]]), and WebP ([[webpMeta]] — the
+    * VP8/VP8L/VP8X chunk variants a real crawl carries).
+    * Unrecognized or malformed payloads come back as
     * ("raw", 0, 0, 0) rather than erroring — at 100 TB a poison blob must
     * not kill the job, and must not parse to confidently wrong geometry
     * either. */
@@ -331,6 +384,14 @@ object Multimodal {
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
         (bytes(1) & 0xff) == 0xd8) {
       jpegMeta(bytes)
+    } else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      gifMeta(bytes)
+    } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') {
+      webpMeta(bytes)
     } else Raw
   }
 

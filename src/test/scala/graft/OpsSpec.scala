@@ -498,6 +498,32 @@ class OpsSpec extends AnyFunSuite {
     val noSof = ByteBuffer.allocate(4)
     noSof.putShort(0xffd8.toShort).putShort(0xffd9.toShort)
     assert(Multimodal.decodeMeta(noSof.array())._1 == "raw")
+    // GIF: signature + Logical Screen Descriptor (w/h uint16-LE at 6/8)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x41, 0x01, 0x37, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(Multimodal.decodeMeta(gif) == (("gif", 321, 55, 3)))
+    assert(Multimodal.decodeMeta("GIF89a".getBytes)._1 == "raw") // truncated
+    // WebP VP8 (lossy): RIFF/WEBP + frame tag + 9D 01 2A + 14-bit dims
+    def riffWebp(fourcc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        Array((payload.length + 12).toByte, 0, 0, 0).map(_.toByte) ++
+        "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+        Array(payload.length.toByte, 0, 0, 0).map(_.toByte) ++ payload
+    val vp8 = riffWebp("VP8 ", Array(0x00, 0x00, 0x00, 0x9d, 0x01, 0x2a,
+      0x09, 0x03, 0x00, 0x04).map(_.toByte))
+    assert(Multimodal.decodeMeta(vp8) == (("webp", 777, 1024, 3)))
+    // VP8L (lossless): 0x2F signature, bit-packed w-1/h-1, alpha bit set
+    val vp8l = riffWebp("VP8L", Array(0x2f, 0x20, 0x00, 0x04, 0x10, 0x00,
+      0x00, 0x00, 0x00, 0x00).map(_.toByte))
+    assert(Multimodal.decodeMeta(vp8l) == (("webp", 33, 17, 4)))
+    // VP8X (extended): alpha flag + 24-bit LE canvas w-1/h-1
+    val vp8x = riffWebp("VP8X", Array(0x10, 0x00, 0x00, 0x00,
+      0xff, 0xff, 0x00, 0x63, 0x00, 0x00).map(_.toByte))
+    assert(Multimodal.decodeMeta(vp8x) == (("webp", 65536, 100, 4)))
+    // bad VP8 start code and a RIFF that is not WEBP both degrade to raw
+    val badVp8 = vp8.clone(); badVp8(23) = 0x00
+    assert(Multimodal.decodeMeta(badVp8)._1 == "raw")
+    assert(Multimodal.decodeMeta(Multimodal.makeAv(0L))._1 == "raw") // WAV
   }
 
   test("perceptual dHash: byte decode matches the planted formula; " +
