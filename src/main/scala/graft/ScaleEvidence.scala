@@ -50,9 +50,13 @@ object ScaleEvidence {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // partitions default to cores; the spill experiment overrides them
+    // independently (more partitions = smaller per-task working set at the
+    // same concurrency — the knob that moves the OOM boundary)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // spill mode mixes a large evictable cache with sort-heavy joins on a
@@ -257,6 +261,26 @@ object ScaleEvidence {
       s""""total_s":${"%.2f".format(tChain)},""" +
       s""""pinned_admitted_total_s":${"%.2f".format(tChainPinned)},""" +
       s""""components_only_s":${"%.2f".format(tComp)}}}""")
+
+    // ---- served admission at the daily-crawl shape (corpus >> batch):
+    // the r9 persisted-index lifecycle. Refit re-hashes the large corpus
+    // per call; served pays a one-time build, then per-batch cost is the
+    // batch's own signatures + joins against the loaded tables.
+    ops.Pins.releaseAll()
+    def bigCorpus = docs.filter(col("doc_id") >= 250)
+    def batch = docs.filter(col("doc_id") < 250)
+    val tRefitDaily = run("daily_refit_admission") {
+      ops.Neutral.dedupAgainst(bigCorpus, batch, minJaccard = 0.8)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    val (_, tBuild) = timed(ops.Neutral.dedupIndexBuild(bigCorpus, dir))
+    val tServedDaily = run("daily_served_admission") {
+      ops.Neutral.dedupAgainstServed(spark, dir, batch, minJaccard = 0.8)
+    }
+    println(s"""STAGES {"daily":{"refit_admission_s":${"%.2f".format(tRefitDaily)},""" +
+      s""""index_build_once_s":${"%.2f".format(tBuild)},""" +
+      s""""served_admission_s":${"%.2f".format(tServedDaily)},""" +
+      s""""serve_speedup":${"%.2f".format(tRefitDaily / tServedDaily)}}}""")
   }
 
   /** IVF inverted-list occupancy: lists are label partitions in
