@@ -303,9 +303,14 @@ object Neutral {
   def admitAndAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       incoming: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.8): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val admitted =
       dedupAgainstServed(spark, dir, incoming, textCol, minJaccard)
         .localCheckpoint()
+    // register the checkpoint RDD so Pins can free what the DataFrame
+    // handle cannot reach (release only AFTER consuming the batch)
+    Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
     dedupIndexAppend(admitted, dir, textCol)
     admitted
   }

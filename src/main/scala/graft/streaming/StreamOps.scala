@@ -256,6 +256,37 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingest admission SERVED from the persisted corpus index
+    * ([[graft.ops.Neutral.dedupIndexBuild]]) — the full daily-crawl loop
+    * under readStream: per micro-batch, admit against the loaded
+    * digest/banded/hash tables (zero corpus text rescans), append the
+    * survivors to the sink, and APPEND their signatures to the index so
+    * the NEXT micro-batch dedups against earlier admissions. That
+    * cross-batch closure is the gap [[admissionIngest]] structurally
+    * cannot close: its corpus frame is fixed when the query starts, so a
+    * near-dup arriving two micro-batches after its original sails
+    * through. Sink writes are exactly-once via the checkpoint; an index
+    * re-append under failure replay is harmless (admission reads the
+    * index through anti/semi joins, which ignore key multiplicity — the
+    * worst case is re-dropping what was already dropped). Per-batch pins
+    * (incoming signatures + the admitted checkpoint) release via
+    * [[graft.ops.Pins.scoped]] AFTER the sink write consumes them. */
+  def admissionIngestServed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, stream: DataFrame, sinkDir: String,
+      checkpointDir: String, minJaccard: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.Neutral.admitAndAppend(spark, indexDir, batch,
+            minJaccard = minJaccard)
+            .write.mode("append").parquet(sinkDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming quality gate against a PERSISTED bigram-LM artifact
     * ([[graft.ops.TextAnalysis.lmBigramBuild]]): per micro-batch, score
     * incoming docs with the fitted model — zero refit, the two

@@ -39,7 +39,9 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_bpe_tokenize", "q_ns_dedup_ingest_e2e",
       "q_ns_budget_select", "q_ns_winnow_pairs", "q_ns_dedup_survivor_quality",
       "q_ns_leakage_safe_split", "q_ns_decontaminate_fuzzy",
-      "q_ns_lm_bigram", "q_stream_lm_gate", "q_ns_minhash_recall")
+      "q_ns_lm_bigram", "q_stream_lm_gate", "q_ns_minhash_recall",
+      "q_ns_dedup_incremental_served", "q_ns_dedup_ingest_e2e_served",
+      "q_ns_prepare_corpus_classified", "q_ns_multimodal_phash_dedup")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()
@@ -83,6 +85,12 @@ class CacheHygieneSpec extends AnyFunSuite {
     // incremental admission: TWO pins — incoming + corpus signature tables
     assert(footprint(ops.Neutral.dedupAgainst(
       docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250)).count()) == 2)
+    // SERVED admission: ONE pin — only the incoming signature table (the
+    // corpus side reads the persisted index, nothing corpus-shaped pins)
+    val idxDir = java.nio.file.Files.createTempDirectory("hygiene_idx").toString
+    ops.Neutral.dedupIndexBuild(docs.filter($"doc_id" < 250), idxDir)
+    assert(footprint(ops.Neutral.dedupAgainstServed(spark, idxDir,
+      docs.filter($"doc_id" >= 250)).count()) == 1)
     // budget selection: ONE pin — the narrow (id, score, tokens, bucket) table
     assert(footprint(ops.Sampling.selectWithinTokenBudget(
       ops.TextAnalysis.withTokenCounts(ops.TextAnalysis.withQuality(docs)),

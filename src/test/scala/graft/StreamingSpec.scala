@@ -144,6 +144,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("served streaming admission dedups later micro-batches against earlier admissions") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 250)
+    import spark.implicits._
+    val batch1 = Seq(
+      (70001L, "entirely fresh streaming content unlike the corpus zebra quark flux", "en", "t", 66L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (70002L, "entirely fresh streaming content unlike the corpus zebra quark flux tail", "en", "t", 71L),
+      (70003L, "another wholly new streaming document about unrelated business matters", "en", "t", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = java.nio.file.Files.createTempDirectory("admsrv_idx")
+    graft.ops.Neutral.dedupIndexBuild(corpus, idx.toString)
+    val src = java.nio.file.Files.createTempDirectory("admsrv_src")
+    val sink = java.nio.file.Files.createTempDirectory("admsrv_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("admsrv_ckpt")
+    // two source files, mtime-ordered -> two micro-batches at
+    // maxFilesPerTrigger=1: the near-dup of batch 1's admission arrives
+    // in a LATER micro-batch
+    batch1.coalesce(1).write.mode("append").parquet(src.toString)
+    Thread.sleep(1500)
+    batch2.coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = StreamOps.admissionIngestServed(spark, idx.toString, stream,
+      sink.toString, ckpt.toString, minJaccard = 0.5)
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(sink.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(70001L, 70003L),
+      s"cross-batch near-dup not closed by the index append: $got")
+  }
+
   test("streaming LM gate scores from the persisted model: streaming == batch") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     // plant an all-OOV doc: every bigram's w2 is outside the reference
