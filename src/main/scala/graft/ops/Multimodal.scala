@@ -866,6 +866,19 @@ object Multimodal {
     * cap trade as minHashCandidates applies (default uncapped: the
     * oracle reproduces the full candidate set). */
   def phashNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val pairs = phashPairs(hashes, maxHamming)
+    hashes.join(
+        pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .select("doc_id", "ph_lo", "ph_hi", "n_near")
+  }
+
+  /** Verified near-dup pairs (doc_a < doc_b) via the banded candidate
+    * join + exact bit_count Hamming check — shared by the count and
+    * survivor forms. */
+  private def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val tables = maxHamming + 1
     val width = 64 / tables
     require(tables >= 2 && 64 % tables == 0 && 32 % width == 0,
@@ -882,17 +895,26 @@ object Multimodal {
       col("doc_id").as("doc_a"), col("ph_lo").as("lo_a"), col("ph_hi").as("hi_a"))
     val b = bucketed.select(col("t"), col("bucket"),
       col("doc_id").as("doc_b"), col("ph_lo").as("lo_b"), col("ph_hi").as("hi_b"))
-    val pairs = a.join(b, Seq("t", "bucket"))
+    a.join(b, Seq("t", "bucket"))
       .filter(col("doc_a") < col("doc_b") &&
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b")))) <= maxHamming)
       .select("doc_a", "doc_b")
       .distinct()
-    hashes.join(
-        pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
-        Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_near"))
-      .select("doc_id", "ph_lo", "ph_hi", "n_near")
+  }
+
+  /** Image-corpus dedup: ONE survivor (min doc_id) per transitive phash
+    * near-dup component — the image twin of Neutral.dedupCorpusClustered,
+    * with Dedup.connectedComponents (pointer-jumping, O(log diameter)
+    * rounds) closing the pair graph so hub-shaped duplicate clusters
+    * collapse to exactly one kept image. Returns the surviving doc_ids
+    * with their hashes. */
+  def phashDedupImages(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val dropped = Dedup
+      .connectedComponents(phashPairs(hashes, maxHamming))
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    hashes.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "ph_lo", "ph_hi")
   }
 }

@@ -1345,9 +1345,10 @@ object NorthStar {
     * queries. The multimodal twin of the SimHash text near-dup: where
     * text dedup shingles, an image corpus dHashes, and the banding
     * machinery is shared shape. */
-  val phashDedup = QueryDef(
-    "q_ns_multimodal_phash_dedup",
-    """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pid FROM documents),
+  /** Shared phash oracle CTE chain: planted texture formula → sampled
+    * grid → dHash halves (`hh`) → banded buckets → verified `pairs`. */
+  private val phashCtes =
+    """d AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pid FROM documents),
       |dims AS (SELECT doc_id, pid, 16 + pid*7 AS w, 16 + pid*5 AS h FROM d),
       |grid AS (
       |  SELECT doc_id, pid, gxs.gx, gys.gy,
@@ -1385,7 +1386,11 @@ object NorthStar {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) <= 7
-      |),
+      |)""".stripMargin
+
+  val phashDedup = QueryDef(
+    "q_ns_multimodal_phash_dedup",
+    s"""WITH $phashCtes,
       |nn AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
       |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
@@ -1397,6 +1402,35 @@ object NorthStar {
       |ORDER BY hh.doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
     Multimodal.phashNearDups(
+        Multimodal.imageDHash(
+          Multimodal.syntheticTexturedImageTable(T.documents(s, d))))
+      .orderBy("doc_id")
+  }
+
+  /** Image-corpus dedup survivors: one kept image (min doc_id) per
+    * transitive phash near-dup component — decode, hash, band, verify,
+    * close, select, end to end. The oracle closes the same pair graph
+    * with a recursive CTE. */
+  val phashDedupSurvivors = QueryDef(
+    "q_ns_multimodal_phash_survivors",
+    s"""WITH RECURSIVE $phashCtes,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+      |SELECT hh.doc_id, hh.ph_lo, hh.ph_hi FROM hh
+      |LEFT JOIN comp USING (doc_id)
+      |WHERE comp.doc_id IS NULL OR comp.component = hh.doc_id
+      |ORDER BY hh.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.phashDedupImages(
         Multimodal.imageDHash(
           Multimodal.syntheticTexturedImageTable(T.documents(s, d))))
       .orderBy("doc_id")
@@ -1692,5 +1726,5 @@ object NorthStar {
     leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
-    multimodalAv, multimodalAvFrames, phashDedup)
+    multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors)
 }

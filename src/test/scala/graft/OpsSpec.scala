@@ -560,6 +560,19 @@ class OpsSpec extends AnyFunSuite {
     // jpeg is header-only (id % 5 == 4), and garbage is garbage
     assert(Multimodal.decodeGray(Multimodal.makeImage(4L)).isEmpty)
     assert(Multimodal.decodeGray("junk, not an image".getBytes).isEmpty)
+    // survivor selection: the transitive closure collapses each pattern
+    // class to its min doc_id (clique-shaped classes here), never across
+    val surv = Multimodal.phashDedupImages(hashes).collect()
+      .map(_.getLong(0)).toSet
+    assert(surv.size >= 8 && (0L until 8L).forall(surv.contains),
+      s"expected the per-class min ids to survive, got $surv")
+    assert(surv.forall(id => !surv.exists(o =>
+        o != id && o % 8 == id % 8 && o < id && {
+          val (la, ha) = (got(id)._1, got(id)._2)
+          val (lb, hb) = (got(o)._1, got(o)._2)
+          java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <= 7
+        })),
+      "two directly-near survivors kept in one class")
   }
 
   test("a/v decode recovers planted container params from real WAV/MP4 bytes") {
