@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DSIR-style data selection: hashed n-gram importance resampling
+  * (Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling"). Documents from a raw crawl are weighted by how much
+  * their hashed unigram+bigram distribution looks like a small target
+  * (quality) corpus, then selected by Gumbel top-k — sampling without
+  * replacement proportional to the importance weights.
+  *
+  * Scale shape (the reason the op is bucketed):
+  *  - The MODEL is one table of `numBuckets` log-ratios — fitting is two
+  *    corpus passes that partial-aggregate down to `numBuckets` rows
+  *    (map-side combine; the shuffle moves at most numBuckets rows per
+  *    task), and the fitted artifact is kilobytes, broadcast at any
+  *    corpus size.
+  *  - SERVING is map-only feature hashing plus one broadcast join and a
+  *    per-doc partial agg — the 100 TB crawl is scanned once, nothing
+  *    corpus-sized shuffles.
+  *  - SELECTION is Gumbel top-k via TakeOrderedAndProject (per-partition
+  *    top-k, then a k-row driver merge) — no global sort.
+  *
+  * Determinism contract (oracle-twin discipline, see [[Neutral]]):
+  * buckets come from the first 16 bits of md5("dsir:" || gram) so both
+  * engines hash identically (numBuckets must divide 2^16 to keep the mod
+  * unbiased); every ln rounds to DECIMAL(18,6) at the leaf and per-doc
+  * sums accumulate in exact decimal arithmetic; the Gumbel noise derives
+  * from the md5-uniform u = (hex16("dsirg:" || id) + 0.5) / 2^16.
+  */
+object Dsir {
+
+  /** Buckets in the hashed feature space. Must divide 2^16 (the md5
+    * prefix width) so the bucket mod is exactly uniform. */
+  val DefaultBuckets = 512
+
+  private val dec = DecimalType(18, 6)
+
+  private def wsCol(textCol: String): Column =
+    filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "")
+
+  /** Unigrams ++ adjacent bigrams ("w1 w2") — the paper's feature set. */
+  private def gramsCol(textCol: String): Column = {
+    val ws = wsCol(textCol)
+    val bigrams = when(size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    concat(ws, bigrams)
+  }
+
+  /** First 16 bits of md5("dsir:" || gram) mod numBuckets — the hashed
+    * feature index, engine-neutral by the md5 seeding contract. */
+  private def bucketCol(gram: Column, numBuckets: Int): Column =
+    conv(substring(md5(concat(lit("dsir:"), gram)), 1, 4), 16, 10)
+      .cast("long") % numBuckets
+
+  /** (id, bucket) — one row per gram occurrence. Map-only. */
+  private def bucketed(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame =
+    docs.select(col(idCol), explode(gramsCol(textCol)).as("gram"))
+      .select(col(idCol), bucketCol(col("gram"), numBuckets).as("bucket"))
+
+  /** Fit: per-bucket log importance ratio
+    * lr[b] = ln p̂_target[b] − ln p̂_raw[b], both Laplace-smoothed
+    * ((c_b + 1) / (T + numBuckets)) and each ln rounded to DECIMAL(18,6)
+    * before the subtraction. Returns the numBuckets-row model table
+    * (bucket, lr) — every bucket present, broadcastable. */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numBuckets: Int = DefaultBuckets): DataFrame = {
+    require(65536 % numBuckets == 0,
+      s"numBuckets=$numBuckets must divide 2^16 for an unbiased bucket mod")
+    val spark = raw.sparkSession
+    def counts(df: DataFrame, as: String) =
+      bucketed(df, idCol, textCol, numBuckets)
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val rawC = counts(raw, "nr")
+    val tgtC = counts(target, "nt")
+    val rawT = rawC.agg(coalesce(sum(col("nr")), lit(0L)).as("tr"))
+    val tgtT = tgtC.agg(coalesce(sum(col("nt")), lit(0L)).as("tt"))
+    def smoothedLn(n: Column, tot: Column): Column =
+      log((coalesce(n, lit(0L)) + 1).cast("double") / (tot + numBuckets))
+        .cast(dec)
+    spark.range(numBuckets).toDF("bucket")
+      .join(rawC, Seq("bucket"), "left")
+      .join(tgtC, Seq("bucket"), "left")
+      .join(broadcast(rawT))
+      .join(broadcast(tgtT))
+      .select(col("bucket"),
+        (smoothedLn(col("nt"), col("tt"))
+          - smoothedLn(col("nr"), col("tr"))).cast(dec).as("lr"))
+  }
+
+  /** Apply: per-doc importance log-weight — the sum of the model's
+    * log-ratios over the doc's gram occurrences (exact decimal sum,
+    * surfaced as DOUBLE). Docs with zero grams have no weight rows, as
+    * in the paper (nothing to resample on). One broadcast join, one
+    * per-doc partial agg; the corpus never shuffles whole. */
+  def dsirWeightsWith(docs: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val numBuckets = DefaultBuckets // model rows define the space; see build
+    dsirWeightsWithN(docs, model, idCol, textCol, numBuckets)
+  }
+
+  private def dsirWeightsWithN(docs: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, numBuckets: Int): DataFrame =
+    bucketed(docs, idCol, textCol, numBuckets)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("__lw"))
+      .select(col(idCol), col("n_grams"),
+        col("__lw").cast("double").as("dsir_logw"), col("__lw"))
+
+  /** Fit-and-weight in one call: target = `targetWhere` slice of `docs`,
+    * raw = all of `docs` (the paper's raw-vs-target contrast). */
+  def dsirWeights(docs: DataFrame, targetWhere: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = DefaultBuckets): DataFrame = {
+    val model = dsirModel(docs, docs.filter(targetWhere), textCol, idCol,
+      numBuckets)
+    dsirWeightsWithN(docs, model, idCol, textCol, numBuckets)
+  }
+
+  /** Persist the fitted model (one parquet table, numBuckets rows).
+    * Deterministic fit ⇒ byte-identical on rebuild, so served weights
+    * share the fit form's oracle. */
+  def dsirBuild(raw: DataFrame, target: DataFrame, dir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      numBuckets: Int = DefaultBuckets): Unit =
+    Models.save(dsirModel(raw, target, textCol, idCol, numBuckets),
+      s"$dir/logratio")
+
+  /** Weight a corpus against a PERSISTED model — zero fitting at serve
+    * time (the daily-crawl selection pass). */
+  def dsirServe(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = DefaultBuckets): DataFrame =
+    dsirWeightsWithN(docs, Models.load(spark, s"$dir/logratio"), idCol,
+      textCol, numBuckets)
+
+  /** Gumbel top-k selection over fitted weights: key = logw + g where
+    * g = −ln(−ln(u)) and u is the md5-uniform of "dsirg:" || id — exact
+    * sampling without replacement proportional to exp(logw) (Vieira 2014,
+    * "Gumbel-max trick"), deterministic under the seeding contract.
+    * The key stays in decimal until the final projection so both engines
+    * order identical values; ties (impossible in practice) break by id.
+    * TakeOrderedAndProject: no global sort at any corpus size. */
+  def dsirResample(weights: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dsirg:"),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    val g = -log(-log(u))
+    weights
+      .withColumn("__key", col("__lw") + g.cast(dec))
+      .orderBy(desc("__key"), asc(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_grams"), col("dsir_logw"),
+        col("__key").cast("double").as("sel_key"))
+  }
+}

@@ -903,6 +903,241 @@ object Multimodal {
       .distinct()
   }
 
+  // ---------------------------------------------------------------------
+  // Audio fingerprint (energy-difference sign bits) + banded near-dup
+  // ---------------------------------------------------------------------
+
+  /** Fingerprint geometry: 64 windows × 32 samples = 2048 PCM samples
+    * per clip; 63 sign bits (E(w+1) > E(w)) — the single-band integer
+    * skeleton of Haitsma & Kalker 2002 ("A Highly Robust Audio
+    * Fingerprinting System"), whose bits are the signs of band-energy
+    * differences; one band keeps the whole fingerprint integer-exact so
+    * the DuckDB oracle reproduces it from the planted waveform. */
+  private[graft] val AfWindows = 64
+  private[graft] val AfWinLen = 32
+
+  /** Planted 16-bit PCM sample t of clip `id` — the oracle's ground
+    * truth, recovered by Spark from the encoded WAV bytes. The quadratic
+    * base waveform depends only on the pattern class pid = id % 8 (same
+    * pid ⇒ same audio), while the sparse id-dependent perturbation
+    * (~1/97 of samples, +7) nudges window energies enough to flip the
+    * occasional close-race sign bit — same-pid clips land at SMALL
+    * Hamming distances, different-pid clips at unrelated fingerprints. */
+  private[graft] def texturedSample(id: Long, t: Int): Int = {
+    val pid = (id % 8).toInt
+    val base = (t * t * 3 + t * (pid + 1) * 7 + pid * 13) % 2048 - 1024
+    if ((t + id) % 97 == 0) base + 7 else base
+  }
+
+  /** A complete, valid 16-bit PCM mono WAV (spec-exact 44-byte header,
+    * 8 kHz) carrying the planted waveform of `id`. */
+  private[graft] def makeTexturedWav(id: Long): Array[Byte] = {
+    val n = AfWindows * AfWinLen
+    val bb = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(16)
+    bb.putShort(1)          // PCM
+    bb.putShort(1)          // mono
+    bb.putInt(8000)
+    bb.putInt(8000 * 2)     // byte rate
+    bb.putShort(2)          // block align
+    bb.putShort(16)         // bits per sample
+    bb.put("data".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(2 * n)
+    var t = 0
+    while (t < n) { bb.putShort(texturedSample(id, t).toShort); t += 1 }
+    bb.array()
+  }
+
+  /** Documents → textured audio table: REAL encoded WAV clips with
+    * planted waveforms — the fixture corpus for the audio-fingerprint
+    * dedup path (the audio twin of [[syntheticTexturedImageTable]]). */
+  def syntheticTexturedAudioTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) => MediaRow(id, makeTexturedWav(id), src) }
+      .toDF()
+  }
+
+  /** First-channel 16-bit PCM decode: the RIFF chunk walk of
+    * [[wavMeta]], then little-endian int16 samples from the data chunk
+    * (stride = channels). Poison-blob contract: non-WAV, non-PCM,
+    * non-16-bit, or truncated payloads return None, never a crash. */
+  private[graft] def decodePcm(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    var fmtCode = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val size = bb.getInt(i + 4).toLong & 0xffffffffL
+      val tag = new String(bytes, i, 4, StandardCharsets.US_ASCII)
+      if (tag == "fmt " && size >= 16 && i + 24 <= bytes.length) {
+        fmtCode = bb.getShort(i + 8) & 0xffff
+        channels = bb.getShort(i + 10) & 0xffff
+        bits = bb.getShort(i + 22) & 0xffff
+      } else if (tag == "data") {
+        dataOff = i + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
+      }
+      if (size > Int.MaxValue - 16) return None
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmtCode != 1 || channels <= 0 || bits != 16 || dataOff < 0) None
+    else {
+      val n = dataLen / (2 * channels)
+      val out = new Array[Int](n)
+      var s = 0
+      while (s < n) { out(s) = bb.getShort(dataOff + 2 * channels * s).toInt; s += 1 }
+      Some(out)
+    }
+  }
+
+  /** 63-bit fingerprint of a PCM clip: window energies E(w) = Σ v² over
+    * 32-sample windows, bit w = 1 iff E(w+1) > E(w), packed into the
+    * two-halves sign-bit discipline. Clips shorter than two windows have
+    * nothing to difference and drop. */
+  private[graft] def afHalves(pcm: Array[Int]): Option[(Long, Long)] = {
+    val nWin = math.min(AfWindows, pcm.length / AfWinLen)
+    if (nWin < 2) return None
+    val e = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var s = 0L
+      var t = w * AfWinLen
+      val end = t + AfWinLen
+      while (t < end) { s += pcm(t).toLong * pcm(t); t += 1 }
+      e(w) = s
+      w += 1
+    }
+    var lo = 0L; var hi = 0L
+    var b = 0
+    while (b < nWin - 1) {
+      if (e(b + 1) > e(b)) { if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) }
+      b += 1
+    }
+    Some((lo, hi))
+  }
+
+  /** Batch audio fingerprinting: decode → window energies → sign bits,
+    * map-only over partitions (the [[imageDHash]] shape). Undecodable or
+    * too-short payloads drop — no fingerprint, no false near-dup. */
+  def audioFingerprint(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { row =>
+        decodePcm(row.payload).flatMap(afHalves).map { case (lo, hi) =>
+          ImageHash(row.doc_id, lo, hi)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Audio near-dup counts: the fingerprint drops into the SAME
+    * Hamming-banded machinery as the image hash ([[phashNearDups]] —
+    * disjoint 8-bit blocks, pigeonhole recall 1 at distance ≤ 7, exact
+    * bit_count verify on candidates only; never all-pairs). */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
+    phashNearDups(audioFingerprint(media), maxHamming)
+      .withColumnRenamed("ph_lo", "af_lo")
+      .withColumnRenamed("ph_hi", "af_hi")
+
+  // ---------------------------------------------------------------------
+  // Video near-dup: keyframe perceptual hashes + set overlap
+  // ---------------------------------------------------------------------
+
+  /** One sampled keyframe of a video: the [[MediaRow]] shape plus the
+    * frame index within its clip. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Per-frame perceptual hash — [[imageDHash]] keyed by (video, frame). */
+  final case class FrameHash(doc_id: Long, frame_idx: Int, ph_lo: Long,
+      ph_hi: Long)
+
+  /** Planted gray value of frame-content id `fid` at (x, y): every fid
+    * gets its OWN quadratic texture (cross-term multiplier fid%29 + 1,
+    * additive phase fid·17, mod-256 wraps keeping it non-monotonic), so
+    * distinct fids hash to unrelated dHashes while equal fids are
+    * byte-identical — frame identity IS content identity, the invariant
+    * keyframe-fingerprint video dedup rests on. */
+  private[graft] def videoFrameGray(fid: Long, x: Int, y: Int): Int =
+    ((x * x * 3 + y * y * 5 + x * y * ((fid % 29).toInt + 1) + fid * 17) % 256).toInt
+
+  private[graft] val VideoFrameW = 32
+  private[graft] val VideoFrameH = 24
+
+  /** Documents → per-video keyframe table: video `id` has 4 + id%5
+    * sampled keyframes, keyframe k carrying the REAL encoded 32×24 image
+    * of frame content fid = (id%8)·16 + k — same-class videos share
+    * actual frame CONTENT (trimmed to different lengths), different
+    * classes share nothing: the edited-copy / re-upload geometry video
+    * dedup exists to catch. The frame-decode codec is out of container
+    * scope (MP4 is entropy-coded), so the fixture plants the DECODED
+    * keyframes and the operator owns everything a real pipeline runs
+    * after its codec: per-frame hashing, the inverted hash join, and
+    * set-overlap scoring. */
+  def syntheticVideoFrameTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .flatMap { case (id, _) =>
+        val nf = 4 + (id % 5).toInt
+        (0 until nf).map { k =>
+          val fid = (id % 8) * 16 + k
+          FrameRow(id, k, buildImage(VideoFrameW, VideoFrameH, (fid % 4).toInt,
+            (x, y) => videoFrameGray(fid, x, y).toByte))
+        }
+      }.toDF()
+  }
+
+  /** Batch per-frame dHash: decode each keyframe's bytes → 64-bit hash,
+    * map-only over partitions. Undecodable frames drop. */
+  def videoFrameDHash(frames: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    frames.as[FrameRow].mapPartitions { batch =>
+      batch.flatMap { row =>
+        decodeGray(row.payload).map { case (w, h, g) =>
+          val (lo, hi) = dHashHalves(w, h, g)
+          FrameHash(row.doc_id, row.frame_idx, lo, hi)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Video near-dup counts by keyframe-hash set overlap: two videos are
+    * near-dups when the Jaccard similarity of their DISTINCT frame-hash
+    * sets reaches `minJaccard` (the standard frame-fingerprint video
+    * dedup shape: candidates come from an inverted index on exact frame
+    * hash — only videos SHARING a frame ever meet, never all-pairs; the
+    * per-pair match count then scores exactly). Returns per-video
+    * (doc_id, n_frames, n_near). At 100 TB ubiquitous frames (intros,
+    * slates) concentrate hash buckets — the same documented df-cap trade
+    * as minHashCandidates/winnow applies (default uncapped: the oracle
+    * reproduces the full candidate set). */
+  def videoNearDups(frameHashes: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sets = frameHashes.select("doc_id", "ph_lo", "ph_hi").distinct()
+    val nf = sets.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("ph_lo"), col("ph_hi"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("ph_lo"), col("ph_hi"))
+    val pairs = a.join(b, Seq("ph_lo", "ph_hi"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("m"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_frames").as("nfa")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_frames").as("nfb")), "doc_b")
+      .filter(col("m").cast("double") /
+        (col("nfa") + col("nfb") - col("m")) >= minJaccard)
+    nf.join(
+        pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .select("doc_id", "n_frames", "n_near")
+  }
+
   /** Image-corpus dedup: ONE survivor (min doc_id) per transitive phash
     * near-dup component — the image twin of Neutral.dedupCorpusClustered,
     * with Dedup.connectedComponents (pointer-jumping, O(log diameter)

@@ -1436,6 +1436,149 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Audio-fingerprint near-dup: REAL encoded 16-bit PCM WAV clips with
+    * planted waveforms → RIFF chunk walk + PCM decode → 32-sample window
+    * energies → 63 energy-difference sign bits (the integer skeleton of
+    * Haitsma & Kalker 2002) → the SAME Hamming-banded candidate join as
+    * the image phash (8 disjoint 8-bit blocks, pigeonhole recall 1 at
+    * distance ≤ 7) → exact bit_count verify → per-clip near-dup counts.
+    * Spark recovers the samples by parsing the actual WAV bytes; the
+    * oracle recomputes them from the planting formula — the audio leg of
+    * the multimodal × dedup story. */
+  private val audioFpCtes =
+    """d AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pid FROM documents),
+      |tw AS (
+      |  SELECT doc_id, pid, wv.w, wv.w * 32 + ts.t AS gt
+      |  FROM d,
+      |       (SELECT unnest(generate_series(0,63)) AS w) wv,
+      |       (SELECT unnest(generate_series(0,31)) AS t) ts
+      |),
+      |sv AS (
+      |  SELECT doc_id, w,
+      |         CASE WHEN (gt + doc_id) % 97 = 0
+      |              THEN ((gt*gt*3 + gt*(pid+1)*7 + pid*13) % 2048 - 1024) + 7
+      |              ELSE (gt*gt*3 + gt*(pid+1)*7 + pid*13) % 2048 - 1024 END AS v
+      |  FROM tw
+      |),
+      |en AS (
+      |  SELECT doc_id, w, CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+      |  FROM sv GROUP BY doc_id, w
+      |),
+      |abits AS (
+      |  SELECT a.doc_id, a.w AS bitpos,
+      |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |),
+      |ahh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN bitpos < 32 THEN bit * (CAST(1 AS BIGINT) << bitpos) ELSE 0 END) AS BIGINT) AS af_lo,
+      |         CAST(sum(CASE WHEN bitpos >= 32 THEN bit * (CAST(1 AS BIGINT) << (bitpos - 32)) ELSE 0 END) AS BIGINT) AS af_hi
+      |  FROM abits GROUP BY doc_id
+      |),
+      |abk AS (
+      |  SELECT doc_id, af_lo, af_hi, ts.t,
+      |         CASE WHEN ts.t < 4 THEN (af_lo >> (ts.t*8)) & 255
+      |              ELSE (af_hi >> ((ts.t-4)*8)) & 255 END AS bucket
+      |  FROM ahh, (SELECT unnest(generate_series(0,7)) AS t) ts
+      |),
+      |apairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM abk a JOIN abk b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.af_lo, b.af_lo)) + bit_count(xor(a.af_hi, b.af_hi)) <= 7
+      |)""".stripMargin
+
+  val audioFpDedup = QueryDef(
+    "q_ns_multimodal_audio_dedup",
+    s"""WITH $audioFpCtes,
+      |nn AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+      |    SELECT doc_a AS doc_id FROM apairs UNION ALL SELECT doc_b FROM apairs
+      |  ) u GROUP BY doc_id
+      |)
+      |SELECT ahh.doc_id, ahh.af_lo, ahh.af_hi,
+      |       CAST(coalesce(nn.n_near, 0) AS BIGINT) AS n_near
+      |FROM ahh LEFT JOIN nn USING (doc_id)
+      |ORDER BY ahh.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.audioNearDups(
+        Multimodal.syntheticTexturedAudioTable(T.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
+  /** Video near-dup by keyframe-hash set overlap: per-video sampled
+    * keyframes (REAL encoded textured images, same-class videos sharing
+    * frame content at different trim lengths) → per-frame byte decode +
+    * dHash → inverted index on exact frame hash (only videos sharing a
+    * frame ever meet — never all-pairs) → Jaccard ≥ 0.5 over distinct
+    * frame-hash sets → per-video near-dup counts. The oracle recomputes
+    * the frame hashes from the planting formula — the video leg of the
+    * multimodal × dedup story. */
+  private val videoCtes =
+    """vd AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS vpid,
+      |              CAST(4 + doc_id % 5 AS BIGINT) AS nf FROM documents),
+      |vf AS (
+      |  SELECT doc_id, vpid * 16 + ks.k AS fid
+      |  FROM vd, (SELECT unnest(generate_series(0,8)) AS k) ks WHERE ks.k < nf
+      |),
+      |ff AS (SELECT DISTINCT fid FROM vf),
+      |fgrid AS (
+      |  SELECT fid, gxs.gx, gys.gy,
+      |         (gxs.gx * 32) // 9 AS sx, gys.gy * 3 AS sy
+      |  FROM ff,
+      |       (SELECT unnest(generate_series(0,8)) AS gx) gxs,
+      |       (SELECT unnest(generate_series(0,7)) AS gy) gys
+      |),
+      |fpx AS (
+      |  SELECT fid, gx, gy,
+      |         (sx*sx*3 + sy*sy*5 + sx*sy*((fid % 29)+1) + fid*17) % 256 AS g
+      |  FROM fgrid
+      |),
+      |fbits AS (
+      |  SELECT a.fid, a.gy*8 + a.gx AS bitpos,
+      |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM fpx a JOIN fpx b ON b.fid = a.fid AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8
+      |),
+      |fhh AS (
+      |  SELECT fid,
+      |         CAST(sum(CASE WHEN bitpos < 32 THEN bit * (CAST(1 AS BIGINT) << bitpos) ELSE 0 END) AS BIGINT) AS ph_lo,
+      |         CAST(sum(CASE WHEN bitpos >= 32 THEN bit * (CAST(1 AS BIGINT) << (bitpos - 32)) ELSE 0 END) AS BIGINT) AS ph_hi
+      |  FROM fbits GROUP BY fid
+      |),
+      |vsets AS (SELECT DISTINCT doc_id, ph_lo, ph_hi FROM vf JOIN fhh USING (fid)),
+      |nfs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM vsets GROUP BY doc_id),
+      |vm AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS m
+      |  FROM vsets a JOIN vsets b
+      |    ON a.ph_lo = b.ph_lo AND a.ph_hi = b.ph_hi AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |vpairs AS (
+      |  SELECT doc_a, doc_b FROM vm
+      |  JOIN nfs na ON na.doc_id = vm.doc_a
+      |  JOIN nfs nb ON nb.doc_id = vm.doc_b
+      |  WHERE CAST(m AS DOUBLE) / (na.n_frames + nb.n_frames - m) >= 0.5
+      |)""".stripMargin
+
+  val videoDedup = QueryDef(
+    "q_ns_multimodal_video_dedup",
+    s"""WITH $videoCtes,
+      |nn AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+      |    SELECT doc_a AS doc_id FROM vpairs UNION ALL SELECT doc_b FROM vpairs
+      |  ) u GROUP BY doc_id
+      |)
+      |SELECT nfs.doc_id, nfs.n_frames,
+      |       CAST(coalesce(nn.n_near, 0) AS BIGINT) AS n_near
+      |FROM nfs LEFT JOIN nn USING (doc_id)
+      |ORDER BY nfs.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.videoNearDups(
+        Multimodal.videoFrameDHash(
+          Multimodal.syntheticVideoFrameTable(T.documents(s, d))))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus preparation (the operator composition a training
     * pipeline actually runs): language gate → quality floor → exact + near
     * dedup → token annotation. Every stage reuses a proven operator, so the
@@ -1726,5 +1869,6 @@ object NorthStar {
     leakageSafeSplitQ, stratified,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
-    multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors)
+    multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,
+    audioFpDedup, videoDedup)
 }

@@ -328,7 +328,105 @@ object TrainPrep {
       .orderBy("shard", "pos")
   }
 
+  /** DuckDB twin of the md5 16-bit prefix: first 4 hex chars of md5(arg)
+    * as a BIGINT (the [[graft.ops.Dsir]] bucket / Gumbel-uniform seed). */
+  private def hex16SqlOf(arg: String) =
+    s"""CAST(list_sum(list_transform(generate_series(1, 4),
+      |    i -> (instr('0123456789abcdef', substring(md5($arg), i, 1)) - 1)
+      |         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)""".stripMargin
+
+  /** Shared DSIR oracle CTE chain mirroring ops.Dsir exactly: unigram +
+    * bigram grams → 16-bit md5 buckets → Laplace-smoothed per-bucket
+    * target/raw log-ratio (each ln rounded to DECIMAL(18,6) at the leaf)
+    * → per-doc exact-decimal weight sum, ending at `w` (doc_id, n_grams,
+    * lw). Target = the lang='en' slice, raw = the whole corpus. */
+  private def dsirCtes(b: Int): String =
+    s"""g AS (
+      |  SELECT doc_id, lang, unnest(grams) AS gram FROM (
+      |    SELECT doc_id, lang,
+      |           list_concat(ws,
+      |             CASE WHEN len(ws) >= 2
+      |                  THEN list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+      |                                      p -> p[1] || ' ' || p[2])
+      |                  ELSE CAST([] AS VARCHAR[]) END) AS grams
+      |    FROM (SELECT doc_id, lang,
+      |                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                             x -> x <> '') AS ws
+      |          FROM documents))
+      |), gb AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |         (${hex16SqlOf("'dsir:' || gram")}) % $b AS bucket
+      |  FROM g
+      |), rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr FROM gb GROUP BY bucket),
+      |tgtc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nt
+      |         FROM gb WHERE lang = 'en' GROUP BY bucket),
+      |rts AS (SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) AS tr FROM rawc),
+      |tts AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS tt FROM tgtc),
+      |bk AS (SELECT unnest(generate_series(0, ${b - 1})) AS bucket),
+      |model AS (
+      |  SELECT bk.bucket,
+      |         CAST(CAST(ln(CAST(coalesce(nt, 0) + 1 AS DOUBLE) / (tt + $b)) AS DECIMAL(18,6))
+      |            - CAST(ln(CAST(coalesce(nr, 0) + 1 AS DOUBLE) / (tr + $b)) AS DECIMAL(18,6))
+      |            AS DECIMAL(18,6)) AS lr
+      |  FROM bk LEFT JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket)
+      |       CROSS JOIN rts CROSS JOIN tts
+      |), w AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(lr) AS lw
+      |  FROM gb JOIN model USING (bucket) GROUP BY doc_id
+      |)""".stripMargin
+
+  private val dsirWeightsOracle =
+    s"""WITH ${dsirCtes(graft.ops.Dsir.DefaultBuckets)}
+      |SELECT doc_id, n_grams, CAST(lw AS DOUBLE) AS dsir_logw
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  private val dsirEnTarget = col("lang") === "en"
+
+  /** DSIR importance weights, fit-and-weight in one query: hashed
+    * unigram+bigram log-ratio of the lang='en' target slice vs the whole
+    * raw corpus (Xie et al. 2023) — the data-selection scoring pass. */
+  val dsirWeightsQ = QueryDef("q_ns_dsir_weights", dsirWeightsOracle) {
+    (s, d) =>
+      graft.ops.Dsir.dsirWeights(T.documents(s, d), dsirEnTarget)
+        .select("doc_id", "n_grams", "dsir_logw")
+        .orderBy("doc_id")
+  }
+
+  /** The same weights SERVED from the persisted numBuckets-row log-ratio
+    * artifact — zero fitting at serve time; shares the fit form's oracle
+    * because the fit is bit-deterministic. */
+  val dsirServedQ = QueryDef("q_ns_dsir_served", dsirWeightsOracle) {
+    (s, d) =>
+      val docs = T.documents(s, d)
+      val dir = graft.ops.Models.ensureBuilt(s"dsir|$d") { tmp =>
+        graft.ops.Dsir.dsirBuild(docs, docs.filter(dsirEnTarget), tmp)
+      }
+      graft.ops.Dsir.dsirServe(s, dir, docs)
+        .select("doc_id", "n_grams", "dsir_logw")
+        .orderBy("doc_id")
+  }
+
+  /** Gumbel top-k importance resampling over the DSIR weights: exact
+    * sampling without replacement proportional to exp(logw), key =
+    * logw + Gumbel(md5-uniform), selected via TakeOrderedAndProject (no
+    * global sort). */
+  val dsirResampleQ = QueryDef(
+    "q_ns_dsir_resample",
+    s"""WITH ${dsirCtes(graft.ops.Dsir.DefaultBuckets)},
+      |res AS (
+      |  SELECT doc_id, n_grams, lw,
+      |         lw + CAST(-ln(-ln(((${hex16SqlOf("'dsirg:' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 65536.0))
+      |                   AS DECIMAL(18,6)) AS k
+      |  FROM w
+      |)
+      |SELECT doc_id, n_grams, CAST(lw AS DOUBLE) AS dsir_logw,
+      |       CAST(k AS DOUBLE) AS sel_key
+      |FROM res ORDER BY k DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    graft.ops.Dsir.dsirResample(
+      graft.ops.Dsir.dsirWeights(T.documents(s, d), dsirEnTarget), 100)
+  }
+
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
     lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed,
-    trainShardsQ)
+    trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ)
 }

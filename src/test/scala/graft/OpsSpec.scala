@@ -526,6 +526,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(Multimodal.makeAv(0L))._1 == "raw") // WAV
   }
 
+  test("DSIR importance weights: target-like docs weight higher; " +
+      "served twin is bit-equal; Gumbel top-k is deterministic") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val target = col("lang") === "en"
+    val w = graft.ops.Dsir.dsirWeights(docs, target)
+    // the model must cover the whole bucket space
+    val model = graft.ops.Dsir.dsirModel(docs, docs.filter(target))
+    assert(model.count() == graft.ops.Dsir.DefaultBuckets)
+    // English docs resemble the English target distribution more than the
+    // rest of the corpus does — their mean log-weight must be higher
+    val byLang = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("dsir_logw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} not above non-en mean ${byLang(false)}")
+    // fit → persist → serve round-trips bit-identically
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    graft.ops.Dsir.dsirBuild(docs, docs.filter(target), dir)
+    val served = graft.ops.Dsir.dsirServe(spark, dir, docs)
+    assert(served.select("doc_id", "n_grams", "dsir_logw")
+      .except(w.select("doc_id", "n_grams", "dsir_logw")).isEmpty &&
+      w.select("doc_id", "n_grams", "dsir_logw")
+        .except(served.select("doc_id", "n_grams", "dsir_logw")).isEmpty)
+    // Gumbel top-k: right size, descending keys, rerun-identical
+    val r1 = graft.ops.Dsir.dsirResample(w, 20).collect()
+    val r2 = graft.ops.Dsir.dsirResample(
+      graft.ops.Dsir.dsirWeights(docs, target), 20).collect()
+    assert(r1.length == 20)
+    assert(r1.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    assert(r1.map(_.getLong(0)).sameElements(r2.map(_.getLong(0))))
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
@@ -573,6 +605,68 @@ class OpsSpec extends AnyFunSuite {
           java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb) <= 7
         })),
       "two directly-near survivors kept in one class")
+  }
+
+  test("audio fingerprint: WAV byte decode matches the planted waveform; " +
+      "banded near-dups stay within the pattern class") {
+    implicit val s: SparkSession = spark
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .limit(64)
+    val media = Multimodal.syntheticTexturedAudioTable(docs)
+    val hashes = Multimodal.audioFingerprint(media)
+    val got = hashes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 64, s"only ${got.size}/64 clips decoded")
+    // the FILE-BYTE decode (RIFF chunk walk + int16 LE samples)
+    // reproduces the planted waveform's fingerprint bit-for-bit
+    got.foreach { case (id, (lo, hi)) =>
+      val pcm = Array.tabulate(Multimodal.AfWindows * Multimodal.AfWinLen)(
+        t => Multimodal.texturedSample(id, t))
+      assert(Multimodal.afHalves(pcm).contains((lo, hi)),
+        s"clip $id: decoded fingerprint differs from planted formula")
+    }
+    // same-pid clips share the base waveform (sparse noise ⇒ small
+    // Hamming); cross-pid fingerprints are unrelated
+    val nn = Multimodal.audioNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(nn.values.exists(_ > 0), "planted same-pattern near-dups not found")
+    val classSize = (0L until 64L).groupBy(_ % 8).view.mapValues(_.size).toMap
+    nn.foreach { case (id, n) =>
+      assert(n <= classSize(id % 8) - 1,
+        s"clip $id: $n near-dups exceeds its pattern class — cross-class match")
+    }
+    // poison-blob contract: junk, MP4, or non-16-bit payloads never hash
+    assert(Multimodal.decodePcm("junk, not audio".getBytes).isEmpty)
+    assert(Multimodal.decodePcm(Multimodal.makeAv(1L)).isEmpty) // MP4
+    // clips shorter than two windows have nothing to difference
+    assert(Multimodal.afHalves(Array.fill(40)(1)).isEmpty)
+  }
+
+  test("video near-dup: keyframe decode + hash set overlap finds trimmed " +
+      "same-class copies, never cross-class") {
+    implicit val s: SparkSession = spark
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .limit(64)
+    val frames = Multimodal.syntheticVideoFrameTable(docs)
+    val fh = Multimodal.videoFrameDHash(frames)
+    // every planted keyframe decodes and hashes
+    assert(fh.count() == frames.count())
+    val nn = Multimodal.videoNearDups(fh).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(nn.size == 64)
+    nn.foreach { case (id, (nFrames, n)) =>
+      assert(nFrames == 4 + id % 5, s"video $id: wrong frame count")
+      // same-class videos share a 4-frame prefix; Jaccard >= 0.5 admits
+      // exactly the pairs with min(nf)/max-overlap >= 1/2 — never another
+      // class (disjoint frame sets)
+      val classIds = (0L until 64L).filter(o => o % 8 == id % 8 && o != id)
+      val expected = classIds.count { o =>
+        val (na, nb) = (4 + id % 5, 4 + o % 5)
+        val m = math.min(na, nb)
+        m.toDouble / (na + nb - m) >= 0.5
+      }
+      assert(n == expected, s"video $id: $n near-dups, expected $expected")
+    }
   }
 
   test("a/v decode recovers planted container params from real WAV/MP4 bytes") {

@@ -144,7 +144,11 @@ class PlanSpec extends AnyFunSuite {
       // (broadcast query set, linear scan) like q_ns_sim_brute_topk
       "q_ns_pq_recall" -> "brute exact side: broadcast query set",
       // 1-row global min/max bounds broadcast for grid quantization
-      "q_scale_zorder_layout" -> "1-row bounds broadcast cross")
+      "q_scale_zorder_layout" -> "1-row bounds broadcast cross",
+      // 1-row raw/target gram totals broadcast into the bucket log-ratios
+      // (the served form loads the persisted model — no cross at all)
+      "q_ns_dsir_weights" -> "1-row totals broadcasts (in-query fit)",
+      "q_ns_dsir_resample" -> "1-row totals broadcasts (in-query fit)")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -313,6 +317,32 @@ class PlanSpec extends AnyFunSuite {
       s"model-table joins are not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"gate planned an unbounded product:\n$p")
+  }
+
+  test("DSIR serving broadcasts the model and resample is a top-k, not a sort") {
+    // the fit/apply contract again: served weights scan the persisted
+    // numBuckets-row log-ratio artifact, join it by BROADCAST (the model
+    // must never shuffle the exploded gram stream by bucket), and carry
+    // no fit-side aggregation (the fit brings the bucket-count shuffles)
+    val p = plan("q_ns_dsir_served")
+    assert(p.contains("graft_model_"),
+      s"served DSIR plan does not scan the persisted model:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join is not broadcast:\n$p")
+    // one Generate: the score-side gram explode. Fit adds its own two
+    // (raw + target bucket streams) and their count shuffles.
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size == 1,
+      s"served DSIR plan re-runs fit-side explodes:\n$p")
+    // Gumbel top-k selects via per-partition top-k + driver merge
+    val pr = plan("q_ns_dsir_resample")
+    assert(pr.contains("TakeOrderedAndProject"),
+      s"resample plans a global sort instead of top-k:\n$pr")
+  }
+
+  test("video near-dup joins equi on the frame hash — no product join") {
+    val p = plan("q_ns_multimodal_video_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"video pair stage planned a product join:\n$p")
   }
 
   test("exchange budget: the most expensive queries keep their live exchange counts") {
