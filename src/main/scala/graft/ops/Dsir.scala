@@ -97,14 +97,15 @@ object Dsir {
 
   /** Apply: per-doc importance log-weight — the sum of the model's
     * log-ratios over the doc's gram occurrences (exact decimal sum,
-    * surfaced as DOUBLE). Docs with zero grams have no weight rows, as
-    * in the paper (nothing to resample on). One broadcast join, one
-    * per-doc partial agg; the corpus never shuffles whole. */
+    * surfaced as DOUBLE; the decimal sum rides along as `__lw` for
+    * [[dsirResample]]'s key arithmetic). Docs with zero grams have no
+    * weight rows, as in the paper (nothing to resample on). One
+    * broadcast join, one per-doc partial agg; the corpus never shuffles
+    * whole. `numBuckets` must match the model's feature space. */
   def dsirWeightsWith(docs: DataFrame, model: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val numBuckets = DefaultBuckets // model rows define the space; see build
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = DefaultBuckets): DataFrame =
     dsirWeightsWithN(docs, model, idCol, textCol, numBuckets)
-  }
 
   private def dsirWeightsWithN(docs: DataFrame, model: DataFrame,
       idCol: String, textCol: String, numBuckets: Int): DataFrame =

@@ -194,7 +194,26 @@ object Streaming {
       .orderBy("doc_id")
   }
 
+  /** Streaming DSIR admission gate, batch form: fit the target/raw
+    * log-ratio model on the corpus slice (doc_id < 250; target = its
+    * lang='en' subset), weight the incoming slice (doc_id >= 250), admit
+    * docs whose importance log-weight clears 0 — "keep the crawl that
+    * looks like the target corpus". The readStream twin (foreachBatch
+    * against the PERSISTED model artifact) runs in StreamingSpec — same
+    * model, same admissions. */
+  val streamDsirGate = QueryDef(
+    "q_stream_dsir_gate",
+    TrainPrep.dsirGateOracle) { (s, d) =>
+    val docs = T.documents(s, d)
+    val fit = docs.filter(col("doc_id") < 250)
+    val model = graft.ops.Dsir.dsirModel(fit, fit.filter(col("lang") === "en"))
+    graft.ops.Dsir.dsirWeightsWith(docs.filter(col("doc_id") >= 250), model)
+      .filter(col("dsir_logw") >= 0.0)
+      .select("doc_id", "n_grams", "dsir_logw")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
     statefulSessions, streamDedup, streamJoin, streamStaticEnrich,
-    streamAdmitExact, streamLmGate)
+    streamAdmitExact, streamLmGate, streamDsirGate)
 }

@@ -339,8 +339,11 @@ object TrainPrep {
     * bigram grams → 16-bit md5 buckets → Laplace-smoothed per-bucket
     * target/raw log-ratio (each ln rounded to DECIMAL(18,6) at the leaf)
     * → per-doc exact-decimal weight sum, ending at `w` (doc_id, n_grams,
-    * lw). Target = the lang='en' slice, raw = the whole corpus. */
-  private def dsirCtes(b: Int): String =
+    * lw). `fitPred` picks the fit slice (raw side; target = its lang='en'
+    * subset), `scorePred` the scored slice — the gate forms reuse the
+    * chain with doc_id splits, as the LM oracle does. */
+  private[queries] def dsirCtes(b: Int, fitPred: String = "TRUE",
+      scorePred: String = "TRUE"): String =
     s"""g AS (
       |  SELECT doc_id, lang, unnest(grams) AS gram FROM (
       |    SELECT doc_id, lang,
@@ -357,9 +360,10 @@ object TrainPrep {
       |  SELECT doc_id, lang,
       |         (${hex16SqlOf("'dsir:' || gram")}) % $b AS bucket
       |  FROM g
-      |), rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr FROM gb GROUP BY bucket),
+      |), rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr
+      |            FROM gb WHERE $fitPred GROUP BY bucket),
       |tgtc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nt
-      |         FROM gb WHERE lang = 'en' GROUP BY bucket),
+      |         FROM gb WHERE ($fitPred) AND lang = 'en' GROUP BY bucket),
       |rts AS (SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) AS tr FROM rawc),
       |tts AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS tt FROM tgtc),
       |bk AS (SELECT unnest(generate_series(0, ${b - 1})) AS bucket),
@@ -372,8 +376,19 @@ object TrainPrep {
       |       CROSS JOIN rts CROSS JOIN tts
       |), w AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(lr) AS lw
-      |  FROM gb JOIN model USING (bucket) GROUP BY doc_id
+      |  FROM gb JOIN model USING (bucket) WHERE $scorePred GROUP BY doc_id
       |)""".stripMargin
+
+  /** Gate-form DSIR oracle: fit on the doc_id < 250 slice (target = its
+    * lang='en' subset), score the incoming doc_id >= 250 slice, admit
+    * weights clearing the floor — shared by `q_stream_dsir_gate` and the
+    * StreamingSpec streamed==batch test. */
+  private[queries] val dsirGateOracle =
+    s"""WITH ${dsirCtes(graft.ops.Dsir.DefaultBuckets,
+        "doc_id < 250", "doc_id >= 250")}
+      |SELECT doc_id, n_grams, CAST(lw AS DOUBLE) AS dsir_logw
+      |FROM w WHERE CAST(lw AS DOUBLE) >= 0.0
+      |ORDER BY doc_id""".stripMargin
 
   private val dsirWeightsOracle =
     s"""WITH ${dsirCtes(graft.ops.Dsir.DefaultBuckets)}

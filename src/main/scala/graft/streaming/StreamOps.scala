@@ -314,6 +314,32 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming DSIR gate: admit only the micro-batch docs whose hashed
+    * n-gram importance log-weight against the PERSISTED target/raw
+    * log-ratio artifact clears `minLogw` — the data-selection twin of
+    * [[lmGateIngest]], one fitted model serving the batch scorer, the
+    * driver-gate query, and the live crawl. foreachBatch because the
+    * per-doc weight is an aggregation over exploded grams (no
+    * bounded-state streaming operator); the model side is a broadcast
+    * of the numBuckets-row artifact, so each micro-batch is map-only +
+    * one broadcast join. */
+  def dsirGateIngest(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, stream: DataFrame, sinkDir: String,
+      checkpointDir: String, minLogw: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.Dsir.dsirServe(spark, modelDir, batch)
+            .filter(col("dsir_logw") >= minLogw)
+            .select("doc_id", "n_grams", "dsir_logw")
+            .write.mode("append").parquet(sinkDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -208,6 +208,36 @@ class StreamingSpec extends AnyFunSuite {
       "the all-OOV planted doc must not pass the gate")
   }
 
+  test("streaming DSIR gate admits from the persisted model: streaming == batch") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    // plant a gram-free doc (whitespace only): no features, no weight
+    // row — BOTH paths must drop it entirely, as ops.Dsir documents
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionByName(spark.createDataFrame(Seq(
+        (53000L, "   ", "xx", "planted", 3L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fit = docs.filter(col("doc_id") < 250)
+    val model = java.nio.file.Files.createTempDirectory("dsir_model")
+    graft.ops.Dsir.dsirBuild(fit, fit.filter(col("lang") === "en"),
+      model.toString)
+    val expected = graft.ops.Dsir.dsirServe(spark, model.toString, incoming)
+      .filter(col("dsir_logw") >= 0.0)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val src = java.nio.file.Files.createTempDirectory("dsir_src")
+    val sink = java.nio.file.Files.createTempDirectory("dsir_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsir_ckpt")
+    incoming.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(incoming.schema).parquet(src.toString)
+    val q = StreamOps.dsirGateIngest(
+      spark, model.toString, stream, sink.toString, ckpt.toString)
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(sink.toString)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(got == expected && got.nonEmpty)
+    assert(!got.exists(_.getLong(0) == 53000L),
+      "the gram-free planted doc must not appear in the admitted output")
+  }
+
   test("sessionization finds gap-separated sessions") {
     import spark.implicits._
     val data = Seq(
