@@ -77,6 +77,8 @@ object ScaleEvidence {
       case Some("spill") => spillEvidence(spark, sfDir); spark.stop(); return
       case Some("lm") => lmEvidence(spark, sfDir); spark.stop(); return
       case Some("layout") => layoutEvidence(spark, sfDir); spark.stop(); return
+      case Some("dsir") => dsirEvidence(spark, sfDir); spark.stop(); return
+      case Some("mediafp") => mediaFpEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
     val out = "/tmp/graft_scale10"
@@ -369,6 +371,97 @@ object ScaleEvidence {
         s""""bigram_rows":$bigRows,"backoff_rows":$boRows,""" +
         s""""t_fit_s":${"%.2f".format(tFit)},""" +
         s""""scored_docs":$scored,"t_serve_s":${"%.2f".format(tServe)}}""")
+    }
+  }
+
+  /** DSIR at 1x/10x: the measurable scale contract is that the MODEL is
+    * corpus-size-independent — exactly numBuckets rows at any scale
+    * (unlike the LM's vocabulary-growing tables), so the serving join
+    * broadcasts forever — and that fit/serve walls are scan-shaped
+    * (added data absorbed by added parallelism, the lmEvidence
+    * precedent). */
+  private def dsirEvidence(spark: SparkSession, sfDir: String): Unit = {
+    val docs1 = queries.T.documents(spark, sfDir)
+    val out = "/tmp/graft_scale10/documents.parquet"
+    if (!new java.io.File(out + "/_SUCCESS").exists()) {
+      (0 until 10).map { k =>
+        docs1.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(out)
+    }
+    val docs10 = spark.read.parquet(out)
+    val en = col("lang") === "en"
+    locally { // untimed JIT/codegen warmup, lmEvidence precedent
+      val w = java.nio.file.Files.createTempDirectory("dsir_scale_warm")
+      val s = docs1.limit(200)
+      ops.Dsir.dsirBuild(s, s.filter(en), w.toString)
+      ops.Dsir.dsirServe(spark, w.toString, s).count()
+      clearAll(spark)
+    }
+    for ((scale, d) <- Seq(("1x", docs1), ("10x", docs10))) {
+      clearAll(spark)
+      val dir = java.nio.file.Files.createTempDirectory(s"dsir_scale_$scale")
+      val (_, tFit) = timed { ops.Dsir.dsirBuild(d, d.filter(en), dir.toString) }
+      val modelRows = spark.read.parquet(s"$dir/logratio").count()
+      clearAll(spark)
+      val (scored, tServe) = timed {
+        ops.Dsir.dsirServe(spark, dir.toString, d).count()
+      }
+      clearAll(spark)
+      val (_, tSel) = timed {
+        ops.Dsir.dsirResample(
+          ops.Dsir.dsirServe(spark, dir.toString, d), 100).count()
+      }
+      println(s"""DSIR {"scale":"$scale","n_docs":${d.count()},""" +
+        s""""model_rows":$modelRows,"t_fit_s":${"%.2f".format(tFit)},""" +
+        s""""scored_docs":$scored,"t_serve_s":${"%.2f".format(tServe)},""" +
+        s""""t_resample_s":${"%.2f".format(tSel)}}""")
+    }
+  }
+
+  /** Media fingerprinting at 1x/10x: the decode+hash side of the audio
+    * and video near-dup paths is the map-only scan whose wall must
+    * absorb added data with added parallelism. (The banded/inverted
+    * candidate JOINS are deliberately not measured over the replicated
+    * fixture: replication multiplies the 8 planted pattern classes'
+    * clique sizes, so pair volume grows quadratically BY FIXTURE
+    * CONSTRUCTION — a dup-density artifact, not an operator property;
+    * the join-side contract is the bucket-cap trade documented with
+    * simhash/minhash.) */
+  private def mediaFpEvidence(spark: SparkSession, sfDir: String): Unit = {
+    implicit val s: SparkSession = spark
+    val docs1 = queries.T.documents(spark, sfDir)
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    locally { // untimed JIT/codegen warmup
+      val w = docs1.limit(100)
+      ops.Multimodal.audioFingerprint(
+        ops.Multimodal.syntheticTexturedAudioTable(w)).count()
+      ops.Multimodal.videoFrameDHash(
+        ops.Multimodal.syntheticVideoFrameTable(w)).count()
+      clearAll(spark)
+    }
+    for ((scale, d) <- Seq(("1x", docs1), ("10x", docs10))) {
+      clearAll(spark)
+      // repartition the synthetic fixture: at 10x the real corpus would
+      // arrive as many files; the single-file 1x fixture would serialize
+      val dr = if (scale == "1x") d else d.repartition(32)
+      val (nAf, tAf) = timed {
+        ops.Multimodal.audioFingerprint(
+          ops.Multimodal.syntheticTexturedAudioTable(dr)).count()
+      }
+      clearAll(spark)
+      val (nFh, tFh) = timed {
+        ops.Multimodal.videoFrameDHash(
+          ops.Multimodal.syntheticVideoFrameTable(dr)).count()
+      }
+      println(s"""MEDIAFP {"scale":"$scale","n_docs":${d.count()},""" +
+        s""""audio_fps":$nAf,"t_audio_s":${"%.2f".format(tAf)},""" +
+        s""""frame_hashes":$nFh,"t_frames_s":${"%.2f".format(tFh)}}""")
     }
   }
 
