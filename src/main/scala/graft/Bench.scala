@@ -66,7 +66,14 @@ object Bench {
     "q_ns_dedup_incremental_served",
     "q_ns_dedup_ingest_e2e_served",
     "q_ns_dedup_admit_daily",
-    "q_ns_dedup_admit_daily_served")
+    "q_ns_dedup_admit_daily_served",
+    // round-9 (cont.): DSIR data selection served from the persisted
+    // log-ratio artifact (first rep builds, warm reps serve — the
+    // ivfpq_served pattern), and the two new media near-dup paths
+    // (decode + fingerprint + banded/inverted candidate join)
+    "q_ns_dsir_served",
+    "q_ns_multimodal_audio_dedup",
+    "q_ns_multimodal_video_dedup")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

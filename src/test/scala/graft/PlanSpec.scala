@@ -367,7 +367,13 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_dedup_ingest_e2e"       -> ((2, 0)),
       "q_ret_bm25_topk"             -> ((5, 3)),
       "q_ns_span_dedup"             -> ((5, 0)),
-      "q_ns_budget_select"          -> ((6, 0)))
+      "q_ns_budget_select"          -> ((6, 0)),
+      // dsir fit: 2 bucket-count aggs + 2 one-row totals + per-doc agg +
+      // output sort — every shuffle except the gram agg moves <=512 rows.
+      // The SERVED form is pinned separately (broadcast + single Generate).
+      "q_ns_dsir_weights"           -> ((8, 5)),
+      "q_ns_multimodal_audio_dedup" -> ((4, 1)),
+      "q_ns_multimodal_video_dedup" -> ((11, 2)))
     for ((name, (maxSh, minBc)) <- budget) {
       val plan = queries.Registry.byName(name).fn(spark, sf)
         .queryExecution.executedPlan match {
