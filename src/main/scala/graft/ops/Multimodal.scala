@@ -1047,6 +1047,15 @@ object Multimodal {
       .withColumnRenamed("ph_lo", "af_lo")
       .withColumnRenamed("ph_hi", "af_hi")
 
+  /** Audio-corpus dedup: ONE survivor (min doc_id) per transitive
+    * fingerprint near-dup component — [[phashDedupImages]] applied to the
+    * audio fingerprint (the banded machinery and the pointer-jumping
+    * closure are modality-agnostic once payloads become 64-bit hashes). */
+  def audioDedup(media: DataFrame, maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
+    phashDedupImages(audioFingerprint(media), maxHamming)
+      .withColumnRenamed("ph_lo", "af_lo")
+      .withColumnRenamed("ph_hi", "af_hi")
+
   // ---------------------------------------------------------------------
   // Video near-dup: keyframe perceptual hashes + set overlap
   // ---------------------------------------------------------------------

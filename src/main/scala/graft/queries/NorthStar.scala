@@ -1505,6 +1505,34 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Audio-corpus dedup survivors: one kept clip (min doc_id) per
+    * transitive fingerprint near-dup component — the audio twin of the
+    * image survivor query; the oracle closes the same pair graph with a
+    * recursive CTE. */
+  val audioFpSurvivors = QueryDef(
+    "q_ns_multimodal_audio_survivors",
+    s"""WITH RECURSIVE $audioFpCtes,
+      |aedges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM apairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM apairs
+      |),
+      |areach(a, b) AS (
+      |  SELECT a, b FROM aedges
+      |  UNION
+      |  SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a
+      |),
+      |acomp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM areach GROUP BY a)
+      |SELECT ahh.doc_id, ahh.af_lo, ahh.af_hi FROM ahh
+      |LEFT JOIN acomp USING (doc_id)
+      |WHERE acomp.doc_id IS NULL OR acomp.component = ahh.doc_id
+      |ORDER BY ahh.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.audioDedup(
+        Multimodal.syntheticTexturedAudioTable(T.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
   /** Video near-dup by keyframe-hash set overlap: per-video sampled
     * keyframes (REAL encoded textured images, same-class videos sharing
     * frame content at different trim lengths) → per-frame byte decode +
@@ -1870,5 +1898,5 @@ object NorthStar {
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,
-    audioFpDedup, videoDedup)
+    audioFpDedup, audioFpSurvivors, videoDedup)
 }

@@ -441,7 +441,48 @@ object TrainPrep {
       graft.ops.Dsir.dsirWeights(T.documents(s, d), dsirEnTarget), 100)
   }
 
+  /** Select-then-pack (the training-prep handoff a data-selection run
+    * actually ends with): DSIR Gumbel top-200 over the corpus, then
+    * concat-and-chunk packing of the selected docs into 256-token
+    * sequences per source shard. Selection is a TakeOrderedAndProject,
+    * packing one per-group window cumsum — no new scale shapes, just the
+    * proven chains composed. */
+  val dsirSelectPackQ = QueryDef(
+    "q_ns_dsir_select_pack",
+    s"""WITH ${dsirCtes(graft.ops.Dsir.DefaultBuckets)},
+      |res AS (
+      |  SELECT doc_id,
+      |         lw + CAST(-ln(-ln(((${hex16SqlOf("'dsirg:' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 65536.0))
+      |                   AS DECIMAL(18,6)) AS k
+      |  FROM w
+      |),
+      |sel AS (SELECT doc_id FROM res ORDER BY k DESC, doc_id LIMIT 200),
+      |sd AS (
+      |  SELECT d.source, d.doc_id,
+      |         CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+      |                              x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents d JOIN sel USING (doc_id)
+      |),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM sd
+      |)
+      |SELECT source, CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS seq_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+      |FROM c GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val sel = graft.ops.Dsir.dsirResample(
+      graft.ops.Dsir.dsirWeights(docs, dsirEnTarget), 200).select("doc_id")
+    Pipeline.packSequences(docs.join(sel, Seq("doc_id"), "left_semi"),
+        budget = 256)
+      .orderBy("source", "seq_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
     lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed,
-    trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ)
+    trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ, dsirSelectPackQ)
 }

@@ -149,7 +149,8 @@ class PlanSpec extends AnyFunSuite {
       // (the served form loads the persisted model — no cross at all)
       "q_ns_dsir_weights" -> "1-row totals broadcasts (in-query fit)",
       "q_ns_dsir_resample" -> "1-row totals broadcasts (in-query fit)",
-      "q_stream_dsir_gate" -> "1-row totals broadcasts (in-query fit)")
+      "q_stream_dsir_gate" -> "1-row totals broadcasts (in-query fit)",
+      "q_ns_dsir_select_pack" -> "1-row totals broadcasts (in-query fit)")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
