@@ -79,6 +79,7 @@ object ScaleEvidence {
       case Some("layout") => layoutEvidence(spark, sfDir); spark.stop(); return
       case Some("dsir") => dsirEvidence(spark, sfDir); spark.stop(); return
       case Some("mediafp") => mediaFpEvidence(spark, sfDir); spark.stop(); return
+      case Some("bloom") => bloomEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
     val out = "/tmp/graft_scale10"
@@ -462,6 +463,48 @@ object ScaleEvidence {
       println(s"""MEDIAFP {"scale":"$scale","n_docs":${d.count()},""" +
         s""""audio_fps":$nAf,"t_audio_s":${"%.2f".format(tAf)},""" +
         s""""frame_hashes":$nFh,"t_frames_s":${"%.2f".format(tFh)}}""")
+    }
+  }
+
+  /** Bloom admission at 1x/10x: the false-positive rate is the measurable
+    * price of the position-bounded seen-set, and it must track the
+    * (1−e^(−kn/m))^k curve — flat-to-zero when mBits is sized to the
+    * corpus (bits-per-element constant, the m ∝ n rule), visibly nonzero
+    * when a 10x corpus outgrows a fixed m. Incoming docs are all
+    * truly-new (suffixed texts), so every rejection IS a false positive
+    * — the rate is measured, not argued. */
+  private def bloomEvidence(spark: SparkSession, sfDir: String): Unit = {
+    val docs1 = queries.T.documents(spark, sfDir)
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    val incoming = docs1.select(
+      (col("doc_id") + lit(50000000L)).as("doc_id"),
+      concat(col("text"), lit(" freshness-token")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    for ((scale, d) <- Seq(("1x", docs1), ("10x", docs10));
+         mBits <- Seq(1 << 20, 1 << 24)) {
+      clearAll(spark)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"bloom_${scale}_$mBits").toString
+      val (_, tBuild) = timed {
+        ops.Neutral.bloomIndexBuild(d, dir, mBits = mBits)
+      }
+      val occupied = ops.Models.load(spark, s"$dir/bloom").count()
+      val ((nInc, falseRejects), tServe) = timed {
+        val r = ops.Neutral.admitBloomServed(spark, dir, incoming,
+            mBits = mBits)
+          .agg(count(lit(1)), sum(when(!col("admitted"), 1L).otherwise(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(s"""BLOOM {"scale":"$scale","m_bits":$mBits,""" +
+        s""""corpus_docs":${d.count()},"occupied":$occupied,""" +
+        s""""incoming":$nInc,"false_rejects":$falseRejects,""" +
+        s""""fp_rate":${"%.2e".format(falseRejects.toDouble / nInc)},""" +
+        s""""t_build_s":${"%.2f".format(tBuild)},"t_serve_s":${"%.2f".format(tServe)}}""")
     }
   }
 

@@ -315,6 +315,59 @@ object Neutral {
     admitted
   }
 
+  // ---------------------------------------------------------------------
+  // Bloom-filter admission (the Dolma-shaped exact seen-set)
+  // ---------------------------------------------------------------------
+
+  /** Hashes per element in the Bloom admission filter. */
+  val BloomK = 4
+
+  private def bloomPosCols(textCol: String, mBits: Int): Seq[Column] =
+    (0 until BloomK).map { j =>
+      hex8Col(concat(lit(s"bloom:$j:"), col(textCol))) % mBits
+    }
+
+  /** Build the Bloom admission artifact: the DISTINCT occupied bit
+    * positions of the corpus (k=[[BloomK]] md5-derived positions per
+    * document text, `mBits`-position space). The artifact is bounded by
+    * mBits ROWS NO MATTER THE CORPUS SIZE — the property the exact
+    * digest set lacks — so at 100 TB the seen-set broadcasts as a few MB
+    * while the sha-table alternative is corpus-sized and must shuffle.
+    * The price is a quantified false-positive rate ((1−e^(−kn/m))^k:
+    * truly-new docs occasionally rejected; never the reverse — a true
+    * duplicate ALWAYS hits all k positions, the no-false-negative
+    * guarantee dedup actually needs. Size mBits ∝ corpus (bits-per-
+    * element constant) exactly like IVF's k ∝ corpus rule. mBits must
+    * divide 2^32 (md5-prefix width) for an unbiased position mod. */
+  def bloomIndexBuild(corpus: DataFrame, dir: String,
+      textCol: String = "text", mBits: Int = 1 << 20): Unit = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    Models.save(
+      corpus.select(explode(array(bloomPosCols(textCol, mBits): _*)).as("pos"))
+        .distinct(),
+      s"$dir/bloom")
+  }
+
+  /** Admission annotation against the persisted Bloom artifact: each
+    * incoming doc's k positions probe the loaded set (one broadcast
+    * join); `admitted` = at least one position unoccupied. Map-only over
+    * the batch + one broadcast + per-doc partial agg — no corpus-side
+    * anything at admission time. */
+  def admitBloomServed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      incoming: DataFrame, textCol: String = "text",
+      mBits: Int = 1 << 20): DataFrame = {
+    val occupied = Models.load(spark, s"$dir/bloom")
+      .withColumn("__hit", lit(1L))
+    incoming
+      .select(col("doc_id"),
+        posexplode(array(bloomPosCols(textCol, mBits): _*)).as(Seq("j", "pos")))
+      .join(broadcast(occupied), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("__hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") < BloomK).as("admitted"))
+  }
+
   /** [[ingestE2e]] SERVED from the persisted index: admission against the
     * loaded tables, then within-batch clustered dedup reusing the
     * incoming-side signatures. Shares [[ingestE2eOracleSql]]. */
@@ -326,6 +379,27 @@ object Neutral {
     dedupCorpusClustered(admitted, textCol, minJaccard,
       precomputedSig = Some(shI))
   }
+
+  /** DuckDB twin of [[admitBloomServed]] for corpus/incoming doc_id
+    * slices of the documents table: same k positions, same occupied-set
+    * probe, same admitted = any-position-unoccupied rule. */
+  def bloomAdmitOracleSql(corpusPred: String, incomingPred: String,
+      mBits: Int = 1 << 20): String =
+    s"""WITH js AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j),
+       |bpos AS (
+       |  SELECT DISTINCT CAST('0x' || substring(md5('bloom:' || CAST(j AS VARCHAR) || ':' || text), 1, 8) AS BIGINT) % $mBits AS pos
+       |  FROM documents, js WHERE $corpusPred
+       |),
+       |ipos AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5('bloom:' || CAST(j AS VARCHAR) || ':' || text), 1, 8) AS BIGINT) % $mBits AS pos
+       |  FROM documents, js WHERE $incomingPred
+       |),
+       |h AS (
+       |  SELECT doc_id, CAST(count(bpos.pos) AS BIGINT) AS n_hits
+       |  FROM ipos LEFT JOIN bpos USING (pos) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_hits, n_hits < $BloomK AS admitted
+       |FROM h ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[dedupAgainst]] for corpus/incoming slices of the
     * documents table defined by SQL predicates. Takes the same

@@ -548,6 +548,26 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter admission against the persisted occupied-position
+    * artifact (the Dolma-shaped exact seen-set): the filter is bounded by
+    * mBits rows NO MATTER THE CORPUS SIZE — the broadcast-forever
+    * alternative to the digest anti-join, at the price of a quantified
+    * false-positive rate (never a false negative: a true duplicate always
+    * hits all k positions). Output annotates each incoming doc with its
+    * hit count and the admit decision. */
+  val dedupAdmitBloom = QueryDef(
+    "q_ns_dedup_admit_bloom",
+    graft.ops.Neutral.bloomAdmitOracleSql(
+      "doc_id < 250", "doc_id >= 250")) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"bloom|$d") { tmp =>
+      graft.ops.Neutral.bloomIndexBuild(docs.filter(col("doc_id") < 250), tmp)
+    }
+    graft.ops.Neutral.admitBloomServed(
+        s, dir, docs.filter(col("doc_id") >= 250))
+      .orderBy("doc_id")
+  }
+
   /** The chained ingest a daily crawl runs end-to-end: admission against
     * the existing corpus (exact + banded near-dup) THEN within-batch
     * clustered dedup of the admitted docs — the incoming slice carries
@@ -1886,7 +1906,7 @@ object NorthStar {
     decontaminate, decontaminateFuzzy, dedupCosine,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
-    dedupAdmitDaily, dedupAdmitDailyServed,
+    dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitBloom,
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textLangIdTrigram, textFingerprint,

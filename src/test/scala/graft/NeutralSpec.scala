@@ -274,6 +274,31 @@ class NeutralSpec extends AnyFunSuite {
     assert(servedE2e == Set(50003L), s"got $servedE2e")
   }
 
+  test("bloom admission: exact duplicates always rejected (no false " +
+      "negatives), fresh docs admitted at the planted density") {
+    val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 250)
+    val incoming = corpus.filter(col("doc_id") === 3)
+      .select(lit(70000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")) // byte-identical corpus text
+      .unionByName(Seq(
+        (70001L, "entirely fresh content nothing like the corpus at all zebra quark", "en", "t", 64L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    Neutral.bloomIndexBuild(corpus, dir)
+    val got = Neutral.admitBloomServed(spark, dir, incoming).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // the true duplicate hits ALL k positions — the no-FN guarantee
+    assert(got(70000L) == ((Neutral.BloomK.toLong, false)),
+      s"exact duplicate not rejected: ${got(70000L)}")
+    // at ~125 docs x 4 positions in 2^20 bits, FP probability is ~1e-13:
+    // the fresh doc must be admitted
+    assert(got(70001L)._2, s"fresh doc rejected: ${got(70001L)}")
+    // the artifact is position-bounded: |occupied| <= k * |corpus|
+    val occ = graft.ops.Models.load(spark, s"$dir/bloom").count()
+    assert(occ <= Neutral.BloomK * corpus.count() && occ > 0)
+  }
+
   test("appended admissions: batch 2 is deduped against batch 1's admissions") {
     val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val batch1 = Seq(
