@@ -49,6 +49,21 @@ object Sources {
   def writeReplace(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Schema'd JSONL scan — the training-data interchange format (one
+    * JSON object per line). Read with an EXPLICIT schema: the two
+    * properties that make JSONL viable at 100 TB are line-splittability
+    * (any byte range extends to line boundaries, so a 10 GB file fans
+    * out across tasks) and a known schema (inference is a second full
+    * scan of every byte; passing the schema keeps ingestion
+    * single-pass). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Full-replace JSONL sink (one object per line, the readJsonl twin). */
+  def writeJsonlReplace(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Full-replace JDBC sink — the reference's actual target is Postgres
     * (dlt → PG schema `ufc`, dlt/load.py:55-63); this is the drop-in when a
     * relational warehouse is wanted instead of parquet. Not exercised in

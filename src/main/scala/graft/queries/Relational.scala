@@ -252,8 +252,39 @@ object Relational {
       .limit(300)
   }
 
+  /** JSONL source roundtrip (the training-data interchange format):
+    * documents → one-object-per-line JSON artifact → schema'd readJsonl →
+    * per-lang aggregate incl. a tokenization pass over the roundtripped
+    * text. The oracle computes the SAME aggregate from the parquet table,
+    * so equality proves the JSONL write+read is lossless through JSON
+    * string escaping — the differential test a format deserves, not a
+    * smoke check. Explicit schema keeps the read single-pass (no
+    * inference scan); line-splittable at any file size. */
+  val s8JsonlRoundtrip = QueryDef(
+    "q_s8_jsonl_roundtrip",
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                                x -> x <> ''))) AS BIGINT) AS sum_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"jsonl|$d") { tmp =>
+      graft.model.Sources.writeJsonlReplace(docs, s"$tmp/documents")
+    }
+    graft.model.Sources.readJsonl(s, s"$dir/documents", docs.schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")).cast("long")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     s1ScanPrune, p1ProjectArith, p3InList, p4Ilike, p5Regex,
     a1CountGroup, a2CondSum, a4MinMaxAvg, a6CountDistinct, a10Distinct,
-    o1MultiSort, o2NullsLast)
+    o1MultiSort, o2NullsLast, s8JsonlRoundtrip)
 }

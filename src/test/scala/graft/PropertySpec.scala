@@ -210,6 +210,43 @@ class PropertySpec extends AnyFunSuite {
       "with boost >= 1 every doc must survive")
   }
 
+  test("DSIR weights: layout-invariant, gram-conserving, and shift-" +
+      "invariant in selection order") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val target = col("lang") === "en"
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dsir.dsirWeights(d, target)
+        .select("doc_id", "n_grams", "dsir_logw")
+        .orderBy("doc_id").collect().toSeq
+    // decimal-exact sums + md5 buckets: the SAME weights regardless of
+    // physical layout (double accumulation would break this)
+    assert(rows(docs) == rows(docs.repartition(7)))
+    assert(rows(docs) == rows(docs.coalesce(1)))
+    // gram conservation: per-doc feature counts sum to the corpus total
+    // (unigrams + adjacent bigrams = 2*len - 1 per non-empty doc)
+    val w = graft.ops.Dsir.dsirWeights(docs, target)
+    val fromWeights = w.agg(fsum("n_grams")).head().getLong(0)
+    val expected = docs
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.trim(col("text"))), "\\s+"),
+          x => x =!= "")).as("n"))
+      .filter(col("n") > 0)
+      .agg(fsum(org.apache.spark.sql.functions.expr("2 * n - 1")))
+      .head().getLong(0)
+    assert(fromWeights == expected,
+      s"gram count $fromWeights != conservation law $expected")
+    // Gumbel top-k nests: the top-10 is a prefix of the top-30
+    val k10 = graft.ops.Dsir.dsirResample(w, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val k30 = graft.ops.Dsir.dsirResample(w, 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(k30.take(10) == k10, "top-k selection must nest")
+  }
+
   test("corpus dedup is idempotent") {
     val textGen = Gen.listOfN(12,
       Gen.oneOf("spark table scan", "row batch merge", "key value hash"))
