@@ -368,6 +368,37 @@ object Neutral {
         (col("n_hits") < BloomK).as("admitted"))
   }
 
+  /** Append a batch's positions to the Bloom artifact — the admission
+    * loop's seen-set update ([[dedupIndexAppend]]'s cheap sibling: the
+    * append is ≤ k·|batch| position rows, and the artifact stays bounded
+    * by mBits regardless of how many batches accumulate). */
+  def bloomIndexAppend(admitted: DataFrame, dir: String,
+      textCol: String = "text", mBits: Int = 1 << 20): Unit =
+    Models.append(
+      admitted.select(explode(array(bloomPosCols(textCol, mBits): _*)).as("pos"))
+        .distinct(),
+      s"$dir/bloom")
+
+  /** Admit a batch against the Bloom artifact AND fold its positions in —
+    * the per-batch step of the streaming seen-set loop. Same
+    * checkpoint-before-append discipline as [[admitAndAppend]]: the
+    * admitted rows are severed from the artifact scan their plan reads,
+    * because the append invalidates cached plans rooted at `dir`. */
+  def admitBloomAndAppend(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame, textCol: String = "text",
+      mBits: Int = 1 << 20): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val admitted = incoming
+      .join(admitBloomServed(spark, dir, incoming, textCol, mBits)
+          .filter(col("admitted")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
+    bloomIndexAppend(admitted, dir, textCol, mBits)
+    admitted
+  }
+
   /** [[ingestE2e]] SERVED from the persisted index: admission against the
     * loaded tables, then within-batch clustered dedup reusing the
     * incoming-side signatures. Shares [[ingestE2eOracleSql]]. */

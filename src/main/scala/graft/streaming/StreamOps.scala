@@ -314,6 +314,30 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming Bloom admission — [[admissionIngestServed]]'s
+    * fixed-memory sibling: per micro-batch, probe the persisted
+    * occupied-position artifact (broadcast, mBits-bounded at ANY corpus
+    * size), append survivors to the sink, and fold their positions into
+    * the artifact so the NEXT micro-batch rejects re-sends of earlier
+    * admissions. A replayed append after failure is harmless (position
+    * multiplicity never changes a probe); sink writes are exactly-once
+    * via the checkpoint. */
+  def bloomIngest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, stream: DataFrame, sinkDir: String,
+      checkpointDir: String, mBits: Int = 1 << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.Neutral.admitBloomAndAppend(spark, indexDir, batch,
+            mBits = mBits)
+            .write.mode("append").parquet(sinkDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming DSIR gate: admit only the micro-batch docs whose hashed
     * n-gram importance log-weight against the PERSISTED target/raw
     * log-ratio artifact clears `minLogw` — the data-selection twin of

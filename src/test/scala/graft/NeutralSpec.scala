@@ -299,6 +299,29 @@ class NeutralSpec extends AnyFunSuite {
     assert(occ <= Neutral.BloomK * corpus.count() && occ > 0)
   }
 
+  test("bloom append: batch 2's copy of a batch-1 admission is rejected") {
+    val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 250)
+    val freshText =
+      "entirely fresh content nothing like the corpus at all zebra quark"
+    val batch1 = Seq((80001L, freshText, "en", "t", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (80002L, freshText, "en", "t", 64L), // dup of batch 1's admission
+      (80003L, "another genuinely new document xylophone gamma", "en", "t", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    Neutral.bloomIndexBuild(corpus, dir)
+    val a1 = Neutral.admitBloomAndAppend(spark, dir, batch1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1 == Set(80001L))
+    val a2 = Neutral.admitBloomAndAppend(spark, dir, batch2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a2 == Set(80003L),
+      s"batch 2 must reject the batch-1 admission's copy: $a2")
+    graft.ops.Pins.releaseAll()
+  }
+
   test("appended admissions: batch 2 is deduped against batch 1's admissions") {
     val corpus = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val batch1 = Seq(

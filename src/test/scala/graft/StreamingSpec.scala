@@ -208,6 +208,38 @@ class StreamingSpec extends AnyFunSuite {
       "the all-OOV planted doc must not pass the gate")
   }
 
+  test("streaming bloom admission rejects a later micro-batch's copy of " +
+      "an earlier admission") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 250)
+    import spark.implicits._
+    val freshText =
+      "entirely fresh bloom streaming content zebra quark flux unique"
+    val batch1 = Seq((71001L, freshText, "en", "t", 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (71002L, freshText, "en", "t", 62L), // exact copy, later batch
+      (71003L, "another wholly new bloom streaming document gamma", "en", "t", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = java.nio.file.Files.createTempDirectory("bloom_idx")
+    graft.ops.Neutral.bloomIndexBuild(corpus, idx.toString)
+    val src = java.nio.file.Files.createTempDirectory("bloom_src")
+    val sink = java.nio.file.Files.createTempDirectory("bloom_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("bloom_ckpt")
+    batch1.coalesce(1).write.mode("append").parquet(src.toString)
+    Thread.sleep(1500)
+    batch2.coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = StreamOps.bloomIngest(spark, idx.toString, stream,
+      sink.toString, ckpt.toString)
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(sink.toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(71001L, 71003L),
+      s"cross-batch copy not rejected by the bloom append: $got")
+  }
+
   test("streaming DSIR gate admits from the persisted model: streaming == batch") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     // plant a gram-free doc (whitespace only): no features, no weight
