@@ -65,21 +65,22 @@ object Dsir {
     docs.select(col(idCol), explode(gramsCol(textCol)).as("gram"))
       .select(col(idCol), bucketCol(col("gram"), numBuckets).as("bucket"))
 
-  /** Fit: per-bucket log importance ratio
+  /** One corpus pass → per-bucket gram-occurrence counts (≤ numBuckets
+    * rows after the partial-agg shuffle). */
+  private def bucketCounts(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int, as: String): DataFrame =
+    bucketed(df, idCol, textCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+
+  /** Model from count tables: per-bucket log importance ratio
     * lr[b] = ln p̂_target[b] − ln p̂_raw[b], both Laplace-smoothed
     * ((c_b + 1) / (T + numBuckets)) and each ln rounded to DECIMAL(18,6)
     * before the subtraction. Returns the numBuckets-row model table
-    * (bucket, lr) — every bucket present, broadcastable. */
-  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", numBuckets: Int = DefaultBuckets): DataFrame = {
-    require(65536 % numBuckets == 0,
-      s"numBuckets=$numBuckets must divide 2^16 for an unbiased bucket mod")
-    val spark = raw.sparkSession
-    def counts(df: DataFrame, as: String) =
-      bucketed(df, idCol, textCol, numBuckets)
-        .groupBy("bucket").agg(count(lit(1)).as(as))
-    val rawC = counts(raw, "nr")
-    val tgtC = counts(target, "nt")
+    * (bucket, lr) — every bucket present, broadcastable. Counts in, so
+    * the count-form artifact ([[dsirBuildCounts]]) rebuilds the model at
+    * load for free (a numBuckets-row transform). */
+  private def modelOfCounts(spark: SparkSession, rawC: DataFrame,
+      tgtC: DataFrame, numBuckets: Int): DataFrame = {
     val rawT = rawC.agg(coalesce(sum(col("nr")), lit(0L)).as("tr"))
     val tgtT = tgtC.agg(coalesce(sum(col("nt")), lit(0L)).as("tt"))
     def smoothedLn(n: Column, tot: Column): Column =
@@ -93,6 +94,16 @@ object Dsir {
       .select(col("bucket"),
         (smoothedLn(col("nt"), col("tt"))
           - smoothedLn(col("nr"), col("tr"))).cast(dec).as("lr"))
+  }
+
+  /** Fit from corpora (see [[modelOfCounts]] for the ratio contract). */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numBuckets: Int = DefaultBuckets): DataFrame = {
+    require(65536 % numBuckets == 0,
+      s"numBuckets=$numBuckets must divide 2^16 for an unbiased bucket mod")
+    modelOfCounts(raw.sparkSession,
+      bucketCounts(raw, idCol, textCol, numBuckets, "nr"),
+      bucketCounts(target, idCol, textCol, numBuckets, "nt"), numBuckets)
   }
 
   /** Apply: per-doc importance log-weight — the sum of the model's
@@ -142,6 +153,48 @@ object Dsir {
       numBuckets: Int = DefaultBuckets): DataFrame =
     dsirWeightsWithN(docs, Models.load(spark, s"$dir/logratio"), idCol,
       textCol, numBuckets)
+
+  /** COUNT-form artifact: persist the raw/target bucket-count tables
+    * instead of precomputed log-ratios. Counts are ADDITIVE — the raw
+    * side tracks a growing crawl via [[dsirAppendRaw]] with no refit
+    * scan of old data — and the log-ratio model rebuilds from them at
+    * load time as a numBuckets-row transform (free). This is the DSIR
+    * twin of the dedup index's append lifecycle. */
+  def dsirBuildCounts(raw: DataFrame, target: DataFrame, dir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      numBuckets: Int = DefaultBuckets): Unit = {
+    require(65536 % numBuckets == 0,
+      s"numBuckets=$numBuckets must divide 2^16 for an unbiased bucket mod")
+    Models.save(bucketCounts(raw, idCol, textCol, numBuckets, "nr"),
+      s"$dir/raw_counts")
+    Models.save(bucketCounts(target, idCol, textCol, numBuckets, "nt"),
+      s"$dir/target_counts")
+  }
+
+  /** Fold a new raw batch's bucket counts into the count-form artifact —
+    * scan the BATCH only; the loaded table may then hold several rows
+    * per bucket, summed at load. */
+  def dsirAppendRaw(newRaw: DataFrame, dir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      numBuckets: Int = DefaultBuckets): Unit =
+    Models.append(bucketCounts(newRaw, idCol, textCol, numBuckets, "nr"),
+      s"$dir/raw_counts")
+
+  /** Weight a corpus against the COUNT-form artifact: sum the (possibly
+    * appended) per-bucket count rows, rebuild the log-ratio model (a
+    * numBuckets-row job), and serve. Bit-identical to a full refit on
+    * the same cumulative corpus — exact decimal/count arithmetic all the
+    * way down. */
+  def dsirServeCounts(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = DefaultBuckets): DataFrame = {
+    val rawC = Models.load(spark, s"$dir/raw_counts")
+      .groupBy("bucket").agg(sum(col("nr")).as("nr"))
+    val tgtC = Models.load(spark, s"$dir/target_counts")
+      .groupBy("bucket").agg(sum(col("nt")).as("nt"))
+    dsirWeightsWithN(docs, modelOfCounts(spark, rawC, tgtC, numBuckets),
+      idCol, textCol, numBuckets)
+  }
 
   /** Gumbel top-k selection over fitted weights: key = logw + g where
     * g = −ln(−ln(u)) and u is the md5-uniform of "dsirg:" || id — exact

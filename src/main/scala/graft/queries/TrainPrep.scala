@@ -339,11 +339,13 @@ object TrainPrep {
     * bigram grams → 16-bit md5 buckets → Laplace-smoothed per-bucket
     * target/raw log-ratio (each ln rounded to DECIMAL(18,6) at the leaf)
     * → per-doc exact-decimal weight sum, ending at `w` (doc_id, n_grams,
-    * lw). `fitPred` picks the fit slice (raw side; target = its lang='en'
-    * subset), `scorePred` the scored slice — the gate forms reuse the
-    * chain with doc_id splits, as the LM oracle does. */
+    * lw). `fitPred` picks the raw fit slice, `tgtPred` the target slice
+    * (lang='en' within it; defaults to the raw slice), `scorePred` the
+    * scored slice — the gate and incremental forms reuse the chain with
+    * doc_id splits, as the LM oracle does. */
   private[queries] def dsirCtes(b: Int, fitPred: String = "TRUE",
-      scorePred: String = "TRUE"): String =
+      scorePred: String = "TRUE", tgtPredOpt: String = null): String = {
+    val tgtPred = Option(tgtPredOpt).getOrElse(fitPred)
     s"""g AS (
       |  SELECT doc_id, lang, unnest(grams) AS gram FROM (
       |    SELECT doc_id, lang,
@@ -363,7 +365,7 @@ object TrainPrep {
       |), rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr
       |            FROM gb WHERE $fitPred GROUP BY bucket),
       |tgtc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nt
-      |         FROM gb WHERE ($fitPred) AND lang = 'en' GROUP BY bucket),
+      |         FROM gb WHERE ($tgtPred) AND lang = 'en' GROUP BY bucket),
       |rts AS (SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) AS tr FROM rawc),
       |tts AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS tt FROM tgtc),
       |bk AS (SELECT unnest(generate_series(0, ${b - 1})) AS bucket),
@@ -378,6 +380,7 @@ object TrainPrep {
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, sum(lr) AS lw
       |  FROM gb JOIN model USING (bucket) WHERE $scorePred GROUP BY doc_id
       |)""".stripMargin
+  }
 
   /** Gate-form DSIR oracle: fit on the doc_id < 250 slice (target = its
     * lang='en' subset), score the incoming doc_id >= 250 slice, admit
@@ -482,7 +485,32 @@ object TrainPrep {
       .orderBy("source", "seq_id")
   }
 
+  /** DSIR served from the COUNT-form artifact after an append: counts
+    * built on the doc_id < 250 slice (raw AND target), then the >= 250
+    * slice's raw counts FOLDED IN without rescanning the old slice —
+    * the growing-crawl lifecycle. Weights must equal a full refit on the
+    * cumulative raw corpus with the original target (counts are
+    * additive; the model rebuild at load is a numBuckets-row job). */
+  val dsirServedIncrementalQ = QueryDef(
+    "q_ns_dsir_served_incremental",
+    s"""WITH ${dsirCtes(graft.ops.Dsir.DefaultBuckets,
+        "TRUE", "TRUE", "doc_id < 250")}
+      |SELECT doc_id, n_grams, CAST(lw AS DOUBLE) AS dsir_logw
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"dsir_counts|$d") { tmp =>
+      graft.ops.Dsir.dsirBuildCounts(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") < 250 && dsirEnTarget), tmp)
+      graft.ops.Dsir.dsirAppendRaw(docs.filter(col("doc_id") >= 250), tmp)
+    }
+    graft.ops.Dsir.dsirServeCounts(s, dir, docs)
+      .select("doc_id", "n_grams", "dsir_logw")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
     lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed,
-    trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ, dsirSelectPackQ)
+    trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ, dsirSelectPackQ,
+    dsirServedIncrementalQ)
 }

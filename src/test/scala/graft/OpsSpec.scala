@@ -558,6 +558,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.map(_.getLong(0)).sameElements(r2.map(_.getLong(0))))
   }
 
+  test("DSIR count-form artifact: append-then-serve equals a full refit " +
+      "on the cumulative corpus") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val target = old.filter(col("lang") === "en")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_counts").toString
+    graft.ops.Dsir.dsirBuildCounts(old, target, dir)
+    graft.ops.Dsir.dsirAppendRaw(fresh, dir) // scans the BATCH only
+    val served = graft.ops.Dsir.dsirServeCounts(spark, dir, docs)
+      .select("doc_id", "n_grams", "dsir_logw")
+    val refit = graft.ops.Dsir.dsirWeightsWith(docs,
+        graft.ops.Dsir.dsirModel(docs, target))
+      .select("doc_id", "n_grams", "dsir_logw")
+    assert(served.except(refit).isEmpty && refit.except(served).isEmpty,
+      "appended counts must reproduce the full-refit weights bit-exactly")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark

@@ -150,7 +150,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_dsir_weights" -> "1-row totals broadcasts (in-query fit)",
       "q_ns_dsir_resample" -> "1-row totals broadcasts (in-query fit)",
       "q_stream_dsir_gate" -> "1-row totals broadcasts (in-query fit)",
-      "q_ns_dsir_select_pack" -> "1-row totals broadcasts (in-query fit)")
+      "q_ns_dsir_select_pack" -> "1-row totals broadcasts (in-query fit)",
+      "q_ns_dsir_served_incremental" ->
+        "1-row totals broadcasts (numBuckets-row model rebuild at load)")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
