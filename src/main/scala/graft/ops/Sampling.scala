@@ -173,6 +173,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Per-group document cap (the FineWeb "max docs per domain" stage):
+    * keep at most `maxPerGroup` docs per `groupCol`, chosen by a
+    * content-independent salted-md5 order (a deterministic uniform
+    * sample of each group, not "whichever rows came first") with doc_id
+    * tiebreak. One window per GROUP — ranking parallelizes across
+    * domains, the hot-domain partition is bounded by that domain's own
+    * rows, and there is no global sort. At 100 TB a single pathological
+    * domain can still dominate one partition — the same salting lever as
+    * the skew joins applies upstream if a domain exceeds a task. */
+  def capPerGroup(df: DataFrame, maxPerGroup: Int,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h",
+        md5(concat(lit("cap:"), col(idCol).cast("string"))))
+      .withColumn("__rk", row_number().over(order))
+      .filter(col("__rk") <= maxPerGroup)
+      .drop("__h", "__rk")
+  }
+
   /** Adds `split_bucket` and a `split` label: first `trainPct` buckets →
     * train, next `valPct` → val, rest → test. */
   def withSplit(df: DataFrame, idCol: String = "doc_id",

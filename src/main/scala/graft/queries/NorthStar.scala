@@ -1113,6 +1113,29 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Per-domain document cap (FineWeb's "max docs per domain" stage):
+    * keep at most 15 docs per source, chosen by a content-independent
+    * salted-md5 order — a deterministic uniform sample of each domain,
+    * ranked by a per-GROUP window (parallel across domains, no global
+    * sort). */
+  val domainCap = QueryDef(
+    "q_ns_domain_cap",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         md5('cap:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents
+      |), rk AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |  FROM r
+      |)
+      |SELECT doc_id, source FROM rk WHERE rk <= 15
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.ops.Sampling.capPerGroup(T.documents(s, d), maxPerGroup = 15)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection: highest-quality docs admitted until a
     * 12k whitespace-token budget fills (Sampling.selectWithinTokenBudget's
     * two-phase bucket-cutoff — equals the global greedy prefix by (score
@@ -1914,7 +1937,7 @@ object NorthStar {
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,
     prepareCorpusClassifiedQ, splitQ,
-    leakageSafeSplitQ, stratified,
+    leakageSafeSplitQ, stratified, domainCap,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,

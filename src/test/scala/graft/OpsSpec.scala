@@ -558,6 +558,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.map(_.getLong(0)).sameElements(r2.map(_.getLong(0))))
   }
 
+  test("per-group cap keeps exactly min(k, group size) per group, " +
+      "layout-invariant") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val capped = graft.ops.Sampling.capPerGroup(docs, maxPerGroup = 5)
+    val sizes = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (src, n) =>
+      assert(sizes.getOrElse(src, 0L) == math.min(5L, n),
+        s"source $src: ${sizes.getOrElse(src, 0L)} kept of $n")
+    }
+    // content-independent order: the SAME survivors regardless of layout
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling.capPerGroup(docs.repartition(7), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("DSIR count-form artifact: append-then-serve equals a full refit " +
       "on the cumulative corpus") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
