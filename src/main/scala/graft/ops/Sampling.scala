@@ -178,10 +178,14 @@ object Sampling {
     * content-independent salted-md5 order (a deterministic uniform
     * sample of each group, not "whichever rows came first") with doc_id
     * tiebreak. One window per GROUP — ranking parallelizes across
-    * domains, the hot-domain partition is bounded by that domain's own
-    * rows, and there is no global sort. At 100 TB a single pathological
-    * domain can still dominate one partition — the same salting lever as
-    * the skew joins applies upstream if a domain exceeds a task. */
+    * domains, there is no global sort, and because the filter is a
+    * row_number <= k bound, Catalyst plans a map-side WindowGroupLimit:
+    * each input partition prunes to its own per-group top-k BEFORE the
+    * shuffle, so the exchange moves at most k·groups rows per task, not
+    * the corpus (PlanSpec pins the operator). At 100 TB a single
+    * pathological domain can still dominate one reduce partition — the
+    * same salting lever as the skew joins applies upstream if a domain
+    * exceeds a task. */
   def capPerGroup(df: DataFrame, maxPerGroup: Int,
       groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -343,6 +343,15 @@ class PlanSpec extends AnyFunSuite {
       s"resample plans a global sort instead of top-k:\n$pr")
   }
 
+  test("domain cap plans a map-side WindowGroupLimit before the shuffle") {
+    // the rank <= k filter must reach the map side: each input partition
+    // prunes to its own per-group top-k BEFORE the exchange, so the
+    // shuffle moves at most k·groups rows per task, never the corpus
+    val p = plan("q_ns_domain_cap")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial + final WindowGroupLimit:\n$p")
+  }
+
   test("video near-dup joins equi on the frame hash — no product join") {
     val p = plan("q_ns_multimodal_video_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
