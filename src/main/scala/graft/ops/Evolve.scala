@@ -91,6 +91,45 @@ object Evolve {
     * One full-outer shuffle join on the key with fixed-width digests —
     * the audit pattern that diffs two 100 TB snapshots without moving
     * payload data. Returns (diff_status, n). */
+  private val aggDec = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  /** Partial per-group aggregate of one batch: (key, n, amount) with the
+    * amount accumulated in DECIMAL (the cross-engine sum discipline). */
+  private def aggPartial(df: DataFrame, keyCol: String,
+      amountCol: String): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("n"),
+      sum(col(amountCol).cast(aggDec)).as("amount"))
+
+  /** Incremental aggregate maintenance — the warehouse-side instance of
+    * the additive-artifact lifecycle this engine uses everywhere a
+    * dataset grows (dedup-index append, Bloom position fold-in, DSIR
+    * count append): maintain a per-group count/sum table under arriving
+    * delta batches by appending each delta's PARTIAL aggregate and
+    * folding at read. Count and decimal-sum are associative, so
+    * [[aggServe]] equals a full recompute over base ∪ all deltas EXACTLY
+    * — no delta ever re-scans history, the artifact is group-bounded
+    * (never history-sized), and each fold shuffles only the delta's
+    * partial rows. This is what replaces the reference's nightly
+    * full-refresh `dbt run` the moment the fact table stops fitting a
+    * rebuild window. */
+  def aggBuild(base: DataFrame, dir: String, keyCol: String,
+      amountCol: String): Unit =
+    Models.save(aggPartial(base, keyCol, amountCol), s"$dir/agg")
+
+  /** Fold one delta batch into the maintained aggregate (scans the BATCH
+    * only). */
+  def aggFold(delta: DataFrame, dir: String, keyCol: String,
+      amountCol: String): Unit =
+    Models.append(aggPartial(delta, keyCol, amountCol), s"$dir/agg")
+
+  /** Serve the maintained aggregate: fold the appended partial rows —
+    * one groupBy over a table bounded by |groups| × |batches|. */
+  def aggServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String): DataFrame =
+    Models.load(spark, s"$dir/agg")
+      .groupBy(keyCol)
+      .agg(sum(col("n")).as("n_rows"), sum(col("amount")).as("total_amount"))
+
   def tableDiff(
       base: DataFrame,
       current: DataFrame,

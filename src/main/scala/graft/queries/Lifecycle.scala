@@ -180,6 +180,34 @@ object Lifecycle {
       .orderBy("diff_status")
   }
 
+  /** Incrementally maintained per-customer order aggregate: base built
+    * from the 3/4 of orders with o_orderkey % 4 != 0, the remaining
+    * quarter folded in as a delta batch (partial-aggregate append, no
+    * history rescan) — served totals must equal a full recompute over
+    * ALL orders, which is exactly what the oracle computes. Count and
+    * DECIMAL-sum are associative, so the equality is exact, not
+    * approximate. */
+  val aggMaintain = QueryDef(
+    "q_e_agg_maintain",
+    """SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"aggmaint|$d") { tmp =>
+      Evolve.aggBuild(orders.filter(col("o_orderkey") % 4 =!= 0), tmp,
+        "o_custkey", "o_totalprice")
+      Evolve.aggFold(orders.filter(col("o_orderkey") % 4 === 0), tmp,
+        "o_custkey", "o_totalprice")
+    }
+    Evolve.aggServe(s, dir, "o_custkey")
+      .select(col("o_custkey"), col("n_rows"),
+        col("total_amount").cast("double").as("total_amount"))
+      .orderBy("o_custkey")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff)
+    Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain)
 }

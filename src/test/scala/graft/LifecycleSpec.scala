@@ -119,6 +119,30 @@ class LifecycleSpec extends AnyFunSuite {
     assert(approx.forall(n => n >= 1 && n <= 3))
   }
 
+  test("aggMaintain: two folded deltas equal a full recompute exactly") {
+    val orders = graft.queries.T.orders(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("aggmaint").toString
+    Evolve.aggBuild(orders.filter(col("o_orderkey") % 3 === 0), dir,
+      "o_custkey", "o_totalprice")
+    Evolve.aggFold(orders.filter(col("o_orderkey") % 3 === 1), dir,
+      "o_custkey", "o_totalprice")
+    Evolve.aggFold(orders.filter(col("o_orderkey") % 3 === 2), dir,
+      "o_custkey", "o_totalprice")
+    val served = Evolve.aggServe(spark, dir, "o_custkey")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val full = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(dec)).as("total_amount"))
+    // decimal precision differs between one-shot and folded sums; compare
+    // on a common type (values are exact either way)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_custkey"), col("n_rows").cast("long"),
+        col("total_amount").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+    assert(norm(served).except(norm(full)).isEmpty &&
+      norm(full).except(norm(served)).isEmpty,
+      "folded aggregate must equal the full recompute")
+  }
+
   test("tableDiff classifies planted add/remove/change exactly") {
     import graft.ops.Evolve
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
