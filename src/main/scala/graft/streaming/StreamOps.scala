@@ -338,6 +338,29 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming incremental aggregate maintenance: each micro-batch folds
+    * its PARTIAL per-group aggregate into the persisted table
+    * ([[graft.ops.Evolve.aggFold]]) — the maintained-aggregate loop a
+    * warehouse runs instead of nightly full refreshes. No sink beyond the
+    * artifact itself; [[graft.ops.Evolve.aggServe]] reads the current
+    * totals at any point. Checkpointing makes each batch fold
+    * exactly-once; the artifact stays bounded by groups × batches and is
+    * compacted by rewriting it through aggServe whenever batch count
+    * grows long. */
+  def aggMaintainIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, checkpointDir: String,
+      keyCol: String, amountCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.Evolve.aggFold(batch, dir, keyCol, amountCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming DSIR gate: admit only the micro-batch docs whose hashed
     * n-gram importance log-weight against the PERSISTED target/raw
     * log-ratio artifact clears `minLogw` — the data-selection twin of

@@ -208,6 +208,32 @@ class StreamingSpec extends AnyFunSuite {
       "the all-OOV planted doc must not pass the gate")
   }
 
+  test("streaming aggregate maintenance: folded micro-batches equal the " +
+      "batch recompute") {
+    val orders = graft.queries.T.orders(spark, "/root/testdata/sf0.001")
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    val delta = orders.filter(col("o_orderkey") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("aggm_idx").toString
+    graft.ops.Evolve.aggBuild(base, dir, "o_custkey", "o_totalprice")
+    val src = java.nio.file.Files.createTempDirectory("aggm_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("aggm_ckpt")
+    delta.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(delta.schema).parquet(src.toString)
+    val q = StreamOps.aggMaintainIngest(spark, dir, stream, ckpt.toString,
+      "o_custkey", "o_totalprice")
+    q.awaitTermination(180000)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_custkey"), col("n_rows").cast("long"),
+        col("total_amount").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+    val served = norm(graft.ops.Evolve.aggServe(spark, dir, "o_custkey"))
+    val full = norm(orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(dec)).as("total_amount")))
+    assert(served.except(full).isEmpty && full.except(served).isEmpty,
+      "stream-folded aggregate must equal the batch recompute")
+  }
+
   test("streaming bloom admission rejects a later micro-batch's copy of " +
       "an earlier admission") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
