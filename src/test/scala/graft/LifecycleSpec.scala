@@ -141,6 +141,19 @@ class LifecycleSpec extends AnyFunSuite {
     assert(norm(served).except(norm(full)).isEmpty &&
       norm(full).except(norm(served)).isEmpty,
       "folded aggregate must equal the full recompute")
+    // compaction: artifact collapses to one row per group, totals
+    // unchanged, and a post-compaction fold still appends cleanly
+    Evolve.aggCompact(spark, dir, "o_custkey")
+    val rows = graft.ops.Models.load(spark, s"$dir/agg")
+    assert(rows.count() == rows.select("o_custkey").distinct().count(),
+      "compaction must leave one partial row per group")
+    val afterCompact = Evolve.aggServe(spark, dir, "o_custkey")
+    assert(norm(afterCompact).except(norm(full)).isEmpty &&
+      norm(full).except(norm(afterCompact)).isEmpty)
+    Evolve.aggFold(orders.filter(col("o_orderkey") % 3 === 0), dir,
+      "o_custkey", "o_totalprice") // re-fold a slice: schema must merge
+    assert(Evolve.aggServe(spark, dir, "o_custkey").count() == full.count())
+    graft.ops.Pins.releaseAll()
   }
 
   test("tableDiff classifies planted add/remove/change exactly") {
