@@ -128,13 +128,41 @@ object Dsir {
         col("__lw").cast("double").as("dsir_logw"), col("__lw"))
 
   /** Fit-and-weight in one call: target = `targetWhere` slice of `docs`,
-    * raw = all of `docs` (the paper's raw-vs-target contrast). */
+    * raw = all of `docs` (the paper's raw-vs-target contrast). Because
+    * the target is a SUBSET of the raw corpus here, both count tables
+    * come from ONE gram pass (conditional count on the target predicate)
+    * instead of dsirModel's two — one fewer full-corpus explode+hash
+    * scan, byte-identical counts. */
   def dsirWeights(docs: DataFrame, targetWhere: Column,
       idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = DefaultBuckets): DataFrame =
+    dsirWeightsWithN(docs,
+      dsirModelSubset(docs, targetWhere, textCol, idCol, numBuckets),
+      idCol, textCol, numBuckets)
+
+  /** Fit when the target is a SUBSET of the raw corpus (the common
+    * in-query shape): ONE gram pass with a conditional target count
+    * instead of [[dsirModel]]'s two — byte-identical counts, one fewer
+    * full-corpus explode+hash scan. */
+  def dsirModelSubset(raw: DataFrame, targetWhere: Column,
+      textCol: String = "text", idCol: String = "doc_id",
       numBuckets: Int = DefaultBuckets): DataFrame = {
-    val model = dsirModel(docs, docs.filter(targetWhere), textCol, idCol,
+    require(65536 % numBuckets == 0,
+      s"numBuckets=$numBuckets must divide 2^16 for an unbiased bucket mod")
+    // the ≤numBuckets-row count table feeds both the ratio join and the
+    // totals — pin it so the corpus gram pass runs once (the lmBigramModel
+    // n12 precedent; the cache is bucket-bounded, never corpus-sized)
+    val counts = Pins.track(raw
+      .select(col(idCol), targetWhere.as("__t"),
+        explode(gramsCol(textCol)).as("gram"))
+      .select(col("__t"), bucketCol(col("gram"), numBuckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("nt"))
+      .cache())
+    modelOfCounts(raw.sparkSession,
+      counts.select("bucket", "nr"), counts.select("bucket", "nt"),
       numBuckets)
-    dsirWeightsWithN(docs, model, idCol, textCol, numBuckets)
   }
 
   /** Persist the fitted model (one parquet table, numBuckets rows).

@@ -205,8 +205,8 @@ object Streaming {
     "q_stream_dsir_gate",
     TrainPrep.dsirGateOracle) { (s, d) =>
     val docs = T.documents(s, d)
-    val fit = docs.filter(col("doc_id") < 250)
-    val model = graft.ops.Dsir.dsirModel(fit, fit.filter(col("lang") === "en"))
+    val model = graft.ops.Dsir.dsirModelSubset(
+      docs.filter(col("doc_id") < 250), col("lang") === "en")
     graft.ops.Dsir.dsirWeightsWith(docs.filter(col("doc_id") >= 250), model)
       .filter(col("dsir_logw") >= 0.0)
       .select("doc_id", "n_grams", "dsir_logw")
