@@ -102,6 +102,32 @@ object Retrieval {
       s"$dir/stats")
   }
 
+  /** Positional phrase search: exact-phrase occurrence counts per doc —
+    * the retrieval semantics BM25's bag-of-words cannot express (adjacent
+    * word ORDER matters). Scan form: one map-only pass counting the
+    * phrase's token-sequence occurrences in each doc's token array, then
+    * top-k by (occurrences desc, id) as a TakeOrderedAndProject. At
+    * 100 TB this rides the corpus scan like the rest of prep; a served
+    * form would intersect positional postings, with the rarest word's
+    * list bounding candidates — the same df-shape argument as winnow's
+    * maxPostings. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val l = phrase.size
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "")
+    val target = array(phrase.map(w => lit(w.toLowerCase)): _*)
+    df.select(col(idCol), ws.as("__ws"))
+      .filter(size(col("__ws")) >= l)
+      .select(col(idCol),
+        size(filter(sequence(lit(1), size(col("__ws")) - (l - 1)),
+          i => slice(col("__ws"), i, lit(l)) === target))
+          .cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(desc("n_occurrences"), asc(idCol))
+      .limit(k)
+  }
+
   /** BM25 from a PERSISTED index ([[bm25Build]]) — reads only the posting
     * tables, no tokenization: the plan starts at the parquet index scan.
     * Deterministic build ⇒ identical scores to [[bm25]]. */

@@ -113,5 +113,30 @@ object Retrieve {
       .limit(20)
   }
 
-  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served)
+  /** Exact-phrase retrieval ("value table" adjacency, order-sensitive):
+    * top-20 docs by phrase occurrence count — the positional semantics
+    * bag-of-words ranking cannot express. One map-only scan + top-k. */
+  val phraseTopK = QueryDef(
+    "q_ret_phrase_topk",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(generate_series(1, len(ws) - 1),
+      |           i -> ws[i] = 'value' AND ws[i+1] = 'table')) AS BIGINT)
+      |           AS n_occurrences
+      |  FROM w WHERE len(ws) >= 2
+      |)
+      |SELECT doc_id, n_occurrences FROM occ
+      |WHERE n_occurrences > 0
+      |ORDER BY n_occurrences DESC, doc_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Retrieval.phraseSearch(T.documents(s, d), "doc_id", "text",
+      phrase = Seq("value", "table"), k = 20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served, phraseTopK)
 }

@@ -44,6 +44,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(t.filter(col("word") === "zebra").head().getAs[Long]("df") == 2L)
   }
 
+  test("phrase search is order-sensitive and counts overlapping positions") {
+    val docs = Seq(
+      (0L, "cat dog cat dog cat"),   // "cat dog" twice
+      (1L, "dog cat dog cat"),       // "cat dog" once (order matters)
+      (2L, "cat cat cat"),           // adjacency of the SAME word
+      (3L, "cat and dog"),           // words present, not adjacent
+      (4L, "dog dog dog")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("cat", "dog")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L),
+      s"expected order-sensitive adjacency counts, got $got")
+    // overlapping occurrences all count: "cat cat cat" has two "cat cat"
+    val over = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("cat", "cat")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(over == Map(2L -> 2L), s"overlap counting wrong: $over")
+  }
+
   test("bm25 multi-term sums per-term contributions (superset doc wins)") {
     val scored = Retrieval.bm25(corpus, "doc_id", "text", terms = Seq("bird", "fish"))
       .orderBy(desc("score")).collect()
