@@ -128,6 +128,47 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Build the positional-postings index under `dir`: one (word, id,
+    * pos) row per token occurrence. Corpus-sized by nature (it IS the
+    * corpus, re-keyed by word), but written once and word-filterable at
+    * the parquet scan — the point of serving phrase search from it. */
+  def phraseIndexBuild(df: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit =
+    Models.save(
+      df.select(col(idCol),
+          posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+            x => x =!= "")).as(Seq("pos", "word"))),
+      s"$dir/positions")
+
+  /** Phrase search SERVED from the positional index: each phrase word's
+    * postings come from a word-filtered scan of the persisted table
+    * (predicate pushdown — the scan skips row groups without the word,
+    * no tokenization at query time), adjacency is an equi join on
+    * (id, pos offset), and the count/top-k match [[phraseSearch]]
+    * exactly (same oracle). The first word's postings bound the join —
+    * phrase words are rare-ish by Zipf, so the candidate stream is a
+    * tiny fraction of the corpus, which is what the index buys over the
+    * scan form. */
+  def phraseSearchServed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, phrase: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val pos = Models.load(spark, s"$dir/positions")
+    val first = pos.filter(col("word") === phrase.head.toLowerCase)
+      .select(col(idCol), col("pos"))
+    val matches = phrase.toIndexedSeq.zipWithIndex.tail
+      .foldLeft(first) { case (acc, (w, off)) =>
+        acc.join(
+          pos.filter(col("word") === w.toLowerCase)
+            .select(col(idCol), (col("pos") - off).as("pos")),
+          Seq(idCol, "pos"))
+      }
+    matches.groupBy(idCol)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc(idCol))
+      .limit(k)
+  }
+
   /** BM25 from a PERSISTED index ([[bm25Build]]) — reads only the posting
     * tables, no tokenization: the plan starts at the parquet index scan.
     * Deterministic build ⇒ identical scores to [[bm25]]. */

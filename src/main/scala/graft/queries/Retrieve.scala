@@ -138,5 +138,20 @@ object Retrieve {
       phrase = Seq("value", "table"), k = 20)
   }
 
-  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served, phraseTopK)
+  /** The same phrase search SERVED from the persisted positional
+    * postings: word-filtered index scans + adjacency equi join — zero
+    * tokenization at query time; shares the scan form's oracle (the
+    * count/top-k semantics are identical). */
+  val phraseServed = QueryDef(
+    "q_ret_phrase_served",
+    phraseTopK.oracle.get) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"phraseidx|$d") { tmp =>
+      Retrieval.phraseIndexBuild(T.documents(s, d), tmp, "doc_id", "text")
+    }
+    Retrieval.phraseSearchServed(s, dir, "doc_id",
+      phrase = Seq("value", "table"), k = 20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served, phraseTopK,
+    phraseServed)
 }

@@ -343,6 +343,19 @@ class PlanSpec extends AnyFunSuite {
       s"resample plans a global sort instead of top-k:\n$pr")
   }
 
+  test("served phrase search pushes the word filter to the index scan " +
+      "and never re-tokenizes") {
+    val p = plan("q_ret_phrase_served")
+    assert(p.contains("graft_model_"),
+      s"served phrase plan does not scan the positional index:\n$p")
+    assert(p.contains("EqualTo(word,value)") && p.contains("EqualTo(word,table)"),
+      s"word filters not pushed to the parquet index scan:\n$p")
+    assert(!p.toLowerCase.contains("posexplode") && !p.contains("split("),
+      s"served phrase plan re-tokenizes the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not planned as TakeOrderedAndProject:\n$p")
+  }
+
   test("domain cap plans a map-side WindowGroupLimit before the shuffle") {
     // the rank <= k filter must reach the map side: each input partition
     // prunes to its own per-group top-k BEFORE the exchange, so the
