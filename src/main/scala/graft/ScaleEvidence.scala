@@ -80,6 +80,7 @@ object ScaleEvidence {
       case Some("dsir") => dsirEvidence(spark, sfDir); spark.stop(); return
       case Some("mediafp") => mediaFpEvidence(spark, sfDir); spark.stop(); return
       case Some("bloom") => bloomEvidence(spark, sfDir); spark.stop(); return
+      case Some("phrase") => phraseEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
     val out = "/tmp/graft_scale10"
@@ -505,6 +506,54 @@ object ScaleEvidence {
         s""""incoming":$nInc,"false_rejects":$falseRejects,""" +
         s""""fp_rate":${"%.2e".format(falseRejects.toDouble / nInc)},""" +
         s""""t_build_s":${"%.2f".format(tBuild)},"t_serve_s":${"%.2f".format(tServe)}}""")
+    }
+  }
+
+  /** Phrase search at 1x/10x: the serving claim is that the INDEX form's
+    * wall tracks the phrase words' postings (pushdown-bounded), while the
+    * scan form pays the whole corpus — so the scan/index gap must WIDEN
+    * as the corpus grows. Replica prefixes (r0_..r9_) change every word,
+    * so the replicated corpus is searched for the original phrase via
+    * replica-0's unprefixed twin being absent — instead each replica
+    * carries its own prefixed phrase; we search replica 3's, making the
+    * target postings a fixed 1/10 slice of the 10x index. */
+  private def phraseEvidence(spark: SparkSession, sfDir: String): Unit = {
+    val docs1 = queries.T.documents(spark, sfDir)
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${k}_$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    locally { // untimed warmup
+      val w = java.nio.file.Files.createTempDirectory("phr_warm").toString
+      ops.Retrieval.phraseIndexBuild(docs1.limit(100), w, "doc_id", "text")
+      ops.Retrieval.phraseSearchServed(spark, w, "doc_id",
+        Seq("value", "table")).count()
+      ops.Retrieval.phraseSearch(docs1.limit(100), "doc_id", "text",
+        Seq("value", "table")).count()
+      clearAll(spark)
+    }
+    for ((scale, d, phrase) <- Seq(
+        ("1x", docs1, Seq("value", "table")),
+        ("10x", docs10, Seq("r3_value", "r3_table")))) {
+      clearAll(spark)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"phr_$scale").toString
+      val (_, tBuild) = timed {
+        ops.Retrieval.phraseIndexBuild(d, dir, "doc_id", "text")
+      }
+      clearAll(spark)
+      val (nScan, tScan) = timed {
+        ops.Retrieval.phraseSearch(d, "doc_id", "text", phrase).count()
+      }
+      clearAll(spark)
+      val (nIdx, tIdx) = timed {
+        ops.Retrieval.phraseSearchServed(spark, dir, "doc_id", phrase).count()
+      }
+      println(s"""PHRASE {"scale":"$scale","n_docs":${d.count()},""" +
+        s""""t_build_s":${"%.2f".format(tBuild)},""" +
+        s""""scan_hits":$nScan,"t_scan_s":${"%.2f".format(tScan)},""" +
+        s""""idx_hits":$nIdx,"t_index_s":${"%.2f".format(tIdx)}}""")
     }
   }
 
