@@ -877,7 +877,30 @@ object Multimodal {
 
   /** Verified near-dup pairs (doc_a < doc_b) via the banded candidate
     * join + exact bit_count Hamming check — shared by the count and
-    * survivor forms. */
+    * survivor forms, and exposed for cross-modal compositions
+    * ([[jointDedupSurvivors]]). */
+  def phashPairsOf(hashes: DataFrame, maxHamming: Int = 7): DataFrame =
+    phashPairs(hashes, maxHamming)
+
+  /** Joint multimodal dedup (the paired-corpus shape: every document
+    * carries both text and an image, and a pair is a duplicate when
+    * EITHER modality matches — re-uploads crop/re-encode images, mirrors
+    * rewrite captions): union the text near-dup pairs with the image
+    * near-dup pairs, close transitively, keep ONE survivor (min doc_id)
+    * per component. Each modality contributes only its own banded pairs
+    * (no new all-pairs anywhere); the closure is the same pointer-jumping
+    * components every dedup family shares. */
+  def jointDedupSurvivors(textPairs: DataFrame, imagePairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val edges = textPairs.select("doc_a", "doc_b")
+      .unionByName(imagePairs.select("doc_a", "doc_b"))
+      .distinct()
+    val dropped = Dedup.connectedComponents(edges)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   private def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val tables = maxHamming + 1
     val width = 64 / tables

@@ -1576,6 +1576,55 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Joint multimodal dedup components (the paired text+image corpus
+    * shape): documents merge when EITHER their texts are MinHash-verified
+    * near-dups OR their images are phash near-dups — union both
+    * modalities' banded pair sets and close transitively. Re-uploads
+    * crop/re-encode the image, mirrors rewrite the caption; either
+    * signal alone misses them. The query outputs the full per-doc
+    * component map (not just survivors) because OR-union closure CHAINS:
+    * on this corpus the handful of text pairs bridge the 8 planted image
+    * classes into ONE component — the transitive-chaining hazard that
+    * makes production pipelines pick per-modality thresholds carefully,
+    * visible in the data instead of collapsed to a 1-row answer. The
+    * oracle composes the two proven CTE chains with one recursive
+    * closure. */
+  val jointDedup = QueryDef(
+    "q_ns_multimodal_joint_dedup",
+    s"""WITH RECURSIVE ${graft.ops.Neutral.candidateCtesForOracle("documents", 0.8)},
+      |$phashCtes,
+      |jedges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM hits
+      |  UNION SELECT doc_b, doc_a FROM hits
+      |  UNION SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |),
+      |jreach(a, b) AS (
+      |  SELECT a, b FROM jedges
+      |  UNION
+      |  SELECT r.a, e.b FROM jreach r JOIN jedges e ON r.b = e.a
+      |),
+      |jcomp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+      |          FROM jreach GROUP BY a)
+      |SELECT dd.doc_id,
+      |       coalesce(jcomp.component, dd.doc_id) AS component
+      |FROM documents dd
+      |LEFT JOIN jcomp USING (doc_id)
+      |ORDER BY dd.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    val docs = T.documents(s, d)
+    val textPairs = graft.ops.Neutral.minHashCandidates(docs)
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    val imagePairs = Multimodal.phashPairsOf(
+      Multimodal.imageDHash(Multimodal.syntheticTexturedImageTable(docs)))
+    val edges = textPairs.unionByName(imagePairs).distinct()
+    docs.select("doc_id")
+      .join(graft.ops.Dedup.connectedComponents(edges), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Video near-dup by keyframe-hash set overlap: per-video sampled
     * keyframes (REAL encoded textured images, same-class videos sharing
     * frame content at different trim lengths) → per-frame byte decode +
@@ -1941,5 +1990,5 @@ object NorthStar {
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,
-    audioFpDedup, audioFpSurvivors, videoDedup)
+    audioFpDedup, audioFpSurvivors, videoDedup, jointDedup)
 }

@@ -679,6 +679,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.afHalves(Array.fill(40)(1)).isEmpty)
   }
 
+  test("joint multimodal dedup: a text pair bridges two image components") {
+    import spark.implicits._
+    // image pairs: {1,2} and {3,4}; text pair 2~3 bridges them
+    val imagePairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val textPairs = Seq((2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 5L).toDF("doc_id")
+    val surv = Multimodal.jointDedupSurvivors(textPairs, imagePairs, docs)
+      .collect().map(_.getLong(0)).toSet
+    // one component {1,2,3,4} -> survivor 1; doc 5 untouched
+    assert(surv == Set(1L, 5L), s"expected bridged closure, got $surv")
+  }
+
   test("video near-dup: keyframe decode + hash set overlap finds trimmed " +
       "same-class copies, never cross-class") {
     implicit val s: SparkSession = spark
