@@ -818,6 +818,45 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Dataset card: the per-source corpus composition report a pipeline
+    * publishes with every release — doc/token counts, mean quality
+    * (per-row score rounded to DECIMAL(18,6) before the cross-partition
+    * sum: the float-determinism contract), language spread. One scan,
+    * one partial-agg shuffle to |sources| rows. */
+  val datasetCard = QueryDef(
+    "q_ns_dataset_card",
+    """WITH q AS (
+      |  SELECT source, lang,
+      |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                              x -> x <> '')) AS BIGINT) AS n_tokens,
+      |         CAST((CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
+      |            / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.2
+      |          + (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                 x -> list_contains(['the','a','an','of','and','to','in','is'], x))) AS DOUBLE)
+      |             / len(string_split_regex(lower(trim(text)), '\s+'))) * 2.0
+      |          - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+      |             / length(text)) * 5.0 AS DECIMAL(18,6)) AS qd
+      |  FROM documents
+      |)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(qd) AS DOUBLE) / count(*) AS avg_quality,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM q GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    TextAnalysis.withQuality(T.documents(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")).cast("long")).as("n_tokens"),
+        (sum(col("quality_score").cast(dec)).cast("double")
+          / count(lit(1))).as("avg_quality"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+  }
+
   /** Char-trigram language ID (q_ns_text_langid's upgrade): weighted
     * profile-trigram counts over all character trigrams, argmax with the
     * same alphabetical tie-break. The oracle's CASE weight tables are
@@ -1982,7 +2021,7 @@ object NorthStar {
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
     textTokens, textQuality, textLangId, textLangIdTrigram, textFingerprint,
-    textVocab,
+    textVocab, datasetCard,
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,
     prepareCorpusClassifiedQ, splitQ,
