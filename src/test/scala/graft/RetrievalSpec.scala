@@ -63,6 +63,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(over == Map(2L -> 2L), s"overlap counting wrong: $over")
   }
 
+  test("served phrase search equals the scan form on real corpus data") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    Retrieval.phraseIndexBuild(docs, dir, "doc_id", "text")
+    for (phrase <- Seq(Seq("value", "table"), Seq("the", "line"),
+        Seq("a", "a"), Seq("scan", "slow", "fast"))) {
+      val scan = Retrieval.phraseSearch(docs, "doc_id", "text", phrase, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val served = Retrieval.phraseSearchServed(spark, dir, "doc_id",
+          phrase, 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(scan == served,
+        s"phrase $phrase: scan $scan != served $served")
+    }
+  }
+
   test("bm25 multi-term sums per-term contributions (superset doc wins)") {
     val scored = Retrieval.bm25(corpus, "doc_id", "text", terms = Seq("bird", "fish"))
       .orderBy(desc("score")).collect()
