@@ -58,7 +58,12 @@ object Sources {
     * single-pass). */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    // DROPMALFORMED: the poison-blob contract of the media decoders,
+    // applied to text ingestion — a 100 TB crawl always carries some
+    // corrupt lines, and the default PERMISSIVE mode would inject
+    // all-null rows into every downstream aggregate instead of
+    // dropping the garbage at the gate
+    spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
   /** Full-replace JSONL sink (one object per line, the readJsonl twin). */
   def writeJsonlReplace(df: DataFrame, path: String): Unit =

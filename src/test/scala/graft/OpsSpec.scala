@@ -679,6 +679,22 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.afHalves(Array.fill(40)(1)).isEmpty)
   }
 
+  test("JSONL read drops malformed lines instead of null-poisoning rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_poison")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good line"}
+        |not json at all {{{
+        |{"doc_id": 2, "text": "another good line"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val got = graft.model.Sources.readJsonl(spark, dir.toString, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "good line"), (2L, "another good line")),
+      s"malformed line not dropped cleanly: $got")
+  }
+
   test("joint multimodal dedup: a text pair bridges two image components") {
     import spark.implicits._
     // image pairs: {1,2} and {3,4}; text pair 2~3 bridges them
