@@ -495,8 +495,8 @@ object ScaleEvidence {
       }
       val occupied = ops.Models.load(spark, s"$dir/bloom").count()
       val ((nInc, falseRejects), tServe) = timed {
-        val r = ops.Neutral.admitBloomServed(spark, dir, incoming,
-            mBits = mBits)
+        // mBits now travels with the artifact (bloom_meta) — serve reads it
+        val r = ops.Neutral.admitBloomServed(spark, dir, incoming)
           .agg(count(lit(1)), sum(when(!col("admitted"), 1L).otherwise(0L)))
           .head()
         (r.getLong(0), r.getLong(1))

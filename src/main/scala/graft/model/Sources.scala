@@ -60,9 +60,12 @@ object Sources {
       schema: StructType): DataFrame =
     // DROPMALFORMED: the poison-blob contract of the media decoders,
     // applied to text ingestion — a 100 TB crawl always carries some
-    // corrupt lines, and the default PERMISSIVE mode would inject
-    // all-null rows into every downstream aggregate instead of
-    // dropping the garbage at the gate
+    // UNPARSEABLE lines, and the default PERMISSIVE mode would inject
+    // an all-null row for each instead of dropping it at the gate.
+    // Scope: this drops lines that fail to PARSE as JSON only; a
+    // structurally valid object with missing/null fields still yields
+    // a row with null columns — callers needing non-null guarantees on
+    // required columns add an explicit notNull filter downstream
     spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
   /** Full-replace JSONL sink (one object per line, the readJsonl twin). */

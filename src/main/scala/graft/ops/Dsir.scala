@@ -165,22 +165,45 @@ object Dsir {
       numBuckets)
   }
 
-  /** Persist the fitted model (one parquet table, numBuckets rows).
-    * Deterministic fit ⇒ byte-identical on rebuild, so served weights
-    * share the fit form's oracle. */
+  /** The artifact's bucket-space record: serving with a numBuckets
+    * different from the build's silently drops grams (larger) or scores
+    * against wrong ratios (smaller) — plausible-looking garbage. Every
+    * build persists a 1-row meta table; every serve/append validates the
+    * caller's value against it and fails fast on mismatch. */
+  private def saveMeta(spark: SparkSession, dir: String,
+      numBuckets: Int): Unit =
+    Models.save(spark.range(1).select(lit(numBuckets).as("num_buckets")),
+      s"$dir/meta")
+
+  private def requireMeta(spark: SparkSession, dir: String,
+      numBuckets: Int): Unit = {
+    val m = Models.load(spark, s"$dir/meta").head().getAs[Int]("num_buckets")
+    require(m == numBuckets,
+      s"numBuckets=$numBuckets does not match the artifact's bucket space " +
+        s"($m) persisted at $dir/meta — rebuild or pass the artifact's value")
+  }
+
+  /** Persist the fitted model (one parquet table, numBuckets rows, plus
+    * the 1-row bucket-space meta). Deterministic fit ⇒ byte-identical on
+    * rebuild, so served weights share the fit form's oracle. */
   def dsirBuild(raw: DataFrame, target: DataFrame, dir: String,
       textCol: String = "text", idCol: String = "doc_id",
-      numBuckets: Int = DefaultBuckets): Unit =
+      numBuckets: Int = DefaultBuckets): Unit = {
     Models.save(dsirModel(raw, target, textCol, idCol, numBuckets),
       s"$dir/logratio")
+    saveMeta(raw.sparkSession, dir, numBuckets)
+  }
 
   /** Weight a corpus against a PERSISTED model — zero fitting at serve
-    * time (the daily-crawl selection pass). */
+    * time (the daily-crawl selection pass). Fails fast if `numBuckets`
+    * disagrees with the artifact's persisted bucket space. */
   def dsirServe(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      numBuckets: Int = DefaultBuckets): DataFrame =
+      numBuckets: Int = DefaultBuckets): DataFrame = {
+    requireMeta(spark, dir, numBuckets)
     dsirWeightsWithN(docs, Models.load(spark, s"$dir/logratio"), idCol,
       textCol, numBuckets)
+  }
 
   /** COUNT-form artifact: persist the raw/target bucket-count tables
     * instead of precomputed log-ratios. Counts are ADDITIVE — the raw
@@ -197,16 +220,21 @@ object Dsir {
       s"$dir/raw_counts")
     Models.save(bucketCounts(target, idCol, textCol, numBuckets, "nt"),
       s"$dir/target_counts")
+    saveMeta(raw.sparkSession, dir, numBuckets)
   }
 
   /** Fold a new raw batch's bucket counts into the count-form artifact —
     * scan the BATCH only; the loaded table may then hold several rows
-    * per bucket, summed at load. */
+    * per bucket, summed at load. Validates the bucket space against the
+    * artifact's meta (an append in a different space would corrupt every
+    * later serve). */
   def dsirAppendRaw(newRaw: DataFrame, dir: String,
       textCol: String = "text", idCol: String = "doc_id",
-      numBuckets: Int = DefaultBuckets): Unit =
+      numBuckets: Int = DefaultBuckets): Unit = {
+    requireMeta(newRaw.sparkSession, dir, numBuckets)
     Models.append(bucketCounts(newRaw, idCol, textCol, numBuckets, "nr"),
       s"$dir/raw_counts")
+  }
 
   /** Weight a corpus against the COUNT-form artifact: sum the (possibly
     * appended) per-bucket count rows, rebuild the log-ratio model (a
@@ -216,6 +244,7 @@ object Dsir {
   def dsirServeCounts(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       numBuckets: Int = DefaultBuckets): DataFrame = {
+    requireMeta(spark, dir, numBuckets)
     val rawC = Models.load(spark, s"$dir/raw_counts")
       .groupBy("bucket").agg(sum(col("nr")).as("nr"))
     val tgtC = Models.load(spark, s"$dir/target_counts")

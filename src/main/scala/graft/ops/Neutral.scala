@@ -299,10 +299,16 @@ object Neutral {
     * rooted there — a merely-cached batch would silently re-admit against
     * the appended files and dedup itself to empty. The checkpoint is
     * batch-sized (a day of admissions), the same footprint the caller's
-    * corpus write already carries. */
+    * corpus write already carries. `commitBeforeAppend` runs on the
+    * checkpointed admissions BEFORE their signatures enter the index —
+    * a durable sink write placed there means a crash can only leave the
+    * sink ahead of the index (replay duplicates sink rows, recoverable),
+    * never admissions permanently rejected by their own not-yet-committed
+    * signatures (the failure mode of append-before-sink). */
   def admitAndAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       incoming: DataFrame, textCol: String = "text",
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      commitBeforeAppend: DataFrame => Unit = _ => ()): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val admitted =
@@ -311,6 +317,7 @@ object Neutral {
     // register the checkpoint RDD so Pins can free what the DataFrame
     // handle cannot reach (release only AFTER consuming the batch)
     Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
+    commitBeforeAppend(admitted)
     dedupIndexAppend(admitted, dir, textCol)
     admitted
   }
@@ -346,16 +353,29 @@ object Neutral {
       corpus.select(explode(array(bloomPosCols(textCol, mBits): _*)).as("pos"))
         .distinct(),
       s"$dir/bloom")
+    // mBits is part of the artifact, not a caller convention: probing with
+    // a different position space makes every probe miss and silently
+    // admits true duplicates — breaking the no-false-negative guarantee.
+    // Serve/append read it back from this 1-row meta table.
+    Models.save(
+      corpus.sparkSession.range(1).select(lit(mBits).as("m_bits")),
+      s"$dir/bloom_meta")
   }
+
+  /** The artifact's position-space, read back from the build's meta. */
+  private def bloomMBits(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    Models.load(spark, s"$dir/bloom_meta").head().getAs[Int]("m_bits")
 
   /** Admission annotation against the persisted Bloom artifact: each
     * incoming doc's k positions probe the loaded set (one broadcast
     * join); `admitted` = at least one position unoccupied. Map-only over
     * the batch + one broadcast + per-doc partial agg — no corpus-side
-    * anything at admission time. */
+    * anything at admission time. The position space comes from the
+    * artifact's meta table, never from the caller. */
   def admitBloomServed(spark: org.apache.spark.sql.SparkSession, dir: String,
-      incoming: DataFrame, textCol: String = "text",
-      mBits: Int = 1 << 20): DataFrame = {
+      incoming: DataFrame, textCol: String = "text"): DataFrame = {
+    val mBits = bloomMBits(spark, dir)
     val occupied = Models.load(spark, s"$dir/bloom")
       .withColumn("__hit", lit(1L))
     incoming
@@ -371,31 +391,41 @@ object Neutral {
   /** Append a batch's positions to the Bloom artifact — the admission
     * loop's seen-set update ([[dedupIndexAppend]]'s cheap sibling: the
     * append is ≤ k·|batch| position rows, and the artifact stays bounded
-    * by mBits regardless of how many batches accumulate). */
+    * by mBits regardless of how many batches accumulate). The position
+    * space comes from the artifact's meta table. */
   def bloomIndexAppend(admitted: DataFrame, dir: String,
-      textCol: String = "text", mBits: Int = 1 << 20): Unit =
+      textCol: String = "text"): Unit = {
+    val mBits = bloomMBits(admitted.sparkSession, dir)
     Models.append(
       admitted.select(explode(array(bloomPosCols(textCol, mBits): _*)).as("pos"))
         .distinct(),
       s"$dir/bloom")
+  }
 
   /** Admit a batch against the Bloom artifact AND fold its positions in —
     * the per-batch step of the streaming seen-set loop. Same
     * checkpoint-before-append discipline as [[admitAndAppend]]: the
     * admitted rows are severed from the artifact scan their plan reads,
-    * because the append invalidates cached plans rooted at `dir`. */
+    * because the append invalidates cached plans rooted at `dir`.
+    * `commitBeforeAppend` runs on the checkpointed admissions BETWEEN the
+    * checkpoint and the position append — a durable sink write placed
+    * there means a crash can only ever leave the sink AHEAD of the index
+    * (replay re-admits and duplicates sink rows), never admissions
+    * permanently rejected by their own not-yet-committed positions (the
+    * failure mode of append-before-sink). */
   def admitBloomAndAppend(spark: org.apache.spark.sql.SparkSession,
       dir: String, incoming: DataFrame, textCol: String = "text",
-      mBits: Int = 1 << 20): DataFrame = {
+      commitBeforeAppend: DataFrame => Unit = _ => ()): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val admitted = incoming
-      .join(admitBloomServed(spark, dir, incoming, textCol, mBits)
+      .join(admitBloomServed(spark, dir, incoming, textCol)
           .filter(col("admitted")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .localCheckpoint()
     Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
-    bloomIndexAppend(admitted, dir, textCol, mBits)
+    commitBeforeAppend(admitted)
+    bloomIndexAppend(admitted, dir, textCol)
     admitted
   }
 

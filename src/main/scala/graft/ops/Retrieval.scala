@@ -81,13 +81,27 @@ object Retrieval {
       .agg(sum(col("c")).cast("double").as("score"))
   }
 
+  /** Range-partition on `word` (then sort within partitions) before an
+    * index save: every parquet file/row group then covers a narrow,
+    * non-overlapping word range, so a word-equality scan prunes on the
+    * footer min/max stats and reads ~1/numPartitions of the table instead
+    * of all of it. Without this the postings land in posexplode (doc)
+    * order — every row group holds a broad word mix and the stats prune
+    * nothing (the r9 layout gap). Skew note: a Zipf-head word larger than
+    * one partition splits across adjacent ranges keyed by `idCol`; stats
+    * stay tight because ranges never interleave. */
+  private def wordSorted(df: DataFrame, idCol: String): DataFrame =
+    df.repartitionByRange(col("word"), col(idCol))
+      .sortWithinPartitions("word", idCol)
+
   /** Build and persist the sparse index ONCE (`ops.Models` fit/apply
-    * split): `postings` (id, word, tf), `doclen` (id, dl), `stats`
-    * (1 row: n_docs, avgdl) as parquet under `dir`. The corpus is
-    * tokenized exactly once here; serving never touches the raw text —
-    * the inverted-index lifecycle every search system runs, and the
-    * incremental-ingest shape (re-build appends postings for new docs;
-    * stats recompute from doclen, not from text). */
+    * split): `postings` (id, word, tf) word-range-sorted for row-group
+    * pruning, `doclen` (id, dl), `stats` (ADDITIVE partials: n_docs,
+    * sum_dl — [[bm25Serve]] folds them, so [[bm25Append]] can add a
+    * batch's partial without touching old data) as parquet under `dir`.
+    * The corpus is tokenized exactly once here; serving never touches
+    * the raw text — the inverted-index lifecycle every search system
+    * runs. */
   def bm25Build(df: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = Pins.scoped {
     val tf = Pins.track(tokens(df, idCol, textCol)
@@ -95,10 +109,37 @@ object Retrieval {
       .cache())
     val dl = Pins.track(
       tf.groupBy(idCol).agg(sum(col("tf")).as("dl")).cache())
-    Models.save(tf, s"$dir/postings")
+    Models.save(wordSorted(tf, idCol), s"$dir/postings")
     Models.save(dl, s"$dir/doclen")
     Models.save(
-      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")),
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      s"$dir/stats")
+  }
+
+  /** Append one batch of NEW documents to the persisted BM25 index — the
+    * additive-artifact pattern's retrieval instance (dedup index / bloom
+    * / DSIR counts / maintained aggregate are the other four): postings
+    * and doclen rows for the batch append (batch-only tokenization, old
+    * data never re-read), and the corpus stats fold at serve time from
+    * one more (n_docs, sum_dl) partial row. Serving after the append is
+    * bit-identical to a full rebuild on the cumulative corpus: postings/
+    * doclen are unions keyed by doc, df counts posting ROWS (one per
+    * (doc, word) either way), and the stats fold is exact integer
+    * arithmetic. Contract: batch doc ids must be NEW (admission's job) —
+    * re-appending a doc would double its postings and inflate tf/df.
+    * Each appended file set is itself word-range-sorted, so pruning
+    * holds per append generation. */
+  def bm25Append(batch: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = Pins.scoped {
+    val tf = Pins.track(tokens(batch, idCol, textCol)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .cache())
+    val dl = Pins.track(
+      tf.groupBy(idCol).agg(sum(col("tf")).as("dl")).cache())
+    Models.append(wordSorted(tf, idCol), s"$dir/postings")
+    Models.append(dl, s"$dir/doclen")
+    Models.append(
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
       s"$dir/stats")
   }
 
@@ -116,7 +157,11 @@ object Retrieval {
     require(phrase.size >= 2, "a phrase needs at least two words")
     val l = phrase.size
     val ws = filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "")
-    val target = array(phrase.map(w => lit(w.toLowerCase)): _*)
+    // Locale.ROOT: corpus tokens are folded by Spark's locale-independent
+    // lower(); a default-locale toLowerCase would diverge under e.g. a
+    // Turkish JVM locale ('I' -> dotless 'ı') and silently match nothing
+    val target = array(phrase.map(w =>
+      lit(w.toLowerCase(java.util.Locale.ROOT))): _*)
     df.select(col(idCol), ws.as("__ws"))
       .filter(size(col("__ws")) >= l)
       .select(col(idCol),
@@ -129,20 +174,45 @@ object Retrieval {
   }
 
   /** Build the positional-postings index under `dir`: one (word, id,
-    * pos) row per token occurrence. Corpus-sized by nature (it IS the
-    * corpus, re-keyed by word), but written once and word-filterable at
-    * the parquet scan — the point of serving phrase search from it. */
+    * pos) row per token occurrence, RANGE-PARTITIONED AND SORTED on
+    * `word` ([[wordSorted]]). Corpus-sized by nature (it IS the corpus,
+    * re-keyed by word), but written once — and because each file/row
+    * group covers a narrow word range, a phrase query's word-equality
+    * scans prune on footer min/max stats and read a small fraction of
+    * the index instead of the whole corpus-sized table (measured in
+    * SCALING.md: the unsorted doc-order layout prunes nothing). */
   def phraseIndexBuild(df: DataFrame, dir: String, idCol: String,
       textCol: String): Unit =
     Models.save(
-      df.select(col(idCol),
+      wordSorted(
+        df.select(col(idCol),
           posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
             x => x =!= "")).as(Seq("pos", "word"))),
+        idCol),
+      s"$dir/positions")
+
+  /** Append one batch of NEW documents' positions to the phrase index —
+    * batch-only tokenization, the existing postings never re-read. The
+    * adjacency join is per-doc, so appended docs (fresh ids by the
+    * admission contract) change no existing doc's count; a served query
+    * after the append equals the scan form over the cumulative corpus.
+    * Each appended file set is itself word-range-sorted, so stats-based
+    * pruning holds per append generation. */
+  def phraseIndexAppend(batch: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit =
+    Models.append(
+      wordSorted(
+        batch.select(col(idCol),
+          posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+            x => x =!= "")).as(Seq("pos", "word"))),
+        idCol),
       s"$dir/positions")
 
   /** Phrase search SERVED from the positional index: each phrase word's
     * postings come from a word-filtered scan of the persisted table
-    * (predicate pushdown — the scan skips row groups without the word,
+    * (predicate pushdown onto the word-range-sorted layout — footer
+    * min/max stats skip the files and row groups whose word range
+    * excludes the term, so the scan reads ~1/numPartitions of the index;
     * no tokenization at query time), adjacency is an equi join on
     * (id, pos offset), and the count/top-k match [[phraseSearch]]
     * exactly (same oracle). The first word's postings bound the join —
@@ -154,12 +224,14 @@ object Retrieval {
       k: Int = 20): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two words")
     val pos = Models.load(spark, s"$dir/positions")
-    val first = pos.filter(col("word") === phrase.head.toLowerCase)
+    // Locale.ROOT folding for the same reason as phraseSearch's target
+    val first = pos
+      .filter(col("word") === phrase.head.toLowerCase(java.util.Locale.ROOT))
       .select(col(idCol), col("pos"))
     val matches = phrase.toIndexedSeq.zipWithIndex.tail
       .foldLeft(first) { case (acc, (w, off)) =>
         acc.join(
-          pos.filter(col("word") === w.toLowerCase)
+          pos.filter(col("word") === w.toLowerCase(java.util.Locale.ROOT))
             .select(col(idCol), (col("pos") - off).as("pos")),
           Seq(idCol, "pos"))
       }
@@ -169,15 +241,23 @@ object Retrieval {
       .limit(k)
   }
 
-  /** BM25 from a PERSISTED index ([[bm25Build]]) — reads only the posting
-    * tables, no tokenization: the plan starts at the parquet index scan.
-    * Deterministic build ⇒ identical scores to [[bm25]]. */
+  /** BM25 from a PERSISTED index ([[bm25Build]], plus any number of
+    * [[bm25Append]] deltas) — reads only the posting tables, no
+    * tokenization: the plan starts at the parquet index scan. The stats
+    * partials fold here: n_docs and sum_dl are exact integer sums over
+    * one row per build/append, and avgdl = sum_dl / n_docs reproduces
+    * the rebuild's avg(dl) bit-for-bit (integer-valued doubles below
+    * 2^53 sum exactly in any order). Deterministic build ⇒ identical
+    * scores to [[bm25]] on the cumulative corpus. */
   def bm25Serve(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame =
     bm25Score(
       Models.load(spark, s"$dir/postings"),
       Models.load(spark, s"$dir/doclen"),
-      Models.load(spark, s"$dir/stats"),
+      Models.load(spark, s"$dir/stats")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")),
       idCol, terms, k1, b)
 }

@@ -152,6 +152,48 @@ object Retrieve {
       phrase = Seq("value", "table"), k = 20)
   }
 
+  /** BM25 served from an index built on 80% of the corpus and APPENDED
+    * with the remaining 20% (Retrieval.bm25Append) — the additive-
+    * artifact lifecycle for sparse retrieval: the daily crawl tokenizes
+    * only its batch, stats partials fold at serve time, and the served
+    * scores are bit-identical to a full rebuild on the cumulative corpus
+    * — which is why the oracle is the full-corpus bm25 SQL, shared
+    * verbatim with q_ret_bm25_topk. */
+  val bm25ServedIncremental = QueryDef(
+    "q_ret_bm25_served_incremental",
+    bm25OracleSql) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bm25inc|$d") { tmp =>
+      val docs = T.documents(s, d)
+      Retrieval.bm25Build(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tmp)
+      Retrieval.bm25Append(docs.filter(col("doc_id") % 5 === 0), tmp,
+        "doc_id", "text")
+    }
+    Retrieval.bm25Serve(s, dir, "doc_id",
+        terms = Seq("vector", "join", "hash"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Phrase search served from a positional index built on 80% of the
+    * corpus and APPENDED with the remaining 20% — batch-only
+    * tokenization for the delta, per-generation word-sorted layout, and
+    * results identical to the scan form over the cumulative corpus
+    * (same full-corpus oracle as q_ret_phrase_topk). */
+  val phraseServedIncremental = QueryDef(
+    "q_ret_phrase_served_incremental",
+    phraseTopK.oracle.get) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"phraseidx_inc|$d") { tmp =>
+      val docs = T.documents(s, d)
+      Retrieval.phraseIndexBuild(docs.filter(col("doc_id") % 5 =!= 0), tmp,
+        "doc_id", "text")
+      Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 5 === 0), tmp,
+        "doc_id", "text")
+    }
+    Retrieval.phraseSearchServed(s, dir, "doc_id",
+      phrase = Seq("value", "table"), k = 20)
+  }
+
   val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served, phraseTopK,
-    phraseServed)
+    phraseServed, bm25ServedIncremental, phraseServedIncremental)
 }

@@ -265,12 +265,19 @@ object StreamOps {
     * cross-batch closure is the gap [[admissionIngest]] structurally
     * cannot close: its corpus frame is fixed when the query starts, so a
     * near-dup arriving two micro-batches after its original sails
-    * through. Sink writes are exactly-once via the checkpoint; an index
-    * re-append under failure replay is harmless (admission reads the
-    * index through anti/semi joins, which ignore key multiplicity — the
-    * worst case is re-dropping what was already dropped). Per-batch pins
-    * (incoming signatures + the admitted checkpoint) release via
-    * [[graft.ops.Pins.scoped]] AFTER the sink write consumes them. */
+    * through. Failure ordering: the sink write commits BEFORE the batch's
+    * signatures enter the index (Neutral.admitAndAppend's
+    * commitBeforeAppend hook), so a crash between the two replays the
+    * batch against an index that does NOT yet contain it — the same docs
+    * are re-admitted and re-appended to the sink (at-least-once:
+    * downstream dedups on doc_id or the digest, both carried) — and
+    * admissions are never permanently rejected by their own
+    * not-yet-visible signatures, which is what the reverse ordering
+    * (index-first) risks. An index re-append under replay is harmless
+    * (admission reads the index through anti/semi joins, which ignore
+    * key multiplicity). Per-batch pins (incoming signatures + the
+    * admitted checkpoint) release via [[graft.ops.Pins.scoped]] AFTER
+    * the sink write consumes them. */
   def admissionIngestServed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
       checkpointDir: String, minJaccard: Double = 0.8)
@@ -279,8 +286,9 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Pins.scoped {
           graft.ops.Neutral.admitAndAppend(spark, indexDir, batch,
-            minJaccard = minJaccard)
-            .write.mode("append").parquet(sinkDir)
+            minJaccard = minJaccard,
+            commitBeforeAppend =
+              _.write.mode("append").parquet(sinkDir)): Unit
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -317,21 +325,27 @@ object StreamOps {
   /** Streaming Bloom admission — [[admissionIngestServed]]'s
     * fixed-memory sibling: per micro-batch, probe the persisted
     * occupied-position artifact (broadcast, mBits-bounded at ANY corpus
-    * size), append survivors to the sink, and fold their positions into
-    * the artifact so the NEXT micro-batch rejects re-sends of earlier
-    * admissions. A replayed append after failure is harmless (position
-    * multiplicity never changes a probe); sink writes are exactly-once
-    * via the checkpoint. */
+    * size; the position space is read from the artifact's meta, never a
+    * caller parameter), append survivors to the sink, and fold their
+    * positions into the artifact so the NEXT micro-batch rejects
+    * re-sends of earlier admissions. Failure ordering as in
+    * [[admissionIngestServed]]: sink first, positions after — a crash
+    * between the two replays the batch against positions that don't yet
+    * include it (duplicate sink rows, at-least-once, recoverable), never
+    * the reverse ordering's permanent loss where the replayed batch
+    * probes its own appended positions and rejects every doc. A replayed
+    * position append is harmless (position multiplicity never changes a
+    * probe). */
   def bloomIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
-      checkpointDir: String, mBits: Int = 1 << 20)
+      checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Pins.scoped {
           graft.ops.Neutral.admitBloomAndAppend(spark, indexDir, batch,
-            mBits = mBits)
-            .write.mode("append").parquet(sinkDir)
+            commitBeforeAppend =
+              _.write.mode("append").parquet(sinkDir)): Unit
         }
       }
       .option("checkpointLocation", checkpointDir)

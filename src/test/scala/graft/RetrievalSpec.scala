@@ -85,4 +85,38 @@ class RetrievalSpec extends AnyFunSuite {
     // doc 4 has bird x4 + fish x2; doc 2 has bird x2 + fish x2; others none
     assert(scored.map(_.getLong(0)).toSeq == Seq(4L, 2L))
   }
+
+  test("phrase index append: a served query finds batch-2 docs and matches the cumulative scan") {
+    val all = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val base = all.filter(col("doc_id") % 5 =!= 0)
+    val batch2 = all.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx_inc").toString
+    Retrieval.phraseIndexBuild(base, dir, "doc_id", "text")
+    Retrieval.phraseIndexAppend(batch2, dir, "doc_id", "text")
+    val phrase = Seq("value", "table")
+    val served = Retrieval.phraseSearchServed(spark, dir, "doc_id", phrase, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scan = Retrieval.phraseSearch(all, "doc_id", "text", phrase, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == scan, "served-after-append != cumulative scan")
+    // the lifecycle claim with teeth: at least one hit comes from the
+    // APPENDED batch (otherwise the test would pass on a stale index)
+    assert(served.exists { case (id, _) => id % 5 == 0 },
+      s"no batch-2 docs among the hits — appended postings not served: $served")
+  }
+
+  test("bm25 append: served scores equal a full rebuild on the cumulative corpus") {
+    val all = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val inc = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    Retrieval.bm25Build(all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", inc)
+    Retrieval.bm25Append(all.filter(col("doc_id") % 5 === 0), inc, "doc_id", "text")
+    Retrieval.bm25Build(all, "doc_id", "text", full)
+    val terms = Seq("vector", "join", "hash")
+    def scores(dir: String) =
+      Retrieval.bm25Serve(spark, dir, "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(scores(inc) == scores(full),
+      "build+append does not reproduce the cumulative rebuild bit-for-bit")
+  }
 }
