@@ -91,10 +91,33 @@ object Bench {
                             // 0.14-0.21 s across runs on this machine;
                             // the 2x contended threshold is 0.40 s)
 
+  /** PARALLEL envelope: the same per-partition workload fanned across
+    * every core. The serial probe has a blind spot (the r9 bm25 lesson):
+    * a background load stealing 30 of 32 cores barely moves a
+    * 1-partition probe but halves every 32-way query — exactly the
+    * parallel-efficiency drift the committed r9 sweep showed (bm25_topk
+    * 1.38 s in-sweep vs 1.17 s standalone at a CLEAN serial probe).
+    * Idle, the fan-out finishes in about the serial time plus scheduling
+    * overhead; measured 0.25-0.35 s at cpus=32 on this machine, so the
+    * envelope is 0.45 and the 2x contended threshold 0.90 s. */
+  val CalParEnvelopeSec = 0.45
+
   def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 30000000L, 1L, 1)
       .selectExpr("sum(id * 31 + (id % 7))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** [[calibrate]]'s n-way twin: one 30M-row partition PER CORE (id
+    * folded mod 30M so the sum stays inside Long under ANSI overflow
+    * checking). Wall time = per-partition work / achieved parallelism,
+    * so it inflates under exactly the contention the serial probe
+    * cannot see. */
+  def calibratePar(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 30000000L * cpus, 1L, cpus)
+      .selectExpr("sum((id % 30000000) * 31 + (id % 7))").collect()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -118,6 +141,7 @@ object Bench {
     // query, not first-touch JIT and classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     calibrate(spark) // warm the calibration path itself (JIT) before timing
+    calibratePar(spark, cpus.toInt)
     val all = SparkEntry.queries
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
@@ -171,8 +195,10 @@ object Bench {
     // probe i+1 bracket query i, so a contaminated span is attributable
     // to the specific queries inside it
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probesPar = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = names.map { name =>
       probes += calibrate(spark)
+      probesPar += calibratePar(spark, cpus.toInt)
       val qReps = if (reps == 1) 1 else extraReps.getOrElse(name, reps)
       var times = (1 to qReps).map(_ => runOnce(name))
       // variance fold-in: when THIS run's warm reps spread >50% of their
@@ -214,23 +240,36 @@ object Bench {
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     probes += calibrate(spark)
+    probesPar += calibratePar(spark, cpus.toInt)
     val calStart = probes.head
     val calEnd = probes.last
     val hot = (p: Double) => p > 2 * CalEnvelopeSec
-    // query i is suspect if either bracketing probe fired
+    val hotPar = (p: Double) => p > 2 * CalParEnvelopeSec
+    // query i is suspect if either bracketing probe fired — in EITHER
+    // series: the serial probe sees core-speed drift, the parallel one
+    // sees parallel-efficiency drift (a 30-of-32-core thief halves every
+    // fanned-out query while the 1-partition probe stays clean)
     val contendedQueries = names.zipWithIndex
       .filter { case (_, i) => hot(probes(i)) || hot(probes(i + 1)) }
       .map(_._1)
-    val contended = probes.exists(hot)
+    val contendedQueriesPar = names.zipWithIndex
+      .filter { case (_, i) => hotPar(probesPar(i)) || hotPar(probesPar(i + 1)) }
+      .map(_._1)
+    val contended = probes.exists(hot) || probesPar.exists(hotPar)
     val calJson = names.zipWithIndex
       .map { case (n, i) => s"\"" + n + "\":" + probes(i) }
       .mkString("{", ",", "}")
+    val calParJson = names.zipWithIndex
+      .map { case (n, i) => s"\"" + n + "\":" + probesPar(i) }
+      .mkString("{", ",", "}")
     val contQJson = contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contQParJson =
+      contendedQueriesPar.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus is part of the measurement conditions: the r7 vs r8 full-sweep
     // join-family "drift" was uninterpretable partly because the artifacts
     // didn't record what parallelism they ran at
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"queries_cal":$calJson,"contended_queries":$contQJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"queries_cal_par":$calParJson,"contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

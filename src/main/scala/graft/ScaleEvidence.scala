@@ -555,6 +555,63 @@ object ScaleEvidence {
         s""""scan_hits":$nScan,"t_scan_s":${"%.2f".format(tScan)},""" +
         s""""idx_hits":$nIdx,"t_index_s":${"%.2f".format(tIdx)}}""")
     }
+    phrasePruneEvidence(spark, docs10)
+  }
+
+  /** The falsifiable half of the phrase-index layout claim (r9 "What's
+    * wrong" #2): build the positional index over the 10x corpus TWICE —
+    * the word-range-sorted layout phraseIndexBuild now writes, and an
+    * unsorted doc-order control (the r9 layout) — then run the same
+    * word-equality scan against both and read the SCAN NODE's metrics.
+    * If footer min/max stats actually prune, the sorted layout's scan
+    * decodes a small fraction of the table's rows; the unsorted control
+    * decodes all of them (every row group spans the whole alphabet).
+    * AQE off for the measurement so the executed plan exposes the
+    * FileSourceScanExec leaf directly. */
+  private def phrasePruneEvidence(spark: SparkSession,
+      docs10: DataFrame): Unit = {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sortedDir = java.nio.file.Files
+        .createTempDirectory("phr_prune_sorted").toString
+      val unsortedDir = java.nio.file.Files
+        .createTempDirectory("phr_prune_unsorted").toString
+      ops.Retrieval.phraseIndexBuild(docs10, sortedDir, "doc_id", "text")
+      // the r9 control: same rows, doc order, no word sort. The hash
+      // repartition on doc_id interleaves the synthetic replicas the way
+      // a real crawl interleaves vocabularies — without it the 10x
+      // corpus's replica-per-file structure smuggles accidental
+      // clustering into the control and flatters it
+      ops.Models.save(
+        docs10.repartition(10, col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(filter(split(lower(trim(col("text"))), "\\s+"),
+              x => x =!= "")).as(Seq("pos", "word"))),
+        s"$unsortedDir/positions")
+      val total = ops.Models.load(spark, s"$sortedDir/positions").count()
+      for ((layout, dir) <- Seq(("sorted", sortedDir),
+          ("unsorted", unsortedDir));
+          word <- Seq("r3_value", "r7_table")) {
+        clearAll(spark)
+        // the count must run on THIS Dataset's own query execution —
+        // df.count() spawns a separate execution whose metrics df's
+        // (never-executed) plan would not carry
+        val agg = ops.Models.load(spark, s"$dir/positions")
+          .filter(col("word") === word)
+          .groupBy().count()
+        val (hits, tScan) = timed { agg.collect().head.getLong(0) }
+        val scan = agg.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.head
+        val rowsDecoded = scan.metrics("numOutputRows").value
+        val filesRead = scan.metrics("numFiles").value
+        println(s"""PHRASE_PRUNE {"layout":"$layout","word":"$word",""" +
+          s""""rows_decoded":$rowsDecoded,"total_rows":$total,""" +
+          s""""files_read":$filesRead,"hits":$hits,""" +
+          s""""t_scan_s":${"%.2f".format(tScan)}}""")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Memory-bounded completion: run the clustered dedup path over the 10x
