@@ -46,6 +46,21 @@ object Models {
   def append(df: DataFrame, dir: String): Unit =
     df.write.mode("append").parquet(dir)
 
+  /** Persist with Hive-style directory partitioning on `cols` — for
+    * artifact tables whose serving access pattern is an equi join or
+    * filter on those columns (the IVF inverted lists): a probe then
+    * reads ONLY the probed partitions' files (static pushdown for
+    * literal filters, dynamic partition pruning for broadcast joins)
+    * instead of scanning the corpus-sized table. */
+  def savePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+
+  /** [[append]] for a [[savePartitioned]] artifact — deltas land inside
+    * the matching partition directories, so pruning holds across append
+    * generations. */
+  def appendPartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.mode("append").partitionBy(cols: _*).parquet(dir)
+
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 

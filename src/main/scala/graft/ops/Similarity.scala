@@ -114,6 +114,82 @@ object Similarity {
         col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Persist the IVF artifact under `dir`:
+    *  - `coarse`: (label, centroid) — nlist×dim, broadcastable;
+    *  - `lists`:  (vec_id, embedding) PARTITIONED BY label — the
+    *    inverted lists as Hive-style directories, so a probe's label
+    *    join prunes to the probed lists' files (dynamic partition
+    *    pruning) instead of scanning the corpus-sized table.
+    * The base corpus's lists are its given label partitions (the same
+    * routing [[ivfTopK]] uses); [[ivfAppend]] grows them with
+    * nearest-centroid assignments. */
+  def ivfBuild(emb: DataFrame, dir: String): Unit = {
+    Models.save(centroids(emb), s"$dir/coarse")
+    Models.savePartitioned(
+      emb.select(col("vec_id"), col("embedding"), col("label")),
+      s"$dir/lists", "label")
+  }
+
+  /** Append a batch of NEW vectors to the persisted inverted lists —
+    * the ANN index's daily-ingest path (r9 "What's missing" #2): each
+    * new vector is assigned to its nearest persisted coarse centroid
+    * (one broadcast crossJoin + partial-agg argmax over the BATCH only;
+    * the existing lists and the fit corpus are never re-read, and the
+    * centroids never move — a fitted model is not appended, its
+    * DERIVED corpus table is) and its (vec_id, embedding) row lands in
+    * the matching list partition. Assignment is deterministic (cosine
+    * argmax, label tie-break), so serve-after-append equals a rebuild
+    * whose lists were defined the same way — the oracle contract of
+    * q_ns_sim_ivf_served_incremental. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String): Unit = {
+    val coarse = Models.load(spark, s"$dir/coarse")
+    val assigned = newVecs
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        cosine("embedding", "centroid").as("ccos"))
+      .groupBy("vec_id")
+      // partial-aggregated max-struct argmax (the kmeans-assign shape) —
+      // never a window over batch×nlist rows
+      .agg(max(struct(col("ccos"), (-col("label")).as("negl"),
+        col("embedding").as("e"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("embedding"),
+        (-col("m.negl")).cast("int").as("label"))
+    Models.appendPartitioned(assigned, s"$dir/lists", "label")
+  }
+
+  /** IVF top-k SERVED from the persisted artifact: route each query to
+    * its `nprobe` nearest loaded centroids (broadcast), then rerank
+    * ONLY the probed lists — the label equi join against the
+    * partitioned lists table dynamically prunes to nprobe directories
+    * per query batch, so serving cost tracks probed-list volume, not
+    * corpus size, and NO assignment of corpus vectors happens at query
+    * time (the r9 gap: the refitting form re-assigned the full corpus
+    * per batch). `queries` is a (query_id, embedding) batch. */
+  def ivfServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = Models.load(spark, s"$dir/coarse")
+    val lists = Models.load(spark, s"$dir/lists")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = queries
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine("q_emb", "centroid"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("label").as("probe_label"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    lists.join(broadcast(routed),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Hard-negative mining for metric-learning data prep: per query, the
     * `k` most-similar vectors with a DIFFERENT label. Routed like
     * [[ivfTopK]], but over the query's `nprobe` nearest FOREIGN

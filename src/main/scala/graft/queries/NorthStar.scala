@@ -766,6 +766,88 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF served from a PERSISTED, APPENDABLE index (the ANN lifecycle
+    * closing r9 "What's missing" #2): ivfBuild persists the coarse
+    * centroids plus the inverted lists as a label-partitioned parquet
+    * table; ivfAppend assigns a day's new vectors to their nearest
+    * persisted centroid (broadcast crossJoin + argmax over the BATCH
+    * only — the fit corpus and existing lists are never re-read) and
+    * appends them into the matching list partitions; serving routes the
+    * query batch over the loaded centroids and reranks ONLY the probed
+    * lists (dynamic partition pruning on the label join — no corpus-side
+    * assignment at query time, the r9 serving gap). The oracle rebuilds
+    * the same lists in SQL: base lists = the 80% slice's label
+    * partitions, appended lists = argmax-cosine assignment of the 20%
+    * batch against the base centroids — assignment is deterministic, so
+    * served == the SQL's cumulative definition, rank-only as all ANN
+    * queries. */
+  val simIvfServedIncremental = QueryDef(
+    "q_ns_sim_ivf_served_incremental",
+    """WITH be AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+      |expanded AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM be
+      |),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos) g
+      |  GROUP BY label
+      |),
+      |newv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ne, embedding
+      |  FROM embeddings WHERE vec_id % 5 = 0
+      |),
+      |assigned AS (
+      |  SELECT label, vec_id, embedding FROM (
+      |    SELECT c.label, n.vec_id, n.embedding,
+      |           row_number() OVER (PARTITION BY n.vec_id
+      |             ORDER BY list_cosine_similarity(n.ne, c.centroid) DESC,
+      |                      c.label) AS rn
+      |    FROM newv n CROSS JOIN cent c) t
+      |  WHERE rn = 1
+      |),
+      |lists AS (
+      |  SELECT label, vec_id, embedding FROM be
+      |  UNION ALL SELECT label, vec_id, embedding FROM assigned
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 10
+      |),
+      |routed AS (
+      |  SELECT query_id, qe, label AS probe_label
+      |  FROM (
+      |    SELECT q.query_id, q.qe, c.label,
+      |           row_number() OVER (
+      |             PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC, c.label) AS rn
+      |    FROM q CROSS JOIN cent c
+      |  ) x WHERE rn <= 2
+      |)
+      |SELECT query_id, rank, neighbor_id
+      |FROM (
+      |  SELECT r.query_id, e.vec_id AS neighbor_id,
+      |         row_number() OVER (
+      |           PARTITION BY r.query_id
+      |           ORDER BY list_cosine_similarity(r.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                    e.vec_id) AS rank
+      |  FROM lists e JOIN routed r ON e.label = r.probe_label
+      |  WHERE e.vec_id <> r.query_id
+      |) x
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"ivfinc|$d") { tmp =>
+      val emb = T.embeddings(s, d)
+      Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), tmp)
+      Similarity.ivfAppend(s, emb.filter(col("vec_id") % 5 === 0), tmp)
+    }
+    val queries = T.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfServe(s, dir, queries, 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN with md5-seeded hyperplanes (oracle reproduces the
     * buckets, candidates, and exact rerank; recall additionally tracked in
     * ScalaTest against brute force for the kernel form). */
@@ -2019,7 +2101,8 @@ object NorthStar {
     dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
     dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitBloom,
     dedupIngestE2e, dedupIngestE2eServed,
-    simBrute, simIvf, simIvfMultiprobe, simLsh, hardNegatives,
+    simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental, simLsh,
+    hardNegatives,
     textTokens, textQuality, textLangId, textLangIdTrigram, textFingerprint,
     textVocab, datasetCard,
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,

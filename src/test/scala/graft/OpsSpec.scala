@@ -206,6 +206,39 @@ class OpsSpec extends AnyFunSuite {
     assert(hits > 0, "LSH found none of the brute-force top-10")
   }
 
+  test("IVF append: a planted near-copy appended later is found by the served probe") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    Similarity.ivfBuild(emb, dir)
+    // the appended batch: a near-copy of vector 0 (tiny perturbation via
+    // scaling — colinear, cosine ~1), fresh id, NO label (assignment's job)
+    val v0 = emb.filter(c("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val near = v0.map(x => x * 0.5f)
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(900000L, near.toSeq))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    Similarity.ivfAppend(spark, batch, dir)
+    // the appended vector must land in vector 0's own label list (its
+    // nearest centroid is the one 0's list averages toward often enough
+    // for a colinear copy: cosine to every centroid equals 0's own), and
+    // a probe FOR vector 0 must now surface the appended near-copy first
+    val got = Similarity.ivfServe(spark, dir,
+        emb.filter(c("vec_id") === 0L)
+          .select(c("vec_id").as("query_id"), c("embedding")),
+        k = 3, nprobe = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(got.get(1).contains(900000L),
+      s"appended near-copy not served as rank 1: $got")
+  }
+
   test("winnowing: docs sharing a long substring share a fingerprint") {
     // guarantee: a shared substring of length >= w + k - 1 (= 15 here)
     // contributes at least one common selected hash, in BOTH hash families

@@ -98,6 +98,8 @@ class PlanSpec extends AnyFunSuite {
       // queries × centroids routing cross: |queries| × nlist rows
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
+      "q_ns_sim_ivf_served_incremental" ->
+        "tiny centroid routing cross (loaded coarse table)",
       "q_ns_ivfpq_topk" -> "tiny centroid routing + k-row LUT crosses",
       // served forms plan the same bounded crosses, minus the fit
       "q_ns_ivfpq_served" -> "tiny centroid routing + k-row LUT crosses",
@@ -112,6 +114,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ret_tfidf_topk" -> "1-row corpus-size broadcast",
       "q_ret_bm25_topk" -> "1-row corpus-stats broadcast",
       "q_ret_bm25_served" -> "1-row corpus-stats broadcast (from the index artifact)",
+      "q_ret_bm25_served_incremental" ->
+        "1-row corpus-stats broadcast (partials folded at load)",
       // 1-row node-count broadcast into each damping step
       "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
       // three 1-row funnel-stage counts joined into one output row
@@ -287,6 +291,39 @@ class PlanSpec extends AnyFunSuite {
     // details header) — count the details headers, one per node
     assert("\\(\\d+\\) Generate".r.findAllIn(pl).size == 1,
       s"lm served plan re-runs fit-side explodes:\n$pl")
+  }
+
+  test("served incremental IVF probes loaded lists — no corpus-side assignment") {
+    // the appendable-ANN contract (r9 missing #2): after ivfBuild +
+    // ivfAppend, serving must (a) scan the persisted artifact, (b) never
+    // recompute centroids (no posexplode/collect_list fit machinery),
+    // and (c) never read the raw embeddings table except as the bounded
+    // query batch — the refitting form's per-batch corpus assignment is
+    // exactly what the artifact exists to remove. The lists scan must
+    // also carry a partition filter on label (directory-partitioned
+    // lists: the probe prunes to probed lists, it does not scan them all).
+    val p = plan("q_ns_sim_ivf_served_incremental")
+    assert(p.contains("graft_model_"),
+      s"serving plan does not scan the persisted IVF artifact:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"serving plan rebuilds centroids (fit-side work):\n$p")
+    assert(!p.contains("posexplode"),
+      s"serving plan explodes embeddings (fit-side work):\n$p")
+    // the only embeddings.parquet scans allowed are the 10-vector query
+    // batch (vec_id < 10 pushed to the reader) — it appears twice in the
+    // formatted explain because the dynamic-pruning subquery repeats the
+    // broadcast side. A corpus-wide scan of the raw table would add a
+    // Location line WITHOUT the batch pushdown, breaking the count match.
+    val rawScans = p.split("\n").count(l =>
+      l.contains("embeddings.parquet") && l.contains("Location"))
+    val batchPushes =
+      "PushedFilters: \\[IsNotNull\\(vec_id\\), LessThan\\(vec_id,10\\)\\]".r
+        .findAllIn(p).size
+    assert(rawScans >= 1 && rawScans == batchPushes,
+      s"$rawScans raw embeddings scans vs $batchPushes query-batch pushdowns " +
+        s"— a corpus-wide scan sneaked into serving:\n$p")
+    assert(p.contains("dynamicpruningexpression"),
+      s"lists scan carries no dynamic label partition filter:\n$p")
   }
 
   test("served dedup admission reads the index artifact, never the corpus text") {
