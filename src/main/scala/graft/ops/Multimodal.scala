@@ -179,6 +179,52 @@ object Multimodal {
           .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
         pngSignature ++ chunk("IHDR", ihdr.array()) ++
           chunk("IDAT", zlib.array()) ++ chunk("IEND", Array.emptyByteArray)
+      case 5 => // GIF87a: GCT grayscale palette + one full-canvas frame.
+        // The LZW stream emits CLEAR before every pixel code (dictionary
+        // never grows) — maximally naive but spec-valid, so any conforming
+        // decoder (including ours) must read it; 9-bit codes, LSB-first.
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("GIF87a".getBytes(StandardCharsets.US_ASCII))
+        out.write(w & 0xff); out.write((w >> 8) & 0xff)
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+        out.write(0xf7) // GCT present, 256 entries
+        out.write(0)    // background index
+        out.write(0)    // aspect
+        var ci = 0
+        while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+        out.write(0x2c) // image descriptor: full canvas, no LCT/interlace
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        out.write(w & 0xff); out.write((w >> 8) & 0xff)
+        out.write(h & 0xff); out.write((h >> 8) & 0xff)
+        out.write(0)
+        out.write(8)    // LZW minimum code size
+        val codes = new java.io.ByteArrayOutputStream()
+        var acc = 0L
+        var nbits = 0
+        def putCode(c: Int): Unit = {
+          acc |= c.toLong << nbits
+          nbits += 9
+          while (nbits >= 8) {
+            codes.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
+          }
+        }
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { putCode(256); putCode(pix(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        putCode(257)
+        if (nbits > 0) codes.write((acc & 0xff).toInt)
+        val cs = codes.toByteArray
+        var p = 0
+        while (p < cs.length) { // data sub-blocks, <=255 bytes each
+          val len = math.min(255, cs.length - p)
+          out.write(len); out.write(cs, p, len); p += len
+        }
+        out.write(0)    // block terminator
+        out.write(0x3b) // trailer
+        out.toByteArray
       case _ => // JPEG: SOI + JFIF APP0 + SOF0 (real geometry) + EOI
         val bb = ByteBuffer.allocate(41) // BE, as JPEG requires
         bb.putShort(0xffd8.toShort)                      // SOI
@@ -674,11 +720,15 @@ object Multimodal {
 
   /** Planted geometry for the TEXTURED image of `id`: dims are a function
     * of the pattern class pid = id % 8 (same pid ⇒ same canvas), format
-    * round-robins over the four pixel-carrying formats (bmp/ppm/pgm/png —
-    * no jpeg: the synthetic jpeg is header-only, nothing to hash). */
+    * round-robins over the five pixel-carrying formats (bmp/ppm/pgm/png/
+    * gif — no jpeg: the synthetic jpeg is header-only, nothing to hash).
+    * The phash oracle depends only on the planted pixel formula, so the
+    * format mix is pure decode coverage: a GIF whose LZW decode drifted
+    * by one pixel would hash differently and hash-fail the driver gate. */
   private[graft] def texturedDims(id: Long): (Int, Int, Int) = {
     val pid = (id % 8).toInt
-    (16 + pid * 7, 16 + pid * 5, (id % 4).toInt)
+    val f = (id % 5).toInt
+    (16 + pid * 7, 16 + pid * 5, if (f == 4) 5 else f)
   }
 
   /** Planted gray value at (x, y) — the oracle's ground truth, recovered
@@ -810,8 +860,153 @@ object Multimodal {
             Some((w, h, g))
           }
         } catch { case _: java.util.zip.DataFormatException => None }
+      case "gif" => decodeGifGray(bytes, w, h)
       case _ => None
     }
+  }
+
+  /** GIF pixel decode (closing the r9 codec-scope gap for the phash
+    * path): Global/Local Color Table, first image frame, full LZW per
+    * the GIF87a/89a spec (variable 3–12-bit codes LSB-first, clear/end
+    * codes, dictionary growth with the deferred-clear quirk), including
+    * the 4-pass interlaced row order (rows 0/8.., 4/12.., 2/6.., 1/3..
+    * — the JDK's own GIF writer interlaces by default, so real-world
+    * coverage requires it). Scope: first full-canvas frame with a
+    * palette (extension blocks are skipped); gray = the palette entry's
+    * first channel, the same achromatic contract as the other color
+    * formats. WebP stays header-only — VP8/VP8L payloads are
+    * entropy-coded like jpeg, the documented codec boundary. Poison-blob
+    * contract: any structural violation returns None, never a crash. */
+  private[graft] def decodeGifGray(bytes: Array[Byte], w: Int,
+      h: Int): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 14) return None
+    val packed = bytes(10) & 0xff
+    var pal = -1 // palette byte offset
+    var palSize = 0
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      pal = 13
+      palSize = 2 << (packed & 7)
+      i += 3 * palSize
+    }
+    // block walk to the first image descriptor
+    while (i < bytes.length && (bytes(i) & 0xff) == 0x21) {
+      i += 2 // extension introducer + label
+      while (i < bytes.length && (bytes(i) & 0xff) != 0) i += 1 + (bytes(i) & 0xff)
+      i += 1 // sub-block terminator
+    }
+    if (i + 10 > bytes.length || (bytes(i) & 0xff) != 0x2c) return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val (left, top, fw, fh) = (u16(i + 1), u16(i + 3), u16(i + 5), u16(i + 7))
+    val ipacked = bytes(i + 9) & 0xff
+    i += 10
+    if ((ipacked & 0x80) != 0) { // local palette overrides
+      pal = i
+      palSize = 2 << (ipacked & 7)
+      i += 3 * palSize
+    }
+    val interlaced = (ipacked & 0x40) != 0
+    if (left != 0 || top != 0 || fw != w || fh != h ||
+      pal < 0 || pal + 3 * palSize > bytes.length ||
+      i >= bytes.length) return None
+    val minCode = bytes(i) & 0xff
+    i += 1
+    if (minCode < 2 || minCode > 8) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (i < bytes.length && (bytes(i) & 0xff) != 0) {
+      val len = bytes(i) & 0xff
+      if (i + 1 + len > bytes.length) return None
+      data.write(bytes, i + 1, len)
+      i += 1 + len
+    }
+    // stream row r → image row y: identity, or the 4-pass interlace walk
+    val rowOf: Int => Int =
+      if (!interlaced) identity
+      else {
+        val order = new Array[Int](h)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+            y <- start until h by step) { order(r) = y; r += 1 }
+        order
+      }
+    gifLzwDecode(data.toByteArray, minCode, w * h).flatMap { idx =>
+      val g = new Array[Int](w * h)
+      var k = 0
+      while (k < idx.length) {
+        if (idx(k) >= palSize) return None
+        g(rowOf(k / w) * w + k % w) = bytes(pal + 3 * idx(k)) & 0xff
+        k += 1
+      }
+      Some((w, h, g))
+    }
+  }
+
+  /** GIF-variant LZW: initial code width minCode+1 (grows to 12),
+    * clear = 2^minCode resets the dictionary, end = clear+1 terminates;
+    * dictionary entries are (prefix code, appended root) pairs expanded
+    * by walking the prefix chain; the just-defined-code case (code ==
+    * next free slot) appends the previous expansion's first symbol. A
+    * full dictionary that receives no clear keeps serving existing codes
+    * (the deferred-clear quirk). Returns exactly `nPixels` palette
+    * indices or None on any corruption. */
+  private[graft] def gifLzwDecode(data: Array[Byte], minCode: Int,
+      nPixels: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var dictSize = end + 1
+    var codeSize = minCode + 1
+    val out = new Array[Int](nPixels)
+    var outPos = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    val stack = new Array[Int](4097)
+    var prev = -1
+    while (outPos < nPixels) {
+      if (bitPos + codeSize > totalBits) return None
+      var code = 0
+      var b = 0
+      while (b < codeSize) {
+        code |= ((data((bitPos + b) >> 3) >> ((bitPos + b) & 7)) & 1) << b
+        b += 1
+      }
+      bitPos += codeSize
+      if (code == clear) { dictSize = end + 1; codeSize = minCode + 1; prev = -1 }
+      else if (code == end) return None // early end: pixels missing
+      else if (code > dictSize || (prev < 0 && code >= clear)) return None
+      else {
+        var sp = 0
+        var cur = code
+        val kCase = code == dictSize
+        if (kCase) {
+          if (prev < 0) return None
+          sp = 1 // slot 0 filled with the first symbol below (emitted last)
+          cur = prev
+        }
+        while (cur > end) {
+          if (sp >= 4096) return None
+          stack(sp) = suffix(cur); sp += 1; cur = prefix(cur)
+        }
+        if (cur >= clear) return None // chain must bottom out at a root
+        stack(sp) = cur; sp += 1
+        if (kCase) stack(0) = cur
+        while (sp > 0) {
+          sp -= 1
+          if (outPos >= nPixels) return None
+          out(outPos) = stack(sp); outPos += 1
+        }
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = cur
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
   }
 
   /** 64-bit dHash over a 9×8 nearest-neighbor sample grid: row gy samples

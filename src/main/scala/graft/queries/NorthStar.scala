@@ -903,39 +903,109 @@ object NorthStar {
   /** Dataset card: the per-source corpus composition report a pipeline
     * publishes with every release — doc/token counts, mean quality
     * (per-row score rounded to DECIMAL(18,6) before the cross-partition
-    * sum: the float-determinism contract), language spread. One scan,
-    * one partial-agg shuffle to |sources| rows. */
+    * sum: the float-determinism contract), language MIX (spread + the
+    * dominant language and its share), exact-duplicate rate (corpus-wide
+    * survivor = min doc_id per content digest, the dedup family's
+    * definition — so a doc duplicated ACROSS sources is charged to the
+    * later source), and a 4-bucket token-length histogram. One corpus
+    * scan + one digest-group shuffle + two |sources|-bounded joins —
+    * the card costs one dedup pass more than the counts it reports on,
+    * at any corpus size. (Closes r9 "What's missing" #4: the engine
+    * already computed all of these; now the card carries them.) */
   val datasetCard = QueryDef(
     "q_ns_dataset_card",
     """WITH q AS (
-      |  SELECT source, lang,
+      |  SELECT doc_id, source, lang,
       |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-      |                              x -> x <> '')) AS BIGINT) AS n_tokens,
+      |                              x -> x <> '')) AS BIGINT) AS n_tok,
       |         CAST((CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
       |            / len(string_split_regex(lower(trim(text)), '\s+'))) * 0.2
       |          + (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
       |                 x -> list_contains(['the','a','an','of','and','to','in','is'], x))) AS DOUBLE)
       |             / len(string_split_regex(lower(trim(text)), '\s+'))) * 2.0
       |          - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-      |             / length(text)) * 5.0 AS DECIMAL(18,6)) AS qd
+      |             / length(text)) * 5.0 AS DECIMAL(18,6)) AS qd,
+      |         sha256(text) AS sha
       |  FROM documents
+      |),
+      |f AS (
+      |  SELECT q.*,
+      |         (q.doc_id <> min(q.doc_id) OVER (PARTITION BY q.sha)) AS is_dup
+      |  FROM q
+      |),
+      |agg AS (
+      |  SELECT source,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |         CAST(sum(qd) AS DOUBLE) / count(*) AS avg_quality,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS exact_dup_rate,
+      |         CAST(sum(CASE WHEN n_tok <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_le_64,
+      |         CAST(sum(CASE WHEN n_tok > 64 AND n_tok <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_le_256,
+      |         CAST(sum(CASE WHEN n_tok > 256 AND n_tok <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_le_1024,
+      |         CAST(sum(CASE WHEN n_tok > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_gt_1024
+      |  FROM f GROUP BY source
+      |),
+      |lc AS (
+      |  SELECT source, lang, count(*) AS n
+      |  FROM q GROUP BY source, lang
+      |),
+      |top AS (
+      |  SELECT source, lang AS top_lang, n AS top_n
+      |  FROM (SELECT source, lang, n,
+      |               row_number() OVER (PARTITION BY source
+      |                 ORDER BY n DESC, lang) AS rn
+      |        FROM lc) t
+      |  WHERE rn = 1
       |)
-      |SELECT source,
-      |       CAST(count(*) AS BIGINT) AS n_docs,
-      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-      |       CAST(sum(qd) AS DOUBLE) / count(*) AS avg_quality,
-      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-      |FROM q GROUP BY source
-      |ORDER BY source""".stripMargin) { (s, d) =>
+      |SELECT agg.source, n_docs, n_tokens, avg_quality, n_langs,
+      |       n_exact_dup, exact_dup_rate,
+      |       top_lang, CAST(top_n AS DOUBLE) / n_docs AS top_lang_share,
+      |       n_tok_le_64, n_tok_le_256, n_tok_le_1024, n_tok_gt_1024
+      |FROM agg JOIN top ON agg.source = top.source
+      |ORDER BY agg.source""".stripMargin) { (s, d) =>
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    TextAnalysis.withQuality(T.documents(s, d))
-      .groupBy("source")
+    val base = TextAnalysis.withQuality(T.documents(s, d))
+      .withColumn("n_tok",
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => x =!= "")).cast("long"))
+      .withColumn("sha", sha2(col("text"), 256))
+    // corpus-wide exact-dedup survivor flag: min doc_id per digest group
+    // (a window over the sha partitioning — one digest shuffle, the
+    // dedup family's shape; never a self-join)
+    val flagged = base.withColumn("is_dup",
+      col("doc_id") =!= min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sha")))
+    val agg = flagged.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(filter(split(lower(trim(col("text"))), "\\s+"),
-          x => x =!= "")).cast("long")).as("n_tokens"),
+        sum(col("n_tok")).as("n_tokens"),
         (sum(col("quality_score").cast(dec)).cast("double")
           / count(lit(1))).as("avg_quality"),
-        countDistinct("lang").as("n_langs"))
+        countDistinct("lang").as("n_langs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        (sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("exact_dup_rate"),
+        sum(when(col("n_tok") <= 64, 1L).otherwise(0L)).as("n_tok_le_64"),
+        sum(when(col("n_tok") > 64 && col("n_tok") <= 256, 1L)
+          .otherwise(0L)).as("n_tok_le_256"),
+        sum(when(col("n_tok") > 256 && col("n_tok") <= 1024, 1L)
+          .otherwise(0L)).as("n_tok_le_1024"),
+        sum(when(col("n_tok") > 1024, 1L).otherwise(0L)).as("n_tok_gt_1024"))
+    val top = base.groupBy("source", "lang").agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(desc("lc"), asc("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("lc").as("top_n"))
+    agg.join(broadcast(top), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("avg_quality"), col("n_langs"), col("n_exact_dup"),
+        col("exact_dup_rate"), col("top_lang"),
+        (col("top_n").cast("double") / col("n_docs")).as("top_lang_share"),
+        col("n_tok_le_64"), col("n_tok_le_256"), col("n_tok_le_1024"),
+        col("n_tok_gt_1024"))
       .orderBy("source")
   }
 

@@ -628,6 +628,32 @@ class OpsSpec extends AnyFunSuite {
       "appended counts must reproduce the full-refit weights bit-exactly")
   }
 
+  test("GIF LZW decode: a real compressed stream (JDK writer) round-trips " +
+      "the planted pixels") {
+    // the in-repo GIF encoder emits a spec-valid but naive clear-per-pixel
+    // stream that never grows the LZW dictionary; the JDK's ImageIO GIF
+    // writer produces a genuinely compressed stream (dictionary growth,
+    // code-width bumps, clears), so decoding ITS bytes exercises every
+    // decoder path against an independent implementation
+    val (w, h) = (40, 30)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = Multimodal.texturedGray(7L, x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos), "JDK gif writer absent")
+    val decoded = Multimodal.decodeGray(baos.toByteArray)
+    assert(decoded.nonEmpty, "compressed GIF did not decode")
+    val (dw, dh, g) = decoded.get
+    assert(dw == w && dh == h, s"geometry $dw x $dh != $w x $h")
+    val expected = Array.tabulate(w * h)(i =>
+      Multimodal.texturedGray(7L, i % w, i / w))
+    assert(g.sameElements(expected),
+      "LZW-decoded pixels differ from the planted pattern")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
@@ -637,7 +663,7 @@ class OpsSpec extends AnyFunSuite {
     val hashes = Multimodal.imageDHash(media)
     val got = hashes.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // every doc hashes: all four raster formats (bmp/ppm/pgm/png) decode
+    // every doc hashes: all five raster formats (bmp/ppm/pgm/png/gif) decode
     assert(got.size == 64, s"only ${got.size}/64 images decoded")
     // the FILE-BYTE decode (bmp row flip, pnm raster offset, png inflate)
     // reproduces the planting formula bit-for-bit
