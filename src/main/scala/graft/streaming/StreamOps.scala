@@ -401,6 +401,46 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming retrieval-index maintenance — the bloom/agg-maintain/DSIR
+    * loop shape composed with the r10 appendable sparse indexes: per
+    * micro-batch, append the batch docs to the corpus sink FIRST, then
+    * fold their postings into the persisted phrase and BM25 indexes
+    * ([[graft.ops.Retrieval.phraseIndexAppend]]/[[graft.ops.Retrieval
+    * .bm25Append]]) — a daily crawl keeps exact-phrase and BM25 search
+    * fresh at batch cost, zero corpus re-tokenization. Failure contract,
+    * stated precisely because these postings are MULTIPLICITY-SENSITIVE
+    * (df/tf count rows — unlike the bloom positions and dedup digests,
+    * which anti/semi joins read multiplicity-blind): sink-first ordering
+    * means a crash between the sink commit and the index appends replays
+    * the batch and double-counts that one batch's postings (and
+    * duplicates its sink rows) — scores drift for the affected terms
+    * until the next compaction rebuild (bm25Build/phraseIndexBuild over
+    * the sink corpus, the periodic rebuild any production postings index
+    * runs anyway); admissions are never silently lost, which the reverse
+    * ordering risks. The batch is localCheckpoint'ed before the first
+    * append for the same recacheByPath reason as the dedup loop. */
+  def retrievalIngest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, stream: DataFrame, sinkDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          val sc = spark.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val b = batch.localCheckpoint()
+          graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
+          b.write.mode("append").parquet(sinkDir)
+          graft.ops.Retrieval.phraseIndexAppend(b, s"$indexDir/phrase",
+            idCol, textCol)
+          graft.ops.Retrieval.bm25Append(b, s"$indexDir/bm25", idCol, textCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -234,6 +234,53 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded aggregate must equal the batch recompute")
   }
 
+  test("streaming retrieval maintenance: served phrase/BM25 after two " +
+      "micro-batches equal the cumulative batch recompute") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 250)
+    import spark.implicits._
+    val batch1 = Seq(
+      (81001L, "fresh crawl vector join document about hash tables", "en", "t", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (81002L, "a value table value table rich late arrival", "en", "t", 44L),
+      (81003L, "plain filler text with no query words at all", "en", "t", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = java.nio.file.Files.createTempDirectory("ret_idx").toString
+    graft.ops.Retrieval.phraseIndexBuild(corpus, s"$idx/phrase", "doc_id", "text")
+    graft.ops.Retrieval.bm25Build(corpus, "doc_id", "text", s"$idx/bm25")
+    val src = java.nio.file.Files.createTempDirectory("ret_src")
+    val sink = java.nio.file.Files.createTempDirectory("ret_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("ret_ckpt")
+    batch1.coalesce(1).write.mode("append").parquet(src.toString)
+    Thread.sleep(1500)
+    batch2.coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = StreamOps.retrievalIngest(spark, idx, stream,
+      sink.toString, ckpt.toString)
+    q.awaitTermination(180000)
+    val cumulative = corpus.unionByName(batch1).unionByName(batch2)
+    // BM25: the maintained index serves scores bit-identical to a full
+    // recompute over corpus + both batches
+    val terms = Seq("vector", "join", "hash")
+    val served = graft.ops.Retrieval.bm25Serve(spark, s"$idx/bm25",
+        "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val full = graft.ops.Retrieval.bm25(cumulative, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(served == full,
+      "stream-maintained BM25 index must equal the cumulative recompute")
+    assert(served.exists(_._1 == 81001L),
+      "batch-1 doc with query terms missing from served BM25")
+    // phrase: the batch-2 late arrival is served from the maintained index
+    val hits = graft.ops.Retrieval.phraseSearchServed(spark, s"$idx/phrase",
+        "doc_id", Seq("value", "table"), k = 300)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.get(81002L).contains(2L),
+      s"late-arriving phrase doc not served (hits: ${hits.size})")
+  }
+
   test("streaming bloom admission rejects a later micro-batch's copy of " +
       "an earlier admission") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
