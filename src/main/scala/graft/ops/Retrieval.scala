@@ -241,6 +241,26 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-retrieval combiner (BM25 ∪ dense ANN) a
+    * RAG/curation pipeline runs: score(d) = Σ_lists 1/(k0 + rank_d),
+    * absent docs contribute 0. Inputs are (id, rank) top-N lists, so the
+    * fuse is a bounded full-outer join + top-k — nothing corpus-sized
+    * regardless of corpus scale. Determinism: each contribution is
+    * PER-ROW double arithmetic (1.0/(k0+rank), one addition — bit-exact
+    * cross-engine; no cross-partition float agg), ties break on id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k0: Int = 60,
+      k: Int = 20): DataFrame =
+    a.select(col(idCol), col("rank").as("__ra"))
+      .join(b.select(col(idCol), col("rank").as("__rb")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(k0) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("__rb")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc(idCol))
+      .limit(k)
+
   /** BM25 from a PERSISTED index ([[bm25Build]], plus any number of
     * [[bm25Append]] deltas) — reads only the posting tables, no
     * tokenization: the plan starts at the parquet index scan. The stats

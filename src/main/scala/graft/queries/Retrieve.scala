@@ -56,8 +56,8 @@ object Retrieve {
   /** BM25 top-20 documents for a three-term query (k1=1.2, b=0.75). The
     * score is an exact decimal sum of 6dp-rounded per-term contributions,
     * so the double output is bit-identical across engines. */
-  private val bm25OracleSql =
-    """WITH tok AS (
+  private val bm25Ctes =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
       |  FROM documents
       |), tf AS (
@@ -81,7 +81,10 @@ object Retrieve {
       |                         + CAST(0.75 AS DOUBLE) * dl / avgdl))
       |              AS DECIMAL(18,6)) AS c
       |  FROM hits JOIN dl USING (doc_id) JOIN dfq USING (word) CROSS JOIN stats
-      |)
+      |)""".stripMargin
+
+  private val bm25OracleSql =
+    s"""WITH $bm25Ctes
       |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
       |FROM contrib GROUP BY doc_id
       |ORDER BY score DESC, doc_id
@@ -194,6 +197,52 @@ object Retrieve {
       phrase = Seq("value", "table"), k = 20)
   }
 
+  /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
+    * top-50 for the term query and the cosine top-50 around the query
+    * document's embedding (vec_id keys the same corpus as doc_id — the
+    * embedding of document i), fused by score(d) = Σ 1/(60 + rank_d)
+    * (Cormack et al. 2009), top-20. Both inputs are bounded top-N lists,
+    * so the fusion join is list-sized at any corpus scale; each side's
+    * rank is assigned over its own TakeOrderedAndProject output (a
+    * ≤50-row window, never a corpus-wide global sort). Rank-derived
+    * scores are per-row double arithmetic — bit-exact cross-engine. */
+  val hybridRrf = QueryDef(
+    "q_ret_hybrid_rrf",
+    s"""WITH $bm25Ctes,
+      |sparse AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS __ra
+      |  FROM (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
+      |        FROM contrib GROUP BY doc_id
+      |        ORDER BY score DESC, doc_id LIMIT 50) t
+      |),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |dense AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS __rb
+      |  FROM (SELECT e.vec_id AS doc_id,
+      |               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe) AS cos
+      |        FROM embeddings e CROSS JOIN qv
+      |        WHERE e.vec_id <> 0
+      |        ORDER BY cos DESC, doc_id LIMIT 50) t
+      |)
+      |SELECT doc_id,
+      |       COALESCE(CAST(1.0 AS DOUBLE)/(60 + __ra), CAST(0 AS DOUBLE))
+      |         + COALESCE(CAST(1.0 AS DOUBLE)/(60 + __rb), CAST(0 AS DOUBLE)) AS rrf_score
+      |FROM sparse FULL OUTER JOIN dense USING (doc_id)
+      |ORDER BY rrf_score DESC, doc_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val terms = Seq("vector", "join", "hash")
+    val sparseTop = Retrieval.bm25(T.documents(s, d), "doc_id", "text", terms)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))))
+      .select("doc_id", "rank")
+    val denseTop = graft.ops.Similarity
+      .bruteForceTopK(T.embeddings(s, d), Seq(0L), 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(sparseTop, denseTop, "doc_id", k0 = 60, k = 20)
+  }
+
   val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served, phraseTopK,
-    phraseServed, bm25ServedIncremental, phraseServedIncremental)
+    phraseServed, bm25ServedIncremental, phraseServedIncremental, hybridRrf)
 }

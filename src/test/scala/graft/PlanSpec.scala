@@ -116,6 +116,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ret_bm25_served" -> "1-row corpus-stats broadcast (from the index artifact)",
       "q_ret_bm25_served_incremental" ->
         "1-row corpus-stats broadcast (partials folded at load)",
+      "q_ret_hybrid_rrf" ->
+        "1-row bm25 stats broadcast + brute dense side (1-query broadcast)",
       // 1-row node-count broadcast into each damping step
       "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
       // three 1-row funnel-stage counts joined into one output row

@@ -86,6 +86,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scored.map(_.getLong(0)).toSeq == Seq(4L, 2L))
   }
 
+  test("RRF fusion: doc in both lists outranks single-list docs; absent ranks contribute zero") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, "doc_id", k0 = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == Seq(2L, 1L, 3L), s"fusion order wrong: $got")
+    assert(got(0)._2 == 1.0 / 62 + 1.0 / 61, "both-lists score wrong")
+    assert(got(1)._2 == 1.0 / 61 && got(2)._2 == 1.0 / 62,
+      "single-list scores must carry a zero for the missing list")
+  }
+
   test("phrase index append: a served query finds batch-2 docs and matches the cumulative scan") {
     val all = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
     val base = all.filter(col("doc_id") % 5 =!= 0)
