@@ -52,6 +52,50 @@ object TextAnalysis {
   /** Marker words per language for the n-gram-free language-ID heuristic.
     * Real pipelines use char-n-gram profiles; the operator shape (score per
     * language, argmax with deterministic tie-break) is identical. */
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, token
+    * granularity): type-token ratio, the fraction of bigram occurrences
+    * claimed by the single most frequent bigram, and the duplicate
+    * 5-gram mass (1 − distinct/total) — the three cheapest detectors of
+    * the boilerplate/spam/looping-generation pathologies a crawl quality
+    * gate drops. Scale shape: TTR is map-only (array_distinct per row);
+    * the two gram signals are the tf pattern — one explode + one
+    * partial-aggregated (doc, gram) count shuffle each, never an O(n²)
+    * per-doc lambda. Short docs define their undefined signals as 0
+    * (<2 words: no bigrams; <5: no 5-grams). All ratios are per-row
+    * double divisions of exact integers — bit-identical cross-engine. */
+  def withRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = filter(words(textCol), x => x =!= "")
+    val base = docs.select(col(idCol),
+      size(ws).cast("bigint").as("n_words"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"),
+      ws.as("__ws"))
+    val bigrams = base
+      .select(col(idCol), explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(max(col("c")).as("__top_bg"), sum(col("c")).as("__n_bg"))
+    val g5 = base
+      .filter(size(col("__ws")) >= 5)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 4),
+        i => concat_ws(" ", slice(col("__ws"), i, lit(5))))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("__n_5g"), count(lit(1)).as("__d_5g"))
+    base.drop("__ws")
+      .join(bigrams, Seq(idCol), "left")
+      .join(g5, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("ttr"),
+        coalesce(col("__top_bg").cast("double") / col("__n_bg"), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(lit(1.0) - col("__d_5g").cast("double") / col("__n_5g"),
+          lit(0.0)).as("dup_5gram_frac"))
+  }
+
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "value", "table"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),

@@ -900,6 +900,54 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 at token
+    * granularity): type-token ratio, top-bigram occupancy, duplicate
+    * 5-gram mass — the repetition pathologies (boilerplate, spam,
+    * looping generations) a crawl quality gate filters on. TTR is
+    * map-only; the gram signals are one explode + one partial-agg
+    * (doc, gram) shuffle each (the tf pattern). Short docs define the
+    * undefined signals as 0. */
+  val textRepetition = QueryDef(
+    "q_ns_text_repetition",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents
+      |),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+      |  FROM w
+      |),
+      |bg AS (
+      |  SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |               i -> ws[i] || ' ' || ws[i+1])) AS g
+      |      FROM w WHERE len(ws) >= 2) t
+      |    GROUP BY doc_id, g) cc
+      |  GROUP BY doc_id
+      |),
+      |g5 AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5g,
+      |         CAST(count(*) AS BIGINT) AS d_5g FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+      |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+      |                    || ws[i+3] || ' ' || ws[i+4])) AS g
+      |      FROM w WHERE len(ws) >= 5) t
+      |    GROUP BY doc_id, g) cc
+      |  GROUP BY doc_id
+      |)
+      |SELECT base.doc_id, n_words, ttr,
+      |       COALESCE(CAST(top_bg AS DOUBLE) / n_bg, CAST(0 AS DOUBLE)) AS top_bigram_frac,
+      |       COALESCE(CAST(1 AS DOUBLE) - CAST(d_5g AS DOUBLE) / n_5g, CAST(0 AS DOUBLE)) AS dup_5gram_frac
+      |FROM base LEFT JOIN bg USING (doc_id) LEFT JOIN g5 USING (doc_id)
+      |ORDER BY base.doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.withRepetition(T.documents(s, d)).orderBy("doc_id")
+  }
+
   /** Dataset card: the per-source corpus composition report a pipeline
     * publishes with every release — doc/token counts, mean quality
     * (per-row score rounded to DECIMAL(18,6) before the cross-partition
@@ -2173,7 +2221,7 @@ object NorthStar {
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental, simLsh,
     hardNegatives,
-    textTokens, textQuality, textLangId, textLangIdTrigram, textFingerprint,
+    textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
     textVocab, datasetCard,
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,

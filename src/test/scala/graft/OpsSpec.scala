@@ -628,6 +628,25 @@ class OpsSpec extends AnyFunSuite {
       "appended counts must reproduce the full-refit weights bit-exactly")
   }
 
+  test("repetition signals: looping text scores high, diverse text low, " +
+      "short docs default to zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetition(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // 6x the same word: ttr 1/6, every bigram identical (5/5), the two
+    // 5-gram windows collapse to one distinct (1 - 1/2)
+    assert(got(1L) == ((6L, 1.0 / 6, 1.0, 0.5)), s"looping doc: ${got(1L)}")
+    // all-distinct words: ttr 1, top bigram 1/5, both 5-grams distinct
+    assert(got(2L) == ((6L, 1.0, 0.2, 0.0)), s"diverse doc: ${got(2L)}")
+    // 2 words: one bigram (trivially top), no 5-grams -> defined 0
+    assert(got(3L) == ((2L, 1.0, 1.0, 0.0)), s"short doc: ${got(3L)}")
+  }
+
   test("GIF LZW decode: a real compressed stream (JDK writer) round-trips " +
       "the planted pixels") {
     // the in-repo GIF encoder emits a spec-valid but naive clear-per-pixel
