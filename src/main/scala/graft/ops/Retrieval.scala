@@ -241,6 +241,23 @@ object Retrieval {
       .limit(k)
   }
 
+  /** TF-IDF posting stats SERVED from the persisted BM25 index — the
+    * same (id, word, tf) relation both scorers share: df re-derives as
+    * the per-word posting count, n_docs folds from the stats partials,
+    * and no text is tokenized at query time. Byte-identical to [[tfidf]]
+    * on the cumulative corpus (postings are a deterministic function of
+    * it), so the served form shares the fit form's oracle. */
+  def tfidfServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String): DataFrame = {
+    val tf = Models.load(spark, s"$dir/postings")
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Models.load(spark, s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"))
+    tf.join(dfreq, "word")
+      .join(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
     * the standard hybrid-retrieval combiner (BM25 ∪ dense ANN) a
     * RAG/curation pipeline runs: score(d) = Σ_lists 1/(k0 + rank_d),

@@ -53,6 +53,28 @@ object Retrieve {
       .orderBy("doc_id", "rnk")
   }
 
+  /** TF-IDF term ranking SERVED from the persisted BM25 index (the two
+    * scorers share the (id, word, tf) posting relation; df re-derives as
+    * the per-word posting count and n_docs folds from the stats
+    * partials) — zero tokenization at query time, oracle shared verbatim
+    * with q_ret_tfidf_topk. */
+  val tfidfServed = QueryDef(
+    "q_ret_tfidf_served",
+    tfidfTopK.oracle.get) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bm25|$d") { tmp =>
+      Retrieval.bm25Build(T.documents(s, d), "doc_id", "text", tmp)
+    }
+    val scored = Retrieval.tfidfServe(s, dir, "doc_id")
+      .withColumn("s", col("tfidf").cast(DecimalType(18, 6)))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("s"), asc("word"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("s").cast("double").as("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** BM25 top-20 documents for a three-term query (k1=1.2, b=0.75). The
     * score is an exact decimal sum of 6dp-rounded per-term contributions,
     * so the double output is bit-identical across engines. */
@@ -243,6 +265,7 @@ object Retrieve {
     Retrieval.rrfFuse(sparseTop, denseTop, "doc_id", k0 = 60, k = 20)
   }
 
-  val defs: Seq[QueryDef] = Seq(tfidfTopK, bm25TopK, bm25Served, phraseTopK,
-    phraseServed, bm25ServedIncremental, phraseServedIncremental, hybridRrf)
+  val defs: Seq[QueryDef] = Seq(tfidfTopK, tfidfServed, bm25TopK, bm25Served,
+    phraseTopK, phraseServed, bm25ServedIncremental, phraseServedIncremental,
+    hybridRrf)
 }
