@@ -112,6 +112,7 @@ class PlanSpec extends AnyFunSuite {
       "q_p8_scalar_subquery" -> "1-row scalar threshold broadcast",
       // 1-row corpus stats (N / avgdl) broadcast into the scorer
       "q_ret_tfidf_topk" -> "1-row corpus-size broadcast",
+      "q_ret_tfidf_served" -> "1-row corpus-size broadcast (from the index artifact)",
       "q_ret_bm25_topk" -> "1-row corpus-stats broadcast",
       "q_ret_bm25_served" -> "1-row corpus-stats broadcast (from the index artifact)",
       "q_ret_bm25_served_incremental" ->
