@@ -213,7 +213,33 @@ object Streaming {
       .orderBy("doc_id")
   }
 
+  /** Streaming ANN-index maintenance, batch form: build the IVF index
+    * on the 80% base slice, then land the 20% remainder as TWO
+    * sequential ivfAppend batches (the micro-batch cadence of
+    * [[graft.streaming.StreamOps.ivfIngest]], whose readStream twin
+    * runs in StreamingSpec), then serve a query batch from the
+    * maintained lists. Per-vector nearest-centroid assignment is
+    * order-independent and deterministic, so two appends produce the
+    * same cumulative lists as one — the oracle is the incremental-IVF
+    * SQL unchanged, and serving keeps the partition-pruned probed-lists
+    * plan (no corpus-side assignment at query time). */
+  val streamIvfIngest = QueryDef(
+    "q_stream_ivf_ingest",
+    NorthStar.simIvfServedIncremental.oracle.get) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"ivfstream|$d") { tmp =>
+      val emb = T.embeddings(s, d)
+      graft.ops.Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), tmp)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      graft.ops.Similarity.ivfAppend(s, delta.filter(col("vec_id") % 2 === 0), tmp)
+      graft.ops.Similarity.ivfAppend(s, delta.filter(col("vec_id") % 2 =!= 0), tmp)
+    }
+    val queries = T.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.ops.Similarity.ivfServe(s, dir, queries, 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
     statefulSessions, streamDedup, streamJoin, streamStaticEnrich,
-    streamAdmitExact, streamLmGate, streamDsirGate)
+    streamAdmitExact, streamLmGate, streamDsirGate, streamIvfIngest)
 }

@@ -441,6 +441,41 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN-index maintenance — the retrieval-loop shape for the
+    * DENSE index: per micro-batch, append the batch's vectors to the
+    * corpus sink FIRST, then assign them to their nearest persisted
+    * coarse centroid and append into the partitioned inverted lists
+    * ([[graft.ops.Similarity.ivfAppend]] — a broadcast crossJoin +
+    * argmax over the BATCH only; the fit corpus, centroids, and
+    * existing lists are never re-read), so similarity search stays
+    * fresh at batch cost while serving keeps its partition-pruned
+    * probed-lists plan. Failure contract mirrors [[retrievalIngest]]:
+    * the list rows are MULTIPLICITY-SENSITIVE (a replayed batch lands
+    * duplicate (vec_id, embedding) rows, which surface as duplicate
+    * candidates in a probed rerank until the periodic ivfBuild rebuild
+    * over the sink corpus); sink-first ordering means vectors are never
+    * silently lost, which the reverse ordering risks. localCheckpoint
+    * before the first write for the same recacheByPath reason as the
+    * dedup loop. */
+  def ivfIngest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, stream: DataFrame, sinkDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          val sc = spark.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val b = batch.localCheckpoint()
+          graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
+          b.write.mode("append").parquet(sinkDir)
+          graft.ops.Similarity.ivfAppend(spark, b, indexDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

@@ -100,6 +100,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_served_incremental" ->
         "tiny centroid routing cross (loaded coarse table)",
+      "q_stream_ivf_ingest" ->
+        "tiny centroid routing cross (loaded coarse table)",
       "q_ns_ivfpq_topk" -> "tiny centroid routing + k-row LUT crosses",
       // served forms plan the same bounded crosses, minus the fit
       "q_ns_ivfpq_served" -> "tiny centroid routing + k-row LUT crosses",

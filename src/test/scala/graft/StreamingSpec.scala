@@ -281,6 +281,47 @@ class StreamingSpec extends AnyFunSuite {
       s"late-arriving phrase doc not served (hits: ${hits.size})")
   }
 
+  test("streaming IVF maintenance: served ANN after two micro-batches " +
+      "equals the single-append batch index") {
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    graft.ops.Similarity.ivfBuild(base, idx)
+    val src = java.nio.file.Files.createTempDirectory("ivf_src")
+    val sink = java.nio.file.Files.createTempDirectory("ivf_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt")
+    val b1 = delta.filter(col("vec_id") % 2 === 0)
+    val b2 = delta.filter(col("vec_id") % 2 =!= 0)
+    b1.coalesce(1).write.mode("append").parquet(src.toString)
+    Thread.sleep(1500)
+    b2.coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = StreamOps.ivfIngest(spark, idx, stream, sink.toString, ckpt.toString)
+    q.awaitTermination(180000)
+    // every streamed vector landed in the maintained inverted lists
+    val listedIds = graft.ops.Models.load(spark, s"$idx/lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(listedIds),
+      s"streamed vectors missing from lists: ${deltaIds -- listedIds}")
+    // serving from the stream-maintained index equals the batch index
+    // built with one cumulative append (assignment is per-vector
+    // deterministic, so micro-batch cadence cannot change the lists)
+    val ref = java.nio.file.Files.createTempDirectory("ivf_ref").toString
+    graft.ops.Similarity.ivfBuild(base, ref)
+    graft.ops.Similarity.ivfAppend(spark, delta, ref)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve(dir: String) =
+      graft.ops.Similarity.ivfServe(spark, dir, queries, 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(serve(idx) == serve(ref),
+      "stream-maintained IVF serve must equal the batch-appended index")
+  }
+
   test("streaming bloom admission rejects a later micro-batch's copy of " +
       "an earlier admission") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
