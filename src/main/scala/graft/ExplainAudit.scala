@@ -18,8 +18,10 @@ object ExplainAudit {
       println(s"===== $n =====")
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // operator tree only (the formatted mode appends per-node details)
-      p.linesIterator.takeWhile(_.nonEmpty).foreach(println)
+      // operator tree only by default (the formatted mode appends
+      // per-node details); SPARK_GRAFT_EXPLAIN_FULL=1 prints everything
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FULL")) println(p)
+      else p.linesIterator.takeWhile(_.nonEmpty).foreach(println)
     }
     spark.stop()
   }

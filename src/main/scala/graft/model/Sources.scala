@@ -72,6 +72,20 @@ object Sources {
   def writeJsonlReplace(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC scan — the second columnar interchange format a lakehouse
+    * ingests besides parquet (Spark-native reader: vectorized, with
+    * predicate pushdown into stripe/row-group stats and column pruning,
+    * same as the parquet path). Schema comes from the ORC footer, so no
+    * inference scan. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Full-replace ORC sink (the readOrc twin). Preserves the full typed
+    * surface — timestamps, decimals, nested arrays — unlike text
+    * formats, which is what the roundtrip query differentially tests. */
+  def writeOrcReplace(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Full-replace JDBC sink — the reference's actual target is Postgres
     * (dlt → PG schema `ufc`, dlt/load.py:55-63); this is the drop-in when a
     * relational warehouse is wanted instead of parquet. Not exercised in

@@ -283,8 +283,43 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** ORC source/sink roundtrip (the second columnar interchange format):
+    * orders → ORC artifact → readOrc → filtered per-priority aggregate
+    * over the TYPED surface (timestamp min/max, decimal sum) that text
+    * formats can't carry natively. The oracle computes the same
+    * aggregate from the parquet table, so equality proves the ORC
+    * write+read preserves timestamps and numerics exactly; the status
+    * filter rides Spark's native vectorized ORC reader with predicate
+    * pushdown into stripe stats, like the parquet scan path. */
+  val s9OrcRoundtrip = QueryDef(
+    "q_s9_orc_roundtrip",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_price,
+      |       min(o_orderdate) AS first_order,
+      |       max(o_orderdate) AS last_order
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"orc|$d") { tmp =>
+      graft.model.Sources.writeOrcReplace(orders, s"$tmp/orders")
+    }
+    graft.model.Sources.readOrc(s, s"$dir/orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("total_price"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     s1ScanPrune, p1ProjectArith, p3InList, p4Ilike, p5Regex,
     a1CountGroup, a2CondSum, a4MinMaxAvg, a6CountDistinct, a10Distinct,
-    o1MultiSort, o2NullsLast, s8JsonlRoundtrip)
+    o1MultiSort, o2NullsLast, s8JsonlRoundtrip, s9OrcRoundtrip)
 }

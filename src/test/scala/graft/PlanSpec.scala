@@ -35,6 +35,15 @@ class PlanSpec extends AnyFunSuite {
       s"projection not pruned:\n$p")
   }
 
+  test("ORC roundtrip: status filter and projection are pushed to the ORC reader") {
+    val p = plan("q_s9_orc_roundtrip")
+    assert(p.contains("Scan orc"), s"plan does not read ORC:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"status filter not pushed into the ORC scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("o_custkey"),
+      s"projection not pruned on the ORC scan:\n$p")
+  }
+
   test("pre-agg join broadcasts the small aggregated side") {
     val p = plan("q_j3_preagg_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
