@@ -31,7 +31,7 @@ object Registry {
       NorthStar.defs ++ Streaming.defs ++ UfcQueries.defs ++ Extended.defs ++
       ScaleQueries.defs ++ Lifecycle.defs ++ Retrieve.defs ++ Sketches.defs ++
       GraphQueries.defs ++ TrainPrep.defs ++ CorpusQueries.defs ++
-      EmbeddingQueries.defs
+      EmbeddingQueries.defs ++ UrlQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

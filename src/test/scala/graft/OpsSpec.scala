@@ -1075,4 +1075,44 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(all != fit)
   }
+
+  test("URL canonicalization handles the edge shapes") {
+    val cases = Seq(
+      // fragment + default https port + tracking params + trailing slash
+      ("HTTPS://WWW.A.Example.COM:443/Path/Sub/?utm_source=x&id=7&utm_medium=y#frag",
+        "https://www.a.example.com/Path/Sub?id=7"),
+      // http:80 strip; ref param dropped entirely -> no '?'
+      ("http://B.test.ORG:80/p?ref=rss", "http://b.test.org/p"),
+      // non-default port survives; param order preserved
+      ("https://c.example.com:8443/x?b=2&a=1", "https://c.example.com:8443/x?b=2&a=1"),
+      // no path, no query; root slash stripped
+      ("https://D.example.com/", "https://d.example.com"),
+      // path/query case preserved, only scheme://host lowered
+      ("HTTP://E.Com/CaseSensitive/Path?Key=Value", "http://e.com/CaseSensitive/Path?Key=Value"),
+      // fbclid dropped, legit param kept
+      ("https://f.com/p?fbclid=abc123&q=term", "https://f.com/p?q=term"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"canonicalization mismatch: $got")
+  }
+
+  test("registered domain follows longest-matching-suffix PSL semantics") {
+    val suffixes = Seq("com", "co.uk", "uk").toDF("suffix")
+    val hosts = Seq(
+      "www.a.example.com",   // 'com' -> example.com
+      "b.sample.co.uk",      // 'co.uk' beats 'uk' -> sample.co.uk
+      "deep.x.y.sample.co.uk", // still sample.co.uk
+      "plain.co.uk",         // suffix co.uk + one label = plain.co.uk
+      "host.internal")       // no suffix match -> last-2 fallback
+      .toDF("host")
+    val got = graft.ops.UrlOps.withRegisteredDomain(hosts, "host", suffixes)
+      .select("host", "registered_domain").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("www.a.example.com") == "example.com")
+    assert(got("b.sample.co.uk") == "sample.co.uk")
+    assert(got("deep.x.y.sample.co.uk") == "sample.co.uk")
+    assert(got("plain.co.uk") == "plain.co.uk")
+    assert(got("host.internal") == "host.internal")
+  }
 }
