@@ -86,6 +86,16 @@ object Sources {
   def writeOrcReplace(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Schema-evolved parquet read: a long-lived 100 TB table accretes
+    * columns across years of writer generations; `mergeSchema` unions the
+    * per-file footers in ONE scan (older files surface the new columns as
+    * NULL) instead of forcing a petabyte rewrite on every schema change.
+    * Off by default in Spark because footer-merging costs a pass over
+    * file metadata — turn it on only at generation boundaries, or pass
+    * the unified schema explicitly once it's known. */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Full-replace JDBC sink — the reference's actual target is Postgres
     * (dlt → PG schema `ufc`, dlt/load.py:55-63); this is the drop-in when a
     * relational warehouse is wanted instead of parquet. Not exercised in

@@ -184,4 +184,48 @@ object ScaleOps {
       fx1 <= bx2 && fx2 >= bx1 && fy1 <= by2 && fy2 >= by1 }
     (n, rs.length)
   }
+
+  /** Bloom hash count for [[bloomJoinPruned]]. */
+  val BloomJoinK = 4
+
+  private def bloomJoinPos(key: Column, j: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"bjoin:$j:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % mBits
+
+  /** Bloom-filter join pruning — the runtime-filter technique for a big
+    * fact ⋈ selective-dim join where the DIM IS TOO WIDE TO BROADCAST
+    * but its key set's Bloom fingerprint is tiny: build the distinct
+    * occupied positions of the dim keys (≤ min(k·|dim|, mBits) rows of
+    * one long — broadcastable at any dim width), probe each fact row's k
+    * positions via k sequential BROADCAST LEFT-SEMI joins (each map-only,
+    * zero shuffle), and only then run the exact shuffle join over the
+    * survivors. No false negatives (a true match hits all k positions),
+    * and the exact join removes the false positives — so the result is
+    * EXACTLY the plain join's, but the shuffle carries only plausible
+    * matches: with a 1-in-37 selective dim, ~97% of the fact's shuffle
+    * volume never leaves the map side. This is the explicit form of
+    * Spark's AQE runtime bloom filter, usable where AQE's heuristics
+    * don't fire (non-equi residuals, pre-planned pipelines). */
+  def bloomJoinPruned(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, mBits: Int = 1 << 16): DataFrame = {
+    val pruned = bloomPrune(big, small, bigKey, smallKey, mBits)
+    pruned.join(small, pruned(bigKey) === small(smallKey))
+  }
+
+  /** The map-side half of [[bloomJoinPruned]]: fact rows surviving the k
+    * broadcast semi probes. Public so the prune's measured selectivity
+    * (true-match fraction + Bloom false positives) is testable on its
+    * own — at a 1-in-37 dim it passes ~2.8% of rows. */
+  def bloomPrune(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, mBits: Int = 1 << 16): DataFrame = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val occupied = small
+      .select(explode(array((0 until BloomJoinK)
+        .map(j => bloomJoinPos(col(smallKey), j, mBits)): _*)).as("pos"))
+      .distinct()
+    (0 until BloomJoinK).foldLeft(big) { (acc, j) =>
+      acc.join(broadcast(occupied.select(col("pos").as(s"__p$j"))),
+        bloomJoinPos(col(bigKey), j, mBits) === col(s"__p$j"), "left_semi")
+    }
+  }
 }

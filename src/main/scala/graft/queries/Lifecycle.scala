@@ -208,6 +208,44 @@ object Lifecycle {
       .orderBy("o_custkey")
   }
 
+  /** Schema evolution across writer generations: gen-1 files carry the
+    * original order columns, gen-2 files (o_orderkey % 3 = 0) add an
+    * `o_channel` column; a single mergeSchema read unions the footers —
+    * gen-1 rows surface o_channel as NULL, no rewrite of old files. The
+    * aggregate proves both directions: total counts see every generation,
+    * channel counts see only gen-2 rows. */
+  val schemaEvolution = QueryDef(
+    "q_e_schema_evolution",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN
+      |         (CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END)
+      |         END) AS BIGINT) AS n_with_channel,
+      |       CAST(sum(CASE WHEN o_orderkey % 3 = 0
+      |                      AND o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_web
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"schevo|$d") { tmp =>
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .write.mode("append").parquet(s"$tmp/orders")
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("store")))
+        .write.mode("append").parquet(s"$tmp/orders")
+    }
+    graft.model.Sources.readParquetEvolved(s, s"$dir/orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_channel")).as("n_with_channel"),
+        sum(when(col("o_channel") === "web", 1).otherwise(0)).cast("long")
+          .as("n_web"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain)
+    Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain,
+      schemaEvolution)
 }

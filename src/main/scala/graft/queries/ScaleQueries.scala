@@ -122,6 +122,32 @@ object ScaleQueries {
       .orderBy("zfile")
   }
 
+  /** Bloom-pruned fact⋈dim join: a 1-in-37 selective orders slice joins
+    * lineitem; the fact side is pre-filtered MAP-SIDE by four broadcast
+    * left-semi probes of the dim keys' Bloom positions before the exact
+    * shuffle join, so ~97% of the fact shuffle volume never leaves the
+    * map side. No false negatives + exact join after ⇒ result is
+    * EXACTLY the plain join's — which is the oracle. */
+  val bloomJoinPrune = QueryDef(
+    "q_scale_bloom_join_prune",
+    """WITH sel AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 37 = 0
+      |)
+      |SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem l JOIN sel ON l.l_orderkey = sel.o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val sel = T.orders(s, d).filter(col("o_orderkey") % 37 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    ScaleOps.bloomJoinPruned(T.lineitem(s, d), sel, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Fns.dsum(col("l_extendedprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(skewPlain, saltedJoin, heavyHitters, zorderLayout)
+    Seq(skewPlain, saltedJoin, heavyHitters, zorderLayout, bloomJoinPrune)
 }

@@ -35,6 +35,16 @@ class PlanSpec extends AnyFunSuite {
       s"projection not pruned:\n$p")
   }
 
+  test("bloom join prune: four map-side broadcast semi probes precede the exact join") {
+    val p = plan("q_scale_bloom_join_prune")
+    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size
+    assert(semis == graft.ops.ScaleOps.BloomJoinK,
+      s"expected ${graft.ops.ScaleOps.BloomJoinK} broadcast left-semi probes, got $semis:\n$p")
+    // the exact join still runs (bloom false positives must be removed)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\\bInner\\b".r
+      .findFirstIn(p).isDefined, s"exact inner join missing:\n$p")
+  }
+
   test("ORC roundtrip: status filter and projection are pushed to the ORC reader") {
     val p = plan("q_s9_orc_roundtrip")
     assert(p.contains("Scan orc"), s"plan does not read ORC:\n$p")

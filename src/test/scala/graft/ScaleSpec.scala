@@ -130,6 +130,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit bloom join prune: no false negatives, measured map-side selectivity") {
+    val li = queries.T.lineitem(spark, sf)
+    val sel = queries.T.orders(spark, sf).filter(col("o_orderkey") % 37 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    // the pruned fact side keeps EVERY true match (no false negatives)...
+    val pruned = ScaleOps.bloomPrune(li, sel, "l_orderkey", "o_orderkey")
+    val trueMatches = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val afterExact = pruned.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(afterExact == trueMatches,
+      s"bloom prune lost true matches: $afterExact vs $trueMatches")
+    // ...while passing only a small fraction of the fact rows map-side:
+    // ~1/37 true-match rate plus the bloom FP rate — well under 10%
+    val total = li.count()
+    val survivors = pruned.count()
+    assert(survivors < total / 10,
+      s"prune not selective: $survivors of $total fact rows survived")
+    assert(survivors >= trueMatches, "prune passed fewer rows than true matches")
+  }
+
   test("salted distinct count equals countDistinct") {
     val li = queries.T.lineitem(spark, sf)
     val plain = li.groupBy("l_returnflag")
