@@ -258,6 +258,50 @@ object Retrieval {
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
   }
 
+  /** Boolean AND/NOT retrieval served from the persisted postings: docs
+    * containing ALL `must` terms and NONE of `mustNot`, with the summed
+    * must-term tf as the hit weight. Plan shape at 100 TB: each word
+    * filter is an in-list predicate on the word-range-sorted postings
+    * (footer stats prune the scan to the terms' ranges); the candidate
+    * aggregate is bounded by the query vocabulary's posting rows, never
+    * the corpus; the NOT side enters as a left-anti join on its (also
+    * pruned) posting ids. No tokenization at query time. */
+  def booleanSearchServed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, must: Seq[String],
+      mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must term")
+    val postings = Models.load(spark, s"$dir/postings")
+    val m = must.map(_.toLowerCase(java.util.Locale.ROOT))
+    val candidates = postings.filter(col("word").isin(m: _*))
+      .groupBy(idCol)
+      .agg(countDistinct(col("word")).as("__n_terms"),
+        sum(col("tf")).as("hits"))
+      .filter(col("__n_terms") === m.size)
+      .select(col(idCol), col("hits"))
+    if (mustNot.isEmpty) candidates
+    else candidates.join(
+      postings.filter(col("word")
+          .isin(mustNot.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Prefix term lookup served from the postings: `word LIKE 'pre%'` is
+    * a RANGE predicate, which is exactly what the word-range-sorted
+    * layout serves — the StartsWith filter pushes into the parquet scan
+    * and footer min/max stats skip every file/row group whose word range
+    * excludes the prefix, so the lookup reads ~the prefix's range
+    * instead of the corpus-sized table (the layout's second dividend
+    * beyond equality pruning). Returns per-word document frequency and
+    * collection frequency — the stats an autocomplete / query-expansion
+    * stage wants. */
+  def prefixSearchServed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, prefix: String): DataFrame =
+    Models.load(spark, s"$dir/postings")
+      .filter(col("word").startsWith(prefix.toLowerCase(java.util.Locale.ROOT)))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
     * the standard hybrid-retrieval combiner (BM25 ∪ dense ANN) a
     * RAG/curation pipeline runs: score(d) = Σ_lists 1/(k0 + rank_d),

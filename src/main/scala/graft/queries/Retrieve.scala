@@ -265,7 +265,61 @@ object Retrieve {
     Retrieval.rrfFuse(sparseTop, denseTop, "doc_id", k0 = 60, k = 20)
   }
 
+  /** Boolean AND/NOT retrieval from the persisted postings: docs with
+    * BOTH 'table' and 'join', excluding any doc containing 'window'. The
+    * must-filter scans prune to the terms' word ranges; the aggregate is
+    * bounded by the query vocabulary's postings; the NOT side is a
+    * left-anti join on its (pruned) posting ids. */
+  val booleanAndNot = QueryDef(
+    "q_ret_boolean_and_not",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE word <> '' GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS hits
+      |  FROM tf WHERE word IN ('table', 'join')
+      |  GROUP BY doc_id
+      |  HAVING count(DISTINCT word) = 2
+      |)
+      |SELECT doc_id, hits FROM cand
+      |WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE word = 'window')
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bm25|$d") { tmp =>
+      Retrieval.bm25Build(T.documents(s, d), "doc_id", "text", tmp)
+    }
+    Retrieval.booleanSearchServed(s, dir, "doc_id",
+        must = Seq("table", "join"), mustNot = Seq("window"))
+      .orderBy("doc_id")
+  }
+
+  /** Prefix term lookup from the postings: word LIKE 's%' is a range
+    * predicate on the word-range-sorted layout — the StartsWith filter
+    * pushes into the scan and footer stats skip the out-of-range files
+    * (PlanSpec pins the pushdown). */
+  val prefixLookup = QueryDef(
+    "q_ret_prefix_lookup",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok WHERE word <> '' GROUP BY 1, 2
+      |)
+      |SELECT word, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      |FROM tf WHERE word LIKE 's%'
+      |GROUP BY word
+      |ORDER BY word""".stripMargin) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bm25|$d") { tmp =>
+      Retrieval.bm25Build(T.documents(s, d), "doc_id", "text", tmp)
+    }
+    Retrieval.prefixSearchServed(s, dir, "doc_id", "s")
+      .orderBy("word")
+  }
+
   val defs: Seq[QueryDef] = Seq(tfidfTopK, tfidfServed, bm25TopK, bm25Served,
     phraseTopK, phraseServed, bm25ServedIncremental, phraseServedIncremental,
-    hybridRrf)
+    hybridRrf, booleanAndNot, prefixLookup)
 }

@@ -35,6 +35,12 @@ class PlanSpec extends AnyFunSuite {
       s"projection not pruned:\n$p")
   }
 
+  test("prefix lookup pushes StartsWith into the word-sorted postings scan") {
+    val p = plan("q_ret_prefix_lookup")
+    assert(p.contains("StringStartsWith(word,s)"),
+      s"prefix filter not pushed into the postings scan:\n$p")
+  }
+
   test("bloom join prune: four map-side broadcast semi probes precede the exact join") {
     val p = plan("q_scale_bloom_join_prune")
     val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size
