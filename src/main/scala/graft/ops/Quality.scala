@@ -118,4 +118,28 @@ object Quality {
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
       .orderBy("column_name")
   }
+
+  /** Robust per-group outlier annotation (median/MAD gate — the robust
+    * twin of the z-score: one corrupted batch can drag a mean/stddev
+    * fence to cover its own anomalies, while median and MAD have 50%
+    * breakdown): flags rows with |v − median| > k·MAD of their group.
+    * Two exact-percentile passes over the facts plus two BROADCAST
+    * joins of the group-bounded stats table — the group count, not the
+    * row count, bounds everything that moves; swap `percentile` for
+    * `approx_percentile` to make it one-pass-ish when exactness isn't
+    * required. MAD = 0 (over half the group identical) flags any
+    * deviation, the conventional degenerate reading. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val stats = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(max(col("__med")).as("__med"),
+        expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("__med")) > lit(k) * col("__mad"))
+      .drop("__med", "__mad")
+  }
 }

@@ -245,7 +245,38 @@ object Lifecycle {
       .orderBy("o_orderstatus")
   }
 
+  /** Robust per-group outlier rate over the event stream's value column:
+    * the median/MAD gate (50% breakdown point — a corrupted batch can't
+    * drag the fence over itself the way a mean/stddev one can). Stats
+    * are group-bounded and broadcast; only the two exact-percentile
+    * passes touch the facts. */
+  val outliers = QueryDef(
+    "q_dq_outliers",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events GROUP BY event_type
+      |), st AS (
+      |  SELECT e.event_type, max(m) AS m,
+      |         quantile_cont(abs(e.value - m), 0.5) AS mad
+      |  FROM events e JOIN med USING (event_type)
+      |  GROUP BY e.event_type
+      |)
+      |SELECT e.event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN abs(e.value - m) > 3.5 * mad THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_outliers
+      |FROM events e JOIN st USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+    graft.ops.Quality.robustOutliers(T.events(s, d), "event_type", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1).otherwise(0)).cast("long")
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain,
-      schemaEvolution)
+      schemaEvolution, outliers)
 }
