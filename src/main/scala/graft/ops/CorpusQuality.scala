@@ -125,6 +125,54 @@ object CorpusQuality {
         md5(array_join(slice(col("ws"), col("col") * stride + 1, lit(size)), " ")).as("chunk_hash"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall AFTER token i
+    * whenever the hash of the (token i−1, token i) bigram lands in the
+    * 1/`divisor` boundary class — so boundaries are a function of LOCAL
+    * CONTENT, not position. That is the property fixed-stride chunking
+    * lacks: insert a sentence at the top of a document and every
+    * fixed-stride chunk after it shifts (new hashes, dedup misses them
+    * all), while CDC boundaries downstream of the edit are unchanged and
+    * those chunks dedup exactly (OpsSpec measures this). Expected chunk
+    * length = `divisor` tokens. Map-only per-doc array work — one
+    * posexplode fan-out, no shuffle at any corpus size. The gram hash is
+    * the md5-prefix form every neutral kernel here uses, so the oracle
+    * reproduces boundaries bit-for-bit; no min/max chunk clamps (those
+    * need a sequential per-doc scan — at 100 TB the pure-hash form keeps
+    * the op embarrassingly parallel, and the boundary class already
+    * bounds the length distribution geometrically). */
+  def chunkContentDefined(docs: DataFrame, textCol: String = "text",
+      divisor: Int = 16): DataFrame = {
+    val ws = col("ws")
+    val n = org.apache.spark.sql.functions.size(ws)
+    def gramHash(i: Column): Column =
+      conv(substring(md5(concat_ws(" ",
+        element_at(ws, i - 1), element_at(ws, i))), 1, 8), 16, 10)
+        .cast("long") % divisor
+    // boundaries live in [2, n-1]: a boundary at n would leave an empty
+    // tail chunk; Spark's sequence(2, 1) counts DOWN, hence the guard
+    val bpos = when(n >= lit(3),
+      filter(sequence(lit(2), n - 1), i => gramHash(i) === 0))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col("doc_id"), tokens(textCol).as("ws"))
+      .filter(n > 0)
+      .select(col("doc_id"), ws,
+        concat(array(lit(1)), transform(bpos, b => b + 1)).as("starts"),
+        concat(bpos, array(n)).as("ends"))
+      .select(col("doc_id"), ws, col("starts"), col("ends"),
+        posexplode(sequence(lit(1),
+          org.apache.spark.sql.functions.size(col("starts")))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        (element_at(col("ends"), col("col"))
+          - element_at(col("starts"), col("col")) + 1).cast("long")
+          .as("n_tokens"),
+        md5(array_join(slice(ws, element_at(col("starts"), col("col")),
+          element_at(col("ends"), col("col"))
+            - element_at(col("starts"), col("col")) + 1), " "))
+          .as("chunk_hash"))
+  }
+
   /** Domain mixture weighting: per-source token shares and the capped
     * up/down-sampling multiplier that would equalize the mixture toward a
     * uniform target (weight = min(cap, target_share / actual_share) — the

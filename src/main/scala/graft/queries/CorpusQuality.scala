@@ -227,7 +227,38 @@ object CorpusQueries {
     CQ.splitDrift(T.documents(s, d)).orderBy("bucket")
   }
 
+  /** Content-defined chunking: boundaries where the token-bigram hash
+    * lands in the 1/16 class — chunk identity is a function of local
+    * content, so edits upstream don't shift downstream chunk hashes
+    * (the dedup-stability fixed-stride chunking lacks; measured in
+    * OpsSpec). Map-only per-doc array work. */
+  val chunkCdc = QueryDef(
+    "q_ns_chunk_cdc",
+    s"""WITH w AS (
+      |  SELECT doc_id, $toks AS ws FROM documents
+      |), b AS (
+      |  SELECT doc_id, ws,
+      |         list_filter(generate_series(2, len(ws) - 1),
+      |           i -> (CAST('0x' || substr(md5(ws[i-1] || ' ' || ws[i]), 1, 8)
+      |                 AS BIGINT) % 16) = 0) AS bpos
+      |  FROM w WHERE len(ws) > 0
+      |), c AS (
+      |  SELECT doc_id, ws,
+      |         list_prepend(CAST(1 AS BIGINT),
+      |           list_transform(bpos, x -> x + 1)) AS starts,
+      |         list_append(bpos, CAST(len(ws) AS BIGINT)) AS ends
+      |  FROM b
+      |)
+      |SELECT doc_id,
+      |       CAST(j - 1 AS BIGINT) AS chunk_id,
+      |       CAST(ends[j] - starts[j] + 1 AS BIGINT) AS n_tokens,
+      |       md5(array_to_string(ws[starts[j] : ends[j]], ' ')) AS chunk_hash
+      |FROM c, unnest(generate_series(1, len(starts))) AS t(j)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    CQ.chunkContentDefined(T.documents(s, d)).orderBy("doc_id", "chunk_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(gopherQuality, boilerplate, chunkOverlap, domainMix, temperatureMix,
-      temperatureResample, splitDrift)
+      temperatureResample, splitDrift, chunkCdc)
 }

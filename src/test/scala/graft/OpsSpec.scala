@@ -1076,6 +1076,31 @@ class OpsSpec extends AnyFunSuite {
     assert(all != fit)
   }
 
+  test("content-defined chunks survive an upstream edit; fixed-stride chunks don't") {
+    val base = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    // prepend a sentence to every document — the classic CDC scenario
+    val edited = base.withColumn("text",
+      concat(lit("freshly inserted leading sentence here "), col("text")))
+    def cdcHashes(df: DataFrame) =
+      graft.ops.CorpusQuality.chunkContentDefined(df)
+        .select("chunk_hash").collect().map(_.getString(0)).toSet
+    def strideHashes(df: DataFrame) =
+      graft.ops.CorpusQuality.chunkWithOverlap(df)
+        .select("chunk_hash").collect().map(_.getString(0)).toSet
+    val (cdcA, cdcB) = (cdcHashes(base), cdcHashes(edited))
+    val cdcShared = (cdcA & cdcB).size.toDouble / cdcA.size
+    // CDC: boundaries downstream of the edit are content-determined, so
+    // most chunks reappear verbatim and dedup catches them
+    assert(cdcShared > 0.5,
+      s"CDC should preserve most chunk hashes across the edit: $cdcShared")
+    val (fixA, fixB) = (strideHashes(base), strideHashes(edited))
+    val fixShared = (fixA & fixB).size.toDouble / fixA.size
+    // fixed stride: the insert shifts every window, hashes churn
+    assert(fixShared < cdcShared,
+      s"fixed-stride should churn more than CDC: $fixShared vs $cdcShared")
+  }
+
   test("URL canonicalization handles the edge shapes") {
     val cases = Seq(
       // fragment + default https port + tracking params + trailing slash
