@@ -115,4 +115,42 @@ object Graph {
     }
     (head +: steps).mkString(",\n") + s"\nSELECT node, score FROM s$iters"
   }
+
+  /** Per-node triangle counts via DEGREE-ORDERED edge orientation (the
+    * compact-forward algorithm): canonicalize to undirected distinct
+    * edges, orient every edge from its lower-(degree, id) endpoint to
+    * the higher, then close wedges with one equi join + one semi join.
+    * The orientation is the scale move — a skewed graph's hub node has
+    * out-degree bounded by the number of HIGHER-degree neighbors (≈√m),
+    * so the wedge join's fan-out is O(m^1.5) total instead of the
+    * Σdeg² a naive neighbor self-join pays on power-law graphs; every
+    * triangle is produced exactly once (its unique (deg,id)-ordered
+    * u<v<w traversal). Shuffles: the wedge equi join on the pivot node
+    * and the closing semi join on (u,w) — both bounded by oriented-edge
+    * volume. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = Pins.track(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().cache())
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented feeds three plans (wedge left, wedge right, closing semi);
+    // uncached the 4-way derivation re-executes for each
+    val oriented = Pins.track(und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
+      .cache())
+    val wedges = oriented
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), "v")
+    val tris = wedges.join(oriented.select(col("u"), col("v").as("w")),
+      Seq("u", "w"), "left_semi")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

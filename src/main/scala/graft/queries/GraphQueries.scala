@@ -77,5 +77,57 @@ object GraphQueries {
     s.sql("WITH RECURSIVE " + reachBody("thin_edges"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pagerank, reachability)
+  /** Per-nation triangle counts in the trade graph — degree-ordered
+    * orientation (compact-forward), so the wedge join's fan-out is
+    * bounded by higher-degree neighbors instead of deg² on hubs; each
+    * triangle closes exactly once. */
+  val triangles = QueryDef(
+    "q_graph_triangles",
+    s"""WITH e0 AS ($edgesSql),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst
+       |),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY node
+       |),
+       |o AS (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS u,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS v
+       |  FROM und u
+       |  JOIN deg da ON da.node = u.a
+       |  JOIN deg db ON db.node = u.b
+       |),
+       |tri AS (
+       |  SELECT w.u, w.v, w.w FROM (
+       |    SELECT e1.u, e1.v, e2.v AS w
+       |    FROM o e1 JOIN o e2 ON e2.u = e1.v
+       |  ) w
+       |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = w.u AND e3.v = w.w)
+       |)
+       |SELECT n_name, n_triangles FROM (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT u AS node FROM tri
+       |        UNION ALL SELECT v FROM tri
+       |        UNION ALL SELECT w FROM tri)
+       |  GROUP BY node
+       |) t JOIN nation ON t.node = n_nationkey
+       |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val edges = T.customer(s, d)
+      .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    val tc = Graph.triangleCounts(edges)
+    tc.join(T.nation(s, d), tc("node") === col("n_nationkey"))
+      .select(col("n_name"), col("n_triangles"))
+      .orderBy("n_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pagerank, reachability, triangles)
 }

@@ -39,4 +39,19 @@ class GraphSpec extends AnyFunSuite {
       .map(_.getDecimal(1).doubleValue()).toSeq
     assert(pr.forall(s => math.abs(s - 0.25) < 1e-6), s"uniform 1/n, got $pr")
   }
+
+  test("triangle counts: known graph, duplicate/reversed edges collapse") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant node 5
+    // attached to 1 (in no triangle) — fed with duplicates and reversals
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (4L, 3L), (1L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"expected each K4 node in 3 triangles, pendant absent: $got")
+    // global count: sum of per-node counts = 3 * n_triangles
+    assert(got.values.sum == 3 * 4)
+  }
 }
