@@ -241,6 +241,32 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Proximity (slop) search SERVED from the positional index: docs
+    * where `second` occurs 1..`slop` tokens AFTER `first`, scored by the
+    * count of such ordered co-occurrence pairs — the middle ground
+    * between bag-of-words BM25 (no position) and exact-phrase adjacency
+    * (slop = 1). Both word lookups are equality predicates on the
+    * word-range-sorted positions table (footer-stats pruned); the pair
+    * join is equi on the doc id with the slop window as a range
+    * residual, so candidate volume is bounded by the two terms' posting
+    * lists, never the corpus. */
+  def proximitySearchServed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, first: String, second: String,
+      slop: Int, k: Int = 20): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    val pos = Models.load(spark, s"$dir/positions")
+    val p1 = pos.filter(col("word") === first.toLowerCase(java.util.Locale.ROOT))
+      .select(col(idCol), col("pos").as("__pa"))
+    val p2 = pos.filter(col("word") === second.toLowerCase(java.util.Locale.ROOT))
+      .select(col(idCol), col("pos").as("__pb"))
+    p1.join(p2, Seq(idCol))
+      .filter((col("__pb") - col("__pa")).between(1, slop))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc(idCol))
+      .limit(k)
+  }
+
   /** TF-IDF posting stats SERVED from the persisted BM25 index — the
     * same (id, word, tf) relation both scorers share: df re-derives as
     * the per-word posting count, n_docs folds from the stats partials,

@@ -319,7 +319,40 @@ object Retrieve {
       .orderBy("word")
   }
 
+  /** Proximity search: 'value' followed by 'table' within 3 tokens —
+    * slop generalizes exact-phrase adjacency (slop=1) toward
+    * bag-of-words; candidates are bounded by the two terms' posting
+    * lists off the word-sorted positional index. */
+  val proximity = QueryDef(
+    "q_ret_proximity",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents
+      |), pa AS (
+      |  SELECT doc_id, unnest(list_filter(generate_series(1, len(ws)),
+      |           i -> ws[i] = 'value')) AS p
+      |  FROM w
+      |), pb AS (
+      |  SELECT doc_id, unnest(list_filter(generate_series(1, len(ws)),
+      |           i -> ws[i] = 'table')) AS p
+      |  FROM w
+      |)
+      |SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+      |WHERE pb.p - pa.p BETWEEN 1 AND 3
+      |GROUP BY pa.doc_id
+      |ORDER BY n_pairs DESC, pa.doc_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"phraseidx|$d") { tmp =>
+      Retrieval.phraseIndexBuild(T.documents(s, d), tmp, "doc_id", "text")
+    }
+    Retrieval.proximitySearchServed(s, dir, "doc_id", "value", "table",
+      slop = 3, k = 20)
+  }
+
   val defs: Seq[QueryDef] = Seq(tfidfTopK, tfidfServed, bm25TopK, bm25Served,
     phraseTopK, phraseServed, bm25ServedIncremental, phraseServedIncremental,
-    hybridRrf, booleanAndNot, prefixLookup)
+    hybridRrf, booleanAndNot, prefixLookup, proximity)
 }
