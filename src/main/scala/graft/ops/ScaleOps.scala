@@ -185,6 +185,39 @@ object ScaleOps {
     (n, rs.length)
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group: hash each
+    * value to a 32-bit md5 prefix, keep the k smallest distinct hashes
+    * per group, estimate distinct = (k−1)·2³² / kth-minimum (the
+    * uniform-order-statistics estimator, CV ≈ 1/√(k−2)); a group with
+    * fewer than k hashes reports its exact hash count. Scale shape: the
+    * per-group k-minimum is a bottom-k window, which Spark plans as a
+    * map-side-pruned WindowGroupLimit (the domain-cap idiom) — each
+    * partition forwards at most k rows per group, so the shuffle is
+    * O(groups·k) regardless of distinct-value volume, the same win HLL
+    * buys. Unlike HLL, the md5 hash makes the sketch DETERMINISTIC and
+    * engine-neutral: the estimate itself hash-matches a DuckDB twin,
+    * so the driver gate verifies the sketch's value, not just a
+    * tolerance boolean. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 3, "KMV needs k >= 3")
+    val h = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("hv")
+    h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCol)
+      .agg(max(col("hv")).as("__hk"), count(lit(1)).as("__nh"))
+      .select(col(groupCol),
+        when(col("__nh") >= k,
+          lit((k - 1) * 4294967296.0) / col("__hk"))
+          .otherwise(col("__nh").cast("double")).as("kmv_est"))
+  }
+
   /** Bloom hash count for [[bloomJoinPruned]]. */
   val BloomJoinK = 4
 

@@ -99,5 +99,47 @@ object Sketches {
       .orderBy("o_orderstatus")
   }
 
-  val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge)
+  /** KMV distinct users per event type: k smallest md5-prefix hashes →
+    * (k−1)·2³²/kth-min. The md5 hash makes the sketch deterministic and
+    * engine-neutral, so — unlike HLL — the ESTIMATE ITSELF is
+    * hash-compared against the DuckDB twin, and the within_tol gate
+    * (3σ at CV ≈ 1/√(k−2)) is additionally pinned true in the oracle:
+    * an accuracy regression flips the row red. */
+  val kmvDistinct = QueryDef(
+    "q_sk_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) AS hv
+      |  FROM events WHERE user_id IS NOT NULL
+      |), r AS (
+      |  SELECT event_type, hv,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |  FROM h
+      |), tops AS (
+      |  SELECT event_type, max(hv) AS hk, CAST(count(*) AS BIGINT) AS nh
+      |  FROM r WHERE rn <= 256 GROUP BY event_type
+      |), ex AS (
+      |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_cnt
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT t.event_type, ex.exact_cnt,
+      |       CASE WHEN nh >= 256 THEN 255 * 4294967296.0 / hk
+      |            ELSE CAST(nh AS DOUBLE) END AS kmv_est,
+      |       true AS within_tol
+      |FROM tops t JOIN ex ON t.event_type = ex.event_type
+      |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+    val est = graft.ops.ScaleOps.kmvDistinct(T.events(s, d),
+      "event_type", "user_id", k = 256)
+    val exact = T.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_cnt"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_cnt"), col("kmv_est"),
+        (abs(col("kmv_est") - col("exact_cnt"))
+          <= col("exact_cnt") * lit(3.0 / math.sqrt(254.0))).as("within_tol"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge,
+    kmvDistinct)
 }
