@@ -80,6 +80,8 @@ object ScaleEvidence {
       case Some("dsir") => dsirEvidence(spark, sfDir); spark.stop(); return
       case Some("mediafp") => mediaFpEvidence(spark, sfDir); spark.stop(); return
       case Some("bloom") => bloomEvidence(spark, sfDir); spark.stop(); return
+      case Some("bloomjoin") =>
+        bloomJoinEvidence(spark, sfDir); spark.stop(); return
       case Some("phrase") => phraseEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
@@ -506,6 +508,74 @@ object ScaleEvidence {
         s""""incoming":$nInc,"false_rejects":$falseRejects,""" +
         s""""fp_rate":${"%.2e".format(falseRejects.toDouble / nInc)},""" +
         s""""t_build_s":${"%.2f".format(tBuild)},"t_serve_s":${"%.2f".format(tServe)}}""")
+    }
+  }
+
+  /** Bloom join prune A/B: the claim is that the k broadcast semi probes
+    * drop most of the fact side's shuffle WRITE (the map-side bytes that
+    * cross the wire for the exact join). Broadcast of the dim is
+    * disabled — the prune exists precisely for the dim-too-wide-to-
+    * broadcast regime — and stage-level shuffleWriteMetrics are summed
+    * over each run. */
+  private def bloomJoinEvidence(spark: SparkSession, sfDir: String): Unit = {
+    val li = queries.T.lineitem(spark, sfDir)
+    // non-key dim predicate: a key-derived filter (o_orderkey % 37) would
+    // transfer to the fact scan via InferFiltersFromConstraints and the
+    // plain join would self-prune — the bloom prune exists for the
+    // predicates Catalyst CANNOT propagate
+    val sel = queries.T.orders(spark, sfDir)
+      .filter(col("o_totalprice") < 20000)
+      .select("o_orderkey", "o_orderpriority")
+    def measure(label: String)(job: => Long): (Long, Long, Double) = {
+      val writes =
+        new java.util.concurrent.ConcurrentLinkedQueue[Long]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) writes.add(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (rows, t) = timed(job)
+      // listener events post async (the bus drain API is private);
+      // stage-completed events for a finished job land well within this
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      (rows, writes.asScala.sum, t)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE re-plans the shuffle join to broadcast at runtime through its
+    // OWN threshold — disable that too, the regime being measured is
+    // dim-too-wide-to-broadcast
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // the measured job is the q_scale_bloom_join_prune aggregate — it
+    // pulls a value column (l_extendedprice) through the join, so the
+    // fact side's shuffle carries real row payloads, not just keys
+    def agg(joined: org.apache.spark.sql.DataFrame): Long =
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+        .count()
+    try {
+      clearAll(spark)
+      val (nPlain, bPlain, tPlain) = measure("plain") {
+        agg(li.join(sel, col("l_orderkey") === col("o_orderkey")))
+      }
+      clearAll(spark)
+      val (nPruned, bPruned, tPruned) = measure("pruned") {
+        agg(ops.ScaleOps.bloomJoinPruned(li, sel, "l_orderkey", "o_orderkey"))
+      }
+      println(s"""BLOOMJOIN {"fact_rows":${li.count()},""" +
+        s""""match_rows_plain":$nPlain,"match_rows_pruned":$nPruned,""" +
+        s""""shuffle_write_mb_plain":${"%.1f".format(bPlain / 1048576.0)},""" +
+        s""""shuffle_write_mb_pruned":${"%.1f".format(bPruned / 1048576.0)},""" +
+        s""""reduction":${"%.2f".format(1 - bPruned.toDouble / bPlain)},""" +
+        s""""t_plain_s":${"%.2f".format(tPlain)},""" +
+        s""""t_pruned_s":${"%.2f".format(tPruned)}}""")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
 

@@ -122,16 +122,19 @@ object ScaleQueries {
       .orderBy("zfile")
   }
 
-  /** Bloom-pruned fact⋈dim join: a 1-in-37 selective orders slice joins
-    * lineitem; the fact side is pre-filtered MAP-SIDE by four broadcast
-    * left-semi probes of the dim keys' Bloom positions before the exact
-    * shuffle join, so ~97% of the fact shuffle volume never leaves the
-    * map side. No false negatives + exact join after ⇒ result is
-    * EXACTLY the plain join's — which is the oracle. */
+  /** Bloom-pruned fact⋈dim join: a ~1-in-26 selective orders slice
+    * (o_totalprice < 20000 — a NON-KEY predicate, so Catalyst cannot
+    * infer it onto the fact side the way it propagates key predicates
+    * through equi joins) joins lineitem; the fact side is pre-filtered
+    * MAP-SIDE by four broadcast left-semi probes of the dim keys' Bloom
+    * positions before the exact shuffle join, so ~96% of the fact
+    * shuffle volume never leaves the map side (measured in SCALING.md).
+    * No false negatives + exact join after ⇒ result is EXACTLY the
+    * plain join's — which is the oracle. */
   val bloomJoinPrune = QueryDef(
     "q_scale_bloom_join_prune",
     """WITH sel AS (
-      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 37 = 0
+      |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice < 20000
       |)
       |SELECT o_orderpriority,
       |       CAST(count(*) AS BIGINT) AS n_items,
@@ -139,7 +142,7 @@ object ScaleQueries {
       |FROM lineitem l JOIN sel ON l.l_orderkey = sel.o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    val sel = T.orders(s, d).filter(col("o_orderkey") % 37 === 0)
+    val sel = T.orders(s, d).filter(col("o_totalprice") < 20000)
       .select("o_orderkey", "o_orderpriority")
     ScaleOps.bloomJoinPruned(T.lineitem(s, d), sel, "l_orderkey", "o_orderkey")
       .groupBy("o_orderpriority")

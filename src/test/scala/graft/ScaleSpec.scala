@@ -132,7 +132,7 @@ class ScaleSpec extends AnyFunSuite {
 
   test("explicit bloom join prune: no false negatives, measured map-side selectivity") {
     val li = queries.T.lineitem(spark, sf)
-    val sel = queries.T.orders(spark, sf).filter(col("o_orderkey") % 37 === 0)
+    val sel = queries.T.orders(spark, sf).filter(col("o_totalprice") < 20000)
       .select("o_orderkey", "o_orderpriority")
     // the pruned fact side keeps EVERY true match (no false negatives)...
     val pruned = ScaleOps.bloomPrune(li, sel, "l_orderkey", "o_orderkey")
@@ -143,7 +143,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(afterExact == trueMatches,
       s"bloom prune lost true matches: $afterExact vs $trueMatches")
     // ...while passing only a small fraction of the fact rows map-side:
-    // ~1/37 true-match rate plus the bloom FP rate — well under 10%
+    // ~1/26 true-match rate plus the bloom FP rate — well under 10%
     val total = li.count()
     val survivors = pruned.count()
     assert(survivors < total / 10,
