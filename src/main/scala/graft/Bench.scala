@@ -73,7 +73,17 @@ object Bench {
     // (decode + fingerprint + banded/inverted candidate join)
     "q_ns_dsir_served",
     "q_ns_multimodal_audio_dedup",
-    "q_ns_multimodal_video_dedup")
+    "q_ns_multimodal_video_dedup",
+    // round-10: the retrieval lifecycle pair (scan-form phrase search vs
+    // the served positional index), the explicit bloom-pruned join vs its
+    // plain twin (the measured 90% shuffle cut), URL-frontier dedup (the
+    // cheapest dedup stage, all codegen'd string work), and the CDC
+    // chunker (map-only array fan-out)
+    "q_ret_phrase_topk",
+    "q_ret_phrase_served",
+    "q_scale_bloom_join_prune",
+    "q_ns_url_dedup",
+    "q_ns_chunk_cdc")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)
