@@ -57,6 +57,35 @@ object ScaleOps {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 
+  /** Small-file compaction — the lakehouse maintenance op for the
+    * append-heavy tables every streaming/ingest loop here produces: a
+    * sink that appends one file set per micro-batch accretes thousands
+    * of KB-sized files, and at 100 TB the scan's task-scheduling and
+    * footer-read overhead (one open + footer parse per file) comes to
+    * dominate actual IO. Rewrites `srcDir` into `dstDir` as
+    * ceil(rows/targetRowsPerFile) files, RANGE-PARTITIONED AND SORTED
+    * on `sortCols` — so the compaction pass doubles as a layout pass:
+    * the rewritten footers carry narrow non-overlapping min/max ranges
+    * on the sort key, and range predicates on it prune like the
+    * word-sorted postings index. One shuffle (the range partitioner),
+    * data byte-identical (ScaleSpec asserts aggregate equality and the
+    * file-count bound). Writes to a NEW directory: parquet cannot
+    * overwrite a directory mid-read, and generation-swap (write new,
+    * flip the reader's path, drop old) is the crash-safe pattern a real
+    * table format wraps in a metadata commit. */
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+      targetRowsPerFile: Long, sortCols: Seq[String]): Long = {
+    require(sortCols.nonEmpty, "compaction needs a sort key for the layout")
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val src = spark.read.parquet(srcDir)
+    val n = src.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+    src.repartitionByRange(nFiles.toInt, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    nFiles
+  }
+
   /** Hive-style column-partitioned parquet write — the other table-layout
     * idiom next to bucketing: a predicate on the partition column becomes a
     * directory prune (PartitionFilters) before any file is opened, so a

@@ -151,6 +151,39 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Small-file compaction: a deliberately fragmented orders copy (one
+    * file per ~40 rows — the shape an append-per-micro-batch sink
+    * accretes) is compacted into range-sorted files; the aggregate over
+    * the compacted table must equal the aggregate over the original
+    * (the oracle), proving the rewrite is lossless. File-count and
+    * footer-tightness claims are asserted in ScaleSpec, where the
+    * filesystem is visible. */
+  val compaction = QueryDef(
+    "q_scale_compaction",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"compact|$d") { tmp =>
+      T.orders(s, d).repartition(200)
+        .write.mode("overwrite").parquet(s"$tmp/fragmented")
+      graft.ops.ScaleOps.compactTo(s, s"$tmp/fragmented", s"$tmp/compacted",
+        targetRowsPerFile = 50000, sortCols = Seq("o_orderkey"))
+    }
+    s.read.parquet(s"$dir/compacted")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Fns.dsum(col("o_totalprice"), scale = 6).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(skewPlain, saltedJoin, heavyHitters, zorderLayout, bloomJoinPrune)
+    Seq(skewPlain, saltedJoin, heavyHitters, zorderLayout, bloomJoinPrune,
+      compaction)
 }

@@ -151,6 +151,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(survivors >= trueMatches, "prune passed fewer rows than true matches")
   }
 
+  test("compaction: file count collapses, data survives, footers prune") {
+    val orders = queries.T.orders(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    orders.repartition(50).write.mode("overwrite").parquet(s"$base/frag")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/frag").length == 50)
+    val n = orders.count()
+    val target = 1000L
+    val expectFiles = ((n + target - 1) / target).toInt
+    ScaleOps.compactTo(spark, s"$base/frag", s"$base/out", target,
+      Seq("o_orderkey"))
+    assert(parquetFiles(s"$base/out").length == expectFiles,
+      s"expected $expectFiles compacted files")
+    // lossless: per-status aggregate identical
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)), sum(col("o_orderkey")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(agg(spark.read.parquet(s"$base/out")) == agg(orders))
+    // layout: a narrow o_orderkey range predicate reads ~1 file's rows,
+    // not the table — the footer min/max ranges are non-overlapping
+    val scan = spark.read.parquet(s"$base/out")
+      .filter(col("o_orderkey") === orders.agg(min("o_orderkey")).head().getLong(0))
+    scan.collect()
+    val leaves = scan.queryExecution.executedPlan.collectLeaves()
+    val decoded = leaves.head.metrics.get("numOutputRows").map(_.value)
+    // vectorized scans report rows AFTER row-group pruning: one file's
+    // worth at most, not n
+    assert(decoded.exists(_ <= target * 2),
+      s"range-sorted compaction should prune the scan: decoded=$decoded of $n")
+  }
+
   test("salted distinct count equals countDistinct") {
     val li = queries.T.lineitem(spark, sf)
     val plain = li.groupBy("l_returnflag")
