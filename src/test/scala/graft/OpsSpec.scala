@@ -1122,6 +1122,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"canonicalization mismatch: $got")
   }
 
+  test("bloom admission composes with URL canonicalization: tracking-param " +
+      "variants of a seen URL are rejected") {
+    import org.apache.spark.sql.functions.{col => c}
+    // frontier state: canonical URLs already crawled
+    val seen = Seq(
+      "https://a.example.com/page/1",
+      "https://a.example.com/page/2?id=7")
+      .toDF("url")
+      .select(graft.ops.UrlOps.canonicalizeUrl(c("url")).as("canon"))
+    val dir = java.nio.file.Files.createTempDirectory("urlbloom").toString
+    graft.ops.Neutral.bloomIndexBuild(seen, dir, textCol = "canon")
+    // incoming crawl: two disguised re-crawls + one genuinely new URL
+    val incoming = Seq(
+      (1L, "HTTPS://A.Example.COM:443/page/1/?utm_source=feed#top"),
+      (2L, "https://a.example.com/page/2?utm_medium=x&id=7&fbclid=zz"),
+      (3L, "https://a.example.com/page/3"))
+      .toDF("doc_id", "url")
+      .withColumn("canon", graft.ops.UrlOps.canonicalizeUrl(c("url")))
+    val admitted = graft.ops.Neutral
+      .admitBloomServed(spark, dir, incoming, textCol = "canon")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(admitted == Map(1L -> false, 2L -> false, 3L -> true),
+      s"canonical-URL bloom admission wrong: $admitted")
+  }
+
   test("registered domain follows longest-matching-suffix PSL semantics") {
     val suffixes = Seq("com", "co.uk", "uk").toDF("suffix")
     val hosts = Seq(
