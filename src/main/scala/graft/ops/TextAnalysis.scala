@@ -547,4 +547,59 @@ object TextAnalysis {
     lmBigramScoreWith(docs,
       Models.load(spark, s"$dir/bigrams"),
       Models.load(spark, s"$dir/backoff"), idCol, textCol)
+
+  /** Distinctive terms per group (Monroe/Colaresi/Quinn "Fightin' Words"
+    * informative-Dirichlet log-odds): for each (group, word), the
+    * z-scored log-odds of the word's usage in the group vs the REST of
+    * the corpus, smoothed by a uniform +1 prior — the corpus-comparison
+    * primitive a curation pipeline uses to characterize what each
+    * source/domain is actually about (raw per-group counts just surface
+    * stopwords; the log-odds delta cancels them, and the z denominator
+    * damps rare-word noise the way plain PMI can't). Top-`k` terms per
+    * group by z.
+    *
+    * Shuffle shape: one partial-aggregated (group, word) count, one
+    * vocabulary-bounded word-total shuffle, per-group totals broadcast,
+    * and the top-k is a map-side-pruned WindowGroupLimit — nothing
+    * corpus-sized past the first count. Determinism: each ln rounds to
+    * DECIMAL(18,6) before the subtraction (the repo-wide libm-ulp
+    * contract); sqrt is IEEE-correctly-rounded, so the remaining
+    * arithmetic is bit-identical cross-engine, and the final z rounds
+    * to 6dp for the rank. */
+  def distinctiveTerms(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def lnr(c: Column): Column = log(c).cast(dec6).cast("double")
+    val gw = Pins.track(docs
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("grp", "word").agg(count(lit(1)).as("c_gw"))
+      .cache())
+    val wTot = gw.groupBy("word").agg(sum(col("c_gw")).as("c_w"))
+    val gTot = gw.groupBy("grp").agg(sum(col("c_gw")).as("n_g"))
+    val vocab = gw.agg(countDistinct(col("word")).as("v"),
+      sum(col("c_gw")).as("n_total"))
+    val joined = gw
+      .join(wTot, "word")
+      .join(broadcast(gTot), "grp")
+      .join(broadcast(vocab))
+    val a = lit(1.0) // uniform prior per word; a0 = V
+    val inG = col("c_gw") + a
+    val inGDenom = col("n_g") + col("v") - col("c_gw") - a
+    val rest = col("c_w") - col("c_gw") + a
+    val restDenom = col("n_total") - col("n_g") + col("v") - rest
+    val delta = (lnr(inG) - lnr(inGDenom)) - (lnr(rest) - lnr(restDenom))
+    val variance = lit(1.0) / inG + lit(1.0) / rest
+    val z = (delta / sqrt(variance)).cast(dec6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("z").desc, col("word").asc)
+    joined
+      .select(col("grp"), col("word"), col("c_gw"), z.as("z"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("grp").as(groupCol), col("word"), col("c_gw"),
+        col("z").cast("double").as("z"), col("rnk"))
+  }
 }

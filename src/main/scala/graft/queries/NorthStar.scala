@@ -2198,6 +2198,52 @@ object NorthStar {
       .limit(100)
   }
 
+  /** Distinctive terms per source (Monroe et al. "Fightin' Words"
+    * log-odds with a uniform +1 Dirichlet prior, z-scored): what each
+    * source is ABOUT relative to the rest of the corpus — raw counts
+    * surface stopwords, the log-odds delta cancels them and the z
+    * denominator damps rare-word noise. Each ln rounds to DECIMAL(18,6)
+    * before arithmetic (the repo-wide libm contract); top-3 per source
+    * via a map-side-pruned WindowGroupLimit. */
+  val distinctiveTerms = QueryDef(
+    "q_ns_distinctive_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, source AS grp,
+      |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |), gw AS (
+      |  SELECT grp, word, CAST(count(*) AS BIGINT) AS c_gw
+      |  FROM tok WHERE word <> '' GROUP BY 1, 2
+      |), wt AS (
+      |  SELECT word, CAST(sum(c_gw) AS BIGINT) AS c_w FROM gw GROUP BY 1
+      |), gt AS (
+      |  SELECT grp, CAST(sum(c_gw) AS BIGINT) AS n_g FROM gw GROUP BY 1
+      |), vv AS (
+      |  SELECT CAST(count(DISTINCT word) AS BIGINT) AS v,
+      |         CAST(sum(c_gw) AS BIGINT) AS n_total
+      |  FROM gw
+      |), sc AS (
+      |  SELECT gw.grp, gw.word, gw.c_gw,
+      |    CAST((
+      |      (CAST(CAST(ln(c_gw + 1.0) AS DECIMAL(18,6)) AS DOUBLE)
+      |       - CAST(CAST(ln(n_g + v - c_gw - 1.0) AS DECIMAL(18,6)) AS DOUBLE))
+      |      - (CAST(CAST(ln(c_w - c_gw + 1.0) AS DECIMAL(18,6)) AS DOUBLE)
+      |       - CAST(CAST(ln(n_total - n_g + v - (c_w - c_gw + 1.0)) AS DECIMAL(18,6)) AS DOUBLE))
+      |    ) / sqrt(1.0 / (c_gw + 1.0) + 1.0 / (c_w - c_gw + 1.0))
+      |    AS DECIMAL(18,6)) AS z
+      |  FROM gw JOIN wt USING (word) JOIN gt USING (grp) CROSS JOIN vv
+      |), ranked AS (
+      |  SELECT grp, word, c_gw, z,
+      |         row_number() OVER (PARTITION BY grp ORDER BY z DESC, word) AS rnk
+      |  FROM sc
+      |)
+      |SELECT grp AS source, word, c_gw, CAST(z AS DOUBLE) AS z, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    graft.ops.TextAnalysis.distinctiveTerms(T.documents(s, d))
+      .orderBy("source", "rnk")
+  }
+
   /** Cross-source overlap matrix: verified near-dup pairs per unordered
     * source pair (diagonal = intra-source duplication) — the curation
     * measurement behind source weighting and dedup-before-mixing. Same
@@ -2222,7 +2268,7 @@ object NorthStar {
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
-    textVocab, datasetCard,
+    textVocab, datasetCard, distinctiveTerms,
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,
     prepareCorpusClassifiedQ, splitQ,
