@@ -239,7 +239,31 @@ object Streaming {
       .orderBy("query_id", "rank")
   }
 
+  /** Time-decayed trending counts per event type (half-life 7 days,
+    * reference = max event time): each event weighs 2^(−age/halfLife),
+    * weights round to DECIMAL(18,9) before the exact sum, so the score
+    * is order-independent and engine-neutral. */
+  val streamTrending = QueryDef(
+    "q_stream_trending",
+    """WITH tref AS (SELECT max(ts) AS tr FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |         CAST(power(0.5,
+      |           CAST(epoch_us(tr) - epoch_us(ts) AS DOUBLE)
+      |             / 86400000000.0 / 7.0) AS DECIMAL(18,9)) AS w
+      |  FROM events CROSS JOIN tref
+      |)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(w) AS DOUBLE) AS decayed_count,
+      |       CAST(sum(w) AS DOUBLE) / count(*) AS trend_intensity
+      |FROM w GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    StreamOps.trendingCounts(T.events(s, d)).orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(tumbling, sessions, sessionWindow,
     statefulSessions, streamDedup, streamJoin, streamStaticEnrich,
-    streamAdmitExact, streamLmGate, streamDsirGate, streamIvfIngest)
+    streamAdmitExact, streamLmGate, streamDsirGate, streamIvfIngest,
+    streamTrending)
 }

@@ -14,6 +14,35 @@ import org.apache.spark.sql.expressions.Window
   */
 object StreamOps {
 
+  /** Exponentially time-decayed counts per key — the trending-detection
+    * aggregate (a count where each event contributes 2^(−age/halfLife),
+    * so "what's hot NOW" instead of "what was ever big"). The reference
+    * time is max(ts) over the input (deterministic from data, no wall
+    * clock), a 1-row broadcast; ages are exact integer microsecond
+    * differences, and each per-row weight rounds to DECIMAL(18,9)
+    * before the sum (pow is libm — same ulp contract as the ln-scored
+    * ops), so the decimal sum is exact and order-independent at any
+    * partitioning. One partial-aggregated shuffle on the key. The
+    * decayed/total ratio is the trend intensity: near 1 = all recent,
+    * near 0 = historical. On a stream the same expression folds per
+    * micro-batch against a fixed reference time. */
+  def trendingCounts(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", halfLifeDays: Double = 7.0): DataFrame = {
+    val tref = events.agg(max(col(tsCol)).as("__tref"))
+    val ageDays = (unix_micros(col("__tref").cast("timestamp"))
+      - unix_micros(col(tsCol).cast("timestamp"))).cast("double") /
+      lit(86400000000.0)
+    events.join(broadcast(tref))
+      .select(col(keyCol),
+        pow(lit(0.5), ageDays / lit(halfLifeDays))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__w"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).cast("double").as("decayed_count"))
+      .withColumn("trend_intensity",
+        col("decayed_count") / col("n_events"))
+  }
+
   /** Tumbling-window counts/sums per event_type. On a stream: add
     * `.withWatermark("ts", ...)` upstream and this same expression runs
     * incrementally with append output. */

@@ -148,6 +148,10 @@ class PlanSpec extends AnyFunSuite {
         "1-row bm25 stats broadcast + brute dense side (1-query broadcast)",
       // 1-row node-count broadcast into each damping step
       "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
+      // 1-row reference-time (max ts) broadcast into the decay weights
+      "q_stream_trending" -> "1-row reference-time broadcast",
+      // 1-row (V, N) vocabulary-totals broadcast into the log-odds prior
+      "q_ns_distinctive_terms" -> "1-row vocab-totals broadcast",
       // three 1-row funnel-stage counts joined into one output row
       "q_funnel_ordered" -> "1-row x 1-row stage-count combine",
       // 1-row corpus token total broadcast into the unigram scorer
