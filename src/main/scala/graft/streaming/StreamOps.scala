@@ -27,8 +27,20 @@ object StreamOps {
     * near 0 = historical. On a stream the same expression folds per
     * micro-batch against a fixed reference time. */
   def trendingCounts(events: DataFrame, keyCol: String = "event_type",
-      tsCol: String = "ts", halfLifeDays: Double = 7.0): DataFrame = {
-    val tref = events.agg(max(col(tsCol)).as("__tref"))
+      tsCol: String = "ts", halfLifeDays: Double = 7.0): DataFrame =
+    trendingCountsAt(events, events.agg(max(col(tsCol)).as("__tref")),
+      keyCol, tsCol, halfLifeDays)
+
+  /** The additive half of [[trendingCounts]]: per-key (n, decayed
+    * DECIMAL) partials against an EXPLICIT 1-row (`__tref` timestamp)
+    * reference — the streaming form. Because the weights are 9dp
+    * decimals and decimal sums are exact, partials from any micro-batch
+    * split of the input FOLD to the whole-input partials (group-by key,
+    * sum both columns — StreamingSpec verifies bit equality), the same
+    * additive-artifact contract as the maintained aggregate. */
+  def trendingPartials(events: DataFrame, tref: DataFrame,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      halfLifeDays: Double = 7.0): DataFrame = {
     val ageDays = (unix_micros(col("__tref").cast("timestamp"))
       - unix_micros(col(tsCol).cast("timestamp"))).cast("double") /
       lit(86400000000.0)
@@ -37,11 +49,18 @@ object StreamOps {
         pow(lit(0.5), ageDays / lit(halfLifeDays))
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("__w"))
       .groupBy(keyCol)
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("__w")).cast("double").as("decayed_count"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("__decayed"))
+  }
+
+  /** [[trendingPartials]] finished into the reported score columns. */
+  def trendingCountsAt(events: DataFrame, tref: DataFrame,
+      keyCol: String = "event_type", tsCol: String = "ts",
+      halfLifeDays: Double = 7.0): DataFrame =
+    trendingPartials(events, tref, keyCol, tsCol, halfLifeDays)
+      .withColumn("decayed_count", col("__decayed").cast("double"))
+      .drop("__decayed")
       .withColumn("trend_intensity",
         col("decayed_count") / col("n_events"))
-  }
 
   /** Tumbling-window counts/sums per event_type. On a stream: add
     * `.withWatermark("ts", ...)` upstream and this same expression runs

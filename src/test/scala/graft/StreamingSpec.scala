@@ -281,6 +281,30 @@ class StreamingSpec extends AnyFunSuite {
       s"late-arriving phrase doc not served (hits: ${hits.size})")
   }
 
+  test("trending partials fold across micro-batch splits exactly") {
+    val events = graft.queries.T.events(spark, "/root/testdata/sf0.001")
+    val tref = events.agg(max(col("ts")).as("__tref"))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.trendingPartials(df, tref)
+    // split into two "micro-batches", fold their partials
+    val b1 = partials(events.filter(col("event_id") % 2 === 0))
+    val b2 = partials(events.filter(col("event_id") % 2 =!= 0))
+    val folded = b1.unionByName(b2)
+      .groupBy("event_type")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("__decayed")).as("__decayed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    val whole = partials(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .sortBy(_._1).toSeq
+    assert(folded.map(t => (t._1, t._2)) == whole.map(t => (t._1, t._2)))
+    // decimal sums are exact, so the fold is BIT-equal, not approximately
+    (folded zip whole).foreach { case ((k, _, a), (_, _, b)) =>
+      assert(a.compareTo(b) == 0, s"$k: folded $a != whole $b")
+    }
+  }
+
   test("streaming IVF maintenance: served ANN after two micro-batches " +
       "equals the single-append batch index") {
     val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
