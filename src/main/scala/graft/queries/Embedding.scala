@@ -190,6 +190,41 @@ object EmbeddingQueries {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization via the custom codegen Expression
+    * ([[graft.expr.NfcNormalize]]): planted decomposed sequences (é as
+    * e + combining U+0301; decomposed Hangul jamo U+1100 U+1161) on even
+    * doc_ids compose to single code points, odd doc_ids stay ASCII and
+    * ride the isNormalized fast path — both visible in the raw-vs-NFC
+    * code-point counts and the md5 of the canonical bytes, which DuckDB's
+    * nfc_normalize (same Unicode algorithm) reproduces exactly. */
+  val textNfc = QueryDef(
+    "q_ns_text_nfc",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         text || (CASE WHEN doc_id % 2 = 0
+      |           THEN ' cafe' || chr(769) || ' ' || chr(4352) || chr(4449)
+      |           ELSE ' plain ascii tail' END) AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(length(t) AS BIGINT) AS raw_chars,
+      |       CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_chars,
+      |       md5(nfc_normalize(t)) AS nfc_hash
+      |FROM raw
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val raw = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" cafe\u0301 \u1100\u1161"))
+        .otherwise(lit(" plain ascii tail")))
+    T.documents(s, d)
+      .select(col("doc_id"), raw.as("t"))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("raw_chars"),
+        length(graft.expr.NfcNormalize.nfc(col("t"))).cast("long")
+          .as("nfc_chars"),
+        md5(graft.expr.NfcNormalize.nfc(col("t"))).as("nfc_hash"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ product quantization
 
   private val PQ_M = 4
@@ -481,6 +516,6 @@ object EmbeddingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(kmeans, kmeansServed, semDedup, quantize, qualitySample,
-      textNormalize, pqCodes, pqCodesServed, pqTopK, pqRecall, ivfPqTopK,
+      textNormalize, textNfc, pqCodes, pqCodesServed, pqTopK, pqRecall, ivfPqTopK,
       ivfPqServed, randomProjection)
 }

@@ -100,6 +100,37 @@ class ExprSpec extends AnyFunSuite {
     assert(sigs == again)
   }
 
+  test("NfcNormalize composes decomposed sequences, passes NFC/null/empty through") {
+    import graft.expr.NfcNormalize.nfc
+    val rows = Seq(
+      ("e\u0301", "\u00e9"),            // combining acute -> e-acute
+      ("\u1100\u1161", "\uac00"),      // Hangul jamo -> composed syllable
+      ("\u00e9", "\u00e9"),             // already NFC: fast path
+      ("plain ascii", "plain ascii"),
+      ("", ""),
+      (null, null))
+    val got = rows.map(_._1).toDF("s").select(nfc(col("s")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == rows.map(_._2), s"NFC mismatch: $got")
+    // JDK reference parity on a mixed string (the oracle-side contract:
+    // DuckDB's nfc_normalize implements the same Unicode algorithm)
+    val mixed = "a\u0301b\u1100\u1161 c\u0327"
+    val viaExpr = Seq(mixed).toDF("s").select(nfc(col("s")))
+      .head().getString(0)
+    assert(viaExpr == java.text.Normalizer
+      .normalize(mixed, java.text.Normalizer.Form.NFC))
+    // participates in whole-stage codegen (no CodegenFallback span break);
+    // a literal input would constant-fold to a LocalTableScan, so read a
+    // real source
+    val plan = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .select(nfc(col("text")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a whole-stage-codegen'd operator; a
+    // CodegenFallback expression would leave the Project unstarred
+    assert(plan.contains("*(1) Project [nfc_normalize"),
+      s"nfc projection not inside a codegen stage:\n$plan")
+  }
+
   test("date ladder parses all four reference formats and rejects garbage") {
     val rows = Seq("Nov 12, 1993", "March 11, 1994", "Aug 2005",
       "September 1996", "someday soon", "13/04/2024").toDF("raw")
