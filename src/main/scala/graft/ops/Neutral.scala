@@ -1147,6 +1147,108 @@ object Neutral {
        |ORDER BY bl.vec_id""".stripMargin
   }
 
+  /** Dup-rate curve across cosine thresholds — the tuning report a
+    * curation pipeline wants BEFORE committing to a dedup threshold:
+    * candidates are generated ONCE by the same banded sign-LSH blocking
+    * the production dedup uses, each candidate's cosine is verified
+    * once, and the (tiny) verified-pair stream then fans out per
+    * threshold for (pairs, distinct docs) counts — so sweeping five
+    * thresholds costs one candidate pass plus 5× a pair-sized
+    * aggregate, not five dedup runs. Honest scope: this is the curve AS
+    * SEEN BY THIS BLOCKING — LSH recall decays toward lower thresholds
+    * (the S-curve), which is the right instrument for tuning the
+    * pipeline's own threshold and NOT an exhaustive pair census (the
+    * bounded all-pairs anchor q_ns_dedup_cosine_exact is that). */
+  def cosineThresholdCurve(emb: DataFrame, thresholds: Seq[Double],
+      nbits: Int = 8, tables: Int = 4): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = emb.sparkSession
+    val bucketed = emb.select(col("vec_id"),
+      posexplode(lshBuckets(col("embedding"), nbits, tables))
+        .as(Seq("t", "bucket")))
+    val cand = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // scored once, consumed by the pair and doc aggregates
+    val scored = Pins.track(cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")),
+        Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine("e_a", "e_b").as("cos"))
+      .filter(col("cos") >= thresholds.min)
+      .cache())
+    val fanned = scored.select(col("id_a"), col("id_b"), col("cos"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("cos") >= col("threshold"))
+    val pairsAgg = fanned.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsAgg = fanned
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("vid"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("vid")).as("n_docs"))
+    import spark.implicits._
+    thresholds.toDF("threshold")
+      .join(pairsAgg, Seq("threshold"), "left")
+      .join(docsAgg, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+  }
+
+  /** DuckDB twin of [[cosineThresholdCurve]]. */
+  def cosineThresholdCurveOracleSql(thresholds: Seq[Double],
+      nbits: Int = 8, tables: Int = 4): String = {
+    val thValues = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |bl AS (
+       |  SELECT vec_id, v, list_transform(generate_series(0, ${tables - 1}), tt ->
+       |    ${duckBucket("v", "tt", nbits)}) AS bks
+       |  FROM e
+       |),
+       |bk AS (
+       |  SELECT vec_id, ts.t AS t, bks[ts.t + 1] AS bucket
+       |  FROM bl, (SELECT unnest(generate_series(0, ${tables - 1})) AS t) ts
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b USING (t, bucket)
+       |  WHERE a.vec_id < b.vec_id
+       |),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b
+       |  WHERE list_cosine_similarity(ea.v, eb.v) >= ${thresholds.min}
+       |),
+       |th(threshold) AS (VALUES $thValues),
+       |fanned AS (
+       |  SELECT th.threshold, s.id_a, s.id_b
+       |  FROM scored s JOIN th ON s.cos >= th.threshold
+       |),
+       |pa AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM fanned GROUP BY threshold
+       |),
+       |da AS (
+       |  SELECT threshold, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs
+       |  FROM (SELECT threshold, id_a AS vid FROM fanned
+       |        UNION ALL SELECT threshold, id_b FROM fanned) u
+       |  GROUP BY threshold
+       |)
+       |SELECT th.threshold,
+       |       COALESCE(pa.n_pairs, 0) AS n_pairs,
+       |       COALESCE(da.n_docs, 0) AS n_docs
+       |FROM th LEFT JOIN pa USING (threshold) LEFT JOIN da USING (threshold)
+       |ORDER BY th.threshold""".stripMargin
+  }
+
   /** Johnson-Lindenstrauss random projection to `outDim` dimensions with
     * md5-seeded Rademacher vectors — the cheap dimensionality cut ahead of
     * clustering/ANN when the full embedding width is overkill (a ±1

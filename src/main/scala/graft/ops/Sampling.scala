@@ -59,6 +59,30 @@ object Sampling {
       .withColumn("keep_bucket", splitBucket(col(idCol)))
       .withColumn("kept", col("keep_bucket") < col("keep_pct"))
 
+  /** Quality-band (curriculum-phase) assignment: band b = number of
+    * quantile boundaries at or below the row's score, with the
+    * boundaries computed ONCE (one exact-percentile aggregate) and
+    * BROADCAST — so the per-row assignment is map-only at any corpus
+    * size, unlike the textbook ntile(n), whose empty OVER () clause
+    * funnels the entire corpus through one partition. Curriculum
+    * training orders data easy→hard by exactly these bands; the
+    * boundary count, not the row count, bounds everything that moves.
+    * Ties land in the higher band (score >= boundary), so bands
+    * partition the corpus exactly. */
+  def withQualityBands(df: DataFrame, scoreCol: String,
+      nBands: Int = 4): DataFrame = {
+    require(nBands >= 2, "need at least two bands")
+    val probs = (1 until nBands).map(_.toDouble / nBands)
+    val bounds = df.agg(
+      expr(s"percentile($scoreCol, array(${probs.mkString(", ")}))")
+        .as("__bounds"))
+    df.join(broadcast(bounds))
+      .withColumn("band",
+        org.apache.spark.sql.functions.size(
+          filter(col("__bounds"), b => col(scoreCol) >= b)).cast("long"))
+      .drop("__bounds")
+  }
+
   /** Materialize per-source mix weights into an actual resampled corpus:
     * each doc is emitted `floor(boost)` times plus one more with
     * probability frac(boost), decided by a PURPOSE-SALTED stable md5

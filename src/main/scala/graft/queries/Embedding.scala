@@ -174,6 +174,37 @@ object EmbeddingQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-band (curriculum-phase) assignment: quartile boundaries of
+    * the quality score computed once (exact percentile) and BROADCAST,
+    * per-row band = count of boundaries at or below the score — the
+    * scale-safe ntile (an empty-OVER ntile funnels the corpus through
+    * one partition; this is map-only after a 1-row aggregate). Exact
+    * percentile interpolation matches cross-engine (q_a13 precedent),
+    * so band populations and score ranges hash-match. */
+  val curriculumBands = QueryDef(
+    "q_ns_curriculum_bands",
+    s"""WITH q AS (
+       |  SELECT doc_id, ($qualityScoreSql) AS score FROM documents
+       |),
+       |b AS (
+       |  SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS bounds FROM q
+       |)
+       |SELECT CAST(len(list_filter(b.bounds, x -> q.score >= x)) AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(q.score) AS min_score,
+       |       max(q.score) AS max_score
+       |FROM q CROSS JOIN b
+       |GROUP BY 1
+       |ORDER BY band""".stripMargin) { (s, d) =>
+    val scored = TextAnalysis.withQuality(T.documents(s, d))
+    Sampling.withQualityBands(scored, "quality_score", nBands = 4)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .orderBy("band")
+  }
+
   /** Canonical text normalization: lowercase, punctuation to spaces,
     * whitespace collapsed; md5 equality witness. */
   val textNormalize = QueryDef(
@@ -516,6 +547,7 @@ object EmbeddingQueries {
 
   val defs: Seq[QueryDef] =
     Seq(kmeans, kmeansServed, semDedup, quantize, qualitySample,
+      curriculumBands,
       textNormalize, textNfc, pqCodes, pqCodesServed, pqTopK, pqRecall, ivfPqTopK,
       ivfPqServed, randomProjection)
 }

@@ -388,6 +388,21 @@ object NorthStar {
       .orderBy("vec_id")
   }
 
+  /** Dup-rate curve across cosine thresholds from ONE LSH-blocked
+    * candidate pass — the threshold-tuning report (five thresholds cost
+    * one candidate generation + pair-sized aggregates, not five dedup
+    * runs). Curve semantics are "as seen by this blocking" (LSH recall
+    * decays toward low thresholds) — the right instrument for tuning the
+    * pipeline's own threshold. */
+  val dedupThresholdCurve = QueryDef(
+    "q_ns_dedup_threshold_curve",
+    graft.ops.Neutral.cosineThresholdCurveOracleSql(
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9))) { (s, d) =>
+    graft.ops.Neutral.cosineThresholdCurve(T.embeddings(s, d),
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      .orderBy("threshold")
+  }
+
   /** Exact all-pairs cosine near-dup counts on a bounded slice — the oracle
     * anchor for the LSH-blocked form (O(n²) by design, capped at 200
     * vectors regardless of sf). */
@@ -2260,7 +2275,7 @@ object NorthStar {
     dedupExact, dedupMinHash, minHashRecall, dedupSimHash, dedupNgram,
     dedupComponents,
     spanDedup, spanScrub,
-    decontaminate, decontaminateFuzzy, dedupCosine,
+    decontaminate, decontaminateFuzzy, dedupCosine, dedupThresholdCurve,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
     dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitBloom,

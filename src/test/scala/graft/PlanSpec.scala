@@ -152,6 +152,8 @@ class PlanSpec extends AnyFunSuite {
       "q_stream_trending" -> "1-row reference-time broadcast",
       // 1-row (V, N) vocabulary-totals broadcast into the log-odds prior
       "q_ns_distinctive_terms" -> "1-row vocab-totals broadcast",
+      // 1-row quantile-boundaries broadcast into the band assignment
+      "q_ns_curriculum_bands" -> "1-row quantile-bounds broadcast",
       // three 1-row funnel-stage counts joined into one output row
       "q_funnel_ordered" -> "1-row x 1-row stage-count combine",
       // 1-row corpus token total broadcast into the unigram scorer
