@@ -438,6 +438,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial + final WindowGroupLimit:\n$p")
   }
 
+  test("KMV and distinctive-terms bottom/top-k windows prune map-side") {
+    // both ops' scaladocs claim the k-per-group window is a partial+final
+    // WindowGroupLimit (shuffle O(groups·k), not value volume) — pin it
+    val kmv = plan("q_sk_kmv_distinct")
+    assert("WindowGroupLimit".r.findAllIn(kmv).size >= 2,
+      s"KMV bottom-k not map-side pruned:\n$kmv")
+    val dt = plan("q_ns_distinctive_terms")
+    assert("WindowGroupLimit".r.findAllIn(dt).size >= 2,
+      s"distinctive-terms top-k not map-side pruned:\n$dt")
+  }
+
   test("video near-dup joins equi on the frame hash — no product join") {
     val p = plan("q_ns_multimodal_video_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
