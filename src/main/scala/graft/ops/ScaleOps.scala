@@ -247,6 +247,199 @@ object ScaleOps {
           .otherwise(col("__nh").cast("double")).as("kmv_est"))
   }
 
+  /** Distinct 32-bit md5-prefix hashes of word-`shingleN`-gram shingles
+    * per source — the hashed set representation the exact and sketched
+    * overlap paths share (same md5-prefix family as [[kmvDistinct]] and
+    * the MinHash oracle chain, so every hash is SQL-reproducible). */
+  private def sourceShingleHashes(docs: DataFrame, srcCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        explode(graft.expr.ShingleStrings.shingleStrings(col(textCol),
+          shingleN)).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("hv"))
+      .distinct()
+
+  /** KMV SET-OPERATION sketch: pairwise cross-source overlap estimated
+    * from per-source k-minimum-value signatures over shingle hashes —
+    * "how much of source B's content is already in source A" as
+    * Jaccard / union / intersection CARDINALITIES, the sketched twin of
+    * [[Neutral.crossSourceOverlap]]'s verified near-dup pair matrix.
+    *
+    * Estimator (Beyer et al., the KMV θ-sketch construction): the union
+    * sketch of a pair is the k smallest hashes of K_A ∪ K_B (computable
+    * from the two signatures ALONE — the merge property); the kth minimum
+    * estimates |A ∪ B| exactly as in [[kmvDistinct]]; the fraction of
+    * union-sketch members present in BOTH signatures is an unbiased
+    * Jaccard estimate (each of the k uniform union minima lies in A ∩ B
+    * with probability J, CV ≈ √((1−J)/(J·k))); intersection = J̃ · |A∪B|̃.
+    *
+    * Scale shape: the signature build is the [[kmvDistinct]] bottom-k
+    * window — a map-side-pruned WindowGroupLimit, O(sources·k) shuffle
+    * regardless of corpus size — and every pairwise step runs on
+    * signatures only (sources²·k rows, broadcastable), NEVER on the full
+    * shingle sets: at 100 TB the signatures are the only thing that moves.
+    * `withExact = true` (the driver-gate form) additionally computes the
+    * exact distinct-hash overlap for tolerance verification — as a
+    * co-occurrence equi self-join on the hash plus per-source totals
+    * (inclusion–exclusion), so even the exact side is linear in the hash
+    * sets, never a per-pair replication; it exists for the gate, not the
+    * serve path. Deterministic throughout (md5 hashing, integer
+    * counters), so the ESTIMATES hash-match the DuckDB twin. */
+  def kmvSourceOverlap(docs: DataFrame, k: Int = 128, shingleN: Int = 3,
+      srcCol: String = "source", textCol: String = "text",
+      withExact: Boolean = true): DataFrame = {
+    require(k >= 3, "KMV needs k >= 3")
+    import org.apache.spark.sql.expressions.Window
+    // cached: the signature window, the pair expansion, and (gated form)
+    // the exact side all fan out over the hashed sets; ledger-tracked so
+    // a consumer can release it (CacheHygieneSpec contract)
+    val hv = Pins.track(
+      sourceShingleHashes(docs, srcCol, textCol, shingleN).cache())
+    val wSrc = Window.partitionBy("source").orderBy("hv")
+    val sig = hv.withColumn("__rn", row_number().over(wSrc))
+      .filter(col("__rn") <= k).drop("__rn")
+    val srcs = docs.select(col(srcCol).as("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    def sided(hashes: DataFrame): DataFrame = {
+      val a = pairs.join(hashes.withColumnRenamed("source", "source_a"),
+          Seq("source_a"))
+        .select(col("source_a"), col("source_b"), col("hv"),
+          lit(1).as("ia"), lit(0).as("ib"))
+      val b = pairs.join(hashes.withColumnRenamed("source", "source_b"),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("hv"),
+          lit(0).as("ia"), lit(1).as("ib"))
+      a.unionByName(b)
+        .groupBy("source_a", "source_b", "hv")
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    }
+    val wPair = Window.partitionBy("source_a", "source_b").orderBy("hv")
+    val est = sided(sig)
+      .withColumn("__rn", row_number().over(wPair))
+      .filter(col("__rn") <= k)
+      .groupBy("source_a", "source_b")
+      .agg(max(col("hv")).as("__kth"), count(lit(1)).as("__nu"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1).otherwise(0))
+          .as("__nboth"))
+      .select(col("source_a"), col("source_b"),
+        when(col("__nu") >= k, lit((k - 1) * 4294967296.0) / col("__kth"))
+          .otherwise(col("__nu").cast("double")).as("union_kmv"),
+        (col("__nboth").cast("double") / col("__nu")).as("jaccard_kmv"))
+      .withColumn("inter_kmv", col("jaccard_kmv") * col("union_kmv"))
+    if (!withExact) est
+    else {
+      // exact side via CO-OCCURRENCE, not pair expansion: one equi
+      // self-join on the hash emits a (source_a, source_b) row only where
+      // a hash is genuinely shared (output ∝ true overlap, tiny at low J),
+      // then |A ∪ B| = |A| + |B| − |A ∩ B| from the 1-row-per-source
+      // totals — the full hash sets are scanned twice, never replicated
+      // once per pair (a pairs×sets expansion is quadratic in sources)
+      val totals = hv.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = hv.select(col("source").as("source_a"), col("hv"))
+        .join(hv.select(col("source").as("source_b"), col("hv")), Seq("hv"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("__ni"))
+      val exact = pairs
+        .join(broadcast(totals.select(col("source").as("source_a"),
+          col("n").as("__na"))), Seq("source_a"))
+        .join(broadcast(totals.select(col("source").as("source_b"),
+          col("n").as("__nb"))), Seq("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          (col("__na") + col("__nb")
+            - coalesce(col("__ni"), lit(0L))).as("n_union"),
+          coalesce(col("__ni"), lit(0L)).as("n_inter"))
+        .withColumn("jaccard_exact",
+          col("n_inter").cast("double") / col("n_union"))
+      exact.join(est, Seq("source_a", "source_b"))
+    }
+  }
+
+  /** DuckDB twin of [[kmvSourceOverlap]] (withExact form) over the
+    * `documents` relation. */
+  def kmvSourceOverlapOracleSql(k: Int = 128, shingleN: Int = 3): String = {
+    val gram = (0 until shingleN).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |),
+       |shn AS (
+       |  SELECT source,
+       |         list_distinct(list_transform(
+       |           generate_series(1, len(w) - ${shingleN - 1}),
+       |           i -> $gram)) AS s
+       |  FROM tok WHERE len(w) >= $shingleN
+       |),
+       |g AS (
+       |  SELECT DISTINCT source,
+       |         CAST('0x' || substring(md5(gr), 1, 8) AS BIGINT) AS hv
+       |  FROM (SELECT source, unnest(s) AS gr FROM shn) q
+       |),
+       |sig AS (
+       |  SELECT source, hv FROM (
+       |    SELECT source, hv,
+       |           row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |    FROM g) r WHERE rn <= $k
+       |),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |),
+       |su AS (
+       |  SELECT source_a, source_b, hv, max(ia) AS ia, max(ib) AS ib FROM (
+       |    SELECT p.source_a, p.source_b, s.hv, 1 AS ia, 0 AS ib
+       |    FROM pairs p JOIN sig s ON s.source = p.source_a
+       |    UNION ALL
+       |    SELECT p.source_a, p.source_b, s.hv, 0, 1
+       |    FROM pairs p JOIN sig s ON s.source = p.source_b
+       |  ) u GROUP BY source_a, source_b, hv
+       |),
+       |ku AS (
+       |  SELECT * FROM (
+       |    SELECT source_a, source_b, hv, ia, ib,
+       |           row_number() OVER (PARTITION BY source_a, source_b
+       |                              ORDER BY hv) AS rn
+       |    FROM su) r WHERE rn <= $k
+       |),
+       |est AS (
+       |  SELECT source_a, source_b,
+       |         CASE WHEN count(*) >= $k
+       |              THEN ${(k - 1).toDouble} * 4294967296.0 / max(hv)
+       |              ELSE CAST(count(*) AS DOUBLE) END AS union_kmv,
+       |         CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+       |              AS DOUBLE) / count(*) AS jaccard_kmv
+       |  FROM ku GROUP BY source_a, source_b
+       |),
+       |eu AS (
+       |  SELECT source_a, source_b, hv, max(ia) AS ia, max(ib) AS ib FROM (
+       |    SELECT p.source_a, p.source_b, g.hv, 1 AS ia, 0 AS ib
+       |    FROM pairs p JOIN g ON g.source = p.source_a
+       |    UNION ALL
+       |    SELECT p.source_a, p.source_b, g.hv, 0, 1
+       |    FROM pairs p JOIN g ON g.source = p.source_b
+       |  ) u GROUP BY source_a, source_b, hv
+       |),
+       |ex AS (
+       |  SELECT source_a, source_b,
+       |         CAST(count(*) AS BIGINT) AS n_union,
+       |         CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_inter
+       |  FROM eu GROUP BY source_a, source_b
+       |)
+       |SELECT ex.source_a, ex.source_b, ex.n_union, ex.n_inter,
+       |       CAST(ex.n_inter AS DOUBLE) / ex.n_union AS jaccard_exact,
+       |       est.union_kmv, est.jaccard_kmv,
+       |       est.jaccard_kmv * est.union_kmv AS inter_kmv,
+       |       true AS within_tol
+       |FROM ex JOIN est USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Bloom hash count for [[bloomJoinPruned]]. */
   val BloomJoinK = 4
 

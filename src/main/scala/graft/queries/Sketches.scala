@@ -140,6 +140,137 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** The events feed with PLANTED heavy hitters (every user_id ≡ 3 mod
+    * 50 delivered 8×, the q_stream_dedup planting idiom) — the synthetic
+    * stream's per-user counts are near-uniform (~50–90), and a frequency
+    * sketch only has a story to tell when some keys actually dominate. */
+  private def skewedEvents(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val ev = T.events(s, d).filter(col("user_id").isNotNull)
+    ev.unionByName(ev.filter(col("user_id") % 50 === 3)
+      .withColumn("__r", explode(expr("sequence(1, 7)"))).drop("__r"))
+  }
+
+  /** The planted feed's CTE twin (all columns reduced to what the CMS
+    * queries read). */
+  private val skewedEventsCte =
+    """ev AS (
+      |  SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_id, user_id FROM events, generate_series(1, 7) g(i)
+      |  WHERE user_id IS NOT NULL AND user_id % 50 = 3
+      |)""".stripMargin
+
+  /** Count-min sketch point estimates: top-20 users by estimated event
+    * count from a 4×64-cell sketch (~2 KB) instead of a per-user count
+    * table, over the planted-skew feed. Deliberately UNDERSIZED width
+    * (64 buckets for ~150 users) so collisions are real and the
+    * depth-min is doing visible work — and the planted heavy users
+    * (exact ≈ 8× the uniform mass) still rank above the collision noise,
+    * which is the sketch's job. Like KMV, the md5 hashing makes the
+    * ESTIMATE itself engine-neutral, so the DuckDB twin hash-compares
+    * cms_est (not just a tolerance bit). The gate pins the CMS
+    * guarantee: never an undercount, and over by at most e·N/width (the
+    * ε·N Markov bound at depth-row confidence — a real ceiling roughly
+    * at the planted keys' own counts, not a tautology). */
+  val cmsTopk = QueryDef(
+    "q_sk_cms_topk",
+    s"""WITH $skewedEventsCte, k AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      |  FROM ev GROUP BY user_id
+      |), h AS (
+      |  SELECT k.user_id, k.exact_cnt, r.i,
+      |         CAST('0x' || substring(md5('cms:' || CAST(r.i AS VARCHAR)
+      |           || ':' || CAST(k.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |           % 64 AS bucket
+      |  FROM k CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+      |), cells AS (
+      |  SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+      |  FROM h GROUP BY i, bucket
+      |), est AS (
+      |  SELECT h.user_id, CAST(min(c.cnt) AS BIGINT) AS cms_est
+      |  FROM h JOIN cells c ON c.i = h.i AND c.bucket = h.bucket
+      |  GROUP BY h.user_id
+      |)
+      |SELECT k.user_id, k.exact_cnt, est.cms_est, true AS within_tol
+      |FROM k JOIN est USING (user_id)
+      |ORDER BY cms_est DESC, user_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    import graft.ops.CountMin
+    val ev = skewedEvents(s, d)
+    val cells = CountMin.cmsCells(ev, "user_id", depth = 4, width = 64)
+    val keys = ev.select("user_id").distinct()
+    cmsReport(ev, CountMin.cmsEstimate(cells, keys, "user_id",
+      depth = 4, width = 64))
+  }
+
+  /** Shared gate/report tail of the CMS queries: exact counts joined to
+    * the estimates, the one-sided ε·N guarantee as within_tol, top-20 by
+    * estimate (ties broken by user_id — total order for the hash
+    * compare). */
+  private def cmsReport(ev: org.apache.spark.sql.DataFrame,
+      est: org.apache.spark.sql.DataFrame) = {
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val total = ev.agg(count(lit(1)).as("__n"))
+    exact.join(est, "user_id").crossJoin(broadcast(total))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt") &&
+          col("cms_est") <= col("exact_cnt")
+            + lit(math.E) * col("__n") / lit(64.0)).as("within_tol"))
+      .orderBy(col("cms_est").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** The CMS through its persisted-artifact lifecycle: build from the
+    * even-event half, APPEND the odd half (geometry read from the
+    * artifact's own meta — never re-supplied), serve from the folded
+    * cells. Cells are additive counters, so build+append+fold is
+    * BIT-IDENTICAL to the one-pass sketch — the query shares
+    * [[cmsTopk]]'s oracle, and a fold bug (double-count, lost batch,
+    * geometry drift) breaks the hash match. */
+  val cmsServedIncremental = QueryDef(
+    "q_sk_cms_served_incremental",
+    cmsTopk.oracle.get) { (s, d) =>
+    import graft.ops.{CountMin, Models}
+    val ev = skewedEvents(s, d)
+    val dir = Models.ensureBuilt(s"cms_user|$d") { tmp =>
+      CountMin.cmsBuild(ev.filter(col("event_id") % 2 === 0), tmp,
+        "user_id", depth = 4, width = 64)
+      CountMin.cmsAppend(ev.filter(col("event_id") % 2 =!= 0), tmp,
+        "user_id")
+    }
+    val keys = ev.select("user_id").distinct()
+    cmsReport(ev, CountMin.cmsServe(s, dir, keys, "user_id"))
+  }
+
+  /** KMV set operations: pairwise cross-source Jaccard / union /
+    * intersection cardinality ESTIMATES from 128-minimum signatures over
+    * shingle hashes, against the exact distinct-shingle overlap — the
+    * sketched form of the curation question q_ns_source_overlap answers
+    * with verified near-dup pairs. At 100 TB only the O(sources·k)
+    * signatures move; the exact side exists for this gate. Estimates are
+    * md5-deterministic and hash-compared; the tolerance gate (pinned true)
+    * allows 3σ of the Jaccard estimator (σ = √(J(1−J)/k), bounded by its
+    * J=0.5 maximum ≈ 0.044 → 0.14) and 3σ of the union estimator
+    * (CV 1/√(k−2) → 27%), intersection combining both. */
+  val kmvOverlap = QueryDef(
+    "q_sk_kmv_overlap",
+    graft.ops.ScaleOps.kmvSourceOverlapOracleSql(k = 128, shingleN = 3)) {
+    (s, d) =>
+    val k = 128
+    graft.ops.ScaleOps.kmvSourceOverlap(T.documents(s, d), k = k,
+        shingleN = 3)
+      .withColumn("within_tol",
+        abs(col("jaccard_kmv") - col("jaccard_exact"))
+          <= lit(3.0 * 0.5 / math.sqrt(k.toDouble)) &&
+        abs(col("union_kmv") - col("n_union"))
+          <= col("n_union") * lit(3.0 / math.sqrt((k - 2).toDouble)) &&
+        abs(col("inter_kmv") - col("n_inter"))
+          <= col("n_union") * lit(3.0 * 0.5 / math.sqrt(k.toDouble))
+            + col("n_inter") * lit(3.0 / math.sqrt((k - 2).toDouble)))
+      .orderBy("source_a", "source_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge,
-    kmvDistinct)
+    kmvDistinct, cmsTopk, cmsServedIncremental, kmvOverlap)
 }

@@ -423,6 +423,37 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming count-min sketch maintenance: each micro-batch folds its
+    * own depth×width cell partial into the persisted sketch
+    * ([[graft.ops.CountMin.cmsAppend]] — geometry read from the
+    * artifact's meta, never re-supplied). Cell rows are additive
+    * counters, so the folded sketch is BIT-IDENTICAL to a one-pass build
+    * over the union of batches, and [[graft.ops.CountMin.cmsServe]]
+    * answers point-frequency queries at any moment without rescanning a
+    * single ingested row — per-key frequency tracking over an unbounded
+    * key space in O(depth·width) state, where a per-key streaming
+    * aggregate would grow state with distinct keys. Failure contract,
+    * stated precisely: the fold is AT-LEAST-ONCE — a crash between the
+    * parquet append's commit and the checkpoint commit replays the batch
+    * and folds its cells twice, overcounting that one batch's mass until
+    * the periodic rebuild ([[graft.ops.CountMin.cmsBuild]] over the
+    * source) any production sketch runs anyway; the CMS estimate's
+    * one-sided ≥-exact guarantee survives double-folding (counters only
+    * grow), and no data can be lost — the sketch is the only sink. */
+  def cmsIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, checkpointDir: String,
+      keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.CountMin.cmsAppend(batch, dir, keyCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming DSIR gate: admit only the micro-batch docs whose hashed
     * n-gram importance log-weight against the PERSISTED target/raw
     * log-ratio artifact clears `minLogw` — the data-selection twin of

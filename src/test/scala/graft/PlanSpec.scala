@@ -150,6 +150,11 @@ class PlanSpec extends AnyFunSuite {
       "q_graph_pagerank" -> "1-row node-count broadcast per iteration",
       // 1-row reference-time (max ts) broadcast into the decay weights
       "q_stream_trending" -> "1-row reference-time broadcast",
+      // 1-row stream-total (the eps*N gate bound) broadcast per report
+      "q_sk_cms_topk" -> "1-row stream-total broadcast",
+      "q_sk_cms_served_incremental" -> "1-row stream-total broadcast",
+      // sources x sources pair enumeration: |sources|^2 rows, tiny
+      "q_sk_kmv_overlap" -> "source-pair enumeration cross (sources^2 rows)",
       // 1-row (V, N) vocabulary-totals broadcast into the log-odds prior
       "q_ns_distinctive_terms" -> "1-row vocab-totals broadcast",
       // 1-row quantile-boundaries broadcast into the band assignment
@@ -447,6 +452,25 @@ class PlanSpec extends AnyFunSuite {
     val dt = plan("q_ns_distinctive_terms")
     assert("WindowGroupLimit".r.findAllIn(dt).size >= 2,
       s"distinctive-terms top-k not map-side pruned:\n$dt")
+  }
+
+  test("cms top-k: the d*w-cell sketch broadcasts (no shuffle join) and " +
+      "top-k is TakeOrderedAndProject") {
+    val p = plan("q_sk_cms_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 not planned as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the bounded cell table must broadcast, never shuffle-join:\n$p")
+  }
+
+  test("kmv overlap: per-source signature bottom-k prunes map-side") {
+    // the op's scaledoc claims O(sources*k) signature shuffle — the
+    // rank<=k must reach the map side of the corpus-sized hash scan
+    val p = plan("q_sk_kmv_overlap")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"signature bottom-k not map-side pruned:\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"hashed shingle sets must be computed once and reused:\n$p")
   }
 
   test("video near-dup joins equi on the frame hash — no product join") {

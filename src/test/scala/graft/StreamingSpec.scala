@@ -234,6 +234,33 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded aggregate must equal the batch recompute")
   }
 
+  test("streaming cms maintenance: folded micro-batches equal the " +
+      "one-pass sketch") {
+    import graft.ops.CountMin
+    val ev = events.filter(col("user_id").isNotNull)
+    val base = ev.filter(col("event_id") % 3 === 0)
+    val delta = ev.filter(col("event_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("cms_idx").toString
+    CountMin.cmsBuild(base, dir, "user_id", depth = 4, width = 64)
+    val src = java.nio.file.Files.createTempDirectory("cms_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt")
+    delta.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1) // several fold batches, not one
+      .parquet(src.toString)
+    val q = StreamOps.cmsIngest(spark, dir, stream, ckpt.toString, "user_id")
+    q.awaitTermination(180000)
+    val keys = ev.select("user_id").distinct()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = toMap(CountMin.cmsServe(spark, dir, keys, "user_id"))
+    val onePass = toMap(CountMin.cmsEstimate(
+      CountMin.cmsCells(ev, "user_id", 4, 64), keys, "user_id", 4, 64))
+    assert(served == onePass,
+      "stream-folded sketch must answer exactly like the one-pass build")
+  }
+
   test("streaming retrieval maintenance: served phrase/BM25 after two " +
       "micro-batches equal the cumulative batch recompute") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
