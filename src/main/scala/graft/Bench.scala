@@ -83,7 +83,16 @@ object Bench {
     "q_ret_phrase_served",
     "q_scale_bloom_join_prune",
     "q_ns_url_dedup",
-    "q_ns_chunk_cdc")
+    "q_ns_chunk_cdc",
+    // round-10 (session d): the frequency/set-operation sketches (CMS
+    // point estimates over the planted-skew feed; KMV signature-only
+    // pairwise overlap), the maintained join view (build + one append +
+    // aggregate serve inside the gated query), and M4 downsampling (one
+    // bounded groupBy with struct-min/max argfirst/arglast)
+    "q_sk_cms_topk",
+    "q_sk_kmv_overlap",
+    "q_e_join_maintain",
+    "q_ts_m4_downsample")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

@@ -148,6 +148,63 @@ object Evolve {
     Models.save(folded, s"$dir/agg")
   }
 
+  /** Incremental JOIN-view maintenance (insert-only deltas on BOTH
+    * sides) — the join-shaped sibling of the maintained aggregate
+    * ([[aggBuild]]), closing the materialized-view lifecycle: the
+    * reference's dashboards read a fact ⋈ dim join rebuilt full-refresh
+    * per `dbt run`; past a rebuild window the view must absorb deltas.
+    *
+    * Delta algebra for J = L ⋈ R under inserts ΔL, ΔR:
+    * ΔJ = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — the three terms cover each NEW joined
+    * pair exactly once (old×old is already in the view; new×old, old×new
+    * and new×new are disjoint), so append-of-ΔJ keeps the view EXACTLY a
+    * full re-join of the cumulative bases; multiset semantics, no
+    * approximation. Scale shape: both delta-side joins hint
+    * `broadcast(delta)`, so each maintenance batch is two MAP-ONLY
+    * passes over the stored bases plus a delta×delta broadcast join —
+    * no corpus-sized shuffle, where the full re-join it replaces
+    * shuffles both entire tables; the stored bases are scanned, not
+    * shuffled, and a bucketed/partitioned base layout would prune even
+    * the scan. Failure contract (batch op, no checkpoint here): the
+    * three appends are not atomic — a crash mid-append leaves view and
+    * bases inconsistent; repair is [[joinViewBuild]] over the source of
+    * truth (the periodic rebuild a production view runs anyway). The
+    * streaming loops that need exactly-once fold this op into
+    * checkpointed foreachBatch like [[graft.streaming.StreamOps]]. */
+  def joinViewBuild(left: DataFrame, right: DataFrame, dir: String,
+      key: String): Unit = {
+    Models.save(left, s"$dir/left")
+    Models.save(right, s"$dir/right")
+    Models.save(left.join(right, key), s"$dir/view")
+  }
+
+  /** The ΔJ term of one maintenance batch — exposed so the map-only
+    * claim is plan-testable (LifecycleSpec asserts every join in here is
+    * a broadcast join, no shuffle join, no exchange on the base side). */
+  private[graft] def joinViewDelta(l: DataFrame, r: DataFrame,
+      dLeft: DataFrame, dRight: DataFrame, key: String): DataFrame =
+    broadcast(dLeft).join(r, key)
+      .unionByName(l.join(broadcast(dRight), key))
+      .unionByName(broadcast(dLeft).join(dRight, key))
+
+  /** Fold one insert batch per side into the maintained join view (either
+    * delta may be empty). Scans the BASES once each (map-only broadcast
+    * joins), never re-joins them. */
+  def joinViewAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dLeft: DataFrame, dRight: DataFrame, key: String): Unit = {
+    val l = Models.load(spark, s"$dir/left")
+    val r = Models.load(spark, s"$dir/right")
+    Models.append(joinViewDelta(l, r, dLeft, dRight, key), s"$dir/view")
+    Models.append(dLeft, s"$dir/left")
+    Models.append(dRight, s"$dir/right")
+  }
+
+  /** The maintained join view — a plain scan; no fold step is needed
+    * because the view rows ARE the join rows (append-only multiset). */
+  def joinViewServe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Models.load(spark, s"$dir/view")
+
   def tableDiff(
       base: DataFrame,
       current: DataFrame,

@@ -440,6 +440,47 @@ object ScaleOps {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ------------------------------------------------------ HLL sketch cube
+
+  /** Pre-aggregated HLL sketch cube: one DataSketches HLL sketch per
+    * (day, group) persisted as a binary column — the sketch-rollup table
+    * a warehouse keeps so "distinct users over ANY date range" is
+    * answered by unioning a handful of fixed-size (~1.5 KB) sketches
+    * instead of rescanning the event log. Distinct counts are not
+    * additive, so a plain daily-count rollup cannot answer range
+    * queries; sketch union is exactly the algebra that makes the rollup
+    * composable. The cube is days × groups rows regardless of event
+    * volume; appending a new day's sketches is a batch-only scan
+    * (Models.append — [[hllCubeRangeDistinct]] union-aggs multiple rows
+    * per (day, group) transparently, so appends never rewrite). */
+  def hllCubeBuild(events: DataFrame, dir: String,
+      groupCol: String = "event_type", valueCol: String = "user_id",
+      tsCol: String = "ts"): Unit =
+    Models.save(hllCubePartial(events, groupCol, valueCol, tsCol), dir)
+
+  /** One batch's cube rows (build = save, append = Models.append this). */
+  def hllCubePartial(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"), col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+
+  def hllCubeAppend(batch: DataFrame, dir: String,
+      groupCol: String = "event_type", valueCol: String = "user_id",
+      tsCol: String = "ts"): Unit =
+    Models.append(hllCubePartial(batch, groupCol, valueCol, tsCol), dir)
+
+  /** Range-distinct from the cube: union the covered days' sketches per
+    * group — reads days × groups fixed-size rows, never the event log.
+    * Day-partition pruning applies when the cube is saved partitioned. */
+  def hllCubeRangeDistinct(spark: SparkSession, dir: String,
+      fromDay: String, toDay: String,
+      groupCol: String = "event_type"): DataFrame =
+    Models.load(spark, dir)
+      .filter(col("day") >= lit(fromDay) && col("day") <= lit(toDay))
+      .groupBy(groupCol)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_cnt"))
+
   /** Bloom hash count for [[bloomJoinPruned]]. */
   val BloomJoinK = 4
 

@@ -497,8 +497,120 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** Weekly retention cohort matrix over purchase activity: users
+    * cohorted by their first purchase week, per-(cohort, offset-week)
+    * active-user counts and retention rates — the classic product
+    * analytics read the funnel doesn't cover. Scale shape: the activity
+    * table is DISTINCT (user, week) — one shuffle bounded by users×weeks
+    * regardless of event volume; cohorts are a per-user min (equi-join
+    * back on user_id); the matrix aggregate needs no distinct because
+    * (user, week) is already unique within a (cohort, offset) cell; the
+    * cohort-size join broadcasts (|weeks| rows). No windows, no cross
+    * joins, nothing corpus-sized past the first distinct. */
+  val retentionCohorts = QueryDef(
+    "q_ts_retention_cohorts",
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      |), c AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM p GROUP BY user_id
+      |), sz AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM c GROUP BY cohort_week
+      |), a AS (
+      |  SELECT c.cohort_week,
+      |         CAST(date_diff('day', c.cohort_week, p.wk) // 7 AS BIGINT)
+      |           AS offset_weeks,
+      |         CAST(count(*) AS BIGINT) AS n_active
+      |  FROM p JOIN c USING (user_id)
+      |  GROUP BY c.cohort_week, offset_weeks
+      |)
+      |SELECT a.cohort_week, a.offset_weeks, a.n_active, sz.cohort_size,
+      |       CAST(a.n_active AS DOUBLE) / sz.cohort_size AS retention_rate
+      |FROM a JOIN sz USING (cohort_week)
+      |ORDER BY cohort_week, offset_weeks""".stripMargin) { (s, d) =>
+    val p = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val c = p.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val sz = c.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    p.join(c, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").as("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sz), "cohort_week")
+      .select(col("cohort_week"), col("offset_weeks"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention_rate"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
+  /** M4 time-series downsampling (Jugel et al., VLDB 2014): per series
+    * and time bucket keep min, max, first, and last — the four values
+    * that make a line chart over the bucket pixel-exact, reducing any
+    * event volume to 4·buckets points. Scale shape: bucket assignment is
+    * map-only integer arithmetic against a 1-row (t0, t1) broadcast;
+    * first/last are struct-min/max aggregates ((t, event_id) ordered —
+    * deterministic, no window, full map-side partials), so the whole
+    * query is one bounded groupBy shuffle. */
+  val m4Downsample = QueryDef(
+    "q_ts_m4_downsample",
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |         value, event_id
+      |  FROM events
+      |), r AS (
+      |  SELECT min(t) AS t0, max(t) AS t1 FROM b
+      |), x AS (
+      |  SELECT event_type,
+      |         CAST(((t - t0) * 32) // (t1 - t0 + 1) AS BIGINT) AS bucket,
+      |         t, value, event_id
+      |  FROM b CROSS JOIN r
+      |), m AS (
+      |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_points,
+      |         min(value) AS min_v, max(value) AS max_v
+      |  FROM x GROUP BY event_type, bucket
+      |), f AS (
+      |  SELECT event_type, bucket, value AS first_v FROM (
+      |    SELECT event_type, bucket, value,
+      |           row_number() OVER (PARTITION BY event_type, bucket
+      |                              ORDER BY t, event_id) AS rn
+      |    FROM x) q WHERE rn = 1
+      |), l AS (
+      |  SELECT event_type, bucket, value AS last_v FROM (
+      |    SELECT event_type, bucket, value,
+      |           row_number() OVER (PARTITION BY event_type, bucket
+      |                              ORDER BY t DESC, event_id DESC) AS rn
+      |    FROM x) q WHERE rn = 1
+      |)
+      |SELECT m.event_type, m.bucket, m.n_points, m.min_v, m.max_v,
+      |       f.first_v, l.last_v
+      |FROM m JOIN f USING (event_type, bucket)
+      |       JOIN l USING (event_type, bucket)
+      |ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+    val b = T.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts)").as("t"), col("value"), col("event_id"))
+    val r = b.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    b.crossJoin(broadcast(r))
+      .withColumn("bucket", expr("((t - t0) * 32) div (t1 - t0 + 1)"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_points"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        min(struct(col("t"), col("event_id"), col("value"))).as("__f"),
+        max(struct(col("t"), col("event_id"), col("value"))).as("__l"))
+      .select(col("event_type"), col("bucket"), col("n_points"),
+        col("min_v"), col("max_v"),
+        col("__f.value").as("first_v"), col("__l.value").as("last_v"))
+      .orderBy("event_type", "bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
-    corrMoments, groupingSets, funnel, histogram, notInNull, mad)
+    corrMoments, groupingSets, funnel, histogram, notInNull, mad,
+    retentionCohorts, m4Downsample)
 }

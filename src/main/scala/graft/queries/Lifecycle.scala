@@ -208,6 +208,45 @@ object Lifecycle {
       .orderBy("o_custkey")
   }
 
+  /** Incremental JOIN-view maintenance: orders ⋈ lineitem materialized
+    * from half of each side, then ONE append folds the other halves via
+    * the delta algebra (ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — each maintenance batch is
+    * map-only broadcast joins against the stored bases, never a
+    * corpus re-join). The split deliberately crosses sides (orders by
+    * orderkey parity, lineitems by linenumber parity) so every delta
+    * term is non-empty: base orders gain delta lineitems, delta orders
+    * gain base lineitems, and delta×delta pairs exist. Served view
+    * aggregated per priority must equal the oracle's full join — exact
+    * multiset equality surfaced through count + DECIMAL revenue. */
+  val joinMaintain = QueryDef(
+    "q_e_join_maintain",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val dir = graft.ops.Models.ensureBuilt(s"joinview|$d") { tmp =>
+      Evolve.joinViewBuild(
+        orders.filter(col("okey") % 2 === 0),
+        li.filter(col("l_linenumber") % 2 === 0), tmp, "okey")
+      Evolve.joinViewAppend(s, tmp,
+        orders.filter(col("okey") % 2 =!= 0),
+        li.filter(col("l_linenumber") % 2 =!= 0), "okey")
+    }
+    Evolve.joinViewServe(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        Fns.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Schema evolution across writer generations: gen-1 files carry the
     * original order columns, gen-2 files (o_orderkey % 3 = 0) add an
     * `o_channel` column; a single mergeSchema read unions the footers —
@@ -278,5 +317,5 @@ object Lifecycle {
 
   val defs: Seq[QueryDef] =
     Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain,
-      schemaEvolution, outliers)
+      joinMaintain, schemaEvolution, outliers)
 }

@@ -271,6 +271,49 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
+  /** HLL sketch-cube rollup: distinct users per event type over an
+    * arbitrary DATE RANGE answered from a persisted days×types table of
+    * fixed-size sketches — built in one batch, APPENDED with a second
+    * (the additive-rollup lifecycle), range-served by sketch union.
+    * Distinct counts don't add, so no plain rollup can answer range
+    * queries; sketch union is the algebra that makes the rollup
+    * composable, and the serve path reads days×types ~1.5 KB rows, never
+    * the event log. Gate form follows q_sk_hll_distinct: the estimate is
+    * engine-specific (DataSketches), so the query emits the EXACT answer
+    * plus a within-5% boolean (lgConfigK=12 → rsd ≈ 1.6%, ~3σ), pinned
+    * true in the oracle. */
+  val hllCube = QueryDef(
+    "q_sk_hll_cube",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_cnt,
+      |       true AS within_tol
+      |FROM events
+      |WHERE user_id IS NOT NULL
+      |  AND CAST(CAST(ts AS TIMESTAMP) AS DATE)
+      |        BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.ops.{Models, ScaleOps}
+    val ev = T.events(s, d).filter(col("user_id").isNotNull)
+    val dir = Models.ensureBuilt(s"hllcube|$d") { tmp =>
+      ScaleOps.hllCubeBuild(
+        ev.filter(to_date(col("ts")) <= lit("2024-01-15")), tmp)
+      ScaleOps.hllCubeAppend(
+        ev.filter(to_date(col("ts")) > lit("2024-01-15")), tmp)
+    }
+    val est = ScaleOps.hllCubeRangeDistinct(s, dir,
+      "2024-01-08", "2024-01-22")
+    val exact = ev
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-22"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_cnt"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("exact_cnt"),
+        (abs(col("approx_cnt") - col("exact_cnt"))
+          <= col("exact_cnt") * lit(0.05)).as("within_tol"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge,
-    kmvDistinct, cmsTopk, cmsServedIncremental, kmvOverlap)
+    kmvDistinct, cmsTopk, cmsServedIncremental, kmvOverlap, hllCube)
 }

@@ -423,6 +423,33 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming JOIN-view maintenance for the common one-sided shape — a
+    * fact stream against a slower-moving stored dimension side: each
+    * micro-batch folds ΔL⋈R (plus the empty right-delta terms) into the
+    * persisted view via [[graft.ops.Evolve.joinViewAppend]], so the
+    * materialized join the dashboards read stays fresh at batch cost.
+    * Map-only per batch: the batch broadcasts against the stored right
+    * base; nothing corpus-sized shuffles. Same at-least-once append
+    * contract as the other non-idempotent maintenance loops (a crash
+    * between the view append and the checkpoint commit replays one
+    * batch's join rows; repair = joinViewBuild rebuild). */
+  def joinViewIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, checkpointDir: String,
+      key: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          val emptyRight = graft.ops.Models
+            .load(spark, s"$dir/right").limit(0)
+          graft.ops.Evolve.joinViewAppend(spark, dir, batch, emptyRight,
+            key)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming count-min sketch maintenance: each micro-batch folds its
     * own depth×width cell partial into the persisted sketch
     * ([[graft.ops.CountMin.cmsAppend]] — geometry read from the

@@ -156,6 +156,49 @@ class LifecycleSpec extends AnyFunSuite {
     graft.ops.Pins.releaseAll()
   }
 
+  test("joinView maintenance: two cross-side appends equal the full " +
+      "re-join; empty deltas are a no-op") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.queries.T.orders(spark, sf)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val li = graft.queries.T.lineitem(spark, sf)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val dir = java.nio.file.Files.createTempDirectory("joinview").toString
+    // 3-way split on DIFFERENT keys per side: every delta term
+    // (dL x R, L x dR, dL x dR) is exercised non-trivially
+    Evolve.joinViewBuild(orders.filter(col("okey") % 3 === 0),
+      li.filter(col("l_linenumber") % 3 === 0), dir, "okey")
+    Evolve.joinViewAppend(spark, dir,
+      orders.filter(col("okey") % 3 === 1),
+      li.filter(col("l_linenumber") % 3 === 1), "okey")
+    Evolve.joinViewAppend(spark, dir,
+      orders.filter(col("okey") % 3 === 2),
+      li.filter(col("l_linenumber") % 3 === 2), "okey")
+    val served = Evolve.joinViewServe(spark, dir)
+    val full = orders.join(li, "okey")
+    // joined rows are unique per (okey, l_linenumber): set compare is
+    // multiset compare here
+    assert(served.count() == full.count(),
+      s"view has ${served.count()} rows, full join ${full.count()}")
+    assert(served.except(full).isEmpty && full.except(served).isEmpty,
+      "maintained view must equal the full re-join exactly")
+    // empty deltas must append nothing
+    Evolve.joinViewAppend(spark, dir,
+      orders.filter(lit(false)), li.filter(lit(false)), "okey")
+    assert(Evolve.joinViewServe(spark, dir).count() == full.count())
+    // the map-only claim, plan-pinned: every join in the delta term is a
+    // broadcast join — the stored bases are scanned, never shuffled
+    val deltaPlan = Evolve.joinViewDelta(
+        orders, li, orders.limit(10), li.limit(10), "okey")
+      .queryExecution.executedPlan.toString
+    assert(!deltaPlan.contains("SortMergeJoin") &&
+      !deltaPlan.contains("ShuffledHashJoin"),
+      s"join-view delta must not shuffle-join the bases:\n$deltaPlan")
+    assert("BroadcastHashJoin".r.findAllIn(deltaPlan).size == 3,
+      s"expected 3 broadcast joins in the delta term:\n$deltaPlan")
+  }
+
   test("tableDiff classifies planted add/remove/change exactly") {
     import graft.ops.Evolve
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))

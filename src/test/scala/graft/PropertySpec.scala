@@ -335,4 +335,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("retention cohort matrix: offset-0 is full, n_active bounded by " +
+      "cohort size, rates in (0, 1]") {
+    val rows = queries.Registry.byName("q_ts_retention_cohorts")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, act, size, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(act <= size, s"active $act exceeds cohort size $size")
+      assert(rate > 0 && rate <= 1.0)
+      // a user's first-purchase week IS activity: offset 0 is everyone
+      if (off == 0) assert(act == size, s"offset-0 must be the full cohort")
+    }
+  }
+
+  test("m4 downsample: min <= first/last <= max per bucket, and buckets " +
+      "conserve the event count") {
+    val ev = queries.T.events(spark, "/root/testdata/sf0.001")
+    val rows = queries.Registry.byName("q_ts_m4_downsample")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, fv, lv) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(mn <= mx && mn <= fv && fv <= mx && mn <= lv && lv <= mx,
+        s"bucket extrema out of order: $r")
+      assert(r.getLong(2) > 0)
+    }
+    assert(rows.map(_.getLong(2)).sum == ev.count(),
+      "downsample buckets must partition every event exactly once")
+  }
 }

@@ -93,6 +93,33 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(cellRows <= 3 * 32, "compacted artifact exceeds depth*width rows")
   }
 
+  test("hll cube: append-built cube serves the same range estimates as " +
+      "a one-pass build, within 5% of exact") {
+    import graft.ops.ScaleOps
+    val ev = queries.T.events(spark, sf).filter(col("user_id").isNotNull)
+    val d1 = java.nio.file.Files.createTempDirectory("hllcube1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("hllcube2").toString
+    ScaleOps.hllCubeBuild(ev, d1)
+    // split by day parity: each (day, group) sketch lands whole in one
+    // batch, so the appended cube's row multiset equals the one-pass cube
+    ScaleOps.hllCubeBuild(ev.filter(dayofmonth(col("ts")) % 2 === 0), d2)
+    ScaleOps.hllCubeAppend(ev.filter(dayofmonth(col("ts")) % 2 =!= 0), d2)
+    def range(dir: String) =
+      ScaleOps.hllCubeRangeDistinct(spark, dir, "2024-01-05", "2024-01-25")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (one, app) = (range(d1), range(d2))
+    assert(one == app,
+      "append-built cube must serve identical estimates to one-pass")
+    val exact = ev
+      .filter(to_date(col("ts")).between("2024-01-05", "2024-01-25"))
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(math.abs(one(k) - c) <= 0.05 * c,
+        s"range estimate ${one(k)} vs exact $c beyond 5% for $k")
+    }
+  }
+
   // ------------------------------------------------------- KMV overlap
 
   private def mkDocs(groups: (String, Range)*): DataFrame = {

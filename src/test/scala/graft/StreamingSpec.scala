@@ -234,6 +234,35 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded aggregate must equal the batch recompute")
   }
 
+  test("streaming join-view maintenance: fact-stream deltas against a " +
+      "stored dim equal the full re-join") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.queries.T.orders(spark, sf)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val li = graft.queries.T.lineitem(spark, sf)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val dir = java.nio.file.Files.createTempDirectory("jv_idx").toString
+    graft.ops.Evolve.joinViewBuild(
+      orders.filter(col("okey") % 2 === 0), li, dir, "okey")
+    val src = java.nio.file.Files.createTempDirectory("jv_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("jv_ckpt")
+    orders.filter(col("okey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = StreamOps.joinViewIngest(spark, dir, stream, ckpt.toString,
+      "okey")
+    q.awaitTermination(180000)
+    val served = graft.ops.Evolve.joinViewServe(spark, dir)
+    val full = orders.join(li, "okey")
+    assert(served.count() == full.count() &&
+      served.except(full).isEmpty && full.except(served).isEmpty,
+      "stream-maintained join view must equal the full re-join")
+  }
+
   test("streaming cms maintenance: folded micro-batches equal the " +
       "one-pass sketch") {
     import graft.ops.CountMin
