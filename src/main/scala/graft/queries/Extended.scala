@@ -608,9 +608,135 @@ object Extended {
       .orderBy("event_type", "bucket")
   }
 
+  /** Rolling z-score anomaly detection: per series (event_type), each
+    * event scored against the exact mean/std of its preceding 100-row
+    * frame; top-20 by |z| reported — the monitoring read every metrics
+    * warehouse runs. Determinism discipline: the frame is totally
+    * ordered (ts, event_id) and the rolling sums accumulate in DECIMAL
+    * (value at 18,2; value² at 28,4 — both exact for this domain), so
+    * mean/var/z are per-row double arithmetic on exact inputs —
+    * bit-identical cross-engine; var clamps at 0 against float
+    * cancellation before sqrt. Scale note: a rolling frame is
+    * inherently sequential per series — this shuffles once on the
+    * series key and assumes per-series volume is executor-bounded
+    * (true for metric streams); a single giant series would instead be
+    * range-bucketed by time with 100-row overlap and recomputed per
+    * bucket, same results. */
+  val rollingZscore = QueryDef(
+    "q_ts_rolling_zscore",
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events
+      |), w AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(count(*) OVER f AS BIGINT) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+      |           AS sv,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))
+      |                  * CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+      |           AS sv2
+      |  FROM e
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+      |), z AS (
+      |  SELECT event_id, event_type, value,
+      |         (value - sv / n)
+      |           / sqrt(greatest(sv2 / n - (sv / n) * (sv / n), 1e-12))
+      |           AS zscore
+      |  FROM w WHERE n >= 30
+      |)
+      |SELECT event_id, event_type, value, zscore
+      |FROM z
+      |ORDER BY abs(zscore) DESC, event_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val f = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-99, Window.currentRow)
+    T.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        count(lit(1)).over(f).as("n"),
+        sum(col("value").cast(dec)).over(f).cast("double").as("sv"),
+        sum(col("value").cast(dec) * col("value").cast(dec)).over(f)
+          .cast("double").as("sv2"))
+      .filter(col("n") >= 30)
+      .withColumn("zscore",
+        (col("value") - col("sv") / col("n"))
+          / sqrt(greatest(col("sv2") / col("n")
+            - (col("sv") / col("n")) * (col("sv") / col("n")),
+            lit(1e-12))))
+      .select("event_id", "event_type", "value", "zscore")
+      .orderBy(abs(col("zscore")).desc, col("event_id"))
+      .limit(20)
+  }
+
+  /** Market-basket pair mining: co-occurrence support and lift for
+    * event-type pairs within (user, day) baskets — the association read
+    * behind "users who did A also did B". Scale shape: baskets reduce to
+    * DISTINCT (basket, item) — bounded by baskets × item-vocabulary, not
+    * event volume; the pair stage self-joins WITHIN basket only (shuffle
+    * keyed on the basket, output ≤ items²/2 per basket — the PPJoin
+    * discipline, no cross-basket pairs ever materialize); singleton
+    * supports are an item-vocabulary-row broadcast. Counts and ratio
+    * arithmetic are exact/deterministic. */
+  val pairSupport = QueryDef(
+    "q_mb_pair_support",
+    """WITH b AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+      |  FROM events WHERE user_id IS NOT NULL
+      |), nb AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, day FROM b) q
+      |), singles AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_item FROM b
+      |  GROUP BY event_type
+      |), pairs AS (
+      |  SELECT a.event_type AS item_a, c.event_type AS item_b,
+      |         CAST(count(*) AS BIGINT) AS n_pair
+      |  FROM b a JOIN b c
+      |    ON a.user_id = c.user_id AND a.day = c.day
+      |   AND a.event_type < c.event_type
+      |  GROUP BY item_a, item_b
+      |)
+      |SELECT p.item_a, p.item_b, p.n_pair,
+      |       CAST(p.n_pair AS DOUBLE) / nb.n_baskets AS support,
+      |       CAST(p.n_pair AS DOUBLE) * nb.n_baskets
+      |         / (sa.n_item * sb.n_item) AS lift
+      |FROM pairs p CROSS JOIN nb
+      |JOIN singles sa ON sa.event_type = p.item_a
+      |JOIN singles sb ON sb.event_type = p.item_b
+      |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+    val b = T.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .distinct()
+    val nb = b.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = b.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+    val pairs = b.select(col("user_id"), col("day"),
+        col("event_type").as("item_a"))
+      .join(b.select(col("user_id"), col("day"),
+        col("event_type").as("item_b")), Seq("user_id", "day"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_pair"))
+    pairs.crossJoin(broadcast(nb))
+      .join(broadcast(singles.select(col("event_type").as("item_a"),
+        col("n_item").as("__na"))), Seq("item_a"))
+      .join(broadcast(singles.select(col("event_type").as("item_b"),
+        col("n_item").as("__nb"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        (col("n_pair").cast("double") / col("n_baskets")).as("support"),
+        (col("n_pair").cast("double") * col("n_baskets")
+          / (col("__na") * col("__nb"))).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
     corrMoments, groupingSets, funnel, histogram, notInNull, mad,
-    retentionCohorts, m4Downsample)
+    retentionCohorts, m4Downsample, rollingZscore, pairSupport)
 }

@@ -152,6 +152,8 @@ class PlanSpec extends AnyFunSuite {
       "q_stream_trending" -> "1-row reference-time broadcast",
       // 1-row (t0, t1) time-range broadcast into the bucket arithmetic
       "q_ts_m4_downsample" -> "1-row time-range broadcast",
+      // 1-row basket-total broadcast into the support denominator
+      "q_mb_pair_support" -> "1-row basket-total broadcast",
       // 1-row stream-total (the eps*N gate bound) broadcast per report
       "q_sk_cms_topk" -> "1-row stream-total broadcast",
       "q_sk_cms_served_incremental" -> "1-row stream-total broadcast",

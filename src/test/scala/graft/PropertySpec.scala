@@ -367,4 +367,36 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == ev.count(),
       "downsample buckets must partition every event exactly once")
   }
+
+  test("rolling z-score: top anomalies are finite, ranked by |z| " +
+      "non-increasing, and capped at 20") {
+    val rows = queries.Registry.byName("q_ts_rolling_zscore")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val zs = rows.map(r => math.abs(r.getDouble(3)))
+    zs.foreach(z => assert(!z.isNaN && !z.isInfinite))
+    zs.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "|z| ranking must be descending")
+      case _ =>
+    }
+  }
+
+  test("pair support: supports in (0,1], pairs bounded by baskets and " +
+      "the item vocabulary, lift positive") {
+    val rows = queries.Registry.byName("q_mb_pair_support")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ev = queries.T.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+    val nBaskets = ev.select(col("user_id"), to_date(col("ts")))
+      .distinct().count()
+    val vocab = ev.select("event_type").distinct().count()
+    assert(rows.length <= vocab * (vocab - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered")
+      assert(r.getLong(2) > 0 && r.getLong(2) <= nBaskets)
+      val (sup, lift) = (r.getDouble(3), r.getDouble(4))
+      assert(sup > 0 && sup <= 1.0 && lift > 0)
+    }
+  }
 }
