@@ -555,8 +555,12 @@ object Extended {
     * event volume to 4·buckets points. Scale shape: bucket assignment is
     * map-only integer arithmetic against a 1-row (t0, t1) broadcast;
     * first/last are struct-min/max aggregates ((t, event_id) ordered —
-    * deterministic, no window, full map-side partials), so the whole
-    * query is one bounded groupBy shuffle. */
+    * deterministic, no window), so the whole query is one bounded
+    * groupBy shuffle. Plan note: struct min/max buffers aren't
+    * hash-aggregable, so Spark plans partial+final SortAggregate — the
+    * partial STILL runs map-side (the shuffle stays bounded at
+    * groups/partition); the cost vs a hash aggregate is an in-partition
+    * sort by the group key, measured immaterial here. */
   val m4Downsample = QueryDef(
     "q_ts_m4_downsample",
     """WITH b AS (
