@@ -452,11 +452,15 @@ object ScaleOps {
     * composable. The cube is days × groups rows regardless of event
     * volume; appending a new day's sketches is a batch-only scan
     * (Models.append — [[hllCubeRangeDistinct]] union-aggs multiple rows
-    * per (day, group) transparently, so appends never rewrite). */
+    * per (day, group) transparently, so appends never rewrite). The
+    * cube is LAID OUT day-partitioned (Hive-style directories), so a
+    * range serve reads only the covered days' files — static partition
+    * pruning, pinned in PlanSpec. */
   def hllCubeBuild(events: DataFrame, dir: String,
       groupCol: String = "event_type", valueCol: String = "user_id",
       tsCol: String = "ts"): Unit =
-    Models.save(hllCubePartial(events, groupCol, valueCol, tsCol), dir)
+    Models.savePartitioned(
+      hllCubePartial(events, groupCol, valueCol, tsCol), dir, "day")
 
   /** One batch's cube rows (build = save, append = Models.append this). */
   def hllCubePartial(events: DataFrame, groupCol: String = "event_type",
@@ -468,7 +472,8 @@ object ScaleOps {
   def hllCubeAppend(batch: DataFrame, dir: String,
       groupCol: String = "event_type", valueCol: String = "user_id",
       tsCol: String = "ts"): Unit =
-    Models.append(hllCubePartial(batch, groupCol, valueCol, tsCol), dir)
+    Models.appendPartitioned(
+      hllCubePartial(batch, groupCol, valueCol, tsCol), dir, "day")
 
   /** Range-distinct from the cube: union the covered days' sketches per
     * group — reads days × groups fixed-size rows, never the event log.

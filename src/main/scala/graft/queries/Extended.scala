@@ -738,9 +738,76 @@ object Extended {
       .orderBy("item_a", "item_b")
   }
 
+  /** Per-series least-squares trend (slope per day, intercept, R²) —
+    * the dashboard "is this metric drifting" read. Same determinism
+    * discipline as [[corrMoments]]: x is an INTEGER day index against
+    * the global min day (1-row broadcast), y is 2dp money, so every
+    * moment (x², xy, y²) is exact in DECIMAL(28,4), every moment sum
+    * stays far under 2^53 (double-exact cast), and the closed-form
+    * slope/intercept/R² are bit-identical per-row double math. Spark's
+    * streaming regr_slope is additionally pinned within 1e-9. One
+    * groupBy shuffle; moments are map-side partials. */
+  val trendFit = QueryDef(
+    "q_ts_trend_fit",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      |  FROM events
+      |), t0 AS (
+      |  SELECT min(day) AS d0 FROM e
+      |), m AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(date_diff('day', d0, day) AS BIGINT))
+      |              AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(date_diff('day', d0, day)
+      |                       * date_diff('day', d0, day) AS BIGINT))
+      |              AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))
+      |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |         CAST(sum(date_diff('day', d0, day)
+      |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM e CROSS JOIN t0 GROUP BY event_type
+      |)
+      |SELECT event_type,
+      |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
+      |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      |         AS intercept,
+      |       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+      |       true AS builtin_agrees
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dec = DecimalType(18, 2)
+    val e = T.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val t0 = e.agg(min(col("day")).as("d0"))
+    val x = datediff(col("day"), col("d0"))
+    val y = col("value").cast(dec)
+    val m = e.crossJoin(broadcast(t0)).groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x.cast("long")).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum((x * x).cast("long")).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"),
+      expr("regr_slope(value, datediff(day, d0))").as("builtin"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"),
+        slope.as("slope_per_day"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"),
+        (abs(slope - col("builtin")) < lit(1e-9)).as("builtin_agrees"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
     corrMoments, groupingSets, funnel, histogram, notInNull, mad,
-    retentionCohorts, m4Downsample, rollingZscore, pairSupport)
+    retentionCohorts, m4Downsample, rollingZscore, pairSupport, trendFit)
 }

@@ -450,6 +450,32 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming HLL sketch-cube maintenance: each micro-batch appends its
+    * own (day, group) sketch rows into the day-partitioned cube
+    * ([[graft.ops.ScaleOps.hllCubeAppend]]) — the rollup a warehouse
+    * keeps fresh so range-distinct dashboards never rescan the event
+    * log. Serve-side union-agg folds multiple rows per (day, group), so
+    * same-day batches append without rewriting; at-least-once like the
+    * other parquet-append loops — a replayed batch double-appends its
+    * sketch rows, and because HLL union is IDEMPOTENT over the same
+    * inserted values, the served estimate is UNCHANGED by the replay
+    * (the one maintenance loop where at-least-once is value-exact). */
+  def hllCubeIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, checkpointDir: String,
+      groupCol: String = "event_type", valueCol: String = "user_id",
+      tsCol: String = "ts")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.ScaleOps.hllCubeAppend(batch, dir, groupCol, valueCol,
+            tsCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming count-min sketch maintenance: each micro-batch folds its
     * own depth×width cell partial into the persisted sketch
     * ([[graft.ops.CountMin.cmsAppend]] — geometry read from the

@@ -154,6 +154,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ts_m4_downsample" -> "1-row time-range broadcast",
       // 1-row basket-total broadcast into the support denominator
       "q_mb_pair_support" -> "1-row basket-total broadcast",
+      // 1-row min-day broadcast into the trend day index
+      "q_ts_trend_fit" -> "1-row min-day broadcast",
       // 1-row stream-total (the eps*N gate bound) broadcast per report
       "q_sk_cms_topk" -> "1-row stream-total broadcast",
       "q_sk_cms_served_incremental" -> "1-row stream-total broadcast",
@@ -465,6 +467,14 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 not planned as TakeOrderedAndProject:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the bounded cell table must broadcast, never shuffle-join:\n$p")
+  }
+
+  test("hll cube: range serve prunes to the covered day partitions") {
+    val p = plan("q_sk_hll_cube")
+    assert(p.contains("PartitionFilters: ["),
+      s"cube scan carries no partition filters:\n$p")
+    assert(p.contains("graft_model_"),
+      s"serve must scan the persisted cube artifact:\n$p")
   }
 
   test("kmv overlap: per-source signature bottom-k prunes map-side") {

@@ -263,6 +263,40 @@ class StreamingSpec extends AnyFunSuite {
       "stream-maintained join view must equal the full re-join")
   }
 
+  test("streaming hll-cube maintenance: appended daily sketches serve " +
+      "the same range distincts as a one-pass cube") {
+    import graft.ops.ScaleOps
+    val ev = events.filter(col("user_id").isNotNull)
+    val base = ev.filter(dayofmonth(col("ts")) <= 10)
+    val delta = ev.filter(dayofmonth(col("ts")) > 10)
+    val dir = java.nio.file.Files.createTempDirectory("hllc_idx").toString
+    ScaleOps.hllCubeBuild(base, dir)
+    val src = java.nio.file.Files.createTempDirectory("hllc_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("hllc_ckpt")
+    // hash-partition the delta BY DAY so each file (= micro-batch under
+    // maxFilesPerTrigger=1) carries whole days: a day split across
+    // batches would union partial-day sketches, which estimates the same
+    // set but need not be bit-equal to the one-pass sketch
+    delta.repartition(4, to_date(col("ts")))
+      .write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = StreamOps.hllCubeIngest(spark, dir, stream, ckpt.toString)
+    q.awaitTermination(180000)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val served = toMap(ScaleOps.hllCubeRangeDistinct(spark, dir,
+      "2024-01-05", "2024-01-25"))
+    val d2 = java.nio.file.Files.createTempDirectory("hllc_one").toString
+    ScaleOps.hllCubeBuild(ev, d2)
+    val onePass = toMap(ScaleOps.hllCubeRangeDistinct(spark, d2,
+      "2024-01-05", "2024-01-25"))
+    assert(served == onePass,
+      "stream-appended cube must serve identically to a one-pass build")
+  }
+
   test("streaming cms maintenance: folded micro-batches equal the " +
       "one-pass sketch") {
     import graft.ops.CountMin
