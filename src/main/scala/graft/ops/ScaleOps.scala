@@ -529,4 +529,103 @@ object ScaleOps {
         bloomJoinPos(col(bigKey), j, mBits) === col(s"__p$j"), "left_semi")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Distributed prefix aggregation — the scale-safe form of a GLOBAL
+  // running sum/max. `Window.orderBy(t)` with no partitionBy plans as ONE
+  // partition holding the whole input (the documented q_w3 hazard); the
+  // two-pass form never materializes a data-sized single partition:
+  //   pass 1: a window PARTITIONED by a caller-supplied bucket (any
+  //           expression monotone non-decreasing along the global order,
+  //           e.g. to_date(ts)) computes the running agg inside each
+  //           bucket — all buckets in parallel;
+  //   pass 2: the per-bucket totals (one row per bucket — bounded by the
+  //           bucket domain, not the data) are prefix-combined on a tiny
+  //           single partition and BROADCAST back as per-bucket offsets.
+  // combine(local running, offset of strictly-preceding buckets) is then
+  // exact because the order never interleaves across buckets. The order
+  // must be total (tie-break with a unique column) for per-row prefix
+  // values to be well-defined.
+  // ---------------------------------------------------------------------
+
+  private def prefixAgg(df: DataFrame, bucket: Column,
+      order: Seq[Column], value: Column, out: String, strict: Boolean,
+      aggFn: Column => Column, combine: (Column, Column) => Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bkt", bucket)
+    val localEnd = if (strict) -1L else Window.currentRow
+    val wLocal = Window.partitionBy("__bkt").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, localEnd)
+    val local = b.withColumn("__run", aggFn(value).over(wLocal))
+    // B bucket rows on one partition — bounded, never the data itself
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val offsets = b.groupBy("__bkt").agg(aggFn(value).as("__tot"))
+      .withColumn("__off", aggFn(col("__tot")).over(wOff))
+      .select("__bkt", "__off")
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(out, combine(col("__run"), col("__off")))
+      .drop("__bkt", "__run", "__off", "__tot")
+  }
+
+  /** Global running sum of `value` along `order` (total order required),
+    * bucket-parallel (see above). Adds column `out`; long-typed input
+    * recommended (sum widens int → long on both engines). */
+  def prefixSum(df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String): DataFrame =
+    prefixAgg(df, bucket, order, value, out, strict = false,
+      c => sum(c), (run, off) => run + coalesce(off, lit(0L)))
+
+  /** Global running max of `value` along `order`. With `strict = true`
+    * the frame excludes the current row (max over STRICTLY preceding
+    * rows — null for the global first row), the shape skyline/record-
+    * tracking scans need. */
+  def prefixMax(df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String, strict: Boolean = false): DataFrame =
+    prefixAgg(df, bucket, order, value, out, strict,
+      c => max(c),
+      (run, off) => when(run.isNull, off).otherwise(
+        when(off.isNull, run).otherwise(greatest(run, off))))
+
+  /** Sweep-line maximum concurrency per day: each interval [start, end)
+    * contributes a +1 point at start and a −1 at end; the global running
+    * sum of deltas ordered by (time, delta) — ends sort before starts at
+    * equal time, making the interval half-open — is the number of live
+    * intervals at each instant, and its per-day max is the answer. The
+    * running sum is a [[prefixSum]] bucketed by day, so no single
+    * partition ever holds the point set: the classic "max concurrent
+    * sessions" query at 100 TB without a global-order window. */
+  def concurrencySweep(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val pts = intervals.select(col(startCol).as("t"), lit(1).as("d"))
+      .unionByName(intervals.select(col(endCol).as("t"), lit(-1).as("d")))
+    prefixSum(pts, to_date(col("t")), Seq(col("t"), col("d")),
+        col("d").cast("long"), "c")
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("c")).as("max_concurrent"))
+  }
+
+  /** Big-big point-in-interval join without a cross product: each range
+    * [lo, hi] explodes to the fixed-width buckets it overlaps (cost ∝
+    * width/`bucketWidth` rows, not |points|·|ranges|), each point joins
+    * its single bucket — a plain shuffled EQUI join Catalyst can plan —
+    * and the residual lo ≤ p ≤ hi filter runs inside the matched bucket.
+    * A qualifying pair meets exactly once (the point's own bucket), so
+    * no dedup pass. The scale-safe form of `ON p BETWEEN lo AND hi` when
+    * NEITHER side broadcasts; pick `bucketWidth` near the typical range
+    * width so replication stays O(1) per range. */
+  def intervalBucketJoin(points: DataFrame, pointCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val r = ranges.withColumn("__bkt",
+      explode(sequence(floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    points.withColumn("__bkt", floor(col(pointCol) / w).cast("long"))
+      .join(r, "__bkt")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bkt")
+  }
 }

@@ -805,9 +805,47 @@ object Extended {
       .orderBy("event_type")
   }
 
+  /** Sweep-line maximum concurrency per day: sessions are [ts, ts +
+    * (user_id % 117 + 3) min); +1/−1 endpoint deltas, a GLOBAL running
+    * sum ordered by (time, delta) — ends before starts at equal time,
+    * i.e. half-open intervals — and a per-day max of the live count.
+    * The textbook SQL form is a single-partition `OVER (ORDER BY t)`
+    * window (the oracle); the engine runs ScaleOps.concurrencySweep,
+    * whose two-pass prefix sum buckets by day (parallel local windows +
+    * a B-row offset table broadcast back), so no partition ever holds
+    * the full point set — the q_w3 global-window hazard closed for the
+    * cumulative-sum family. */
+  val concurrencySweep = QueryDef(
+    "q_ts_concurrency_sweep",
+    """WITH iv AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS s0,
+      |         CAST(ts AS TIMESTAMP)
+      |           + (user_id % 117 + 3) * INTERVAL '1 minute' AS e0
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), pts AS (
+      |  SELECT s0 AS t, 1 AS d FROM iv
+      |  UNION ALL
+      |  SELECT e0 AS t, -1 AS d FROM iv
+      |), run AS (
+      |  SELECT t, CAST(sum(d) OVER (ORDER BY t, d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      |  FROM pts
+      |)
+      |SELECT CAST(t AS DATE) AS day, max(c) AS max_concurrent
+      |FROM run GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val iv = T.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts").as("s0"),
+        (col("ts") + expr(
+          "make_interval(0,0,0,0,0, CAST(user_id % 117 + 3 AS INT), 0)"))
+          .as("e0"))
+    graft.ops.ScaleOps.concurrencySweep(iv, "s0", "e0").orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
     corrMoments, groupingSets, funnel, histogram, notInNull, mad,
-    retentionCohorts, m4Downsample, rollingZscore, pairSupport, trendFit)
+    retentionCohorts, m4Downsample, rollingZscore, pairSupport, trendFit,
+    concurrencySweep)
 }

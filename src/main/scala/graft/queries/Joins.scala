@@ -303,7 +303,54 @@ object Joins {
       .orderBy("tag")
   }
 
+  /** J11 (beyond ref): big-big point-in-interval join. J5's theta join
+    * leans on one side broadcasting; when NEITHER side fits, `ON p
+    * BETWEEN lo AND hi` has no equi key and Spark's only direct plan is
+    * a cartesian product. ScaleOps.intervalBucketJoin restores an equi
+    * key: ranges explode to the fixed-width price buckets they overlap
+    * (~1–2 rows each at width 2000), points hash-join their single
+    * bucket, and the BETWEEN residual filters inside the bucket — a
+    * plain shuffled join, O(|points| + |ranges|·width/W) not
+    * |points|·|ranges|. Each qualifying pair meets exactly once (the
+    * point's own bucket), so the aggregate needs no dedup. The oracle is
+    * the declarative BETWEEN join (DuckDB plans it as an IEJoin). */
+  val j11IntervalBucketJoin = QueryDef(
+    "q_j11_interval_bucket_join",
+    """WITH r AS (
+      |  SELECT o_orderpriority,
+      |         o_totalprice / 4.0e0 AS lo,
+      |         (o_totalprice / 4.0e0) * 1.002e0 AS hi
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |)
+      |SELECT r.o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+      |            AS DOUBLE) AS sum_price
+      |FROM r JOIN lineitem l
+      |  ON l.l_extendedprice >= r.lo AND l.l_extendedprice <= r.hi
+      |WHERE l.l_extendedprice IS NOT NULL
+      |GROUP BY r.o_orderpriority
+      |ORDER BY r.o_orderpriority""".stripMargin) { (s, d) =>
+    val ranges = T.orders(s, d)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice") / lit(4.0)).as("lo"))
+      .withColumn("hi", col("lo") * lit(1.002))
+    val points = T.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select("l_extendedprice")
+    graft.ops.ScaleOps.intervalBucketJoin(points, "l_extendedprice",
+        ranges, "lo", "hi", bucketWidth = 2000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     j2JoinAgg, j3PreAggJoin, j4SelfJoin, j5ThetaJoin, j6FuzzyJoin,
-    j7AsOfJoin, j8LeftNullFilter, u1Unpivot, u2UnionMerge)
+    j7AsOfJoin, j8LeftNullFilter, u1Unpivot, u2UnionMerge,
+    j11IntervalBucketJoin)
 }

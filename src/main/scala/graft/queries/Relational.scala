@@ -318,8 +318,47 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** O4 (beyond ref): 2-D Pareto skyline — orders dominated by no other
+    * order on (o_totalprice, o_orderdate), both maximized. The naive form
+    * is a quadratic NOT EXISTS self-theta-join (the oracle); the engine
+    * runs the sorted-scan algebra instead: collapse to one row per price
+    * (groupBy → max date), compute the running max date over STRICTLY
+    * greater prices with the two-pass bucketed prefix-max
+    * (ScaleOps.prefixMax — no single-partition global window), and keep
+    * rows beating that running max. O(n log n) work, every stage a
+    * shuffle-partitioned agg/window/join — the 100 TB shape for skyline /
+    * record-tracking queries. */
+  val o3ParetoSkyline = QueryDef(
+    "q_o3_pareto_skyline",
+    """SELECT b.o_orderkey, b.o_totalprice, b.o_orderdate
+      |FROM orders b
+      |WHERE b.o_totalprice IS NOT NULL AND b.o_orderdate IS NOT NULL
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders a
+      |    WHERE a.o_totalprice >= b.o_totalprice
+      |      AND a.o_orderdate >= b.o_orderdate
+      |      AND (a.o_totalprice > b.o_totalprice
+      |           OR a.o_orderdate > b.o_orderdate))
+      |ORDER BY b.o_totalprice DESC, b.o_orderkey""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val byPrice = orders.groupBy("o_totalprice")
+      .agg(max(col("o_orderdate")).as("__dmax"))
+    // bucket = floor(−price/25k): monotone non-decreasing along the
+    // price-DESC scan order, ~22 buckets over the testdata price range
+    val frontier = graft.ops.ScaleOps.prefixMax(byPrice,
+        floor(col("o_totalprice") / lit(-25000.0)).cast("long"),
+        Seq(col("o_totalprice").desc), col("__dmax"), "__m1", strict = true)
+      .filter(col("__m1").isNull || col("__dmax") > col("__m1"))
+    orders.join(frontier, Seq("o_totalprice"))
+      .filter(col("o_orderdate") === col("__dmax"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     s1ScanPrune, p1ProjectArith, p3InList, p4Ilike, p5Regex,
     a1CountGroup, a2CondSum, a4MinMaxAvg, a6CountDistinct, a10Distinct,
-    o1MultiSort, o2NullsLast, s8JsonlRoundtrip, s9OrcRoundtrip)
+    o1MultiSort, o2NullsLast, s8JsonlRoundtrip, s9OrcRoundtrip,
+    o3ParetoSkyline)
 }

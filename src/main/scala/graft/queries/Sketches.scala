@@ -314,6 +314,118 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Shared DuckDB twin for the bottom-k-sample quantile sketch: the
+    * sample (k smallest md5-prefix hashes of event_id per type, ties on
+    * (hv, v)) and the discrete quantile selections are engine-neutral,
+    * so the ESTIMATES hash-compare exactly; the within_tol gate checks
+    * the exact CDF at the p50/p90 estimates against the DKW envelope
+    * (√(ln(2/δ)/2k) ≈ 0.072 at k = 512, δ = 1%; gate at 0.10 + 1/n).
+    * All quantile fractions are written `0.25e0`-style so DuckDB does
+    * the same IEEE double multiply as Spark, never exact-decimal math —
+    * ceil(0.9·n) differs between the two at some n otherwise. */
+  private val sampleQuantileOracle =
+    """WITH h AS (
+      |  SELECT event_type, value AS v,
+      |         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) AS hv
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+      |), s AS (
+      |  SELECT event_type, hv, v FROM (
+      |    SELECT event_type, hv, v,
+      |           row_number() OVER (PARTITION BY event_type
+      |                              ORDER BY hv, v) AS rn
+      |    FROM h) WHERE rn <= 512
+      |), o AS (
+      |  SELECT event_type, v, hv,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY v, hv) AS vr,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM s
+      |), est AS (
+      |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_sample,
+      |    max(CASE WHEN vr = CAST(ceil(0.25e0 * n) AS BIGINT) THEN v END) AS p25_est,
+      |    max(CASE WHEN vr = CAST(ceil(0.5e0 * n) AS BIGINT) THEN v END) AS p50_est,
+      |    max(CASE WHEN vr = CAST(ceil(0.75e0 * n) AS BIGINT) THEN v END) AS p75_est,
+      |    max(CASE WHEN vr = CAST(ceil(0.9e0 * n) AS BIGINT) THEN v END) AS p90_est
+      |  FROM o GROUP BY event_type
+      |), g AS (
+      |  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(CASE WHEN ev.value <= e.p50_est THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / count(*) AS f50,
+      |    CAST(sum(CASE WHEN ev.value <= e.p90_est THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / count(*) AS f90
+      |  FROM est e JOIN events ev ON ev.event_type = e.event_type
+      |  WHERE ev.value IS NOT NULL AND ev.event_id IS NOT NULL
+      |  GROUP BY e.event_type
+      |)
+      |SELECT e.event_type, e.n_sample, e.p25_est, e.p50_est, e.p75_est,
+      |       e.p90_est, g.n_total,
+      |       (abs(f50 - 0.5e0) <= 0.1e0 + 1.0e0 / n_total AND
+      |        abs(f90 - 0.9e0) <= 0.1e0 + 1.0e0 / n_total) AS within_tol
+      |FROM est e JOIN g ON e.event_type = g.event_type
+      |ORDER BY e.event_type""".stripMargin
+
+  private val sampleQs = Seq("p25_est" -> 0.25, "p50_est" -> 0.5,
+    "p75_est" -> 0.75, "p90_est" -> 0.9)
+
+  /** Estimates + exact-CDF gate over the full feed, mirroring the twin. */
+  private def sampleQuantileReport(s: org.apache.spark.sql.SparkSession,
+      d: String, est: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val evf = T.events(s, d)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+    val gate = evf
+      .join(est.select("event_type", "p50_est", "p90_est"), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        (sum(when(col("value") <= col("p50_est"), 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("__f50"),
+        (sum(when(col("value") <= col("p90_est"), 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("__f90"))
+    est.join(gate, "event_type")
+      .withColumn("within_tol",
+        abs(col("__f50") - lit(0.5)) <= lit(0.1) + lit(1.0) / col("n_total")
+          && abs(col("__f90") - lit(0.9)) <= lit(0.1) + lit(1.0) / col("n_total"))
+      .drop("__f50", "__f90")
+      .orderBy("event_type")
+  }
+
+  /** Bottom-k-sample quantile sketch (ops/SampleQuantile): per-type
+    * p25/p50/p75/p90 from a 512-row uniform sample instead of a full
+    * sort — the estimates themselves hash-compare against the DuckDB
+    * twin (md5-deterministic sample, interpolation-free selection), and
+    * the DKW gate pins the accuracy contract. */
+  val sampleQuantiles = QueryDef(
+    "q_sk_sample_quantiles", sampleQuantileOracle) { (s, d) =>
+    import graft.ops.SampleQuantile
+    val ev = T.events(s, d)
+    val est = SampleQuantile.quantiles(
+      SampleQuantile.sketchOf(ev, "event_type", "event_id", "value", 512),
+      "event_type", sampleQs)
+    sampleQuantileReport(s, d, est)
+  }
+
+  /** The sketch's append lifecycle: build on half the feed, fold the
+    * other half in as a delta (batch-only scan), serve from the
+    * persisted artifact — bottom-k's union algebra makes
+    * append-then-serve ≡ rebuild-on-everything, so the oracle is the
+    * same full-feed twin. */
+  val sampleQuantilesServed = QueryDef(
+    "q_sk_sample_quantiles_served_incremental", sampleQuantileOracle) {
+    (s, d) =>
+    import graft.ops.{Models, SampleQuantile}
+    val ev = T.events(s, d)
+    val dir = Models.ensureBuilt(s"samplequant|$d") { tmp =>
+      SampleQuantile.build(ev.filter(col("event_id") % 2 === 0), tmp,
+        "event_type", "event_id", "value", k = 512)
+      SampleQuantile.append(ev.filter(col("event_id") % 2 =!= 0), tmp,
+        "event_type", "event_id", "value")
+    }
+    sampleQuantileReport(s, d,
+      SampleQuantile.quantilesServed(s, dir, "event_type", sampleQs))
+  }
+
   val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge,
-    kmvDistinct, cmsTopk, cmsServedIncremental, kmvOverlap, hllCube)
+    kmvDistinct, cmsTopk, cmsServedIncremental, kmvOverlap, hllCube,
+    sampleQuantiles, sampleQuantilesServed)
 }

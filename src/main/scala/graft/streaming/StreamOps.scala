@@ -507,6 +507,29 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming sample-quantile maintenance: fold each micro-batch's
+    * bottom-k candidate rows into the persisted sketch
+    * ([[graft.ops.SampleQuantile.append]] — scans the batch only; k from
+    * the artifact's own meta). Unlike the CMS fold this one is fully
+    * IDEMPOTENT, not just at-least-once: a replayed batch re-appends
+    * identical (hv, v) rows and the serve-side dedup + re-rank absorbs
+    * them, so a crash between append and checkpoint commit changes
+    * nothing an estimate can observe. */
+  def sampleQuantileIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stream: DataFrame, checkpointDir: String,
+      groupCol: String, idCol: String, valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.SampleQuantile.append(batch, dir, groupCol, idCol,
+            valueCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming DSIR gate: admit only the micro-batch docs whose hashed
     * n-gram importance log-weight against the PERSISTED target/raw
     * log-ratio artifact clears `minLogw` — the data-selection twin of

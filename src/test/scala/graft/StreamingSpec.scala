@@ -324,6 +324,37 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded sketch must answer exactly like the one-pass build")
   }
 
+  test("streaming sample-quantile maintenance: stream-folded sketch " +
+      "serves exactly like the one-pass build") {
+    import graft.ops.SampleQuantile
+    val ev = events.filter(col("value").isNotNull)
+    val base = ev.filter(col("event_id") % 3 === 0)
+    val delta = ev.filter(col("event_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("sq_idx").toString
+    SampleQuantile.build(base, dir, "event_type", "event_id", "value",
+      k = 64)
+    val src = java.nio.file.Files.createTempDirectory("sq_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("sq_ckpt")
+    delta.write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1) // several fold batches, not one
+      .parquet(src.toString)
+    val q = StreamOps.sampleQuantileIngest(spark, dir, stream,
+      ckpt.toString, "event_type", "event_id", "value")
+    q.awaitTermination(180000)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val served = SampleQuantile
+      .quantilesServed(spark, dir, "event_type", qs)
+      .orderBy("event_type").collect().toSeq
+    val onePass = SampleQuantile.quantiles(
+        SampleQuantile.sketchOf(ev, "event_type", "event_id", "value", 64),
+        "event_type", qs)
+      .orderBy("event_type").collect().toSeq
+    assert(served == onePass,
+      "stream-folded sample sketch must answer exactly like one-pass")
+  }
+
   test("streaming retrieval maintenance: served phrase/BM25 after two " +
       "micro-batches equal the cumulative batch recompute") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
