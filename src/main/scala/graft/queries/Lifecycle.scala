@@ -315,7 +315,115 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** Entity resolution with survivorship ("golden record"): planted
+    * dirty duplicates of the customer table (an " llc"-suffixed copy
+    * with a NULL balance for every 7th key, an " co" copy for every
+    * 21st — so some clusters are triples), then the canonical ER
+    * pipeline: BLOCK on (nation, 18-char name prefix) so candidate
+    * pairs are per-block not global, SCORE blocked pairs by levenshtein
+    * ≤ 4, CLUSTER matches transitively (Dedup.connectedComponents —
+    * pair-level merging over-merges nothing and under-merges A~B~C
+    * chains), and SURVIVE one record per cluster by completeness (non-
+    * null balance first) then smallest key. At 100 TB the block join is
+    * a shuffled equi join on the blocking key (never all-pairs), the
+    * edit distance runs only inside blocks, and CC is the same
+    * log-diameter loop the dedup family uses. Emits multi-member
+    * clusters with their survivor + completeness tallies. */
+  val erGoldenRecord = QueryDef(
+    "q_er_golden_record",
+    """WITH RECURSIVE base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name,
+      |         c_nationkey AS nat, c_acctbal AS bal
+      |  FROM customer
+      |), dirty AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT key + 1000000, name || ' llc', nat, NULL
+      |  FROM base WHERE key % 7 = 0
+      |  UNION ALL
+      |  SELECT key + 2000000, name || ' co', nat, bal
+      |  FROM base WHERE key % 21 = 0
+      |), blk AS (
+      |  SELECT *, CAST(nat AS VARCHAR) || '|'
+      |            || substr(lower(name), 1, 18) AS blk
+      |  FROM dirty
+      |), pairs AS (
+      |  SELECT DISTINCT a.key AS ka, b.key AS kb
+      |  FROM blk a JOIN blk b ON a.blk = b.blk
+      |  WHERE a.key < b.key
+      |    AND levenshtein(lower(a.name), lower(b.name)) <= 4
+      |), edges AS (
+      |  SELECT ka AS a, kb AS b FROM pairs
+      |  UNION SELECT kb, ka FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS key, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), labeled AS (
+      |  SELECT d.key, d.name, d.bal,
+      |         COALESCE(c.component, d.key) AS component
+      |  FROM dirty d LEFT JOIN comp c USING (key)
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY component
+      |            ORDER BY (bal IS NULL), key) AS rn
+      |  FROM labeled
+      |), stats AS (
+      |  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+      |         CAST(sum(CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_with_balance
+      |  FROM labeled GROUP BY component
+      |)
+      |SELECT r.component, r.key AS survivor_key,
+      |       r.name AS survivor_name, s.n_members, s.n_with_balance
+      |FROM ranked r JOIN stats s USING (component)
+      |WHERE r.rn = 1 AND s.n_members >= 2
+      |ORDER BY r.component""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = T.customer(s, d).select(
+      col("c_custkey").cast("long").as("key"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_acctbal").as("bal"))
+    val dirty = base
+      .unionByName(base.filter(col("key") % 7 === 0).select(
+        (col("key") + 1000000L).as("key"),
+        concat(col("name"), lit(" llc")).as("name"), col("nat"),
+        lit(null).cast("double").as("bal")))
+      .unionByName(base.filter(col("key") % 21 === 0).select(
+        (col("key") + 2000000L).as("key"),
+        concat(col("name"), lit(" co")).as("name"), col("nat"),
+        col("bal")))
+    val blk = dirty.withColumn("blk", concat_ws("|",
+      col("nat").cast("string"), substring(lower(col("name")), 1, 18)))
+    val pairs = blk.select(col("blk"), col("key").as("doc_a"),
+        col("name").as("na"))
+      .join(blk.select(col("blk"), col("key").as("doc_b"),
+        col("name").as("nb")), "blk")
+      .filter(col("doc_a") < col("doc_b") &&
+        levenshtein(lower(col("na")), lower(col("nb"))) <= 4)
+      .select("doc_a", "doc_b").distinct()
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "key")
+    val labeled = dirty.join(cc, Seq("key"), "left")
+      .withColumn("component", coalesce(col("component"), col("key")))
+    val ranked = labeled.withColumn("rn", row_number().over(
+      Window.partitionBy("component")
+        .orderBy(col("bal").isNull, col("key"))))
+    val stats = labeled.groupBy("component").agg(
+      count(lit(1)).as("n_members"),
+      sum(when(col("bal").isNotNull, 1).otherwise(0)).cast("long")
+        .as("n_with_balance"))
+    ranked.filter(col("rn") === 1)
+      .join(stats, "component")
+      .filter(col("n_members") >= 2)
+      .select(col("component"), col("key").as("survivor_key"),
+        col("name").as("survivor_name"), col("n_members"),
+        col("n_with_balance"))
+      .orderBy("component")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain,
-      joinMaintain, schemaEvolution, outliers)
+      joinMaintain, schemaEvolution, outliers, erGoldenRecord)
 }
