@@ -504,4 +504,121 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  // ----------------------- incremental component labels (artifact)
+  //
+  // Cluster labels were rebuild-only: a daily crawl adding near-dup
+  // edges re-ran connectedComponents over the CUMULATIVE edge list. The
+  // appendable form is the distributed union-find: persist
+  //   $dir/labels — (doc_id, component) rows, appended for NEW nodes
+  //                 only (a node's stored label is its component AS OF
+  //                 its append);
+  //   $dir/merges — (from_rep, to_rep) rows, one per component-merge
+  //                 event (to_rep < from_rep, min-label order);
+  // and serve by resolving stored labels through the merge map's
+  // closure. An append scans ONLY its batch plus one equi join against
+  // the labels table (the batch endpoints' current labels — never the
+  // edge history), runs CC on the batch's COMPONENT-compressed edge
+  // graph (size ∝ batch, not corpus), and appends merge rows + new-node
+  // labels. The merge map is bounded by merge events (≤ clusters ever
+  // merged), so its closure is a log-depth pointer-jumping loop over a
+  // small broadcastable table — the path-compression half of union-find,
+  // run at serve time.
+
+  /** Build the label artifact from an initial edge list. */
+  def ccBuild(pairs: DataFrame, dir: String): Unit = {
+    val spark = pairs.sparkSession
+    Models.save(connectedComponents(pairs), s"$dir/labels")
+    import spark.implicits._
+    Models.save(Seq.empty[(Long, Long)].toDF("from_rep", "to_rep"),
+      s"$dir/merges")
+  }
+
+  /** Transitive closure of the merge map by pointer jumping: each round
+    * re-targets every edge at its target's target, halving chain depth.
+    * The map is FUNCTIONAL by construction (a rep merges away at most
+    * once — appends only emit merges FROM currently-terminal reps). */
+  private[graft] def closeMerges(merges: DataFrame): DataFrame = {
+    var m = merges.localCheckpoint()
+    var iter = 0
+    var open = m.as("x").join(m.as("y"),
+      col("x.to_rep") === col("y.from_rep"), "left_semi").count()
+    while (open > 0) {
+      require(iter < 48, "merge chains deeper than 2^48 — corrupt artifact")
+      val next = m.as("x")
+        .join(broadcast(m.as("y")),
+          col("x.to_rep") === col("y.from_rep"), "left")
+        .select(col("x.from_rep"),
+          coalesce(col("y.to_rep"), col("x.to_rep")).as("to_rep"))
+        .localCheckpoint()
+      m.unpersist()
+      m = next
+      open = m.as("x").join(m.as("y"),
+        col("x.to_rep") === col("y.from_rep"), "left_semi").count()
+      iter += 1
+    }
+    Pins.track(m)
+    m
+  }
+
+  private def resolve(labels: DataFrame, closed: DataFrame): DataFrame =
+    labels.join(
+        broadcast(closed.withColumnRenamed("from_rep", "component")),
+        Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("to_rep"), col("component")).as("component"))
+
+  /** Fold a batch of new edges into the artifact. Scans the batch plus
+    * one labels equi join; CC runs over the component-compressed batch
+    * graph only. */
+  def ccAppend(newPairs: DataFrame, dir: String): Unit = {
+    val spark = newPairs.sparkSession
+    val labels = Models.load(spark, s"$dir/labels")
+    val closed = closeMerges(Models.load(spark, s"$dir/merges"))
+    val resolved = resolve(labels, closed)
+    // current representative of each batch endpoint: its resolved stored
+    // label, or itself if the node is new to the graph
+    def reps(side: String) = newPairs.select(col(side).as("doc_id"))
+    val endpoints = reps("doc_a").unionByName(reps("doc_b")).distinct()
+      .join(resolved, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("rep"))
+      .localCheckpoint() // feeds two joins + the new-node anti join
+    val e = newPairs
+      .join(endpoints.select(col("doc_id").as("doc_a"),
+        col("rep").as("rep_a")), Seq("doc_a"))
+      .join(endpoints.select(col("doc_id").as("doc_b"),
+        col("rep").as("rep_b")), Seq("doc_b"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .select(least(col("rep_a"), col("rep_b")).as("doc_a"),
+        greatest(col("rep_a"), col("rep_b")).as("doc_b"))
+      .distinct()
+    val cc =
+      if (e.head(1).isEmpty) e.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("component")) // empty, schema-compatible
+      else connectedComponents(e)
+    // merge events: old TERMINAL reps (some stored label resolves to
+    // them) whose component moved; brand-new nodes' labels are written
+    // already-resolved below, so they need no merge row
+    val newMerges = cc.filter(col("doc_id") =!= col("component"))
+      .join(resolved.select(col("component").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("from_rep"), col("component").as("to_rep"))
+    Models.append(newMerges, s"$dir/merges")
+    val newNodeLabels = endpoints
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(cc.select(col("doc_id").as("rep"),
+        col("component").as("__c")), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c"), col("rep")).as("component"))
+    Models.append(newNodeLabels, s"$dir/labels")
+    endpoints.unpersist()
+  }
+
+  /** Current labels: stored rows resolved through the merge closure.
+    * Reads the labels table + the bounded merge map — never the edges. */
+  def ccServe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    resolve(Models.load(spark, s"$dir/labels"),
+      closeMerges(Models.load(spark, s"$dir/merges")))
 }

@@ -233,6 +233,32 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Cluster labels as an APPENDABLE artifact (distributed union-find,
+    * Dedup.ccBuild/ccAppend/ccServe): build on half the near-dup edges,
+    * fold the other half in — the append scans its batch plus one labels
+    * equi join (never the edge history), runs CC on the batch's
+    * component-compressed graph, and records merge events; serving
+    * resolves stored labels through the bounded merge map's closure.
+    * Same full-closure oracle as q_ns_dedup_components: append-then-serve
+    * must equal CC over the cumulative edge list exactly. */
+  val dedupComponentsIncremental = QueryDef(
+    "q_ns_dedup_components_incremental",
+    dedupComponents.oracle.get) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"ccinc|$d") { tmp =>
+      val pairs = Dedup.ngramJaccardPairs(docs).localCheckpoint()
+      Dedup.ccBuild(
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), tmp)
+      Dedup.ccAppend(
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1), tmp)
+    }
+    docs.select("doc_id")
+      .join(Dedup.ccServe(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-set decontamination against a benchmark slice (doc_id < 20):
     * distinct shared 3-gram shingles + benchmark docs touched per corpus
     * doc; the release gate every training pipeline runs. */
@@ -2273,7 +2299,7 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(
     sourceOverlap,
     dedupExact, dedupMinHash, minHashRecall, dedupSimHash, dedupNgram,
-    dedupComponents,
+    dedupComponents, dedupComponentsIncremental,
     spanDedup, spanScrub,
     decontaminate, decontaminateFuzzy, dedupCosine, dedupThresholdCurve,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,

@@ -100,6 +100,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("incremental components: appends that merge, chain-merge, and add " +
+      "new nodes serve exactly like CC over the cumulative edges") {
+    val b1 = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val b2 = Seq(
+      (2L, 3L),   // merges {1,2} with {3,4}
+      (20L, 21L), // brand-new pair
+      (4L, 1L))   // redundant within-component edge
+      .toDF("doc_a", "doc_b")
+    val b3 = Seq(
+      (11L, 20L), // chain-merge: {10,11} with {20,21}
+      (21L, 1L))  // then with {1,2,3,4} — exercises multi-hop closure
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("ccinc_").toString
+    Dedup.ccBuild(b1, dir)
+    Dedup.ccAppend(b2, dir)
+    Dedup.ccAppend(b3, dir)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    val served = toMap(Dedup.ccServe(spark, dir))
+    val full = toMap(Dedup.connectedComponents(
+      b1.unionByName(b2).unionByName(b3)))
+    assert(served == full, s"served=$served full=$full")
+    assert(Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L)
+      .forall(served(_) == 1L)) // everything chained down to min id 1
+    // an append touching only already-merged nodes is a no-op
+    Dedup.ccAppend(Seq((10L, 21L)).toDF("doc_a", "doc_b"), dir)
+    assert(toMap(Dedup.ccServe(spark, dir)) == full)
+  }
+
   test("dedupCorpus drops exact and near duplicates, keeps the rest") {
     val deduped = Dedup.dedupCorpus(docsWithDups, minJaccard = 0.85)
     val ids = deduped.select("doc_id").as[Long].collect().toSet
