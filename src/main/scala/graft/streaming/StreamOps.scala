@@ -507,6 +507,28 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming cluster-label maintenance: fold each micro-batch of
+    * near-dup EDGES into the persisted union-find artifact
+    * ([[graft.ops.Dedup.ccAppend]] — batch + one labels equi join, CC
+    * over the component-compressed batch graph only). Failure contract:
+    * at-least-once, and REPLAY-SAFE: ccAppend writes merges before
+    * labels, and on replay already-applied merges compress the batch's
+    * edges to already-merged components (the no-op append OpsSpec pins)
+    * while the new-node anti join re-appends exactly the label rows the
+    * crash lost — a replay after full commit appends nothing at all. */
+  def ccIngest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, edgeStream: DataFrame, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edgeStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pins.scoped {
+          graft.ops.Dedup.ccAppend(batch, dir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming sample-quantile maintenance: fold each micro-batch's
     * bottom-k candidate rows into the persisted sketch
     * ([[graft.ops.SampleQuantile.append]] — scans the batch only; k from

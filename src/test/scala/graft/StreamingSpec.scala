@@ -741,4 +741,92 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("etype_out").collect().map(_.getLong(1)).sum
     assert(got == events.count())
   }
+
+  test("streaming cluster-label maintenance: stream-folded union-find " +
+      "serves exactly like CC over all edges") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val b1 = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // later batches merge across batch-1 components and add new nodes
+    val deltas = Seq((2L, 3L), (20L, 21L), (11L, 20L), (21L, 1L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("ccing_idx").toString
+    Dedup.ccBuild(b1, dir)
+    val src = java.nio.file.Files.createTempDirectory("ccing_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("ccing_ckpt")
+    deltas.repartition(3).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1) // several fold batches, not one
+      .parquet(src.toString)
+    val q = StreamOps.ccIngest(spark, dir, stream, ckpt.toString)
+    q.awaitTermination(180000)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = toMap(Dedup.ccServe(spark, dir))
+    val full = toMap(Dedup.connectedComponents(b1.unionByName(deltas)))
+    assert(served == full,
+      "stream-folded labels must answer exactly like one-pass CC")
+  }
+
+  test("watermark late-data accounting: the late filter LAGS eviction by " +
+      "one batch — a next-batch late row is still admitted, a later one " +
+      "is dropped and counted") {
+    // Measured Spark semantics this test pins (they surprise people):
+    // the watermark that FILTERS late input lags the watermark that
+    // EVICTS state by one micro-batch (filtering uses the pre-previous
+    // batch's event-time high mark). So after batch 0 closes window W
+    // (eviction watermark passes W.end), a W-row arriving in batch 1 is
+    // STILL aggregated into W's final emission; only from batch 2 on are
+    // W-rows dropped and counted in numRowsDroppedByWatermark. A
+    // pipeline that needs an exact closed-window contract must therefore
+    // not treat "watermark passed" as "window sealed against the very
+    // next batch".
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("late_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("late_ckpt")
+    def mk(rows: Seq[(String, Long)]) = rows.toDF("t", "user_id")
+      .select(col("t").cast("timestamp").as("ts"), col("user_id"))
+    // batch 0: on-time rows; max event time 11:00 => watermark 10:50
+    mk(Seq(("2024-01-01 10:05:00", 1L), ("2024-01-01 10:10:00", 2L),
+      ("2024-01-01 11:00:00", 3L)))
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    Thread.sleep(1100) // file-source batches order by modification time
+    // batch 1: a late row for the closing 10:00 window (admitted — the
+    // late filter still carries batch -1's watermark) + an on-time row
+    mk(Seq(("2024-01-01 10:06:00", 4L), ("2024-01-01 11:05:00", 5L)))
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    Thread.sleep(1100)
+    // batch 2: another 10:00-window row — NOW late (filter watermark
+    // 10:50), dropped and counted
+    mk(Seq(("2024-01-01 10:07:00", 6L), ("2024-01-01 11:06:00", 7L)))
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val dropsByBatch = q.recentProgress
+      .map(p => p.batchId -> p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      .toMap
+    assert(dropsByBatch.getOrElse(1L, 0L) == 0L,
+      s"one-batch lag: batch 1's late row is admitted, got $dropsByBatch")
+    assert(dropsByBatch.getOrElse(2L, 0L) == 1L,
+      s"batch 2's late row must be dropped and counted, got $dropsByBatch")
+    // the closed 10:00 window emitted once, WITH the lag-admitted row
+    // (2 on-time + 1 late-but-admitted) and WITHOUT the dropped one
+    val out = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out.get("2024-01-01 10:00:00.0").contains(3L),
+      s"closed-window emission wrong: $out")
+  }
 }
