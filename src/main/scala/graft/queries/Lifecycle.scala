@@ -36,6 +36,60 @@ object Lifecycle {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Point-in-time SCD2 enrichment — the feature-store join: each fact
+    * probe picks up the dimension VERSION valid at its (shifted) event
+    * time, i.e. key equality + half-open [valid_from, valid_to) interval
+    * containment against the scd2 history. Planned as an equi join on
+    * the key with the interval predicate as residual (J5's shape):
+    * per-key expansion is bounded by that key's version count, so the
+    * shuffle is fact-sized — the skew-robust union+carry-forward
+    * alternative (J7) applies unchanged if one key's history ever grows
+    * pathological, because scd2 intervals tile contiguously. Probe times
+    * are shifted +7 minutes so probes genuinely land mid-interval (an
+    * unshifted event always probes its own version — a vacuous test). */
+  val scd2Pit = QueryDef(
+    "q_e_scd2_pit",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         row_number() OVER w AS rn,
+      |         lag(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), chg AS (
+      |  SELECT * FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+      |), hist AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |         lead(ts) OVER w2 AS valid_to
+      |  FROM chg
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), probes AS (
+      |  SELECT event_id, user_id, ts + INTERVAL '7 minutes' AS pts
+      |  FROM events
+      |  WHERE event_id % 5 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL
+      |)
+      |SELECT p.event_id, p.user_id, h.event_type AS pit_type, h.valid_from
+      |FROM probes p JOIN hist h ON h.user_id = p.user_id
+      |  AND p.pts >= h.valid_from
+      |  AND (h.valid_to IS NULL OR p.pts < h.valid_to)
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val hist = Evolve.scd2(T.events(s, d), "user_id", "ts",
+        attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id").as("h_user"), col("event_type").as("pit_type"),
+        col("valid_from"), col("valid_to"))
+    val probes = T.events(s, d)
+      .filter(col("event_id") % 5 === 0 && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 7 MINUTES")).as("pts"))
+    probes.join(hist,
+        col("user_id") === col("h_user") &&
+          col("pts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("pts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("pit_type"),
+        col("valid_from"))
+      .orderBy("event_id")
+  }
+
   /** Incremental merge: split events at a cutoff into a base load and a
     * delta, merge last-write-wins per user — must equal the latest row per
     * user over the whole log. */
@@ -424,6 +478,6 @@ object Lifecycle {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(scd2, mergeUpsert, expectations, profileCols, tableDiff, aggMaintain,
-      joinMaintain, schemaEvolution, outliers, erGoldenRecord)
+    Seq(scd2, scd2Pit, mergeUpsert, expectations, profileCols, tableDiff,
+      aggMaintain, joinMaintain, schemaEvolution, outliers, erGoldenRecord)
 }
