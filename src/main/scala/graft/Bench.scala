@@ -92,7 +92,19 @@ object Bench {
     "q_sk_cms_topk",
     "q_sk_kmv_overlap",
     "q_e_join_maintain",
-    "q_ts_m4_downsample")
+    "q_ts_m4_downsample",
+    // round-10 (session e): the two-pass prefix-aggregation consumers
+    // (sweep-line concurrency; skyline — the O(n log n) replacement for
+    // the oracle's quadratic NOT EXISTS), the bucketed big-big interval
+    // join, the bottom-k sample-quantile sketch (scan-form build), the
+    // blocked entity-resolution pipeline with connected-components
+    // clustering, and the point-in-time SCD2 enrichment join
+    "q_ts_concurrency_sweep",
+    "q_o3_pareto_skyline",
+    "q_j11_interval_bucket_join",
+    "q_sk_sample_quantiles",
+    "q_er_golden_record",
+    "q_e_scd2_pit")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

@@ -58,24 +58,30 @@ object Classify {
     * |classes| rows per present word); the priors cross is |classes|
     * rows broadcast. */
   def nbClassifyWith(docs: DataFrame, priors: DataFrame, ll: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nbScoresWith(docs, priors, ll, idCol, textCol)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(desc("score"), asc("label"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        col("score").cast("double").as("score"))
+
+  /** The full per-(doc, label) DECIMAL score table behind
+    * [[nbClassifyWith]] — exposed so confidence diagnostics (margins,
+    * calibration bins) can rank beyond the argmax. */
+  def nbScoresWith(docs: DataFrame, priors: DataFrame, ll: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = docs.select(col(idCol), explode(words(textCol)).as("word"))
     val nw = w.groupBy(idCol).agg(count(lit(1)).as("n_words"))
     val present = w.join(ll, "word")
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("ll")).as("sum_ll"), count(lit(1)).as("n_present"))
-    val scored = nw.join(broadcast(priors))
+    nw.join(broadcast(priors))
       .join(present, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
         (col("prior") + coalesce(col("sum_ll"), lit(0).cast(dec))
           + (col("n_words") - coalesce(col("n_present"), lit(0L)))
             * col("oov")).as("score"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(desc("score"), asc("label"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("label").as("pred_label"),
-        col("score").cast("double").as("score"))
   }
 
   /** Fit-and-classify: the model fits on the "nbfit"-salted half (a real

@@ -300,6 +300,75 @@ object TrainPrep {
       nbWithActual(graft.ops.Classify.nbServe(s, dir, docs), docs)
   }
 
+  /** Classifier reliability table: per confidence-margin bin (10
+    * equi-width bins over top1−top2 score margin), document count and
+    * empirical accuracy against the true label — the calibration check a
+    * classifier-gated curation pipeline needs before trusting a score
+    * threshold. Margins are exact DECIMAL differences cast to double, so
+    * the twin hash-matches; binning is equi-width from a broadcast 1-row
+    * min/max (deliberately NOT ntile — a global ntile is a
+    * single-partition sort; equi-width needs only a 2-value bound). */
+  val nbCalibration = QueryDef(
+    "q_ns_classifier_calibration",
+    s"""WITH $nbPredCtes, s1 AS (
+      |  SELECT doc_id, label AS pred_label, score AS sc1
+      |  FROM best WHERE rn = 1
+      |), s2 AS (SELECT doc_id, score AS sc2 FROM best WHERE rn = 2),
+      |mg AS (
+      |  SELECT s1.doc_id, s1.pred_label,
+      |         CAST(sc1 - sc2 AS DOUBLE) AS margin
+      |  FROM s1 JOIN s2 USING (doc_id)
+      |), bounds AS (
+      |  SELECT min(margin) AS lo,
+      |         CASE WHEN max(margin) > min(margin)
+      |              THEN max(margin) - min(margin) ELSE 1.0e0 END AS rng
+      |  FROM mg
+      |), binned AS (
+      |  SELECT mg.doc_id, mg.pred_label,
+      |         CAST(least(9, CAST(floor((margin - lo) * 10.0e0 / rng)
+      |                            AS BIGINT)) AS BIGINT) AS bin
+      |  FROM mg CROSS JOIN bounds
+      |)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN b.pred_label = d.lang THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_correct,
+      |       CAST(sum(CASE WHEN b.pred_label = d.lang THEN 1 ELSE 0 END)
+      |            AS DOUBLE) / count(*) AS accuracy
+      |FROM binned b JOIN documents d USING (doc_id)
+      |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    import graft.ops.{Classify, Sampling}
+    val docs = T.documents(s, d)
+    val (priors, ll) = Classify.nbModel(
+      docs.filter(Sampling.saltedBucket("nbfit", col("doc_id")) < 50))
+    val sc = Classify.nbScoresWith(docs, priors, ll)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("label"))
+    val ranked = sc.withColumn("rn", row_number().over(w))
+    val mg = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("score").as("sc1"))
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score").as("sc2")), "doc_id")
+      .select(col("doc_id"), col("pred_label"),
+        (col("sc1") - col("sc2")).cast("double").as("margin"))
+    val bounds = mg.agg(min(col("margin")).as("lo"),
+      when(max(col("margin")) > min(col("margin")),
+        max(col("margin")) - min(col("margin"))).otherwise(lit(1.0))
+        .as("rng"))
+    mg.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(9L),
+        floor((col("margin") - col("lo")) * lit(10.0) / col("rng"))
+          .cast("long")))
+      .join(T.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_label") === col("lang"), 1).otherwise(0))
+          .as("n_correct"),
+        (sum(when(col("pred_label") === col("lang"), 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("accuracy"))
+      .orderBy("bin")
+  }
+
   /** Deterministic training-shard shuffle: a content-independent random
     * order (salted md5 key), 8 hash shards, dense within-shard positions —
     * the prep→training-loader handoff. Shard assignment is a map-only hash
@@ -511,6 +580,6 @@ object TrainPrep {
 
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
     lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed,
-    trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ, dsirSelectPackQ,
-    dsirServedIncrementalQ)
+    nbCalibration, trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ,
+    dsirSelectPackQ, dsirServedIncrementalQ)
 }

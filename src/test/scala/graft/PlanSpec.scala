@@ -203,7 +203,9 @@ class PlanSpec extends AnyFunSuite {
       "q_stream_dsir_gate" -> "1-row totals broadcasts (in-query fit)",
       "q_ns_dsir_select_pack" -> "1-row totals broadcasts (in-query fit)",
       "q_ns_dsir_served_incremental" ->
-        "1-row totals broadcasts (numBuckets-row model rebuild at load)")
+        "1-row totals broadcasts (numBuckets-row model rebuild at load)",
+      // 1-row margin min/max bounds broadcast into the equi-width binning
+      "q_ns_classifier_calibration" -> "1-row margin-bounds broadcast")
     for ((name, qd) <- queries.Registry.byName.toSeq.sortBy(_._1)) {
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
