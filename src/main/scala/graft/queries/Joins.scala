@@ -313,13 +313,19 @@ object Joins {
     * plain shuffled join, O(|points| + |ranges|·width/W) not
     * |points|·|ranges|. Each qualifying pair meets exactly once (the
     * point's own bucket), so the aggregate needs no dedup. The oracle is
-    * the declarative BETWEEN join (DuckDB plans it as an IEJoin). */
+    * the declarative BETWEEN join (DuckDB plans it as an IEJoin).
+    * Range width is a FIXED ±$1 band (not a fraction of the price): a
+    * relative band makes the expected match count per point grow with
+    * the range-table density, i.e. |pairs| ∝ sf² — measured 142 s at
+    * sf0.1 before the fix. A fixed absolute band keeps matches-per-point
+    * ∝ density only, the shape a real lookup (tolerance match, IP-range,
+    * time-window containment) actually has. */
   val j11IntervalBucketJoin = QueryDef(
     "q_j11_interval_bucket_join",
     """WITH r AS (
       |  SELECT o_orderpriority,
-      |         o_totalprice / 4.0e0 AS lo,
-      |         (o_totalprice / 4.0e0) * 1.002e0 AS hi
+      |         o_totalprice / 4.0e0 - 1.0e0 AS lo,
+      |         o_totalprice / 4.0e0 + 1.0e0 AS hi
       |  FROM orders WHERE o_totalprice IS NOT NULL
       |)
       |SELECT r.o_orderpriority,
@@ -334,13 +340,13 @@ object Joins {
     val ranges = T.orders(s, d)
       .filter(col("o_totalprice").isNotNull)
       .select(col("o_orderpriority"),
-        (col("o_totalprice") / lit(4.0)).as("lo"))
-      .withColumn("hi", col("lo") * lit(1.002))
+        (col("o_totalprice") / lit(4.0) - lit(1.0)).as("lo"),
+        (col("o_totalprice") / lit(4.0) + lit(1.0)).as("hi"))
     val points = T.lineitem(s, d)
       .filter(col("l_extendedprice").isNotNull)
       .select("l_extendedprice")
     graft.ops.ScaleOps.intervalBucketJoin(points, "l_extendedprice",
-        ranges, "lo", "hi", bucketWidth = 2000.0)
+        ranges, "lo", "hi", bucketWidth = 100.0)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("l_extendedprice")
