@@ -28,6 +28,29 @@ object Sampling {
     conv(substring(md5(concat(lit(purpose + ":"), idCol.cast("string"))),
       1, 4), 16, 10).cast("long") % 100
 
+  /** Fractional-epoch corpus repetition — the data-mixing primitive for
+    * "train on source X for e epochs" budgets where e is rarely an
+    * integer: each row emits ⌊e⌋ full copies (a `copy` index column)
+    * plus one extra copy when its "epoch"-salted md5 bucket falls under
+    * the fractional part — so realized repetition converges to e per
+    * source while every decision stays a deterministic pure function of
+    * the row id (reproducible across runs, engines, and partitionings;
+    * no rand()). e < 1 degenerates to plain downsampling (zero full
+    * copies, fractional keep). Map-only: an explode over a ≤ ⌈e⌉-element
+    * array, no shuffle, no state. */
+  def epochUpsample(df: DataFrame, epochs: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val nFull = floor(epochs)
+    val full = when(nFull >= 1,
+      sequence(lit(0), (nFull - 1).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val frac = epochs - nFull
+    val extra = when(
+      saltedBucket("epoch", col(idCol)).cast("double") < frac * 100,
+      array(nFull.cast("int"))).otherwise(array().cast("array<int>"))
+    df.withColumn("copy", explode(concat(full, extra)))
+  }
+
   /** Deterministic stratified sample: keep `rates(stratum)`% of each
     * stratum (`defaultPct`% for unlisted strata) using the same md5 bucket
     * as [[withSplit]] — the language/source-rebalancing primitive. Map-only

@@ -1393,6 +1393,62 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Fractional-epoch repetition (Sampling.epochUpsample): per-source
+    * epoch budgets {1.0, 1.5, 2.0, 2.5} (derived from the source index),
+    * each doc emitting ⌊e⌋ full copies plus a salted-md5-bucket
+    * fractional copy — the "train source X for 2.5 epochs" mixing
+    * primitive, deterministic down to which doc gets the extra copy.
+    * Map-only explode, no shuffle until the reporting aggregate. The
+    * realized per-source epoch rate is itself hash-compared (md5 makes
+    * the fractional draw engine-neutral). */
+  val epochUpsample = QueryDef(
+    "q_ns_epoch_upsample",
+    """WITH e AS (
+      |  SELECT doc_id, source,
+      |    1.0e0 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.5e0 AS ep,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, 4),
+      |      i -> (instr('0123456789abcdef',
+      |              substring(md5('epoch:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |           * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)) AS BIGINT)
+      |      % 100 AS BIGINT) AS b
+      |  FROM documents
+      |), emitted AS (
+      |  SELECT doc_id, source FROM (
+      |    SELECT doc_id, source,
+      |           unnest(generate_series(0, CAST(floor(ep) AS INT) - 1)) AS i
+      |    FROM e) t
+      |  UNION ALL
+      |  SELECT doc_id, source FROM e WHERE b < (ep - floor(ep)) * 100
+      |), stats AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_emitted
+      |  FROM emitted GROUP BY source
+      |), base AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    1.0e0 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.5e0 AS epochs
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT b.source, b.n_docs, b.epochs,
+      |       CAST(coalesce(s.n_emitted, 0) AS BIGINT) AS n_emitted,
+      |       CAST(coalesce(s.n_emitted, 0) AS DOUBLE) / b.n_docs
+      |         AS realized_epochs
+      |FROM base b LEFT JOIN stats s USING (source)
+      |ORDER BY b.source""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    def ep = lit(1.0) +
+      (substring(col("source"), 4, 10).cast("int") % 4).cast("double") *
+        lit(0.5)
+    val emitted = graft.ops.Sampling.epochUpsample(docs, ep)
+    val stats = emitted.groupBy("source").agg(count(lit(1)).as("n_emitted"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("epochs", ep)
+      .join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("epochs"),
+        coalesce(col("n_emitted"), lit(0L)).as("n_emitted"))
+      .withColumn("realized_epochs",
+        col("n_emitted").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** Per-domain document cap (FineWeb's "max docs per domain" stage):
     * keep at most 15 docs per source, chosen by a content-independent
     * salted-md5 order — a deterministic uniform sample of each domain,
@@ -2313,7 +2369,7 @@ object NorthStar {
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,
     prepareCorpusClassifiedQ, splitQ,
-    leakageSafeSplitQ, stratified, domainCap,
+    leakageSafeSplitQ, stratified, epochUpsample, domainCap,
     budgetSelect, textScrub,
     multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,
