@@ -653,6 +653,42 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The exactly-once half of a foreachBatch sink: the batch lands under
+    * a `batch_id=<id>` partition directory via DYNAMIC partition
+    * overwrite, so a REPLAYED micro-batch (foreachBatch's at-least-once
+    * recovery) replaces its own partition instead of appending a second
+    * copy — plain parquet gains replay-idempotent semantics without a
+    * transactional table format. The cost is one directory per
+    * micro-batch (compact with ScaleOps.compactTo on a schedule) and the
+    * constraint that a batch id always carries the same logical rows,
+    * which Structured Streaming's checkpoint guarantees. Contrast with
+    * the artifact fold loops above, which stay at-least-once and lean on
+    * fold algebra (additive / dedup-at-serve) instead. */
+  def idempotentSinkWrite(batch: DataFrame, batchId: Long,
+      sinkDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(sinkDir)
+
+  /** [[incrementalIngest]]'s foreachBatch twin with an exactly-once sink
+    * ([[idempotentSinkWrite]]) — for pipelines that need per-batch
+    * transforms the declarative parquet sink can't express, without
+    * giving up its no-duplicates guarantee. */
+  def idempotentIngest(spark: org.apache.spark.sql.SparkSession,
+      stream: DataFrame, sinkDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Pins.scoped {
+          idempotentSinkWrite(batch, id, sinkDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Incremental ingest (SURVEY §7.6 stretch): continuously append new
     * source files into a parquet sink, exactly-once via checkpointing.
     * The reference's ingestion is full-replace (dlt write_disposition);

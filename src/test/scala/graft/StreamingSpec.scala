@@ -770,6 +770,42 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded labels must answer exactly like one-pass CC")
   }
 
+  test("idempotent foreachBatch sink: a replayed micro-batch replaces " +
+      "its own partition — no duplicates, and a partial-write replay " +
+      "heals to the latest batch content") {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select("event_id", "user_id", "event_type")
+    val src = java.nio.file.Files.createTempDirectory("idem_src")
+    val sink = java.nio.file.Files.createTempDirectory("idem_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idem_ckpt")
+    ev.repartition(3).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = StreamOps.idempotentIngest(spark, stream, sink, ckpt.toString)
+    q.awaitTermination(180000)
+    val sinkDf = spark.read.parquet(sink)
+    assert(sinkDf.count() == ev.count(), "sink must equal the input once")
+    assert(sinkDf.select("batch_id").distinct().count() == 3)
+    // replay batch 0 in full: partition replaced, counts unchanged
+    val b0 = sinkDf.filter(col("batch_id") === 0).drop("batch_id")
+      .localCheckpoint()
+    val b0n = b0.count()
+    StreamOps.idempotentSinkWrite(b0, 0L, sink)
+    assert(spark.read.parquet(sink).count() == ev.count(),
+      "full replay must not duplicate")
+    // a torn first attempt (half the batch) followed by the full retry:
+    // the retry REPLACES the partition, healing the partial write
+    StreamOps.idempotentSinkWrite(
+      b0.filter(col("event_id") % 2 === 0), 0L, sink)
+    assert(spark.read.parquet(sink).count() < ev.count())
+    StreamOps.idempotentSinkWrite(b0, 0L, sink)
+    val healed = spark.read.parquet(sink)
+    assert(healed.count() == ev.count(), "retry must heal the torn write")
+    assert(healed.filter(col("batch_id") === 0).count() == b0n)
+  }
+
   test("watermark late-data accounting: the late filter LAGS eviction by " +
       "one batch — a next-batch late row is still admitted, a later one " +
       "is dropped and counted") {
