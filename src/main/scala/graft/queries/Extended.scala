@@ -842,10 +842,89 @@ object Extended {
     graft.ops.ScaleOps.concurrencySweep(iv, "s0", "e0").orderBy("day")
   }
 
+  /** First-order event-transition matrix (the product-analytics Markov
+    * estimate): per user, consecutive event pairs via lag ordered by
+    * (ts, event_id); transition probability = pair count / from-state
+    * total. The lag window is PARTITIONED by user (parallel, one
+    * shuffle); the normalizing totals live on the T×T pair table (T =
+    * distinct event types, bounded), so the per-from window is over a
+    * tiny aggregate, never raw events. */
+  val eventTransitions = QueryDef(
+    "q_ts_event_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev_type
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), pairs AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE)
+      |         / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM pairs
+      |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val seq0 = T.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+    val pairs = seq0.filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Seasonality-aware anomaly detection: the per-(type, hour-of-day)
+    * decimal-exact mean is the baseline, each event's residual is value
+    * − its slot baseline, and the report is the global top-20 |residual|
+    * — q_ts_rolling_zscore's complement (that one flags deviation from
+    * the RECENT past; this flags deviation from the SLOT norm, catching
+    * "normal for 3pm, wild for 3am"). Baseline is a T×24-row aggregate
+    * broadcast back; the top-k plans as TakeOrderedAndProject, so the
+    * corpus shuffles once for the baseline and never for the ranking. */
+  val seasonalResidual = QueryDef(
+    "q_ts_seasonal_residual",
+    """WITH base AS (
+      |  SELECT event_type,
+      |         CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |           / count(*) AS baseline
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.event_id, e.event_type, b.hr, e.value, b.baseline,
+      |       e.value - b.baseline AS residual
+      |FROM events e
+      |JOIN base b ON b.event_type = e.event_type
+      |  AND b.hr = CAST(extract(hour FROM CAST(e.ts AS TIMESTAMP)) AS INT)
+      |WHERE e.value IS NOT NULL AND e.ts IS NOT NULL
+      |ORDER BY abs(e.value - b.baseline) DESC, e.event_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .withColumn("hr", hour(col("ts")))
+    val base = ev.groupBy("event_type", "hr")
+      .agg((Fns.dsum(col("value")) / count(lit(1))).as("baseline"))
+    ev.join(broadcast(base), Seq("event_type", "hr"))
+      .withColumn("residual", col("value") - col("baseline"))
+      .select("event_id", "event_type", "hr", "value", "baseline",
+        "residual")
+      .orderBy(abs(col("residual")).desc, col("event_id"))
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     semiJoin, antiJoin, rollup, pivot, scalarSubquery, slidingWindow,
     setOps, percentiles, stddevExact, cube, rangeFrame, sqlTextApi, gapFill,
     corrMoments, groupingSets, funnel, histogram, notInNull, mad,
     retentionCohorts, m4Downsample, rollingZscore, pairSupport, trendFit,
-    concurrencySweep)
+    concurrencySweep, eventTransitions, seasonalResidual)
 }
