@@ -39,6 +39,8 @@ import org.apache.spark.sql.functions._
   *  - layout   trainShards balance, heavyHitters candidate bound, and
   *             z-order box-pruning fraction at 1x/10x — the layout-op
   *             scaling contracts measured
+  *  - prefix   two-pass bucketed prefix sum vs the naive single-partition
+  *             global window on 40M points — the ScaleOps.prefixSum A/B
   */
 object ScaleEvidence {
 
@@ -83,6 +85,7 @@ object ScaleEvidence {
       case Some("bloomjoin") =>
         bloomJoinEvidence(spark, sfDir); spark.stop(); return
       case Some("phrase") => phraseEvidence(spark, sfDir); spark.stop(); return
+      case Some("prefix") => prefixEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
     val out = "/tmp/graft_scale10"
@@ -821,5 +824,46 @@ object ScaleEvidence {
       s""""mem_spill_mb":${memSpill / 1048576},"disk_spill_mb":${diskSpill / 1048576},""" +
       s""""n_stages_spilled":${rows.count(r => r._2 > 0 || r._3 > 0)},""" +
       s""""spilling_stages":$topStages,"oom":false}""")
+  }
+
+  /** Two-pass bucketed prefix sum vs the naive single-partition global
+    * window, on a 400×-replicated point set (~40M rows at sf0.1) read
+    * honestly from parquet. Same answer by construction (asserted via
+    * an order-independent checksum); the naive form funnels every row
+    * through ONE sorted partition while the two-pass form windows
+    * per-day buckets in parallel and prefix-combines only the bucket
+    * totals. Numbers land in SCALING.md. */
+  private def prefixEvidence(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val out = "/tmp/graft_prefix_pts"
+    queries.T.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(explode(expr("sequence(0, 399)")).as("k"), col("ts"),
+        col("event_id"), col("user_id"))
+      .select((col("ts") + expr("make_interval(0,0,0,0,0,0,k)")).as("t"),
+        (col("event_id") * 400 + col("k")).as("id"),
+        when(col("user_id") % 2 === 0, 1L).otherwise(-1L).as("d"))
+      .write.mode("overwrite").parquet(out)
+    val pts = spark.read.parquet(out)
+    val n = pts.count()
+    // order-independent consume: sum of per-row running values forces the
+    // whole window yet compares across plans without a sort
+    def consume(df: DataFrame): Long =
+      df.agg(sum(col("c"))).head().getLong(0)
+    def naive(): Long = consume(pts.withColumn("c",
+      sum(col("d")).over(Window.orderBy(col("t"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    def fast(): Long = consume(ops.ScaleOps.prefixSum(pts,
+      to_date(col("t")), Seq(col("t"), col("id")), col("d"), "c"))
+    val (r0, _) = timed(naive()); val (r1, _) = timed(fast()) // warm JIT
+    require(r0 == r1, s"prefix sum mismatch: $r0 vs $r1")
+    def med(f: () => Long): Double = {
+      val ts = (1 to 3).map(_ => timed(f())._2).sorted
+      ts(1)
+    }
+    val tn = med(naive _); val tf = med(fast _)
+    println(s"""PREFIX {"rows":$n,"naive_s":${"%.2f".format(tn)},""" +
+      s""""twopass_s":${"%.2f".format(tf)},""" +
+      s""""speedup":${"%.2f".format(tn / tf)},"checksum":$r0}""")
   }
 }
