@@ -208,6 +208,36 @@ class PrefixSampleSpec extends AnyFunSuite {
     assert(joined == 0L)
   }
 
+  test("epochUpsample: floor copies for everyone, the fractional copy " +
+      "for exactly the bucketed subset, downsampling when e < 1, and " +
+      "distinct copy indices per doc") {
+    import graft.ops.Sampling
+    val docs = queries.T.documents(spark, sf)
+    // e = 2.5: every doc twice, bucket<50 docs three times
+    val up = Sampling.epochUpsample(docs, lit(2.5))
+    val perDoc = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("copy")).as("nc"))
+    assert(perDoc.filter(col("n") =!= col("nc")).count() == 0,
+      "copy indices must be distinct per doc")
+    val counts = perDoc.select("n").collect().map(_.getLong(0))
+    assert(counts.forall(n => n == 2L || n == 3L))
+    val nDocs = docs.count().toDouble
+    val frac3 = counts.count(_ == 3L) / nDocs
+    assert(math.abs(frac3 - 0.5) < 0.15,
+      s"fractional-copy rate should be ~0.5, got $frac3")
+    // e = 0.5 degenerates to a plain fractional keep
+    val down = Sampling.epochUpsample(docs, lit(0.5))
+    assert(down.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val keep = down.count() / nDocs
+    assert(math.abs(keep - 0.5) < 0.15, s"keep rate ~0.5, got $keep")
+    // determinism: same inputs, same emitted multiset
+    val again = Sampling.epochUpsample(docs, lit(2.5))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(again.join(perDoc, Seq("doc_id"))
+      .filter(again("n") =!= perDoc("n")).count() == 0)
+  }
+
   test("sample-quantile serve reads only the artifact, never the corpus") {
     val ev = events
     val dir = java.nio.file.Files
