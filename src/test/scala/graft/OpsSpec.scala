@@ -127,6 +127,15 @@ class OpsSpec extends AnyFunSuite {
     // an append touching only already-merged nodes is a no-op
     Dedup.ccAppend(Seq((10L, 21L)).toDF("doc_a", "doc_b"), dir)
     assert(toMap(Dedup.ccServe(spark, dir)) == full)
+    // the load-bearing invariant behind the pointer-jump closure: the
+    // merge map stays FUNCTIONAL (a rep merges away at most once) and
+    // ACYCLIC (every merge strictly decreases the label, min-label order)
+    val merges = spark.read.parquet(s"$dir/merges")
+      .select("from_rep", "to_rep").as[(Long, Long)].collect()
+    assert(merges.map(_._1).distinct.length == merges.length,
+      s"merge map must be functional: $merges")
+    assert(merges.forall { case (f, t) => t < f },
+      s"every merge must decrease the label: $merges")
   }
 
   test("dedupCorpus drops exact and near duplicates, keeps the rest") {
