@@ -477,7 +477,72 @@ object Lifecycle {
       .orderBy("component")
   }
 
+  /** Per-group winsorization — the robust-preprocessing staple: clamp
+    * each group's values to its exact [p05, p95] band before any
+    * mean-based modeling. Bounds are DISCRETE rank selections (value at
+    * rank ⌈q·n⌉, ties broken by id — no interpolation arithmetic, so
+    * both engines pick the identical value); the clamp itself is
+    * map-side against a broadcast T-row bounds table, and the
+    * before/after means accumulate in DECIMAL so the report is
+    * order-independent. One shuffle for the rank window, one for the
+    * final aggregate. */
+  val winsorize = QueryDef(
+    "q_dq_winsorize",
+    """WITH v AS (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) AS vr,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |), bounds AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN vr = CAST(ceil(0.05e0 * n) AS BIGINT)
+      |             THEN value END) AS lo,
+      |    max(CASE WHEN vr = CAST(ceil(0.95e0 * n) AS BIGINT)
+      |             THEN value END) AS hi
+      |  FROM v GROUP BY event_type
+      |)
+      |SELECT v.event_type, CAST(max(v.n) AS BIGINT) AS n,
+      |       max(b.lo) AS lo, max(b.hi) AS hi,
+      |       CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE)
+      |         / max(v.n) AS mean_before,
+      |       CAST(sum(CAST(least(greatest(v.value, b.lo), b.hi)
+      |                     AS DECIMAL(18,2))) AS DOUBLE)
+      |         / max(v.n) AS mean_after,
+      |       CAST(sum(CASE WHEN v.value < b.lo OR v.value > b.hi
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+      |FROM v JOIN bounds b USING (event_type)
+      |GROUP BY v.event_type
+      |ORDER BY v.event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+    val v = ev
+      .withColumn("vr", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("event_type")))
+    val bounds = v.groupBy("event_type").agg(
+      max(when(col("vr") === ceil(lit(0.05) * col("n")).cast("long"),
+        col("value"))).as("lo"),
+      max(when(col("vr") === ceil(lit(0.95) * col("n")).cast("long"),
+        col("value"))).as("hi"))
+    val dec = DecimalType(18, 2)
+    v.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        (sum(col("value").cast(dec)).cast("double") / max(col("n")))
+          .as("mean_before"),
+        (sum(least(greatest(col("value"), col("lo")), col("hi")).cast(dec))
+          .cast("double") / max(col("n"))).as("mean_after"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1)
+          .otherwise(0)).cast("long").as("n_clamped"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(scd2, scd2Pit, mergeUpsert, expectations, profileCols, tableDiff,
-      aggMaintain, joinMaintain, schemaEvolution, outliers, erGoldenRecord)
+      aggMaintain, joinMaintain, schemaEvolution, outliers, erGoldenRecord,
+      winsorize)
 }
