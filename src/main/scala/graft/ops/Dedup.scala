@@ -525,8 +525,11 @@ object Dedup {
   // small broadcastable table — the path-compression half of union-find,
   // run at serve time.
 
-  /** Build the label artifact from an initial edge list. */
-  def ccBuild(pairs: DataFrame, dir: String): Unit = {
+  /** Build the label artifact from an initial edge list. Terminal (the
+    * artifact is written inside), so the whole body runs under
+    * Pins.scoped: the CC label checkpoint is consumed by the save and
+    * released on exit — a build leaves zero pins behind. */
+  def ccBuild(pairs: DataFrame, dir: String): Unit = Pins.scoped {
     val spark = pairs.sparkSession
     Models.save(connectedComponents(pairs), s"$dir/labels")
     import spark.implicits._
@@ -539,25 +542,38 @@ object Dedup {
     * The map is FUNCTIONAL by construction (a rep merges away at most
     * once — appends only emit merges FROM currently-terminal reps). */
   private[graft] def closeMerges(merges: DataFrame): DataFrame = {
+    // DataFrame.unpersist cannot reach a localCheckpoint's RDD (the repo's
+    // checkpoint-release contract, see connectedComponents above), so every
+    // checkpoint's RDD ids are captured by diffing the context registry:
+    // superseded generations are unpersisted BY ID inside the loop and the
+    // final one is Pins.trackRdds'd — under a streaming fold (ccIngest)
+    // the per-micro-batch Pins.scoped can then actually free it.
+    val sc = merges.sparkSession.sparkContext
+    val before0 = sc.getPersistentRDDs.keySet
     var m = merges.localCheckpoint()
+    var ckptIds = sc.getPersistentRDDs.keySet -- before0
     var iter = 0
     var open = m.as("x").join(m.as("y"),
       col("x.to_rep") === col("y.from_rep"), "left_semi").count()
     while (open > 0) {
       require(iter < 48, "merge chains deeper than 2^48 — corrupt artifact")
+      val before = sc.getPersistentRDDs.keySet
       val next = m.as("x")
         .join(broadcast(m.as("y")),
           col("x.to_rep") === col("y.from_rep"), "left")
         .select(col("x.from_rep"),
           coalesce(col("y.to_rep"), col("x.to_rep")).as("to_rep"))
         .localCheckpoint()
-      m.unpersist()
+      val newIds = sc.getPersistentRDDs.keySet -- before
+      ckptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      ckptIds = newIds
       m = next
       open = m.as("x").join(m.as("y"),
         col("x.to_rep") === col("y.from_rep"), "left_semi").count()
       iter += 1
     }
-    Pins.track(m)
+    Pins.trackRdds(sc, ckptIds)
     m
   }
 
@@ -570,8 +586,11 @@ object Dedup {
 
   /** Fold a batch of new edges into the artifact. Scans the batch plus
     * one labels equi join; CC runs over the component-compressed batch
-    * graph only. */
-  def ccAppend(newPairs: DataFrame, dir: String): Unit = {
+    * graph only. Terminal (both appends land inside), so the body runs
+    * under Pins.scoped: the merge-closure and batch-CC checkpoints are
+    * released on exit — one append (or one ccIngest micro-batch) accrues
+    * nothing in the block manager. */
+  def ccAppend(newPairs: DataFrame, dir: String): Unit = Pins.scoped {
     val spark = newPairs.sparkSession
     val labels = Models.load(spark, s"$dir/labels")
     val closed = closeMerges(Models.load(spark, s"$dir/merges"))
@@ -579,11 +598,16 @@ object Dedup {
     // current representative of each batch endpoint: its resolved stored
     // label, or itself if the node is new to the graph
     def reps(side: String) = newPairs.select(col(side).as("doc_id"))
+    // checkpoint ids captured at creation: endpoints.unpersist() cannot
+    // reach a checkpoint RDD, so release happens by id at the end
+    val sc = spark.sparkContext
+    val beforeEp = sc.getPersistentRDDs.keySet
     val endpoints = reps("doc_a").unionByName(reps("doc_b")).distinct()
       .join(resolved, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("rep"))
       .localCheckpoint() // feeds two joins + the new-node anti join
+    val endpointIds = sc.getPersistentRDDs.keySet -- beforeEp
     val e = newPairs
       .join(endpoints.select(col("doc_id").as("doc_a"),
         col("rep").as("rep_a")), Seq("doc_a"))
@@ -612,7 +636,8 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("__c"), col("rep")).as("component"))
     Models.append(newNodeLabels, s"$dir/labels")
-    endpoints.unpersist()
+    endpointIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Current labels: stored rows resolved through the merge closure.

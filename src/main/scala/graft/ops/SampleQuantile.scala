@@ -34,15 +34,23 @@ object SampleQuantile {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long").as("hv")
 
-  /** The sketch rows (group, hv, v): bottom-k by (hv, v) per group.
+  /** The sketch rows (group, hv, v, rid): bottom-k by (hv, v) per group.
     * Ranking ties on (hv, v) — not hv alone — so a 32-bit hash collision
-    * at the boundary still resolves identically in any engine. */
+    * at the boundary still resolves identically in any engine. The row id
+    * rides along (as a string, matching the md5 input) purely as the
+    * replay-dedup key: [[serveSketch]] folds away only rows identical in
+    * (group, hv, v, rid) — a true replay — while two DISTINCT ids that
+    * collide on the 32-bit hv with an equal value both survive, exactly
+    * as they both do in a rebuild-on-everything. Without the id the serve
+    * dedup would merge that ~2^-32 collision pair and append-then-serve
+    * could deviate from the rebuild by one sample row. */
   def sketchOf(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k: Int = DefaultK): DataFrame = {
     require(k >= 2, "sample sketch needs k >= 2")
     val w = Window.partitionBy(groupCol).orderBy(col("hv"), col("v"))
     df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
-      .select(col(groupCol), hvCol(col(idCol)), col(valueCol).as("v"))
+      .select(col(groupCol), hvCol(col(idCol)), col(valueCol).as("v"),
+        col(idCol).cast("string").as("rid"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
@@ -99,7 +107,9 @@ object SampleQuantile {
     val k = kOf(spark, dir)
     val w = Window.partitionBy(groupCol).orderBy(col("hv"), col("v"))
     Models.load(spark, s"$dir/sample")
-      .dropDuplicates(groupCol, "hv", "v") // replayed appends fold away
+      // only TRUE replays fold away: the rid keeps genuinely distinct rows
+      // that collide on (hv, v) apart, matching rebuild-on-everything
+      .dropDuplicates(groupCol, "hv", "v", "rid")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }

@@ -246,11 +246,20 @@ object NorthStar {
     dedupComponents.oracle.get) { (s, d) =>
     val docs = T.documents(s, d)
     val dir = graft.ops.Models.ensureBuilt(s"ccinc|$d") { tmp =>
-      val pairs = Dedup.ngramJaccardPairs(docs).localCheckpoint()
-      Dedup.ccBuild(
-        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), tmp)
-      Dedup.ccAppend(
-        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1), tmp)
+      // the build is terminal (the artifact lands on disk inside), so the
+      // whole block is scoped: the pairs checkpoint (id-tracked — a
+      // checkpoint is unreachable via DataFrame.unpersist) and the pair
+      // generator's signature cache release on exit
+      graft.ops.Pins.scoped {
+        val sc = s.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val pairs = Dedup.ngramJaccardPairs(docs).localCheckpoint()
+        graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
+        Dedup.ccBuild(
+          pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), tmp)
+        Dedup.ccAppend(
+          pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1), tmp)
+      }
     }
     docs.select("doc_id")
       .join(Dedup.ccServe(s, dir), Seq("doc_id"), "left")

@@ -290,12 +290,16 @@ object Relational {
     * aggregate from the parquet table, so equality proves the ORC
     * write+read preserves timestamps and numerics exactly; the status
     * filter rides Spark's native vectorized ORC reader with predicate
-    * pushdown into stripe stats, like the parquet scan path. */
+    * pushdown into stripe stats, like the parquet scan path. The decimal
+    * sum is cast to DOUBLE on both sides (the q_j11 convention): Spark
+    * widens sum(DECIMAL(18,6)) to DECIMAL(28,6) while DuckDB widens to
+    * DECIMAL(38,6), and the driver's value hash is type-sensitive even
+    * when the digits are byte-identical. */
   val s9OrcRoundtrip = QueryDef(
     "q_s9_orc_roundtrip",
     """SELECT o_orderpriority,
       |       CAST(count(*) AS BIGINT) AS n_orders,
-      |       SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_price,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
       |       min(o_orderdate) AS first_order,
       |       max(o_orderdate) AS last_order
       |FROM orders
@@ -312,6 +316,7 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice")
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double")
           .as("total_price"),
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"))

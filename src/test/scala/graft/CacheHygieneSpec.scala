@@ -42,7 +42,8 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_lm_bigram", "q_stream_lm_gate", "q_ns_minhash_recall",
       "q_ns_dedup_incremental_served", "q_ns_dedup_ingest_e2e_served",
       "q_ns_prepare_corpus_classified", "q_ns_multimodal_phash_dedup",
-      "q_sk_kmv_overlap")
+      "q_sk_kmv_overlap", "q_ns_dedup_components_incremental",
+      "q_sk_sample_quantiles_served_incremental")
     for (name <- cacheHeavy) {
       clearState()
       queries.Registry.byName(name).fn(spark, sf).count()

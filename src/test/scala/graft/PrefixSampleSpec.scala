@@ -238,6 +238,45 @@ class PrefixSampleSpec extends AnyFunSuite {
       .filter(again("n") =!= perDoc("n")).count() == 0)
   }
 
+  test("serve-side replay dedup keeps distinct rows that collide on the " +
+      "32-bit hv with an equal value — only true replays fold away") {
+    import spark.implicits._
+    // find two DISTINCT ids whose md5 8-hex prefixes (the hv) collide —
+    // deterministic search, birthday-bound guarantees a hit well under 1M
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(id: Long): Long = {
+      val d = md.digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val seen = scala.collection.mutable.HashMap.empty[Long, Long]
+    var id = 0L
+    var pair: Option[(Long, Long)] = None
+    while (pair.isEmpty && id < 1000000L) {
+      val h = hv(id)
+      seen.get(h) match {
+        case Some(prev) => pair = Some((prev, id))
+        case None => seen.update(h, id)
+      }
+      id += 1L
+    }
+    val (a, b) = pair.getOrElse(fail("no 32-bit md5-prefix collision under 1M ids"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_collide_").toString
+    // same group, same value, colliding hv, different ids: a rebuild keeps
+    // BOTH rows, so append-then-serve must too
+    SampleQuantile.build(Seq(("g", a, 1.0)).toDF("g", "id", "value"),
+      dir, "g", "id", "value", k = 64)
+    SampleQuantile.append(Seq(("g", b, 1.0)).toDF("g", "id", "value"),
+      dir, "g", "id", "value")
+    assert(SampleQuantile.serveSketch(spark, dir, "g").count() == 2L,
+      "a distinct colliding row was folded away as if it were a replay")
+    // while a TRUE replay of the same row still folds to one
+    SampleQuantile.append(Seq(("g", b, 1.0)).toDF("g", "id", "value"),
+      dir, "g", "id", "value")
+    assert(SampleQuantile.serveSketch(spark, dir, "g").count() == 2L,
+      "a replayed append must be absorbed by the serve-side dedup")
+  }
+
   test("sample-quantile serve reads only the artifact, never the corpus") {
     val ev = events
     val dir = java.nio.file.Files
