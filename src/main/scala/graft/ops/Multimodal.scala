@@ -225,6 +225,76 @@ object Multimodal {
         out.write(0)    // block terminator
         out.write(0x3b) // trailer
         out.toByteArray
+      case 6 => // WebP VP8L (lossless) per the public WebP lossless
+        // bitstream spec: RIFF/VP8L container, LSB-first bitstream,
+        // subtract-green transform, no color cache, no meta-prefix, one
+        // prefix-code group. The green/length alphabet carries all 256
+        // literal gray values as a NORMAL canonical code (256 lengths of
+        // 8 written through the code-length code {8→0b0, 18→0b1}, the
+        // trailing 24 length-code zeros as one "18" repeat) so the
+        // canonical code over 256 equal lengths is the identity mapping;
+        // after subtract-green the red/blue residuals are all zero and
+        // alpha is constant 255, so those three ride 1-symbol simple
+        // codes (0 bits/pixel). Spec-valid, decodable by any conforming
+        // VP8L decoder; 8 bits/pixel, byte count formula-exact:
+        // 67 + w·h + (1 if w·h even else 0).
+        val bits = new java.io.ByteArrayOutputStream()
+        var acc = 0L
+        var nb = 0
+        def put(v: Int, n: Int): Unit = {
+          acc |= (v.toLong & ((1L << n) - 1)) << nb
+          nb += n
+          while (nb >= 8) {
+            bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8
+          }
+        }
+        // canonical prefix-code bits enter the stream root-first (MSB of
+        // the code first), while put() emits LSB-first — reverse the code
+        def rev8(v: Int): Int = Integer.reverse(v) >>> 24
+        put(0x2f, 8)            // VP8L signature
+        put(w - 1, 14); put(h - 1, 14)
+        put(0, 1)               // alpha-is-used hint: no
+        put(0, 3)               // version 0
+        put(1, 1); put(2, 2)    // one transform: subtract-green
+        put(0, 1)               // no further transforms
+        put(0, 1)               // no color cache
+        put(0, 1)               // no meta prefix codes
+        // green+length code (alphabet 280), normal form
+        put(0, 1)               // not simple
+        put(8, 4)               // num_code_lengths = 4 + 8 = 12
+        // kCodeLengthCodeOrder prefix [17,18,0,1,2,3,4,5,16,6,7,8]:
+        // symbol 18 (index 1) and symbol 8 (index 11) get length 1
+        Seq(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1).foreach(l => put(l, 3))
+        put(0, 1)               // no max_symbol cap
+        var cl = 0
+        while (cl < 256) { put(0, 1); cl += 1 } // 256 × "length 8"
+        put(1, 1); put(13, 7)   // "18": 11 + 13 = 24 zero length-codes
+        put(1, 1); put(0, 1); put(0, 1); put(0, 1)   // red: simple, sym 0
+        put(1, 1); put(0, 1); put(0, 1); put(0, 1)   // blue: simple, sym 0
+        put(1, 1); put(0, 1); put(1, 1); put(255, 8) // alpha: simple, 255
+        put(1, 1); put(0, 1); put(0, 1); put(0, 1)   // distance: sym 0
+        var wy = 0
+        while (wy < h) {
+          var wx = 0
+          while (wx < w) {
+            // identity canonical code: code(g) = g, 8 bits, MSB-first
+            put(rev8(pix(wx, wy) & 0xff), 8)
+            wx += 1
+          }
+          wy += 1
+        }
+        if (nb > 0) bits.write((acc & 0xff).toInt)
+        val payload = bits.toByteArray
+        val padded = payload.length + (payload.length & 1) // RIFF even pad
+        val file = ByteBuffer.allocate(20 + padded)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        file.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+        file.putInt(12 + padded)
+        file.put("WEBP".getBytes(StandardCharsets.US_ASCII))
+        file.put("VP8L".getBytes(StandardCharsets.US_ASCII))
+        file.putInt(payload.length)
+        file.put(payload)
+        file.array()
       case _ => // JPEG: SOI + JFIF APP0 + SOF0 (real geometry) + EOI
         val bb = ByteBuffer.allocate(41) // BE, as JPEG requires
         bb.putShort(0xffd8.toShort)                      // SOI
@@ -258,6 +328,86 @@ object Multimodal {
     docs.select(col("doc_id"), col("source")).as[(Long, String)]
       .map { case (id, src) => MediaRow(id, makeImage(id), src) }
       .toDF()
+  }
+
+  /** A header-only lossy-WebP file (RIFF/"VP8 " with the 0x9D 0x01 0x2A
+    * start code and real 14-bit geometry, no coefficient data) — the
+    * fixture for the header_only side of the codec-scope contract, the
+    * lossy twin of the 41-byte synthetic JPEG. */
+  private[graft] def makeWebpLossyHeader(w: Int, h: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(22)
+    bb.put("WEBP".getBytes(StandardCharsets.US_ASCII))
+    bb.put("VP8 ".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(10)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // frame tag
+    bb.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte) // start code
+    bb.putShort((w & 0x3fff).toShort)
+    bb.putShort((h & 0x3fff).toShort)
+    bb.array()
+  }
+
+  /** Format-level near-dup coverage — the codec-scope contract, DERIVED
+    * from the decode dispatch so the column can never silently disagree
+    * with what [[decodeGray]] actually covers:
+    *   - `pixel`: full raster decode exists (bmp/ppm/pgm/png/gif, and
+    *     webp when the payload is VP8L — lossless, [[decodeVp8lGray]]'s
+    *     documented subset);
+    *   - `header_only`: geometry parses but the payload is entropy-coded
+    *     past what a from-scratch decoder should claim (jpeg, lossy
+    *     VP8/VP8X webp);
+    *   - `opaque`: not a recognized container at all.
+    * A crawl's per-format share of each scope belongs on the dataset
+    * card: a corpus whose images are 60 % lossy webp gets NO pixel-level
+    * near-dup treatment on that 60 %, and before this column existed
+    * nothing downstream said so. The companion per-payload truth is
+    * [[decodeGray]].isDefined (`neardup_covered` in the gate query): for
+    * a VP8L stream using features outside the decode subset the static
+    * scope says `pixel` while the payload column says false — that
+    * discrepancy is itself the signal to extend the decoder. */
+  private[graft] def codecScopeOf(bytes: Array[Byte]): String = {
+    val (fmt, _, _, _) = decodeMeta(bytes)
+    fmt match {
+      case "bmp" | "ppm" | "pgm" | "png" | "gif" => "pixel"
+      case "webp" =>
+        if (bytes.length >= 16 && bytes(12) == 'V' && bytes(13) == 'P' &&
+          bytes(14) == '8' && bytes(15) == 'L') "pixel"
+        else "header_only"
+      case "jpeg" => "header_only"
+      case _ => "opaque"
+    }
+  }
+
+  /** Codec-scope gate row: the sniffed container, its header geometry,
+    * the static scope contract, and the per-payload decode truth. */
+  final case class CodecScopeRow(doc_id: Long, format: String, width: Int,
+      height: Int, codec_scope: String, neardup_covered: Boolean,
+      decoded_pixels: Long)
+
+  /** One synthesized container per doc spanning the full sniff surface —
+    * the five raster formats, GIF, VP8L webp, header-only JPEG, and
+    * header-only lossy VP8 webp — each sniffed, scoped, and pixel-decoded
+    * back from its actual bytes. The oracle recomputes every column from
+    * the planting formula, so a failed VP8L decode (neardup_covered
+    * false) or a drifted header parse hash-fails the driver gate. */
+  def codecScopeTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[CodecScopeRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 61 + 4).toInt
+      val h = (id % 47 + 4).toInt
+      val v = (id % 251).toByte
+      val payload = (id % 8) match {
+        case 6L => makeWebpLossyHeader(w, h)
+        case 7L => buildImage(w, h, 6, (_, _) => v) // webp vp8l
+        case 5L => buildImage(w, h, 5, (_, _) => v) // gif
+        case f => buildImage(w, h, f.toInt, (_, _) => v) // bmp/ppm/pgm/png/jpeg
+      }
+      val (fmt, pw, ph, _) = decodeMeta(payload)
+      val px = decodeGray(payload)
+      CodecScopeRow(id, fmt, pw, ph, codecScopeOf(payload), px.isDefined,
+        px.map(_._3.length.toLong).getOrElse(-1L))
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -720,15 +870,19 @@ object Multimodal {
 
   /** Planted geometry for the TEXTURED image of `id`: dims are a function
     * of the pattern class pid = id % 8 (same pid ⇒ same canvas), format
-    * round-robins over the five pixel-carrying formats (bmp/ppm/pgm/png/
-    * gif — no jpeg: the synthetic jpeg is header-only, nothing to hash).
-    * The phash oracle depends only on the planted pixel formula, so the
-    * format mix is pure decode coverage: a GIF whose LZW decode drifted
-    * by one pixel would hash differently and hash-fail the driver gate. */
+    * round-robins over the six pixel-carrying formats (bmp/ppm/pgm/png/
+    * gif/webp-vp8l — no jpeg: the synthetic jpeg is header-only, nothing
+    * to hash). The phash oracle depends only on the planted pixel
+    * formula, so the format mix is pure decode coverage: a GIF LZW or
+    * WebP VP8L decode that drifted by one pixel would hash differently
+    * and hash-fail the driver gate. */
   private[graft] def texturedDims(id: Long): (Int, Int, Int) = {
     val pid = (id % 8).toInt
-    val f = (id % 5).toInt
-    (16 + pid * 7, 16 + pid * 5, if (f == 4) 5 else f)
+    (16 + pid * 7, 16 + pid * 5, (id % 6).toInt match {
+      case 4 => 5 // gif
+      case 5 => 6 // webp vp8l
+      case other => other
+    })
   }
 
   /** Planted gray value at (x, y) — the oracle's ground truth, recovered
@@ -781,12 +935,14 @@ object Multimodal {
 
   /** Full grayscale pixel decode for the formats that carry raster data:
     * BMP (24 bpp bottom-up), PPM/PGM (binary raster after the header),
-    * PNG (8-bit RGB, any zlib IDAT stream via Inflater, filter-0 rows).
+    * PNG (8-bit RGB, any zlib IDAT stream via Inflater, filter-0 rows),
+    * GIF ([[decodeGifGray]] — full LZW incl. interlace), and lossless
+    * WebP ([[decodeVp8lGray]] — the documented VP8L subset).
     * Achromatic contract: color formats take the first channel as gray
     * (planted pixels write equal channels; a real pipeline would slot a
     * luma transform here). Poison-blob contract as [[decodeMeta]]:
-    * anything malformed, truncated, filtered, or out of scope (jpeg —
-    * entropy-coded, no codec in-container) returns None, never a crash. */
+    * anything malformed, truncated, filtered, or out of scope (jpeg and
+    * lossy VP8 — entropy-coded) returns None, never a crash. */
   private[graft] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val (fmt, w, h, _) = decodeMeta(bytes)
     fmt match {
@@ -861,6 +1017,7 @@ object Multimodal {
           }
         } catch { case _: java.util.zip.DataFormatException => None }
       case "gif" => decodeGifGray(bytes, w, h)
+      case "webp" => decodeVp8lGray(bytes) // VP8L subset; lossy → None
       case _ => None
     }
   }
@@ -1007,6 +1164,313 @@ object Multimodal {
       }
     }
     Some(out)
+  }
+
+  // ---------------------------------------------------------------------
+  // WebP VP8L (lossless) pixel decode
+  // ---------------------------------------------------------------------
+
+  /** Shared sentinel for any structural violation inside the VP8L parse —
+    * caught at the [[decodeVp8lGray]] boundary and mapped to None (the
+    * poison-blob contract). Stackless: parse failure is a data condition,
+    * not an error path worth a stack capture per blob. */
+  private object Vp8lMalformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** LSB-first bit reader over a byte range, per the VP8L spec's bit
+    * order (bit i of an n-bit read is stream bit i). Reading past the
+    * chunk end throws [[Vp8lMalformed]]. */
+  private final class Vp8lReader(buf: Array[Byte], from: Int, until: Int) {
+    private var bit: Long = from.toLong * 8
+    private val end: Long = until.toLong * 8
+    def bits(n: Int): Int = {
+      if (n == 0) return 0
+      if (bit + n > end) throw Vp8lMalformed
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val p = bit + i
+        v |= ((buf((p >> 3).toInt) >> (p & 7).toInt) & 1) << i
+        i += 1
+      }
+      bit += n
+      v
+    }
+  }
+
+  /** Canonical prefix-code decoder built from code lengths (deflate-style
+    * canonical assignment: codes increase with (length, symbol) order;
+    * stream bits traverse root→leaf, i.e. MSB of the canonical code
+    * first). Exactly one nonzero length ⇒ the spec's degenerate 0-bit
+    * code. Otherwise the length multiset must satisfy Kraft EXACTLY —
+    * over- or under-subscribed codes are malformed (an incomplete tree
+    * would make some bit sequences undecodable, and a conforming encoder
+    * never emits one). */
+  private final class Vp8lTree private (singleLeaf: Int, child: Array[Int]) {
+    def read(r: Vp8lReader): Int = {
+      if (singleLeaf >= 0) return singleLeaf
+      var node = 0
+      while (true) {
+        val v = child(2 * node + r.bits(1))
+        if (v < 0) return -v - 1
+        if (v == 0) throw Vp8lMalformed
+        node = v
+      }
+      -1 // unreachable
+    }
+  }
+
+  private object Vp8lTree {
+    /** The spec's degenerate 1-symbol code: reads consume 0 bits. */
+    def single(sym: Int): Vp8lTree = new Vp8lTree(sym, null)
+
+    /** The simple 2-symbol form: code 0 is the FIRST transmitted symbol
+      * (spec order — NOT canonical-by-index, which would differ when
+      * s0 > s1). */
+    def pair(s0: Int, s1: Int): Vp8lTree =
+      new Vp8lTree(-1, Array(-(s0 + 1), -(s1 + 1)))
+
+    /** Canonical code from lengths (deflate-style: codes increase with
+      * (length, symbol) order; stream bits traverse root→leaf, MSB of
+      * the canonical code first). Exactly one nonzero length ⇒ the
+      * degenerate 0-bit code. Otherwise the multiset must satisfy Kraft
+      * EXACTLY — over- or under-subscribed codes are malformed. */
+    def fromLengths(lens: Array[Int]): Vp8lTree = {
+      var nz = -1
+      var nLeaves = 0
+      var i = 0
+      while (i < lens.length) {
+        if (lens(i) > 0) { nz = i; nLeaves += 1 }
+        if (lens(i) > 15) throw Vp8lMalformed
+        i += 1
+      }
+      if (nLeaves == 0) throw Vp8lMalformed
+      if (nLeaves == 1) return single(nz)
+      val maxLen = lens.max
+      val cnt = new Array[Int](maxLen + 1)
+      lens.foreach(l => if (l > 0) cnt(l) += 1)
+      var kraft = 0L
+      var l = 1
+      while (l <= maxLen) { kraft += cnt(l).toLong << (maxLen - l); l += 1 }
+      if (kraft != (1L << maxLen)) throw Vp8lMalformed
+      val nextCode = new Array[Int](maxLen + 1)
+      var code = 0
+      l = 1
+      while (l <= maxLen) {
+        code = (code + cnt(l - 1)) << 1
+        nextCode(l) = code
+        l += 1
+      }
+      // flat tree: node k has children at arr(2k)/arr(2k+1);
+      // 0 = unassigned, >0 = internal node index, <0 = -(symbol+1)
+      val arr = new Array[Int](4 * nLeaves) // ≤ 2·leaves−1 nodes
+      var nNodes = 1
+      var sym = 0
+      while (sym < lens.length) {
+        val len = lens(sym)
+        if (len > 0) {
+          val c = nextCode(len)
+          nextCode(len) += 1
+          var node = 0
+          var b = len - 1
+          while (b > 0) {
+            val idx = 2 * node + ((c >> b) & 1)
+            if (arr(idx) < 0) throw Vp8lMalformed
+            if (arr(idx) == 0) { arr(idx) = nNodes; nNodes += 1 }
+            node = arr(idx)
+            b -= 1
+          }
+          val idx = 2 * node + (c & 1)
+          if (arr(idx) != 0) throw Vp8lMalformed
+          arr(idx) = -(sym + 1)
+        }
+        sym += 1
+      }
+      new Vp8lTree(-1, arr)
+    }
+  }
+
+  /** kCodeLengthCodeOrder from the VP8L spec: the transmission order of
+    * the code-length code's own 3-bit lengths. */
+  private val Vp8lClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** One prefix code per the spec: the 1-bit simple form (1–2 symbols) or
+    * the normal form (a code-length code over the 19-symbol alphabet with
+    * 16/17/18 repeats and the optional max_symbol cap). */
+  private def readVp8lCode(r: Vp8lReader, alphabet: Int): Vp8lTree = {
+    if (r.bits(1) == 1) { // simple
+      val numSym = r.bits(1) + 1
+      val first8 = r.bits(1)
+      val s0 = r.bits(if (first8 == 1) 8 else 1)
+      if (s0 >= alphabet) throw Vp8lMalformed
+      if (numSym == 1) Vp8lTree.single(s0)
+      else {
+        val s1 = r.bits(8)
+        if (s1 >= alphabet || s1 == s0) throw Vp8lMalformed
+        Vp8lTree.pair(s0, s1)
+      }
+    } else { // normal
+      val numCl = 4 + r.bits(4)
+      if (numCl > Vp8lClOrder.length) throw Vp8lMalformed
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLens(Vp8lClOrder(i)) = r.bits(3); i += 1 }
+      val clTree = Vp8lTree.fromLengths(clLens)
+      val maxSymbolCap =
+        if (r.bits(1) == 1) {
+          val nbits = 2 + 2 * r.bits(3)
+          val ms = 2 + r.bits(nbits)
+          if (ms > alphabet) alphabet else ms
+        } else alphabet
+      val lens = new Array[Int](alphabet)
+      var sym = 0
+      var prev = 8
+      var budget = maxSymbolCap
+      while (sym < alphabet && budget > 0) {
+        budget -= 1
+        val c = clTree.read(r)
+        if (c < 16) {
+          lens(sym) = c; sym += 1
+          if (c != 0) prev = c
+        } else {
+          val (rep, rl) = c match {
+            case 16 => (3 + r.bits(2), prev)
+            case 17 => (3 + r.bits(3), 0)
+            case _  => (11 + r.bits(7), 0)
+          }
+          if (sym + rep > alphabet) throw Vp8lMalformed
+          var k = 0
+          while (k < rep) { lens(sym) = rl; sym += 1; k += 1 }
+        }
+      }
+      Vp8lTree.fromLengths(lens)
+    }
+  }
+
+  /** WebP VP8L (lossless) grayscale pixel decode — closing the r10
+    * codec-scope gap: lossless WebP is a bounded public bitstream (like
+    * GIF's LZW was), so its payloads get REAL near-dup treatment instead
+    * of stopping at the header. Implemented subset, chosen so every
+    * in-scope stream decodes exactly and everything else returns None
+    * (never a wrong pixel):
+    *   - full canonical prefix-code machinery: simple (1–2 symbol) and
+    *     normal codes, the 19-symbol code-length code, 16/17/18 repeats,
+    *     the max_symbol cap, degenerate 0-bit single-symbol codes;
+    *   - color cache (any 1–11 bit size, 0x1e35a7bd multiplicative hash);
+    *   - the subtract-green transform (inverted after decode);
+    *   - LZ77 back-references with the shared length/distance prefix
+    *     scheme; PLAIN distances only (code > 120) — the spec's 120-code
+    *     2D neighborhood map, the predictor/color/color-indexing
+    *     transforms, and meta-prefix (entropy-image) tiling are OUTSIDE
+    *     the subset and return None. Lossy VP8/VP8X stays header-only
+    *     ([[webpMeta]]): its payload is arithmetic-coded, the same codec
+    *     boundary as JPEG.
+    * Achromatic contract as the other color formats: gray = the red
+    * channel (planted pixels write equal channels). Poison-blob contract:
+    * any structural violation → None, never a crash. */
+  private[graft] def decodeVp8lGray(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 25 || bytes(12) != 'V' || bytes(13) != 'P' ||
+      bytes(14) != '8' || bytes(15) != 'L') return None
+    try {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val csize = bb.getInt(16)
+      if (csize < 5) return None
+      val until = math.min(bytes.length.toLong, 20L + csize).toInt
+      val r = new Vp8lReader(bytes, 20, until)
+      if (r.bits(8) != 0x2f) return None
+      val w = r.bits(14) + 1
+      val h = r.bits(14) + 1
+      r.bits(1) // alpha-is-used hint
+      if (r.bits(3) != 0) return None // only version 0 exists
+      var subGreen = false
+      var more = r.bits(1)
+      while (more == 1) {
+        r.bits(2) match {
+          case 2 =>
+            if (subGreen) return None // each transform at most once
+            subGreen = true
+          case _ => return None // predictor/color/color-indexing: subset
+        }
+        more = r.bits(1)
+      }
+      val cacheBits =
+        if (r.bits(1) == 1) {
+          val cb = r.bits(4)
+          if (cb < 1 || cb > 11) return None
+          cb
+        } else 0
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      if (r.bits(1) == 1) return None // meta prefix codes: subset
+      val green = readVp8lCode(r, 256 + 24 + cacheSize)
+      val red = readVp8lCode(r, 256)
+      val blue = readVp8lCode(r, 256)
+      val alpha = readVp8lCode(r, 256)
+      val dist = readVp8lCode(r, 40)
+      val n = w * h
+      if (n <= 0 || n > (1 << 26)) return None
+      val rCh = new Array[Int](n)
+      val gCh = new Array[Int](n)
+      val bCh = new Array[Int](n)
+      val aCh = new Array[Int](n)
+      val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+      def insertCache(pos: Int): Unit = if (cache != null) {
+        val argb = (aCh(pos) << 24) | (rCh(pos) << 16) |
+          (gCh(pos) << 8) | bCh(pos)
+        cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
+      }
+      def lz77Value(code: Int): Int =
+        if (code < 4) code + 1
+        else {
+          val extra = (code - 2) >> 1
+          ((2 + (code & 1)) << extra) + r.bits(extra) + 1
+        }
+      var pos = 0
+      while (pos < n) {
+        val s = green.read(r)
+        if (s < 256) { // literal: green, then red, blue, alpha
+          gCh(pos) = s
+          rCh(pos) = red.read(r)
+          bCh(pos) = blue.read(r)
+          aCh(pos) = alpha.read(r)
+          insertCache(pos)
+          pos += 1
+        } else if (s < 280) { // LZ77 back-reference
+          val length = lz77Value(s - 256)
+          val dcode = lz77Value(dist.read(r))
+          if (dcode <= 120) return None // 2D neighborhood map: subset
+          val d = dcode - 120
+          if (d > pos || pos + length > n) return None
+          var k = 0
+          while (k < length) {
+            rCh(pos) = rCh(pos - d); gCh(pos) = gCh(pos - d)
+            bCh(pos) = bCh(pos - d); aCh(pos) = aCh(pos - d)
+            insertCache(pos)
+            pos += 1; k += 1
+          }
+        } else { // color-cache hit
+          val idx = s - 280
+          if (cache == null || idx >= cacheSize) return None
+          val argb = cache(idx)
+          aCh(pos) = (argb >>> 24) & 0xff
+          rCh(pos) = (argb >>> 16) & 0xff
+          gCh(pos) = (argb >>> 8) & 0xff
+          bCh(pos) = argb & 0xff
+          pos += 1
+        }
+      }
+      val g = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        g(i) = if (subGreen) (rCh(i) + gCh(i)) & 0xff else rCh(i)
+        i += 1
+      }
+      Some((w, h, g))
+    } catch {
+      case e: RuntimeException if e eq Vp8lMalformed => None
+    }
   }
 
   /** 64-bit dHash over a 9×8 nearest-neighbor sample grid: row gy samples

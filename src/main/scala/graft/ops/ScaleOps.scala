@@ -285,21 +285,51 @@ object ScaleOps {
     * (inclusion–exclusion), so even the exact side is linear in the hash
     * sets, never a per-pair replication; it exists for the gate, not the
     * serve path. Deterministic throughout (md5 hashing, integer
-    * counters), so the ESTIMATES hash-match the DuckDB twin. */
+    * counters), so the ESTIMATES hash-match the DuckDB twin.
+    *
+    * BOUNDED-SOURCE CONTRACT: the pairwise output (and the pair build) is
+    * quadratic in the number of distinct sources — the intended shape is a
+    * curated source TAXONOMY (crawl snapshots, corpus releases, licensed
+    * collections: tens to hundreds), never a free-form key like the
+    * registered domain (millions ⇒ 10^12 pairs). The guard makes the
+    * contract explicit: the op counts distinct sources (one cheap agg over
+    * the source column) and fails fast above `maxSources` rather than
+    * launching a quadratic job. For heavy-tailed source columns pass
+    * `topSources = M` to restrict the matrix to the M highest-volume
+    * sources first (a broadcast semi join — the tail never reaches the
+    * shingle scan). */
   def kmvSourceOverlap(docs: DataFrame, k: Int = 128, shingleN: Int = 3,
       srcCol: String = "source", textCol: String = "text",
-      withExact: Boolean = true): DataFrame = {
+      withExact: Boolean = true, maxSources: Int = 1024,
+      topSources: Int = 0): DataFrame = {
     require(k >= 3, "KMV needs k >= 3")
     import org.apache.spark.sql.expressions.Window
+    val base =
+      if (topSources <= 0) docs
+      else {
+        val top = docs.groupBy(col(srcCol).as("source"))
+          .agg(count(lit(1)).as("__n"))
+          .orderBy(col("__n").desc, col("source"))
+          .limit(topSources)
+          .select(col("source").as(srcCol))
+        docs.join(broadcast(top), Seq(srcCol), "left_semi")
+      }
     // cached: the signature window, the pair expansion, and (gated form)
     // the exact side all fan out over the hashed sets; ledger-tracked so
     // a consumer can release it (CacheHygieneSpec contract)
     val hv = Pins.track(
-      sourceShingleHashes(docs, srcCol, textCol, shingleN).cache())
+      sourceShingleHashes(base, srcCol, textCol, shingleN).cache())
     val wSrc = Window.partitionBy("source").orderBy("hv")
     val sig = hv.withColumn("__rn", row_number().over(wSrc))
       .filter(col("__rn") <= k).drop("__rn")
-    val srcs = docs.select(col(srcCol).as("source")).distinct()
+    val srcs = base.select(col(srcCol).as("source")).distinct()
+    val nSrc = srcs.count()
+    require(nSrc <= maxSources,
+      s"kmvSourceOverlap saw $nSrc distinct sources (> maxSources=" +
+        s"$maxSources): the pair matrix is quadratic in sources and this " +
+        "op's contract is a bounded source taxonomy — pre-aggregate the " +
+        s"source column, raise maxSources deliberately, or pass " +
+        "topSources=M to cap the matrix at the M highest-volume sources")
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))

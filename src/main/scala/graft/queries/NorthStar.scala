@@ -1564,6 +1564,40 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Format-level near-dup coverage (the codec-scope contract): one
+    * synthesized container per doc spanning the full sniff surface —
+    * bmp/ppm/pgm/png (pixel), jpeg (header-only), gif (pixel), lossy-VP8
+    * webp (header-only), VP8L webp (pixel, decoded by the from-scratch
+    * lossless-WebP subset decoder). The engine sniffs, scopes, and
+    * pixel-decodes each payload from its ACTUAL bytes; the oracle
+    * recomputes every column from the planting formula, so a VP8L stream
+    * that fails to decode (neardup_covered false, decoded_pixels -1) or
+    * a drifted header parse hash-fails. This is the card-facing answer
+    * to "which share of a crawl's media actually got near-dup
+    * treatment" — before this column, header-only formats silently
+    * skipped phash dedup with no downstream signal. */
+  val multimodalCodecScope = QueryDef(
+    "q_ns_multimodal_codec_scope",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 61 + 4 AS w, doc_id % 47 + 4 AS h,
+      |         doc_id % 8 AS f
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
+      |              WHEN 3 THEN 'png' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif'
+      |              ELSE 'webp' END AS format,
+      |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CASE WHEN f IN (4, 6) THEN 'header_only'
+      |            ELSE 'pixel' END AS codec_scope,
+      |       f NOT IN (4, 6) AS neardup_covered,
+      |       CAST(CASE WHEN f IN (4, 6) THEN -1 ELSE w * h END AS BIGINT)
+      |         AS decoded_pixels
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.codecScopeTable(T.documents(s, d)).toDF().orderBy("doc_id")
+  }
+
   /** Multimodal batch decode path: one REAL image file per doc (24-bit BMP
     * / binary PPM / binary PGM / 8-bit RGB PNG / JFIF JPEG round-robin,
     * geometry planted from doc_id), decoded by actually parsing the binary
@@ -2380,7 +2414,8 @@ object NorthStar {
     prepareCorpusClassifiedQ, splitQ,
     leakageSafeSplitQ, stratified, epochUpsample, domainCap,
     budgetSelect, textScrub,
-    multimodalMeta, multimodalFeatures, multimodalResize, multimodalFrames,
+    multimodalMeta, multimodalCodecScope, multimodalFeatures,
+    multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,
     audioFpDedup, audioFpSurvivors, videoDedup, jointDedup)
 }

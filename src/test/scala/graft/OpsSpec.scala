@@ -685,6 +685,146 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 1.0, 1.0, 0.0)), s"short doc: ${got(3L)}")
   }
 
+  test("WebP VP8L: encoder/decoder round-trip is pixel-exact for textured " +
+      "payloads; lossy, truncated, and out-of-subset streams return None") {
+    // round-trip over several canvases/patterns through the REAL bytes
+    for (id <- Seq(35L, 71L, 143L, 287L)) { // ids ≡ 5 (mod 6) → vp8l
+      val bytes = Multimodal.makeTexturedImage(id)
+      assert(Multimodal.decodeMeta(bytes)._1 == "webp")
+      val (ew, eh, f) = Multimodal.texturedDims(id)
+      assert(f == 6, s"id $id should round-robin to the vp8l format code")
+      val (dw, dh, g) = Multimodal.decodeVp8lGray(bytes).getOrElse(
+        fail(s"vp8l for id $id did not decode"))
+      assert(dw == ew && dh == eh)
+      val expected = Array.tabulate(ew * eh)(i =>
+        Multimodal.texturedGray(id, i % ew, i / ew))
+      assert(g.sameElements(expected),
+        s"vp8l pixels for id $id differ from the planted pattern")
+    }
+    // lossy VP8: geometry parses, pixels do not (the codec boundary)
+    val lossy = Multimodal.makeWebpLossyHeader(40, 30)
+    assert(Multimodal.decodeMeta(lossy) == (("webp", 40, 30, 3)))
+    assert(Multimodal.decodeGray(lossy).isEmpty)
+    assert(Multimodal.codecScopeOf(lossy) == "header_only")
+    // truncation at any point → None, never a crash or wrong pixels
+    val whole = Multimodal.makeTexturedImage(5L)
+    assert(Multimodal.codecScopeOf(whole) == "pixel")
+    for (cut <- Seq(10, 21, 30, whole.length / 2, whole.length - 1)) {
+      assert(Multimodal.decodeVp8lGray(whole.take(cut)).isEmpty,
+        s"truncated vp8l at $cut decoded")
+    }
+    // flipped bit inside the prefix-code region → malformed, None
+    val corrupt = whole.clone()
+    corrupt(24) = (corrupt(24) ^ 0x40).toByte
+    assert(Multimodal.decodeVp8lGray(corrupt).isEmpty ||
+      !Multimodal.decodeVp8lGray(corrupt).get._3.sameElements(
+        Multimodal.decodeVp8lGray(whole).get._3))
+  }
+
+  test("WebP VP8L: a hand-crafted stream with color cache, LZ77 copy, and " +
+      "a normal code-length code (17/18 repeats) decodes exactly") {
+    // stream the production encoder never emits: exercises the cache
+    // insert/lookup, the 1D back-reference, multi-length canonical codes,
+    // and the simple 2-symbol (pair) form — independent of the encoder
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def put(v: Int, n: Int): Unit = {
+      acc |= (v.toLong & ((1L << n) - 1)) << nb; nb += n
+      while (nb >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    def putCode(code: Int, len: Int): Unit = { // MSB-first canonical code
+      var b = len - 1
+      while (b >= 0) { put((code >> b) & 1, 1); b -= 1 }
+    }
+    val (w, h) = (7, 1)
+    val cacheBits = 2
+    // pixels: A=(r7,g5,b9,a255), B=(rB,gB,bB,a255) with B chosen so the
+    // two argbs land in DIFFERENT cache slots (4 slots; the multiplicative
+    // hash is deterministic, so the search is too)
+    def slot(r: Int, g: Int, b: Int): Int = {
+      val argb = (255 << 24) | (r << 16) | (g << 8) | b
+      (0x1e35a7bd * argb) >>> (32 - cacheBits)
+    }
+    val i1 = slot(7, 5, 9)
+    val k = (0 until 64).find(k => slot(8 + k, 6 + k, 10 + k) != i1)
+      .getOrElse(fail("no non-colliding second pixel under 64 candidates"))
+    val (rB, gB, bB) = (8 + k, 6 + k, 10 + k)
+    val i2 = slot(rB, gB, bB)
+    put(0x2f, 8); put(w - 1, 14); put(h - 1, 14); put(0, 1); put(0, 3)
+    put(0, 1)                 // no transforms
+    put(1, 1); put(cacheBits, 4) // color cache, 4 slots
+    put(0, 1)                 // no meta prefix
+    // GREEN (alphabet 284): lengths 5→2, gB→2, 257→2, 280+min→3, 280+max→3
+    // code-length code uses symbols {0,2,3,17,18} at lengths {2,2,2,3,3}
+    // → canonical: 0→00, 2→01, 3→10, 17→110, 18→111
+    put(0, 1)                 // normal form
+    put(2, 4)                 // num_code_lengths = 6 (kOrder: 17,18,0,1,2,3)
+    Seq(3, 3, 2, 0, 2, 2).foreach(l => put(l, 3))
+    put(0, 1)                 // no max_symbol cap
+    def cl0() = putCode(0, 2); def cl2() = putCode(1, 2)
+    def cl3() = putCode(2, 2)
+    def cl17(extra: Int) = { putCode(6, 3); put(extra, 3) } // 3+extra zeros
+    def cl18(extra: Int) = { putCode(7, 3); put(extra, 7) } // 11+extra zeros
+    def clZeros(n: Int): Unit = { // n ≥ 0 zeros via 18/17/explicit 0s
+      var left = n
+      while (left >= 11) { cl18(math.min(left, 138) - 11); left -= math.min(left, 138) }
+      if (left >= 3) { cl17(left - 3); left = 0 }
+      while (left > 0) { cl0(); left -= 1 }
+    }
+    clZeros(5)                // syms 0..4
+    cl2()                     // sym 5 at length 2
+    clZeros(gB - 6)           // syms 6..gB-1
+    cl2()                     // sym gB at length 2
+    clZeros(256 - gB)         // syms gB+1..256
+    cl2()                     // sym 257 (length-code 1 → LZ77 length 2)
+    clZeros(22)               // syms 258..279
+    val (lo, hi) = (math.min(i1, i2), math.max(i1, i2))
+    var p = 280
+    while (p <= 283) {
+      if (p == 280 + i1 || p == 280 + i2) cl3() else cl0()
+      p += 1
+    }
+    // canonical green codes: 5→00, gB→01, 257→10, 280+lo→110, 280+hi→111
+    def green(sym: Int): Unit = sym match {
+      case 5 => putCode(0, 2)
+      case s if s == gB => putCode(1, 2)
+      case 257 => putCode(2, 2)
+      case s if s == 280 + lo => putCode(6, 3)
+      case s if s == 280 + hi => putCode(7, 3)
+    }
+    // RED pair {7,rB}: s0→0, s1→1; BLUE pair {9,bB}; ALPHA single 255;
+    // DISTANCE single symbol 13 (off 96 + extra + 1 → dist codes 97..128)
+    put(1, 1); put(1, 1); put(1, 1); put(7, 8); put(rB, 8)  // red
+    put(1, 1); put(1, 1); put(1, 1); put(9, 8); put(bB, 8)  // blue
+    put(1, 1); put(0, 1); put(1, 1); put(255, 8)            // alpha
+    put(1, 1); put(0, 1); put(1, 1); put(13, 8)             // distance
+    // pixel stream: A, B, cache(B), LZ77 len2 dist2 → B B, A, cache(A)
+    green(5); put(0, 1); put(0, 1)        // A literal (red 7, blue 9)
+    green(gB); put(1, 1); put(1, 1)       // B literal
+    green(280 + i2)                       // cache hit → B
+    green(257)                            // length code → 2
+    put(25, 5)                            // dist sym 13, extra 25 → 122 → 2
+    green(5); put(0, 1); put(0, 1)        // A literal
+    green(280 + i1)                       // cache hit → A
+    if (nb > 0) out.write((acc & 0xff).toInt)
+    val payload = out.toByteArray
+    val file = java.nio.ByteBuffer
+      .allocate(20 + payload.length + (payload.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    file.put("RIFF".getBytes("US-ASCII"))
+    file.putInt(12 + payload.length + (payload.length & 1))
+    file.put("WEBP".getBytes("US-ASCII"))
+    file.put("VP8L".getBytes("US-ASCII"))
+    file.putInt(payload.length)
+    file.put(payload)
+    val got = Multimodal.decodeVp8lGray(file.array())
+      .getOrElse(fail("crafted vp8l stream did not decode"))
+    // gray = red channel: A=7, B=rB → [7, rB, rB, rB, rB, 7, 7]
+    assert(got._1 == w && got._2 == h)
+    assert(got._3.toSeq == Seq(7, rB, rB, rB, rB, 7, 7),
+      s"crafted stream decoded to ${got._3.toSeq}")
+  }
+
   test("GIF LZW decode: a real compressed stream (JDK writer) round-trips " +
       "the planted pixels") {
     // the in-repo GIF encoder emits a spec-valid but naive clear-per-pixel
@@ -720,7 +860,8 @@ class OpsSpec extends AnyFunSuite {
     val hashes = Multimodal.imageDHash(media)
     val got = hashes.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // every doc hashes: all five raster formats (bmp/ppm/pgm/png/gif) decode
+    // every doc hashes: all six raster formats (bmp/ppm/pgm/png/gif/webp-
+    // vp8l) decode
     assert(got.size == 64, s"only ${got.size}/64 images decoded")
     // the FILE-BYTE decode (bmp row flip, pnm raster offset, png inflate)
     // reproduces the planting formula bit-for-bit

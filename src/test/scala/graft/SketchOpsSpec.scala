@@ -174,4 +174,25 @@ class SketchOpsSpec extends AnyFunSuite {
       "inter_kmv").collect().head
     assert(a == b)
   }
+
+  test("kmv overlap: the quadratic pair fan is guarded — too many distinct " +
+      "sources fails fast, and topSources restricts the matrix to the " +
+      "highest-volume sources") {
+    import spark.implicits._
+    // 20 one-doc tail sources + 2 big ones
+    val tail = (0 until 20).map(i => (s"t$i", s"x$i y$i z$i w$i v$i"))
+    val docs = mkDocs("A" -> (0 until 100), "B" -> (0 until 100))
+      .unionByName(tail.toDF("source", "text"))
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.kmvSourceOverlap(docs, k = 16, maxSources = 8).collect()
+    }
+    assert(e.getMessage.contains("maxSources"))
+    // top-2 by volume keeps only the (A, B) pair — the tail never
+    // reaches the shingle scan or the pair build
+    val top = ScaleOps.kmvSourceOverlap(docs, k = 16, maxSources = 8,
+      topSources = 2).collect()
+    assert(top.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("A", "B")))
+    assert(top.head.getDouble(top.head.fieldIndex("jaccard_exact")) == 1.0)
+  }
 }
