@@ -662,7 +662,38 @@ object ScaleEvidence {
             posexplode(filter(split(lower(trim(col("text"))), "\\s+"),
               x => x =!= "")).as(Seq("pos", "word"))),
         s"$unsortedDir/positions")
+      // the append→compact lifecycle (r11): three word-sorted GENERATIONS
+      // (build + 2 appends over a doc_id 3-way split), measured before and
+      // after phraseIndexCompact — compaction must restore the file count
+      // and decode fraction to the single-build shape above
+      val appendDir = java.nio.file.Files
+        .createTempDirectory("phr_prune_appended").toString
+      ops.Retrieval.phraseIndexBuild(
+        docs10.filter(col("doc_id") % 3 === 0), appendDir, "doc_id", "text")
+      ops.Retrieval.phraseIndexAppend(
+        docs10.filter(col("doc_id") % 3 === 1), appendDir, "doc_id", "text")
+      ops.Retrieval.phraseIndexAppend(
+        docs10.filter(col("doc_id") % 3 === 2), appendDir, "doc_id", "text")
       val total = ops.Models.load(spark, s"$sortedDir/positions").count()
+      def measure(layout: String, dir: String): Unit =
+        for (word <- Seq("r3_value", "r7_table")) {
+          clearAll(spark)
+          val agg = ops.Models.load(spark, s"$dir/positions")
+            .filter(col("word") === word)
+            .groupBy().count()
+          val (hits, tScan) = timed { agg.collect().head.getLong(0) }
+          val scan = agg.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+          }.head
+          println(s"""PHRASE_PRUNE {"layout":"$layout","word":"$word",""" +
+            s""""rows_decoded":${scan.metrics("numOutputRows").value},""" +
+            s""""total_rows":$total,""" +
+            s""""files_read":${scan.metrics("numFiles").value},""" +
+            s""""hits":$hits,"t_scan_s":${"%.2f".format(tScan)}}""")
+        }
+      measure("appended_x3", appendDir)
+      ops.Retrieval.phraseIndexCompact(spark, appendDir, "doc_id")
+      measure("compacted", appendDir)
       for ((layout, dir) <- Seq(("sorted", sortedDir),
           ("unsorted", unsortedDir));
           word <- Seq("r3_value", "r7_table")) {

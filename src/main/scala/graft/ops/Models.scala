@@ -38,6 +38,23 @@ object Models {
   def save(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Generation swap: replace the live artifact directory with a freshly
+    * written one (delete live, rename tmp into its place). Parquet cannot
+    * overwrite a directory that is also being read, so maintenance passes
+    * (posting compaction, …) write a NEW directory from the old one and
+    * swap — the pattern a real table format wraps in a metadata commit;
+    * here the swap is the two filesystem ops, and a crash between them
+    * loses only the rewrite (the source generations were already folded
+    * into tmp, which survives under its tmp name for manual recovery). */
+  def swapIn(spark: SparkSession, tmpDir: String, liveDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(liveDir)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"generation swap failed: $tmpDir -> $liveDir")
+  }
+
   /** Append a delta to an existing artifact table — only for artifacts
     * whose consumers are multiplicity-insensitive (the dedup index's
     * digest/signature tables, read via anti/semi joins: Neutral

@@ -477,6 +477,127 @@ object Lifecycle {
       .orderBy("component")
   }
 
+  /** Field-level survivorship ("golden record", fused form): where
+    * q_er_golden_record keeps one whole RECORD per cluster, real
+    * master-data pipelines fuse PER FIELD — each column gets its own
+    * survivorship rule over the cluster's members. Same planted dirty
+    * corpus and ER pipeline (block → levenshtein ≤ 4 → CC), then one
+    * groupBy with per-column survivorship aggregates, each rule
+    * exercised by a distinct plant:
+    *   - survivor_name: the min-key member (source priority — the
+    *     original table outranks the suffixed copies);
+    *   - merged_bal: max non-null balance (the " co" copy plants
+    *     bal + 100, so the fused value provably comes from a NON-survivor
+    *     member);
+    *   - merged_email: any-member non-null (only the " llc" copy carries
+    *     an email — the survivor itself has NULL, so record-pick would
+    *     lose it; that lost-field case is exactly why field merge
+    *     exists);
+    *   - last_updated: max recency (the " llc" copy plants +1000 days).
+    * Scale shape identical to the record-pick query: block equi join,
+    * in-block edit distance, log-diameter CC, one per-cluster agg. */
+  val erFieldMerge = QueryDef(
+    "q_er_field_merge",
+    """WITH RECURSIVE base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name,
+      |         c_nationkey AS nat, c_acctbal AS bal,
+      |         DATE '1995-01-01' + CAST(c_custkey % 365 AS INTEGER) AS upd,
+      |         CAST(NULL AS VARCHAR) AS email
+      |  FROM customer
+      |), dirty AS (
+      |  SELECT key, name, nat, bal, upd, email FROM base
+      |  UNION ALL
+      |  SELECT key + 1000000, name || ' llc', nat, NULL, upd + 1000,
+      |         'k' || CAST(key AS VARCHAR) || '@x'
+      |  FROM base WHERE key % 7 = 0
+      |  UNION ALL
+      |  SELECT key + 2000000, name || ' co', nat, bal + 100.0e0, upd, NULL
+      |  FROM base WHERE key % 21 = 0
+      |), blk AS (
+      |  SELECT *, CAST(nat AS VARCHAR) || '|'
+      |            || substr(lower(name), 1, 18) AS blk
+      |  FROM dirty
+      |), pairs AS (
+      |  SELECT DISTINCT a.key AS ka, b.key AS kb
+      |  FROM blk a JOIN blk b ON a.blk = b.blk
+      |  WHERE a.key < b.key
+      |    AND levenshtein(lower(a.name), lower(b.name)) <= 4
+      |), edges AS (
+      |  SELECT ka AS a, kb AS b FROM pairs
+      |  UNION SELECT kb, ka FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS key, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |), labeled AS (
+      |  SELECT d.*, COALESCE(c.component, d.key) AS component
+      |  FROM dirty d LEFT JOIN comp c USING (key)
+      |), ranked AS (
+      |  SELECT component, name,
+      |         row_number() OVER (PARTITION BY component ORDER BY key) AS rn
+      |  FROM labeled
+      |), merged AS (
+      |  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+      |         max(bal) AS merged_bal, max(email) AS merged_email,
+      |         max(upd) AS last_updated
+      |  FROM labeled GROUP BY component
+      |)
+      |SELECT r.component, r.name AS survivor_name, m.n_members,
+      |       m.merged_bal, m.merged_email, m.last_updated
+      |FROM ranked r JOIN merged m USING (component)
+      |WHERE r.rn = 1 AND m.n_members >= 2
+      |ORDER BY r.component""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = T.customer(s, d).select(
+      col("c_custkey").cast("long").as("key"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_acctbal").as("bal"),
+      date_add(to_date(lit("1995-01-01")),
+        (col("c_custkey") % 365).cast("int")).as("upd"),
+      lit(null).cast("string").as("email"))
+    val dirty = base
+      .unionByName(base.filter(col("key") % 7 === 0).select(
+        (col("key") + 1000000L).as("key"),
+        concat(col("name"), lit(" llc")).as("name"), col("nat"),
+        lit(null).cast("double").as("bal"),
+        date_add(col("upd"), 1000).as("upd"),
+        concat(lit("k"), col("key").cast("string"), lit("@x")).as("email")))
+      .unionByName(base.filter(col("key") % 21 === 0).select(
+        (col("key") + 2000000L).as("key"),
+        concat(col("name"), lit(" co")).as("name"), col("nat"),
+        (col("bal") + 100.0).as("bal"), col("upd"),
+        lit(null).cast("string").as("email")))
+    val blk = dirty.withColumn("blk", concat_ws("|",
+      col("nat").cast("string"), substring(lower(col("name")), 1, 18)))
+    val pairs = blk.select(col("blk"), col("key").as("doc_a"),
+        col("name").as("na"))
+      .join(blk.select(col("blk"), col("key").as("doc_b"),
+        col("name").as("nb")), "blk")
+      .filter(col("doc_a") < col("doc_b") &&
+        levenshtein(lower(col("na")), lower(col("nb"))) <= 4)
+      .select("doc_a", "doc_b").distinct()
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "key")
+    val labeled = dirty.join(cc, Seq("key"), "left")
+      .withColumn("component", coalesce(col("component"), col("key")))
+    val ranked = labeled.withColumn("rn", row_number().over(
+      Window.partitionBy("component").orderBy("key")))
+    val merged = labeled.groupBy("component").agg(
+      count(lit(1)).as("n_members"),
+      max(col("bal")).as("merged_bal"),
+      max(col("email")).as("merged_email"),
+      max(col("upd")).as("last_updated"))
+    ranked.filter(col("rn") === 1)
+      .select(col("component"), col("name").as("survivor_name"))
+      .join(merged, "component")
+      .filter(col("n_members") >= 2)
+      .select(col("component"), col("survivor_name"), col("n_members"),
+        col("merged_bal"), col("merged_email"), col("last_updated"))
+      .orderBy("component")
+  }
+
   /** Per-group winsorization — the robust-preprocessing staple: clamp
     * each group's values to its exact [p05, p95] band before any
     * mean-based modeling. Bounds are DISCRETE rank selections (value at
@@ -544,5 +665,5 @@ object Lifecycle {
   val defs: Seq[QueryDef] =
     Seq(scd2, scd2Pit, mergeUpsert, expectations, profileCols, tableDiff,
       aggMaintain, joinMaintain, schemaEvolution, outliers, erGoldenRecord,
-      winsorize)
+      erFieldMerge, winsorize)
 }

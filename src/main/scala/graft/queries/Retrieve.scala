@@ -219,6 +219,54 @@ object Retrieve {
       phrase = Seq("value", "table"), k = 20)
   }
 
+  /** Phrase search served after append→append→COMPACT: three word-sorted
+    * generations rewritten into one (Retrieval.phraseIndexCompact, a
+    * generation-swap layout pass), then the same served query — the
+    * posting-maintenance lifecycle's missing step (r10 "What's missing"
+    * #4: per-generation pruning stats degrade toward file-count overhead
+    * as appends accumulate; compaction restores the build-time single
+    * word-sorted layout). Results are layout-invariant, so the oracle is
+    * the same full-corpus scan-form SQL. */
+  val phraseServedCompacted = QueryDef(
+    "q_ret_phrase_served_compacted",
+    phraseTopK.oracle.get) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"phraseidx_cmp|$d") { tmp =>
+      val docs = T.documents(s, d)
+      Retrieval.phraseIndexBuild(docs.filter(col("doc_id") % 3 === 0), tmp,
+        "doc_id", "text")
+      Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 3 === 1), tmp,
+        "doc_id", "text")
+      Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 3 === 2), tmp,
+        "doc_id", "text")
+      Retrieval.phraseIndexCompact(s, tmp, "doc_id")
+    }
+    Retrieval.phraseSearchServed(s, dir, "doc_id",
+      phrase = Seq("value", "table"), k = 20)
+  }
+
+  /** BM25 served after append→append→COMPACT: postings re-laid-out,
+    * doclen rewritten, and the per-append stats partials folded to one
+    * exact row (Retrieval.bm25Compact) — scores bit-identical to the
+    * incremental and full-rebuild forms, same full-corpus oracle. */
+  val bm25ServedCompacted = QueryDef(
+    "q_ret_bm25_served_compacted",
+    bm25OracleSql) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"bm25cmp|$d") { tmp =>
+      val docs = T.documents(s, d)
+      Retrieval.bm25Build(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", tmp)
+      Retrieval.bm25Append(docs.filter(col("doc_id") % 3 === 1), tmp,
+        "doc_id", "text")
+      Retrieval.bm25Append(docs.filter(col("doc_id") % 3 === 2), tmp,
+        "doc_id", "text")
+      Retrieval.bm25Compact(s, tmp, "doc_id")
+    }
+    Retrieval.bm25Serve(s, dir, "doc_id",
+        terms = Seq("vector", "join", "hash"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
   /** Hybrid sparse+dense retrieval via reciprocal-rank fusion: the BM25
     * top-50 for the term query and the cosine top-50 around the query
     * document's embedding (vec_id keys the same corpus as doc_id — the
@@ -354,5 +402,6 @@ object Retrieve {
 
   val defs: Seq[QueryDef] = Seq(tfidfTopK, tfidfServed, bm25TopK, bm25Served,
     phraseTopK, phraseServed, bm25ServedIncremental, phraseServedIncremental,
+    phraseServedCompacted, bm25ServedCompacted,
     hybridRrf, booleanAndNot, prefixLookup, proximity)
 }

@@ -131,4 +131,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores(inc) == scores(full),
       "build+append does not reproduce the cumulative rebuild bit-for-bit")
   }
+
+  test("posting compaction: N append generations fold to one file set, " +
+      "results bit-identical, stats partials folded to one exact row") {
+    val all = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    def parquetFiles(path: String): Int =
+      new java.io.File(path).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    // phrase index: build + 2 appends, compact, same served answer
+    val pdir = java.nio.file.Files.createTempDirectory("phraseidx_cmp").toString
+    Retrieval.phraseIndexBuild(all.filter(col("doc_id") % 3 === 0), pdir,
+      "doc_id", "text")
+    Retrieval.phraseIndexAppend(all.filter(col("doc_id") % 3 === 1), pdir,
+      "doc_id", "text")
+    Retrieval.phraseIndexAppend(all.filter(col("doc_id") % 3 === 2), pdir,
+      "doc_id", "text")
+    val phrase = Seq("value", "table")
+    val before = Retrieval.phraseSearchServed(spark, pdir, "doc_id", phrase, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val filesBefore = parquetFiles(s"$pdir/positions")
+    Retrieval.phraseIndexCompact(spark, pdir, "doc_id")
+    val filesAfter = parquetFiles(s"$pdir/positions")
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the file count: $filesBefore -> $filesAfter")
+    val after = Retrieval.phraseSearchServed(spark, pdir, "doc_id", phrase, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, "compaction changed served phrase results")
+    // bm25: same lifecycle; stats collapse to ONE row with the exact fold
+    val bdir = java.nio.file.Files.createTempDirectory("bm25_cmp").toString
+    Retrieval.bm25Build(all.filter(col("doc_id") % 3 === 0), "doc_id", "text", bdir)
+    Retrieval.bm25Append(all.filter(col("doc_id") % 3 === 1), bdir, "doc_id", "text")
+    Retrieval.bm25Append(all.filter(col("doc_id") % 3 === 2), bdir, "doc_id", "text")
+    val terms = Seq("vector", "join", "hash")
+    def scores() = Retrieval.bm25Serve(spark, bdir, "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val sBefore = scores()
+    assert(spark.read.parquet(s"$bdir/stats").count() == 3L)
+    Retrieval.bm25Compact(spark, bdir, "doc_id")
+    assert(spark.read.parquet(s"$bdir/stats").count() == 1L,
+      "stats partials not folded to one row")
+    val statsRow = spark.read.parquet(s"$bdir/stats").head()
+    assert(statsRow.getLong(statsRow.fieldIndex("n_docs")) == all.count())
+    assert(scores() == sBefore, "compaction changed served bm25 scores")
+  }
 }
