@@ -299,8 +299,20 @@ object Bench {
     // cpus is part of the measurement conditions: the r7 vs r8 full-sweep
     // join-family "drift" was uninterpretable partly because the artifacts
     // didn't record what parallelism they ran at
+    // the flagging rule, stated IN the artifact so a reader never has to
+    // guess whether the envelope or its 2x threshold is the flag line
+    // (the r10 bookkeeping nit: a 0.211 s probe sat above the 0.20 s
+    // envelope but below the 0.40 s threshold and was correctly unflagged
+    // — now the artifact says so itself)
+    val rule = "per-probe strict: query i is flagged iff either probe " +
+      "bracketing it (before/after) exceeds 2x its series envelope — " +
+      "serial > cal_flag_threshold_sec or parallel > " +
+      "cal_par_flag_threshold_sec; a probe between the envelope and the " +
+      "threshold is within normal host jitter and does NOT flag; the " +
+      "artifact-level contended bit fires iff any probe in either " +
+      "series exceeds its threshold"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"queries_cal_par":$calParJson,"contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

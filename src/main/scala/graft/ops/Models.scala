@@ -38,6 +38,51 @@ object Models {
   def save(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Generation ledger: each artifact build/append stamps one
+    * (gen, batch_id) row under `$dir/gens` — the lifecycle metadata the
+    * dataset card's freshness section reads ([[genStats]]): how many
+    * file-set generations a serving scan pays for (the compaction-cadence
+    * signal) and which ingest batch the artifact last saw (the staleness
+    * signal). `batchId` < 0 means "sequential": the ledger assigns
+    * gen-count order — streaming folds pass their real micro-batch id
+    * instead. The ledger is itself one tiny appended table; build passes
+    * overwrite it back to one row. */
+  def logGen(spark: SparkSession, dir: String, batchId: Long = -1L,
+      fresh: Boolean = false): Unit = {
+    import spark.implicits._
+    val path = s"$dir/gens"
+    val nPrior =
+      if (fresh) 0L
+      else try load(spark, path).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val id = if (batchId >= 0) batchId else nPrior
+    val row = Seq((nPrior, id)).toDF("gen", "batch_id")
+    if (fresh) save(row, path) else append(row, path)
+  }
+
+  /** Fold the ledger after a compaction: the artifact is ONE generation
+    * again, but the last-seen batch id is preserved (compaction changes
+    * layout, not content). */
+  def resetGens(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val path = s"$dir/gens"
+    val last =
+      try {
+        val r = load(spark, path)
+          .agg(org.apache.spark.sql.functions.max("batch_id")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    save(Seq((0L, last)).toDF("gen", "batch_id"), path)
+  }
+
+  /** The freshness row the card reads: generation count + last batch id. */
+  def genStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    load(spark, s"$dir/gens").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_generations"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("batch_id")).as("last_batch_id"))
+
   /** Generation swap: replace the live artifact directory with a freshly
     * written one (delete live, rename tmp into its place). Parquet cannot
     * overwrite a directory that is also being read, so maintenance passes

@@ -234,6 +234,7 @@ object Neutral {
     val shC = sigTable(corpus, textCol, shingleN)
     Models.save(shC.select(col("doc_id"), col("hs")), s"$dir/hs")
     Models.save(bandedOf(shC, bands, rows), s"$dir/banded")
+    Models.logGen(corpus.sparkSession, dir, batchId = 0L, fresh = true)
   }
 
   /** [[dedupAgainst]] SERVED from the persisted index at `dir`
@@ -281,7 +282,7 @@ object Neutral {
     * admitted batch is appended). */
   def dedupIndexAppend(admitted: DataFrame, dir: String,
       textCol: String = "text", shingleN: Int = 3, bands: Int = 16,
-      rows: Int = 4): Unit = Pins.scoped {
+      rows: Int = 4, batchId: Long = -1L): Unit = Pins.scoped {
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
     Models.append(
       admitted.select(sha2(col(textCol), 256).as("sha")).distinct(),
@@ -289,6 +290,7 @@ object Neutral {
     val sh = sigTable(admitted, textCol, shingleN)
     Models.append(sh.select(col("doc_id"), col("hs")), s"$dir/hs")
     Models.append(bandedOf(sh, bands, rows), s"$dir/banded")
+    Models.logGen(admitted.sparkSession, dir, batchId)
   }
 
   /** Admit a batch against the served index AND append the admissions to

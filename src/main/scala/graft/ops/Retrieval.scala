@@ -114,6 +114,7 @@ object Retrieval {
     Models.save(
       dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
       s"$dir/stats")
+    Models.logGen(df.sparkSession, dir, batchId = 0L, fresh = true)
   }
 
   /** Append one batch of NEW documents to the persisted BM25 index — the
@@ -130,7 +131,7 @@ object Retrieval {
     * Each appended file set is itself word-range-sorted, so pruning
     * holds per append generation. */
   def bm25Append(batch: DataFrame, dir: String, idCol: String,
-      textCol: String): Unit = Pins.scoped {
+      textCol: String, batchId: Long = -1L): Unit = Pins.scoped {
     val tf = Pins.track(tokens(batch, idCol, textCol)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
       .cache())
@@ -141,6 +142,7 @@ object Retrieval {
     Models.append(
       dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
       s"$dir/stats")
+    Models.logGen(batch.sparkSession, dir, batchId)
   }
 
   /** Positional phrase search: exact-phrase occurrence counts per doc —
@@ -182,7 +184,7 @@ object Retrieval {
     * the index instead of the whole corpus-sized table (measured in
     * SCALING.md: the unsorted doc-order layout prunes nothing). */
   def phraseIndexBuild(df: DataFrame, dir: String, idCol: String,
-      textCol: String): Unit =
+      textCol: String): Unit = {
     Models.save(
       wordSorted(
         df.select(col(idCol),
@@ -190,6 +192,8 @@ object Retrieval {
             x => x =!= "")).as(Seq("pos", "word"))),
         idCol),
       s"$dir/positions")
+    Models.logGen(df.sparkSession, dir, batchId = 0L, fresh = true)
+  }
 
   /** Append one batch of NEW documents' positions to the phrase index —
     * batch-only tokenization, the existing postings never re-read. The
@@ -199,7 +203,7 @@ object Retrieval {
     * Each appended file set is itself word-range-sorted, so stats-based
     * pruning holds per append generation. */
   def phraseIndexAppend(batch: DataFrame, dir: String, idCol: String,
-      textCol: String): Unit =
+      textCol: String, batchId: Long = -1L): Unit = {
     Models.append(
       wordSorted(
         batch.select(col(idCol),
@@ -207,6 +211,8 @@ object Retrieval {
             x => x =!= "")).as(Seq("pos", "word"))),
         idCol),
       s"$dir/positions")
+    Models.logGen(batch.sparkSession, dir, batchId)
+  }
 
   /** Rewrite a word-sorted posting table's N append generations into ONE
     * word-range-sorted file set via generation swap (write new dir from
@@ -230,8 +236,10 @@ object Retrieval {
     * layout only). Compose with the append lifecycle as maintenance:
     * append daily, compact on a slow cadence. */
   def phraseIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      dir: String, idCol: String): Unit =
+      dir: String, idCol: String): Unit = {
     compactWordSorted(spark, s"$dir/positions", idCol)
+    Models.resetGens(spark, dir)
+  }
 
   /** Compact the BM25 artifact: postings re-sorted into one word-range
     * layout ([[compactWordSorted]]), doclen rewritten id-range-sorted
@@ -258,6 +266,7 @@ object Retrieval {
     Models.save(
       Seq((folded.getLong(0), folded.getLong(1))).toDF("n_docs", "sum_dl"),
       s"$dir/stats")
+    Models.resetGens(spark, dir)
   }
 
   /** Phrase search SERVED from the positional index: each phrase word's

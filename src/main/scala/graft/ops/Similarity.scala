@@ -128,6 +128,7 @@ object Similarity {
     Models.savePartitioned(
       emb.select(col("vec_id"), col("embedding"), col("label")),
       s"$dir/lists", "label")
+    Models.logGen(emb.sparkSession, dir, batchId = 0L, fresh = true)
   }
 
   /** Append a batch of NEW vectors to the persisted inverted lists —
@@ -142,7 +143,7 @@ object Similarity {
     * whose lists were defined the same way — the oracle contract of
     * q_ns_sim_ivf_served_incremental. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession,
-      newVecs: DataFrame, dir: String): Unit = {
+      newVecs: DataFrame, dir: String, batchId: Long = -1L): Unit = {
     val coarse = Models.load(spark, s"$dir/coarse")
     val assigned = newVecs
       .select(col("vec_id"), col("embedding"))
@@ -157,6 +158,7 @@ object Similarity {
       .select(col("vec_id"), col("m.e").as("embedding"),
         (-col("m.negl")).cast("int").as("label"))
     Models.appendPartitioned(assigned, s"$dir/lists", "label")
+    Models.logGen(spark, dir, batchId)
   }
 
   /** IVF top-k SERVED from the persisted artifact: route each query to

@@ -1533,6 +1533,60 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Dataset card, lifecycle dimension (r10 ask #7): per persisted
+    * serving artifact — dedup admission index, BM25 postings, phrase
+    * positions, IVF inverted lists — the generation count (how many
+    * file-set generations a serving scan pays for: the compaction-cadence
+    * signal) and the last-append batch id (the staleness signal), read
+    * from each artifact's own `gens` ledger (Models.logGen/genStats),
+    * never recomputed from data. The planted lifecycle exercises every
+    * ledger transition: build (fresh), append (explicit batch ids — the
+    * ids a streaming fold stamps from its real micro-batch id), and
+    * compaction (bm25 folds back to ONE generation while keeping the
+    * last-seen id — layout changed, content didn't). The oracle is the
+    * planted lifecycle itself: a mis-wired ledger (an append that forgot
+    * to log, a compaction that dropped the id) hash-fails. */
+  val datasetCardFreshness = QueryDef(
+    "q_ns_dataset_card_freshness",
+    """SELECT * FROM (VALUES
+      |  ('bm25',   CAST(1 AS BIGINT), CAST(12 AS BIGINT)),
+      |  ('dedup',  CAST(2 AS BIGINT), CAST(7  AS BIGINT)),
+      |  ('ivf',    CAST(2 AS BIGINT), CAST(31 AS BIGINT)),
+      |  ('phrase', CAST(3 AS BIGINT), CAST(22 AS BIGINT)))
+      |  AS t(artifact, n_generations, last_batch_id)
+      |ORDER BY artifact""".stripMargin) { (s, d) =>
+    import graft.ops.{Models, Neutral, Retrieval, Similarity}
+    val dir = Models.ensureBuilt(s"freshness|$d") { tmp =>
+      val docs = T.documents(s, d)
+      val emb = T.embeddings(s, d)
+      Neutral.dedupIndexBuild(docs.filter(col("doc_id") % 2 === 0),
+        s"$tmp/dedup")
+      Neutral.dedupIndexAppend(docs.filter(col("doc_id") % 2 =!= 0),
+        s"$tmp/dedup", batchId = 7L)
+      Retrieval.bm25Build(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", s"$tmp/bm25")
+      Retrieval.bm25Append(docs.filter(col("doc_id") % 3 === 1),
+        s"$tmp/bm25", "doc_id", "text", batchId = 11L)
+      Retrieval.bm25Append(docs.filter(col("doc_id") % 3 === 2),
+        s"$tmp/bm25", "doc_id", "text", batchId = 12L)
+      Retrieval.bm25Compact(s, s"$tmp/bm25", "doc_id")
+      Retrieval.phraseIndexBuild(docs.filter(col("doc_id") % 3 === 0),
+        s"$tmp/phrase", "doc_id", "text")
+      Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 3 === 1),
+        s"$tmp/phrase", "doc_id", "text", batchId = 21L)
+      Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 3 === 2),
+        s"$tmp/phrase", "doc_id", "text", batchId = 22L)
+      Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), s"$tmp/ivf")
+      Similarity.ivfAppend(s, emb.filter(col("vec_id") % 5 === 0),
+        s"$tmp/ivf", batchId = 31L)
+    }
+    Seq("bm25", "dedup", "ivf", "phrase")
+      .map(a => Models.genStats(s, s"$dir/$a").select(
+        lit(a).as("artifact"), col("n_generations"), col("last_batch_id")))
+      .reduce(_ unionByName _)
+      .orderBy("artifact")
+  }
+
   /** URL/email scrubbing with match counts — RE2-subset patterns shared
     * verbatim with the oracle. */
   val textScrub = QueryDef(
@@ -2408,7 +2462,7 @@ object NorthStar {
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
-    textVocab, datasetCard, distinctiveTerms,
+    textVocab, datasetCard, datasetCardFreshness, distinctiveTerms,
     bpeMerges, bpeTokenizeQ, bpeTokenizeServedQ,
     textWinnow, textWinnowFast, winnowPairs, prepareCorpusQ,
     prepareCorpusClassifiedQ, splitQ,

@@ -602,16 +602,19 @@ object StreamOps {
       textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Pins.scoped {
           val sc = spark.sparkContext
           val before = sc.getPersistentRDDs.keySet
           val b = batch.localCheckpoint()
           graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
           b.write.mode("append").parquet(sinkDir)
+          // the real micro-batch id lands in the generation ledger — the
+          // card's freshness row then names the exact stream position
           graft.ops.Retrieval.phraseIndexAppend(b, s"$indexDir/phrase",
-            idCol, textCol)
-          graft.ops.Retrieval.bm25Append(b, s"$indexDir/bm25", idCol, textCol)
+            idCol, textCol, batchId)
+          graft.ops.Retrieval.bm25Append(b, s"$indexDir/bm25", idCol,
+            textCol, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -639,14 +642,14 @@ object StreamOps {
       checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Pins.scoped {
           val sc = spark.sparkContext
           val before = sc.getPersistentRDDs.keySet
           val b = batch.localCheckpoint()
           graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
           b.write.mode("append").parquet(sinkDir)
-          graft.ops.Similarity.ivfAppend(spark, b, indexDir)
+          graft.ops.Similarity.ivfAppend(spark, b, indexDir, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
