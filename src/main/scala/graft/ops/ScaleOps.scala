@@ -658,4 +658,78 @@ object ScaleOps {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bkt")
   }
+
+  /** 3-D Pareto skyline (all dims maximized) without a cartesian — the
+    * 2-D `prefixMax` algebra does not generalize past two dims, so this
+    * is the dominance-GRID form:
+    *
+    *  1. GRID PRUNE (drops ~everything): bucket (x, y) into fixed-width
+    *     cells (FIXED absolute widths, the q_j11 lesson — a relative
+    *     width makes pair volume grow with sf²). For each cell compute
+    *     max z, densify the grid (a `spark.range` cross-index, no join —
+    *     so the windows below compose over EMPTY cells too), and take the
+    *     2-D strict suffix max S(i,j) = max{ M(i',j') : i'>i, j'>j } as
+    *     two windows over the |grid|-row table (grid is width-bounded,
+    *     never data-sized). Any point in a strictly higher cell has
+    *     STRICTLY larger x and y, so a point with S(cell) ≥ z is
+    *     dominated and is dropped by one broadcast equi join. Soundness
+    *     of pruning candidates' dominators too: if q dominates p and q is
+    *     itself grid-pruned by some r, then r dominates p and sits in a
+    *     strictly higher cell than p — so p was already pruned.
+    *     Contrapositive: a SURVIVOR's dominators all survive, so the
+    *     exact phase may run candidates-vs-candidates only.
+    *  2. EXACT among candidates: a dominator q (cell i_q) can dominate
+    *     points in any i-cell ≤ i_q, so explode q over its covering
+    *     cells 0..i_q — the intervalBucketJoin equi-key-restoration
+    *     trick; fan ≤ grid width over the CANDIDATE set, not the corpus
+    *     — and anti-join candidates on the restored equi key with the
+    *     full dominance residual (≥ on all dims, > on at least one). A
+    *     plain shuffled equi join: no CartesianProduct, no
+    *     BroadcastNestedLoopJoin (PlanSpec-pinned).
+    *
+    * Expects columns (idCol, x, y, z); returns the skyline rows.
+    * Duplicate coordinate triples survive together (neither strictly
+    * dominates), matching the NOT-EXISTS oracle. */
+  def skyline3d(points: DataFrame, idCol: String, wx: Double,
+      wy: Double): DataFrame = {
+    require(wx > 0 && wy > 0, "cell widths must be positive")
+    val spark = points.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val pts = points
+      .withColumn("__ci", floor(col("x") / wx).cast("int"))
+      .withColumn("__cj", floor(col("y") / wy).cast("int"))
+    val grid = pts.groupBy("__ci", "__cj").agg(max(col("z")).as("__mz"))
+    val ext = grid.agg(max(col("__ci")), max(col("__cj"))).head()
+    if (ext.isNullAt(0)) return points.limit(0) // empty input
+    val (gi, gj) = (ext.getInt(0) + 1, ext.getInt(1) + 1)
+    val dense = spark.range(gi.toLong * gj)
+      .select((col("id") / gj).cast("int").as("__ci"),
+        (col("id") % gj).cast("int").as("__cj"))
+      .join(grid, Seq("__ci", "__cj"), "left")
+    // T(i,j) = max over j' > j of M(i,j'); S(i,j) = max over i' > i of
+    // T(i',j) — together the strict 2-D suffix max, two windows over the
+    // dense width-bounded grid
+    val wT = Window.partitionBy("__ci").orderBy(desc("__cj"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wS = Window.partitionBy("__cj").orderBy(desc("__ci"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sGrid = dense
+      .withColumn("__t", max(col("__mz")).over(wT))
+      .withColumn("__s", max(col("__t")).over(wS))
+      .select(col("__ci"), col("__cj"), col("__s"))
+    val cand = pts.join(broadcast(sGrid), Seq("__ci", "__cj"), "left")
+      .filter(col("__s").isNull || col("__s") < col("z"))
+      .drop("__s", "__cj")
+    val doms = cand.select(col("x").as("__qx"), col("y").as("__qy"),
+        col("z").as("__qz"), col("__ci").as("__qci"))
+      .withColumn("__ci", explode(sequence(lit(0), col("__qci"))))
+    cand.alias("p").join(doms.alias("q"),
+        col("p.__ci") === col("q.__ci") &&
+          col("q.__qx") >= col("p.x") && col("q.__qy") >= col("p.y") &&
+          col("q.__qz") >= col("p.z") &&
+          (col("q.__qx") > col("p.x") || col("q.__qy") > col("p.y") ||
+            col("q.__qz") > col("p.z")),
+        "left_anti")
+      .drop("__ci")
+  }
 }

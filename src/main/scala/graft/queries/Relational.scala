@@ -361,9 +361,53 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** O5 (beyond ref): 3-D Pareto skyline — orders dominated by no other
+    * on (price, order date, key-derived tier), all maximized. The 2-D
+    * prefix-max algebra doesn't generalize past two dims, so this runs
+    * ScaleOps.skyline3d's dominance-grid form: fixed-width (price, day)
+    * cells → strict 2-D suffix max over the width-bounded dense grid
+    * (two windows, never data-sized) prunes every point a strictly
+    * higher cell dominates; the exact check then runs candidates vs
+    * candidates on a covering-cell-restored EQUI key (the
+    * intervalBucketJoin trick) with the full dominance residual — no
+    * cartesian, no nested loop (PlanSpec pin). The oracle is the naive
+    * quadratic triple-NOT-EXISTS. */
+  val o5Skyline3d = QueryDef(
+    "q_o5_skyline_3d",
+    """WITH p AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |         o_totalprice AS x,
+      |         CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+      |              AS BIGINT) AS y,
+      |         CAST(o_orderkey % 997 AS BIGINT) AS z
+      |  FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      |)
+      |SELECT b.o_orderkey, b.x, b.y, b.z
+      |FROM p b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p a
+      |  WHERE a.x >= b.x AND a.y >= b.y AND a.z >= b.z
+      |    AND (a.x > b.x OR a.y > b.y OR a.z > b.z))
+      |ORDER BY b.o_orderkey""".stripMargin) { (s, d) =>
+    val pts = T.orders(s, d)
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").as("x"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long").as("y"),
+        (col("o_orderkey") % 997).cast("long").as("z"))
+    // fixed ABSOLUTE cell widths (the q_j11 lesson): ~25k on price,
+    // ~100 days on date — a ~22x25 grid at any scale factor
+    graft.ops.ScaleOps.skyline3d(pts, "o_orderkey", wx = 25000.0,
+        wy = 100.0)
+      .select("o_orderkey", "x", "y", "z")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     s1ScanPrune, p1ProjectArith, p3InList, p4Ilike, p5Regex,
     a1CountGroup, a2CondSum, a4MinMaxAvg, a6CountDistinct, a10Distinct,
     o1MultiSort, o2NullsLast, s8JsonlRoundtrip, s9OrcRoundtrip,
-    o3ParetoSkyline)
+    o3ParetoSkyline, o5Skyline3d)
 }

@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite {
       s"theta join degenerated to a product:\n$p")
   }
 
+  test("3-D skyline: grid prune + covering-cell equi join, never a " +
+      "cartesian or nested loop") {
+    val p = plan("q_o5_skyline_3d")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"3-D skyline degenerated to a product:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("q_o1_multisort_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
@@ -144,6 +151,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ret_bm25_served" -> "1-row corpus-stats broadcast (from the index artifact)",
       "q_ret_bm25_served_incremental" ->
         "1-row corpus-stats broadcast (partials folded at load)",
+      "q_ret_bm25_served_compacted" ->
+        "1-row corpus-stats broadcast (partials pre-folded by compaction)",
       "q_ret_hybrid_rrf" ->
         "1-row bm25 stats broadcast + brute dense side (1-query broadcast)",
       // 1-row node-count broadcast into each damping step

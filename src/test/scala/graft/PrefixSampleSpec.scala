@@ -140,6 +140,44 @@ class PrefixSampleSpec extends AnyFunSuite {
     assert(!phys.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("skyline3d equals the naive quadratic NOT EXISTS, including " +
+      "duplicate-triple and z-tie boundary cases") {
+    import spark.implicits._
+    // events-derived points plus planted edge cases: an exact duplicate
+    // pair (both must survive if undominated) and a z-tie across cells
+    // (strict-x dominance must still prune)
+    val base = events.select(col("event_id").cast("long").as("id"),
+      col("value").as("x"),
+      (col("user_id") % 223).cast("long").as("y"),
+      (col("event_id") % 97).cast("long").as("z"))
+    // planted at minimal y/z so they join the skyline via x alone without
+    // dominating the corpus points (which keeps the test's skyline mixed)
+    val planted = Seq(
+      (900001L, 1e9, 0L, 0L), // skyline via max x
+      (900002L, 1e9, 0L, 0L), // its exact duplicate — both survive
+      (900003L, 0.5e9, 0L, 0L) // ties y and z but strictly loses on x
+    ).toDF("id", "x", "y", "z")
+    val pts = base.unionByName(planted)
+    val got = ScaleOps.skyline3d(pts, "id", wx = 1e7, wy = 10.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val p = pts.alias("b")
+    val naive = p.join(pts.alias("a"),
+        col("a.x") >= col("b.x") && col("a.y") >= col("b.y") &&
+          col("a.z") >= col("b.z") &&
+          (col("a.x") > col("b.x") || col("a.y") > col("b.y") ||
+            col("a.z") > col("b.z")),
+        "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naive,
+      s"grid skyline diverges from naive: extra=${got -- naive} " +
+        s"missing=${naive -- got}")
+    assert(got.contains(900001L) && got.contains(900002L),
+      "duplicate-coordinate skyline points must both survive")
+    assert(!got.contains(900003L),
+      "a strictly dominated tie point must be pruned")
+    assert(got.size > 3, "expected corpus points in the skyline too")
+  }
+
   test("sample sketch is a pure function of the row set: shard-built " +
       "union equals the one-pass sketch, exactly") {
     val ev = events
