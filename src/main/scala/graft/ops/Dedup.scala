@@ -535,6 +535,7 @@ object Dedup {
     import spark.implicits._
     Models.save(Seq.empty[(Long, Long)].toDF("from_rep", "to_rep"),
       s"$dir/merges")
+    Models.logGen(spark, dir, batchId = 0L, fresh = true)
   }
 
   /** Transitive closure of the merge map by pointer jumping: each round
@@ -590,7 +591,8 @@ object Dedup {
     * under Pins.scoped: the merge-closure and batch-CC checkpoints are
     * released on exit — one append (or one ccIngest micro-batch) accrues
     * nothing in the block manager. */
-  def ccAppend(newPairs: DataFrame, dir: String): Unit = Pins.scoped {
+  def ccAppend(newPairs: DataFrame, dir: String,
+      batchId: Long = -1L): Unit = Pins.scoped {
     val spark = newPairs.sparkSession
     val labels = Models.load(spark, s"$dir/labels")
     val closed = closeMerges(Models.load(spark, s"$dir/merges"))
@@ -636,6 +638,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("__c"), col("rep")).as("component"))
     Models.append(newNodeLabels, s"$dir/labels")
+    Models.logGen(spark, dir, batchId)
     endpointIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
@@ -646,4 +649,28 @@ object Dedup {
       dir: String): DataFrame =
     resolve(Models.load(spark, s"$dir/labels"),
       closeMerges(Models.load(spark, s"$dir/merges")))
+
+  /** Compact the union-find artifact — the path-compression pass run as
+    * maintenance instead of at every serve: rewrite `labels` as the
+    * RESOLVED table (every stored label pushed through the merge
+    * closure, via generation swap — the labels table is read while its
+    * replacement is written) and reset `merges` to empty. Serving after
+    * compaction resolves through an empty closure — identity — so
+    * serve-after-compact ≡ serve-before; appends after compaction see
+    * the same current representatives (a resolved label IS its rep).
+    * Without this, a year of daily appends leaves every serve paying the
+    * closure's pointer-jumping loop over the full merge history; after
+    * compaction the merge map restarts from the append deltas only. */
+  def ccCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = Pins.scoped {
+    val resolved = resolve(Models.load(spark, s"$dir/labels"),
+      closeMerges(Models.load(spark, s"$dir/merges")))
+    val tmp = s"$dir/labels__compacting"
+    Models.save(resolved, tmp)
+    Models.swapIn(spark, tmp, s"$dir/labels")
+    import spark.implicits._
+    Models.save(Seq.empty[(Long, Long)].toDF("from_rep", "to_rep"),
+      s"$dir/merges")
+    Models.resetGens(spark, dir)
+  }
 }

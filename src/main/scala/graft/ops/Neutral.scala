@@ -293,6 +293,40 @@ object Neutral {
     Models.logGen(admitted.sparkSession, dir, batchId)
   }
 
+  /** Compact the admission index's appended generations (the in-place
+    * twin of the "periodic dedupIndexBuild rebuild" the append scaladoc
+    * promises, WITHOUT re-reading corpus text): `sha` rewrites as its
+    * distinct set (per-batch appends are distinct within a batch but a
+    * text admitted under different doc ids across batches lands its
+    * digest twice — consumers are anti/semi joins, so multiplicity never
+    * changed answers, only scan size), `hs`/`banded` rewrite as single
+    * file sets (doc ids are unique by the admission contract), banded
+    * re-laid-out by band key so a candidate probe's (b, bh) equi join
+    * prunes on footer stats. All via generation swap; answers are
+    * byte-identical before/after (the served-admission oracle is shared
+    * verbatim). */
+  def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val shaTmp = s"$dir/sha__compacting"
+    Models.save(Models.load(spark, s"$dir/sha").distinct(), shaTmp)
+    Models.swapIn(spark, shaTmp, s"$dir/sha")
+    val hsTmp = s"$dir/hs__compacting"
+    Models.save(
+      Models.load(spark, s"$dir/hs")
+        .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id"),
+      hsTmp)
+    Models.swapIn(spark, hsTmp, s"$dir/hs")
+    val bTmp = s"$dir/banded__compacting"
+    val banded = Models.load(spark, s"$dir/banded")
+    Models.save(
+      banded.repartitionByRange(
+        banded.columns.filter(_ != "doc_id").map(col).toSeq: _*)
+        .sortWithinPartitions(banded.columns.map(col).toSeq: _*),
+      bTmp)
+    Models.swapIn(spark, bTmp, s"$dir/banded")
+    Models.resetGens(spark, dir)
+  }
+
   /** Admit a batch against the served index AND append the admissions to
     * it — the per-batch step of the daily-crawl loop. The admitted batch
     * is localCheckpoint'ed (lineage SEVERED, not just cached) before the

@@ -161,6 +161,24 @@ object Similarity {
     Models.logGen(spark, dir, batchId)
   }
 
+  /** Compact the inverted lists: N appended file sets per label
+    * directory fold to one (repartition by label → each partition
+    * directory rewrites as a single file set; generation swap because
+    * the lists are read while their replacement is written). Content is
+    * untouched — serving and the q_ns_sim_ivf_served_incremental oracle
+    * are layout-invariant — and the probed-lists partition pruning keeps
+    * working against far fewer files. The coarse centroids are a fitted
+    * model: never appended, nothing to compact. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val tmp = s"$dir/lists__compacting"
+    Models.savePartitioned(
+      Models.load(spark, s"$dir/lists").repartition(col("label")),
+      tmp, "label")
+    Models.swapIn(spark, tmp, s"$dir/lists")
+    Models.resetGens(spark, dir)
+  }
+
   /** IVF top-k SERVED from the persisted artifact: route each query to
     * its `nprobe` nearest loaded centroids (broadcast), then rerank
     * ONLY the probed lists — the label equi join against the

@@ -268,6 +268,39 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** The union-find artifact's COMPACTION (r11, completing the
+    * append-lifecycle loop the posting indexes got): build on half the
+    * edges, fold the other half in, then Dedup.ccCompact — labels
+    * rewritten RESOLVED (the path-compression pass run as maintenance),
+    * merges reset to empty — and serve. Serving after compaction
+    * resolves through an empty closure (identity), so the oracle is the
+    * same full-closure SQL; without compaction every serve re-runs the
+    * pointer-jumping loop over the cumulative merge history. */
+  val dedupComponentsCompacted = QueryDef(
+    "q_ns_dedup_components_compacted",
+    dedupComponents.oracle.get) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"cccmp|$d") { tmp =>
+      graft.ops.Pins.scoped {
+        val sc = s.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val pairs = Dedup.ngramJaccardPairs(docs).localCheckpoint()
+        graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
+        Dedup.ccBuild(
+          pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), tmp)
+        Dedup.ccAppend(
+          pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1), tmp,
+          batchId = 41L)
+        Dedup.ccCompact(s, tmp)
+      }
+    }
+    docs.select("doc_id")
+      .join(Dedup.ccServe(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-set decontamination against a benchmark slice (doc_id < 20):
     * distinct shared 3-gram shingles + benchmark docs touched per corpus
     * doc; the release gate every training pipeline runs. */
@@ -560,6 +593,32 @@ object NorthStar {
     }
     graft.ops.Neutral.dedupAgainstServed(
         s, dir, docs.filter(col("doc_id") >= 250), minJaccard = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Served admission after append→COMPACT (r11): the corpus index is
+    * built on half of doc_id >= 250, appended with the other half, then
+    * Neutral.dedupIndexCompact rewrites the generations — sha distinct,
+    * hs id-range-sorted, banded band-key-sorted for probe-side footer
+    * pruning — and admission of the <250 batch serves from the compacted
+    * artifact. Answers are layout-invariant: same served-admission
+    * oracle verbatim. */
+  val dedupAdmitCompacted = QueryDef(
+    "q_ns_dedup_admit_compacted",
+    graft.ops.Neutral.dedupAgainstOracleSql(
+      "doc_id >= 250", "doc_id < 250", 0.8)) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"dedup_index_cmp|$d") { tmp =>
+      graft.ops.Neutral.dedupIndexBuild(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 === 0), tmp)
+      graft.ops.Neutral.dedupIndexAppend(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 =!= 0), tmp,
+        batchId = 51L)
+      graft.ops.Neutral.dedupIndexCompact(s, tmp)
+    }
+    graft.ops.Neutral.dedupAgainstServed(
+        s, dir, docs.filter(col("doc_id") < 250), minJaccard = 0.8)
       .select("doc_id")
       .orderBy("doc_id")
   }
@@ -891,6 +950,30 @@ object NorthStar {
       val emb = T.embeddings(s, d)
       Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), tmp)
       Similarity.ivfAppend(s, emb.filter(col("vec_id") % 5 === 0), tmp)
+    }
+    val queries = T.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfServe(s, dir, queries, 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF serving after append→COMPACT (r11): same build+append lifecycle
+    * as the incremental query, then Similarity.ivfCompact folds the N
+    * appended file sets per label directory into one (repartition by
+    * label + generation swap; the fitted coarse centroids are untouched).
+    * Content is layout-invariant, so the oracle is the incremental
+    * query's cumulative SQL verbatim; what compaction buys is the probed
+    * lists' partition pruning against one file set per label instead of
+    * one per append. */
+  val simIvfServedCompacted = QueryDef(
+    "q_ns_sim_ivf_served_compacted",
+    simIvfServedIncremental.oracle.get) { (s, d) =>
+    val dir = graft.ops.Models.ensureBuilt(s"ivfcmp|$d") { tmp =>
+      val emb = T.embeddings(s, d)
+      Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), tmp)
+      Similarity.ivfAppend(s, emb.filter(col("vec_id") % 5 === 0), tmp,
+        batchId = 61L)
+      Similarity.ivfCompact(s, tmp)
     }
     val queries = T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2452,14 +2535,16 @@ object NorthStar {
   val defs: Seq[QueryDef] = Seq(
     sourceOverlap,
     dedupExact, dedupMinHash, minHashRecall, dedupSimHash, dedupNgram,
-    dedupComponents, dedupComponentsIncremental,
+    dedupComponents, dedupComponentsIncremental, dedupComponentsCompacted,
     spanDedup, spanScrub,
     decontaminate, decontaminateFuzzy, dedupCosine, dedupThresholdCurve,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
-    dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitBloom,
+    dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitCompacted,
+    dedupAdmitBloom,
     dedupIngestE2e, dedupIngestE2eServed,
-    simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental, simLsh,
+    simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
+    simIvfServedCompacted, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
     textVocab, datasetCard, datasetCardFreshness, distinctiveTerms,

@@ -520,9 +520,9 @@ object StreamOps {
       dir: String, edgeStream: DataFrame, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     edgeStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Pins.scoped {
-          graft.ops.Dedup.ccAppend(batch, dir)
+          graft.ops.Dedup.ccAppend(batch, dir, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -43,6 +43,7 @@ class CacheHygieneSpec extends AnyFunSuite {
       "q_ns_dedup_incremental_served", "q_ns_dedup_ingest_e2e_served",
       "q_ns_prepare_corpus_classified", "q_ns_multimodal_phash_dedup",
       "q_sk_kmv_overlap", "q_ns_dedup_components_incremental",
+      "q_ns_dedup_components_compacted", "q_er_field_merge",
       "q_sk_sample_quantiles_served_incremental")
     for (name <- cacheHeavy) {
       clearState()

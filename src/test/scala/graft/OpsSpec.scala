@@ -136,6 +136,71 @@ class OpsSpec extends AnyFunSuite {
       s"merge map must be functional: $merges")
     assert(merges.forall { case (f, t) => t < f },
       s"every merge must decrease the label: $merges")
+    // COMPACTION: labels rewrite resolved, merges reset to empty; serve
+    // is identical, and appends after compaction keep working
+    Dedup.ccCompact(spark, dir)
+    assert(spark.read.parquet(s"$dir/merges").count() == 0L,
+      "compaction must reset the merge map")
+    assert(toMap(Dedup.ccServe(spark, dir)) == full,
+      "serve-after-compact must equal serve-before")
+    // post-compaction append: a fresh merge over compacted labels
+    Dedup.ccAppend(Seq((30L, 31L), (31L, 1L)).toDF("doc_a", "doc_b"), dir)
+    val after = toMap(Dedup.ccServe(spark, dir))
+    assert(after(30L) == 1L && after(31L) == 1L,
+      s"append after compaction must keep merging: $after")
+    assert(after.view.filterKeys(_ < 30).toMap == full)
+    // ledger: build + 3 appends folded to 1 by compaction, +1 after
+    val g = graft.ops.Models.genStats(spark, dir).head()
+    assert(g.getLong(0) == 2L,
+      s"expected compacted ledger + one post-compaction generation: $g")
+  }
+
+  test("ivf and admission-index compaction: fewer files, identical " +
+      "answers, ledgers folded") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    def allParquet(path: String): Int = {
+      val b = new java.io.File(path)
+      if (!b.exists) 0
+      else b.listFiles.map(f =>
+        if (f.isDirectory) allParquet(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    }
+    // IVF: build + append, compact — probed results identical, per-label
+    // directories fold to fewer files, ledger says one generation
+    val idir = java.nio.file.Files.createTempDirectory("ivf_cmp_").toString
+    graft.ops.Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), idir)
+    graft.ops.Similarity.ivfAppend(spark,
+      emb.filter(col("vec_id") % 5 === 0), idir, batchId = 9L)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def ivfRes() = graft.ops.Similarity.ivfServe(spark, idir, qs, 3, 2)
+      .collect().map(_.toSeq).toSet
+    val beforeIvf = ivfRes()
+    val filesBefore = allParquet(s"$idir/lists")
+    graft.ops.Similarity.ivfCompact(spark, idir)
+    assert(allParquet(s"$idir/lists") < filesBefore,
+      s"ivf compaction did not shrink files: $filesBefore")
+    assert(ivfRes() == beforeIvf, "ivf compaction changed served results")
+    val gi = graft.ops.Models.genStats(spark, idir).head()
+    assert(gi.getLong(0) == 1L && gi.getLong(1) == 9L,
+      "ivf ledger must fold to one generation keeping the last batch id")
+    // admission index: build + append, compact — admissions identical
+    val ddir = java.nio.file.Files.createTempDirectory("didx_cmp_").toString
+    graft.ops.Neutral.dedupIndexBuild(
+      docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 === 0), ddir)
+    graft.ops.Neutral.dedupIndexAppend(
+      docs.filter(col("doc_id") >= 250 && col("doc_id") % 2 =!= 0), ddir,
+      batchId = 4L)
+    def admits() = graft.ops.Neutral.dedupAgainstServed(spark, ddir,
+        docs.filter(col("doc_id") < 250), minJaccard = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val beforeAdm = admits()
+    graft.ops.Neutral.dedupIndexCompact(spark, ddir)
+    assert(admits() == beforeAdm,
+      "admission-index compaction changed admissions")
+    val gd = graft.ops.Models.genStats(spark, ddir).head()
+    assert(gd.getLong(0) == 1L && gd.getLong(1) == 4L)
   }
 
   test("dedupCorpus drops exact and near duplicates, keeps the rest") {
