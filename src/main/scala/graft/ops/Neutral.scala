@@ -438,6 +438,20 @@ object Neutral {
       s"$dir/bloom")
   }
 
+  /** Compact the Bloom artifact: appended batches are distinct WITHIN a
+    * batch but positions re-occupied across batches accumulate duplicate
+    * rows — the bitset OR, run as maintenance: one global distinct
+    * rewrite (generation swap) restores the ≤ mBits bound the broadcast
+    * probe relies on. Probes are set-membership (multiplicity never
+    * changed answers), so the served-admission oracle is shared
+    * verbatim. */
+  def bloomIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val tmp = s"$dir/bloom__compacting"
+    Models.save(Models.load(spark, s"$dir/bloom").distinct(), tmp)
+    Models.swapIn(spark, tmp, s"$dir/bloom")
+  }
+
   /** Admit a batch against the Bloom artifact AND fold its positions in —
     * the per-batch step of the streaming seen-set loop. Same
     * checkpoint-before-append discipline as [[admitAndAppend]]: the

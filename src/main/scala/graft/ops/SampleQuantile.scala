@@ -121,9 +121,14 @@ object SampleQuantile {
 
   /** Rewrite the candidate table as the folded bottom-k (serve results
     * unchanged — the fold is the serve's own first step; localCheckpoint
-    * severs the read lineage from the overwrite). */
+    * severs the read lineage from the overwrite, and its RDD ids are
+    * Pins-tracked so releaseAll can free what DataFrame.unpersist cannot
+    * reach). */
   def compact(spark: SparkSession, dir: String, groupCol: String): Unit = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val folded = serveSketch(spark, dir, groupCol).localCheckpoint()
+    Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
     Models.save(folded, s"$dir/sample")
   }
 }

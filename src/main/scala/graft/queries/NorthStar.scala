@@ -677,6 +677,28 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Bloom admission after append→COMPACT (r11): seen-set built on half
+    * the corpus, the other half's positions appended (batch-distinct
+    * only), then Neutral.bloomIndexCompact runs the bitset OR as one
+    * global distinct rewrite — restoring the ≤ mBits row bound the
+    * broadcast probe relies on. Probes are set-membership, so the oracle
+    * over the full corpus is shared verbatim. */
+  val dedupAdmitBloomCompacted = QueryDef(
+    "q_ns_dedup_admit_bloom_compacted",
+    graft.ops.Neutral.bloomAdmitOracleSql(
+      "doc_id < 250", "doc_id >= 250")) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"bloom_cmp|$d") { tmp =>
+      graft.ops.Neutral.bloomIndexBuild(docs.filter(col("doc_id") < 125), tmp)
+      graft.ops.Neutral.bloomIndexAppend(
+        docs.filter(col("doc_id") >= 125 && col("doc_id") < 250), tmp)
+      graft.ops.Neutral.bloomIndexCompact(s, tmp)
+    }
+    graft.ops.Neutral.admitBloomServed(
+        s, dir, docs.filter(col("doc_id") >= 250))
+      .orderBy("doc_id")
+  }
+
   /** The chained ingest a daily crawl runs end-to-end: admission against
     * the existing corpus (exact + banded near-dup) THEN within-batch
     * clustered dedup of the admitted docs — the incoming slice carries
@@ -2541,7 +2563,7 @@ object NorthStar {
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
     dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitCompacted,
-    dedupAdmitBloom,
+    dedupAdmitBloom, dedupAdmitBloomCompacted,
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
     simIvfServedCompacted, simLsh,

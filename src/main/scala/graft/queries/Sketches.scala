@@ -425,7 +425,47 @@ object Sketches {
       SampleQuantile.quantilesServed(s, dir, "event_type", sampleQs))
   }
 
+  /** CMS after append→COMPACT (r11): the appended cell partials fold to
+    * ≤ depth×width rows (the exact integer sum serve performs at load,
+    * run as maintenance), then serve — identical estimates, same oracle. */
+  val cmsServedCompacted = QueryDef(
+    "q_sk_cms_served_compacted",
+    cmsTopk.oracle.get) { (s, d) =>
+    import graft.ops.{CountMin, Models}
+    val ev = skewedEvents(s, d)
+    val dir = Models.ensureBuilt(s"cms_user_cmp|$d") { tmp =>
+      CountMin.cmsBuild(ev.filter(col("event_id") % 2 === 0), tmp,
+        "user_id", depth = 4, width = 64)
+      CountMin.cmsAppend(ev.filter(col("event_id") % 2 =!= 0), tmp,
+        "user_id")
+      CountMin.cmsCompact(s, tmp)
+    }
+    val keys = ev.select("user_id").distinct()
+    cmsReport(ev, CountMin.cmsServe(s, dir, keys, "user_id"))
+  }
+
+  /** Sample-quantile sketch after append→COMPACT (r11): the candidate
+    * rows fold to the served bottom-k (the fold IS the serve's first
+    * step, run as maintenance), then serve — identical estimates, same
+    * full-feed oracle. */
+  val sampleQuantilesCompacted = QueryDef(
+    "q_sk_sample_quantiles_served_compacted", sampleQuantileOracle) {
+    (s, d) =>
+    import graft.ops.{Models, SampleQuantile}
+    val ev = T.events(s, d)
+    val dir = Models.ensureBuilt(s"samplequant_cmp|$d") { tmp =>
+      SampleQuantile.build(ev.filter(col("event_id") % 2 === 0), tmp,
+        "event_type", "event_id", "value", k = 512)
+      SampleQuantile.append(ev.filter(col("event_id") % 2 =!= 0), tmp,
+        "event_type", "event_id", "value")
+      SampleQuantile.compact(s, tmp, "event_type")
+    }
+    sampleQuantileReport(s, d,
+      SampleQuantile.quantilesServed(s, dir, "event_type", sampleQs))
+  }
+
   val defs: Seq[QueryDef] = Seq(hllCardinality, gkQuantile, hllMerge,
-    kmvDistinct, cmsTopk, cmsServedIncremental, kmvOverlap, hllCube,
-    sampleQuantiles, sampleQuantilesServed)
+    kmvDistinct, cmsTopk, cmsServedIncremental, cmsServedCompacted,
+    kmvOverlap, hllCube,
+    sampleQuantiles, sampleQuantilesServed, sampleQuantilesCompacted)
 }

@@ -578,8 +578,28 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** DSIR counts after append→COMPACT (r11): the per-bucket partial rows
+    * fold to one row per bucket (the exact integer sum serve performs at
+    * load, run as maintenance), then serve — bit-identical, same
+    * cumulative-refit oracle. */
+  val dsirServedCompactedQ = QueryDef(
+    "q_ns_dsir_served_compacted",
+    dsirServedIncrementalQ.oracle.get) { (s, d) =>
+    val docs = T.documents(s, d)
+    val dir = graft.ops.Models.ensureBuilt(s"dsir_counts_cmp|$d") { tmp =>
+      graft.ops.Dsir.dsirBuildCounts(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") < 250 && dsirEnTarget), tmp)
+      graft.ops.Dsir.dsirAppendRaw(docs.filter(col("doc_id") >= 250), tmp)
+      graft.ops.Dsir.dsirCompactCounts(s, tmp)
+    }
+    graft.ops.Dsir.dsirServeCounts(s, dir, docs)
+      .select("doc_id", "n_grams", "dsir_logw")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(packSequences, embedCentroids, bigramStats,
     lmScore, lmBigram, lmBigramServed, nbClassify, nbClassifyServed,
     nbCalibration, trainShardsQ, dsirWeightsQ, dsirServedQ, dsirResampleQ,
-    dsirSelectPackQ, dsirServedIncrementalQ)
+    dsirSelectPackQ, dsirServedIncrementalQ, dsirServedCompactedQ)
 }

@@ -132,6 +132,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_served_incremental" ->
         "tiny centroid routing cross (loaded coarse table)",
+      "q_ns_sim_ivf_served_compacted" ->
+        "tiny centroid routing cross (loaded coarse table)",
       "q_stream_ivf_ingest" ->
         "tiny centroid routing cross (loaded coarse table)",
       "q_ns_ivfpq_topk" -> "tiny centroid routing + k-row LUT crosses",
@@ -168,6 +170,7 @@ class PlanSpec extends AnyFunSuite {
       // 1-row stream-total (the eps*N gate bound) broadcast per report
       "q_sk_cms_topk" -> "1-row stream-total broadcast",
       "q_sk_cms_served_incremental" -> "1-row stream-total broadcast",
+      "q_sk_cms_served_compacted" -> "1-row stream-total broadcast",
       // sources x sources pair enumeration: |sources|^2 rows, tiny
       "q_sk_kmv_overlap" -> "source-pair enumeration cross (sources^2 rows)",
       // 1-row (V, N) vocabulary-totals broadcast into the log-odds prior
@@ -212,6 +215,8 @@ class PlanSpec extends AnyFunSuite {
       "q_stream_dsir_gate" -> "1-row totals broadcasts (in-query fit)",
       "q_ns_dsir_select_pack" -> "1-row totals broadcasts (in-query fit)",
       "q_ns_dsir_served_incremental" ->
+        "1-row totals broadcasts (numBuckets-row model rebuild at load)",
+      "q_ns_dsir_served_compacted" ->
         "1-row totals broadcasts (numBuckets-row model rebuild at load)",
       // 1-row margin min/max bounds broadcast into the equi-width binning
       "q_ns_classifier_calibration" -> "1-row margin-bounds broadcast")
