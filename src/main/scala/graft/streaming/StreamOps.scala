@@ -517,12 +517,18 @@ object StreamOps {
     * while the new-node anti join re-appends exactly the label rows the
     * crash lost — a replay after full commit appends nothing at all. */
   def ccIngest(spark: org.apache.spark.sql.SparkSession,
-      dir: String, edgeStream: DataFrame, checkpointDir: String)
+      dir: String, edgeStream: DataFrame, checkpointDir: String,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     edgeStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Pins.scoped {
           graft.ops.Dedup.ccAppend(batch, dir, batchId)
+          // in-loop path compression: labels rewrite resolved, the merge
+          // map resets — serving stops paying the pointer-jump loop over
+          // the cumulative merge history (idempotent under replay)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Dedup.ccCompact(spark, dir)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -599,7 +605,7 @@ object StreamOps {
   def retrievalIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
       checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text")
+      textCol: String = "text", compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -615,6 +621,16 @@ object StreamOps {
             idCol, textCol, batchId)
           graft.ops.Retrieval.bm25Append(b, s"$indexDir/bm25", idCol,
             textCol, batchId)
+          // in-loop maintenance: every compactEvery micro-batches the
+          // appended posting generations rewrite to one word-sorted set
+          // (layout only — a replayed batch just re-runs the idempotent
+          // rewrite). Keyed on batchId, not a ledger read: deterministic
+          // under replay, no per-batch artifact probe.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.ops.Retrieval.phraseIndexCompact(
+              spark, s"$indexDir/phrase", idCol)
+            graft.ops.Retrieval.bm25Compact(spark, s"$indexDir/bm25", idCol)
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -639,7 +655,7 @@ object StreamOps {
     * dedup loop. */
   def ivfIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
-      checkpointDir: String)
+      checkpointDir: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -650,6 +666,8 @@ object StreamOps {
           graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
           b.write.mode("append").parquet(sinkDir)
           graft.ops.Similarity.ivfAppend(spark, b, indexDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Similarity.ivfCompact(spark, indexDir)
         }
       }
       .option("checkpointLocation", checkpointDir)

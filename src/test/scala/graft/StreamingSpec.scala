@@ -770,6 +770,72 @@ class StreamingSpec extends AnyFunSuite {
       "stream-folded labels must answer exactly like one-pass CC")
   }
 
+  test("in-loop compaction: ccIngest with compactEvery path-compresses " +
+      "as it streams — identical labels, merge map bounded by the last " +
+      "window") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val b1 = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val deltas = Seq((2L, 3L), (20L, 21L), (11L, 20L), (21L, 1L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("cccmp_idx").toString
+    Dedup.ccBuild(b1, dir)
+    val src = java.nio.file.Files.createTempDirectory("cccmp_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("cccmp_ckpt")
+    deltas.repartition(3).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = StreamOps.ccIngest(spark, dir, stream, ckpt.toString,
+      compactEvery = 1) // compact after EVERY micro-batch
+    q.awaitTermination(180000)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(Dedup.ccServe(spark, dir)) ==
+      toMap(Dedup.connectedComponents(b1.unionByName(deltas))),
+      "compacting ingest must serve exactly like one-pass CC")
+    // the whole point: the merge history never accumulates
+    assert(spark.read.parquet(s"$dir/merges").count() == 0L,
+      "compactEvery=1 must leave an empty merge map")
+  }
+
+  test("in-loop compaction: ivfIngest with compactEvery keeps one file " +
+      "set per list partition and probes identically") {
+    import graft.ops.{Models, Similarity}
+    val emb = graft.queries.T.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val newer = emb.filter(col("vec_id") % 3 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivfcmp_idx").toString
+    Similarity.ivfBuild(base, idx)
+    val src = java.nio.file.Files.createTempDirectory("ivfcmp_src")
+    val sink = java.nio.file.Files.createTempDirectory("ivfcmp_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfcmp_ckpt")
+    newer.repartition(2).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = StreamOps.ivfIngest(spark, idx, stream, sink.toString,
+      ckpt.toString, compactEvery = 2)
+    q.awaitTermination(180000)
+    // 2 micro-batches, compacted at the 2nd: ledger says one generation
+    val g = Models.genStats(spark, idx).head()
+    assert(g.getLong(0) == 1L,
+      s"expected one generation after in-loop compaction, got $g")
+    // served results equal a batch-built twin over the same corpus
+    val twinDir = java.nio.file.Files.createTempDirectory("ivfcmp_twin").toString
+    Similarity.ivfBuild(base, twinDir)
+    Similarity.ivfAppend(spark, newer, twinDir)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def res(d: String) = Similarity.ivfServe(spark, d, qs, 3, 2)
+      .collect().map(_.toSeq).toSet
+    assert(res(idx) == res(twinDir),
+      "compacting ivf ingest must probe identically to the batch twin")
+  }
+
   test("idempotent foreachBatch sink: a replayed micro-batch replaces " +
       "its own partition — no duplicates, and a partial-write replay " +
       "heals to the latest batch content") {
