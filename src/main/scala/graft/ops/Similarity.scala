@@ -114,6 +114,51 @@ object Similarity {
         col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Corpus-wide k-NN GRAPH via IVF routing — the batch primitive under
+    * SemDeDup-style clustering, graph-based near-dup sweeps, kNN-LM
+    * datastore prep, and label propagation: EVERY vector gets its k
+    * nearest neighbors from its `nprobe` nearest label lists. Two shapes
+    * differ from [[ivfTopK]] (bounded query set) because the query set
+    * here IS the corpus:
+    *  - routing cannot broadcast the routed table; it stays corpus-sized
+    *    (corpus × nprobe rows). The per-vector top-nprobe over the
+    *    corpus×nlist centroid scores rides the row_number + rank-filter
+    *    pattern Spark plans as a map-side WindowGroupLimit, so only
+    *    corpus×nprobe rows reach the shuffle;
+    *  - the probe is a SHUFFLED equi join on the list label — both sides
+    *    corpus-sized, never a broadcast, never all-pairs. Candidate
+    *    volume is nprobe · Σ_lists |list|² / corpus per vector on
+    *    average — bounded by the nlist ∝ corpus sizing rule, the same
+    *    within-cluster-pairs contract SemDeDup documents; a skewed hot
+    *    list is AQE skew-split on the join key.
+    * Returns (vec_id, rank, neighbor_id), rank-only (the ANN convention:
+    * ranks are stable under double cosine noise, raw cosines are not).
+    * Self-pairs excluded; each (vector, neighbor) pair meets at most
+    * once (a neighbor lives in exactly one list). */
+  def knnGraph(emb: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = centroids(emb)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("probe_label").asc)
+    val routed = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents.select(col("label").as("probe_label"),
+        col("centroid"))))
+      .withColumn("ccos", cosine("q_emb", "centroid"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("probe_label"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"))
+      .join(routed, col("label") === col("probe_label") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine("q_emb", "embedding"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("vec_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Persist the IVF artifact under `dir`:
     *  - `coarse`: (label, centroid) — nlist×dim, broadcastable;
     *  - `lists`:  (vec_id, embedding) PARTITIONED BY label — the

@@ -801,6 +801,56 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus-wide k-NN graph (Similarity.knnGraph): every vector's top-3
+    * neighbors over its 2 nearest label lists — the batch primitive
+    * under SemDeDup clustering, graph-based dedup sweeps, and kNN-LM
+    * datastore prep. Unlike the bounded-query ANN forms the query set
+    * IS the corpus, so the probe is a shuffled label equi join (never a
+    * broadcast, never all-pairs) and routing prunes map-side via
+    * WindowGroupLimit. Oracle = the same routed rerank with q = every
+    * vector. */
+  val simKnnGraph = QueryDef(
+    "q_ns_sim_knn_graph",
+    """WITH expanded AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos) g
+      |  GROUP BY label
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings
+      |),
+      |routed AS (
+      |  SELECT query_id, qe, label AS probe_label
+      |  FROM (
+      |    SELECT q.query_id, q.qe, c.label,
+      |           row_number() OVER (
+      |             PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC, c.label) AS rn
+      |    FROM q CROSS JOIN cent c
+      |  ) x WHERE rn <= 2
+      |)
+      |SELECT vec_id, rank, neighbor_id
+      |FROM (
+      |  SELECT r.query_id AS vec_id, e.vec_id AS neighbor_id,
+      |         row_number() OVER (
+      |           PARTITION BY r.query_id
+      |           ORDER BY list_cosine_similarity(r.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                    e.vec_id) AS rank
+      |  FROM embeddings e JOIN routed r ON e.label = r.probe_label
+      |  WHERE e.vec_id <> r.query_id
+      |) x
+      |WHERE rank <= 3
+      |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    Similarity.knnGraph(T.embeddings(s, d), k = 3, nprobe = 2)
+      .orderBy("vec_id", "rank")
+  }
+
   /** Hard-negative mining (metric-learning data prep): per query, the 3
     * most-similar DIFFERENT-label vectors, routed over the query's two
     * nearest FOREIGN label-centroids — lists are label partitions, so
@@ -2566,7 +2616,7 @@ object NorthStar {
     dedupAdmitBloom, dedupAdmitBloomCompacted,
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
-    simIvfServedCompacted, simLsh,
+    simIvfServedCompacted, simKnnGraph, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
     textVocab, datasetCard, datasetCardFreshness, distinctiveTerms,

@@ -72,6 +72,28 @@ class PlanSpec extends AnyFunSuite {
       s"theta join degenerated to a product:\n$p")
   }
 
+  test("kNN graph: corpus-sized route table is NOT broadcast into the " +
+      "list probe, routing prunes map-side, no cartesian") {
+    val p = plan("q_ns_sim_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"knn graph plans a product:\n$p")
+    // the per-vector top-nprobe over corpus×nlist centroid scores must
+    // prune BEFORE the shuffle (rank-filter pushdown)
+    assert(p.contains("WindowGroupLimit"),
+      s"routing top-nprobe not planned as a map-side group limit:\n$p")
+    // the list probe is an EQUI join on the label — Catalyst is free to
+    // broadcast at toy stats (AQE does here) and merge-join at scale;
+    // what must NOT happen is a second nested loop (the only allowed one
+    // is the k-row centroid routing cross)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi join for the list probe:\n$p")
+    // one BNLJ node only (the centroid routing cross); the formatted
+    // plan prints each node twice — once in the tree, once in the
+    // numbered detail section — so one node = two string occurrences
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"more than the one allowed centroid-routing nested loop:\n$p")
+  }
+
   test("3-D skyline: grid prune + covering-cell equi join, never a " +
       "cartesian or nested loop") {
     val p = plan("q_o5_skyline_3d")
@@ -129,6 +151,7 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_brute_topk" -> "broadcast query set, linear corpus scan",
       // queries × centroids routing cross: |queries| × nlist rows
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
+      "q_ns_sim_knn_graph" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_served_incremental" ->
         "tiny centroid routing cross (loaded coarse table)",
