@@ -104,7 +104,18 @@ object Bench {
     "q_j11_interval_bucket_join",
     "q_sk_sample_quantiles",
     "q_er_golden_record",
-    "q_e_scd2_pit")
+    "q_e_scd2_pit",
+    // round-11: the dominance-grid 3-D skyline (prefix-max doesn't
+    // generalize past 2 dims), the fused per-field golden record (shares
+    // the persisted ER cluster labels with q_er_golden_record — warm reps
+    // measure the survivorship aggregate, not the clustering), the
+    // posting append→compact lifecycle served end-to-end, and the
+    // corpus-wide IVF-routed kNN graph (the query set IS the corpus —
+    // shuffled label probe, map-side route pruning)
+    "q_o5_skyline_3d",
+    "q_er_field_merge",
+    "q_ret_phrase_served_compacted",
+    "q_ns_sim_knn_graph")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)
