@@ -699,6 +699,8 @@ object ScaleOps {
       .withColumn("__ci", floor(col("x") / wx).cast("int"))
       .withColumn("__cj", floor(col("y") / wy).cast("int"))
     val grid = pts.groupBy("__ci", "__cj").agg(max(col("z")).as("__mz"))
+    // 1-row collect: two ints (the grid extent) — width-bounded by
+    // construction, never data-sized
     val ext = grid.agg(max(col("__ci")), max(col("__cj"))).head()
     if (ext.isNullAt(0)) return points.limit(0) // empty input
     val (gi, gj) = (ext.getInt(0) + 1, ext.getInt(1) + 1)

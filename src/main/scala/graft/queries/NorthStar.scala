@@ -851,6 +851,95 @@ object NorthStar {
       .orderBy("vec_id", "rank")
   }
 
+  /** kNN-graph recall@3 against the exact cosine ranking, measured
+    * in-gate on a 100-vector anchor slice (the q_ns_pq_recall /
+    * q_ns_minhash_recall discipline: the exact side is QUERY-BOUNDED —
+    * 100 anchors × corpus, never corpus × corpus — while the graph side
+    * samples the corpus-wide structure the op actually builds). Both
+    * rankings and the per-anchor hit counts reproduce cross-engine.
+    * Routing misses (a true neighbor living outside the anchor's two
+    * probed lists) are exactly what the metric quantifies — the
+    * nprobe dial's measured cost. NOTE on the value (the q_ns_pq_recall
+    * caveat): the synthetic embeddings are near-uniform random — the ANN
+    * worst case, no cluster structure for the lists to capture — so
+    * recall@3 at nprobe=2 sits ~0.3 here; the point is the metric is
+    * computed and verified in-gate, and structured inputs route
+    * tightly. */
+  val simKnnGraphRecall = QueryDef(
+    "q_ns_knn_graph_recall",
+    """WITH expanded AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(v) AS c FROM expanded GROUP BY label, pos) g
+      |  GROUP BY label
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 100
+      |),
+      |routed AS (
+      |  SELECT query_id, qe, label AS probe_label
+      |  FROM (
+      |    SELECT q.query_id, q.qe, c.label,
+      |           row_number() OVER (
+      |             PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC, c.label) AS rn
+      |    FROM q CROSS JOIN cent c
+      |  ) x WHERE rn <= 2
+      |),
+      |approx AS (
+      |  SELECT query_id, neighbor_id
+      |  FROM (
+      |    SELECT r.query_id, e.vec_id AS neighbor_id,
+      |           row_number() OVER (
+      |             PARTITION BY r.query_id
+      |             ORDER BY list_cosine_similarity(r.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                      e.vec_id) AS rank
+      |    FROM embeddings e JOIN routed r ON e.label = r.probe_label
+      |    WHERE e.vec_id <> r.query_id
+      |  ) x WHERE rank <= 3
+      |),
+      |exact AS (
+      |  SELECT query_id, neighbor_id
+      |  FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id,
+      |           row_number() OVER (
+      |             PARTITION BY q.query_id
+      |             ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                      e.vec_id) AS rank
+      |    FROM embeddings e CROSS JOIN q
+      |    WHERE e.vec_id <> q.query_id
+      |  ) x WHERE rank <= 3
+      |),
+      |hits AS (
+      |  SELECT a.query_id, count(*) AS n_hits
+      |  FROM approx a JOIN exact USING (query_id, neighbor_id)
+      |  GROUP BY a.query_id
+      |)
+      |SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM q LEFT JOIN hits h USING (query_id)
+      |ORDER BY q.query_id""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val approx = Similarity.knnGraph(emb, k = 3, nprobe = 2)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("neighbor_id"))
+    val exact = Similarity
+      .bruteForceTopK(emb, (0L until 100L), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("query_id")
+  }
+
   /** Hard-negative mining (metric-learning data prep): per query, the 3
     * most-similar DIFFERENT-label vectors, routed over the query's two
     * nearest FOREIGN label-centroids — lists are label partitions, so
@@ -2616,7 +2705,7 @@ object NorthStar {
     dedupAdmitBloom, dedupAdmitBloomCompacted,
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
-    simIvfServedCompacted, simKnnGraph, simLsh,
+    simIvfServedCompacted, simKnnGraph, simKnnGraphRecall, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
     textVocab, datasetCard, datasetCardFreshness, distinctiveTerms,

@@ -152,6 +152,8 @@ class PlanSpec extends AnyFunSuite {
       // queries × centroids routing cross: |queries| × nlist rows
       "q_ns_sim_ivf_topk" -> "tiny centroid routing cross",
       "q_ns_sim_knn_graph" -> "tiny centroid routing cross",
+      "q_ns_knn_graph_recall" ->
+        "tiny centroid routing cross + brute exact side (anchor-query broadcast)",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_served_incremental" ->
         "tiny centroid routing cross (loaded coarse table)",
