@@ -155,6 +155,34 @@ class OpsSpec extends AnyFunSuite {
       s"expected compacted ledger + one post-compaction generation: $g")
   }
 
+  test("kNN graph: planted tight clusters route perfectly — every " +
+      "neighbor from the vector's own cluster, recall 1.0 at nprobe=1") {
+    import spark.implicits._
+    // 3 well-separated clusters of 8, tiny within-cluster jitter: with
+    // structure present (unlike the near-uniform gate corpus) routing is
+    // exact and the graph equals brute force
+    val base = Map(0 -> Array(1f, 0f, 0f, 0f), 1 -> Array(0f, 1f, 0f, 0f),
+      2 -> Array(0f, 0f, 1f, 0f))
+    val vecs = (0L until 24L).map { id =>
+      val c = (id % 3).toInt
+      val eps = 0.01f * (id / 3 + 1)
+      val v = base(c).clone()
+      v((c + 1) % 4) += eps // deterministic jitter off the cluster axis
+      (id, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val g = graft.ops.Similarity.knnGraph(vecs, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(g.size == 24 * 3, s"expected a full 3-regular graph, got ${g.size}")
+    assert(g.forall { case (v, n) => v % 3 == n % 3 },
+      "a neighbor crossed cluster boundaries despite planted separation")
+    // with structure, routed == exact
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(vecs, (0L until 24L), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(g.toSet == exact, "routed graph diverges from brute force " +
+      "on clearly clustered data")
+  }
+
   test("ivf and admission-index compaction: fewer files, identical " +
       "answers, ledgers folded") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
