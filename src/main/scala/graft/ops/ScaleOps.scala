@@ -330,8 +330,10 @@ object ScaleOps {
         "op's contract is a bounded source taxonomy — pre-aggregate the " +
         s"source column, raise maxSources deliberately, or pass " +
         "topSources=M to cap the matrix at the M highest-volume sources")
+    // both sides ≤ maxSources rows by the guard above — broadcast the
+    // fan like every other k-bounded cross in the repo
     val pairs = srcs.select(col("source").as("source_a"))
-      .crossJoin(srcs.select(col("source").as("source_b")))
+      .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
       .filter(col("source_a") < col("source_b"))
     def sided(hashes: DataFrame): DataFrame = {
       val a = pairs.join(hashes.withColumnRenamed("source", "source_a"),
