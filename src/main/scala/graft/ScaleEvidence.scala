@@ -671,9 +671,11 @@ object ScaleEvidence {
       ops.Retrieval.phraseIndexBuild(
         docs10.filter(col("doc_id") % 3 === 0), appendDir, "doc_id", "text")
       ops.Retrieval.phraseIndexAppend(
-        docs10.filter(col("doc_id") % 3 === 1), appendDir, "doc_id", "text")
+        docs10.filter(col("doc_id") % 3 === 1), appendDir, "doc_id", "text",
+        batchId = 1L)
       ops.Retrieval.phraseIndexAppend(
-        docs10.filter(col("doc_id") % 3 === 2), appendDir, "doc_id", "text")
+        docs10.filter(col("doc_id") % 3 === 2), appendDir, "doc_id", "text",
+        batchId = 2L)
       val total = ops.Models.load(spark, s"$sortedDir/positions").count()
       def measure(layout: String, dir: String): Unit =
         for (word <- Seq("r3_value", "r7_table")) {

@@ -535,7 +535,7 @@ object Dedup {
     import spark.implicits._
     Models.save(Seq.empty[(Long, Long)].toDF("from_rep", "to_rep"),
       s"$dir/merges")
-    Models.logGen(spark, dir, batchId = 0L, fresh = true)
+    Models.logGen(spark, dir, batchId = -1L, fresh = true)
   }
 
   /** Transitive closure of the merge map by pointer jumping: each round
@@ -592,7 +592,8 @@ object Dedup {
     * released on exit — one append (or one ccIngest micro-batch) accrues
     * nothing in the block manager. */
   def ccAppend(newPairs: DataFrame, dir: String,
-      batchId: Long = -1L): Unit = Pins.scoped {
+      batchId: Long): Unit = Pins.scoped {
+    require(batchId >= 0, "appends need an explicit batch/sequence id")
     val spark = newPairs.sparkSession
     val labels = Models.load(spark, s"$dir/labels")
     val closed = closeMerges(Models.load(spark, s"$dir/merges"))

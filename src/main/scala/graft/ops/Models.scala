@@ -38,31 +38,37 @@ object Models {
   def save(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
-  /** Generation ledger: each artifact build/append stamps one
-    * (gen, batch_id) row under `$dir/gens` — the lifecycle metadata the
-    * dataset card's freshness section reads ([[genStats]]): how many
-    * file-set generations a serving scan pays for (the compaction-cadence
-    * signal) and which ingest batch the artifact last saw (the staleness
-    * signal). `batchId` < 0 means "sequential": the ledger assigns
-    * gen-count order — streaming folds pass their real micro-batch id
-    * instead. The ledger is itself one tiny appended table; build passes
-    * overwrite it back to one row. */
-  def logGen(spark: SparkSession, dir: String, batchId: Long = -1L,
+  /** Generation ledger: each artifact build/append stamps one batch_id
+    * row under `$dir/gens` — the lifecycle metadata the dataset card's
+    * freshness section reads ([[genStats]]): how many file-set
+    * generations a serving scan pays for (the compaction-cadence signal)
+    * and which ingest batch the artifact last saw (the staleness
+    * signal). The stamp is WRITE-ONLY — one append job, no read: gen
+    * ordinals are never stored, [[genStats]] derives the generation
+    * count at read time as count(DISTINCT batch_id). That read-time
+    * distinct also makes the ledger REPLAY-SAFE: a streaming micro-batch
+    * re-run after a crash-before-checkpoint re-stamps the same batch_id
+    * and folds to one generation, so the freshness metadata matches the
+    * at-least-once data appends instead of overcounting them.
+    * Contract: builds stamp `batchId = -1` ("fitted, no stream position
+    * seen"); every append must pass a real non-negative id (streaming
+    * folds pass the micro-batch id, batch callers a sequence number) —
+    * micro-batch ids start at 0, which is why builds may not use it.
+    * Single-writer per artifact is assumed, as for the data appends
+    * themselves: two concurrent appenders are only distinguishable by
+    * their batch_ids, and the distinct-count makes an accidental id
+    * collision benign (one generation miscounted, never a crash). */
+  def logGen(spark: SparkSession, dir: String, batchId: Long,
       fresh: Boolean = false): Unit = {
     import spark.implicits._
-    val path = s"$dir/gens"
-    val nPrior =
-      if (fresh) 0L
-      else try load(spark, path).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    val id = if (batchId >= 0) batchId else nPrior
-    val row = Seq((nPrior, id)).toDF("gen", "batch_id")
-    if (fresh) save(row, path) else append(row, path)
+    val row = Seq(batchId).toDF("batch_id")
+    if (fresh) save(row, s"$dir/gens") else append(row, s"$dir/gens")
   }
 
   /** Fold the ledger after a compaction: the artifact is ONE generation
     * again, but the last-seen batch id is preserved (compaction changes
-    * layout, not content). */
+    * layout, not content). The max() read is fine here — compaction is
+    * already a whole-artifact rewrite, never the hot append path. */
   def resetGens(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val path = s"$dir/gens"
@@ -70,43 +76,86 @@ object Models {
       try {
         val r = load(spark, path)
           .agg(org.apache.spark.sql.functions.max("batch_id")).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    save(Seq((0L, last)).toDF("gen", "batch_id"), path)
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      } catch { case _: org.apache.spark.sql.AnalysisException => -1L }
+    save(Seq(last).toDF("batch_id"), path)
   }
 
-  /** The freshness row the card reads: generation count + last batch id. */
+  /** The freshness row the card reads: generation count + last batch id.
+    * count(DISTINCT batch_id), not count(*): replayed micro-batches fold
+    * (see [[logGen]]'s replay contract). */
   def genStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     load(spark, s"$dir/gens").agg(
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_generations"),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("batch_id")).as("n_generations"),
       org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("batch_id")).as("last_batch_id"))
 
+  private val SwapAsideSuffix = "__swap_old"
+
   /** Generation swap: replace the live artifact directory with a freshly
-    * written one (delete live, rename tmp into its place). Parquet cannot
-    * overwrite a directory that is also being read, so maintenance passes
-    * (posting compaction, …) write a NEW directory from the old one and
-    * swap — the pattern a real table format wraps in a metadata commit;
-    * here the swap is the two filesystem ops, and a crash between them
-    * loses only the rewrite (the source generations were already folded
-    * into tmp, which survives under its tmp name for manual recovery). */
+    * written one. Parquet cannot overwrite a directory that is also
+    * being read, so maintenance passes (posting compaction, …) write a
+    * NEW directory from the old one and swap — the pattern a real table
+    * format wraps in a metadata commit. The swap is RENAME-ASIDE
+    * (live → live__swap_old, tmp → live, delete __swap_old), never
+    * delete-then-rename: compaction now runs unattended inside streaming
+    * foreachBatch loops, and a crash in a delete-first window would
+    * leave NO live directory — the replayed batch's mode-append then
+    * silently recreates it and the index serves near-empty results. With
+    * rename-aside every crash window is recoverable from what's on disk:
+    *  - crash before the first rename: nothing changed;
+    *  - crash between the renames: live is missing but __swap_old holds
+    *    the full pre-swap artifact — [[healSwap]] renames it back
+    *    (the compaction rewrite is lost, which is layout-only and safe);
+    *  - crash after the second rename: live is the new generation and
+    *    __swap_old is stale residue — [[healSwap]] deletes it.
+    * [[load]]/[[append]]/[[appendPartitioned]] heal before touching the
+    * path, so serve and ingest paths self-recover instead of appending
+    * into a recreated-empty directory. */
   def swapIn(spark: SparkSession, tmpDir: String, liveDir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val tmp = new org.apache.hadoop.fs.Path(tmpDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
+    heal(fs, live) // clear residue from a previously crashed swap first
+    val aside = new org.apache.hadoop.fs.Path(liveDir + SwapAsideSuffix)
+    if (fs.exists(live))
+      require(fs.rename(live, aside),
+        s"generation swap failed renaming aside: $liveDir")
     require(fs.rename(tmp, live),
       s"generation swap failed: $tmpDir -> $liveDir")
+    fs.delete(aside, true)
+  }
+
+  /** Recover `liveDir` from a [[swapIn]] interrupted mid-swap (see the
+    * crash-window table there). Idempotent and cheap when there is
+    * nothing to do: one fs.exists on the __swap_old marker. */
+  def healSwap(spark: SparkSession, liveDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(liveDir)
+    heal(live.getFileSystem(spark.sparkContext.hadoopConfiguration), live)
+  }
+
+  private def heal(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(live.toString + SwapAsideSuffix)
+    if (fs.exists(aside)) {
+      if (fs.exists(live)) fs.delete(aside, true) // crashed after rename 2
+      else require(fs.rename(aside, live), // crashed between the renames
+        s"swap recovery failed: $aside -> $live")
+    }
   }
 
   /** Append a delta to an existing artifact table — only for artifacts
     * whose consumers are multiplicity-insensitive (the dedup index's
     * digest/signature tables, read via anti/semi joins: Neutral
     * .dedupIndexAppend). A fitted model (centroids, codebooks, merges)
-    * must never be appended — rebuild and [[save]] instead. */
-  def append(df: DataFrame, dir: String): Unit =
+    * must never be appended — rebuild and [[save]] instead. Heals a
+    * crashed swap first: appending into a directory a dead compaction
+    * left missing would otherwise recreate it near-empty. */
+  def append(df: DataFrame, dir: String): Unit = {
+    healSwap(df.sparkSession, dir)
     df.write.mode("append").parquet(dir)
+  }
 
   /** Persist with Hive-style directory partitioning on `cols` — for
     * artifact tables whose serving access pattern is an equi join or
@@ -119,12 +168,16 @@ object Models {
 
   /** [[append]] for a [[savePartitioned]] artifact — deltas land inside
     * the matching partition directories, so pruning holds across append
-    * generations. */
-  def appendPartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    * generations. Heals a crashed swap first (see [[append]]). */
+  def appendPartitioned(df: DataFrame, dir: String, cols: String*): Unit = {
+    healSwap(df.sparkSession, dir)
     df.write.mode("append").partitionBy(cols: _*).parquet(dir)
+  }
 
-  def load(spark: SparkSession, dir: String): DataFrame =
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    healSwap(spark, dir) // serve paths self-recover from a crashed swap
     spark.read.parquet(dir)
+  }
 
   /** True iff a completed save exists at `dir` (the _SUCCESS marker —
     * a torn write never serves). */

@@ -234,7 +234,7 @@ object Neutral {
     val shC = sigTable(corpus, textCol, shingleN)
     Models.save(shC.select(col("doc_id"), col("hs")), s"$dir/hs")
     Models.save(bandedOf(shC, bands, rows), s"$dir/banded")
-    Models.logGen(corpus.sparkSession, dir, batchId = 0L, fresh = true)
+    Models.logGen(corpus.sparkSession, dir, batchId = -1L, fresh = true)
   }
 
   /** [[dedupAgainst]] SERVED from the persisted index at `dir`
@@ -282,7 +282,8 @@ object Neutral {
     * admitted batch is appended). */
   def dedupIndexAppend(admitted: DataFrame, dir: String,
       textCol: String = "text", shingleN: Int = 3, bands: Int = 16,
-      rows: Int = 4, batchId: Long = -1L): Unit = Pins.scoped {
+      rows: Int = 4, batchId: Long): Unit = Pins.scoped {
+    require(batchId >= 0, "appends need an explicit batch/sequence id")
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
     Models.append(
       admitted.select(sha2(col(textCol), 256).as("sha")).distinct(),
@@ -344,7 +345,8 @@ object Neutral {
   def admitAndAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       incoming: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.8,
-      commitBeforeAppend: DataFrame => Unit = _ => ()): DataFrame = {
+      commitBeforeAppend: DataFrame => Unit = _ => (),
+      batchId: Long): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val admitted =
@@ -354,7 +356,7 @@ object Neutral {
     // handle cannot reach (release only AFTER consuming the batch)
     Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
     commitBeforeAppend(admitted)
-    dedupIndexAppend(admitted, dir, textCol)
+    dedupIndexAppend(admitted, dir, textCol, batchId = batchId)
     admitted
   }
 

@@ -114,7 +114,7 @@ object Retrieval {
     Models.save(
       dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
       s"$dir/stats")
-    Models.logGen(df.sparkSession, dir, batchId = 0L, fresh = true)
+    Models.logGen(df.sparkSession, dir, batchId = -1L, fresh = true)
   }
 
   /** Append one batch of NEW documents to the persisted BM25 index — the
@@ -131,7 +131,8 @@ object Retrieval {
     * Each appended file set is itself word-range-sorted, so pruning
     * holds per append generation. */
   def bm25Append(batch: DataFrame, dir: String, idCol: String,
-      textCol: String, batchId: Long = -1L): Unit = Pins.scoped {
+      textCol: String, batchId: Long): Unit = Pins.scoped {
+    require(batchId >= 0, "appends need an explicit batch/sequence id")
     val tf = Pins.track(tokens(batch, idCol, textCol)
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
       .cache())
@@ -198,7 +199,7 @@ object Retrieval {
             x => x =!= "")).as(Seq("pos", "word"))),
         idCol),
       s"$dir/positions")
-    Models.logGen(df.sparkSession, dir, batchId = 0L, fresh = true)
+    Models.logGen(df.sparkSession, dir, batchId = -1L, fresh = true)
   }
 
   /** Append one batch of NEW documents' positions to the phrase index —
@@ -209,7 +210,8 @@ object Retrieval {
     * Each appended file set is itself word-range-sorted, so stats-based
     * pruning holds per append generation. */
   def phraseIndexAppend(batch: DataFrame, dir: String, idCol: String,
-      textCol: String, batchId: Long = -1L): Unit = {
+      textCol: String, batchId: Long): Unit = {
+    require(batchId >= 0, "appends need an explicit batch/sequence id")
     Models.append(
       wordSorted(
         batch.select(col(idCol),

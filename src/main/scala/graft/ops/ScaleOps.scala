@@ -697,15 +697,33 @@ object ScaleOps {
     require(wx > 0 && wy > 0, "cell widths must be positive")
     val spark = points.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val pts = points
-      .withColumn("__ci", floor(col("x") / wx).cast("int"))
-      .withColumn("__cj", floor(col("y") / wy).cast("int"))
-    val grid = pts.groupBy("__ci", "__cj").agg(max(col("z")).as("__mz"))
-    // 1-row collect: two ints (the grid extent) — width-bounded by
-    // construction, never data-sized
-    val ext = grid.agg(max(col("__ci")), max(col("__cj"))).head()
+    // raw cell ids in LONG (an int cast of floor(x/wx) silently wraps for
+    // |x/wx| > 2^31), then NORMALIZED by the min cell so the dense grid's
+    // cell-0 origin and the exact phase's 0..__qci covering-cell explode
+    // are correct for negative coordinates too — without this, a
+    // candidate in a negative cell never met its dominators (ADVICE r11)
+    val raw = points
+      .withColumn("__cil", floor(col("x") / wx).cast("long"))
+      .withColumn("__cjl", floor(col("y") / wy).cast("long"))
+    // 1-row collect: four longs (the grid extent) — never data-sized
+    val ext = raw.agg(min(col("__cil")), min(col("__cjl")),
+      max(col("__cil")), max(col("__cjl"))).head()
     if (ext.isNullAt(0)) return points.limit(0) // empty input
-    val (gi, gj) = (ext.getInt(0) + 1, ext.getInt(1) + 1)
+    val (ci0, cj0) = (ext.getLong(0), ext.getLong(1))
+    val (giL, gjL) = (ext.getLong(2) - ci0 + 1, ext.getLong(3) - cj0 + 1)
+    // the dense grid is extent/width-sized and broadcast below: fail fast
+    // when the chosen widths make it unboundedly large relative to the
+    // data extent instead of OOMing the driver (per-dim check first so
+    // the product can't overflow)
+    require(giL <= 4000000L && gjL <= 4000000L && giL * gjL <= 4000000L,
+      s"dominance grid ${giL}x${gjL} exceeds 4M cells — widen wx/wy " +
+        "toward the data extent")
+    val (gi, gj) = (giL.toInt, gjL.toInt)
+    val pts = raw
+      .withColumn("__ci", (col("__cil") - lit(ci0)).cast("int"))
+      .withColumn("__cj", (col("__cjl") - lit(cj0)).cast("int"))
+      .drop("__cil", "__cjl")
+    val grid = pts.groupBy("__ci", "__cj").agg(max(col("z")).as("__mz"))
     val dense = spark.range(gi.toLong * gj)
       .select((col("id") / gj).cast("int").as("__ci"),
         (col("id") % gj).cast("int").as("__cj"))

@@ -173,7 +173,7 @@ object Similarity {
     Models.savePartitioned(
       emb.select(col("vec_id"), col("embedding"), col("label")),
       s"$dir/lists", "label")
-    Models.logGen(emb.sparkSession, dir, batchId = 0L, fresh = true)
+    Models.logGen(emb.sparkSession, dir, batchId = -1L, fresh = true)
   }
 
   /** Append a batch of NEW vectors to the persisted inverted lists —
@@ -188,7 +188,8 @@ object Similarity {
     * whose lists were defined the same way — the oracle contract of
     * q_ns_sim_ivf_served_incremental. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession,
-      newVecs: DataFrame, dir: String, batchId: Long = -1L): Unit = {
+      newVecs: DataFrame, dir: String, batchId: Long): Unit = {
+    require(batchId >= 0, "appends need an explicit batch/sequence id")
     val coarse = Models.load(spark, s"$dir/coarse")
     val assigned = newVecs
       .select(col("vec_id"), col("embedding"))

@@ -377,20 +377,31 @@ object Lifecycle {
     * corpora of the two queries differ only in SURVIVORSHIP-side columns
     * (balance plants, email, updated_at) — names/blocks are identical,
     * so the clusters are too. */
+  /** Planted dirty ER corpus. Provenance is CARRIED through construction
+    * (`__src`: 0 base / 1 " llc" copy / 2 " co" copy, plus the
+    * pre-offset `__orig` key) rather than decoded back from key ranges
+    * downstream — the r11 ADVICE fix: TPC-H c_custkey exceeds the 1e6
+    * offset around sf 7, where a range decode would misattribute the
+    * survivorship plants. The key offsets themselves stay fixed because
+    * the oracle SQL plants with the same literals; a key collision at
+    * sf ≥ 7 changes both sides identically (engine and oracle build the
+    * same dirty rows), so parity holds at any sf. */
   private def erDirtyBase(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val base = T.customer(s, d).select(
       col("c_custkey").cast("long").as("key"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), col("c_acctbal").as("bal"))
-    base
+    base.withColumn("__src", lit(0)).withColumn("__orig", col("key"))
       .unionByName(base.filter(col("key") % 7 === 0).select(
         (col("key") + 1000000L).as("key"),
         concat(col("name"), lit(" llc")).as("name"), col("nat"),
-        lit(null).cast("double").as("bal")))
+        lit(null).cast("double").as("bal"),
+        lit(1).as("__src"), col("key").as("__orig")))
       .unionByName(base.filter(col("key") % 21 === 0).select(
         (col("key") + 2000000L).as("key"),
         concat(col("name"), lit(" co")).as("name"), col("nat"),
-        col("bal")))
+        col("bal"),
+        lit(2).as("__src"), col("key").as("__orig")))
   }
 
   /** The dirty corpus joined with its persisted cluster labels
@@ -579,26 +590,23 @@ object Lifecycle {
     import org.apache.spark.sql.expressions.Window
     // survivorship-side plants layered over the SHARED dirty base +
     // cluster labels (names/blocks identical ⇒ identical clusters):
-    // base rows get upd + NULL email; the llc copy (key+1e6) +1000 days
-    // and an email; the co copy (key+2e6) bal+100
+    // base rows get upd + NULL email; the llc copy +1000 days and an
+    // email; the co copy bal+100 — attributed from the CARRIED __src
+    // provenance, never decoded from key ranges (exact at any sf)
     val labeled = erLabeled(s, d)
-      .withColumn("__orig",
-        when(col("key") >= 2000000L, col("key") - 2000000L)
-          .when(col("key") >= 1000000L, col("key") - 1000000L)
-          .otherwise(col("key")))
       .withColumn("__upd0", date_add(to_date(lit("1995-01-01")),
         (col("__orig") % 365).cast("int")))
       .withColumn("upd",
-        when(col("key") >= 1000000L && col("key") < 2000000L,
-          date_add(col("__upd0"), 1000)).otherwise(col("__upd0")))
+        when(col("__src") === 1, date_add(col("__upd0"), 1000))
+          .otherwise(col("__upd0")))
       .withColumn("email",
-        when(col("key") >= 1000000L && col("key") < 2000000L,
+        when(col("__src") === 1,
           concat(lit("k"), col("__orig").cast("string"), lit("@x")))
           .otherwise(lit(null).cast("string")))
       .withColumn("bal",
-        when(col("key") >= 2000000L, col("bal") + 100.0)
+        when(col("__src") === 2, col("bal") + 100.0)
           .otherwise(col("bal")))
-      .drop("__orig", "__upd0")
+      .drop("__upd0")
     val ranked = labeled.withColumn("rn", row_number().over(
       Window.partitionBy("component").orderBy("key")))
     val merged = labeled.groupBy("component").agg(

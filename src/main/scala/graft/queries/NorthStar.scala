@@ -258,7 +258,8 @@ object NorthStar {
         Dedup.ccBuild(
           pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0), tmp)
         Dedup.ccAppend(
-          pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1), tmp)
+          pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1), tmp,
+          batchId = 1L)
       }
     }
     docs.select("doc_id")
@@ -1110,7 +1111,8 @@ object NorthStar {
     val dir = graft.ops.Models.ensureBuilt(s"ivfinc|$d") { tmp =>
       val emb = T.embeddings(s, d)
       Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), tmp)
-      Similarity.ivfAppend(s, emb.filter(col("vec_id") % 5 === 0), tmp)
+      Similarity.ivfAppend(s, emb.filter(col("vec_id") % 5 === 0), tmp,
+        batchId = 1L)
     }
     val queries = T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))

@@ -192,7 +192,7 @@ object Retrieve {
       Retrieval.bm25Build(docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", tmp)
       Retrieval.bm25Append(docs.filter(col("doc_id") % 5 === 0), tmp,
-        "doc_id", "text")
+        "doc_id", "text", batchId = 1L)
     }
     Retrieval.bm25Serve(s, dir, "doc_id",
         terms = Seq("vector", "join", "hash"))
@@ -213,7 +213,7 @@ object Retrieve {
       Retrieval.phraseIndexBuild(docs.filter(col("doc_id") % 5 =!= 0), tmp,
         "doc_id", "text")
       Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 5 === 0), tmp,
-        "doc_id", "text")
+        "doc_id", "text", batchId = 1L)
     }
     Retrieval.phraseSearchServed(s, dir, "doc_id",
       phrase = Seq("value", "table"), k = 20)
@@ -235,9 +235,9 @@ object Retrieve {
       Retrieval.phraseIndexBuild(docs.filter(col("doc_id") % 3 === 0), tmp,
         "doc_id", "text")
       Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 3 === 1), tmp,
-        "doc_id", "text")
+        "doc_id", "text", batchId = 1L)
       Retrieval.phraseIndexAppend(docs.filter(col("doc_id") % 3 === 2), tmp,
-        "doc_id", "text")
+        "doc_id", "text", batchId = 2L)
       Retrieval.phraseIndexCompact(s, tmp, "doc_id")
     }
     Retrieval.phraseSearchServed(s, dir, "doc_id",
@@ -256,9 +256,9 @@ object Retrieve {
       Retrieval.bm25Build(docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text", tmp)
       Retrieval.bm25Append(docs.filter(col("doc_id") % 3 === 1), tmp,
-        "doc_id", "text")
+        "doc_id", "text", batchId = 1L)
       Retrieval.bm25Append(docs.filter(col("doc_id") % 3 === 2), tmp,
-        "doc_id", "text")
+        "doc_id", "text", batchId = 2L)
       Retrieval.bm25Compact(s, tmp, "doc_id")
     }
     Retrieval.bm25Serve(s, dir, "doc_id",

@@ -230,8 +230,10 @@ object Streaming {
       val emb = T.embeddings(s, d)
       graft.ops.Similarity.ivfBuild(emb.filter(col("vec_id") % 5 =!= 0), tmp)
       val delta = emb.filter(col("vec_id") % 5 === 0)
-      graft.ops.Similarity.ivfAppend(s, delta.filter(col("vec_id") % 2 === 0), tmp)
-      graft.ops.Similarity.ivfAppend(s, delta.filter(col("vec_id") % 2 =!= 0), tmp)
+      graft.ops.Similarity.ivfAppend(s, delta.filter(col("vec_id") % 2 === 0), tmp,
+        batchId = 1L)
+      graft.ops.Similarity.ivfAppend(s, delta.filter(col("vec_id") % 2 =!= 0), tmp,
+        batchId = 2L)
     }
     val queries = T.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))

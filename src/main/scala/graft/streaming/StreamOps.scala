@@ -331,12 +331,13 @@ object StreamOps {
       checkpointDir: String, minJaccard: Double = 0.8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Pins.scoped {
           graft.ops.Neutral.admitAndAppend(spark, indexDir, batch,
             minJaccard = minJaccard,
             commitBeforeAppend =
-              _.write.mode("append").parquet(sinkDir)): Unit
+              _.write.mode("append").parquet(sinkDir),
+            batchId = batchId): Unit
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -344,10 +344,10 @@ class NeutralSpec extends AnyFunSuite {
     // then batch 2 — the near-dup of batch 1's admission is now caught
     val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
     graft.ops.Neutral.dedupIndexBuild(corpus, dir)
-    val adm1 = graft.ops.Neutral.admitAndAppend(spark, dir, batch1, minJaccard = 0.5)
+    val adm1 = graft.ops.Neutral.admitAndAppend(spark, dir, batch1, minJaccard = 0.5, batchId = 1L)
       .select("doc_id").as[Long].collect().toSet
     assert(adm1 == Set(60001L), s"got $adm1")
-    val adm2 = graft.ops.Neutral.admitAndAppend(spark, dir, batch2, minJaccard = 0.5)
+    val adm2 = graft.ops.Neutral.admitAndAppend(spark, dir, batch2, minJaccard = 0.5, batchId = 2L)
       .select("doc_id").as[Long].collect().toSet
     assert(adm2 == Set(60003L), s"batch 2 near-dup not deduped: $adm2")
   }

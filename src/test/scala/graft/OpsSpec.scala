@@ -114,8 +114,8 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_a", "doc_b")
     val dir = java.nio.file.Files.createTempDirectory("ccinc_").toString
     Dedup.ccBuild(b1, dir)
-    Dedup.ccAppend(b2, dir)
-    Dedup.ccAppend(b3, dir)
+    Dedup.ccAppend(b2, dir, batchId = 1L)
+    Dedup.ccAppend(b3, dir, batchId = 2L)
     def toMap(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_id", "component").as[(Long, Long)].collect().toMap
     val served = toMap(Dedup.ccServe(spark, dir))
@@ -125,7 +125,7 @@ class OpsSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L)
       .forall(served(_) == 1L)) // everything chained down to min id 1
     // an append touching only already-merged nodes is a no-op
-    Dedup.ccAppend(Seq((10L, 21L)).toDF("doc_a", "doc_b"), dir)
+    Dedup.ccAppend(Seq((10L, 21L)).toDF("doc_a", "doc_b"), dir, batchId = 3L)
     assert(toMap(Dedup.ccServe(spark, dir)) == full)
     // the load-bearing invariant behind the pointer-jump closure: the
     // merge map stays FUNCTIONAL (a rep merges away at most once) and
@@ -144,7 +144,8 @@ class OpsSpec extends AnyFunSuite {
     assert(toMap(Dedup.ccServe(spark, dir)) == full,
       "serve-after-compact must equal serve-before")
     // post-compaction append: a fresh merge over compacted labels
-    Dedup.ccAppend(Seq((30L, 31L), (31L, 1L)).toDF("doc_a", "doc_b"), dir)
+    Dedup.ccAppend(Seq((30L, 31L), (31L, 1L)).toDF("doc_a", "doc_b"), dir,
+      batchId = 4L)
     val after = toMap(Dedup.ccServe(spark, dir))
     assert(after(30L) == 1L && after(31L) == 1L,
       s"append after compaction must keep merging: $after")
@@ -356,7 +357,7 @@ class OpsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
-    Similarity.ivfAppend(spark, batch, dir)
+    Similarity.ivfAppend(spark, batch, dir, batchId = 1L)
     // the appended vector must land in vector 0's own label list (its
     // nearest centroid is the one 0's list averages toward often enough
     // for a colinear copy: cosine to every centroid equals 0's own), and

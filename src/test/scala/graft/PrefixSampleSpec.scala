@@ -178,6 +178,32 @@ class PrefixSampleSpec extends AnyFunSuite {
     assert(got.size > 3, "expected corpus points in the skyline too")
   }
 
+  test("skyline3d is exact for negative coordinates: cells normalize " +
+      "to the min cell, so negative-cell candidates meet their dominators") {
+    import spark.implicits._
+    // the r11 ADVICE case: before cell normalization a candidate in a
+    // negative __ci cell was never joined against its dominators (the
+    // covering-cell explode ran sequence(0, qci)), so dominated points
+    // SURVIVED — a shifted corpus straddling zero exercises exactly that
+    val pts = events.select(col("event_id").cast("long").as("id"),
+        (col("value") - lit(5e8)).as("x"), // ~half the corpus negative
+        ((col("user_id") % 223) - 111L).cast("long").as("y"),
+        (col("event_id") % 97).cast("long").as("z"))
+      .limit(4000)
+    val got = ScaleOps.skyline3d(pts, "id", wx = 1e7, wy = 10.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val naive = pts.alias("b").join(pts.alias("a"),
+        col("a.x") >= col("b.x") && col("a.y") >= col("b.y") &&
+          col("a.z") >= col("b.z") &&
+          (col("a.x") > col("b.x") || col("a.y") > col("b.y") ||
+            col("a.z") > col("b.z")),
+        "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == naive,
+      s"negative-coordinate skyline diverges: extra=${got -- naive} " +
+        s"missing=${naive -- got}")
+  }
+
   test("sample sketch is a pure function of the row set: shard-built " +
       "union equals the one-pass sketch, exactly") {
     val ev = events

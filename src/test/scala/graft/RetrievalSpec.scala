@@ -104,7 +104,7 @@ class RetrievalSpec extends AnyFunSuite {
     val batch2 = all.filter(col("doc_id") % 5 === 0)
     val dir = java.nio.file.Files.createTempDirectory("phraseidx_inc").toString
     Retrieval.phraseIndexBuild(base, dir, "doc_id", "text")
-    Retrieval.phraseIndexAppend(batch2, dir, "doc_id", "text")
+    Retrieval.phraseIndexAppend(batch2, dir, "doc_id", "text", batchId = 1L)
     val phrase = Seq("value", "table")
     val served = Retrieval.phraseSearchServed(spark, dir, "doc_id", phrase, 200)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -122,7 +122,8 @@ class RetrievalSpec extends AnyFunSuite {
     val inc = java.nio.file.Files.createTempDirectory("bm25_inc").toString
     val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
     Retrieval.bm25Build(all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", inc)
-    Retrieval.bm25Append(all.filter(col("doc_id") % 5 === 0), inc, "doc_id", "text")
+    Retrieval.bm25Append(all.filter(col("doc_id") % 5 === 0), inc, "doc_id",
+      "text", batchId = 1L)
     Retrieval.bm25Build(all, "doc_id", "text", full)
     val terms = Seq("vector", "join", "hash")
     def scores(dir: String) =
@@ -143,9 +144,9 @@ class RetrievalSpec extends AnyFunSuite {
     Retrieval.phraseIndexBuild(all.filter(col("doc_id") % 3 === 0), pdir,
       "doc_id", "text")
     Retrieval.phraseIndexAppend(all.filter(col("doc_id") % 3 === 1), pdir,
-      "doc_id", "text")
+      "doc_id", "text", batchId = 1L)
     Retrieval.phraseIndexAppend(all.filter(col("doc_id") % 3 === 2), pdir,
-      "doc_id", "text")
+      "doc_id", "text", batchId = 2L)
     val phrase = Seq("value", "table")
     val before = Retrieval.phraseSearchServed(spark, pdir, "doc_id", phrase, 200)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -160,8 +161,10 @@ class RetrievalSpec extends AnyFunSuite {
     // bm25: same lifecycle; stats collapse to ONE row with the exact fold
     val bdir = java.nio.file.Files.createTempDirectory("bm25_cmp").toString
     Retrieval.bm25Build(all.filter(col("doc_id") % 3 === 0), "doc_id", "text", bdir)
-    Retrieval.bm25Append(all.filter(col("doc_id") % 3 === 1), bdir, "doc_id", "text")
-    Retrieval.bm25Append(all.filter(col("doc_id") % 3 === 2), bdir, "doc_id", "text")
+    Retrieval.bm25Append(all.filter(col("doc_id") % 3 === 1), bdir, "doc_id",
+      "text", batchId = 1L)
+    Retrieval.bm25Append(all.filter(col("doc_id") % 3 === 2), bdir, "doc_id",
+      "text", batchId = 2L)
     val terms = Seq("vector", "join", "hash")
     def scores() = Retrieval.bm25Serve(spark, bdir, "doc_id", terms)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq

@@ -456,7 +456,7 @@ class StreamingSpec extends AnyFunSuite {
     // deterministic, so micro-batch cadence cannot change the lists)
     val ref = java.nio.file.Files.createTempDirectory("ivf_ref").toString
     graft.ops.Similarity.ivfBuild(base, ref)
-    graft.ops.Similarity.ivfAppend(spark, delta, ref)
+    graft.ops.Similarity.ivfAppend(spark, delta, ref, batchId = 1L)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding"))
     def serve(dir: String) =
@@ -827,7 +827,7 @@ class StreamingSpec extends AnyFunSuite {
     // served results equal a batch-built twin over the same corpus
     val twinDir = java.nio.file.Files.createTempDirectory("ivfcmp_twin").toString
     Similarity.ivfBuild(base, twinDir)
-    Similarity.ivfAppend(spark, newer, twinDir)
+    Similarity.ivfAppend(spark, newer, twinDir, batchId = 1L)
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     def res(d: String) = Similarity.ivfServe(spark, d, qs, 3, 2)
