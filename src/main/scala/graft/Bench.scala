@@ -177,6 +177,11 @@ object Bench {
       // explicit salting (SCALING.md records both)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // plan fingerprints must not depend on WHERE a FileScan's metadata
+      // string truncates: expression ids grow over the sweep JVM's
+      // lifetime, so the default 100-char cut lands mid-filter at a
+      // rep-dependent spot and fakes a plan flip (measured r12)
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-footer warmup so per-query timings measure the
@@ -217,8 +222,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    def runOnce(name: String): Double = {
+    // physical evidence per rep (plan fingerprint + stage metrics) — the
+    // r11 ask: a cross-round timing flip must be attributable from the
+    // artifact alone (plan flip vs work change vs GC/JVM aging)
+    val probe = new BenchProbe(spark)
+    def runOnce(name: String): (Double, BenchProbe.Snap) = {
       clearState()
+      probe.reset()
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets the optimizer ELIMINATE a
       // cardinality-preserving left join (right side provably unique on
@@ -229,9 +239,9 @@ object Bench {
       // plan the driver's parquet dump actually executes.
       try {
         all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, probe.snapshot())
       }
-      catch { case _: Throwable => -1.0 }
+      catch { case _: Throwable => (-1.0, probe.snapshot()) }
     }
     // one probe before each query + one after the last: probe i and
     // probe i+1 bracket query i, so a contaminated span is attributable
@@ -242,23 +252,24 @@ object Bench {
       probes += calibrate(spark)
       probesPar += calibratePar(spark, cpus.toInt)
       val qReps = if (reps == 1) 1 else extraReps.getOrElse(name, reps)
-      var times = (1 to qReps).map(_ => runOnce(name))
+      var runs = (1 to qReps).map(_ => runOnce(name))
       // variance fold-in: when THIS run's warm reps spread >50% of their
       // median, the flakiness is happening here and now — take extra reps
       // (to 5 total) so the median is estimated where the noise occurs,
       // not where it was last seen. (The static extraReps list stays for
       // the known offenders; this catches new ones automatically.)
-      if (reps > 1 && times.forall(_ >= 0) && times.length < 5) {
-        val warm = times.tail
+      if (reps > 1 && runs.forall(_._1 >= 0) && runs.length < 5) {
+        val warm = runs.tail.map(_._1)
         val med = warm.sorted.apply(warm.length / 2)
         if (med > 0 && (warm.max - warm.min) / med > 0.5)
-          times = times ++ (times.length until 5).map(_ => runOnce(name))
+          runs = runs ++ (runs.length until 5).map(_ => runOnce(name))
       }
+      val times = runs.map(_._1)
       if (times.exists(_ < 0)) errors ::= name
       // cold = first run; steady = min over reps. A crashed query is
       // flagged with negative time, never folded into total.
       val steady = if (times.exists(_ < 0)) -1.0 else times.min
-      (name, steady, times)
+      (name, steady, times, runs.map(_._2))
     }
     val qs = results.map(r => s"\"" + r._1 + "\":" + r._2)
       .mkString("{", ",", "}")
@@ -278,6 +289,35 @@ object Bench {
     }
     val medians = results
       .map(r => s"\"" + r._1 + "\":" + median(r._3))
+      .mkString("{", ",", "}")
+    // per-rep physical evidence: plan fingerprint + stage metrics per
+    // query per rep, in rep order (aligned with queries_reps)
+    val probeJson = results
+      .map(r => s"\"" + r._1 + "\":" + r._4.map(_.json)
+        .mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    // queries whose plans CONFLICTED between reps in this very sweep —
+    // the in-artifact "it was an AQE flip" verdict. Rule: two reps
+    // conflict iff neither rep's distinct action-plan set contains the
+    // other (a missing zero-job event makes one rep's set a SUBSET of
+    // another's — delivery flake, not a plan change; a genuine AQE flip
+    // — e.g. the measured BuildLeft<->BuildRight build-side swap in the
+    // dedup-ingest CC loop — puts a DIFFERENT hash in each set).
+    def conflicting(snaps: Seq[BenchProbe.Snap]): Boolean = {
+      val sets = snaps.map(_.actions.toSet).distinct
+      sets.combinations(2).exists { case Seq(a, b) =>
+        !a.subsetOf(b) && !b.subsetOf(a)
+      }
+    }
+    val planFlips = results
+      .filter(r => conflicting(r._4))
+      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    // per-query union of distinct action-plan hashes across reps: the
+    // cross-round diffable plan identity (robust to per-rep event loss)
+    val planActions = results
+      .map(r => s"\"" + r._1 + "\":" +
+        r._4.flatMap(_.actions).distinct.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -323,7 +363,7 @@ object Bench {
       "artifact-level contended bit fires iff any probe in either " +
       "series exceeds its threshold"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.
