@@ -130,7 +130,11 @@ final class BenchProbe(spark: SparkSession) {
     import scala.jdk.CollectionConverters._
     val hs = planHashes.iterator().asScala.toSeq.sorted
     BenchProbe.Snap(
-      planFp = BenchProbe.md5Hex(hs.mkString("|")).take(12),
+      // "none" = every event for the rep was dropped by the async bus —
+      // readable in the artifact, and the empty set is subset-tolerated
+      // by the flip rule
+      planFp = if (hs.isEmpty) "none"
+        else BenchProbe.md5Hex(hs.mkString("|")).take(12),
       actions = hs.distinct,
       nPlans = hs.size,
       tasks = tasks.get,
@@ -181,6 +185,10 @@ object BenchProbe {
     // 3-rep bm25 sweep was stage 8<->9 numbering swaps
     .replaceAll("QueryStage \\d+", "QueryStage")
     .replaceAll("\\*\\(\\d+\\)", "*")
+    // generated lambda-variable names (higher-order array functions)
+    // embed a global counter: `lambda x_4#` vs `lambda x_6#` on identical
+    // shapes — applied AFTER the #id strip so `x_4#32` → `x_4#` → `x_#`
+    .replaceAll("_\\d+#", "_#")
     .replaceAll("@[0-9a-fA-F]{4,}", "@")
     .replaceAll("(file|hdfs|s3a?):[^\\s,\\)\\]]+", "$1:PATH")
     .replaceAll("Location: [^\\n]+", "Location: PATH")

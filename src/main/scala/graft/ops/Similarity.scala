@@ -225,6 +225,70 @@ object Similarity {
     Models.resetGens(spark, dir)
   }
 
+  /** Retrain the coarse quantizer on the CUMULATIVE lists — the missing
+    * half of the append lifecycle (r11 "What's missing" #2): [[ivfAppend]]
+    * assigns new vectors to FROZEN centroids, so under sustained
+    * distribution drift the frozen partition of space stops matching the
+    * corpus and recall degrades silently (measured: q_ns_sim_ivf_retrain
+    * _recall). Retrain is one deterministic Lloyd step seeded by the
+    * CURRENT assignments:
+    *  1. refit — new centroid = per-list elementwise mean over the
+    *     cumulative lists (appended vectors now pull their centroid,
+    *     which the frozen build never let them do). `sampleFrac` < 1
+    *     fits the means on a deterministic hash-sample of each list
+    *     (pmod(xxhash64(vec_id))) — the 10^9-vector scale path: centroid
+    *     means converge on a 1% sample, and the fit pass then reads a
+    *     fixed fraction of the corpus. A label whose sampled list is
+    *     empty keeps its old centroid (never a dropped partition).
+    *  2. reassign — every vector moves to its nearest NEW centroid (the
+    *     ivfAppend broadcast-argmax shape over the whole corpus: one
+    *     scan + one partitioned rewrite, the same cost class as
+    *     [[ivfCompact]]).
+    * Both halves land by generation swap; the coarse tmp is written and
+    * swapped BEFORE the lists so a crash between the swaps leaves new
+    * centroids routing over old lists — transiently suboptimal recall,
+    * never a missing partition or a torn read. Ledger folds to one
+    * generation ([[ivfCompact]]'s contract: retrain subsumes compaction
+    * — the rewrite is one file set per list). Deterministic end to end
+    * (mean + cosine argmax + label tie-break), so the served result has
+    * a plain SQL oracle twin. */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      sampleFrac: Double = 1.0): Unit = {
+    require(sampleFrac > 0 && sampleFrac <= 1.0,
+      "sampleFrac must be in (0, 1]")
+    val lists = Models.load(spark, s"$dir/lists")
+    val fit =
+      if (sampleFrac >= 1.0) lists
+      else lists.filter(pmod(xxhash64(col("vec_id")), lit(1000000)) <
+        (sampleFrac * 1000000).toLong)
+    val oldCoarse = Models.load(spark, s"$dir/coarse")
+      .select(col("label"), col("centroid").as("__old_c"))
+    val cents = oldCoarse
+      .join(centroids(fit).withColumnRenamed("centroid", "__new_c"),
+        Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("__new_c"), col("__old_c")).as("centroid"))
+    val coarseTmp = s"$dir/coarse__retraining"
+    Models.save(cents, coarseTmp)
+    val newCents = Models.load(spark, coarseTmp) // reassign reads the
+    // MATERIALIZED centroids, never a recompute that could diverge
+    val reassigned = lists
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(newCents))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        cosine("embedding", "centroid").as("ccos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("label")).as("negl"),
+        col("embedding").as("e"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("embedding"),
+        (-col("m.negl")).cast("int").as("label"))
+    val listsTmp = s"$dir/lists__retraining"
+    Models.savePartitioned(reassigned, listsTmp, "label")
+    Models.swapIn(spark, coarseTmp, s"$dir/coarse")
+    Models.swapIn(spark, listsTmp, s"$dir/lists")
+    Models.resetGens(spark, dir)
+  }
+
   /** IVF top-k SERVED from the persisted artifact: route each query to
     * its `nprobe` nearest loaded centroids (broadcast), then rerank
     * ONLY the probed lists — the label equi join against the

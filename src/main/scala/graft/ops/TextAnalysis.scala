@@ -212,6 +212,61 @@ object TextAnalysis {
       .drop("__urlscrubbed")
   }
 
+  // RE2-subset PII patterns, shared verbatim with the DuckDB oracle:
+  //  - phone: E.164 (+ and 7-15 digits) OR separated 3-group forms —
+  //    "(555) 123-4567", "555-123-4567", "555.123.4567", "+1-555-123-4567".
+  //    Three digit groups with [-. ] separators required, so dates
+  //    (1995-01-01: middle group is 2 digits) and times (no [:] in the
+  //    separator class) don't match; "123.456 789"-style numeric runs DO
+  //    — the usual scrubber false-positive trade, identical cross-engine.
+  //  - SSN-shaped: the 3-2-4 hyphenated form, word-bounded.
+  //  - bare ID runs: standalone 9-12 digit tokens (\b-delimited, so hex
+  //    ids and digits embedded in words don't match).
+  private val phoneRe =
+    "\\+\\d{7,15}|\\+?\\(?\\d{2,4}\\)?[-. ]\\d{3,4}[-. ]\\d{3,4}"
+  private val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val idRunRe = "\\b\\d{9,12}\\b"
+
+  /** Full PII scrub chain — [[withScrubbedText]]'s URL/EMAIL pass
+    * extended with phone numbers and government-ID-shaped tokens (r11
+    * "What's missing" #4): URL → EMAIL → PHONE → ID, each pattern
+    * counted against the PREVIOUS stage's output so every count equals
+    * its placeholder's occurrences in `scrubbed_pii` (digits consumed by
+    * a phone can't recount as an ID run; an email inside a URL is
+    * already <URL>). n_ids sums the SSN-shaped and bare-run classes,
+    * scrubbed in that order (the hyphenated form would otherwise never
+    * survive to the run pattern anyway). Map-only at any scale; patterns
+    * stay in the RE2 subset so the identical literals run in the
+    * oracle. */
+  def withPiiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val urlSql = urlRe.replace("\\", "\\\\")
+    val emailSql = emailRe.replace("\\", "\\\\")
+    val phoneSql = phoneRe.replace("\\", "\\\\")
+    val ssnSql = ssnRe.replace("\\", "\\\\")
+    val idRunSql = idRunRe.replace("\\", "\\\\")
+    docs
+      .withColumn("__s1", regexp_replace(col(textCol), urlRe, "<URL>"))
+      .withColumn("n_urls",
+        size(expr(s"regexp_extract_all($textCol, '$urlSql', 0)"))
+          .cast("bigint"))
+      .withColumn("__s2", regexp_replace(col("__s1"), emailRe, "<EMAIL>"))
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(__s1, '$emailSql', 0)"))
+          .cast("bigint"))
+      .withColumn("__s3", regexp_replace(col("__s2"), phoneRe, "<PHONE>"))
+      .withColumn("n_phones",
+        size(expr(s"regexp_extract_all(__s2, '$phoneSql', 0)"))
+          .cast("bigint"))
+      .withColumn("__s4", regexp_replace(col("__s3"), ssnRe, "<ID>"))
+      .withColumn("scrubbed_pii",
+        regexp_replace(col("__s4"), idRunRe, "<ID>"))
+      .withColumn("n_ids",
+        (size(expr(s"regexp_extract_all(__s3, '$ssnSql', 0)")) +
+          size(expr(s"regexp_extract_all(__s4, '$idRunSql', 0)")))
+          .cast("bigint"))
+      .drop("__s1", "__s2", "__s3", "__s4")
+  }
+
   /** Winnowing document fingerprint (the MOSS scheme): hash every char
     * k-gram, slide a w-wide window, keep each window's minimum — guarantees
     * any shared substring of length >= w + k - 1 contributes a shared

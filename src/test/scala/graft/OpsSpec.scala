@@ -1438,4 +1438,111 @@ class OpsSpec extends AnyFunSuite {
     assert(got("plain.co.uk") == "plain.co.uk")
     assert(got("host.internal") == "host.internal")
   }
+
+  test("PII scrub: every planted pattern class is counted and replaced, " +
+      "and consumed digits never double-count across classes") {
+    val planted = Seq(
+      (1L, "call +15551234567 or (555) 123-4567 today"),
+      (2L, "ssn 123-45-6789 acct 987654321 ok"),
+      (3L, "see https://ex.io/a?p=1 mail a.b@ex.io tel 555-123-4567 id 123456789012"),
+      (4L, "born 1995-01-01 at 12:34:56 — a date is not a phone"),
+      (5L, "hex deadbeef0042 and inword12345678901x stay"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withPiiScrub(planted)
+      .select("doc_id", "n_urls", "n_emails", "n_phones", "n_ids",
+        "scrubbed_pii")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(got(1L)._3 == 2, s"E.164 + separated form: ${got(1L)}")
+    assert(got(1L)._5 == "call <PHONE> or <PHONE> today")
+    assert(got(2L) == ((0L, 0L, 0L, 2L, "ssn <ID> acct <ID> ok")),
+      s"SSN shape + bare 9-digit run: ${got(2L)}")
+    assert(got(3L)._1 == 1 && got(3L)._2 == 1 && got(3L)._3 == 1 &&
+      got(3L)._4 == 1, s"all four classes on one line: ${got(3L)}")
+    assert(got(3L)._5 ==
+      "see <URL> mail <EMAIL> tel <PHONE> id <ID>")
+    assert(got(4L)._3 == 0 && got(4L)._4 == 0,
+      s"dates/times must not scrub: ${got(4L)}")
+    assert(got(5L)._4 == 0,
+      s"hex ids and embedded digit runs must not scrub: ${got(5L)}")
+  }
+
+  test("ivfRetrain recovers recall lost to frozen centroids under " +
+      "distribution drift, and a hash-sampled refit behaves the same") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.queries.T.embeddings(spark, sf)
+    val drift = emb.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(cast(x as double) * 0.85d + 0.25d as float))")
+          .as("embedding"))
+    val queries = drift.select(col("vec_id").as("query_id"),
+      col("embedding"))
+    val qIds = drift.select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), col("embedding"))
+          .unionByName(drift), qIds, 3)
+      .select("query_id", "neighbor_id")
+    def hitsFrom(dir: String): Long =
+      Similarity.ivfServe(spark, dir, queries, 3, nprobe = 1)
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+    val stale = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    Similarity.ivfBuild(emb, stale)
+    Similarity.ivfAppend(spark, drift, stale, batchId = 1L)
+    val staleHits = hitsFrom(stale)
+    val retr = java.nio.file.Files.createTempDirectory("ivf_retr").toString
+    Similarity.ivfBuild(emb, retr)
+    Similarity.ivfAppend(spark, drift, retr, batchId = 1L)
+    Similarity.ivfRetrain(spark, retr)
+    val retrHits = hitsFrom(retr)
+    assert(retrHits > staleHits,
+      s"retrain must improve drifted recall: stale=$staleHits retrained=$retrHits")
+    // ledger folded to one generation, last batch preserved
+    val g = graft.ops.Models.genStats(spark, retr).head()
+    assert(g.getLong(0) == 1L && g.getLong(1) == 1L, s"ledger after retrain: $g")
+    // sampled refit: deterministic, still beats stale (means on a 50%
+    // hash-sample move the same direction), and every coarse label
+    // survives (an empty sampled list keeps its old centroid)
+    val samp = java.nio.file.Files.createTempDirectory("ivf_samp").toString
+    Similarity.ivfBuild(emb, samp)
+    Similarity.ivfAppend(spark, drift, samp, batchId = 1L)
+    Similarity.ivfRetrain(spark, samp, sampleFrac = 0.5)
+    assert(hitsFrom(samp) > staleHits,
+      "sampled retrain must still beat the stale artifact")
+    val nLabels = graft.ops.Models.load(spark, s"$samp/coarse").count()
+    assert(nLabels ==
+      graft.ops.Models.load(spark, s"$stale/coarse").count(),
+      "sampled retrain must never drop a coarse label")
+  }
+
+  test("swapIn is crash-recoverable: a missing live dir with a " +
+      "__swap_old aside heals on load/append instead of serving empty") {
+    import graft.ops.Models
+    val dir = java.nio.file.Files.createTempDirectory("swap_heal").toString
+    val live = s"$dir/table"
+    Models.save(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), live)
+    // simulate a crash BETWEEN swapIn's two renames: live was renamed
+    // aside, the new generation never landed
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(live + "__swap_old")))
+    // load self-recovers to the pre-swap generation
+    assert(Models.load(spark, live).count() == 2L,
+      "load must heal the aside back to live")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swap_old")))
+    // append after a crash-after-rename-2 (stale aside + live both
+    // present): aside is deleted, the append lands in live
+    Models.save(Seq((9L, "z")).toDF("id", "v"), live + "__swap_old")
+    Models.append(Seq((3L, "c")).toDF("id", "v"), live)
+    assert(Models.load(spark, live).count() == 3L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swap_old")),
+      "a stale aside must be cleared, never merged")
+    // a full swap still works end to end after the heals
+    Models.save(Seq((7L, "q")).toDF("id", "v"), s"$dir/tmp")
+    Models.swapIn(spark, s"$dir/tmp", live)
+    assert(Models.load(spark, live).count() == 1L)
+  }
 }
