@@ -115,7 +115,12 @@ object Bench {
     "q_o5_skyline_3d",
     "q_er_field_merge",
     "q_ret_phrase_served_compacted",
-    "q_ns_sim_knn_graph")
+    "q_ns_sim_knn_graph",
+    // round-12: the retrain lifecycle (first rep builds+appends+retrains,
+    // warm reps serve — the ivfpq_served pattern) and the full PII scrub
+    // chain (map-only regex stack, the heaviest codegen'd string work)
+    "q_ns_sim_ivf_retrained",
+    "q_ns_text_scrub_pii")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

@@ -941,6 +941,85 @@ object NorthStar {
       .orderBy("query_id")
   }
 
+  /** The kNN-graph recall/nprobe CURVE (r11 "Next round" #6): the single
+    * recall@3 point q_ns_knn_graph_recall measures, swept over
+    * nprobe ∈ {1, 2, 4} and totaled over the 100-anchor slice — the
+    * operating-point table an ANN consumer reads next to the cost
+    * column SCALING.md records (scanned-fraction ∝ nprobe/nlist). Same
+    * near-uniform-worst-case caveat as the point query; the curve's
+    * SHAPE (monotone in nprobe, nlist recovers exact) is the verified
+    * content. One WITH block routes once with the full rank; each curve
+    * point filters rn <= nprobe and reranks its candidate set. */
+  val simKnnGraphRecallCurve = QueryDef(
+    "q_ns_knn_graph_recall_curve",
+    {
+      val prolog =
+        """WITH expanded AS (
+          |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+          |         unnest(CAST(embedding AS DOUBLE[])) AS v
+          |  FROM embeddings
+          |),
+          |cent AS (
+          |  SELECT label, list(c ORDER BY pos) AS centroid
+          |  FROM (SELECT label, pos, avg(v) AS c FROM expanded
+          |        GROUP BY label, pos) g
+          |  GROUP BY label
+          |),
+          |q AS (
+          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          |  FROM embeddings WHERE vec_id < 100
+          |),
+          |routedall AS (
+          |  SELECT query_id, qe, label AS probe_label, rn FROM (
+          |    SELECT q.query_id, q.qe, c.label,
+          |           row_number() OVER (PARTITION BY q.query_id
+          |             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC,
+          |                      c.label) AS rn
+          |    FROM q CROSS JOIN cent c) x
+          |),
+          |exact AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.query_id, e.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.query_id
+          |             ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+          |                      e.vec_id) AS rank
+          |    FROM embeddings e CROSS JOIN q
+          |    WHERE e.vec_id <> q.query_id) x
+          |  WHERE rank <= 3
+          |)""".stripMargin
+      val points = Seq(1, 2, 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, (
+           |  SELECT CAST(count(*) AS BIGINT) FROM (
+           |    SELECT query_id, neighbor_id FROM (
+           |      SELECT r.query_id, e.vec_id AS neighbor_id,
+           |             row_number() OVER (PARTITION BY r.query_id
+           |               ORDER BY list_cosine_similarity(r.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+           |                        e.vec_id) AS rank
+           |      FROM embeddings e
+           |      JOIN (SELECT * FROM routedall WHERE rn <= $np) r
+           |        ON e.label = r.probe_label
+           |      WHERE e.vec_id <> r.query_id) x
+           |    WHERE rank <= 3) a
+           |  JOIN exact USING (query_id, neighbor_id)) AS n_hits""".stripMargin
+      }
+      prolog + "\n" + points.mkString("\nUNION ALL\n") +
+        "\nORDER BY nprobe"
+    }) { (s, d) =>
+    import s.implicits._
+    val emb = T.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(emb, (0L until 100L), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    Seq(1, 2, 4).map { np =>
+      Similarity.knnGraph(emb, k = 3, nprobe = np)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .orderBy("nprobe")
+  }
+
   /** Hard-negative mining (metric-learning data prep): per query, the 3
     * most-similar DIFFERENT-label vectors, routed over the query's two
     * nearest FOREIGN label-centroids — lists are label partitions, so
@@ -2942,7 +3021,7 @@ object NorthStar {
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
     simIvfServedCompacted, simIvfRetrained, simIvfRetrainRecall,
-    simKnnGraph, simKnnGraphRecall, simLsh,
+    simKnnGraph, simKnnGraphRecall, simKnnGraphRecallCurve, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
     textVocab, datasetCard, datasetCardFreshness, distinctiveTerms,

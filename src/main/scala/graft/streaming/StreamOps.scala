@@ -656,7 +656,8 @@ object StreamOps {
     * dedup loop. */
   def ivfIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
-      checkpointDir: String, compactEvery: Int = 0)
+      checkpointDir: String, compactEvery: Int = 0,
+      compactWhenGens: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -667,7 +668,19 @@ object StreamOps {
           graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
           b.write.mode("append").parquet(sinkDir)
           graft.ops.Similarity.ivfAppend(spark, b, indexDir, batchId)
+          // two compaction policies: fixed cadence (keyed on batchId —
+          // zero reads, deterministic under replay), or LEDGER-DRIVEN
+          // (r11 stretch #7): compact when the artifact's own generation
+          // count — the signal the dataset card's freshness row reports —
+          // crosses the threshold, closing the card's loop. The policy
+          // read is one tiny gens-table aggregate per micro-batch, and
+          // replay-deterministic because genStats counts DISTINCT batch
+          // ids (a replayed batch folds instead of re-triggering).
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Similarity.ivfCompact(spark, indexDir)
+          else if (compactWhenGens > 0 &&
+            graft.ops.Models.genStats(spark, indexDir)
+              .head().getLong(0) >= compactWhenGens)
             graft.ops.Similarity.ivfCompact(spark, indexDir)
         }
       }

@@ -836,6 +836,44 @@ class StreamingSpec extends AnyFunSuite {
       "compacting ivf ingest must probe identically to the batch twin")
   }
 
+  test("ledger-driven auto-compaction: ivfIngest compacts when the " +
+      "artifact's own generation count crosses the threshold") {
+    import graft.ops.{Models, Similarity}
+    val emb = graft.queries.T.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val newer = emb.filter(col("vec_id") % 3 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivfgens_idx").toString
+    Similarity.ivfBuild(base, idx) // ledger: {-1} — one generation
+    val src = java.nio.file.Files.createTempDirectory("ivfgens_src")
+    val sink = java.nio.file.Files.createTempDirectory("ivfgens_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfgens_ckpt")
+    newer.repartition(2).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    // threshold 3: batch 0 leaves gens {-1,0} (2 < 3, no compaction);
+    // batch 1 reaches {-1,0,1} and triggers — the freshness signal the
+    // dataset card reports drives its own remediation
+    val q = StreamOps.ivfIngest(spark, idx, stream, sink.toString,
+      ckpt.toString, compactWhenGens = 3)
+    q.awaitTermination(180000)
+    val g = Models.genStats(spark, idx).head()
+    assert(g.getLong(0) == 1L,
+      s"expected the threshold crossing to fold the ledger, got $g")
+    assert(g.getLong(1) == 1L, s"last batch id must survive compaction: $g")
+    val twinDir = java.nio.file.Files.createTempDirectory("ivfgens_twin")
+      .toString
+    Similarity.ivfBuild(base, twinDir)
+    Similarity.ivfAppend(spark, newer, twinDir, batchId = 1L)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def res(d: String) = Similarity.ivfServe(spark, d, qs, 3, 2)
+      .collect().map(_.toSeq).toSet
+    assert(res(idx) == res(twinDir),
+      "ledger-driven compaction must probe identically to the batch twin")
+  }
+
   test("idempotent foreachBatch sink: a replayed micro-batch replaces " +
       "its own partition — no duplicates, and a partial-write replay " +
       "heals to the latest batch content") {
