@@ -154,6 +154,12 @@ class PlanSpec extends AnyFunSuite {
       "q_ns_sim_knn_graph" -> "tiny centroid routing cross",
       "q_ns_knn_graph_recall" ->
         "tiny centroid routing cross + brute exact side (anchor-query broadcast)",
+      "q_ns_knn_graph_recall_curve" ->
+        "tiny centroid routing crosses (one per nprobe point) + brute exact side",
+      "q_ns_sim_ivf_retrained" ->
+        "tiny centroid routing cross (loaded retrained coarse table)",
+      "q_ns_sim_ivf_retrain_recall" ->
+        "tiny centroid routing crosses (stale + retrained) + brute exact side",
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_served_incremental" ->
         "tiny centroid routing cross (loaded coarse table)",
