@@ -371,8 +371,14 @@ object Multimodal {
     fmt match {
       case "bmp" | "ppm" | "pgm" | "png" | "gif" => "pixel"
       case "webp" =>
+        // VP8L (lossless subset) AND, since r12, lossy "VP8 " key frames
+        // (graft.ops.Vp8's documented luma subset) are pixel-scoped;
+        // VP8X extended stays header-only. A payload outside either
+        // subset still reads neardup_covered = false — the per-payload
+        // truth column catching what the static scope can't.
         if (bytes.length >= 16 && bytes(12) == 'V' && bytes(13) == 'P' &&
-          bytes(14) == '8' && bytes(15) == 'L') "pixel"
+          bytes(14) == '8' &&
+          (bytes(15) == 'L' || bytes(15) == ' ')) "pixel"
         else "header_only"
       case "jpeg" => "header_only"
       case _ => "opaque"
@@ -386,10 +392,11 @@ object Multimodal {
       decoded_pixels: Long)
 
   /** One synthesized container per doc spanning the full sniff surface —
-    * the five raster formats, GIF, VP8L webp, header-only JPEG, and
-    * header-only lossy VP8 webp — each sniffed, scoped, and pixel-decoded
-    * back from its actual bytes. The oracle recomputes every column from
-    * the planting formula, so a failed VP8L decode (neardup_covered
+    * the five raster formats, GIF, VP8L webp, LOSSY VP8 webp (r12: a
+    * real bool-coded key frame, pixel-decoded by [[Vp8]]'s luma subset),
+    * and header-only JPEG — each sniffed, scoped, and pixel-decoded back
+    * from its actual bytes. The oracle recomputes every column from the
+    * planting formula, so a failed VP8L/VP8 decode (neardup_covered
     * false) or a drifted header parse hash-fails the driver gate. */
   def codecScopeTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[CodecScopeRow] = {
     import spark.implicits._
@@ -398,7 +405,7 @@ object Multimodal {
       val h = (id % 47 + 4).toInt
       val v = (id % 251).toByte
       val payload = (id % 8) match {
-        case 6L => makeWebpLossyHeader(w, h)
+        case 6L => Vp8.makeWebpLossy(w, h, (_, _) => v & 0xff) // lossy webp
         case 7L => buildImage(w, h, 6, (_, _) => v) // webp vp8l
         case 5L => buildImage(w, h, 5, (_, _) => v) // gif
         case f => buildImage(w, h, f.toInt, (_, _) => v) // bmp/ppm/pgm/png/jpeg
@@ -1017,7 +1024,16 @@ object Multimodal {
           }
         } catch { case _: java.util.zip.DataFormatException => None }
       case "gif" => decodeGifGray(bytes, w, h)
-      case "webp" => decodeVp8lGray(bytes) // VP8L subset; lossy → None
+      case "webp" =>
+        // dispatch on the chunk fourcc: lossless → the VP8L subset
+        // decoder; lossy "VP8 " → the key-frame luma subset decoder
+        // (graft.ops.Vp8, r12); VP8X extended stays header-only
+        if (bytes.length >= 16 && bytes(12) == 'V' && bytes(13) == 'P' &&
+          bytes(14) == '8' && bytes(15) == 'L') decodeVp8lGray(bytes)
+        else if (bytes.length >= 16 && bytes(12) == 'V' &&
+          bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == ' ')
+          Vp8.decodeLumaGray(bytes)
+        else None
       case _ => None
     }
   }

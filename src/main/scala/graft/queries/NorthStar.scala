@@ -2180,15 +2180,17 @@ object NorthStar {
   /** Format-level near-dup coverage (the codec-scope contract): one
     * synthesized container per doc spanning the full sniff surface —
     * bmp/ppm/pgm/png (pixel), jpeg (header-only), gif (pixel), lossy-VP8
-    * webp (header-only), VP8L webp (pixel, decoded by the from-scratch
-    * lossless-WebP subset decoder). The engine sniffs, scopes, and
-    * pixel-decodes each payload from its ACTUAL bytes; the oracle
-    * recomputes every column from the planting formula, so a VP8L stream
-    * that fails to decode (neardup_covered false, decoded_pixels -1) or
-    * a drifted header parse hash-fails. This is the card-facing answer
-    * to "which share of a crawl's media actually got near-dup
-    * treatment" — before this column, header-only formats silently
-    * skipped phash dedup with no downstream signal. */
+    * webp (r12: pixel — a real boolean-arithmetic-coded key frame
+    * decoded by the from-scratch graft.ops.Vp8 luma subset; it was the
+    * last header-only media class with raster content), VP8L webp
+    * (pixel, the lossless-WebP subset decoder). The engine sniffs,
+    * scopes, and pixel-decodes each payload from its ACTUAL bytes; the
+    * oracle recomputes every column from the planting formula, so a
+    * VP8L/VP8 stream that fails to decode (neardup_covered false,
+    * decoded_pixels -1) or a drifted header parse hash-fails. This is
+    * the card-facing answer to "which share of a crawl's media actually
+    * got near-dup treatment" — jpeg remains the documented header_only
+    * exemplar. */
   val multimodalCodecScope = QueryDef(
     "q_ns_multimodal_codec_scope",
     """WITH p AS (
@@ -2201,10 +2203,10 @@ object NorthStar {
       |              WHEN 3 THEN 'png' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif'
       |              ELSE 'webp' END AS format,
       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-      |       CASE WHEN f IN (4, 6) THEN 'header_only'
+      |       CASE WHEN f = 4 THEN 'header_only'
       |            ELSE 'pixel' END AS codec_scope,
-      |       f NOT IN (4, 6) AS neardup_covered,
-      |       CAST(CASE WHEN f IN (4, 6) THEN -1 ELSE w * h END AS BIGINT)
+      |       f <> 4 AS neardup_covered,
+      |       CAST(CASE WHEN f = 4 THEN -1 ELSE w * h END AS BIGINT)
       |         AS decoded_pixels
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s

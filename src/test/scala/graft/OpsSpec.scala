@@ -795,11 +795,14 @@ class OpsSpec extends AnyFunSuite {
       assert(g.sameElements(expected),
         s"vp8l pixels for id $id differ from the planted pattern")
     }
-    // lossy VP8: geometry parses, pixels do not (the codec boundary)
+    // header-only lossy VP8 (no coefficient data): geometry parses, the
+    // static scope says pixel (r12: "VP8 " is in the Vp8 luma subset),
+    // and the per-payload truth column catches the empty stream — the
+    // documented discrepancy signal
     val lossy = Multimodal.makeWebpLossyHeader(40, 30)
     assert(Multimodal.decodeMeta(lossy) == (("webp", 40, 30, 3)))
     assert(Multimodal.decodeGray(lossy).isEmpty)
-    assert(Multimodal.codecScopeOf(lossy) == "header_only")
+    assert(Multimodal.codecScopeOf(lossy) == "pixel")
     // truncation at any point → None, never a crash or wrong pixels
     val whole = Multimodal.makeTexturedImage(5L)
     assert(Multimodal.codecScopeOf(whole) == "pixel")
@@ -1437,6 +1440,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got("deep.x.y.sample.co.uk") == "sample.co.uk")
     assert(got("plain.co.uk") == "plain.co.uk")
     assert(got("host.internal") == "host.internal")
+  }
+
+  test("VP8 luma decode: a per-macroblock-textured key frame round-trips " +
+      "exactly through the bool coder, tokens, WHT/IDCT, and DC prediction") {
+    import graft.ops.Vp8
+    // non-multiple-of-16 dims exercise the crop; the mb values sweep the
+    // planted-delta range: extremes (0, 255), sign flips, and magnitudes
+    // across every token category (|4d| from 4 up to >512 = cat6)
+    val (w, h) = (53, 37) // 4x3 macroblocks
+    def mbVal(mx: Int, my: Int): Int = (mx * 97 + my * 151 + 13) % 256
+    val bytes = Vp8.makeWebpLossy(w, h, mbVal)
+    assert(Multimodal.decodeMeta(bytes) == (("webp", w, h, 3)))
+    assert(Multimodal.codecScopeOf(bytes) == "pixel")
+    val (dw, dh, g) = Multimodal.decodeGray(bytes).getOrElse(
+      fail("textured VP8 did not decode"))
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y * w + x) == mbVal(x / 16, y / 16),
+        s"pixel ($x,$y): got ${g(y * w + x)}, " +
+          s"want ${mbVal(x / 16, y / 16)}")
+    // constant image: every MB after (0,0) skips — the file stays tiny
+    // and still reconstructs exactly
+    val const = Vp8.makeWebpLossy(64, 48, (_, _) => 200)
+    val (_, _, cg) = Multimodal.decodeGray(const).get
+    assert(cg.forall(_ == 200))
+    assert(const.length < bytes.length,
+      "the all-skip constant frame should be smaller than the textured one")
+    // poison contract: truncations and bad headers → None, never a crash
+    for (cut <- Seq(10, 22, 29, bytes.length / 2, bytes.length - 1))
+      assert(Multimodal.decodeGray(bytes.take(cut)).isEmpty,
+        s"truncated VP8 at $cut decoded")
+    val badStart = bytes.clone()
+    badStart(23) = 0x00 // break the 9d 01 2a start code
+    assert(Multimodal.decodeGray(badStart).isEmpty)
+    val interFrame = bytes.clone()
+    interFrame(20) = (interFrame(20) | 1).toByte // frame_type = inter
+    assert(Multimodal.decodeGray(interFrame).isEmpty)
+  }
+
+  test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
+      "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
+    // drive the PRIVATE coder through the public fixture path instead:
+    // 300 macroblock values = hundreds of mixed-probability bools, token
+    // tree paths, cat extra bits, and sign bits; byte-exact reconstruction
+    // of every planted value is the round-trip proof
+    import graft.ops.Vp8
+    val vals = Array.tabulate(20, 15) { (mx, my) =>
+      (mx * 37 + my * 89 + (mx * my) % 7 * 31) % 256
+    }
+    val bytes = Vp8.makeWebpLossy(320, 240, (mx, my) => vals(mx)(my))
+    val (_, _, g) = Multimodal.decodeGray(bytes).getOrElse(
+      fail("320x240 VP8 frame did not decode"))
+    for (my <- 0 until 15; mx <- 0 until 20)
+      assert(g(my * 16 * 320 + mx * 16) == vals(mx)(my),
+        s"MB ($mx,$my) corner mismatch")
   }
 
   test("PII scrub: every planted pattern class is counted and replaced, " +
