@@ -606,7 +606,8 @@ object StreamOps {
   def retrievalIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
       checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text", compactEvery: Int = 0)
+      textCol: String = "text", compactEvery: Int = 0,
+      compactWhenGens: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -626,8 +627,17 @@ object StreamOps {
           // appended posting generations rewrite to one word-sorted set
           // (layout only — a replayed batch just re-runs the idempotent
           // rewrite). Keyed on batchId, not a ledger read: deterministic
-          // under replay, no per-batch artifact probe.
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          // under replay, no per-batch artifact probe. The LEDGER-DRIVEN
+          // alternative (compactWhenGens, the ivfIngest policy) compacts
+          // when the bm25 artifact's own generation count — the dataset
+          // card's freshness signal — crosses the threshold;
+          // replay-deterministic because genStats counts DISTINCT ids.
+          val due =
+            (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
+              (compactWhenGens > 0 &&
+                graft.ops.Models.genStats(spark, s"$indexDir/bm25")
+                  .head().getLong(0) >= compactWhenGens)
+          if (due) {
             graft.ops.Retrieval.phraseIndexCompact(
               spark, s"$indexDir/phrase", idCol)
             graft.ops.Retrieval.bm25Compact(spark, s"$indexDir/bm25", idCol)

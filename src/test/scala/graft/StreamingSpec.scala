@@ -402,6 +402,50 @@ class StreamingSpec extends AnyFunSuite {
       s"late-arriving phrase doc not served (hits: ${hits.size})")
   }
 
+  test("ledger-driven auto-compaction on the retrieval maintainer: the " +
+      "bm25 generation count triggers, both posting indexes fold") {
+    import graft.ops.{Models, Retrieval}
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 250)
+    import spark.implicits._
+    val batch1 = Seq(
+      (82001L, "vector join hash maintained ledger gen one", "en", "t", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (82002L, "vector join hash maintained ledger gen two", "en", "t", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = java.nio.file.Files.createTempDirectory("retgen_idx").toString
+    Retrieval.phraseIndexBuild(corpus, s"$idx/phrase", "doc_id", "text")
+    Retrieval.bm25Build(corpus, "doc_id", "text", s"$idx/bm25")
+    val src = java.nio.file.Files.createTempDirectory("retgen_src")
+    val sink = java.nio.file.Files.createTempDirectory("retgen_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("retgen_ckpt")
+    batch1.coalesce(1).write.mode("append").parquet(src.toString)
+    Thread.sleep(1500)
+    batch2.coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    // threshold 3: build {-1} + batch 0 = 2 gens (no trigger); batch 1
+    // reaches {-1,0,1} and compacts both indexes
+    val q = StreamOps.retrievalIngest(spark, idx, stream, sink.toString,
+      ckpt.toString, compactWhenGens = 3)
+    q.awaitTermination(180000)
+    val g = Models.genStats(spark, s"$idx/bm25").head()
+    assert(g.getLong(0) == 1L && g.getLong(1) == 1L,
+      s"bm25 ledger after policy compaction: $g")
+    assert(Models.genStats(spark, s"$idx/phrase").head().getLong(0) == 1L,
+      "phrase index must fold with the bm25 trigger")
+    // served answers equal the cumulative recompute, layout-invariant
+    val cumulative = corpus.unionByName(batch1).unionByName(batch2)
+    val terms = Seq("vector", "join", "hash")
+    val served = Retrieval.bm25Serve(spark, s"$idx/bm25", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val full = Retrieval.bm25(cumulative, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(served == full,
+      "policy-compacted BM25 must equal the cumulative recompute")
+  }
+
   test("trending partials fold across micro-batch splits exactly") {
     val events = graft.queries.T.events(spark, "/root/testdata/sf0.001")
     val tref = events.agg(max(col("ts")).as("__tref"))
