@@ -862,24 +862,52 @@ object Vp8 {
     * hashes). Chroma rides all-zero (gray). Loop filter level 0. */
   private[graft] def makeWebpLossy(w: Int, h: Int,
       mbVal: (Int, Int) => Int): Array[Byte] = {
+    // per-MB-constant DC_PRED reconstruction is itself constant, so the
+    // decoder's DC prediction is computable from neighbor targets alone
+    def tOf(mx: Int, my: Int): Int = clamp255(mbVal(mx, my))
+    def predOf(mx: Int, my: Int): Int = {
+      val haveA = my > 0
+      val haveL = mx > 0
+      if (haveA && haveL) (16 * tOf(mx, my - 1) + 16 * tOf(mx - 1, my) + 16) >> 5
+      else if (haveA) tOf(mx, my - 1)
+      else if (haveL) tOf(mx - 1, my)
+      else 128
+    }
+    val zero = new Array[Int](16)
+    makeWebpLossyFrame(w, h,
+      mbMode = (_, _) => ModeDc,
+      y2Of = (mx, my) => {
+        val d = tOf(mx, my) - predOf(mx, my)
+        if (d == 0) zero
+        else { val a = new Array[Int](16); a(0) = 4 * d; a }
+      },
+      yOf = (_, _, _) => zero)._1
+  }
+
+  /** General spec-valid key-frame fixture: per-MB 16×16 intra mode
+    * (0 DC / 1 V / 2 H / 3 TM) plus ARBITRARY planted quantized levels
+    * for the Y2 block and each Y block (SCAN order; Y position 0 is
+    * owned by Y2 and forced to zero) — the fixture form that drives the
+    * AC token machinery end to end: multi-coefficient runs, in-block
+    * zero runs (the skip-EOB-after-zero rule both ways), EOB at every
+    * position, zigzag placement, band indexing, per-block nonzero
+    * context propagation, and the V/H/TM prediction paths with their
+    * 127/129 missing-edge fills. Returns (file bytes, expected luma
+    * plane w×h) — the expectation is the encoder's own reconstruction
+    * simulation, which shares the transforms with the decoder but NONE
+    * of the entropy/bitstream path, so a decode comparison verifies the
+    * coder, trees, contexts, and dequant wiring exactly. */
+  private[graft] def makeWebpLossyFrame(w: Int, h: Int,
+      mbMode: (Int, Int) => Int,
+      y2Of: (Int, Int) => Array[Int],
+      yOf: (Int, Int, Int) => Array[Int]): (Array[Byte], Array[Int]) = {
     require(w > 0 && h > 0 && w <= 16383 && h <= 16383)
     val mbCols = (w + 15) / 16
     val mbRows = (h + 15) / 16
     val qi = 4 // dc_qlookup(4) = 8 → y2dc quantizer 16
-    val target = Array.tabulate(mbRows, mbCols) { (my, mx) =>
-      clamp255(mbVal(mx, my))
-    }
-    // DC_PRED is constant per MB, so the decoder's prediction of MB
-    // (mx, my) is computable from neighbor targets alone
-    def predOf(mx: Int, my: Int): Int = {
-      val haveA = my > 0
-      val haveL = mx > 0
-      if (haveA && haveL)
-        (16 * target(my - 1)(mx) + 16 * target(my)(mx - 1) + 16) >> 5
-      else if (haveA) target(my - 1)(mx)
-      else if (haveL) target(my)(mx - 1)
-      else 128
-    }
+    val yacQ = AcQLookup(qi)
+    val y2dcQ = DcQLookup(qi) * 2
+    val y2acQ = math.max(8, AcQLookup(qi) * 155 / 100)
     val be1 = new BoolEncoder
     // header
     be1.literal(0, 1) // color space
@@ -922,7 +950,11 @@ object Vp8 {
     val lU = new Array[Int](2)
     val lV = new Array[Int](2)
     val zeroScan = new Array[Int](16)
-    val y2Scan = new Array[Int](16)
+    // reconstruction simulation — byte-for-byte the decoder's plane, so
+    // the returned expectation is exact
+    val stride = mbCols * 16
+    val plane = new Array[Int](stride * mbRows * 16)
+    val coeffs = new Array[Int](16)
     var my = 0
     while (my < mbRows) {
       java.util.Arrays.fill(lY, 0)
@@ -931,31 +963,109 @@ object Vp8 {
       var lY2 = 0
       var mx = 0
       while (mx < mbCols) {
-        val d = target(my)(mx) - predOf(mx, my)
-        val skip = d == 0
+        val mode = mbMode(mx, my)
+        require(mode >= ModeDc && mode <= ModeTm, s"bad 16x16 mode $mode")
+        val y2Scan = y2Of(mx, my).clone()
+        require(y2Scan.length == 16)
+        val yScans = Array.tabulate(16) { b =>
+          val a = yOf(mx, my, b).clone()
+          require(a.length == 16)
+          a(0) = 0 // Y position 0 is owned by Y2
+          a
+        }
+        val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0))
         be1.bool(skipProb, if (skip) 1 else 0)
-        // ymode DC on the key-frame tree: bits 1, 0, 0
+        // ymode on the key-frame tree {-B, 2, 4, 6, -DC, -V, -H, -TM}:
+        // DC=1,0,0  V=1,0,1  H=1,1,0  TM=1,1,1
         be1.bool(KfYModeProb(0), 1)
-        be1.bool(KfYModeProb(1), 0)
-        be1.bool(KfYModeProb(2), 0)
+        be1.bool(KfYModeProb(1), if (mode <= ModeV) 0 else 1)
+        if (mode <= ModeV) be1.bool(KfYModeProb(2), mode)
+        else be1.bool(KfYModeProb(3), mode - ModeH)
         // uvmode DC: bit 0
         be1.bool(KfUvModeProb(0), 0)
+        // prediction from the simulated plane (the decoder's exact rules)
+        val px = mx * 16
+        val py = my * 16
+        val pred = new Array[Int](256)
+        val haveA = my > 0
+        val haveL = mx > 0
+        mode match {
+          case ModeDc =>
+            var sum = 0
+            var n = 0
+            if (haveA) { var i2 = 0; while (i2 < 16) { sum += plane((py - 1) * stride + px + i2); i2 += 1 }; n += 16 }
+            if (haveL) { var i2 = 0; while (i2 < 16) { sum += plane((py + i2) * stride + px - 1); i2 += 1 }; n += 16 }
+            val dc = if (n == 0) 128 else (sum + n / 2) >> (if (n == 32) 5 else 4)
+            java.util.Arrays.fill(pred, dc)
+          case ModeV =>
+            var c = 0
+            while (c < 16) {
+              val v = if (haveA) plane((py - 1) * stride + px + c) else 127
+              var r = 0
+              while (r < 16) { pred(r * 16 + c) = v; r += 1 }
+              c += 1
+            }
+          case ModeH =>
+            var r = 0
+            while (r < 16) {
+              val v = if (haveL) plane((py + r) * stride + px - 1) else 129
+              var c = 0
+              while (c < 16) { pred(r * 16 + c) = v; c += 1 }
+              r += 1
+            }
+          case _ =>
+            val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
+              else if (haveA) 127 else if (haveL) 129 else 128
+            var r = 0
+            while (r < 16) {
+              val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
+              var c = 0
+              while (c < 16) {
+                val av = if (haveA) plane((py - 1) * stride + px + c) else 127
+                pred(r * 16 + c) = clamp255(lv + av - al)
+                c += 1
+              }
+              r += 1
+            }
+        }
+        val resid = new Array[Int](256)
         if (!skip) {
-          // Y2: one DC level 4·d
-          java.util.Arrays.fill(y2Scan, 0)
-          y2Scan(0) = 4 * d
+          // tokens + residual simulation
           val ctxY2 = aY2(mx) + lY2
           val nzY2 = encodeBlockTokens(be2, probs(1), 0, ctxY2, y2Scan)
           aY2(mx) = if (nzY2) 1 else 0
           lY2 = aY2(mx)
+          var k = 0
+          while (k < 16) {
+            coeffs(Zigzag(k)) = y2Scan(k) * (if (k == 0) y2dcQ else y2acQ)
+            k += 1
+          }
+          val dcs = inverseWht(coeffs)
           var b = 0
           while (b < 16) {
             val br = b / 4
             val bc = b % 4
             val ctx = aY(mx * 4 + bc) + lY(br)
-            encodeBlockTokens(be2, probs(0), 1, ctx, zeroScan)
-            aY(mx * 4 + bc) = 0
-            lY(br) = 0
+            val nz = encodeBlockTokens(be2, probs(0), 1, ctx, yScans(b))
+            aY(mx * 4 + bc) = if (nz) 1 else 0
+            lY(br) = aY(mx * 4 + bc)
+            java.util.Arrays.fill(coeffs, 0)
+            var k2 = 1
+            while (k2 < 16) {
+              coeffs(Zigzag(k2)) = yScans(b)(k2) * yacQ
+              k2 += 1
+            }
+            coeffs(0) = dcs(b)
+            val r4 = inverseDct(coeffs)
+            var rr = 0
+            while (rr < 4) {
+              var cc = 0
+              while (cc < 4) {
+                resid((br * 4 + rr) * 16 + bc * 4 + cc) = r4(rr * 4 + cc)
+                cc += 1
+              }
+              rr += 1
+            }
             b += 1
           }
           var pl = 0
@@ -986,9 +1096,26 @@ object Vp8 {
           aY2(mx) = 0
           lY2 = 0
         }
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            plane((py + r) * stride + px + c) =
+              clamp255(pred(r * 16 + c) + resid(r * 16 + c))
+            c += 1
+          }
+          r += 1
+        }
         mx += 1
       }
       my += 1
+    }
+    val expected = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) { expected(yy * w + xx) = plane(yy * stride + xx); xx += 1 }
+      yy += 1
     }
     val p1 = be1.flush()
     val p2 = be2.flush()
@@ -1010,6 +1137,6 @@ object Vp8 {
     bb.putShort((h & 0x3fff).toShort)
     bb.put(p1)
     bb.put(p2)
-    bb.array()
+    (bb.array(), expected)
   }
 }

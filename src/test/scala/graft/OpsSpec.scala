@@ -1479,6 +1479,57 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeGray(interFrame).isEmpty)
   }
 
+  test("VP8 AC coefficients and all four 16x16 modes: arbitrary planted " +
+      "token streams decode to the encoder's exact reconstruction") {
+    import graft.ops.Vp8
+    // 4x3 MBs, mode round-robin over DC/V/H/TM; Y2 and Y levels are a
+    // deterministic mix exercising: multi-coefficient runs, in-block
+    // zero runs (the skip-EOB-after-zero rule), EOB at varying
+    // positions, negative levels, every token category (1..4, cat1-6),
+    // and mixed per-block nonzero contexts
+    def mode(mx: Int, my: Int): Int = (mx + my * 4) % 4
+    def y2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if ((mx + my) % 3 != 2) {
+        a(0) = ((mx * 53 + my * 29) % 201) - 100 // DC in [-100, 100]
+        a(1) = if (mx % 2 == 0) 7 else -3
+        a(4) = if (my % 2 == 0) 1 else 0 // zero-run then a late coeff
+        a(7) = (mx + my) % 2
+      }
+      a
+    }
+    def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if ((mx + my + b) % 4 == 0) {
+        a(1) = ((b * 37 + mx * 11) % 9) - 4
+        a(3) = if (b % 3 == 0) 70 else 0 // cat6-range level
+        a(9) = if (b % 5 == 1) -21 else 0 // cat4-range, after zeros
+        a(15) = b % 2 // the last scan position
+      }
+      a
+    }
+    val (bytes, expected) = Vp8.makeWebpLossyFrame(61, 44, mode, y2, yl)
+    val (dw, dh, g) = Multimodal.decodeGray(bytes).getOrElse(
+      fail("AC-textured VP8 frame did not decode"))
+    assert(dw == 61 && dh == 44)
+    assert(g.sameElements(expected),
+      "decoded luma diverges from the encoder's reconstruction")
+    // independent semantic pins (computed here, not via shared code):
+    // a residual-free V MB in the top row predicts the 127 edge fill
+    val (b2, e2) = Vp8.makeWebpLossyFrame(48, 32,
+      (mx, _) => if (mx == 1) 1 else 0, // MB(1,0) is V
+      (mx, my) => { val a = new Array[Int](16)
+        if (mx == 0 && my == 0) a(0) = 40; a }, // only MB(0,0) has coeffs
+      (_, _, _) => new Array[Int](16))
+    val (_, _, g2) = Multimodal.decodeGray(b2).get
+    assert(g2.sameElements(e2))
+    for (x <- 16 until 32; y <- 0 until 16)
+      assert(g2(y * 48 + x) == 127,
+        s"top-row V_PRED must fill from the 127 edge, got ${g2(y * 48 + x)}")
+    // and the DC MB(0,0) planted 40*16 -> sub-dc 80 -> delta 10 over 128
+    assert(g2(0) == 138, s"planted Y2 DC chain drifted: ${g2(0)}")
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:
