@@ -386,10 +386,16 @@ object Multimodal {
   }
 
   /** Codec-scope gate row: the sniffed container, its header geometry,
-    * the static scope contract, and the per-payload decode truth. */
+    * the static scope contract, and the per-payload decode truth —
+    * including the decoded grayscale SUM (r12), so the driver gate is
+    * sensitive to pixel VALUES, not just counts: every planted payload
+    * is constant v per image, so gray_sum must equal v·w·h exactly for
+    * every pixel-decoded format (a one-pixel drift in any decoder —
+    * BMP row order, PNG filters, GIF LZW, VP8L prefix codes, VP8
+    * quant/WHT/IDCT — lands on a different sum and hash-fails). */
   final case class CodecScopeRow(doc_id: Long, format: String, width: Int,
       height: Int, codec_scope: String, neardup_covered: Boolean,
-      decoded_pixels: Long)
+      decoded_pixels: Long, gray_sum: Long)
 
   /** One synthesized container per doc spanning the full sniff surface —
     * the five raster formats, GIF, VP8L webp, LOSSY VP8 webp (r12: a
@@ -413,7 +419,8 @@ object Multimodal {
       val (fmt, pw, ph, _) = decodeMeta(payload)
       val px = decodeGray(payload)
       CodecScopeRow(id, fmt, pw, ph, codecScopeOf(payload), px.isDefined,
-        px.map(_._3.length.toLong).getOrElse(-1L))
+        px.map(_._3.length.toLong).getOrElse(-1L),
+        px.map(_._3.foldLeft(0L)(_ + _)).getOrElse(-1L))
     }
   }
 

@@ -2195,7 +2195,7 @@ object NorthStar {
     "q_ns_multimodal_codec_scope",
     """WITH p AS (
       |  SELECT doc_id, doc_id % 61 + 4 AS w, doc_id % 47 + 4 AS h,
-      |         doc_id % 8 AS f
+      |         doc_id % 8 AS f, doc_id % 251 AS v
       |  FROM documents
       |)
       |SELECT doc_id,
@@ -2207,7 +2207,9 @@ object NorthStar {
       |            ELSE 'pixel' END AS codec_scope,
       |       f <> 4 AS neardup_covered,
       |       CAST(CASE WHEN f = 4 THEN -1 ELSE w * h END AS BIGINT)
-      |         AS decoded_pixels
+      |         AS decoded_pixels,
+      |       CAST(CASE WHEN f = 4 THEN -1 ELSE v * w * h END AS BIGINT)
+      |         AS gray_sum
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
     Multimodal.codecScopeTable(T.documents(s, d)).toDF().orderBy("doc_id")
