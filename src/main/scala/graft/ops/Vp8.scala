@@ -20,7 +20,11 @@ import java.nio.charset.StandardCharsets
   *  - loop_filter_level 0 only (no loop filter implemented — a filtered
   *    frame would reconstruct differently, so it is rejected rather than
   *    approximated);
-  *  - 16×16 intra modes only (B_PRED's 4×4 sub-modes are out of scope);
+  *  - all four 16×16 intra modes, plus B_PRED with the three 4×4
+  *    sub-modes that never read above-RIGHT pixels (B_DC/B_TM/B_HE —
+  *    the not-yet-reconstructed-neighbor edge extension the diagonal
+  *    and VE sub-modes need is the out-of-scope half; a stream
+  *    selecting one of those returns None);
   *  - luma-only output (chroma tokens ARE decoded — the single residual
   *    bitstream can't be skipped past — but not reconstructed).
   *
@@ -208,6 +212,56 @@ object Vp8 {
   private final val ModeH = 2
   private final val ModeTm = 3
   private final val ModeB = 4
+
+  /** 4×4 sub-mode ids for B_PRED. Subset: the three axis modes that
+    * never read above-RIGHT pixels (whose edge-extension rules around
+    * not-yet-reconstructed neighbors are the fiddly half of intra VP8):
+    * B_DC (0), B_TM (1), B_HE (2). The sub-mode TREE is walked in full —
+    * a stream selecting VE or a diagonal lands on an out-of-subset leaf
+    * and returns None, never a wrong pixel. Tree per RFC 6386 §11.2
+    * (leaf = -(mode + 1)); the 10×10 context probability table is
+    * synthesized in-range rather than keyed digit-perfect (the
+    * [[CoeffUpdateProbs]] fidelity note applies — round-trip exact,
+    * third-party decode already not claimed). */
+  private final val BModeDc = 0
+  private final val BModeTm = 1
+  private final val BModeHe = 2
+  // RFC order: DC, TM, VE, HE, LD, RD, VR, VL, HD, HU — leaves encode the
+  // SPEC ids; the subset check maps spec ids {0, 1, 3} to the three
+  // implemented modes and rejects the rest
+  private val BModeTree: Array[Int] = Array(
+    -(0 + 1), 2,
+    -(1 + 1), 4,
+    -(2 + 1), 6,
+    8, 12,
+    -(3 + 1), 10,
+    -(4 + 1), -(5 + 1),
+    -(6 + 1), 14,
+    -(7 + 1), 16,
+    -(8 + 1), -(9 + 1))
+
+  /** spec-id → root-to-leaf path over [[BModeTree]], for the encoder. */
+  private val BModePaths: Array[Array[(Int, Int)]] = {
+    val paths = new Array[Array[(Int, Int)]](10)
+    def walk(node: Int, acc: List[(Int, Int)]): Unit = {
+      var b = 0
+      while (b < 2) {
+        val t = BModeTree(node + b)
+        if (t <= 0) paths(-t - 1) = (acc :+ (node, b)).toArray
+        else walk(t, acc :+ (node, b))
+        b += 1
+      }
+    }
+    walk(0, Nil)
+    paths
+  }
+
+  /** Context probs [aboveSpecMode][leftSpecMode][9] — synthesized
+    * deterministic in-range values (see the subset note above). */
+  private val KfBModeProbs: Array[Array[Array[Int]]] =
+    Array.tabulate(10, 10, 9) { (a, l, i) =>
+      40 + ((a * 53 + l * 29 + i * 17) % 180)
+    }
 
   /** Quantizer lookups (RFC 6386 §14.1). Index 4 (the fixture's qindex)
     * is load-bearing for the planted math: dc_qlookup(4) = 8. */
@@ -584,6 +638,64 @@ object Vp8 {
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
   private def clampQ(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
 
+  /** 4×4 intra prediction (B_PRED subset: DC/TM/HE) for the subblock at
+    * plane position (x, y) — reads ONLY already-reconstructed pixels
+    * (above row, left column, top-left), with the 127/129/128 missing-
+    * edge conventions of the 16×16 modes. Shared by the decoder and the
+    * fixture encoder's reconstruction simulation. */
+  private def predict4(plane: Array[Int], stride: Int, x: Int, y: Int,
+      mode: Int): Array[Int] = {
+    val out = new Array[Int](16)
+    val haveA = y > 0
+    val haveL = x > 0
+    def a(c: Int): Int = if (haveA) plane((y - 1) * stride + x + c) else 127
+    def l(r: Int): Int = if (haveL) plane((y + r) * stride + x - 1) else 129
+    val tl =
+      if (haveA && haveL) plane((y - 1) * stride + x - 1)
+      else if (haveA) 127 else if (haveL) 129 else 128
+    mode match {
+      case BModeDc =>
+        var sum = 0
+        var n = 0
+        if (haveA) { var c = 0; while (c < 4) { sum += a(c); c += 1 }; n += 4 }
+        if (haveL) { var r = 0; while (r < 4) { sum += l(r); r += 1 }; n += 4 }
+        val dc =
+          if (n == 0) 128
+          else if (n == 8) (sum + 4) >> 3
+          else (sum + 2) >> 2
+        java.util.Arrays.fill(out, dc)
+      case BModeTm =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { out(r * 4 + c) = clamp255(l(r) + a(c) - tl); c += 1 }
+          r += 1
+        }
+      case _ => // B_HE: filtered horizontal, last row doubles L3
+        val rows = Array(
+          (tl + 2 * l(0) + l(1) + 2) >> 2,
+          (l(0) + 2 * l(1) + l(2) + 2) >> 2,
+          (l(1) + 2 * l(2) + l(3) + 2) >> 2,
+          (l(2) + 2 * l(3) + l(3) + 2) >> 2)
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { out(r * 4 + c) = rows(r); c += 1 }
+          r += 1
+        }
+    }
+    out
+  }
+
+  /** Map a spec sub-mode id to the implemented internal id, or -1 when
+    * out of subset (VE and the diagonals). */
+  private def bModeOfSpec(spec: Int): Int = spec match {
+    case 0 => BModeDc
+    case 1 => BModeTm
+    case 3 => BModeHe
+    case _ => -1
+  }
+
   /** Decode the luma plane of a lossy-WebP (RIFF/"VP8 ") key frame in the
     * documented subset. Returns (width, height, gray row-major) or None
     * for anything malformed, truncated, or out of subset. */
@@ -664,9 +776,9 @@ object Vp8 {
       // residual partition = remainder of the chunk
       val part2 = part1 + firstPartSize
       val bd2 = new BoolDecoder(bytes, part2, (20 + chunkSize).toInt)
-      // quantizers (the Y-block DC quantizer is only reachable via
-      // B_PRED's no-Y2 blocks — out of subset, so ydcDelta is parse-only)
-      locally { val _ = ydcDelta }
+      // quantizers (the Y-block DC quantizer applies to B_PRED's
+      // no-Y2 blocks, which decode from coefficient 0)
+      val ydcQ = DcQLookup(clampQ(yacQi + ydcDelta))
       val yacQ = AcQLookup(clampQ(yacQi))
       val y2dcQ = DcQLookup(clampQ(yacQi + y2dcDelta)) * 2
       val y2acQ = math.max(8, AcQLookup(clampQ(yacQi + y2acDelta)) * 155 / 100)
@@ -679,6 +791,9 @@ object Vp8 {
       val aU = new Array[Int](mbCols * 2)
       val aV = new Array[Int](mbCols * 2)
       val aY2 = new Array[Int](mbCols)
+      // B_PRED sub-mode contexts (spec ids; non-B MBs count as B_DC = 0)
+      val aBm = new Array[Int](mbCols * 4)
+      val lBm = new Array[Int](4)
       val lY = new Array[Int](4)
       val lU = new Array[Int](2)
       val lV = new Array[Int](2)
@@ -689,6 +804,7 @@ object Vp8 {
         java.util.Arrays.fill(lY, 0)
         java.util.Arrays.fill(lU, 0)
         java.util.Arrays.fill(lV, 0)
+        java.util.Arrays.fill(lBm, 0)
         var lY2 = 0
         var mx = 0
         while (mx < mbCols) {
@@ -701,14 +817,109 @@ object Vp8 {
             else
               ymode = if (bd1.bool(KfYModeProb(3)) == 0) ModeH else ModeTm
           }
-          if (ymode == ModeB) return None // 4x4 sub-modes: out of subset
+          // B_PRED: 16 context-coded sub-modes (spec ids), read between
+          // ymode and uvmode; out-of-subset sub-modes reject AFTER the
+          // walk so rejection never desyncs a conforming stream early
+          val subModes = new Array[Int](16)
+          if (ymode == ModeB) {
+            var b = 0
+            while (b < 16) {
+              val br = b / 4
+              val bc = b % 4
+              val p = KfBModeProbs(aBm(mx * 4 + bc))(lBm(br))
+              var node = 0
+              var spec = -1
+              while (spec < 0) {
+                val t = BModeTree(node + bd1.bool(p(node >> 1)))
+                if (t <= 0) spec = -t - 1 else node = t
+              }
+              subModes(b) = spec
+              aBm(mx * 4 + bc) = spec
+              lBm(br) = spec
+              b += 1
+            }
+            if (subModes.exists(bModeOfSpec(_) < 0)) return None
+          } else {
+            var b = 0
+            while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
+          }
           // chroma mode (decode to stay aligned)
           if (bd1.bool(KfUvModeProb(0)) == 1) {
             if (bd1.bool(KfUvModeProb(1)) == 1) bd1.bool(KfUvModeProb(2))
           }
-          // 16x16 intra prediction
           val px = mx * 16
           val py = my * 16
+          if (ymode == ModeB) {
+            // B_PRED: no Y2; each 4×4 block decodes type-3 tokens from
+            // coefficient 0, predicts from ALREADY-RECONSTRUCTED
+            // neighbors (including earlier subblocks of this MB), and
+            // lands in the plane immediately — the intra dependency
+            // chain 16×16 modes don't have
+            var b = 0
+            while (b < 16) {
+              val br = b / 4
+              val bc = b % 4
+              val bx = px + bc * 4
+              val by = py + br * 4
+              var r4: Array[Int] = null
+              if (!skip) {
+                val ctx = aY(mx * 4 + bc) + lY(br)
+                val nz = decodeBlockTokens(bd2, probs(3), 0, ctx, levels)
+                aY(mx * 4 + bc) = if (nz) 1 else 0
+                lY(br) = aY(mx * 4 + bc)
+                var k = 0
+                while (k < 16) {
+                  coeffs(k) = levels(k) * (if (k == 0) ydcQ else yacQ)
+                  k += 1
+                }
+                r4 = inverseDct(coeffs)
+              }
+              val p4 = predict4(plane, stride, bx, by,
+                bModeOfSpec(subModes(b)))
+              var rr = 0
+              while (rr < 4) {
+                var cc = 0
+                while (cc < 4) {
+                  plane((by + rr) * stride + bx + cc) = clamp255(
+                    p4(rr * 4 + cc) + (if (r4 == null) 0 else r4(rr * 4 + cc)))
+                  cc += 1
+                }
+                rr += 1
+              }
+              b += 1
+            }
+            if (!skip) {
+              var pl = 0
+              while (pl < 2) {
+                val aC = if (pl == 0) aU else aV
+                val lC = if (pl == 0) lU else lV
+                var cb = 0
+                while (cb < 4) {
+                  val br = cb / 2
+                  val bc = cb % 2
+                  val ctx = aC(mx * 2 + bc) + lC(br)
+                  val nz = decodeBlockTokens(bd2, probs(2), 0, ctx, levels)
+                  aC(mx * 2 + bc) = if (nz) 1 else 0
+                  lC(br) = aC(mx * 2 + bc)
+                  cb += 1
+                }
+                pl += 1
+              }
+            } else {
+              // skipped B_PRED MB: Y/UV contexts reset; Y2 contexts are
+              // left UNCHANGED — this MB has no Y2 block
+              var k = 0
+              while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
+              k = 0
+              while (k < 2) {
+                aU(mx * 2 + k) = 0; lU(k) = 0
+                aV(mx * 2 + k) = 0; lV(k) = 0
+                k += 1
+              }
+            }
+            mx += 1
+          } else {
+          // 16x16 intra prediction
           val pred = new Array[Int](256)
           val haveA = my > 0
           val haveL = mx > 0
@@ -830,6 +1041,7 @@ object Vp8 {
             r += 1
           }
           mx += 1
+          } // end 16x16 modes
         }
         my += 1
       }
@@ -900,11 +1112,14 @@ object Vp8 {
   private[graft] def makeWebpLossyFrame(w: Int, h: Int,
       mbMode: (Int, Int) => Int,
       y2Of: (Int, Int) => Array[Int],
-      yOf: (Int, Int, Int) => Array[Int]): (Array[Byte], Array[Int]) = {
+      yOf: (Int, Int, Int) => Array[Int],
+      bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc)
+      : (Array[Byte], Array[Int]) = {
     require(w > 0 && h > 0 && w <= 16383 && h <= 16383)
     val mbCols = (w + 15) / 16
     val mbRows = (h + 15) / 16
     val qi = 4 // dc_qlookup(4) = 8 → y2dc quantizer 16
+    val ydcQ = DcQLookup(qi) // B_PRED blocks dequant coeff 0 with this
     val yacQ = AcQLookup(qi)
     val y2dcQ = DcQLookup(qi) * 2
     val y2acQ = math.max(8, AcQLookup(qi) * 155 / 100)
@@ -946,6 +1161,8 @@ object Vp8 {
     val aU = new Array[Int](mbCols * 2)
     val aV = new Array[Int](mbCols * 2)
     val aY2 = new Array[Int](mbCols)
+    val aBm = new Array[Int](mbCols * 4)
+    val lBm = new Array[Int](4)
     val lY = new Array[Int](4)
     val lU = new Array[Int](2)
     val lV = new Array[Int](2)
@@ -960,32 +1177,133 @@ object Vp8 {
       java.util.Arrays.fill(lY, 0)
       java.util.Arrays.fill(lU, 0)
       java.util.Arrays.fill(lV, 0)
+      java.util.Arrays.fill(lBm, 0)
       var lY2 = 0
       var mx = 0
       while (mx < mbCols) {
         val mode = mbMode(mx, my)
-        require(mode >= ModeDc && mode <= ModeTm, s"bad 16x16 mode $mode")
-        val y2Scan = y2Of(mx, my).clone()
+        require(mode >= ModeDc && mode <= ModeB, s"bad luma mode $mode")
+        val isB = mode == ModeB
+        val y2Scan = if (isB) new Array[Int](16) else y2Of(mx, my).clone()
         require(y2Scan.length == 16)
         val yScans = Array.tabulate(16) { b =>
           val a = yOf(mx, my, b).clone()
           require(a.length == 16)
-          a(0) = 0 // Y position 0 is owned by Y2
+          if (!isB) a(0) = 0 // Y position 0 is owned by Y2 (non-B only)
           a
         }
         val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0))
         be1.bool(skipProb, if (skip) 1 else 0)
         // ymode on the key-frame tree {-B, 2, 4, 6, -DC, -V, -H, -TM}:
-        // DC=1,0,0  V=1,0,1  H=1,1,0  TM=1,1,1
-        be1.bool(KfYModeProb(0), 1)
-        be1.bool(KfYModeProb(1), if (mode <= ModeV) 0 else 1)
-        if (mode <= ModeV) be1.bool(KfYModeProb(2), mode)
-        else be1.bool(KfYModeProb(3), mode - ModeH)
+        // B=0  DC=1,0,0  V=1,0,1  H=1,1,0  TM=1,1,1
+        if (isB) be1.bool(KfYModeProb(0), 0)
+        else {
+          be1.bool(KfYModeProb(0), 1)
+          be1.bool(KfYModeProb(1), if (mode <= ModeV) 0 else 1)
+          if (mode <= ModeV) be1.bool(KfYModeProb(2), mode)
+          else be1.bool(KfYModeProb(3), mode - ModeH)
+        }
+        // B_PRED sub-modes: context-coded tree paths, mirroring the
+        // decoder's above/left tracking exactly
+        val subModes = new Array[Int](16)
+        if (isB) {
+          var b = 0
+          while (b < 16) {
+            val br = b / 4
+            val bc = b % 4
+            val internal = bModeOf(mx, my, b)
+            require(internal >= BModeDc && internal <= BModeHe,
+              s"bad 4x4 sub-mode $internal")
+            val spec = Array(0, 1, 3)(internal)
+            val p = KfBModeProbs(aBm(mx * 4 + bc))(lBm(br))
+            val path = BModePaths(spec)
+            var k = 0
+            while (k < path.length) {
+              val (node, bit) = path(k)
+              be1.bool(p(node >> 1), bit)
+              k += 1
+            }
+            subModes(b) = internal
+            aBm(mx * 4 + bc) = spec
+            lBm(br) = spec
+            b += 1
+          }
+        } else {
+          var b = 0
+          while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
+        }
         // uvmode DC: bit 0
         be1.bool(KfUvModeProb(0), 0)
-        // prediction from the simulated plane (the decoder's exact rules)
         val px = mx * 16
         val py = my * 16
+        if (isB) {
+          // B_PRED: per-subblock tokens + predict + reconstruct, in the
+          // decoder's exact interleaved order (later subblocks predict
+          // from earlier ones)
+          var b = 0
+          while (b < 16) {
+            val br = b / 4
+            val bc = b % 4
+            val bx = px + bc * 4
+            val by = py + br * 4
+            var r4: Array[Int] = null
+            if (!skip) {
+              val ctx = aY(mx * 4 + bc) + lY(br)
+              val nz = encodeBlockTokens(be2, probs(3), 0, ctx, yScans(b))
+              aY(mx * 4 + bc) = if (nz) 1 else 0
+              lY(br) = aY(mx * 4 + bc)
+              java.util.Arrays.fill(coeffs, 0)
+              var k = 0
+              while (k < 16) {
+                coeffs(Zigzag(k)) = yScans(b)(k) * (if (k == 0) ydcQ else yacQ)
+                k += 1
+              }
+              r4 = inverseDct(coeffs)
+            }
+            val p4 = predict4(plane, stride, bx, by, subModes(b))
+            var rr = 0
+            while (rr < 4) {
+              var cc = 0
+              while (cc < 4) {
+                plane((by + rr) * stride + bx + cc) = clamp255(
+                  p4(rr * 4 + cc) + (if (r4 == null) 0 else r4(rr * 4 + cc)))
+                cc += 1
+              }
+              rr += 1
+            }
+            b += 1
+          }
+          if (!skip) {
+            var pl = 0
+            while (pl < 2) {
+              val aC = if (pl == 0) aU else aV
+              val lC = if (pl == 0) lU else lV
+              var cb = 0
+              while (cb < 4) {
+                val br = cb / 2
+                val bc = cb % 2
+                encodeBlockTokens(be2, probs(2), 0, aC(mx * 2 + bc) + lC(br),
+                  zeroScan)
+                aC(mx * 2 + bc) = 0
+                lC(br) = 0
+                cb += 1
+              }
+              pl += 1
+            }
+          } else {
+            // skipped B_PRED MB: Y/UV contexts reset, Y2 untouched
+            var k = 0
+            while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
+            k = 0
+            while (k < 2) {
+              aU(mx * 2 + k) = 0; lU(k) = 0
+              aV(mx * 2 + k) = 0; lV(k) = 0
+              k += 1
+            }
+          }
+          mx += 1
+        } else {
+        // prediction from the simulated plane (the decoder's exact rules)
         val pred = new Array[Int](256)
         val haveA = my > 0
         val haveL = mx > 0
@@ -1107,6 +1425,7 @@ object Vp8 {
           r += 1
         }
         mx += 1
+        } // end 16x16 modes
       }
       my += 1
     }

@@ -1530,6 +1530,48 @@ class OpsSpec extends AnyFunSuite {
     assert(g2(0) == 138, s"planted Y2 DC chain drifted: ${g2(0)}")
   }
 
+  test("VP8 B_PRED: context-coded 4x4 sub-modes, type-3 tokens from " +
+      "coefficient 0, and the intra subblock dependency chain round-trip") {
+    import graft.ops.Vp8
+    // 3x2 MBs mixing B_PRED with 16x16 neighbors; sub-modes rotate
+    // DC/TM/HE so the context-coded sub-mode table sees varied
+    // above/left pairs, and B blocks carry their OWN DC (coeff 0 —
+    // the type-3 path no other fixture reaches)
+    def mode(mx: Int, my: Int): Int = if ((mx + my) % 2 == 0) 4 else 0
+    def bmode(mx: Int, my: Int, b: Int): Int = (mx + my + b) % 3
+    def y2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if ((mx + my) % 2 == 1) a(0) = 40 // 16x16 MBs get a Y2 DC
+      a
+    }
+    def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if ((mx + my) % 2 == 0) { // B_PRED MBs: per-block levels incl. DC
+        a(0) = ((b * 29 + mx * 7 + my * 3) % 41) - 20
+        if (b % 4 == 1) a(6) = -5
+        if (b % 4 == 2) a(13) = 2
+      }
+      a
+    }
+    val (bytes, expected) = Vp8.makeWebpLossyFrame(44, 28, mode, y2, yl, bmode)
+    val (dw, dh, g) = Multimodal.decodeGray(bytes).getOrElse(
+      fail("B_PRED frame did not decode"))
+    assert(dw == 44 && dh == 28)
+    assert(g.sameElements(expected),
+      "B_PRED decode diverges from the encoder's reconstruction")
+    // independent pin: MB(0,0) is B_PRED, subblock 0 is B_DC with no
+    // neighbors -> predicts 128; its planted level a(0) = -20 dequants
+    // by ydcQ = 8 -> DC -160 -> IDCT delta (-160+4)>>3 = -20 -> 108
+    assert(g(0) == 108, s"B_PRED DC chain drifted: ${g(0)}")
+    // an all-zero B_PRED frame skips everywhere and still reconstructs
+    val (b2, e2) = Vp8.makeWebpLossyFrame(32, 32, (_, _) => 4,
+      (_, _) => new Array[Int](16), (_, _, _) => new Array[Int](16),
+      (_, _, _) => 0)
+    val (_, _, g2) = Multimodal.decodeGray(b2).get
+    assert(g2.sameElements(e2))
+    assert(g2.forall(_ == 128), "all-skip B_DC everywhere must hold 128")
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:

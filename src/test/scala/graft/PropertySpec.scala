@@ -399,4 +399,51 @@ class PropertySpec extends AnyFunSuite {
       assert(sup > 0 && sup <= 1.0 && lift > 0)
     }
   }
+
+  test("VP8 codec law: for arbitrary frames (dims, modes, planted " +
+      "levels) the decoder reproduces the encoder's reconstruction " +
+      "bit-exactly") {
+    import graft.ops.{Multimodal, Vp8}
+    val frameGen = for {
+      w <- Gen.choose(4, 70)
+      h <- Gen.choose(4, 55)
+      modeSeed <- Gen.choose(0, 1000)
+      lvlSeed <- Gen.choose(0, 1000)
+      density <- Gen.choose(1, 5) // how often blocks carry coefficients
+    } yield (w, h, modeSeed, lvlSeed, density)
+    forSamples(frameGen, n = 8) { case (w, h, ms, ls, density) =>
+      // five luma modes incl. B_PRED (4) with rotating 4x4 sub-modes
+      def mode(mx: Int, my: Int): Int = (mx * 7 + my * 13 + ms) % 5
+      def bmode(mx: Int, my: Int, b: Int): Int = (mx + my * 2 + b + ms) % 3
+      def lvl(seed: Int, bound: Int): Int = {
+        val r = (seed * 1103515245 + 12345) & 0x7fffffff
+        (r % (2 * bound + 1)) - bound
+      }
+      def y2(mx: Int, my: Int): Array[Int] = {
+        val a = new Array[Int](16)
+        if ((mx + my + ls) % density == 0) {
+          a(0) = lvl(mx * 31 + my * 57 + ls, 120)
+          a(2) = lvl(mx + my * 3 + ls, 8)
+          a(11) = lvl(mx * 5 + my + ls, 2)
+        }
+        a
+      }
+      def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+        val a = new Array[Int](16)
+        if ((mx + my + b + ls) % (density + 1) == 0) {
+          a(1 + (b % 3)) = lvl(b * 17 + mx + my + ls, 60)
+          a(5 + (b % 7)) = lvl(b + mx * 3 + ls, 15)
+          a(15) = lvl(b * 2 + my + ls, 1)
+        }
+        a
+      }
+      val (bytes, expected) = Vp8.makeWebpLossyFrame(w, h, mode, y2, yl, bmode)
+      val out = Multimodal.decodeGray(bytes)
+      assert(out.isDefined, s"${w}x$h seed=($ms,$ls,$density) undecodable")
+      val (dw, dh, g) = out.get
+      assert(dw == w && dh == h)
+      assert(g.sameElements(expected),
+        s"${w}x$h seed=($ms,$ls,$density): decode != encoder reconstruction")
+    }
+  }
 }
