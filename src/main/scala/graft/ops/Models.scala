@@ -110,9 +110,15 @@ object Models {
     *    (the compaction rewrite is lost, which is layout-only and safe);
     *  - crash after the second rename: live is the new generation and
     *    __swap_old is stale residue — [[healSwap]] deletes it.
-    * [[load]]/[[append]]/[[appendPartitioned]] heal before touching the
-    * path, so serve and ingest paths self-recover instead of appending
-    * into a recreated-empty directory. */
+    * Healing MUTATES the path, so only WRITE paths run it
+    * ([[append]]/[[appendPartitioned]]/[[swapIn]] — all covered by the
+    * single-writer assumption). [[load]] is strictly read-only: a reader
+    * that healed would race the live writer inside this very window
+    * (rename the aside back between the two renames → the writer's
+    * second rename fails on local fs, or nests tmp inside the restored
+    * live dir under HDFS rename-into-existing semantics). A reader that
+    * lands in the window instead FALLS BACK to scanning the aside
+    * directory — the full pre-swap artifact — without touching it. */
   def swapIn(spark: SparkSession, tmpDir: String, liveDir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val tmp = new org.apache.hadoop.fs.Path(tmpDir)
@@ -174,9 +180,22 @@ object Models {
     df.write.mode("append").partitionBy(cols: _*).parquet(dir)
   }
 
+  /** Read the artifact WITHOUT mutating the path. If a crashed (or
+    * in-flight) [[swapIn]] left live missing with the __swap_old aside
+    * present, serve the aside in place — it holds the complete pre-swap
+    * generation. The actual repair (renaming the aside back) is left to
+    * the next WRITE on the path: letting readers rename would race a
+    * live writer inside the swap window (see [[swapIn]]). A reader that
+    * picked the aside can still lose files mid-scan if the writer's
+    * cleanup delete lands first — the same exposure any non-transactional
+    * directory swap has for in-flight reads of the OLD generation, and
+    * why maintenance cadence, not correctness, bounds swap frequency. */
   def load(spark: SparkSession, dir: String): DataFrame = {
-    healSwap(spark, dir) // serve paths self-recover from a crashed swap
-    spark.read.parquet(dir)
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new Path(dir + SwapAsideSuffix)
+    val src = if (!fs.exists(live) && fs.exists(aside)) aside else live
+    spark.read.parquet(src.toString)
   }
 
   /** True iff a completed save exists at `dir` (the _SUCCESS marker —

@@ -230,15 +230,15 @@ object Vp8 {
   // SPEC ids; the subset check maps spec ids {0, 1, 3} to the three
   // implemented modes and rejects the rest
   private val BModeTree: Array[Int] = Array(
-    -(0 + 1), 2,
-    -(1 + 1), 4,
-    -(2 + 1), 6,
+    -(0 + 1), 2, // B_DC "0"
+    -(1 + 1), 4, // B_TM "10"
+    -(2 + 1), 6, // B_VE "110"
     8, 12,
-    -(3 + 1), 10,
-    -(4 + 1), -(5 + 1),
-    -(6 + 1), 14,
-    -(7 + 1), 16,
-    -(8 + 1), -(9 + 1))
+    -(3 + 1), 10, // B_HE "11100"
+    -(5 + 1), -(6 + 1), // B_RD "111010", B_VR "111011"
+    -(4 + 1), 14, // B_LD "111100"
+    -(7 + 1), 16, // B_VL "1111010"
+    -(8 + 1), -(9 + 1)) // B_HD / B_HU
 
   /** spec-id → root-to-leaf path over [[BModeTree]], for the encoder. */
   private val BModePaths: Array[Array[(Int, Int)]] = {
@@ -650,9 +650,12 @@ object Vp8 {
     val haveL = x > 0
     def a(c: Int): Int = if (haveA) plane((y - 1) * stride + x + c) else 127
     def l(r: Int): Int = if (haveL) plane((y + r) * stride + x - 1) else 129
+    // Missing-corner fill per RFC 6386's reference border: the row above
+    // the frame (y == 0, including the origin) is 127-filled, the column
+    // left of the frame (x == 0, y > 0) is 129-filled.
     val tl =
       if (haveA && haveL) plane((y - 1) * stride + x - 1)
-      else if (haveA) 127 else if (haveL) 129 else 128
+      else if (haveA) 129 else 127
     mode match {
       case BModeDc =>
         var sum = 0
@@ -949,7 +952,7 @@ object Vp8 {
               }
             case _ => // TM
               val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
-                else if (haveA) 127 else if (haveL) 129 else 128
+                else if (haveA) 129 else 127 // RFC border: 127-row incl. origin, 129-col
               var r = 0
               while (r < 16) {
                 val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
@@ -1333,7 +1336,7 @@ object Vp8 {
             }
           case _ =>
             val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
-              else if (haveA) 127 else if (haveL) 129 else 128
+              else if (haveA) 129 else 127 // RFC border: 127-row incl. origin, 129-col
             var r = 0
             while (r < 16) {
               val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
@@ -1438,6 +1441,11 @@ object Vp8 {
     }
     val p1 = be1.flush()
     val p2 = be2.flush()
+    // first_part_size is a 19-bit field: a partition that outgrows it
+    // would silently wrap in the 3-byte tag and emit a corrupt file
+    // whose returned expectation matches no decode
+    require(p1.length < (1 << 19),
+      s"first partition ${p1.length} B overflows the 19-bit frame-tag field")
     val payloadLen = 10 + p1.length + p2.length
     val tag = p1.length << 5 | (1 << 4) // key frame, version 0, shown
     val padded = payloadLen + (payloadLen & 1)

@@ -1668,8 +1668,8 @@ class OpsSpec extends AnyFunSuite {
       "sampled retrain must never drop a coarse label")
   }
 
-  test("swapIn is crash-recoverable: a missing live dir with a " +
-      "__swap_old aside heals on load/append instead of serving empty") {
+  test("swapIn is crash-recoverable: readers fall back to the " +
+      "__swap_old aside WITHOUT mutating; writes heal the path") {
     import graft.ops.Models
     val dir = java.nio.file.Files.createTempDirectory("swap_heal").toString
     val live = s"$dir/table"
@@ -1680,15 +1680,24 @@ class OpsSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(live),
       new org.apache.hadoop.fs.Path(live + "__swap_old")))
-    // load self-recovers to the pre-swap generation
+    // load serves the pre-swap generation from the aside but is strictly
+    // READ-ONLY: a reader that renamed would race a live writer inside
+    // the swap window (heal is a writer-side duty)
     assert(Models.load(spark, live).count() == 2L,
-      "load must heal the aside back to live")
+      "load must serve the aside when live is missing")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live + "__swap_old")),
+      "load must not move the aside")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live)),
+      "load must not recreate live")
+    // the next WRITE heals: append renames the aside back, then lands
+    Models.append(Seq((3L, "c")).toDF("id", "v"), live)
+    assert(Models.load(spark, live).count() == 3L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swap_old")))
     // append after a crash-after-rename-2 (stale aside + live both
     // present): aside is deleted, the append lands in live
     Models.save(Seq((9L, "z")).toDF("id", "v"), live + "__swap_old")
-    Models.append(Seq((3L, "c")).toDF("id", "v"), live)
-    assert(Models.load(spark, live).count() == 3L)
+    Models.append(Seq((4L, "d")).toDF("id", "v"), live)
+    assert(Models.load(spark, live).count() == 4L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swap_old")),
       "a stale aside must be cleared, never merged")
     // a full swap still works end to end after the heals
