@@ -229,8 +229,12 @@ object Bench {
     }
     // physical evidence per rep (plan fingerprint + stage metrics) — the
     // r11 ask: a cross-round timing flip must be attributable from the
-    // artifact alone (plan flip vs work change vs GC/JVM aging)
-    val probe = new BenchProbe(spark)
+    // artifact alone (plan flip vs work change vs GC/JVM aging).
+    // SPARK_GRAFT_PROBE=0 runs the CONTROL: same sweep, no listeners, so
+    // an on/off A/B at matched cal_start_sec MEASURES the instrument's
+    // own overhead instead of attributing it by elimination (r12 ask)
+    val probeEnabled = sys.env.getOrElse("SPARK_GRAFT_PROBE", "1") != "0"
+    val probe = new BenchProbe(spark, probeEnabled)
     def runOnce(name: String): (Double, BenchProbe.Snap) = {
       clearState()
       probe.reset()
@@ -368,7 +372,7 @@ object Bench {
       "artifact-level contended bit fires iff any probe in either " +
       "series exceeds its threshold"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

@@ -36,8 +36,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Listener buses are asynchronous; [[snapshot]] settles by polling until
   * the counters stop moving (bounded wait) rather than reaching into
   * Spark's private waitUntilEmpty.
+  *
+  * `enabled = false` constructs the instrument's CONTROL: no listeners
+  * are registered, [[reset]]/[[snapshot]] are constant-time no-ops
+  * returning the sentinel snap (`plan_fp = "off"`), so a sweep run with
+  * `SPARK_GRAFT_PROBE=0` differs from an instrumented sweep ONLY by the
+  * probe's own cost (listener-callback CPU overlapping the timed
+  * queries + the out-of-window settle polls). The on/off A/B is how the
+  * probe's overhead is MEASURED rather than argued by elimination — the
+  * r12 verdict's standing ask (SCALING.md records the result).
   */
-final class BenchProbe(spark: SparkSession) {
+final class BenchProbe(spark: SparkSession, val enabled: Boolean = true) {
   private val tasks = new AtomicInteger(0)
   private val jobs = new AtomicInteger(0)
   private val execRunMs = new AtomicLong(0L)
@@ -84,8 +93,10 @@ final class BenchProbe(spark: SparkSession) {
         exception: Exception): Unit = ()
   }
 
-  spark.sparkContext.addSparkListener(taskListener)
-  spark.listenerManager.register(planListener)
+  if (enabled) {
+    spark.sparkContext.addSparkListener(taskListener)
+    spark.listenerManager.register(planListener)
+  }
 
   private def jvmGcMs: Long = {
     import scala.jdk.CollectionConverters._
@@ -113,7 +124,7 @@ final class BenchProbe(spark: SparkSession) {
     }
   }
 
-  def reset(): Unit = {
+  def reset(): Unit = if (enabled) {
     settle() // drain in-flight events from the PREVIOUS action first
     tasks.set(0); jobs.set(0); execRunMs.set(0L); taskGcMs.set(0L)
     shReadBytes.set(0L); shWriteBytes.set(0L)
@@ -124,8 +135,10 @@ final class BenchProbe(spark: SparkSession) {
   }
 
   /** Settle the async listener buses (poll until counters stop moving,
-    * ≤ ~600 ms), then freeze the rep's counters. */
+    * ≤ ~600 ms), then freeze the rep's counters. Disabled probe: the
+    * constant "off" sentinel, zero work. */
   def snapshot(): BenchProbe.Snap = {
+    if (!enabled) return BenchProbe.OffSnap
     settle()
     import scala.jdk.CollectionConverters._
     val hs = planHashes.iterator().asScala.toSeq.sorted
@@ -166,6 +179,12 @@ object BenchProbe {
         s""""jvm_gc_ms":$jvmGcMs,"heap_mb":$heapMb,""" +
         f""""sh_read_mb":$shReadMb%.2f,"sh_write_mb":$shWriteMb%.2f}"""
   }
+
+  /** The disabled-probe sentinel: `plan_fp = "off"` distinguishes "the
+    * instrument was off" from "every event was dropped" (`"none"`), so
+    * `diff_bench.py` can label control-sweep rows NO_PROBE_DATA instead
+    * of inventing flips against them. */
+  val OffSnap: Snap = Snap("off", Seq.empty, 0, 0, 0, 0L, 0L, 0L, 0L, 0.0, 0.0)
 
   /** Normalize an executed-plan string so its hash is a SHAPE
     * fingerprint: equal across JVMs/temp dirs/attribute-id counters,

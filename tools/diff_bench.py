@@ -31,6 +31,10 @@ def probe_agg(probes):
     """Aggregate a query's per-rep probe records for comparison."""
     if not probes:
         return None
+    # "off" = the sweep ran with SPARK_GRAFT_PROBE=0 (the overhead-A/B
+    # control): no evidence, same as a pre-r12 artifact
+    if all(s.get("plan_fp") == "off" for s in probes):
+        return None
     actions = set()
     for s in probes:
         # plan_fp is the multiset hash; per-rep distinct actions are only
