@@ -120,7 +120,11 @@ object Bench {
     // warm reps serve — the ivfpq_served pattern) and the full PII scrub
     // chain (map-only regex stack, the heaviest codegen'd string work)
     "q_ns_sim_ivf_retrained",
-    "q_ns_text_scrub_pii")
+    "q_ns_text_scrub_pii",
+    // round-13: the drift-triggered retrain policy (first rep builds the
+    // two policy artifacts — drifted fires, control doesn't — warm reps
+    // measure the occupancy-stats serve)
+    "q_ns_sim_ivf_drift_policy")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

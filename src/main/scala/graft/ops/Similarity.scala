@@ -173,7 +173,80 @@ object Similarity {
     Models.savePartitioned(
       emb.select(col("vec_id"), col("embedding"), col("label")),
       s"$dir/lists", "label")
+    saveFitOcc(emb.sparkSession, dir)
     Models.logGen(emb.sparkSession, dir, batchId = -1L, fresh = true)
+  }
+
+  /** Persist the FIT-TIME list-occupancy histogram (label, n_fit) — the
+    * drift baseline [[ivfDriftStats]] compares against. Written at
+    * [[ivfBuild]] and refreshed by [[ivfRetrain]] (post-retrain the
+    * current occupancy IS the fit occupancy, so measured drift resets to
+    * exactly 0). One count-per-label over the lists table: `label` is the
+    * partition column, so the scan reads zero data columns — row counts
+    * per file from parquet footers, cheap at any corpus size. */
+  private def saveFitOcc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    Models.save(
+      Models.load(spark, s"$dir/lists").groupBy("label")
+        .agg(count(lit(1)).as("n_fit")),
+      s"$dir/fit_occ")
+
+  /** Per-list drift evidence: (label, n_fit, n_cur) — fit-time vs
+    * current occupancy, zeros for lists that appeared or emptied. The
+    * counts are exact longs, so every consumer (the [[ivfDrift]] scalar,
+    * the driver-gate query, the card) derives shares identically. */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val cur = Models.load(spark, s"$dir/lists").groupBy("label")
+      .agg(count(lit(1)).as("n_cur"))
+    Models.load(spark, s"$dir/fit_occ")
+      .join(cur, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_fit"), lit(0L)).as("n_fit"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  /** The drift SCALAR the retrain policy gates on: total-variation
+    * distance between the fit-time and current list-occupancy
+    * distributions, TV = ½ Σ_l |cur_l/N_cur − fit_l/N_fit| ∈ [0, 1].
+    * Why occupancy TV: under sustained distribution drift the frozen
+    * centroids funnel appended vectors into the few lists nearest the
+    * drifted mass, so the occupancy histogram shifts away from its
+    * fit-time shape in exact proportion to the drifted mass fraction —
+    * while drift-free appends (new data from the fit distribution)
+    * scatter like the corpus and leave TV near 0. Computed EXACTLY:
+    * TV = Σ|cur_l·N_fit − fit_l·N_cur| / (2·N_cur·N_fit) — all-integer
+    * numerator (BigInt fold over the nlist-row stats collect, bounded by
+    * the model size like every centroid load), one final double
+    * division. Order-independent, so the policy decision is
+    * deterministic and replay-safe. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Double = {
+    val rows = ivfDriftStats(spark, dir)
+      .select("n_fit", "n_cur").collect() // nlist rows: model-bounded
+    val nFit = BigInt(rows.map(_.getLong(0)).sum)
+    val nCur = BigInt(rows.map(_.getLong(1)).sum)
+    if (nFit == 0 || nCur == 0) return if (nFit == nCur) 0.0 else 1.0
+    val num = rows.map { r =>
+      (BigInt(r.getLong(1)) * nFit - BigInt(r.getLong(0)) * nCur).abs
+    }.sum
+    (BigDecimal(num) / BigDecimal(2 * nCur * nFit)).toDouble
+  }
+
+  /** The POLICY the maintenance loop runs after every append (r12
+    * "What's missing" #3 — retrain had no trigger): measure occupancy
+    * drift, retrain when it crosses `driftThreshold`, report whether it
+    * fired. Retrain subsumes compaction (the reassignment rewrite is one
+    * file set per list), so a loop that retrains should skip its
+    * compaction check for the batch. The policy read is one
+    * footer-counts scan + an nlist-row fold; the retrain it may trigger
+    * is the ivfCompact cost class (one corpus scan against broadcast
+    * centroids + a partitioned rewrite). */
+  def ivfMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      driftThreshold: Double, sampleFrac: Double = 1.0): Boolean = {
+    val fired = ivfDrift(spark, dir) >= driftThreshold
+    if (fired) ivfRetrain(spark, dir, sampleFrac)
+    fired
   }
 
   /** Append a batch of NEW vectors to the persisted inverted lists —
@@ -286,6 +359,9 @@ object Similarity {
     Models.savePartitioned(reassigned, listsTmp, "label")
     Models.swapIn(spark, coarseTmp, s"$dir/coarse")
     Models.swapIn(spark, listsTmp, s"$dir/lists")
+    // the retrained occupancy becomes the new drift baseline: measured
+    // drift is exactly 0 until post-retrain appends move it again
+    saveFitOcc(spark, dir)
     Models.resetGens(spark, dir)
   }
 

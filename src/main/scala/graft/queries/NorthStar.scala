@@ -1392,6 +1392,113 @@ object NorthStar {
       .orderBy("query_id")
   }
 
+  /** The drift-triggered retrain POLICY (r12 "What's missing" #3 —
+    * ivfRetrain existed but nothing pulled the trigger): after an
+    * append, [[graft.ops.Similarity.ivfMaintain]] measures occupancy-TV
+    * drift against the artifact's persisted fit-time histogram and
+    * retrains iff it crosses the threshold. Two phases prove the trigger
+    * is SELECTIVE, not a retrain-always loop:
+    *  - drift: the planted drifted batch (TV 0.215 at sf0.01, 0.076 at
+    *    sf0.1 — the frozen centroids funnel it into few lists) fires the
+    *    θ=0.05 policy → occupancy re-baselines to the reassigned lists
+    *    (n_fit_after == n_cur_after) and the ledger folds to one
+    *    generation;
+    *  - control: an equal-sized UNDRIFTED batch (fresh ids over corpus
+    *    vectors 200–399; TV 0.023 / 0.008) does NOT fire → the baseline
+    *    stays the build corpus and both generations remain.
+    * The `retrained` flag is read from the ARTIFACT (ledger folded to
+    * one generation), while the oracle derives it from the exact-integer
+    * TV inequality — a policy that misfires on either side hash-fails.
+    * TV is exact on both engines: Σ|cur_l·N_fit − fit_l·N_cur| as
+    * integers, one final double compare against θ·2·N_cur·N_fit. */
+  val simIvfDriftPolicy = QueryDef(
+    "q_ns_sim_ivf_drift_policy",
+    driftOracleProlog + """,
+      |basecnt AS (SELECT label, CAST(count(*) AS BIGINT) n FROM base
+      |            GROUP BY label),
+      |stale_d AS (SELECT label, CAST(count(*) AS BIGINT) n FROM lists
+      |            GROUP BY label),
+      |after_d AS (SELECT label, CAST(count(*) AS BIGINT) n FROM lists2
+      |            GROUP BY label),
+      |ctl AS (SELECT vec_id + 2000000 AS vec_id,
+      |               CAST(embedding AS DOUBLE[]) e
+      |        FROM embeddings WHERE vec_id >= 200 AND vec_id < 400),
+      |actl AS (SELECT label, vec_id, e FROM (
+      |   SELECT c.label, n.vec_id, n.e,
+      |          row_number() OVER (PARTITION BY n.vec_id
+      |            ORDER BY list_cosine_similarity(n.e, c.centroid) DESC,
+      |                     c.label) rn
+      |   FROM ctl n CROSS JOIN cent0 c) t WHERE rn = 1),
+      |stale_c AS (SELECT b.label, b.n + CAST(COALESCE(a.n, 0) AS BIGINT) n
+      |            FROM basecnt b LEFT JOIN (SELECT label, count(*) n
+      |                                      FROM actl GROUP BY label) a
+      |            USING (label)),
+      |tv_d AS (SELECT CAST(sum(abs(s.n * (SELECT sum(n) FROM basecnt)
+      |                             - b.n * (SELECT sum(n) FROM stale_d)))
+      |                     AS DOUBLE)
+      |                >= 0.05 * 2 * (SELECT sum(n) FROM stale_d)
+      |                            * (SELECT sum(n) FROM basecnt) AS fired
+      |         FROM basecnt b JOIN stale_d s USING (label)),
+      |tv_c AS (SELECT CAST(sum(abs(s.n * (SELECT sum(n) FROM basecnt)
+      |                             - b.n * (SELECT sum(n) FROM stale_c)))
+      |                     AS DOUBLE)
+      |                >= 0.05 * 2 * (SELECT sum(n) FROM stale_c)
+      |                            * (SELECT sum(n) FROM basecnt) AS fired
+      |         FROM basecnt b JOIN stale_c s USING (label))
+      |SELECT phase, label, n_fit, n_stale, n_fit_after, n_cur_after,
+      |       retrained FROM (
+      |  SELECT 'drift' AS phase, b.label, b.n AS n_fit, s.n AS n_stale,
+      |         a.n AS n_fit_after, a.n AS n_cur_after,
+      |         CAST((SELECT fired FROM tv_d) AS BIGINT) AS retrained
+      |  FROM basecnt b JOIN stale_d s USING (label)
+      |                 JOIN after_d a USING (label)
+      |  UNION ALL
+      |  SELECT 'control', b.label, b.n, s.n, b.n, s.n,
+      |         CAST((SELECT fired FROM tv_c) AS BIGINT)
+      |  FROM basecnt b JOIN stale_c s USING (label)) u
+      |ORDER BY phase, label""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val drift = driftedBatch(s, d)
+    val control = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    // the stale (pre-decision) occupancy for the drift phase comes from
+    // the retrain-recall query's frozen twin — identical build steps, so
+    // ensureBuilt shares one artifact
+    val dirStale = graft.ops.Models.ensureBuilt(s"ivfstale|$d") { tmp =>
+      Similarity.ivfBuild(emb, tmp)
+      Similarity.ivfAppend(s, drift, tmp, batchId = 71L)
+    }
+    val dirDrift = graft.ops.Models.ensureBuilt(s"ivfpolicy_drift|$d") { tmp =>
+      Similarity.ivfBuild(emb, tmp)
+      Similarity.ivfAppend(s, drift, tmp, batchId = 81L)
+      Similarity.ivfMaintain(s, tmp, driftThreshold = 0.05): Unit
+    }
+    val dirCtl = graft.ops.Models.ensureBuilt(s"ivfpolicy_ctl|$d") { tmp =>
+      Similarity.ivfBuild(emb, tmp)
+      Similarity.ivfAppend(s, control, tmp, batchId = 82L)
+      Similarity.ivfMaintain(s, tmp, driftThreshold = 0.05): Unit
+    }
+    def phaseDf(phase: String, staleListsDir: String, policyDir: String) = {
+      val nFit = emb.groupBy("label").agg(count(lit(1)).as("n_fit"))
+      val nStale = graft.ops.Models.load(s, s"$staleListsDir/lists")
+        .groupBy("label").agg(count(lit(1)).as("n_stale"))
+      val after = Similarity.ivfDriftStats(s, policyDir)
+        .select(col("label"), col("n_fit").as("n_fit_after"),
+          col("n_cur").as("n_cur_after"))
+      // artifact-derived decision: retrain folds the ledger to ONE
+      // generation; the untriggered path keeps build + append = two
+      val retrained = graft.ops.Models.genStats(s, policyDir)
+        .head().getLong(0) == 1L
+      nFit.join(nStale, Seq("label")).join(after, Seq("label"))
+        .select(lit(phase).as("phase"), col("label"), col("n_fit"),
+          col("n_stale"), col("n_fit_after"), col("n_cur_after"),
+          lit(if (retrained) 1L else 0L).as("retrained"))
+    }
+    phaseDf("drift", dirStale, dirDrift)
+      .unionByName(phaseDf("control", dirCtl, dirCtl))
+      .orderBy("phase", "label")
+  }
+
   /** LSH-bucketed ANN with md5-seeded hyperplanes (oracle reproduces the
     * buckets, candidates, and exact rerank; recall additionally tracked in
     * ScalaTest against brute force for the kernel form). */
@@ -3025,6 +3132,7 @@ object NorthStar {
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
     simIvfServedCompacted, simIvfRetrained, simIvfRetrainRecall,
+    simIvfDriftPolicy,
     simKnnGraph, simKnnGraphRecall, simKnnGraphRecallCurve, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,

@@ -667,7 +667,8 @@ object StreamOps {
   def ivfIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, stream: DataFrame, sinkDir: String,
       checkpointDir: String, compactEvery: Int = 0,
-      compactWhenGens: Int = 0)
+      compactWhenGens: Int = 0, retrainWhenDrift: Double = 0.0,
+      retrainSampleFrac: Double = 1.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -678,6 +679,24 @@ object StreamOps {
           graft.ops.Pins.trackRdds(sc, sc.getPersistentRDDs.keySet -- before)
           b.write.mode("append").parquet(sinkDir)
           graft.ops.Similarity.ivfAppend(spark, b, indexDir, batchId)
+          // DRIFT-TRIGGERED RETRAIN (r12 "What's missing" #3 — the
+          // signal that should gate retrain was never wired to the
+          // loop): after every append, measure occupancy-TV drift
+          // against the artifact's own fit-time baseline and retrain
+          // when it crosses the threshold — a long-running ingest
+          // stream no longer degrades silently between manual
+          // retrains. Replay-deterministic: a replayed batch appends
+          // duplicate rows (the documented at-least-once contract), and
+          // the drift measure + threshold compare are exact-integer, so
+          // the replayed decision can differ from the lost one only if
+          // the duplicates themselves move TV across the threshold — in
+          // which case retrain re-fits over exactly what's on disk,
+          // still a valid (centroids, lists) state. Retrain subsumes
+          // compaction (its rewrite is one file set per list + a ledger
+          // fold), so a fired retrain skips the compaction checks.
+          val retrained = retrainWhenDrift > 0 &&
+            graft.ops.Similarity.ivfMaintain(spark, indexDir,
+              retrainWhenDrift, retrainSampleFrac)
           // two compaction policies: fixed cadence (keyed on batchId —
           // zero reads, deterministic under replay), or LEDGER-DRIVEN
           // (r11 stretch #7): compact when the artifact's own generation
@@ -686,7 +705,8 @@ object StreamOps {
           // read is one tiny gens-table aggregate per micro-batch, and
           // replay-deterministic because genStats counts DISTINCT batch
           // ids (a replayed batch folds instead of re-triggering).
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          if (retrained) ()
+          else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Similarity.ivfCompact(spark, indexDir)
           else if (compactWhenGens > 0 &&
             graft.ops.Models.genStats(spark, indexDir)

@@ -1668,6 +1668,45 @@ class OpsSpec extends AnyFunSuite {
       "sampled retrain must never drop a coarse label")
   }
 
+  test("ivfMaintain: occupancy-TV drift fires retrain on a drifted " +
+      "append, stays quiet on an in-distribution append, and " +
+      "re-baselines measured drift to exactly zero") {
+    import graft.ops.Models
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.queries.T.embeddings(spark, sf)
+    val drift = emb.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(cast(x as double) * 0.85d + 0.25d as float))")
+          .as("embedding"))
+    val control = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val dirD = java.nio.file.Files.createTempDirectory("ivf_pol_d").toString
+    Similarity.ivfBuild(emb, dirD)
+    assert(Similarity.ivfDrift(spark, dirD) == 0.0,
+      "a fresh build measures zero drift by construction")
+    Similarity.ivfAppend(spark, drift, dirD, batchId = 1L)
+    val tvD = Similarity.ivfDrift(spark, dirD)
+    assert(tvD >= 0.05, s"drifted append must move occupancy TV: $tvD")
+    assert(Similarity.ivfMaintain(spark, dirD, driftThreshold = 0.05),
+      "policy must fire on the drifted append")
+    assert(Similarity.ivfDrift(spark, dirD) == 0.0,
+      "retrain must re-baseline measured drift to exactly zero")
+    val gD = Models.genStats(spark, dirD).head()
+    assert(gD.getLong(0) == 1L && gD.getLong(1) == 1L,
+      s"retrain folds the ledger, preserving the last batch id: $gD")
+    val dirC = java.nio.file.Files.createTempDirectory("ivf_pol_c").toString
+    Similarity.ivfBuild(emb, dirC)
+    Similarity.ivfAppend(spark, control, dirC, batchId = 1L)
+    val tvC = Similarity.ivfDrift(spark, dirC)
+    assert(tvC < 0.05,
+      s"an in-distribution append must stay under the threshold: $tvC")
+    assert(!Similarity.ivfMaintain(spark, dirC, driftThreshold = 0.05),
+      "policy must NOT fire on the control append")
+    assert(Models.genStats(spark, dirC).head().getLong(0) == 2L,
+      "untriggered path keeps build + append generations")
+  }
+
   test("swapIn is crash-recoverable: readers fall back to the " +
       "__swap_old aside WITHOUT mutating; writes heal the path") {
     import graft.ops.Models

@@ -918,6 +918,49 @@ class StreamingSpec extends AnyFunSuite {
       "ledger-driven compaction must probe identically to the batch twin")
   }
 
+  test("drift-triggered retrain: ivfIngest retrains when occupancy-TV " +
+      "drift crosses the threshold and serves like the batch retrain twin") {
+    import graft.ops.{Models, Similarity}
+    val emb = graft.queries.T.embeddings(spark, sfDir)
+    val drift = emb.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(cast(x as double) * 0.85d + 0.25d as float))")
+          .as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfdrift_idx").toString
+    Similarity.ivfBuild(emb, idx)
+    val src = java.nio.file.Files.createTempDirectory("ivfdrift_src")
+    val sink = java.nio.file.Files.createTempDirectory("ivfdrift_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfdrift_ckpt")
+    drift.repartition(1).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = StreamOps.ivfIngest(spark, idx, stream, sink.toString,
+      ckpt.toString, retrainWhenDrift = 0.05)
+    q.awaitTermination(180000)
+    // the drifted micro-batch fired the policy: ledger folded to one
+    // generation and measured drift re-baselined to exactly zero
+    val g = Models.genStats(spark, idx).head()
+    assert(g.getLong(0) == 1L,
+      s"expected the drift trigger to retrain (ledger folds), got $g")
+    assert(Similarity.ivfDrift(spark, idx) == 0.0,
+      "post-retrain drift must be exactly zero")
+    // serving equals the batch build+append+retrain twin
+    val twin = java.nio.file.Files.createTempDirectory("ivfdrift_twin")
+      .toString
+    Similarity.ivfBuild(emb, twin)
+    Similarity.ivfAppend(spark, drift, twin, batchId = 0L)
+    Similarity.ivfRetrain(spark, twin)
+    val qs = drift.filter(col("vec_id") < 1000005L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def res(d: String) = Similarity.ivfServe(spark, d, qs, 3, 1)
+      .collect().map(_.toSeq).toSet
+    assert(res(idx) == res(twin),
+      "drift-triggered retrain must serve like the batch retrain twin")
+  }
+
   test("idempotent foreachBatch sink: a replayed micro-batch replaces " +
       "its own partition — no duplicates, and a partial-write replay " +
       "heals to the latest batch content") {
