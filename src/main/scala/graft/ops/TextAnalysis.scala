@@ -226,24 +226,92 @@ object TextAnalysis {
     "\\+\\d{7,15}|\\+?\\(?\\d{2,4}\\)?[-. ]\\d{3,4}[-. ]\\d{3,4}"
   private val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private val idRunRe = "\\b\\d{9,12}\\b"
+  // r13 classes (r12 "What's missing" #4), CHECKSUM-validated — shape
+  // alone is not identity for financial numbers, so candidates that fail
+  // the published check digit are left untouched:
+  //  - payment card: 4-4-4-4 separated PAN or a contiguous 13-19 digit
+  //    run (length-disjoint from the 9-12 bare-ID class), scrubbed only
+  //    when the digit string passes Luhn;
+  //  - IBAN: ISO 13616 shape (2 uppercase letters + 2 check digits +
+  //    alnum groups of 4, spaced or compact, optional 1-3 tail),
+  //    scrubbed only when the compact form is 15-34 chars AND the
+  //    rearranged mod-97 residue is 1.
+  // Chain placement: E.164 scrubs BEFORE these (a '+'-prefixed digit run
+  // is phone-shaped; 13-15 of its digits would otherwise reach the Luhn
+  // gate), the separated 3-group phone form AFTER them (a spaced PAN's
+  // 4-digit groups parse as phone groups). A Luhn-REJECTED spaced PAN
+  // does fall through to the separated-phone pattern — the usual
+  // scrubber over-redaction trade, identical cross-engine.
+  private val phoneE164Re = "\\+\\d{7,15}"
+  private val phoneSepRe = "\\+?\\(?\\d{2,4}\\)?[-. ]\\d{3,4}[-. ]\\d{3,4}"
+  private val ccRe =
+    "\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b|\\b\\d{13,19}\\b"
+  private val ibanRe =
+    "\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\\b"
+
+  /** Luhn check as a SQL lambda over a digits-only string expression —
+    * higher-order functions only (codegen'd, no UDF), identical algebra
+    * to the DuckDB twin: double every second digit from the right,
+    * subtract 9 when it exceeds 9, sum mod 10 == 0. */
+  private def luhnOkSql(ds: String): String =
+    s"aggregate(sequence(1, length($ds)), 0, (a, i) -> a + " +
+      s"(CASE WHEN (length($ds) - i) % 2 = 1 THEN " +
+      s"(CASE WHEN 2 * cast(substring($ds, i, 1) as int) > 9 " +
+      s"THEN 2 * cast(substring($ds, i, 1) as int) - 9 " +
+      s"ELSE 2 * cast(substring($ds, i, 1) as int) END) " +
+      s"ELSE cast(substring($ds, i, 1) as int) END)) % 10 = 0"
+
+  /** ISO 13616 mod-97 residue of a rearranged compact IBAN (first 4
+    * chars moved to the end): incremental fold, digits contribute one
+    * base-10 step, letters (A=10 … Z=35) two — exactly the big-number
+    * mod the spec defines, never materializing the big number. */
+  private def ibanMod97Sql(rs: String): String =
+    s"aggregate(sequence(1, length($rs)), 0, (a, i) -> " +
+      s"CASE WHEN substring($rs, i, 1) >= '0' AND substring($rs, i, 1) <= '9' " +
+      s"THEN (a * 10 + cast(substring($rs, i, 1) as int)) % 97 " +
+      s"ELSE (a * 100 + ascii(substring($rs, i, 1)) - 55) % 97 END)"
 
   /** Full PII scrub chain — [[withScrubbedText]]'s URL/EMAIL pass
-    * extended with phone numbers and government-ID-shaped tokens (r11
-    * "What's missing" #4): URL → EMAIL → PHONE → ID, each pattern
-    * counted against the PREVIOUS stage's output so every count equals
-    * its placeholder's occurrences in `scrubbed_pii` (digits consumed by
-    * a phone can't recount as an ID run; an email inside a URL is
-    * already <URL>). n_ids sums the SSN-shaped and bare-run classes,
-    * scrubbed in that order (the hyphenated form would otherwise never
-    * survive to the run pattern anyway). Map-only at any scale; patterns
-    * stay in the RE2 subset so the identical literals run in the
-    * oracle. */
+    * extended with phone, payment-card, IBAN, and government-ID-shaped
+    * tokens (r11 #4 + r12 #4):
+    * URL → EMAIL → E.164 → IBAN → CARD → separated-PHONE → SSN → ID-run,
+    * each pattern counted against the PREVIOUS stage's output so every
+    * count equals its placeholder's occurrences in `scrubbed_pii`
+    * (digits consumed by a card can't recount as an ID run; an email
+    * inside a URL is already <URL>). The financial classes are
+    * checksum-GATED, not shape-gated: card candidates must pass Luhn,
+    * IBAN candidates the ISO 13616 mod-97 check — both as SQL-lambda
+    * folds (higher-order functions, codegen'd, no UDF), with the
+    * validated matches replaced by an exact-string fold over the
+    * candidate array. IBAN scrubs before card because a spaced IBAN's
+    * digit groups parse as a spaced PAN; see the pattern block above
+    * for the phone-split rationale. n_phones sums the E.164 and
+    * separated sub-stages, n_ids the SSN and bare-run classes. Map-only
+    * at any scale; patterns stay in the RE2 subset and the check-digit
+    * algebra is engine-neutral integer math, so the whole chain
+    * reproduces verbatim in the oracle. */
   def withPiiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val urlSql = urlRe.replace("\\", "\\\\")
     val emailSql = emailRe.replace("\\", "\\\\")
-    val phoneSql = phoneRe.replace("\\", "\\\\")
+    val e164Sql = phoneE164Re.replace("\\", "\\\\")
+    val sepSql = phoneSepRe.replace("\\", "\\\\")
+    val ccSql = ccRe.replace("\\", "\\\\")
+    val ibanSql = ibanRe.replace("\\", "\\\\")
     val ssnSql = ssnRe.replace("\\", "\\\\")
     val idRunSql = idRunRe.replace("\\", "\\\\")
+    // validated candidate arrays, in match order (the replace fold is
+    // order-faithful so both engines fold identically)
+    val ibanValid =
+      s"transform(filter(transform(regexp_extract_all(__s3, '$ibanSql', 0), " +
+        "c -> named_struct('c', c, 'n', length(replace(c, ' ', '')), " +
+        "'rs', concat(substring(replace(c, ' ', ''), 5), " +
+        "substring(replace(c, ' ', ''), 1, 4)))), " +
+        s"p -> p.n >= 15 AND p.n <= 34 AND ${ibanMod97Sql("p.rs")} = 1), " +
+        "p -> p.c)"
+    val ccValid =
+      s"transform(filter(transform(regexp_extract_all(__s4, '$ccSql', 0), " +
+        "c -> named_struct('c', c, 'ds', regexp_replace(c, '[ -]', ''))), " +
+        s"p -> ${luhnOkSql("p.ds")}), p -> p.c)"
     docs
       .withColumn("__s1", regexp_replace(col(textCol), urlRe, "<URL>"))
       .withColumn("n_urls",
@@ -253,18 +321,31 @@ object TextAnalysis {
       .withColumn("n_emails",
         size(expr(s"regexp_extract_all(__s1, '$emailSql', 0)"))
           .cast("bigint"))
-      .withColumn("__s3", regexp_replace(col("__s2"), phoneRe, "<PHONE>"))
+      .withColumn("__s3", regexp_replace(col("__s2"), phoneE164Re, "<PHONE>"))
+      .withColumn("__n_e164",
+        size(expr(s"regexp_extract_all(__s2, '$e164Sql', 0)")))
+      .withColumn("__iban_v", expr(ibanValid))
+      .withColumn("__s4",
+        expr("aggregate(__iban_v, __s3, (acc, x) -> replace(acc, x, '<IBAN>'))"))
+      .withColumn("n_ibans", size(col("__iban_v")).cast("bigint"))
+      .withColumn("__cc_v", expr(ccValid))
+      .withColumn("__s5",
+        expr("aggregate(__cc_v, __s4, (acc, x) -> replace(acc, x, '<CC>'))"))
+      .withColumn("n_ccs", size(col("__cc_v")).cast("bigint"))
+      .withColumn("__s6", regexp_replace(col("__s5"), phoneSepRe, "<PHONE>"))
       .withColumn("n_phones",
-        size(expr(s"regexp_extract_all(__s2, '$phoneSql', 0)"))
+        (col("__n_e164") +
+          size(expr(s"regexp_extract_all(__s5, '$sepSql', 0)")))
           .cast("bigint"))
-      .withColumn("__s4", regexp_replace(col("__s3"), ssnRe, "<ID>"))
+      .withColumn("__s7", regexp_replace(col("__s6"), ssnRe, "<ID>"))
       .withColumn("scrubbed_pii",
-        regexp_replace(col("__s4"), idRunRe, "<ID>"))
+        regexp_replace(col("__s7"), idRunRe, "<ID>"))
       .withColumn("n_ids",
-        (size(expr(s"regexp_extract_all(__s3, '$ssnSql', 0)")) +
-          size(expr(s"regexp_extract_all(__s4, '$idRunSql', 0)")))
+        (size(expr(s"regexp_extract_all(__s6, '$ssnSql', 0)")) +
+          size(expr(s"regexp_extract_all(__s7, '$idRunSql', 0)")))
           .cast("bigint"))
-      .drop("__s1", "__s2", "__s3", "__s4")
+      .drop("__s1", "__s2", "__s3", "__s4", "__s5", "__s6", "__s7",
+        "__n_e164", "__iban_v", "__cc_v")
   }
 
   /** Winnowing document fingerprint (the MOSS scheme): hash every char

@@ -2206,16 +2206,18 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
-  /** Full PII scrub over documents + PLANTED fixtures (r11 "Next round"
-    * #5): URL → EMAIL → PHONE → ID chain
-    * (TextAnalysis.withPiiScrub), each class counted against the
-    * previous stage so counts equal placeholder occurrences. The three
-    * planted rows exercise every pattern class — E.164 and separated
-    * phone forms, the SSN 3-2-4 shape, a bare 9-digit and a 12-digit ID
-    * run, plus url/email cohabiting with PII on one line — so each
-    * class's count is provably nonzero in the verified output (the
-    * corpus text alone could make a class vacuous). Patterns are
-    * RE2-subset literals shared verbatim with the oracle. */
+  /** Full PII scrub over documents + PLANTED fixtures (r11 #5 + r12 #4):
+    * URL → EMAIL → E.164 → IBAN → CARD → separated-PHONE → SSN → ID
+    * chain (TextAnalysis.withPiiScrub), each class counted against the
+    * previous stage so counts equal placeholder occurrences. The
+    * financial classes are CHECKSUM-gated — card candidates must pass
+    * Luhn, IBANs the ISO 13616 mod-97 check — and the oracle reproduces
+    * both validations in SQL (candidate explode → integer check-digit
+    * fold → order-preserving re-list → replace fold), so a checksum
+    * divergence on either engine hash-fails. The planted rows exercise
+    * every class: phone forms, SSN/ID runs, url/email cohabitation,
+    * spaced + contiguous Luhn-valid PANs, spaced + compact valid IBANs,
+    * and a check-digit-REJECTED IBAN that must survive verbatim. */
   val textScrubPii = QueryDef(
     "q_ns_text_scrub_pii",
     """WITH corpus AS (
@@ -2226,7 +2228,12 @@ object NorthStar {
       |     'call +15551234567 or (555) 123-4567 today'),
       |    (CAST(9000002 AS BIGINT), 'ssn 123-45-6789 acct 987654321 ok'),
       |    (CAST(9000003 AS BIGINT),
-      |     'see https://ex.io/a?p=1 mail a.b@ex.io tel 555-123-4567 id 123456789012'))
+      |     'see https://ex.io/a?p=1 mail a.b@ex.io tel 555-123-4567 id 123456789012'),
+      |    (CAST(9000004 AS BIGINT),
+      |     'pay 4111 1111 1111 1111 or 4111111111111111 now'),
+      |    (CAST(9000005 AS BIGINT),
+      |     'iban GB82 WEST 1234 5698 7654 32 or DE89370400440532013000 ok'),
+      |    (CAST(9000006 AS BIGINT), 'fake DE89370400440532013001 stays put'))
       |    v(doc_id, text)
       |),
       |s1 AS (SELECT doc_id, text,
@@ -2235,38 +2242,98 @@ object NorthStar {
       |s2 AS (SELECT *, regexp_replace(t1,
       |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
       |         '<EMAIL>', 'g') t2 FROM s1),
-      |s3 AS (SELECT *, regexp_replace(t2,
-      |         '\+\d{7,15}|\+?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}',
+      |s3 AS (SELECT *, regexp_replace(t2, '\+\d{7,15}',
       |         '<PHONE>', 'g') t3 FROM s2),
-      |s4 AS (SELECT *, regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b',
-      |         '<ID>', 'g') t4 FROM s3)
+      |ibx AS (SELECT doc_id, generate_subscripts(cands, 1) i,
+      |               unnest(cands) c
+      |        FROM (SELECT doc_id, regexp_extract_all(t3,
+      |                '\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b')
+      |                cands FROM s3) t),
+      |ibok AS (SELECT doc_id, i, c FROM (
+      |    SELECT doc_id, i, c, length(replace(c, ' ', '')) n,
+      |           list_aggregate(list_transform(
+      |             generate_series(1, length(substring(replace(c, ' ', ''), 5)
+      |               || substring(replace(c, ' ', ''), 1, 4))),
+      |             k -> CASE WHEN substring(substring(replace(c, ' ', ''), 5)
+      |                         || substring(replace(c, ' ', ''), 1, 4), k, 1)
+      |                         BETWEEN '0' AND '9'
+      |                  THEN substring(substring(replace(c, ' ', ''), 5)
+      |                         || substring(replace(c, ' ', ''), 1, 4), k, 1)
+      |                  ELSE CAST(ascii(substring(substring(replace(c, ' ', ''), 5)
+      |                         || substring(replace(c, ' ', ''), 1, 4), k, 1)) - 55
+      |                       AS VARCHAR) END),
+      |             'string_agg', '') d
+      |    FROM ibx) v
+      |  WHERE n BETWEEN 15 AND 34
+      |    AND list_reduce(list_prepend(0, list_transform(
+      |          generate_series(1, length(d)),
+      |          k -> CAST(substring(d, k, 1) AS INT))),
+      |          (a, x) -> (a * 10 + x) % 97) = 1),
+      |ibl AS (SELECT doc_id, list(c ORDER BY i) v FROM ibok GROUP BY doc_id),
+      |s4 AS (SELECT s3.*,
+      |         CASE WHEN ibl.v IS NULL THEN t3
+      |              ELSE list_reduce(list_prepend(t3, ibl.v),
+      |                     (a, x) -> replace(a, x, '<IBAN>')) END t4,
+      |         CAST(COALESCE(len(ibl.v), 0) AS BIGINT) n_ibans
+      |       FROM s3 LEFT JOIN ibl USING (doc_id)),
+      |ccx AS (SELECT doc_id, generate_subscripts(cands, 1) i,
+      |               unnest(cands) c
+      |        FROM (SELECT doc_id, regexp_extract_all(t4,
+      |                '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{13,19}\b')
+      |                cands FROM s4) t),
+      |ccok AS (SELECT doc_id, i, c FROM (
+      |    SELECT doc_id, i, c, regexp_replace(c, '[ -]', '', 'g') ds
+      |    FROM ccx) v
+      |  WHERE list_sum(list_transform(generate_series(1, length(ds)),
+      |          k -> CASE WHEN (length(ds) - k) % 2 = 1 THEN
+      |                 CASE WHEN 2 * CAST(substring(ds, k, 1) AS INT) > 9
+      |                      THEN 2 * CAST(substring(ds, k, 1) AS INT) - 9
+      |                      ELSE 2 * CAST(substring(ds, k, 1) AS INT) END
+      |               ELSE CAST(substring(ds, k, 1) AS INT) END)) % 10 = 0),
+      |ccl AS (SELECT doc_id, list(c ORDER BY i) v FROM ccok GROUP BY doc_id),
+      |s5 AS (SELECT s4.*,
+      |         CASE WHEN ccl.v IS NULL THEN t4
+      |              ELSE list_reduce(list_prepend(t4, ccl.v),
+      |                     (a, x) -> replace(a, x, '<CC>')) END t5,
+      |         CAST(COALESCE(len(ccl.v), 0) AS BIGINT) n_ccs
+      |       FROM s4 LEFT JOIN ccl USING (doc_id)),
+      |s6 AS (SELECT *, regexp_replace(t5,
+      |         '\+?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}',
+      |         '<PHONE>', 'g') t6 FROM s5),
+      |s7 AS (SELECT *, regexp_replace(t6, '\b\d{3}-\d{2}-\d{4}\b',
+      |         '<ID>', 'g') t7 FROM s6)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT)
       |    AS n_urls,
       |  CAST(len(regexp_extract_all(t1,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
       |    AS n_emails,
-      |  CAST(len(regexp_extract_all(t2,
-      |    '\+\d{7,15}|\+?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}')) AS BIGINT)
+      |  n_ibans, n_ccs,
+      |  CAST(len(regexp_extract_all(t2, '\+\d{7,15}')) +
+      |       len(regexp_extract_all(t5,
+      |         '\+?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}')) AS BIGINT)
       |    AS n_phones,
-      |  CAST(len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) +
-      |       len(regexp_extract_all(t4, '\b\d{9,12}\b')) AS BIGINT)
+      |  CAST(len(regexp_extract_all(t6, '\b\d{3}-\d{2}-\d{4}\b')) +
+      |       len(regexp_extract_all(t7, '\b\d{9,12}\b')) AS BIGINT)
       |    AS n_ids,
-      |  md5(regexp_replace(t4, '\b\d{9,12}\b', '<ID>', 'g')) AS scrub_md5
-      |FROM s4
+      |  md5(regexp_replace(t7, '\b\d{9,12}\b', '<ID>', 'g')) AS scrub_md5
+      |FROM s7
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val planted = Seq(
       (9000001L, "call +15551234567 or (555) 123-4567 today"),
       (9000002L, "ssn 123-45-6789 acct 987654321 ok"),
       (9000003L,
-        "see https://ex.io/a?p=1 mail a.b@ex.io tel 555-123-4567 id 123456789012"))
+        "see https://ex.io/a?p=1 mail a.b@ex.io tel 555-123-4567 id 123456789012"),
+      (9000004L, "pay 4111 1111 1111 1111 or 4111111111111111 now"),
+      (9000005L, "iban GB82 WEST 1234 5698 7654 32 or DE89370400440532013000 ok"),
+      (9000006L, "fake DE89370400440532013001 stays put"))
       .toDF("doc_id", "text")
     TextAnalysis.withPiiScrub(
         T.documents(s, d).select(col("doc_id"), col("text"))
           .unionByName(planted))
       .select(col("doc_id"), col("n_urls"), col("n_emails"),
-        col("n_phones"), col("n_ids"),
+        col("n_ibans"), col("n_ccs"), col("n_phones"), col("n_ids"),
         md5(col("scrubbed_pii")).as("scrub_md5"))
       .orderBy("doc_id")
   }

@@ -1597,7 +1597,10 @@ class OpsSpec extends AnyFunSuite {
       (2L, "ssn 123-45-6789 acct 987654321 ok"),
       (3L, "see https://ex.io/a?p=1 mail a.b@ex.io tel 555-123-4567 id 123456789012"),
       (4L, "born 1995-01-01 at 12:34:56 — a date is not a phone"),
-      (5L, "hex deadbeef0042 and inword12345678901x stay"))
+      (5L, "hex deadbeef0042 and inword12345678901x stay"),
+      (6L, "pay 4111 1111 1111 1111 or 4111111111111111 now"),
+      (7L, "iban GB82 WEST 1234 5698 7654 32 or DE89370400440532013000 ok"),
+      (8L, "fake DE89370400440532013001 stays put"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.withPiiScrub(planted)
       .select("doc_id", "n_urls", "n_emails", "n_phones", "n_ids",
@@ -1605,6 +1608,10 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getString(5)))).toMap
+    val fin = TextAnalysis.withPiiScrub(planted)
+      .select("doc_id", "n_ccs", "n_ibans", "scrubbed_pii")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(got(1L)._3 == 2, s"E.164 + separated form: ${got(1L)}")
     assert(got(1L)._5 == "call <PHONE> or <PHONE> today")
     assert(got(2L) == ((0L, 0L, 0L, 2L, "ssn <ID> acct <ID> ok")),
@@ -1617,6 +1624,20 @@ class OpsSpec extends AnyFunSuite {
       s"dates/times must not scrub: ${got(4L)}")
     assert(got(5L)._4 == 0,
       s"hex ids and embedded digit runs must not scrub: ${got(5L)}")
+    // Luhn-valid PANs scrub in both spaced and contiguous form, and the
+    // consumed digits never re-count as phones or ID runs
+    assert(fin(6L) == ((2L, 0L, "pay <CC> or <CC> now")),
+      s"card class: ${fin(6L)}")
+    assert(got(6L)._3 == 0 && got(6L)._4 == 0,
+      s"card digits must not leak into phone/id classes: ${got(6L)}")
+    // mod-97-valid IBANs scrub spaced and compact; letters+digits tokens
+    // have no \\b inside, so nothing leaks to the digit-run classes
+    assert(fin(7L) == ((0L, 2L, "iban <IBAN> or <IBAN> ok")),
+      s"iban class: ${fin(7L)}")
+    // checksum-REJECTED candidates are left verbatim (shape is not
+    // identity for financial numbers)
+    assert(fin(8L) == ((0L, 0L, "fake DE89370400440532013001 stays put")),
+      s"invalid check digits must not scrub: ${fin(8L)}")
   }
 
   test("ivfRetrain recovers recall lost to frozen centroids under " +
