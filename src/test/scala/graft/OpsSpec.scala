@@ -1572,6 +1572,118 @@ class OpsSpec extends AnyFunSuite {
     assert(g2.forall(_ == 128), "all-skip B_DC everywhere must hold 128")
   }
 
+  test("VP8 loop filter arithmetic matches hand-evaluated RFC 6386 §15 " +
+      "fixtures: normal wide + hev paths, simple path, mask rejection, " +
+      "sharpness limit, level-0 skip") {
+    import graft.ops.Vp8
+    // two MBs side by side, constant left/right values: the only active
+    // edge is MB 1's left edge (inner=false, my=0), so every row is one
+    // independent 8-tap filter application — hand-computable from the
+    // spec formulas without running this code
+    def plane2(left: Int, right: Int): Array[Int] = {
+      val p = new Array[Int](32 * 16)
+      var i = 0
+      while (i < p.length) { p(i) = if (i % 32 < 16) left else right; i += 1 }
+      p
+    }
+    val noInner = Array(false, false)
+    // NORMAL, wide (non-hev) path at level 10, sharpness 0:
+    // I=10, hevT=0, mbE=34; p*=100→s-28, q*=110→s-18; mask 25<=34;
+    // w=c(c(-10)+3*10)=20; taps (27w+63)>>7=4, (18w+63)>>7=3,
+    // (9w+63)>>7=1 → p2..q2 = 101,103,104 | 106,107,109
+    val pN = plane2(100, 110)
+    Vp8.loopFilterLuma(pN, 32, 2, 1, 0, 0, Array(10, 10), noInner)
+    for (y <- 0 until 16) {
+      val row = (12 to 19).map(x => pN(y * 32 + x))
+      assert(row == Seq(100, 101, 103, 104, 106, 107, 109, 110),
+        s"normal wide path, row $y: $row")
+    }
+    // SIMPLE path, same step: a=c(c(-10)+30)=20, F=c(24)>>3=3,
+    // E=c(23)>>3=2 → only p0/q0 move: 102 | 107
+    val pS = plane2(100, 110)
+    Vp8.loopFilterLuma(pS, 32, 2, 1, 1, 0, Array(10, 10), noInner)
+    for (y <- 0 until 16) {
+      val row = (13 to 18).map(x => pS(y * 32 + x))
+      assert(row == Seq(100, 100, 102, 107, 110, 110),
+        s"simple path, row $y: $row")
+    }
+    // MASK rejection: |p0-q0|*2 + |p1-q1|/2 = 50 > mbE=34 → untouched
+    val pM = plane2(100, 120)
+    Vp8.loopFilterLuma(pM, 32, 2, 1, 0, 0, Array(10, 10), noInner)
+    assert(pM.zipWithIndex.forall { case (v, i) =>
+      v == (if (i % 32 < 16) 100 else 120) }, "over-limit step must not filter")
+    // HEV path at level 40 (hevT=2): spiky p1=115 → |p1-p0|=15>2 → the
+    // two-tap common adjust: a=c(c(-13+18)+30)=35, F=c(39)>>3=4,
+    // E=c(38)>>3=4 → p0 104 | q0 106, p1/q1 NOT touched
+    val pH = plane2(100, 110)
+    for (y <- 0 until 16) pH(y * 32 + 14) = 115
+    Vp8.loopFilterLuma(pH, 32, 2, 1, 0, 0, Array(40, 40), noInner)
+    for (y <- 0 until 16) {
+      val row = (13 to 18).map(x => pH(y * 32 + x))
+      assert(row == Seq(100, 115, 104, 106, 110, 110),
+        s"hev path, row $y: $row")
+    }
+    // SHARPNESS tightens the limits: a 100→111 step (mask sum 27)
+    // filters at sharpness 0 (mbE=34) and is rejected at sharpness 7
+    // (interior = min(10 >> 2, 9-7) = 2 → mbE = 26)
+    val pA = plane2(100, 111)
+    Vp8.loopFilterLuma(pA, 32, 2, 1, 0, 7, Array(10, 10), noInner)
+    assert(pA(5 * 32 + 15) == 100 && pA(5 * 32 + 16) == 111,
+      "sharpness-7 limit must reject the 11-step")
+    val pB = plane2(100, 111)
+    Vp8.loopFilterLuma(pB, 32, 2, 1, 0, 0, Array(10, 10), noInner)
+    assert(pB(5 * 32 + 15) != 100, "sharpness-0 must filter the 11-step")
+    // per-MB level 0 skips the MB outright
+    val pZ = plane2(100, 110)
+    Vp8.loopFilterLuma(pZ, 32, 2, 1, 0, 0, Array(10, 0), noInner)
+    assert(pZ(5 * 32 + 15) == 100 && pZ(5 * 32 + 16) == 110,
+      "a level-0 MB must not filter its edges")
+  }
+
+  test("VP8 loop filter end-to-end: filtered frames decode to the " +
+      "encoder's filtered reconstruction and differ from unfiltered") {
+    import graft.ops.Vp8
+    // textured 3x2-MB frame with coefficients everywhere (inner edges
+    // active) — both filter types, a delta-free header, level straddling
+    // the hev threshold
+    def mode(mx: Int, my: Int): Int = (mx + my) % 4
+    def y2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      a(0) = 13 * (mx + 1) - 9 * my; a(3) = 2 - mx
+      a
+    }
+    def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      a(1 + (b % 5)) = ((b + mx * 3 + my) % 9) - 4
+      a
+    }
+    val (plain, ePlain) = Vp8.makeWebpLossyFrame(48, 32, mode, y2, yl)
+    for (ft <- Seq(0, 1); lvl <- Seq(14, 40)) {
+      val (bytes, expected) = Vp8.makeWebpLossyFrame(48, 32, mode, y2, yl,
+        filterType = ft, filterLevel = lvl, sharpness = ft * 3)
+      val (dw, dh, g) = Multimodal.decodeGray(bytes).getOrElse(
+        fail(s"filtered frame (type=$ft lvl=$lvl) did not decode"))
+      assert(dw == 48 && dh == 32)
+      assert(g.sameElements(expected),
+        s"type=$ft lvl=$lvl: decode != filtered reconstruction")
+      assert(!g.sameElements(ePlain),
+        s"type=$ft lvl=$lvl: filter must change this textured frame")
+    }
+    // unfiltered baseline still matches itself
+    assert(Multimodal.decodeGray(plain).get._3.sameElements(ePlain))
+    // lf deltas: INTRA ref delta + B_PRED mode delta land in the header
+    // delta block and adjust per-MB levels (a parse misalignment here
+    // would desync the whole mode stream, so exact decode is a strong
+    // canary); mix B_PRED and 16x16 MBs so both delta paths apply
+    def modeB(mx: Int, my: Int): Int = if ((mx + my) % 2 == 0) 4 else 0
+    val (db, de) = Vp8.makeWebpLossyFrame(48, 32, modeB, y2, yl,
+      bModeOf = (_, _, b) => b % 3, filterLevel = 20,
+      lfRefDeltaIntra = -8, lfModeDeltaBpred = 5)
+    val (_, _, dg) = Multimodal.decodeGray(db).getOrElse(
+      fail("lf-delta frame did not decode"))
+    assert(dg.sameElements(de), "lf-delta decode != filtered reconstruction")
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:

@@ -410,8 +410,13 @@ class PropertySpec extends AnyFunSuite {
       modeSeed <- Gen.choose(0, 1000)
       lvlSeed <- Gen.choose(0, 1000)
       density <- Gen.choose(1, 5) // how often blocks carry coefficients
-    } yield (w, h, modeSeed, lvlSeed, density)
-    forSamples(frameGen, n = 8) { case (w, h, ms, ls, density) =>
+      fType <- Gen.choose(0, 1) // loop filter: normal / simple
+      fLevel <- Gen.oneOf(0, 1, 5, 14, 15, 26, 39, 40, 63) // straddles
+      // both key-frame hev thresholds and the disabled level
+      fSharp <- Gen.choose(0, 7)
+    } yield (w, h, modeSeed, lvlSeed, density, fType, fLevel, fSharp)
+    forSamples(frameGen, n = 10) {
+      case (w, h, ms, ls, density, fType, fLevel, fSharp) =>
       // five luma modes incl. B_PRED (4) with rotating 4x4 sub-modes
       def mode(mx: Int, my: Int): Int = (mx * 7 + my * 13 + ms) % 5
       def bmode(mx: Int, my: Int, b: Int): Int = (mx + my * 2 + b + ms) % 3
@@ -437,13 +442,16 @@ class PropertySpec extends AnyFunSuite {
         }
         a
       }
-      val (bytes, expected) = Vp8.makeWebpLossyFrame(w, h, mode, y2, yl, bmode)
+      val (bytes, expected) = Vp8.makeWebpLossyFrame(w, h, mode, y2, yl,
+        bmode, filterType = fType, filterLevel = fLevel, sharpness = fSharp)
       val out = Multimodal.decodeGray(bytes)
-      assert(out.isDefined, s"${w}x$h seed=($ms,$ls,$density) undecodable")
+      assert(out.isDefined,
+        s"${w}x$h seed=($ms,$ls,$density,$fType,$fLevel,$fSharp) undecodable")
       val (dw, dh, g) = out.get
       assert(dw == w && dh == h)
       assert(g.sameElements(expected),
-        s"${w}x$h seed=($ms,$ls,$density): decode != encoder reconstruction")
+        s"${w}x$h seed=($ms,$ls,$density,$fType,$fLevel,$fSharp): " +
+          "decode != encoder reconstruction")
     }
   }
 }
