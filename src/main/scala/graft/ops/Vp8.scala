@@ -23,11 +23,13 @@ import java.nio.charset.StandardCharsets
   *    applied (INTRA ref delta + B_PRED mode delta — the complete set
   *    for an all-intra key frame) and the eobtotal==0 interior-edge
   *    skip rule ([[loopFilterLuma]]);
-  *  - all four 16×16 intra modes, plus B_PRED with the three 4×4
-  *    sub-modes that never read above-RIGHT pixels (B_DC/B_TM/B_HE —
-  *    the not-yet-reconstructed-neighbor edge extension the diagonal
-  *    and VE sub-modes need is the out-of-scope half; a stream
-  *    selecting one of those returns None);
+  *  - all four 16×16 intra modes, plus B_PRED with ALL TEN 4×4
+  *    sub-modes (r13: VE and the five diagonals joined DC/TM/HE, with
+  *    the §12.3 above-right sourcing — column-3 subblocks read the row
+  *    above the MACROBLOCK). One residual line: an above-right-reading
+  *    sub-mode in column 3 of the frame's rightmost macroblock below
+  *    the top row needs the off-frame replacement convention this
+  *    environment can't validate → None, never approximated;
   *  - luma-only output (chroma tokens ARE decoded — the single residual
   *    bitstream can't be skipped past — but not reconstructed).
   *
@@ -216,22 +218,24 @@ object Vp8 {
   private final val ModeTm = 3
   private final val ModeB = 4
 
-  /** 4×4 sub-mode ids for B_PRED. Subset: the three axis modes that
-    * never read above-RIGHT pixels (whose edge-extension rules around
-    * not-yet-reconstructed neighbors are the fiddly half of intra VP8):
-    * B_DC (0), B_TM (1), B_HE (2). The sub-mode TREE is walked in full —
-    * a stream selecting VE or a diagonal lands on an out-of-subset leaf
-    * and returns None, never a wrong pixel. Tree per RFC 6386 §11.2
-    * (leaf = -(mode + 1)); the 10×10 context probability table is
-    * synthesized in-range rather than keyed digit-perfect (the
-    * [[CoeffUpdateProbs]] fidelity note applies — round-trip exact,
-    * third-party decode already not claimed). */
+  /** 4×4 sub-mode ids for B_PRED — SPEC ids throughout since r13, with
+    * ALL TEN §12.3 predictors implemented ([[predict4]]): DC 0, TM 1,
+    * VE 2, HE 3, LD 4, RD 5, VR 6, VL 7, HD 8, HU 9. The one residual
+    * subset line: an above-right-reading sub-mode (VE/LD/VL) in column
+    * 3 of the frame's RIGHTMOST macroblock below the top row needs the
+    * off-frame above-right replacement convention, which this build
+    * environment cannot validate — rejected (None), never approximated
+    * ([[bPredAboveRight]]). Tree per RFC 6386 §11.2 (leaf =
+    * -(mode + 1)); the 10×10 context probability table is synthesized
+    * in-range rather than keyed digit-perfect (the [[CoeffUpdateProbs]]
+    * fidelity note applies — round-trip exact, third-party decode
+    * already not claimed). */
   private final val BModeDc = 0
   private final val BModeTm = 1
-  private final val BModeHe = 2
-  // RFC order: DC, TM, VE, HE, LD, RD, VR, VL, HD, HU — leaves encode the
-  // SPEC ids; the subset check maps spec ids {0, 1, 3} to the three
-  // implemented modes and rejects the rest
+  private final val BModeHu = 9
+  private val DummyAr = Array(0, 0, 0, 0)
+  // RFC order: DC, TM, VE, HE, LD, RD, VR, VL, HD, HU — leaves encode
+  // the SPEC ids
   private val BModeTree: Array[Int] = Array(
     -(0 + 1), 2, // B_DC "0"
     -(1 + 1), 4, // B_TM "10"
@@ -818,65 +822,186 @@ object Vp8 {
     }
   }
 
-  /** 4×4 intra prediction (B_PRED subset: DC/TM/HE) for the subblock at
-    * plane position (x, y) — reads ONLY already-reconstructed pixels
-    * (above row, left column, top-left), with the 127/129/128 missing-
-    * edge conventions of the 16×16 modes. Shared by the decoder and the
-    * fixture encoder's reconstruction simulation. */
-  private def predict4(plane: Array[Int], stride: Int, x: Int, y: Int,
-      mode: Int): Array[Int] = {
-    val out = new Array[Int](16)
-    val haveA = y > 0
-    val haveL = x > 0
-    def a(c: Int): Int = if (haveA) plane((y - 1) * stride + x + c) else 127
-    def l(r: Int): Int = if (haveL) plane((y + r) * stride + x - 1) else 129
-    // Missing-corner fill per RFC 6386's reference border: the row above
-    // the frame (y == 0, including the origin) is 127-filled, the column
-    // left of the frame (x == 0, y > 0) is 129-filled.
-    val tl =
-      if (haveA && haveL) plane((y - 1) * stride + x - 1)
-      else if (haveA) 129 else 127
-    mode match {
-      case BModeDc =>
-        var sum = 0
-        var n = 0
-        if (haveA) { var c = 0; while (c < 4) { sum += a(c); c += 1 }; n += 4 }
-        if (haveL) { var r = 0; while (r < 4) { sum += l(r); r += 1 }; n += 4 }
-        val dc =
-          if (n == 0) 128
-          else if (n == 8) (sum + 4) >> 3
-          else (sum + 2) >> 2
-        java.util.Arrays.fill(out, dc)
-      case BModeTm =>
-        var r = 0
-        while (r < 4) {
-          var c = 0
-          while (c < 4) { out(r * 4 + c) = clamp255(l(r) + a(c) - tl); c += 1 }
-          r += 1
-        }
-      case _ => // B_HE: filtered horizontal, last row doubles L3
-        val rows = Array(
-          (tl + 2 * l(0) + l(1) + 2) >> 2,
-          (l(0) + 2 * l(1) + l(2) + 2) >> 2,
-          (l(1) + 2 * l(2) + l(3) + 2) >> 2,
-          (l(2) + 2 * l(3) + l(3) + 2) >> 2)
-        var r = 0
-        while (r < 4) {
-          var c = 0
-          while (c < 4) { out(r * 4 + c) = rows(r); c += 1 }
-          r += 1
-        }
+  /** True iff the spec sub-mode reads the above-right pixels A[4..7]:
+    * B_VE (2), B_LD (4), B_VL (7). */
+  private def bModeUsesAr(spec: Int): Boolean =
+    spec == 2 || spec == 4 || spec == 7
+
+  /** Above-right pixels A[4..7] for the B_PRED subblock (bc, br) of
+    * macroblock (mx, my) — the §12.3 sourcing rules:
+    *  - columns 0-2: the 4 pixels directly above-right in the plane
+    *    (the subblock above-right is already reconstructed in raster
+    *    order; the frame-top border row is 127);
+    *  - column 3: the true above-right lives in the NEXT macroblock
+    *    (not yet reconstructed), so ALL rows take the row above the
+    *    MACROBLOCK at x ∈ [px+16, px+19] — the above-RIGHT macroblock's
+    *    bottom row (127 border on the top macroblock row);
+    *  - column 3 of the frame's RIGHTMOST macroblock below the top row:
+    *    those pixels are off-frame, and the replacement convention is
+    *    the one §12.3 rule this build environment cannot validate — the
+    *    subset line: rejected (None), never approximated. */
+  private def bPredAboveRight(plane: Array[Int], stride: Int, mbCols: Int,
+      mx: Int, my: Int, bc: Int, bx: Int, by: Int): Array[Int] = {
+    val out = new Array[Int](4)
+    if (bc < 3) {
+      if (by == 0) { out(0) = 127; out(1) = 127; out(2) = 127; out(3) = 127 }
+      else {
+        var i = 0
+        while (i < 4) { out(i) = plane((by - 1) * stride + bx + 4 + i); i += 1 }
+      }
+    } else {
+      if (my == 0) { out(0) = 127; out(1) = 127; out(2) = 127; out(3) = 127 }
+      else if (mx == mbCols - 1) throw Malformed // off-frame above-right
+      else {
+        val py = my * 16
+        val px = mx * 16
+        var i = 0
+        while (i < 4) { out(i) = plane((py - 1) * stride + px + 16 + i); i += 1 }
+      }
     }
     out
   }
 
-  /** Map a spec sub-mode id to the implemented internal id, or -1 when
-    * out of subset (VE and the diagonals). */
-  private def bModeOfSpec(spec: Int): Int = spec match {
-    case 0 => BModeDc
-    case 1 => BModeTm
-    case 3 => BModeHe
-    case _ => -1
+  /** 4×4 intra prediction, ALL TEN §12.3 sub-modes (spec ids 0-9:
+    * DC/TM/VE/HE/LD/RD/VR/VL/HD/HU), for the subblock at plane position
+    * (x, y). Reads only already-reconstructed pixels plus the RFC
+    * border fills (127 above row incl. the origin corner, 129 left
+    * column); `ar` is the caller-resolved above-right quad
+    * ([[bPredAboveRight]]). B_DC is the UNCONDITIONAL 8-pixel
+    * border-backed average (§12.3's reference code — unlike the 16×16
+    * DC's partial-average special cases, fixed r13). Shared by the
+    * decoder and the fixture encoder's reconstruction simulation; the
+    * diagonal tap layouts follow the public reference decoder. */
+  private def predict4(plane: Array[Int], stride: Int, x: Int, y: Int,
+      spec: Int, ar: Array[Int]): Array[Int] = {
+    val out = new Array[Int](16)
+    val haveA = y > 0
+    val haveL = x > 0
+    val a = new Array[Int](8)
+    var i = 0
+    while (i < 4) {
+      a(i) = if (haveA) plane((y - 1) * stride + x + i) else 127
+      a(4 + i) = ar(i)
+      i += 1
+    }
+    val l = new Array[Int](4)
+    i = 0
+    while (i < 4) {
+      l(i) = if (haveL) plane((y + i) * stride + x - 1) else 129
+      i += 1
+    }
+    // corner fill per the RFC border: 127-row incl. origin, 129-column
+    val tl =
+      if (haveA && haveL) plane((y - 1) * stride + x - 1)
+      else if (haveA) 129 else 127
+    @inline def s(r: Int, c: Int, v: Int): Unit = out(r * 4 + c) = v
+    @inline def f3(p: Int, q: Int, r: Int): Int = (p + 2 * q + r + 2) >> 2
+    @inline def f2(p: Int, q: Int): Int = (p + q + 1) >> 1
+    // the 9-pixel clockwise edge L3..L0, P, A0..A3 the RD/VR/HD modes
+    // walk (allocated lazily only for those modes)
+    def pp: Array[Int] =
+      Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+    spec match {
+      case 0 => // B_DC: unconditional 8-pixel average over the borders
+        var v = 4
+        var k = 0
+        while (k < 4) { v += a(k) + l(k); k += 1 }
+        java.util.Arrays.fill(out, v >> 3)
+      case 1 => // B_TM
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { s(r, c, clamp255(l(r) + a(c) - tl)); c += 1 }
+          r += 1
+        }
+      case 2 => // B_VE: filtered vertical (uses P and A4)
+        val t = Array(f3(tl, a(0), a(1)), f3(a(0), a(1), a(2)),
+          f3(a(1), a(2), a(3)), f3(a(2), a(3), a(4)))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { s(r, c, t(c)); c += 1 }
+          r += 1
+        }
+      case 3 => // B_HE: filtered horizontal, last row doubles L3
+        val rows = Array(f3(tl, l(0), l(1)), f3(l(0), l(1), l(2)),
+          f3(l(1), l(2), l(3)), f3(l(2), l(3), l(3)))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) { s(r, c, rows(r)); c += 1 }
+          r += 1
+        }
+      case 4 => // B_LD: down-left over A0..A7
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = r + c
+            s(r, c, if (k == 6) (a(6) + 3 * a(7) + 2) >> 2
+              else f3(a(k), a(k + 1), a(k + 2)))
+            c += 1
+          }
+          r += 1
+        }
+      case 5 => // B_RD: down-right along the clockwise edge
+        val e = pp
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val k = 3 + c - r
+            s(r, c, f3(e(k), e(k + 1), e(k + 2)))
+            c += 1
+          }
+          r += 1
+        }
+      case 6 => // B_VR
+        val e = pp
+        s(3, 0, f3(e(1), e(2), e(3)))
+        s(2, 0, f3(e(2), e(3), e(4)))
+        val v31 = f3(e(3), e(4), e(5)); s(3, 1, v31); s(1, 0, v31)
+        val v21 = f2(e(4), e(5)); s(2, 1, v21); s(0, 0, v21)
+        val v32 = f3(e(4), e(5), e(6)); s(3, 2, v32); s(1, 1, v32)
+        val v22 = f2(e(5), e(6)); s(2, 2, v22); s(0, 1, v22)
+        val v33 = f3(e(5), e(6), e(7)); s(3, 3, v33); s(1, 2, v33)
+        val v23 = f2(e(6), e(7)); s(2, 3, v23); s(0, 2, v23)
+        s(1, 3, f3(e(6), e(7), e(8)))
+        s(0, 3, f2(e(7), e(8)))
+      case 7 => // B_VL over A0..A7
+        s(0, 0, f2(a(0), a(1)))
+        s(1, 0, f3(a(0), a(1), a(2)))
+        val v20 = f2(a(1), a(2)); s(2, 0, v20); s(0, 1, v20)
+        val v11 = f3(a(1), a(2), a(3)); s(1, 1, v11); s(3, 0, v11)
+        val v21 = f2(a(2), a(3)); s(2, 1, v21); s(0, 2, v21)
+        val v31 = f3(a(2), a(3), a(4)); s(3, 1, v31); s(1, 2, v31)
+        val v22 = f2(a(3), a(4)); s(2, 2, v22); s(0, 3, v22)
+        val v32 = f3(a(3), a(4), a(5)); s(3, 2, v32); s(1, 3, v32)
+        s(2, 3, f3(a(4), a(5), a(6)))
+        s(3, 3, f3(a(5), a(6), a(7)))
+      case 8 => // B_HD
+        val e = pp
+        s(3, 0, f2(e(0), e(1)))
+        s(3, 1, f3(e(0), e(1), e(2)))
+        val v20 = f2(e(1), e(2)); s(2, 0, v20); s(3, 2, v20)
+        val v21 = f3(e(1), e(2), e(3)); s(2, 1, v21); s(3, 3, v21)
+        val v22 = f2(e(2), e(3)); s(2, 2, v22); s(1, 0, v22)
+        val v23 = f3(e(2), e(3), e(4)); s(2, 3, v23); s(1, 1, v23)
+        val v12 = f2(e(3), e(4)); s(1, 2, v12); s(0, 0, v12)
+        val v13 = f3(e(3), e(4), e(5)); s(1, 3, v13); s(0, 1, v13)
+        s(0, 2, f3(e(4), e(5), e(6)))
+        s(0, 3, f3(e(5), e(6), e(7)))
+      case _ => // B_HU (9): horizontal-up over L only
+        s(0, 0, f2(l(0), l(1)))
+        s(0, 1, f3(l(0), l(1), l(2)))
+        val v02 = f2(l(1), l(2)); s(0, 2, v02); s(1, 0, v02)
+        val v03 = f3(l(1), l(2), l(3)); s(0, 3, v03); s(1, 1, v03)
+        val v12 = f2(l(2), l(3)); s(1, 2, v12); s(2, 0, v12)
+        val v13 = f3(l(2), l(3), l(3)); s(1, 3, v13); s(2, 1, v13)
+        s(2, 2, l(3)); s(2, 3, l(3))
+        s(3, 0, l(3)); s(3, 1, l(3)); s(3, 2, l(3)); s(3, 3, l(3))
+    }
+    out
   }
 
   /** Decode the luma plane of a lossy-WebP (RIFF/"VP8 ") key frame in the
@@ -1036,7 +1161,6 @@ object Vp8 {
               lBm(br) = spec
               b += 1
             }
-            if (subModes.exists(bModeOfSpec(_) < 0)) return None
           } else {
             var b = 0
             while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
@@ -1079,8 +1203,11 @@ object Vp8 {
                 }
                 r4 = inverseDct(coeffs)
               }
-              val p4 = predict4(plane, stride, bx, by,
-                bModeOfSpec(subModes(b)))
+              val ar =
+                if (bModeUsesAr(subModes(b)))
+                  bPredAboveRight(plane, stride, mbCols, mx, my, bc, bx, by)
+                else DummyAr
+              val p4 = predict4(plane, stride, bx, by, subModes(b), ar)
               var rr = 0
               while (rr < 4) {
                 var cc = 0
@@ -1468,10 +1595,13 @@ object Vp8 {
           while (b < 16) {
             val br = b / 4
             val bc = b % 4
-            val internal = bModeOf(mx, my, b)
-            require(internal >= BModeDc && internal <= BModeHe,
-              s"bad 4x4 sub-mode $internal")
-            val spec = Array(0, 1, 3)(internal)
+            val spec = bModeOf(mx, my, b) // SPEC sub-mode ids since r13
+            require(spec >= BModeDc && spec <= BModeHu,
+              s"bad 4x4 sub-mode $spec")
+            require(!(bModeUsesAr(spec) && bc == 3 && my > 0 &&
+              mx == mbCols - 1),
+              "above-right sub-mode in the rightmost macroblock column " +
+                "below the top row: off-frame convention not in subset")
             val p = KfBModeProbs(aBm(mx * 4 + bc))(lBm(br))
             val path = BModePaths(spec)
             var k = 0
@@ -1480,7 +1610,7 @@ object Vp8 {
               be1.bool(p(node >> 1), bit)
               k += 1
             }
-            subModes(b) = internal
+            subModes(b) = spec
             aBm(mx * 4 + bc) = spec
             lBm(br) = spec
             b += 1
@@ -1517,7 +1647,11 @@ object Vp8 {
               }
               r4 = inverseDct(coeffs)
             }
-            val p4 = predict4(plane, stride, bx, by, subModes(b))
+            val ar =
+              if (bModeUsesAr(subModes(b)))
+                bPredAboveRight(plane, stride, mbCols, mx, my, bc, bx, by)
+              else DummyAr
+            val p4 = predict4(plane, stride, bx, by, subModes(b), ar)
             var rr = 0
             while (rr < 4) {
               var cc = 0

@@ -1569,7 +1569,79 @@ class OpsSpec extends AnyFunSuite {
       (_, _, _) => 0)
     val (_, _, g2) = Multimodal.decodeGray(b2).get
     assert(g2.sameElements(e2))
-    assert(g2.forall(_ == 128), "all-skip B_DC everywhere must hold 128")
+    // hand-derived under §12.3's unconditional border-backed B_DC:
+    // sb(0,0) = (4·127+4·129+4)>>3 = 128; the rest of subblock row 0
+    // averages the 127 top border with 128 lefts → 128; every block
+    // below picks up the 129 left border (sb(1,0) = (4·128+4·129+4)>>3
+    // = 129) and 129 then propagates right and down → 129 everywhere
+    // below pixel row 3
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val want = if (y < 4) 128 else 129
+      assert(g2(y * 32 + x) == want,
+        s"all-skip B_DC at ($x,$y): ${g2(y * 32 + x)} != $want")
+    }
+  }
+
+  test("VP8 B_PRED full sub-mode surface: all ten §12.3 predictors " +
+      "round-trip, B_DC uses the unconditional border-backed average, " +
+      "and the one off-frame above-right combo is refused") {
+    import graft.ops.Vp8
+    // 3x2 MBs, all B_PRED, sub-modes sweeping every spec id 0-9 with
+    // residuals on a rotating subset — steering around the single
+    // out-of-subset above-right combination at the right edge
+    val w = 48
+    val h = 32
+    val mbCols = 3
+    def bmode(mx: Int, my: Int, b: Int): Int = {
+      val m = (mx * 5 + my * 7 + b) % 10
+      if ((m == 2 || m == 4 || m == 7) && b % 4 == 3 &&
+        mx == mbCols - 1 && my > 0) Seq(0, 1, 3, 5, 6, 8, 9)(m % 7)
+      else m
+    }
+    def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      a(0) = ((b * 13 + mx * 11 + my * 5) % 31) - 15
+      if (b % 3 == 1) a(7) = 3 - (b % 5)
+      a
+    }
+    val used = (for {
+      my <- 0 until 2; mx <- 0 until 3; b <- 0 until 16
+    } yield bmode(mx, my, b)).toSet
+    assert(used == (0 to 9).toSet, s"fixture must cover all ten: $used")
+    val (bytes, expected) = Vp8.makeWebpLossyFrame(w, h, (_, _) => 4,
+      (_, _) => new Array[Int](16), yl, bmode)
+    val (dw, dh, g) = Multimodal.decodeGray(bytes).getOrElse(
+      fail("full sub-mode frame did not decode"))
+    assert(dw == w && dh == h)
+    assert(g.sameElements(expected),
+      "full sub-mode decode != encoder reconstruction")
+    // border-backed B_DC, pinned by hand (independent of the shared
+    // predictor): single MB, all B_DC, only subblock 0 planted with
+    // level -20 -> recon 108. Then per §12.3's unconditional 8-pixel
+    // average: sb(0,1) = (4·127 + 4·108 + 4) >> 3 = 118 (127 top
+    // border), sb(1,0) = (4·108 + 4·129 + 4) >> 3 = 119 (129 left
+    // border) — the old partial-average convention would give 108 both
+    // times
+    val (b2, e2) = Vp8.makeWebpLossyFrame(16, 16, (_, _) => 4,
+      (_, _) => new Array[Int](16),
+      (_, _, b) => {
+        val a = new Array[Int](16); if (b == 0) a(0) = -20; a
+      },
+      (_, _, _) => 0)
+    val g2 = Multimodal.decodeGray(b2).get._3
+    assert(g2.sameElements(e2))
+    assert(g2(0) == 108, s"sb(0,0) recon drifted: ${g2(0)}")
+    assert(g2(4) == 118,
+      s"B_DC must average the 127 top border with the left 108s: ${g2(4)}")
+    assert(g2(4 * 16) == 119,
+      s"B_DC must average the 129 left border with the above 108s: ${g2(4 * 16)}")
+    // the residual subset line is refused loudly at the encoder (the
+    // decoder rejects the same predicate with None)
+    intercept[IllegalArgumentException] {
+      Vp8.makeWebpLossyFrame(32, 32, (_, _) => 4,
+        (_, _) => new Array[Int](16), (_, _, _) => new Array[Int](16),
+        (_, _, _) => 2) // VE everywhere incl. right-edge col 3, my > 0
+    }
   }
 
   test("VP8 loop filter arithmetic matches hand-evaluated RFC 6386 §15 " +

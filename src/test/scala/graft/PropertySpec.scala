@@ -417,9 +417,18 @@ class PropertySpec extends AnyFunSuite {
     } yield (w, h, modeSeed, lvlSeed, density, fType, fLevel, fSharp)
     forSamples(frameGen, n = 10) {
       case (w, h, ms, ls, density, fType, fLevel, fSharp) =>
-      // five luma modes incl. B_PRED (4) with rotating 4x4 sub-modes
+      // five luma modes incl. B_PRED (4) with all ten 4x4 sub-modes
+      // rotating (spec ids since r13) — steering around the one
+      // out-of-subset combo: above-right modes (VE/LD/VL) in column 3
+      // of the rightmost MB below the top row
+      val mbColsP = (w + 15) / 16
       def mode(mx: Int, my: Int): Int = (mx * 7 + my * 13 + ms) % 5
-      def bmode(mx: Int, my: Int, b: Int): Int = (mx + my * 2 + b + ms) % 3
+      def bmode(mx: Int, my: Int, b: Int): Int = {
+        val m = (mx + my * 2 + b * 3 + ms) % 10
+        if ((m == 2 || m == 4 || m == 7) && b % 4 == 3 &&
+          mx == mbColsP - 1 && my > 0) Seq(0, 1, 3, 5, 6, 8, 9)(m % 7)
+        else m
+      }
       def lvl(seed: Int, bound: Int): Int = {
         val r = (seed * 1103515245 + 12345) & 0x7fffffff
         (r % (2 * bound + 1)) - bound
