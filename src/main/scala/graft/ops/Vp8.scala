@@ -2,12 +2,13 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets
 
-/** From-scratch VP8 (lossy WebP) KEY-FRAME LUMA decode — the r11 stretch
-  * extending `neardup_covered` past VP8L: the boolean arithmetic coder,
+/** From-scratch VP8 (lossy WebP) KEY-FRAME decode — the r11 stretch
+  * extending `neardup_covered` past VP8L, FULL pixel surface since r14
+  * (luma + both 4:2:0 chroma planes): the boolean arithmetic coder,
   * key-frame header, coefficient-probability updates, per-macroblock
   * intra modes, the full DCT-token decoder with band/context modeling,
-  * inverse WHT + inverse DCT, 16×16 intra prediction, and luma
-  * reconstruction, per the public VP8 bitstream spec (RFC 6386). The
+  * inverse WHT + inverse DCT, 16×16 luma / 8×8 chroma intra prediction,
+  * and reconstruction, per the public VP8 bitstream spec (RFC 6386). The
   * in-repo fixture encoder [[makeWebpLossy]] emits spec-valid key frames
   * through the same machinery, so the driver gate's planted-formula
   * check exercises the whole chain (a one-coefficient drift anywhere —
@@ -30,8 +31,12 @@ import java.nio.charset.StandardCharsets
   *    sub-mode in column 3 of the frame's rightmost macroblock below
   *    the top row needs the off-frame replacement convention this
   *    environment can't validate → None, never approximated;
-  *  - luma-only output (chroma tokens ARE decoded — the single residual
-  *    bitstream can't be skipped past — but not reconstructed).
+  *  - FULL chroma reconstruction (r14, closing the last luma-only
+  *    caveat): UV dequant with the §14.1 132-cap on the DC factor, all
+  *    four 8×8 chroma intra modes on the kf uv-mode tree, per-plane
+  *    4:2:0 reconstruction, chroma coefficients counted into the
+  *    eobtotal==0 filter-skip rule, and the §15 chroma loop-filter taps
+  *    (normal filter only — §15.1 scopes the simple filter to luma).
   *
   * Fidelity note, stated plainly: the bitstream MACHINERY (coder, trees,
   * bands, contexts, zigzag, quantizer rules, transforms, prediction)
@@ -646,23 +651,26 @@ object Vp8 {
   private def clampQ(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
   private def c128(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
 
-  /** In-loop deblocking filter (RFC 6386 §15), key-frame LUMA, both
-    * filter types (0 = normal, 1 = simple). Applied to the padded plane
+  /** In-loop deblocking filter (RFC 6386 §15) for one key-frame plane,
+    * both filter types (0 = normal, 1 = simple). `size` is the plane's
+    * macroblock span: 16 for luma (interior edges at 4/8/12), 8 for a
+    * 4:2:0 chroma plane (one interior edge at 4). Callers apply the
+    * simple filter to LUMA ONLY, per §15.1. Applied to the padded plane
     * in macroblock raster order AFTER full-frame reconstruction — intra
     * prediction reads the UNfiltered neighbors, the filter output is
     * what's displayed (and what would seed inter prediction). Per MB:
-    * left edge (when a left neighbor exists), interior vertical edges at
-    * columns 4/8/12, top edge (when an above neighbor exists), interior
-    * horizontal edges at rows 4/8/12 — interior edges only when the MB
-    * is B_PRED or decoded any nonzero coefficient (`mbInner`, the
+    * left edge (when a left neighbor exists), interior vertical edges,
+    * top edge (when an above neighbor exists), interior horizontal
+    * edges — interior edges only when the MB is B_PRED or decoded any
+    * nonzero coefficient in ANY of its 24/25 blocks (`mbInner`, the
     * eobtotal==0 forced-skip rule). Shared verbatim by the decoder and
     * the fixture encoder's reconstruction simulation; the pixel
     * arithmetic itself is additionally pinned by hand-computed edge
     * fixtures in OpsSpec (spec formulas evaluated by hand, not by this
     * code). All taps run on the padded plane, as the reference decoder
     * does — display cropping happens after filtering. */
-  private[graft] def loopFilterLuma(plane: Array[Int], stride: Int,
-      mbCols: Int, mbRows: Int, filterType: Int, sharpness: Int,
+  private[graft] def loopFilterPlane(plane: Array[Int], stride: Int,
+      mbCols: Int, mbRows: Int, size: Int, filterType: Int, sharpness: Int,
       mbLevel: Array[Int], mbInner: Array[Boolean]): Unit = {
     def u2s(v: Int): Int = v - 128
     def s2u(v: Int): Int = c128(v) + 128
@@ -737,23 +745,23 @@ object Vp8 {
           val mbE = 2 * (lvl + 2) + interior
           val sbE = 2 * lvl + interior
           val inner = mbInner(my * mbCols + mx)
-          val x0 = mx * 16
-          val y0 = my * 16
+          val x0 = mx * size
+          val y0 = my * size
           // edge order per §15: left, interior vertical (l→r), top,
           // interior horizontal (t→b)
           if (filterType == 0) {
             if (mx > 0) {
               var r = 0
-              while (r < 16) {
+              while (r < size) {
                 mbFilter(hevT, interior, mbE, (y0 + r) * stride + x0, 1)
                 r += 1
               }
             }
             if (inner) {
               var ce = 4
-              while (ce < 16) {
+              while (ce < size) {
                 var r = 0
-                while (r < 16) {
+                while (r < size) {
                   subblockFilter(hevT, interior, sbE,
                     (y0 + r) * stride + x0 + ce, 1)
                   r += 1
@@ -763,16 +771,16 @@ object Vp8 {
             }
             if (my > 0) {
               var cc = 0
-              while (cc < 16) {
+              while (cc < size) {
                 mbFilter(hevT, interior, mbE, y0 * stride + x0 + cc, stride)
                 cc += 1
               }
             }
             if (inner) {
               var re = 4
-              while (re < 16) {
+              while (re < size) {
                 var cc = 0
-                while (cc < 16) {
+                while (cc < size) {
                   subblockFilter(hevT, interior, sbE,
                     (y0 + re) * stride + x0 + cc, stride)
                   cc += 1
@@ -783,15 +791,15 @@ object Vp8 {
           } else {
             if (mx > 0) {
               var r = 0
-              while (r < 16) {
+              while (r < size) {
                 simpleSegment(mbE, (y0 + r) * stride + x0, 1); r += 1
               }
             }
             if (inner) {
               var ce = 4
-              while (ce < 16) {
+              while (ce < size) {
                 var r = 0
-                while (r < 16) {
+                while (r < size) {
                   simpleSegment(sbE, (y0 + r) * stride + x0 + ce, 1); r += 1
                 }
                 ce += 4
@@ -799,15 +807,15 @@ object Vp8 {
             }
             if (my > 0) {
               var cc = 0
-              while (cc < 16) {
+              while (cc < size) {
                 simpleSegment(mbE, y0 * stride + x0 + cc, stride); cc += 1
               }
             }
             if (inner) {
               var re = 4
-              while (re < 16) {
+              while (re < size) {
                 var cc = 0
-                while (cc < 16) {
+                while (cc < size) {
                   simpleSegment(sbE, (y0 + re) * stride + x0 + cc, stride)
                   cc += 1
                 }
@@ -1004,10 +1012,81 @@ object Vp8 {
     out
   }
 
-  /** Decode the luma plane of a lossy-WebP (RIFF/"VP8 ") key frame in the
-    * documented subset. Returns (width, height, gray row-major) or None
-    * for anything malformed, truncated, or out of subset. */
-  private[graft] def decodeLumaGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+  /** 8×8 chroma intra prediction + residual add (RFC 6386 §12.2): the
+    * same DC/V/H/TM rules as the 16×16 luma modes at half size, with the
+    * same 127-above / 129-left missing-edge fills, predicting from the
+    * already-reconstructed (unfiltered) chroma neighbors. Shared by the
+    * decoder and the fixture encoder's reconstruction simulation. */
+  private def predictReconChroma(plane: Array[Int], stride: Int,
+      mx: Int, my: Int, mode: Int, resid: Array[Int]): Unit = {
+    val px = mx * 8
+    val py = my * 8
+    val haveA = my > 0
+    val haveL = mx > 0
+    val pred = new Array[Int](64)
+    mode match {
+      case ModeDc =>
+        var sum = 0
+        var n = 0
+        if (haveA) { var i = 0; while (i < 8) { sum += plane((py - 1) * stride + px + i); i += 1 }; n += 8 }
+        if (haveL) { var i = 0; while (i < 8) { sum += plane((py + i) * stride + px - 1); i += 1 }; n += 8 }
+        val dc = if (n == 0) 128 else (sum + n / 2) >> (if (n == 16) 4 else 3)
+        java.util.Arrays.fill(pred, dc)
+      case ModeV =>
+        var c = 0
+        while (c < 8) {
+          val v = if (haveA) plane((py - 1) * stride + px + c) else 127
+          var r = 0
+          while (r < 8) { pred(r * 8 + c) = v; r += 1 }
+          c += 1
+        }
+      case ModeH =>
+        var r = 0
+        while (r < 8) {
+          val v = if (haveL) plane((py + r) * stride + px - 1) else 129
+          var c = 0
+          while (c < 8) { pred(r * 8 + c) = v; c += 1 }
+          r += 1
+        }
+      case _ => // TM
+        val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
+          else if (haveA) 129 else 127 // RFC border: 127-row incl. origin, 129-col
+        var r = 0
+        while (r < 8) {
+          val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
+          var c = 0
+          while (c < 8) {
+            val av = if (haveA) plane((py - 1) * stride + px + c) else 127
+            pred(r * 8 + c) = clamp255(lv + av - al)
+            c += 1
+          }
+          r += 1
+        }
+    }
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        plane((py + r) * stride + px + c) =
+          clamp255(pred(r * 8 + c) + resid(r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Luma-only view of [[decodeYuv]] (the media-pipeline gray path). */
+  private[graft] def decodeLumaGray(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int])] =
+    decodeYuv(bytes).map { case (w, h, y, _, _) => (w, h, y) }
+
+  /** Decode a lossy-WebP (RIFF/"VP8 ") key frame in the documented
+    * subset — FULL pixel surface since r14: luma AND both chroma planes
+    * (4:2:0, so U/V are ⌈w/2⌉×⌈h/2⌉ row-major). Returns
+    * (width, height, y, u, v) or None for anything malformed, truncated,
+    * or out of subset. */
+  private[graft] def decodeYuv(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
     try {
       if (bytes.length < 30) return None
       if (new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
@@ -1065,8 +1144,8 @@ object Vp8 {
       val ydcDelta = bd1.signedLiteralIfFlag(4)
       val y2dcDelta = bd1.signedLiteralIfFlag(4)
       val y2acDelta = bd1.signedLiteralIfFlag(4)
-      bd1.signedLiteralIfFlag(4) // uv dc delta (chroma not reconstructed)
-      bd1.signedLiteralIfFlag(4) // uv ac delta
+      val uvdcDelta = bd1.signedLiteralIfFlag(4)
+      val uvacDelta = bd1.signedLiteralIfFlag(4)
       bd1.literal(1) // refresh entropy probs
       val probs = Array.tabulate(4, 8, 3, 11) { (t, b, c, l) =>
         DefaultCoeffProbs(t)(b)(c)(l)
@@ -1100,10 +1179,16 @@ object Vp8 {
       val yacQ = AcQLookup(clampQ(yacQi))
       val y2dcQ = DcQLookup(clampQ(yacQi + y2dcDelta)) * 2
       val y2acQ = math.max(8, AcQLookup(clampQ(yacQi + y2acDelta)) * 155 / 100)
+      // chroma quantizers (§14.1: the UV DC factor is capped at 132)
+      val uvdcQ = math.min(132, DcQLookup(clampQ(yacQi + uvdcDelta)))
+      val uvacQ = AcQLookup(clampQ(yacQi + uvacDelta))
       val mbCols = (w + 15) / 16
       val mbRows = (h + 15) / 16
       val stride = mbCols * 16
       val plane = new Array[Int](stride * mbRows * 16)
+      val cStride = mbCols * 8
+      val uPlane = new Array[Int](cStride * mbRows * 8)
+      val vPlane = new Array[Int](cStride * mbRows * 8)
       // entropy contexts
       val aY = new Array[Int](mbCols * 4)
       val aU = new Array[Int](mbCols * 2)
@@ -1165,10 +1250,12 @@ object Vp8 {
             var b = 0
             while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
           }
-          // chroma mode (decode to stay aligned)
-          if (bd1.bool(KfUvModeProb(0)) == 1) {
-            if (bd1.bool(KfUvModeProb(1)) == 1) bd1.bool(KfUvModeProb(2))
-          }
+          // chroma mode (kf tree {-DC, 2, -V, 4, -H, -TM})
+          val uvmode =
+            if (bd1.bool(KfUvModeProb(0)) == 0) ModeDc
+            else if (bd1.bool(KfUvModeProb(1)) == 0) ModeV
+            else if (bd1.bool(KfUvModeProb(2)) == 0) ModeH
+            else ModeTm
           // loop-filter level for this MB: base + INTRA ref delta
           // (+ B_PRED mode delta), clamped to the 6-bit range
           mbLfLevel(my * mbCols + mx) = math.max(0, math.min(63,
@@ -1220,40 +1307,13 @@ object Vp8 {
               }
               b += 1
             }
-            if (!skip) {
-              var pl = 0
-              while (pl < 2) {
-                val aC = if (pl == 0) aU else aV
-                val lC = if (pl == 0) lU else lV
-                var cb = 0
-                while (cb < 4) {
-                  val br = cb / 2
-                  val bc = cb % 2
-                  val ctx = aC(mx * 2 + bc) + lC(br)
-                  val nz = decodeBlockTokens(bd2, probs(2), 0, ctx, levels)
-                  if (nz) mbAnyNz = true
-                  aC(mx * 2 + bc) = if (nz) 1 else 0
-                  lC(br) = aC(mx * 2 + bc)
-                  cb += 1
-                }
-                pl += 1
-              }
-            } else {
-              // skipped B_PRED MB: Y/UV contexts reset; Y2 contexts are
-              // left UNCHANGED — this MB has no Y2 block
+            if (skip) {
+              // skipped B_PRED MB: Y contexts reset (UV reset in the
+              // shared chroma section); Y2 contexts are left UNCHANGED —
+              // this MB has no Y2 block
               var k = 0
               while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
-              k = 0
-              while (k < 2) {
-                aU(mx * 2 + k) = 0; lU(k) = 0
-                aV(mx * 2 + k) = 0; lV(k) = 0
-                k += 1
-              }
             }
-            // B_PRED always filters interior edges (§15's skip rule
-            // exempts only non-B/non-split MBs)
-            mbLfInner(my * mbCols + mx) = true
-            mx += 1
           } else {
           // 16x16 intra prediction
           val pred = new Array[Int](256)
@@ -1337,33 +1397,11 @@ object Vp8 {
               }
               b += 1
             }
-            // chroma tokens decoded for alignment only
-            var plane2 = 0
-            while (plane2 < 2) {
-              val aC = if (plane2 == 0) aU else aV
-              val lC = if (plane2 == 0) lU else lV
-              var cb = 0
-              while (cb < 4) {
-                val br = cb / 2
-                val bc = cb % 2
-                val ctx = aC(mx * 2 + bc) + lC(br)
-                val nz = decodeBlockTokens(bd2, probs(2), 0, ctx, levels)
-                aC(mx * 2 + bc) = if (nz) 1 else 0
-                lC(br) = aC(mx * 2 + bc)
-                cb += 1
-              }
-              plane2 += 1
-            }
           } else {
-            // skipped MB: contexts reset (the MB has Y2 in this subset)
+            // skipped MB: Y/Y2 contexts reset (UV reset in the shared
+            // chroma section; the MB has Y2 in this subset)
             var i = 0
             while (i < 4) { aY(mx * 4 + i) = 0; lY(i) = 0; i += 1 }
-            i = 0
-            while (i < 2) {
-              aU(mx * 2 + i) = 0; lU(i) = 0
-              aV(mx * 2 + i) = 0; lV(i) = 0
-              i += 1
-            }
             aY2(mx) = 0
             lY2 = 0
           }
@@ -1378,15 +1416,76 @@ object Vp8 {
             }
             r += 1
           }
-          mbLfInner(my * mbCols + mx) = mbAnyNz
-          mx += 1
           } // end 16x16 modes
+          // chroma (both luma branches; token order per §13: after the
+          // 16 Y blocks): type-2 tokens → UV dequant + IDCT residuals →
+          // 8×8 intra prediction from reconstructed chroma neighbors
+          val residU = new Array[Int](64)
+          val residV = new Array[Int](64)
+          if (!skip) {
+            var pl = 0
+            while (pl < 2) {
+              val aC = if (pl == 0) aU else aV
+              val lC = if (pl == 0) lU else lV
+              val residC = if (pl == 0) residU else residV
+              var cb = 0
+              while (cb < 4) {
+                val br = cb / 2
+                val bc = cb % 2
+                val ctx = aC(mx * 2 + bc) + lC(br)
+                val nz = decodeBlockTokens(bd2, probs(2), 0, ctx, levels)
+                // chroma coefficients count toward the eobtotal==0
+                // interior-filter skip rule exactly like luma's
+                if (nz) mbAnyNz = true
+                aC(mx * 2 + bc) = if (nz) 1 else 0
+                lC(br) = aC(mx * 2 + bc)
+                var k = 0
+                while (k < 16) {
+                  coeffs(k) = levels(k) * (if (k == 0) uvdcQ else uvacQ)
+                  k += 1
+                }
+                val r4 = inverseDct(coeffs)
+                var rr = 0
+                while (rr < 4) {
+                  var cc = 0
+                  while (cc < 4) {
+                    residC((br * 4 + rr) * 8 + bc * 4 + cc) = r4(rr * 4 + cc)
+                    cc += 1
+                  }
+                  rr += 1
+                }
+                cb += 1
+              }
+              pl += 1
+            }
+          } else {
+            var k = 0
+            while (k < 2) {
+              aU(mx * 2 + k) = 0; lU(k) = 0
+              aV(mx * 2 + k) = 0; lV(k) = 0
+              k += 1
+            }
+          }
+          predictReconChroma(uPlane, cStride, mx, my, uvmode, residU)
+          predictReconChroma(vPlane, cStride, mx, my, uvmode, residV)
+          // B_PRED always filters interior edges (§15's skip rule
+          // exempts only non-B/non-split MBs with zero eobtotal)
+          mbLfInner(my * mbCols + mx) = ymode == ModeB || mbAnyNz
+          mx += 1
         }
         my += 1
       }
-      if (filterLevel > 0)
-        loopFilterLuma(plane, stride, mbCols, mbRows, filterType,
+      if (filterLevel > 0) {
+        loopFilterPlane(plane, stride, mbCols, mbRows, 16, filterType,
           sharpness, mbLfLevel, mbLfInner)
+        if (filterType == 0) {
+          // §15.1: the simple filter applies to LUMA only
+          loopFilterPlane(uPlane, cStride, mbCols, mbRows, 8, 0,
+            sharpness, mbLfLevel, mbLfInner)
+          loopFilterPlane(vPlane, cStride, mbCols, mbRows, 8, 0,
+            sharpness, mbLfLevel, mbLfInner)
+        }
+      }
       val g = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -1394,7 +1493,21 @@ object Vp8 {
         while (x < w) { g(y * w + x) = plane(y * stride + x); x += 1 }
         y += 1
       }
-      Some((w, h, g))
+      val uw = (w + 1) / 2
+      val uh = (h + 1) / 2
+      val u = new Array[Int](uw * uh)
+      val v = new Array[Int](uw * uh)
+      y = 0
+      while (y < uh) {
+        var x = 0
+        while (x < uw) {
+          u(y * uw + x) = uPlane(y * cStride + x)
+          v(y * uw + x) = vPlane(y * cStride + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, g, u, v))
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
@@ -1466,6 +1579,33 @@ object Vp8 {
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
       lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0)
       : (Array[Byte], Array[Int]) = {
+    val (bytes, y, _, _) = makeWebpLossyFrameYuv(w, h, mbMode, y2Of, yOf,
+      bModeOf = bModeOf, filterType = filterType, filterLevel = filterLevel,
+      sharpness = sharpness, lfRefDeltaIntra = lfRefDeltaIntra,
+      lfModeDeltaBpred = lfModeDeltaBpred)
+    (bytes, y)
+  }
+
+  private val ZeroScan16 = new Array[Int](16)
+
+  /** Full-surface fixture encoder (r14): [[makeWebpLossyFrame]] plus
+    * planted CHROMA — `uvOf(mx, my, pl, cb)` gives the 16 SCAN-order
+    * quantized levels for chroma block cb (0..3, raster within the 8×8
+    * MB region) of plane pl (0 = U, 1 = V), and `uvModeOf` the per-MB
+    * 8×8 chroma intra mode (0 DC / 1 V / 2 H / 3 TM). Returns
+    * (file bytes, expected Y w×h, expected U, expected V) with U/V
+    * cropped to ⌈w/2⌉×⌈h/2⌉ — the same reconstruction-simulation
+    * contract as the luma form, now over all three planes. */
+  private[graft] def makeWebpLossyFrameYuv(w: Int, h: Int,
+      mbMode: (Int, Int) => Int,
+      y2Of: (Int, Int) => Array[Int],
+      yOf: (Int, Int, Int) => Array[Int],
+      uvOf: (Int, Int, Int, Int) => Array[Int] = (_, _, _, _) => ZeroScan16,
+      uvModeOf: (Int, Int) => Int = (_, _) => ModeDc,
+      bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
+      filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
+      lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0)
+      : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
     require(w > 0 && h > 0 && w <= 16383 && h <= 16383)
     require(filterType == 0 || filterType == 1)
     require(filterLevel >= 0 && filterLevel <= 63)
@@ -1478,6 +1618,9 @@ object Vp8 {
     val yacQ = AcQLookup(qi)
     val y2dcQ = DcQLookup(qi) * 2
     val y2acQ = math.max(8, AcQLookup(qi) * 155 / 100)
+    // chroma quantizers: zero uv deltas, §14.1 cap is a no-op at qi 4
+    val uvdcQ = math.min(132, DcQLookup(qi))
+    val uvacQ = AcQLookup(qi)
     val be1 = new BoolEncoder
     // header
     be1.literal(0, 1) // color space
@@ -1540,11 +1683,13 @@ object Vp8 {
     val lY = new Array[Int](4)
     val lU = new Array[Int](2)
     val lV = new Array[Int](2)
-    val zeroScan = new Array[Int](16)
-    // reconstruction simulation — byte-for-byte the decoder's plane, so
-    // the returned expectation is exact
+    // reconstruction simulation — byte-for-byte the decoder's planes, so
+    // the returned expectations are exact
     val stride = mbCols * 16
     val plane = new Array[Int](stride * mbRows * 16)
+    val cStride = mbCols * 8
+    val uPlane = new Array[Int](cStride * mbRows * 8)
+    val vPlane = new Array[Int](cStride * mbRows * 8)
     val coeffs = new Array[Int](16)
     // loop-filter inputs mirroring the decoder: delta-adjusted per-MB
     // level, inner = B_PRED or any planted coeff
@@ -1570,7 +1715,13 @@ object Vp8 {
           if (!isB) a(0) = 0 // Y position 0 is owned by Y2 (non-B only)
           a
         }
-        val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0))
+        val uvScans = Array.tabulate(2, 4) { (pl, cb) =>
+          val a = uvOf(mx, my, pl, cb).clone()
+          require(a.length == 16)
+          a
+        }
+        val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0)) &&
+          uvScans.forall(_.forall(_.forall(_ == 0)))
         // inner-edge rule, identically to the decoder: B_PRED always,
         // otherwise iff any coefficient lands (skip ⟺ all-zero plants)
         mbLfInner(my * mbCols + mx) = isB || !skip
@@ -1619,8 +1770,20 @@ object Vp8 {
           var b = 0
           while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
         }
-        // uvmode DC: bit 0
-        be1.bool(KfUvModeProb(0), 0)
+        // uvmode on the kf chroma tree {-DC, 2, -V, 4, -H, -TM}:
+        // DC=0  V=1,0  H=1,1,0  TM=1,1,1
+        val uvMode = uvModeOf(mx, my)
+        require(uvMode >= ModeDc && uvMode <= ModeTm,
+          s"bad chroma mode $uvMode")
+        if (uvMode == ModeDc) be1.bool(KfUvModeProb(0), 0)
+        else {
+          be1.bool(KfUvModeProb(0), 1)
+          if (uvMode == ModeV) be1.bool(KfUvModeProb(1), 0)
+          else {
+            be1.bool(KfUvModeProb(1), 1)
+            be1.bool(KfUvModeProb(2), uvMode - ModeH)
+          }
+        }
         val px = mx * 16
         val py = my * 16
         if (isB) {
@@ -1664,35 +1827,12 @@ object Vp8 {
             }
             b += 1
           }
-          if (!skip) {
-            var pl = 0
-            while (pl < 2) {
-              val aC = if (pl == 0) aU else aV
-              val lC = if (pl == 0) lU else lV
-              var cb = 0
-              while (cb < 4) {
-                val br = cb / 2
-                val bc = cb % 2
-                encodeBlockTokens(be2, probs(2), 0, aC(mx * 2 + bc) + lC(br),
-                  zeroScan)
-                aC(mx * 2 + bc) = 0
-                lC(br) = 0
-                cb += 1
-              }
-              pl += 1
-            }
-          } else {
-            // skipped B_PRED MB: Y/UV contexts reset, Y2 untouched
+          if (skip) {
+            // skipped B_PRED MB: Y contexts reset (UV reset in the
+            // shared chroma section), Y2 untouched
             var k = 0
             while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
-            k = 0
-            while (k < 2) {
-              aU(mx * 2 + k) = 0; lU(k) = 0
-              aV(mx * 2 + k) = 0; lV(k) = 0
-              k += 1
-            }
           }
-          mx += 1
         } else {
         // prediction from the simulated plane (the decoder's exact rules)
         val pred = new Array[Int](256)
@@ -1777,31 +1917,9 @@ object Vp8 {
             }
             b += 1
           }
-          var pl = 0
-          while (pl < 2) {
-            val aC = if (pl == 0) aU else aV
-            val lC = if (pl == 0) lU else lV
-            var cb = 0
-            while (cb < 4) {
-              val br = cb / 2
-              val bc = cb % 2
-              encodeBlockTokens(be2, probs(2), 0, aC(mx * 2 + bc) + lC(br),
-                zeroScan)
-              aC(mx * 2 + bc) = 0
-              lC(br) = 0
-              cb += 1
-            }
-            pl += 1
-          }
         } else {
           var k = 0
           while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
-          k = 0
-          while (k < 2) {
-            aU(mx * 2 + k) = 0; lU(k) = 0
-            aV(mx * 2 + k) = 0; lV(k) = 0
-            k += 1
-          }
           aY2(mx) = 0
           lY2 = 0
         }
@@ -1815,19 +1933,91 @@ object Vp8 {
           }
           r += 1
         }
-        mx += 1
         } // end 16x16 modes
+        // chroma (both luma branches, after the 16 Y blocks): planted
+        // tokens + residual simulation + 8×8 intra, mirroring the
+        // decoder's shared section exactly
+        val residU = new Array[Int](64)
+        val residV = new Array[Int](64)
+        if (!skip) {
+          var pl = 0
+          while (pl < 2) {
+            val aC = if (pl == 0) aU else aV
+            val lC = if (pl == 0) lU else lV
+            val residC = if (pl == 0) residU else residV
+            var cb = 0
+            while (cb < 4) {
+              val br = cb / 2
+              val bc = cb % 2
+              val nz = encodeBlockTokens(be2, probs(2), 0,
+                aC(mx * 2 + bc) + lC(br), uvScans(pl)(cb))
+              aC(mx * 2 + bc) = if (nz) 1 else 0
+              lC(br) = aC(mx * 2 + bc)
+              java.util.Arrays.fill(coeffs, 0)
+              var k = 0
+              while (k < 16) {
+                coeffs(Zigzag(k)) =
+                  uvScans(pl)(cb)(k) * (if (k == 0) uvdcQ else uvacQ)
+                k += 1
+              }
+              val r4 = inverseDct(coeffs)
+              var rr = 0
+              while (rr < 4) {
+                var cc = 0
+                while (cc < 4) {
+                  residC((br * 4 + rr) * 8 + bc * 4 + cc) = r4(rr * 4 + cc)
+                  cc += 1
+                }
+                rr += 1
+              }
+              cb += 1
+            }
+            pl += 1
+          }
+        } else {
+          var k = 0
+          while (k < 2) {
+            aU(mx * 2 + k) = 0; lU(k) = 0
+            aV(mx * 2 + k) = 0; lV(k) = 0
+            k += 1
+          }
+        }
+        predictReconChroma(uPlane, cStride, mx, my, uvMode, residU)
+        predictReconChroma(vPlane, cStride, mx, my, uvMode, residV)
+        mx += 1
       }
       my += 1
     }
-    if (filterLevel > 0)
-      loopFilterLuma(plane, stride, mbCols, mbRows, filterType, sharpness,
-        mbLfLevel, mbLfInner)
+    if (filterLevel > 0) {
+      loopFilterPlane(plane, stride, mbCols, mbRows, 16, filterType,
+        sharpness, mbLfLevel, mbLfInner)
+      if (filterType == 0) {
+        // §15.1: the simple filter applies to LUMA only
+        loopFilterPlane(uPlane, cStride, mbCols, mbRows, 8, 0, sharpness,
+          mbLfLevel, mbLfInner)
+        loopFilterPlane(vPlane, cStride, mbCols, mbRows, 8, 0, sharpness,
+          mbLfLevel, mbLfInner)
+      }
+    }
     val expected = new Array[Int](w * h)
     var yy = 0
     while (yy < h) {
       var xx = 0
       while (xx < w) { expected(yy * w + xx) = plane(yy * stride + xx); xx += 1 }
+      yy += 1
+    }
+    val uw = (w + 1) / 2
+    val uh = (h + 1) / 2
+    val expU = new Array[Int](uw * uh)
+    val expV = new Array[Int](uw * uh)
+    yy = 0
+    while (yy < uh) {
+      var xx = 0
+      while (xx < uw) {
+        expU(yy * uw + xx) = uPlane(yy * cStride + xx)
+        expV(yy * uw + xx) = vPlane(yy * cStride + xx)
+        xx += 1
+      }
       yy += 1
     }
     val p1 = be1.flush()
@@ -1855,6 +2045,6 @@ object Vp8 {
     bb.putShort((h & 0x3fff).toShort)
     bb.put(p1)
     bb.put(p2)
-    (bb.array(), expected)
+    (bb.array(), expected, expU, expV)
   }
 }
