@@ -351,12 +351,14 @@ object Multimodal {
   /** Format-level near-dup coverage — the codec-scope contract, DERIVED
     * from the decode dispatch so the column can never silently disagree
     * with what [[decodeGray]] actually covers:
-    *   - `pixel`: full raster decode exists (bmp/ppm/pgm/png/gif, and
-    *     webp when the payload is VP8L — lossless, [[decodeVp8lGray]]'s
-    *     documented subset);
+    *   - `pixel`: full raster decode exists (bmp/ppm/pgm/png/gif, webp
+    *     when the payload is VP8L — lossless — or a lossy "VP8 " key
+    *     frame in [[Vp8]]'s documented subset, and since r14 baseline
+    *     grayscale JPEG in [[Jpeg]]'s documented subset — the last
+    *     header-only class in the fixture sweep);
     *   - `header_only`: geometry parses but the payload is entropy-coded
-    *     past what a from-scratch decoder should claim (jpeg, lossy
-    *     VP8/VP8X webp);
+    *     past what a from-scratch decoder should claim (VP8X extended
+    *     webp);
     *   - `opaque`: not a recognized container at all.
     * A crawl's per-format share of each scope belongs on the dataset
     * card: a corpus whose images are 60 % lossy webp gets NO pixel-level
@@ -380,7 +382,10 @@ object Multimodal {
           bytes(14) == '8' &&
           (bytes(15) == 'L' || bytes(15) == ' ')) "pixel"
         else "header_only"
-      case "jpeg" => "header_only"
+      // r14: the baseline grayscale subset decoder makes jpeg a pixel
+      // class; files past the subset (color, progressive, restarts)
+      // read neardup_covered = false through the per-payload column
+      case "jpeg" => "pixel"
       case _ => "opaque"
     }
   }
@@ -398,12 +403,14 @@ object Multimodal {
       decoded_pixels: Long, gray_sum: Long)
 
   /** One synthesized container per doc spanning the full sniff surface —
-    * the five raster formats, GIF, VP8L webp, LOSSY VP8 webp (r12: a
-    * real bool-coded key frame, pixel-decoded by [[Vp8]]'s luma subset),
-    * and header-only JPEG — each sniffed, scoped, and pixel-decoded back
+    * the raster formats, GIF, VP8L webp, LOSSY VP8 webp (r12: a real
+    * bool-coded key frame, pixel-decoded by [[Vp8]]), and since r14 a
+    * REAL baseline JPEG ([[Jpeg.makeJpegConst]] — Huffman-coded scan,
+    * decoded by the from-scratch baseline subset; previously the one
+    * header-only class) — each sniffed, scoped, and pixel-decoded back
     * from its actual bytes. The oracle recomputes every column from the
-    * planting formula, so a failed VP8L/VP8 decode (neardup_covered
-    * false) or a drifted header parse hash-fails the driver gate. */
+    * planting formula, so a failed decode (neardup_covered false) or a
+    * drifted header parse hash-fails the driver gate. */
   def codecScopeTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[CodecScopeRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
@@ -414,7 +421,8 @@ object Multimodal {
         case 6L => Vp8.makeWebpLossy(w, h, (_, _) => v & 0xff) // lossy webp
         case 7L => buildImage(w, h, 6, (_, _) => v) // webp vp8l
         case 5L => buildImage(w, h, 5, (_, _) => v) // gif
-        case f => buildImage(w, h, f.toInt, (_, _) => v) // bmp/ppm/pgm/png/jpeg
+        case 4L => Jpeg.makeJpegConst(w, h, v & 0xff) // real baseline jpeg (r14)
+        case f => buildImage(w, h, f.toInt, (_, _) => v) // bmp/ppm/pgm/png
       }
       val (fmt, pw, ph, _) = decodeMeta(payload)
       val px = decodeGray(payload)
@@ -950,13 +958,15 @@ object Multimodal {
   /** Full grayscale pixel decode for the formats that carry raster data:
     * BMP (24 bpp bottom-up), PPM/PGM (binary raster after the header),
     * PNG (8-bit RGB, any zlib IDAT stream via Inflater, filter-0 rows),
-    * GIF ([[decodeGifGray]] — full LZW incl. interlace), and lossless
-    * WebP ([[decodeVp8lGray]] — the documented VP8L subset).
+    * GIF ([[decodeGifGray]] — full LZW incl. interlace), lossless
+    * WebP ([[decodeVp8lGray]] — the documented VP8L subset), lossy WebP
+    * ([[Vp8]] — key-frame subset, r12), and baseline grayscale JPEG
+    * ([[Jpeg]] — r14).
     * Achromatic contract: color formats take the first channel as gray
     * (planted pixels write equal channels; a real pipeline would slot a
     * luma transform here). Poison-blob contract as [[decodeMeta]]:
-    * anything malformed, truncated, filtered, or out of scope (jpeg and
-    * lossy VP8 — entropy-coded) returns None, never a crash. */
+    * anything malformed, truncated, filtered, or out of the documented
+    * subsets returns None, never a crash. */
   private[graft] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val (fmt, w, h, _) = decodeMeta(bytes)
     fmt match {
@@ -1031,6 +1041,10 @@ object Multimodal {
           }
         } catch { case _: java.util.zip.DataFormatException => None }
       case "gif" => decodeGifGray(bytes, w, h)
+      case "jpeg" =>
+        // baseline grayscale subset (graft.ops.Jpeg, r14); header-only
+        // fixtures (no scan) and out-of-subset files return None
+        Jpeg.decodeLumaGray(bytes)
       case "webp" =>
         // dispatch on the chunk fourcc: lossless → the VP8L subset
         // decoder; lossy "VP8 " → the key-frame luma subset decoder
