@@ -124,7 +124,13 @@ object Bench {
     // round-13: the drift-triggered retrain policy (first rep builds the
     // two policy artifacts — drifted fires, control doesn't — warm reps
     // measure the occupancy-stats serve)
-    "q_ns_sim_ivf_drift_policy")
+    "q_ns_sim_ivf_drift_policy",
+    // round-14: the θ-sweep operating-point table (declarative prefix
+    // occupancy — no artifact), the chroma-plane pixel gate (full-frame
+    // VP8 YUV decode ×20), and the baseline-JPEG pixel gate
+    "q_ns_sim_ivf_drift_theta_sweep",
+    "q_ns_multimodal_chroma_plane",
+    "q_ns_multimodal_jpeg_luma")
 
   /** Contention sentinel: a fixed single-threaded CPU workload (one-
     * partition range sum — no IO, no shuffle, size-independent of sf)

@@ -217,20 +217,49 @@ object Similarity {
     * scatter like the corpus and leave TV near 0. Computed EXACTLY:
     * TV = Σ|cur_l·N_fit − fit_l·N_cur| / (2·N_cur·N_fit) — all-integer
     * numerator (BigInt fold over the nlist-row stats collect, bounded by
-    * the model size like every centroid load), one final double
-    * division. Order-independent, so the policy decision is
-    * deterministic and replay-safe. */
-  def ivfDrift(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Double = {
+    * the model size like every centroid load). The REPORT scalar below
+    * takes one final double division; the POLICY decision never does —
+    * [[ivfDriftFired]] compares the rational TV against a rational
+    * threshold in pure integers, so the fire/hold flag is bit-identical
+    * to the oracle's integer inequality even when TV lands exactly on
+    * the boundary (the r13 ADVICE finding: two engines double-rounding
+    * the same rational could disagree at the threshold). */
+  private def driftParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (BigInt, BigInt, BigInt) = {
     val rows = ivfDriftStats(spark, dir)
       .select("n_fit", "n_cur").collect() // nlist rows: model-bounded
     val nFit = BigInt(rows.map(_.getLong(0)).sum)
     val nCur = BigInt(rows.map(_.getLong(1)).sum)
-    if (nFit == 0 || nCur == 0) return if (nFit == nCur) 0.0 else 1.0
     val num = rows.map { r =>
       (BigInt(r.getLong(1)) * nFit - BigInt(r.getLong(0)) * nCur).abs
     }.sum
+    (num, nFit, nCur)
+  }
+
+  /** Human-readable drift scalar (dashboards, SCALING.md tables). The
+    * policy does NOT gate on this double — see [[ivfDriftFired]]. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Double = {
+    val (num, nFit, nCur) = driftParts(spark, dir)
+    if (nFit == 0 || nCur == 0) return if (nFit == nCur) 0.0 else 1.0
     (BigDecimal(num) / BigDecimal(2 * nCur * nFit)).toDouble
+  }
+
+  /** The exact-integer policy decision: fired ⟺ TV ≥ θ where θ is the
+    * rational thetaNum/thetaDen, evaluated as
+    * num·thetaDen ≥ thetaNum·2·N_cur·N_fit — no floating point anywhere,
+    * so the decision an oracle recomputes from the same integer counts
+    * (e.g. DuckDB's `num * 20 >= 2 * N_cur * N_fit` for θ = 1/20) agrees
+    * on EVERY input, including TV exactly at the boundary. Degenerate
+    * empty sides keep the TV∈{0,1} convention. */
+  def ivfDriftFired(spark: org.apache.spark.sql.SparkSession, dir: String,
+      thetaNum: Long, thetaDen: Long): Boolean = {
+    require(thetaDen > 0, "threshold denominator must be positive")
+    val (num, nFit, nCur) = driftParts(spark, dir)
+    if (nFit == 0 || nCur == 0) {
+      val tvIsZero = nFit == nCur
+      if (tvIsZero) thetaNum <= 0 else thetaDen >= thetaNum
+    } else num * thetaDen >= BigInt(thetaNum) * 2 * nCur * nFit
   }
 
   /** The POLICY the maintenance loop runs after every append (r12
@@ -241,10 +270,19 @@ object Similarity {
     * compaction check for the batch. The policy read is one
     * footer-counts scan + an nlist-row fold; the retrain it may trigger
     * is the ivfCompact cost class (one corpus scan against broadcast
-    * centroids + a partitioned rewrite). */
+    * centroids + a partitioned rewrite).
+    *
+    * `driftThreshold` is interpreted as a DECIMAL with ≤6 places (0.05 →
+    * the exact rational 1/20), so the comparison runs through
+    * [[ivfDriftFired]]'s all-integer inequality rather than a double
+    * compare — the decision is identical to the oracle's integer form at
+    * every input, threshold boundary included. */
   def ivfMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
       driftThreshold: Double, sampleFrac: Double = 1.0): Boolean = {
-    val fired = ivfDrift(spark, dir) >= driftThreshold
+    val den = 1000000L
+    val num = math.round(driftThreshold * den)
+    val g = BigInt(num).gcd(BigInt(den)).toLong.max(1L)
+    val fired = ivfDriftFired(spark, dir, num / g, den / g)
     if (fired) ivfRetrain(spark, dir, sampleFrac)
     fired
   }
@@ -260,22 +298,30 @@ object Similarity {
     * argmax, label tie-break), so serve-after-append equals a rebuild
     * whose lists were defined the same way — the oracle contract of
     * q_ns_sim_ivf_served_incremental. */
-  def ivfAppend(spark: org.apache.spark.sql.SparkSession,
-      newVecs: DataFrame, dir: String, batchId: Long): Unit = {
-    require(batchId >= 0, "appends need an explicit batch/sequence id")
-    val coarse = Models.load(spark, s"$dir/coarse")
-    val assigned = newVecs
+  /** Deterministic frozen-centroid assignment (cosine argmax, label
+    * tie-break) — the SINGLE definition of where an ingested vector
+    * lands: [[ivfAppend]] persists its output, and the drift-policy
+    * operating-point analyses recompute occupancy from it declaratively
+    * (no artifact) with bit-identical semantics. One broadcast crossJoin
+    * over the BATCH only + partial-aggregated max-struct argmax (the
+    * kmeans-assign shape) — never a window over batch×nlist rows. */
+  def assignFrozen(newVecs: DataFrame, coarse: DataFrame): DataFrame =
+    newVecs
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("embedding"), col("label"),
         cosine("embedding", "centroid").as("ccos"))
       .groupBy("vec_id")
-      // partial-aggregated max-struct argmax (the kmeans-assign shape) —
-      // never a window over batch×nlist rows
       .agg(max(struct(col("ccos"), (-col("label")).as("negl"),
         col("embedding").as("e"))).as("m"))
       .select(col("vec_id"), col("m.e").as("embedding"),
         (-col("m.negl")).cast("int").as("label"))
+
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, dir: String, batchId: Long): Unit = {
+    require(batchId >= 0, "appends need an explicit batch/sequence id")
+    val coarse = Models.load(spark, s"$dir/coarse")
+    val assigned = assignFrozen(newVecs, coarse)
     Models.appendPartitioned(assigned, s"$dir/lists", "label")
     Models.logGen(spark, dir, batchId)
   }

@@ -281,9 +281,17 @@ object TextAnalysis {
     * inside a URL is already <URL>). The financial classes are
     * checksum-GATED, not shape-gated: card candidates must pass Luhn,
     * IBAN candidates the ISO 13616 mod-97 check — both as SQL-lambda
-    * folds (higher-order functions, codegen'd, no UDF), with the
-    * validated matches replaced by an exact-string fold over the
-    * candidate array. IBAN scrubs before card because a spaced IBAN's
+    * folds (higher-order functions, codegen'd, no UDF). Validated
+    * matches are substituted POSITION-ANCHORED (r13 ADVICE): the text is
+    * split on the candidate regex and rebuilt part-by-part, each match
+    * emitted as its placeholder when the checksum passes or verbatim
+    * when it fails — a literal replace fold would also redact the same
+    * digit string where the \b-anchored regex did NOT match (a PAN
+    * embedded in a longer token), over-redacting and breaking the
+    * count-equals-placeholders contract. split() and
+    * regexp_extract_all() run the same regex on the same input, so
+    * parts and candidates interleave exactly (|parts| = |matches| + 1).
+    * IBAN scrubs before card because a spaced IBAN's
     * digit groups parse as a spaced PAN; see the pattern block above
     * for the phone-split rationale. n_phones sums the E.164 and
     * separated sub-stages, n_ids the SSN and bare-run classes. Map-only
@@ -299,19 +307,30 @@ object TextAnalysis {
     val ibanSql = ibanRe.replace("\\", "\\\\")
     val ssnSql = ssnRe.replace("\\", "\\\\")
     val idRunSql = idRunRe.replace("\\", "\\\\")
-    // validated candidate arrays, in match order (the replace fold is
-    // order-faithful so both engines fold identically)
-    val ibanValid =
-      s"transform(filter(transform(regexp_extract_all(__s3, '$ibanSql', 0), " +
+    // per-candidate REPLACEMENT arrays, in match order: '<IBAN>'/'<CC>'
+    // when the check digit passes, the candidate verbatim when it fails —
+    // zipped back between the split() parts so substitution is anchored
+    // to the match position, never a global literal replace
+    val ibanRepl =
+      s"transform(transform(regexp_extract_all(__s3, '$ibanSql', 0), " +
         "c -> named_struct('c', c, 'n', length(replace(c, ' ', '')), " +
         "'rs', concat(substring(replace(c, ' ', ''), 5), " +
         "substring(replace(c, ' ', ''), 1, 4)))), " +
-        s"p -> p.n >= 15 AND p.n <= 34 AND ${ibanMod97Sql("p.rs")} = 1), " +
-        "p -> p.c)"
-    val ccValid =
-      s"transform(filter(transform(regexp_extract_all(__s4, '$ccSql', 0), " +
+        s"p -> CASE WHEN p.n >= 15 AND p.n <= 34 " +
+        s"AND ${ibanMod97Sql("p.rs")} = 1 THEN '<IBAN>' ELSE p.c END)"
+    val ccRepl =
+      s"transform(transform(regexp_extract_all(__s4, '$ccSql', 0), " +
         "c -> named_struct('c', c, 'ds', regexp_replace(c, '[ -]', ''))), " +
-        s"p -> ${luhnOkSql("p.ds")}), p -> p.c)"
+        s"p -> CASE WHEN ${luhnOkSql("p.ds")} THEN '<CC>' ELSE p.c END)"
+    // rebuild: parts[1] + repl[1] + parts[2] + … — |parts| = |repl| + 1
+    // because split and regexp_extract_all apply the same regex to the
+    // same string. sequence(1, 0) would descend, so the empty-match case
+    // is guarded explicitly.
+    def rejoin(src: String, parts: String, repl: String): String =
+      s"CASE WHEN size($repl) = 0 THEN $src ELSE " +
+        s"aggregate(sequence(1, size($repl)), element_at($parts, 1), " +
+        s"(acc, i) -> concat(acc, element_at($repl, i), " +
+        s"element_at($parts, i + 1))) END"
     docs
       .withColumn("__s1", regexp_replace(col(textCol), urlRe, "<URL>"))
       .withColumn("n_urls",
@@ -324,14 +343,16 @@ object TextAnalysis {
       .withColumn("__s3", regexp_replace(col("__s2"), phoneE164Re, "<PHONE>"))
       .withColumn("__n_e164",
         size(expr(s"regexp_extract_all(__s2, '$e164Sql', 0)")))
-      .withColumn("__iban_v", expr(ibanValid))
-      .withColumn("__s4",
-        expr("aggregate(__iban_v, __s3, (acc, x) -> replace(acc, x, '<IBAN>'))"))
-      .withColumn("n_ibans", size(col("__iban_v")).cast("bigint"))
-      .withColumn("__cc_v", expr(ccValid))
-      .withColumn("__s5",
-        expr("aggregate(__cc_v, __s4, (acc, x) -> replace(acc, x, '<CC>'))"))
-      .withColumn("n_ccs", size(col("__cc_v")).cast("bigint"))
+      .withColumn("__iban_r", expr(ibanRepl))
+      .withColumn("__iban_p", expr(s"split(__s3, '$ibanSql', -1)"))
+      .withColumn("__s4", expr(rejoin("__s3", "__iban_p", "__iban_r")))
+      .withColumn("n_ibans",
+        size(expr("filter(__iban_r, x -> x = '<IBAN>')")).cast("bigint"))
+      .withColumn("__cc_r", expr(ccRepl))
+      .withColumn("__cc_p", expr(s"split(__s4, '$ccSql', -1)"))
+      .withColumn("__s5", expr(rejoin("__s4", "__cc_p", "__cc_r")))
+      .withColumn("n_ccs",
+        size(expr("filter(__cc_r, x -> x = '<CC>')")).cast("bigint"))
       .withColumn("__s6", regexp_replace(col("__s5"), phoneSepRe, "<PHONE>"))
       .withColumn("n_phones",
         (col("__n_e164") +
@@ -345,7 +366,7 @@ object TextAnalysis {
           size(expr(s"regexp_extract_all(__s7, '$idRunSql', 0)")))
           .cast("bigint"))
       .drop("__s1", "__s2", "__s3", "__s4", "__s5", "__s6", "__s7",
-        "__n_e164", "__iban_v", "__cc_v")
+        "__n_e164", "__iban_r", "__iban_p", "__cc_r", "__cc_p")
   }
 
   /** Winnowing document fingerprint (the MOSS scheme): hash every char

@@ -1409,8 +1409,14 @@ object NorthStar {
     * The `retrained` flag is read from the ARTIFACT (ledger folded to
     * one generation), while the oracle derives it from the exact-integer
     * TV inequality — a policy that misfires on either side hash-fails.
-    * TV is exact on both engines: Σ|cur_l·N_fit − fit_l·N_cur| as
-    * integers, one final double compare against θ·2·N_cur·N_fit. */
+    * The decision is ALL-INTEGER on both engines (r13 ADVICE): Spark's
+    * ivfDriftFired evaluates num·20 ≥ 2·N_cur·N_fit for θ = 1/20, and
+    * the tv_d/tv_c CTEs below are that same inequality in HUGEINT — no
+    * double rounding on either side, so a TV landing exactly on θ cannot
+    * split the engines. The CTEs also FULL OUTER join base vs stale
+    * occupancy with zero-coalesce, mirroring ivfDriftStats, so an empty
+    * coarse list at build time (possible under a future fixture/sf
+    * change) keeps both TV sums over the same label set. */
   val simIvfDriftPolicy = QueryDef(
     "q_ns_sim_ivf_drift_policy",
     driftOracleProlog + """,
@@ -1433,18 +1439,18 @@ object NorthStar {
       |            FROM basecnt b LEFT JOIN (SELECT label, count(*) n
       |                                      FROM actl GROUP BY label) a
       |            USING (label)),
-      |tv_d AS (SELECT CAST(sum(abs(s.n * (SELECT sum(n) FROM basecnt)
-      |                             - b.n * (SELECT sum(n) FROM stale_d)))
-      |                     AS DOUBLE)
-      |                >= 0.05 * 2 * (SELECT sum(n) FROM stale_d)
-      |                            * (SELECT sum(n) FROM basecnt) AS fired
-      |         FROM basecnt b JOIN stale_d s USING (label)),
-      |tv_c AS (SELECT CAST(sum(abs(s.n * (SELECT sum(n) FROM basecnt)
-      |                             - b.n * (SELECT sum(n) FROM stale_c)))
-      |                     AS DOUBLE)
-      |                >= 0.05 * 2 * (SELECT sum(n) FROM stale_c)
-      |                            * (SELECT sum(n) FROM basecnt) AS fired
-      |         FROM basecnt b JOIN stale_c s USING (label))
+      |tv_d AS (SELECT sum(abs(COALESCE(s.n, 0) * (SELECT sum(n) FROM basecnt)
+      |                        - COALESCE(b.n, 0) * (SELECT sum(n) FROM stale_d)))
+      |                * 20
+      |                >= 2 * (SELECT sum(n) FROM stale_d)
+      |                     * (SELECT sum(n) FROM basecnt) AS fired
+      |         FROM basecnt b FULL OUTER JOIN stale_d s USING (label)),
+      |tv_c AS (SELECT sum(abs(COALESCE(s.n, 0) * (SELECT sum(n) FROM basecnt)
+      |                        - COALESCE(b.n, 0) * (SELECT sum(n) FROM stale_c)))
+      |                * 20
+      |                >= 2 * (SELECT sum(n) FROM stale_c)
+      |                     * (SELECT sum(n) FROM basecnt) AS fired
+      |         FROM basecnt b FULL OUTER JOIN stale_c s USING (label))
       |SELECT phase, label, n_fit, n_stale, n_fit_after, n_cur_after,
       |       retrained FROM (
       |  SELECT 'drift' AS phase, b.label, b.n AS n_fit, s.n AS n_stale,
@@ -1497,6 +1503,130 @@ object NorthStar {
     phaseDf("drift", dirStale, dirDrift)
       .unionByName(phaseDf("control", dirCtl, dirCtl))
       .orderBy("phase", "label")
+  }
+
+  /** Drift-policy OPERATING-POINT table (r13 verdict #6): the policy
+    * query proves θ=0.05 fires/holds on one planted drift; this sweep
+    * gives the consumer the data to PICK θ. The drifted batch and an
+    * equal-sized in-distribution control batch are each ingested in 3
+    * equal chunks against the FROZEN coarse centroids
+    * ([[graft.ops.Similarity.assignFrozen]] — the exact code ivfAppend
+    * persists), and after every prefix the occupancy-TV signal is
+    * evaluated at θ ∈ {200, 500, 1500} basis points. Row = (phase,
+    * batch_seq, theta_bp, tv_bp_floor, fired):
+    *  - detection lag at θ = first batch_seq where the drift phase fires
+    *    (the TV signal GROWS with the drifted prefix, so a tighter θ
+    *    detects earlier);
+    *  - false-fire rate at θ = any control-phase row with fired=1 (the
+    *    control TV stays near 0, so only an aggressive θ trips it).
+    * Everything is the exact-integer inequality num·10000 ≥
+    * θ_bp·2·N_cur·N_fit on BOTH engines (the same rational form
+    * ivfDriftFired evaluates; longs suffice at fixture scale — the
+    * production decision path uses BigInt), and tv_bp_floor =
+    * ⌊TV·10000⌋ as integer division, so the whole table is
+    * hash-exact cross-engine. No artifact is built: occupancy after k
+    * chunks = fit occupancy + assigned-chunk counts, all declarative.
+    * SCALING.md records the measured table. */
+  val simIvfDriftThetaSweep = QueryDef(
+    "q_ns_sim_ivf_drift_theta_sweep",
+    """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+      |              FROM embeddings),
+      |exp0 AS (SELECT label, generate_subscripts(e,1) pos, unnest(e) v
+      |         FROM base),
+      |cent0 AS (SELECT label, list(c ORDER BY pos) centroid
+      |          FROM (SELECT label, pos, avg(v) c FROM exp0
+      |                GROUP BY label, pos) g
+      |          GROUP BY label),
+      |dx AS (SELECT vec_id,
+      |              list_transform(e,
+      |                x -> CAST(CAST(x*0.85 + 0.25 AS FLOAT) AS DOUBLE)) e,
+      |              CASE WHEN vec_id < 67 THEN 1
+      |                   WHEN vec_id < 134 THEN 2 ELSE 3 END seq
+      |       FROM base WHERE vec_id < 200),
+      |cx AS (SELECT vec_id, e,
+      |              CASE WHEN vec_id < 267 THEN 1
+      |                   WHEN vec_id < 334 THEN 2 ELSE 3 END seq
+      |       FROM base WHERE vec_id >= 200 AND vec_id < 400),
+      |ad AS (SELECT 'drift' phase, seq, label FROM (
+      |    SELECT d.seq, c.label, row_number() OVER (PARTITION BY d.vec_id
+      |      ORDER BY list_cosine_similarity(d.e, c.centroid) DESC, c.label) rn
+      |    FROM dx d CROSS JOIN cent0 c) t WHERE rn = 1),
+      |ac AS (SELECT 'control' phase, seq, label FROM (
+      |    SELECT x.seq, c.label, row_number() OVER (PARTITION BY x.vec_id
+      |      ORDER BY list_cosine_similarity(x.e, c.centroid) DESC, c.label) rn
+      |    FROM cx x CROSS JOIN cent0 c) t WHERE rn = 1),
+      |app AS (SELECT * FROM ad UNION ALL SELECT * FROM ac),
+      |basecnt AS (SELECT label, CAST(count(*) AS BIGINT) n FROM base
+      |            GROUP BY label),
+      |pre AS (SELECT phase, k.k batch_seq, label,
+      |               CAST(count(*) AS BIGINT) napp
+      |        FROM app JOIN (VALUES (1),(2),(3)) k(k) ON app.seq <= k.k
+      |        GROUP BY phase, k.k, label),
+      |grid AS (SELECT p.phase, k.k batch_seq, b.label, b.n
+      |         FROM (VALUES ('drift'),('control')) p(phase)
+      |         CROSS JOIN (VALUES (1),(2),(3)) k(k) CROSS JOIN basecnt b),
+      |cur AS (SELECT g.phase, g.batch_seq, g.label, g.n n_fit,
+      |               g.n + COALESCE(p.napp, 0) n_cur
+      |        FROM grid g LEFT JOIN pre p
+      |          ON g.phase = p.phase AND g.batch_seq = p.batch_seq
+      |         AND g.label = p.label),
+      |tots AS (SELECT phase, batch_seq, sum(n_cur) ncur, sum(n_fit) nfit
+      |         FROM cur GROUP BY phase, batch_seq),
+      |nums AS (SELECT c.phase, c.batch_seq,
+      |                sum(abs(c.n_cur * t.nfit - c.n_fit * t.ncur)) num,
+      |                max(t.ncur) ncur, max(t.nfit) nfit
+      |         FROM cur c JOIN tots t
+      |           ON c.phase = t.phase AND c.batch_seq = t.batch_seq
+      |         GROUP BY c.phase, c.batch_seq)
+      |SELECT phase, CAST(batch_seq AS BIGINT) batch_seq,
+      |       CAST(th.bp AS BIGINT) theta_bp,
+      |       CAST(num * 10000 // (2 * ncur * nfit) AS BIGINT) tv_bp_floor,
+      |       CAST(num * 10000 >= th.bp * 2 * ncur * nfit AS BIGINT) fired
+      |FROM nums CROSS JOIN (VALUES (200),(500),(1500)) th(bp)
+      |ORDER BY phase, batch_seq, theta_bp""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val emb = T.embeddings(s, d)
+    val coarse = Similarity.centroids(emb)
+    val driftChunks = Similarity.assignFrozen(driftedBatch(s, d), coarse)
+      .select(lit("drift").as("phase"),
+        when(col("vec_id") - 1000000L < 67, 1)
+          .when(col("vec_id") - 1000000L < 134, 2).otherwise(3).as("seq"),
+        col("label"))
+    val control = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val ctlChunks = Similarity.assignFrozen(control, coarse)
+      .select(lit("control").as("phase"),
+        when(col("vec_id") - 2000000L < 267, 1)
+          .when(col("vec_id") - 2000000L < 334, 2).otherwise(3).as("seq"),
+        col("label"))
+    val occ = driftChunks.unionByName(ctlChunks)
+      .groupBy("phase", "seq", "label").agg(count(lit(1)).as("napp"))
+    val ks = Seq(1, 2, 3).toDF("batch_seq")
+    val pre = occ.join(ks, occ("seq") <= ks("batch_seq"))
+      .groupBy("phase", "batch_seq", "label").agg(sum("napp").as("napp"))
+    val basecnt = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val grid = Seq("drift", "control").toDF("phase")
+      .crossJoin(ks).crossJoin(basecnt)
+    val cur = grid.join(pre, Seq("phase", "batch_seq", "label"), "left")
+      .select(col("phase"), col("batch_seq"), col("label"),
+        col("n").as("n_fit"),
+        (col("n") + coalesce(col("napp"), lit(0L))).as("n_cur"))
+    val tots = cur.groupBy("phase", "batch_seq")
+      .agg(sum("n_cur").as("ncur"), sum("n_fit").as("nfit"))
+    val nums = cur.join(tots, Seq("phase", "batch_seq"))
+      .groupBy("phase", "batch_seq")
+      .agg(sum(abs(col("n_cur") * col("nfit") - col("n_fit") * col("ncur")))
+        .as("num"),
+        max("ncur").as("ncur"), max("nfit").as("nfit"))
+    nums.crossJoin(Seq(200L, 500L, 1500L).toDF("theta_bp"))
+      .select(col("phase"), col("batch_seq").cast("bigint").as("batch_seq"),
+        col("theta_bp"),
+        expr("CAST((num * 10000) div (2 * ncur * nfit) AS BIGINT)")
+          .as("tv_bp_floor"),
+        (col("num") * lit(10000L) >=
+          col("theta_bp") * lit(2L) * col("ncur") * col("nfit"))
+          .cast("bigint").as("fired"))
+      .orderBy("phase", "batch_seq", "theta_bp")
   }
 
   /** LSH-bucketed ANN with md5-seeded hyperplanes (oracle reproduces the
@@ -2213,11 +2343,15 @@ object NorthStar {
     * financial classes are CHECKSUM-gated — card candidates must pass
     * Luhn, IBANs the ISO 13616 mod-97 check — and the oracle reproduces
     * both validations in SQL (candidate explode → integer check-digit
-    * fold → order-preserving re-list → replace fold), so a checksum
-    * divergence on either engine hash-fails. The planted rows exercise
-    * every class: phone forms, SSN/ID runs, url/email cohabitation,
-    * spaced + contiguous Luhn-valid PANs, spaced + compact valid IBANs,
-    * and a check-digit-REJECTED IBAN that must survive verbatim. */
+    * fold → order-preserving re-list → POSITION-ANCHORED rebuild: split
+    * on the regex, re-emit each match as placeholder-or-verbatim between
+    * its parts — never a global literal replace, which would also redact
+    * the same digits inside longer tokens the regex did not match), so a
+    * checksum divergence on either engine hash-fails. The planted rows
+    * exercise every class: phone forms, SSN/ID runs, url/email
+    * cohabitation, spaced + contiguous Luhn-valid PANs, spaced + compact
+    * valid IBANs, and a check-digit-REJECTED IBAN that must survive
+    * verbatim. */
   val textScrubPii = QueryDef(
     "q_ns_text_scrub_pii",
     """WITH corpus AS (
@@ -2249,7 +2383,13 @@ object NorthStar {
       |        FROM (SELECT doc_id, regexp_extract_all(t3,
       |                '\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b')
       |                cands FROM s3) t),
-      |ibok AS (SELECT doc_id, i, c FROM (
+      |ibok AS (SELECT doc_id, i, CASE WHEN ok THEN '<IBAN>' ELSE c END r,
+      |                CAST(ok AS INT) okn FROM (
+      |  SELECT doc_id, i, c, (n BETWEEN 15 AND 34
+      |    AND list_reduce(list_prepend(0, list_transform(
+      |          generate_series(1, length(d)),
+      |          k -> CAST(substring(d, k, 1) AS INT))),
+      |          (a, x) -> (a * 10 + x) % 97) = 1) ok FROM (
       |    SELECT doc_id, i, c, length(replace(c, ' ', '')) n,
       |           list_aggregate(list_transform(
       |             generate_series(1, length(substring(replace(c, ' ', ''), 5)
@@ -2263,39 +2403,48 @@ object NorthStar {
       |                         || substring(replace(c, ' ', ''), 1, 4), k, 1)) - 55
       |                       AS VARCHAR) END),
       |             'string_agg', '') d
-      |    FROM ibx) v
-      |  WHERE n BETWEEN 15 AND 34
-      |    AND list_reduce(list_prepend(0, list_transform(
-      |          generate_series(1, length(d)),
-      |          k -> CAST(substring(d, k, 1) AS INT))),
-      |          (a, x) -> (a * 10 + x) % 97) = 1),
-      |ibl AS (SELECT doc_id, list(c ORDER BY i) v FROM ibok GROUP BY doc_id),
+      |    FROM ibx) v) w),
+      |ibl AS (SELECT doc_id, list(r ORDER BY i) v,
+      |               CAST(sum(okn) AS BIGINT) nv FROM ibok GROUP BY doc_id),
       |s4 AS (SELECT s3.*,
       |         CASE WHEN ibl.v IS NULL THEN t3
-      |              ELSE list_reduce(list_prepend(t3, ibl.v),
-      |                     (a, x) -> replace(a, x, '<IBAN>')) END t4,
-      |         CAST(COALESCE(len(ibl.v), 0) AS BIGINT) n_ibans
+      |              ELSE list_reduce(list_prepend(
+      |                     string_split_regex(t3,
+      |                       '\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b')[1],
+      |                     list_transform(generate_series(1, len(ibl.v)),
+      |                       i -> ibl.v[i] || string_split_regex(t3,
+      |                         '\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b')[i + 1])),
+      |                   (a, x) -> a || x) END t4,
+      |         CAST(COALESCE(ibl.nv, 0) AS BIGINT) n_ibans
       |       FROM s3 LEFT JOIN ibl USING (doc_id)),
       |ccx AS (SELECT doc_id, generate_subscripts(cands, 1) i,
       |               unnest(cands) c
       |        FROM (SELECT doc_id, regexp_extract_all(t4,
       |                '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{13,19}\b')
       |                cands FROM s4) t),
-      |ccok AS (SELECT doc_id, i, c FROM (
-      |    SELECT doc_id, i, c, regexp_replace(c, '[ -]', '', 'g') ds
-      |    FROM ccx) v
-      |  WHERE list_sum(list_transform(generate_series(1, length(ds)),
+      |ccok AS (SELECT doc_id, i, CASE WHEN ok THEN '<CC>' ELSE c END r,
+      |                CAST(ok AS INT) okn FROM (
+      |  SELECT doc_id, i, c,
+      |         (list_sum(list_transform(generate_series(1, length(ds)),
       |          k -> CASE WHEN (length(ds) - k) % 2 = 1 THEN
       |                 CASE WHEN 2 * CAST(substring(ds, k, 1) AS INT) > 9
       |                      THEN 2 * CAST(substring(ds, k, 1) AS INT) - 9
       |                      ELSE 2 * CAST(substring(ds, k, 1) AS INT) END
-      |               ELSE CAST(substring(ds, k, 1) AS INT) END)) % 10 = 0),
-      |ccl AS (SELECT doc_id, list(c ORDER BY i) v FROM ccok GROUP BY doc_id),
+      |               ELSE CAST(substring(ds, k, 1) AS INT) END)) % 10 = 0) ok
+      |  FROM (SELECT doc_id, i, c, regexp_replace(c, '[ -]', '', 'g') ds
+      |        FROM ccx) v) w),
+      |ccl AS (SELECT doc_id, list(r ORDER BY i) v,
+      |               CAST(sum(okn) AS BIGINT) nv FROM ccok GROUP BY doc_id),
       |s5 AS (SELECT s4.*,
       |         CASE WHEN ccl.v IS NULL THEN t4
-      |              ELSE list_reduce(list_prepend(t4, ccl.v),
-      |                     (a, x) -> replace(a, x, '<CC>')) END t5,
-      |         CAST(COALESCE(len(ccl.v), 0) AS BIGINT) n_ccs
+      |              ELSE list_reduce(list_prepend(
+      |                     string_split_regex(t4,
+      |                       '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{13,19}\b')[1],
+      |                     list_transform(generate_series(1, len(ccl.v)),
+      |                       i -> ccl.v[i] || string_split_regex(t4,
+      |                         '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b|\b\d{13,19}\b')[i + 1])),
+      |                   (a, x) -> a || x) END t5,
+      |         CAST(COALESCE(ccl.nv, 0) AS BIGINT) n_ccs
       |       FROM s4 LEFT JOIN ccl USING (doc_id)),
       |s6 AS (SELECT *, regexp_replace(t5,
       |         '\+?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}',
@@ -2421,6 +2570,160 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** CHROMA-plane pixel gate (r13 verdict #3 — VP8 chroma reconstruction
+    * in the GATE, upgrading the codec from luma-only to full key-frame
+    * pixel surface): 20 two-MB frames with per-MB-constant planted U and
+    * V (one DC level per chroma block at qi 4 ⇒ uvdc quantizer 8 ⇒ pixel
+    * delta exactly the planted level), luma all-128, decoded by the full
+    * pipeline (graft.ops.Vp8.decodeYuv). The oracle recomputes every
+    * sampled pixel in closed form: MB0 chroma = 128 + c0 (DC pred 128,
+    * integer-exact (8c+4)≫3 = c dequant/IDCT), MB1 = MB0 + c1 (8×8 DC
+    * prediction from the left column), and — for the normal-filter ids —
+    * the §15 chroma MB-edge taps at x∈[5,10] from the same spec formulas
+    * the luma edge gate uses (the simple filter must leave chroma
+    * untouched per §15.1, which the ft=1 ids pin). A drift anywhere in
+    * the chroma path — uv-mode tree, §14.1 dequant cap, 8×8 prediction,
+    * residual placement, chroma filter geometry — lands on different
+    * pixels and hash-fails. */
+  val multimodalChromaPlane = QueryDef(
+    "q_ns_multimodal_chroma_plane",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id,
+      |        (doc_id * 13) % 41 - 20 AS cu0, (doc_id * 7) % 31 - 15 AS cu1,
+      |        (doc_id * 11) % 37 - 18 AS cv0, (doc_id * 5) % 29 - 14 AS cv1,
+      |        doc_id % 2 AS ft, (doc_id * 9) % 64 AS lvl,
+      |        (doc_id * 3) % 8 AS sharp
+      |      FROM ids),
+      |pl AS (SELECT doc_id, ft, lvl, sharp, 'u' AS pn,
+      |              128 + cu0 AS l, 128 + cu0 + cu1 AS r FROM p
+      |       UNION ALL
+      |       SELECT doc_id, ft, lvl, sharp, 'v',
+      |              128 + cv0, 128 + cv0 + cv1 FROM p),
+      |lim AS (SELECT *,
+      |         GREATEST(CASE WHEN sharp > 0
+      |             THEN LEAST(lvl >> (CASE WHEN sharp > 4 THEN 2 ELSE 1 END),
+      |                        9 - sharp)
+      |             ELSE lvl END, 1) AS ii
+      |        FROM pl),
+      |msk AS (SELECT *,
+      |         lvl > 0 AND ft = 0 AND
+      |           (abs(l - r) * 2 + abs(l - r) // 2) <= (2 * (lvl + 2) + ii)
+      |           AS f
+      |        FROM lim),
+      |adj AS (SELECT *,
+      |         GREATEST(-128, LEAST(127,
+      |           GREATEST(-128, LEAST(127, l - r)) + 3 * (r - l))) AS w0
+      |        FROM msk),
+      |taps AS (SELECT *,
+      |         CAST(floor((27 * w0 + 63) / 128.0) AS BIGINT) AS a27,
+      |         CAST(floor((18 * w0 + 63) / 128.0) AS BIGINT) AS a18,
+      |         CAST(floor((9 * w0 + 63) / 128.0) AS BIGINT) AS a9
+      |        FROM adj),
+      |vals AS (SELECT doc_id, pn, l AS x0,
+      |           CASE WHEN f THEN l + a9 ELSE l END AS x5,
+      |           CASE WHEN f THEN l + a27 ELSE l END AS x7,
+      |           CASE WHEN f THEN r - a27 ELSE r END AS x8,
+      |           CASE WHEN f THEN r - a9 ELSE r END AS x10,
+      |           r AS x15
+      |         FROM taps)
+      |SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+      |  CAST(p.ft AS BIGINT) AS ft, CAST(p.lvl AS BIGINT) AS lvl,
+      |  CAST(p.sharp AS BIGINT) AS sharp,
+      |  CAST(max(CASE WHEN pn = 'u' THEN x0 END) AS BIGINT) AS u_x0,
+      |  CAST(max(CASE WHEN pn = 'u' THEN x5 END) AS BIGINT) AS u_x5,
+      |  CAST(max(CASE WHEN pn = 'u' THEN x7 END) AS BIGINT) AS u_x7,
+      |  CAST(max(CASE WHEN pn = 'u' THEN x8 END) AS BIGINT) AS u_x8,
+      |  CAST(max(CASE WHEN pn = 'u' THEN x10 END) AS BIGINT) AS u_x10,
+      |  CAST(max(CASE WHEN pn = 'u' THEN x15 END) AS BIGINT) AS u_x15,
+      |  CAST(max(CASE WHEN pn = 'v' THEN x0 END) AS BIGINT) AS v_x0,
+      |  CAST(max(CASE WHEN pn = 'v' THEN x8 END) AS BIGINT) AS v_x8
+      |FROM p JOIN vals ON p.doc_id = vals.doc_id
+      |GROUP BY p.doc_id, p.ft, p.lvl, p.sharp
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val cu0 = ((id * 13) % 41 - 20).toInt
+      val cu1 = ((id * 7) % 31 - 15).toInt
+      val cv0 = ((id * 11) % 37 - 18).toInt
+      val cv1 = ((id * 5) % 29 - 14).toInt
+      val ft = (id % 2).toInt
+      val lvl = ((id * 9) % 64).toInt
+      val sharp = ((id * 3) % 8).toInt
+      def dcScan(v: Int): Array[Int] = {
+        val a = new Array[Int](16); a(0) = v; a
+      }
+      val zero = new Array[Int](16)
+      val (bytes, _, _, _) = graft.ops.Vp8.makeWebpLossyFrameYuv(32, 16,
+        mbMode = (_, _) => 0,
+        y2Of = (_, _) => zero,
+        yOf = (_, _, _) => zero,
+        uvOf = (mx, _, pn, _) =>
+          if (pn == 0) dcScan(if (mx == 0) cu0 else cu1)
+          else dcScan(if (mx == 0) cv0 else cv1),
+        filterType = ft, filterLevel = lvl, sharpness = sharp)
+      val (_, _, _, u, v) = graft.ops.Vp8.decodeYuv(bytes).get
+      (id, ft.toLong, lvl.toLong, sharp.toLong,
+        u(0).toLong, u(5).toLong, u(7).toLong, u(8).toLong,
+        u(10).toLong, u(15).toLong, v(0).toLong, v(8).toLong)
+    }.toDF("doc_id", "ft", "lvl", "sharp", "u_x0", "u_x5", "u_x7",
+      "u_x8", "u_x10", "u_x15", "v_x0", "v_x8")
+      .orderBy("doc_id")
+  }
+
+  /** Baseline-JPEG pixel gate (r13 verdict #5 — JPEG upgraded from
+    * header-only to pixel-verified IN THE GATE): 20 real baseline
+    * grayscale files (SOI/APP0/DQT/SOF0/DHT/SOS/EOI with a Huffman-coded
+    * scan) built by graft.ops.Jpeg.makeJpegGray with per-8×8-block
+    * planted DC levels, sizes deliberately off the block grid so the
+    * edge-block crop is exercised, decoded by the full from-scratch
+    * pipeline through Multimodal.decodeGray's sniff dispatch. Under the
+    * fixture's q₀ = 8 table a DC-only block reconstructs to EXACTLY
+    * 128 + level, so the oracle recomputes sampled pixels and the whole
+    * cropped gray_sum in closed form from the planting formula — a
+    * one-bit drift in marker parsing, canonical-Huffman construction,
+    * the EXTEND convention, DC prediction, zigzag, dequant, or the IDCT
+    * DC path lands on different integers and hash-fails. */
+  val multimodalJpegLuma = QueryDef(
+    "q_ns_multimodal_jpeg_luma",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id,
+      |        17 + (doc_id * 3) % 8 AS w, 9 + (doc_id * 5) % 8 AS h
+      |      FROM ids),
+      |blocks AS (SELECT doc_id, w, h, bx.bx, by.by,
+      |        ((doc_id * 7 + bx.bx * 13 + by.by * 29) % 200) - 100 AS d,
+      |        GREATEST(0, LEAST(8, w - 8 * bx.bx))
+      |          * GREATEST(0, LEAST(8, h - 8 * by.by)) AS visible
+      |      FROM p
+      |      CROSS JOIN (VALUES (0), (1), (2)) bx(bx)
+      |      CROSS JOIN (VALUES (0), (1)) by(by))
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+      |  CAST(max(CASE WHEN bx = 0 AND by = 0 THEN 128 + d END) AS BIGINT)
+      |    AS g_tl,
+      |  CAST(max(CASE WHEN bx = 1 AND by = 0 THEN 128 + d END) AS BIGINT)
+      |    AS g_x8,
+      |  CAST(max(CASE WHEN bx = 0 AND by = 1 THEN 128 + d END) AS BIGINT)
+      |    AS g_y8,
+      |  CAST(sum(visible * (128 + d)) AS BIGINT) AS gray_sum
+      |FROM blocks
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val w = (17 + (id * 3) % 8).toInt
+      val h = (9 + (id * 5) % 8).toInt
+      val (bytes, _) = graft.ops.Jpeg.makeJpegGray(w, h, (bx, by) => {
+        val a = new Array[Int](64)
+        a(0) = ((id * 7 + bx * 13 + by * 29) % 200).toInt - 100
+        a
+      })
+      val (dw, dh, g) = Multimodal.decodeGray(bytes).get
+      (id, dw.toLong, dh.toLong, g(0).toLong, g(8).toLong,
+        g(8 * dw).toLong, g.foldLeft(0L)(_ + _))
+    }.toDF("doc_id", "w", "h", "g_tl", "g_x8", "g_y8", "gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -2436,18 +2739,20 @@ object NorthStar {
 
   /** Format-level near-dup coverage (the codec-scope contract): one
     * synthesized container per doc spanning the full sniff surface —
-    * bmp/ppm/pgm/png (pixel), jpeg (header-only), gif (pixel), lossy-VP8
-    * webp (r12: pixel — a real boolean-arithmetic-coded key frame
-    * decoded by the from-scratch graft.ops.Vp8 luma subset; it was the
-    * last header-only media class with raster content), VP8L webp
-    * (pixel, the lossless-WebP subset decoder). The engine sniffs,
-    * scopes, and pixel-decodes each payload from its ACTUAL bytes; the
-    * oracle recomputes every column from the planting formula, so a
-    * VP8L/VP8 stream that fails to decode (neardup_covered false,
-    * decoded_pixels -1) or a drifted header parse hash-fails. This is
-    * the card-facing answer to "which share of a crawl's media actually
-    * got near-dup treatment" — jpeg remains the documented header_only
-    * exemplar. */
+    * bmp/ppm/pgm/png (pixel), jpeg (r14: pixel — a REAL baseline
+    * Huffman-coded scan decoded by the from-scratch graft.ops.Jpeg
+    * grayscale subset; it was the last header-only class in the sweep),
+    * gif (pixel), lossy-VP8 webp (r12: pixel — a real
+    * boolean-arithmetic-coded key frame decoded by the from-scratch
+    * graft.ops.Vp8 subset), VP8L webp (pixel, the lossless-WebP subset
+    * decoder). The engine sniffs, scopes, and pixel-decodes each payload
+    * from its ACTUAL bytes; the oracle recomputes every column from the
+    * planting formula, so a stream that fails to decode
+    * (neardup_covered false, decoded_pixels -1) or a drifted header
+    * parse hash-fails. This is the card-facing answer to "which share
+    * of a crawl's media actually got near-dup treatment" — every class
+    * in the sweep is now pixel-verified; out-of-subset real-world files
+    * still surface through the per-payload neardup_covered column. */
   val multimodalCodecScope = QueryDef(
     "q_ns_multimodal_codec_scope",
     """WITH p AS (
@@ -2460,13 +2765,10 @@ object NorthStar {
       |              WHEN 3 THEN 'png' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif'
       |              ELSE 'webp' END AS format,
       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-      |       CASE WHEN f = 4 THEN 'header_only'
-      |            ELSE 'pixel' END AS codec_scope,
-      |       f <> 4 AS neardup_covered,
-      |       CAST(CASE WHEN f = 4 THEN -1 ELSE w * h END AS BIGINT)
-      |         AS decoded_pixels,
-      |       CAST(CASE WHEN f = 4 THEN -1 ELSE v * w * h END AS BIGINT)
-      |         AS gray_sum
+      |       'pixel' AS codec_scope,
+      |       TRUE AS neardup_covered,
+      |       CAST(w * h AS BIGINT) AS decoded_pixels,
+      |       CAST(v * w * h AS BIGINT) AS gray_sum
       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
     Multimodal.codecScopeTable(T.documents(s, d)).toDF().orderBy("doc_id")
@@ -3282,7 +3584,7 @@ object NorthStar {
     dedupIngestE2e, dedupIngestE2eServed,
     simBrute, simIvf, simIvfMultiprobe, simIvfServedIncremental,
     simIvfServedCompacted, simIvfRetrained, simIvfRetrainRecall,
-    simIvfDriftPolicy,
+    simIvfDriftPolicy, simIvfDriftThetaSweep,
     simKnnGraph, simKnnGraphRecall, simKnnGraphRecallCurve, simLsh,
     hardNegatives,
     textTokens, textQuality, textRepetition, textLangId, textLangIdTrigram, textFingerprint,
@@ -3293,6 +3595,7 @@ object NorthStar {
     leakageSafeSplitQ, stratified, epochUpsample, domainCap,
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
+    multimodalChromaPlane, multimodalJpegLuma,
     multimodalFeatures,
     multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,

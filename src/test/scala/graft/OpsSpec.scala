@@ -1664,7 +1664,7 @@ class OpsSpec extends AnyFunSuite {
     // w=c(c(-10)+3*10)=20; taps (27w+63)>>7=4, (18w+63)>>7=3,
     // (9w+63)>>7=1 → p2..q2 = 101,103,104 | 106,107,109
     val pN = plane2(100, 110)
-    Vp8.loopFilterLuma(pN, 32, 2, 1, 0, 0, Array(10, 10), noInner)
+    Vp8.loopFilterPlane(pN, 32, 2, 1, 16, 0, 0, Array(10, 10), noInner)
     for (y <- 0 until 16) {
       val row = (12 to 19).map(x => pN(y * 32 + x))
       assert(row == Seq(100, 101, 103, 104, 106, 107, 109, 110),
@@ -1673,7 +1673,7 @@ class OpsSpec extends AnyFunSuite {
     // SIMPLE path, same step: a=c(c(-10)+30)=20, F=c(24)>>3=3,
     // E=c(23)>>3=2 → only p0/q0 move: 102 | 107
     val pS = plane2(100, 110)
-    Vp8.loopFilterLuma(pS, 32, 2, 1, 1, 0, Array(10, 10), noInner)
+    Vp8.loopFilterPlane(pS, 32, 2, 1, 16, 1, 0, Array(10, 10), noInner)
     for (y <- 0 until 16) {
       val row = (13 to 18).map(x => pS(y * 32 + x))
       assert(row == Seq(100, 100, 102, 107, 110, 110),
@@ -1681,7 +1681,7 @@ class OpsSpec extends AnyFunSuite {
     }
     // MASK rejection: |p0-q0|*2 + |p1-q1|/2 = 50 > mbE=34 → untouched
     val pM = plane2(100, 120)
-    Vp8.loopFilterLuma(pM, 32, 2, 1, 0, 0, Array(10, 10), noInner)
+    Vp8.loopFilterPlane(pM, 32, 2, 1, 16, 0, 0, Array(10, 10), noInner)
     assert(pM.zipWithIndex.forall { case (v, i) =>
       v == (if (i % 32 < 16) 100 else 120) }, "over-limit step must not filter")
     // HEV path at level 40 (hevT=2): spiky p1=115 → |p1-p0|=15>2 → the
@@ -1689,7 +1689,7 @@ class OpsSpec extends AnyFunSuite {
     // E=c(38)>>3=4 → p0 104 | q0 106, p1/q1 NOT touched
     val pH = plane2(100, 110)
     for (y <- 0 until 16) pH(y * 32 + 14) = 115
-    Vp8.loopFilterLuma(pH, 32, 2, 1, 0, 0, Array(40, 40), noInner)
+    Vp8.loopFilterPlane(pH, 32, 2, 1, 16, 0, 0, Array(40, 40), noInner)
     for (y <- 0 until 16) {
       val row = (13 to 18).map(x => pH(y * 32 + x))
       assert(row == Seq(100, 115, 104, 106, 110, 110),
@@ -1699,15 +1699,15 @@ class OpsSpec extends AnyFunSuite {
     // filters at sharpness 0 (mbE=34) and is rejected at sharpness 7
     // (interior = min(10 >> 2, 9-7) = 2 → mbE = 26)
     val pA = plane2(100, 111)
-    Vp8.loopFilterLuma(pA, 32, 2, 1, 0, 7, Array(10, 10), noInner)
+    Vp8.loopFilterPlane(pA, 32, 2, 1, 16, 0, 7, Array(10, 10), noInner)
     assert(pA(5 * 32 + 15) == 100 && pA(5 * 32 + 16) == 111,
       "sharpness-7 limit must reject the 11-step")
     val pB = plane2(100, 111)
-    Vp8.loopFilterLuma(pB, 32, 2, 1, 0, 0, Array(10, 10), noInner)
+    Vp8.loopFilterPlane(pB, 32, 2, 1, 16, 0, 0, Array(10, 10), noInner)
     assert(pB(5 * 32 + 15) != 100, "sharpness-0 must filter the 11-step")
     // per-MB level 0 skips the MB outright
     val pZ = plane2(100, 110)
-    Vp8.loopFilterLuma(pZ, 32, 2, 1, 0, 0, Array(10, 0), noInner)
+    Vp8.loopFilterPlane(pZ, 32, 2, 1, 16, 0, 0, Array(10, 0), noInner)
     assert(pZ(5 * 32 + 15) == 100 && pZ(5 * 32 + 16) == 110,
       "a level-0 MB must not filter its edges")
   }
@@ -1756,6 +1756,124 @@ class OpsSpec extends AnyFunSuite {
     assert(dg.sameElements(de), "lf-delta decode != filtered reconstruction")
   }
 
+  test("VP8 chroma: all four 8x8 uv intra modes land on the hand-computed " +
+      "RFC 6386 first-MB values, and the planted DC delta is integer-exact") {
+    import graft.ops.Vp8
+    val zero = new Array[Int](16)
+    def dc(v: Int) = { val a = new Array[Int](16); a(0) = v; a }
+    // §12.2 predictions for the frame's FIRST macroblock (no neighbors),
+    // computed by hand from the spec rules, not by this code:
+    // DC = 128 (no edges), V = 127 (above border), H = 129 (left
+    // border), TM = clamp(129 + 127 - 127) = 129
+    val firstMbPred = Map(0 -> 128, 1 -> 127, 2 -> 129, 3 -> 129)
+    for ((m, base) <- firstMbPred) {
+      val (bytes, _, eu, ev) = Vp8.makeWebpLossyFrameYuv(16, 16,
+        (_, _) => 0, (_, _) => zero, (_, _, _) => zero,
+        uvOf = (_, _, pl, _) => if (pl == 0) dc(7) else dc(-5),
+        uvModeOf = (_, _) => m)
+      val (_, _, _, du, dv) = Vp8.decodeYuv(bytes).getOrElse(
+        fail(s"uv mode $m frame did not decode"))
+      assert(du.sameElements(eu) && dv.sameElements(ev),
+        s"uv mode $m: decode != simulation")
+      // qi 4 ⇒ uvdc quantizer 8 ⇒ (8c+4)>>3 = c exactly
+      assert(du(0) == base + 7, s"uv mode $m: U ${du(0)} != ${base + 7}")
+      assert(dv(0) == base - 5, s"uv mode $m: V ${dv(0)} != ${base - 5}")
+    }
+  }
+
+  test("VP8 chroma: planted UV AC coefficients, mixed uv modes, and the " +
+      "chroma loop filter round-trip through the full pipeline") {
+    import graft.ops.Vp8
+    val zero = new Array[Int](16)
+    def uvScan(mx: Int, my: Int, pl: Int, cb: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      // deterministic mixed plants: DC + two AC positions, sign-varied,
+      // including all-zero blocks (nonzero-context propagation both ways)
+      if ((mx + my + cb) % 3 != 0) {
+        a(0) = (mx * 5 + cb * 3 - pl * 7 - my) % 11
+        a(2) = (mx - my + pl + cb) % 5
+        a(9) = if ((mx + cb) % 2 == 0) -3 else 2
+      }
+      a
+    }
+    val (bytes, ey, eu, ev) = Vp8.makeWebpLossyFrameYuv(48, 32,
+      (mx, my) => (mx + my) % 4,
+      (_, _) => zero, (_, _, _) => zero,
+      uvOf = uvScan,
+      uvModeOf = (mx, my) => (mx + 2 * my) % 4,
+      filterType = 0, filterLevel = 33, sharpness = 2)
+    val (dw, dh, dy, du, dv) = Vp8.decodeYuv(bytes).getOrElse(
+      fail("chroma-textured frame did not decode"))
+    assert(dw == 48 && dh == 32)
+    assert(dy.sameElements(ey), "luma decode != simulation")
+    assert(du.sameElements(eu), "U decode != simulation")
+    assert(dv.sameElements(ev), "V decode != simulation")
+    // the simple filter must leave chroma untouched (§15.1) while still
+    // filtering luma
+    val (b1, _, u1, v1) = Vp8.makeWebpLossyFrameYuv(48, 32,
+      (_, _) => 0, (_, _) => zero, (_, _, _) => zero,
+      uvOf = uvScan, filterType = 1, filterLevel = 40)
+    val (b0, _, u0, v0) = Vp8.makeWebpLossyFrameYuv(48, 32,
+      (_, _) => 0, (_, _) => zero, (_, _, _) => zero,
+      uvOf = uvScan, filterType = 1, filterLevel = 0)
+    assert(u1.sameElements(u0) && v1.sameElements(v0),
+      "simple filter must not touch chroma")
+    val (_, _, _, du1, dv1) = Vp8.decodeYuv(b1).get
+    assert(du1.sameElements(u1) && dv1.sameElements(v1))
+    val (_, _, _, du0, dv0) = Vp8.decodeYuv(b0).get
+    assert(du0.sameElements(u0) && dv0.sameElements(v0))
+  }
+
+  test("JPEG baseline: planted AC runs, ZRL, EOB, signed categories, and " +
+      "multi-block DC prediction round-trip through the from-scratch " +
+      "Huffman scan, and DC-only blocks are integer-exact") {
+    import graft.ops.Jpeg
+    // DC-only constant: q0 = 8 makes pixel exactly 128 + level
+    val const = Jpeg.makeJpegConst(19, 12, 77)
+    val (cw, ch, cg) = Jpeg.decodeLumaGray(const).getOrElse(
+      fail("constant jpeg did not decode"))
+    assert(cw == 19 && ch == 12 && cg.forall(_ == 77),
+      "constant fixture must decode to exactly v everywhere")
+    // arbitrary plants: DC + AC coefficients with zero runs past the
+    // ZRL boundary, positive/negative values, EOB at varied positions
+    def levels(bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = (bx * 37 - by * 53) % 120
+      if ((bx + by) % 3 != 0) {
+        a(1) = -(bx + 1)
+        a(5) = by + 2
+        a(22) = if (bx % 2 == 0) -7 else 7 // 16-gap zero run → ZRL
+        a(63) = bx - by // EOB-less full block when nonzero
+      }
+      a
+    }
+    val (bytes, expected) = Jpeg.makeJpegGray(30, 21, levels)
+    val (dw, dh, g) = Jpeg.decodeLumaGray(bytes).getOrElse(
+      fail("planted jpeg did not decode"))
+    assert(dw == 30 && dh == 21)
+    assert(g.sameElements(expected),
+      "decode != encoder reconstruction simulation")
+    // the sniff dispatch routes jpeg to the baseline decoder
+    assert(graft.ops.Multimodal.decodeGray(bytes).get._3.sameElements(expected))
+    // poison-blob contract: truncation anywhere → None, never a crash
+    for (cut <- Seq(2, 20, bytes.length / 2, bytes.length - 1))
+      assert(Jpeg.decodeLumaGray(bytes.take(cut)).isEmpty,
+        s"truncated at $cut must reject")
+    // out-of-subset rejections: progressive (SOF2) and a restart interval
+    val sof2 = bytes.clone()
+    // find the SOF0 marker and flip it to SOF2
+    var i = 2
+    var flipped = false
+    while (!flipped && i + 1 < sof2.length) {
+      if ((sof2(i) & 0xff) == 0xff && (sof2(i + 1) & 0xff) == 0xc0) {
+        sof2(i + 1) = 0xc2.toByte; flipped = true
+      }
+      i += 1
+    }
+    assert(flipped && Jpeg.decodeLumaGray(sof2).isEmpty,
+      "progressive frame type must reject")
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:
@@ -1784,7 +1902,8 @@ class OpsSpec extends AnyFunSuite {
       (5L, "hex deadbeef0042 and inword12345678901x stay"),
       (6L, "pay 4111 1111 1111 1111 or 4111111111111111 now"),
       (7L, "iban GB82 WEST 1234 5698 7654 32 or DE89370400440532013000 ok"),
-      (8L, "fake DE89370400440532013001 stays put"))
+      (8L, "fake DE89370400440532013001 stays put"),
+      (9L, "ref x4111111111111111y and 4111111111111111 paid"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.withPiiScrub(planted)
       .select("doc_id", "n_urls", "n_emails", "n_phones", "n_ids",
@@ -1822,6 +1941,15 @@ class OpsSpec extends AnyFunSuite {
     // identity for financial numbers)
     assert(fin(8L) == ((0L, 0L, "fake DE89370400440532013001 stays put")),
       s"invalid check digits must not scrub: ${fin(8L)}")
+    // position-anchored substitution (r13 ADVICE): the SAME Luhn-valid
+    // digit string embedded in a longer token is NOT a \b-anchored match
+    // and must survive verbatim — a literal replace fold would redact it
+    // and leave n_ccs undercounting its placeholders
+    assert(fin(9L) == ((1L, 0L,
+      "ref x4111111111111111y and <CC> paid")),
+      s"embedded PAN must not over-redact: ${fin(9L)}")
+    assert(got(9L)._4 == 0,
+      s"embedded digits must not leak into id class: ${got(9L)}")
   }
 
   test("ivfRetrain recovers recall lost to frozen centroids under " +

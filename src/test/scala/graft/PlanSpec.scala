@@ -160,6 +160,9 @@ class PlanSpec extends AnyFunSuite {
         "tiny centroid routing cross (loaded retrained coarse table)",
       "q_ns_sim_ivf_retrain_recall" ->
         "tiny centroid routing crosses (stale + retrained) + brute exact side",
+      "q_ns_sim_ivf_drift_theta_sweep" ->
+        ("tiny centroid routing crosses (drift + control batch assignment) " +
+          "+ literal phase/batch/θ grid crosses (≤ nlist·6 rows)"),
       "q_ns_sim_ivf_multiprobe" -> "tiny centroid routing cross",
       "q_ns_sim_ivf_served_incremental" ->
         "tiny centroid routing cross (loaded coarse table)",
