@@ -1,7 +1,16 @@
 #!/usr/bin/env python3
 """Cross-round bench diff with mechanical attribution.
 
-Usage: python3 tools/diff_bench.py OLD.json NEW.json [ratio_threshold]
+Usage: python3 tools/diff_bench.py [--median] OLD.json NEW.json [ratio_threshold]
+
+--median compares warm-rep medians (queries_median) instead of the
+last-rep wall time when BOTH artifacts carry them (r13 verdict stretch):
+position cold-start — a query that runs early in a short sweep vs deep
+inside a warm long sweep (q_stream_join_attrib read 5.86x on last-rep in
+the r12->r13 diff) — is rep-1-only, so the warm median removes the
+biggest JVM_STATE noise class from the >threshold list instead of merely
+labeling it. Falls back to last-rep (with a notice) when either side
+lacks medians.
 
 Applies the SCALING.md round-12 attribution rules to every shared query:
 
@@ -50,15 +59,33 @@ def probe_agg(probes):
 
 
 def main():
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
-    shared = sorted(q for q in new.get("queries", {})
-                    if q in old.get("queries", {})
-                    and old["queries"][q] > 0 and new["queries"][q] > 0)
-    t_old = sum(old["queries"][q] for q in shared)
-    t_new = sum(new["queries"][q] for q in shared)
-    print(f"shared {len(shared)} queries: {t_old:.1f}s -> {t_new:.1f}s "
+    args = [a for a in sys.argv[1:] if a != "--median"]
+    want_median = "--median" in sys.argv[1:]
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+    thr = float(args[2]) if len(args) > 2 else 1.2
+    if old.get("cpus") != new.get("cpus"):
+        # r14 post-mortem: a sweep launched without SPARK_GRAFT_CPUS runs
+        # local[4] (the Bench default) while driver sweeps run local[32];
+        # partition counts sit inside every Exchange node, so EVERY
+        # fingerprint differs and every mover mislabels as PLAN_CHANGED.
+        print(f"WARNING: cpus mismatch ({old.get('cpus')} vs "
+              f"{new.get('cpus')}) — timings AND plan fingerprints are "
+              f"not comparable across parallelism; rerun with matched "
+              f"SPARK_GRAFT_CPUS before trusting any verdict below")
+    use_median = (want_median and old.get("queries_median")
+                  and new.get("queries_median"))
+    if want_median and not use_median:
+        print("note: --median requested but queries_median missing on one "
+              "side; falling back to last-rep wall times")
+    series = "queries_median" if use_median else "queries"
+    qo, qn = old.get(series, {}), new.get(series, {})
+    shared = sorted(q for q in qn
+                    if q in qo and qo[q] > 0 and qn[q] > 0)
+    t_old = sum(qo[q] for q in shared)
+    t_new = sum(qn[q] for q in shared)
+    print(f"shared {len(shared)} queries ({'warm-rep median' if use_median else 'last-rep'}): "
+          f"{t_old:.1f}s -> {t_new:.1f}s "
           f"({t_new / t_old:.3f}x)  "
           f"cal {old.get('cal_start_sec', '?')} -> {new.get('cal_start_sec', '?')}")
     oa_all = old.get("plan_actions", {})
@@ -67,7 +94,7 @@ def main():
     flips_new = set(new.get("plan_flips", []))
     rows = []
     for q in shared:
-        r = new["queries"][q] / old["queries"][q]
+        r = qn[q] / qo[q]
         if r < thr and 1 / r < thr:
             continue
         po = probe_agg(old.get("queries_probe", {}).get(q))
@@ -98,8 +125,7 @@ def main():
                 verdict = "CONTENTION"
             else:
                 verdict = "UNEXPLAINED"
-        rows.append((r, q, verdict,
-                     old["queries"][q], new["queries"][q]))
+        rows.append((r, q, verdict, qo[q], qn[q]))
     rows.sort(reverse=True)
     if not rows:
         print(f"no query moved past {thr}x in either direction")
