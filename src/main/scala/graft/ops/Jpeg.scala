@@ -1,25 +1,37 @@
 package graft.ops
 
-/** From-scratch BASELINE JPEG (ITU-T T.81 / ISO 10918-1) GRAYSCALE
-  * decode — the r12 stretch / r13 verdict #5 closing the last
-  * `header_only` codec class in the scope gate: marker-segment parsing
-  * (DQT/DHT/SOF0/SOS with APPn/COM skip), canonical Huffman table
-  * construction from the DHT BITS/HUFFVAL form, the entropy-coded
-  * segment with 0xFF00 byte unstuffing, DC-difference prediction with
-  * the T.81 F.12 EXTEND convention, run/size AC coefficient coding
-  * (EOB + ZRL), zigzag de-scan, dequantization, the 2-D 8×8 inverse DCT
-  * with level shift, and edge-block cropping. The in-repo fixture
-  * encoder [[makeJpegGray]] emits spec-valid baseline files through the
-  * same tables, so a planted-formula gate check exercises the whole
-  * chain (a one-bit drift anywhere — Huffman, extend, zigzag, dequant,
-  * IDCT — lands on wrong pixels and hash-fails).
+/** From-scratch BASELINE JPEG (ITU-T T.81 / ISO 10918-1) decode —
+  * grayscale (r14, closing the last `header_only` codec class in the
+  * scope gate) and, since the same round, full YCbCr COLOR: marker-
+  * segment parsing (DQT/DHT/SOF0/DRI/SOS with APPn/COM skip), canonical
+  * Huffman table construction from the DHT BITS/HUFFVAL form, the
+  * entropy-coded segment with 0xFF00 byte unstuffing, interleaved MCU
+  * decoding with per-component sampling factors, RESTART INTERVALS
+  * (DRI + sequence-checked RSTn with per-component DC predictor reset),
+  * DC-difference prediction with the T.81 F.12 EXTEND convention,
+  * run/size AC coefficient coding (EOB + ZRL), zigzag de-scan,
+  * dequantization, the 2-D 8×8 inverse DCT with level shift, edge-block
+  * cropping, box chroma upsampling, and an EXACT-integer JFIF YCbCr→RGB
+  * conversion ([[ycc2rgb]]). The in-repo fixture encoders
+  * [[makeJpegGray]] / [[makeJpegColor]] emit spec-valid baseline files
+  * through the same tables, so a planted-formula gate check exercises
+  * the whole chain (a one-bit drift anywhere — Huffman, extend, zigzag,
+  * dequant, IDCT, upsample, color convert — lands on wrong pixels and
+  * hash-fails).
   *
   * DOCUMENTED SUBSET (the VP8/VP8L discipline — anything outside
   * returns None, never a crash):
-  *  - baseline sequential DCT (SOF0) only, 8-bit precision, ONE
-  *    component (grayscale), 1×1 sampling, single scan, no restart
-  *    intervals (a DRI with nonzero interval rejects), no arithmetic
-  *    coding, no progressive/hierarchical modes;
+  *  - baseline sequential DCT (SOF0) only, 8-bit precision, 1 component
+  *    (grayscale, non-interleaved) or 3 components (YCbCr, ONE
+  *    interleaved scan) with luma sampling factors up to 2×2 and 1×1
+  *    chroma — the 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 JFIF family; restart
+  *    intervals supported (RSTn required at the exact spec position
+  *    with the cyclic sequence number); no arithmetic coding, no
+  *    progressive/hierarchical modes, no subsampled-luma layouts;
+  *  - chroma upsampling is nearest-neighbor box replication (T.81 does
+  *    not mandate a filter; libjpeg's default "fancy" bilinear differs
+  *    — cross-decoder chroma-edge equality is NOT claimed, exactness is
+  *    against this decoder's own documented arithmetic);
   *  - Huffman tables are read from the file's own DHT segments (any
   *    valid canonical table, not just the Annex K examples);
   *  - the IDCT is the T.81 A.3.3 formula evaluated in double precision
@@ -81,8 +93,9 @@ object Jpeg {
   }
 
   /** MSB-first bit reader over the entropy-coded segment with 0xFF00
-    * unstuffing; any other 0xFF-marker inside the scan rejects (no
-    * restart intervals in subset). */
+    * unstuffing; a 0xFF-marker inside the bit stream rejects — RSTn
+    * markers are legal ONLY at the byte-aligned restart boundaries the
+    * MCU loop consumes explicitly via [[restartTo]]. */
   private final class BitReader(buf: Array[Byte], start: Int, end: Int) {
     private var pos = start
     private var bitBuf = 0
@@ -96,7 +109,7 @@ object Jpeg {
           if (pos >= end) throw Malformed
           val m = buf(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed
-          else throw Malformed // RSTn or stray marker: out of subset
+          else throw Malformed // marker mid-bitstream: malformed
           b = 0xff
         }
         bitBuf = b
@@ -104,6 +117,17 @@ object Jpeg {
       }
       bitCnt -= 1
       (bitBuf >> bitCnt) & 1
+    }
+    /** Consume the RSTn marker at a restart boundary: drop the partial
+      * pad byte (B.2.1.1 pads with 1-bits; a FULL 0xFF pad byte plus its
+      * stuffed 0x00 was already consumed by [[bit]] at the byte level),
+      * then require exactly 0xFF, 0xD0+expect at the read position —
+      * spec position, strictly enforced, wrong sequence number rejects. */
+    def restartTo(expect: Int): Unit = {
+      bitCnt = 0
+      if (pos + 1 >= end || (buf(pos) & 0xff) != 0xff ||
+        (buf(pos + 1) & 0xff) != 0xd0 + expect) throw Malformed
+      pos += 2
     }
     def bits(n: Int): Int = {
       var v = 0
@@ -184,10 +208,31 @@ object Jpeg {
   // Decoder
   // -------------------------------------------------------------------
 
-  /** Decode a baseline grayscale JPEG in the documented subset. Returns
-    * (width, height, gray row-major) or None. */
-  private[graft] def decodeLumaGray(bytes: Array[Byte])
-      : Option[(Int, Int, Array[Int])] =
+  /** One frame component: SOF sampling factors + quant/huff selectors
+    * and its decoded plane (block-grid padded; cropped on return). */
+  private final class Comp(val h: Int, val v: Int, val tq: Int) {
+    var dc: HuffTable = null
+    var ac: HuffTable = null
+    var plane: Array[Int] = null
+    var stride = 0
+    var pred = 0
+  }
+
+  /** Decoded frame: per-component planes at their NATURAL (subsampled)
+    * resolution — `cw(c) = ceil(w·hc/hmax)`, `ch(c) = ceil(h·vc/vmax)`
+    * per T.81 A.1.1 — geometry alongside for the upsampling consumer. */
+  private[graft] final case class Planes(w: Int, h: Int,
+      planes: Array[Array[Int]], cw: Array[Int], ch: Array[Int],
+      hmax: Int, vmax: Int)
+
+  /** Decode a baseline JPEG in the documented subset: grayscale (one
+    * component, non-interleaved) or YCbCr (three components, one
+    * interleaved scan, luma sampling up to 2×2 with 1×1 chroma — the
+    * 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 family), with restart intervals
+    * (DRI + RSTn sequence-checked, DC predictors reset per B.2.1.2).
+    * Returns None for anything outside (progressive, arithmetic,
+    * 12-bit, >2 sampling factors, subsampled-luma layouts, multi-scan). */
+  private[graft] def decodePlanes(bytes: Array[Byte]): Option[Planes] =
     try {
       if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
         (bytes(1) & 0xff) != 0xd8) return None
@@ -197,10 +242,9 @@ object Jpeg {
       val huffAc = new Array[HuffTable](4)
       var w = 0
       var h = 0
-      var qId = -1
-      var sofSeen = false
-      var dcId = -1
-      var acId = -1
+      var comps: Array[Comp] = null
+      var compIds: Array[Int] = null
+      var ri = 0
       var scanStart = -1
       while (scanStart < 0) {
         if (i + 1 >= bytes.length) return None
@@ -255,81 +299,137 @@ object Jpeg {
               h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
               w = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
               val nc = bytes(seg + 5) & 0xff
-              if (nc != 1) return None // grayscale-only subset
-              if ((bytes(seg + 7) & 0xff) != 0x11) return None // 1x1
-              qId = bytes(seg + 8) & 0x0f
+              if (nc != 1 && nc != 3) return None
+              if (len < 8 + 3 * nc) return None
               if (w <= 0 || h <= 0 || w.toLong * h > 16000000L) return None
-              sofSeen = true
+              comps = new Array[Comp](nc)
+              compIds = new Array[Int](nc)
+              var c = 0
+              while (c < nc) {
+                compIds(c) = bytes(seg + 6 + 3 * c) & 0xff
+                val hv = bytes(seg + 7 + 3 * c) & 0xff
+                comps(c) = new Comp(hv >> 4, hv & 0x0f,
+                  bytes(seg + 8 + 3 * c) & 0x0f)
+                c += 1
+              }
+              if (nc == 1) {
+                if (comps(0).h != 1 || comps(0).v != 1) return None
+              } else {
+                // luma up to 2×2, chroma strictly 1×1 (the JFIF family)
+                if (comps(0).h < 1 || comps(0).h > 2 ||
+                  comps(0).v < 1 || comps(0).v > 2) return None
+                if (comps(1).h != 1 || comps(1).v != 1 ||
+                  comps(2).h != 1 || comps(2).v != 1) return None
+              }
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                 0xcb | 0xcd | 0xce | 0xcf =>
               return None // non-baseline frame type: out of subset
-            case 0xdd => // DRI: restart intervals out of subset
+            case 0xdd => // DRI: restart interval (any value; 0 disables)
               if (len < 4) return None
-              val ri = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
-              if (ri != 0) return None
-            case 0xda => // SOS
-              if (!sofSeen) return None
+              ri = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+            case 0xda => // SOS: single scan covering every component
+              if (comps == null) return None
               val ns = bytes(seg) & 0xff
-              if (ns != 1) return None
-              dcId = (bytes(seg + 2) & 0xff) >> 4
-              acId = bytes(seg + 2) & 0x0f
+              if (ns != comps.length) return None
+              var c = 0
+              while (c < ns) {
+                val cs = bytes(seg + 1 + 2 * c) & 0xff
+                if (cs != compIds(c)) return None // frame order required
+                val tt = bytes(seg + 2 + 2 * c) & 0xff
+                val dcT = huffDc(tt >> 4)
+                val acT = huffAc(tt & 0x0f)
+                if (dcT == null || acT == null) return None
+                comps(c).dc = dcT
+                comps(c).ac = acT
+                c += 1
+              }
               scanStart = i + 2 + len
             case _ => () // APPn, COM, others: skip
           }
           if (scanStart < 0) i += 2 + len
         }
       }
-      if (qId < 0 || quant(qId) == null || huffDc(dcId) == null ||
-        huffAc(acId) == null) return None
-      val q = quant(qId)
-      val dcT = huffDc(dcId)
-      val acT = huffAc(acId)
-      val bw = (w + 7) / 8
-      val bh = (h + 7) / 8
-      val stride = bw * 8
-      val plane = new Array[Int](stride * bh * 8)
+      val nc = comps.length
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      var c = 0
+      while (c < nc) {
+        val cp = comps(c)
+        if (quant(cp.tq) == null) return None
+        cp.stride = mcusX * cp.h * 8
+        cp.plane = new Array[Int](cp.stride * mcusY * cp.v * 8)
+        c += 1
+      }
       val br = new BitReader(bytes, scanStart, bytes.length)
       val coef = new Array[Int](64)
       val block = new Array[Int](64)
-      var pred = 0
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
-          java.util.Arrays.fill(coef, 0)
-          val s = br.decode(dcT)
-          if (s > 11) throw Malformed
-          pred += extend(br.bits(s), s)
-          coef(0) = pred * q(0)
-          var k = 1
-          var eob = false
-          while (!eob && k < 64) {
-            val rs = br.decode(acT)
-            val r = rs >> 4
-            val sz = rs & 0x0f
-            if (sz == 0) {
-              if (r == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += r
-              if (k > 63) throw Malformed
-              coef(Zigzag(k)) = extend(br.bits(sz), sz) * q(k)
-              k += 1
-            }
+      var rstIdx = 0
+      var sinceRst = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (ri > 0 && sinceRst == ri) {
+            br.restartTo(rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            sinceRst = 0
+            var cc = 0
+            while (cc < nc) { comps(cc).pred = 0; cc += 1 }
           }
-          idct(coef, block)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              plane((by * 8 + yy) * stride + bx * 8 + xx) = block(yy * 8 + xx)
-              xx += 1
+          var cc = 0
+          while (cc < nc) {
+            val cp = comps(cc)
+            val q = quant(cp.tq)
+            var v = 0
+            while (v < cp.v) {
+              var u = 0
+              while (u < cp.h) {
+                java.util.Arrays.fill(coef, 0)
+                val s = br.decode(cp.dc)
+                if (s > 11) throw Malformed
+                cp.pred += extend(br.bits(s), s)
+                coef(0) = cp.pred * q(0)
+                var k = 1
+                var eob = false
+                while (!eob && k < 64) {
+                  val rs = br.decode(cp.ac)
+                  val r = rs >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else eob = true
+                  } else {
+                    k += r
+                    if (k > 63) throw Malformed
+                    coef(Zigzag(k)) = extend(br.bits(sz), sz) * q(k)
+                    k += 1
+                  }
+                }
+                idct(coef, block)
+                val px0 = (mx * cp.h + u) * 8
+                val py0 = (my * cp.v + v) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    cp.plane((py0 + yy) * cp.stride + px0 + xx) =
+                      block(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                u += 1
+              }
+              v += 1
             }
-            yy += 1
+            cc += 1
           }
-          bx += 1
+          sinceRst += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
       // trailing EOI validation: after the last block, the stream must
       // close with FFD9 within the few bytes the lazy bit reader may not
@@ -343,18 +443,96 @@ object Jpeg {
         p += 1
       }
       if (!eoiOk) return None
-      val g = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { g(y * w + x) = plane(y * stride + x); x += 1 }
-        y += 1
+      val planes = new Array[Array[Int]](nc)
+      val cws = new Array[Int](nc)
+      val chs = new Array[Int](nc)
+      c = 0
+      while (c < nc) {
+        val cp = comps(c)
+        val cwc = (w * cp.h + hmax - 1) / hmax
+        val chc = (h * cp.v + vmax - 1) / vmax
+        val out = new Array[Int](cwc * chc)
+        var y = 0
+        while (y < chc) {
+          var x = 0
+          while (x < cwc) { out(y * cwc + x) = cp.plane(y * cp.stride + x); x += 1 }
+          y += 1
+        }
+        planes(c) = out
+        cws(c) = cwc
+        chs(c) = chc
+        c += 1
       }
-      Some((w, h, g))
+      Some(Planes(w, h, planes, cws, chs, hmax, vmax))
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
+    }
+
+  /** Decode to a gray plane: the single component of a grayscale file,
+    * or the full-resolution LUMA plane of a color file (gray = Y, the
+    * same achromatic contract the other color formats use). */
+  private[graft] def decodeLumaGray(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int])] =
+    decodePlanes(bytes).map(d => (d.w, d.h, d.planes(0)))
+
+  // -------------------------------------------------------------------
+  // YCbCr → RGB (JFIF), exact integer form
+  // -------------------------------------------------------------------
+
+  /** JFIF YCbCr→RGB in 16.16 fixed point with round-half-up and an
+    * arithmetic-shift floor — EXACT integer arithmetic (constants =
+    * round(c·65536): 1.402→91881, 0.344136→22554, 0.714136→46802,
+    * 1.772→116130), so an oracle reproduces every output with integer
+    * (or power-of-two-exact) operations. Returns packed 0xRRGGBB. */
+  private[graft] def ycc2rgb(y: Int, cb: Int, cr: Int): Int = {
+    val cb1 = cb - 128
+    val cr1 = cr - 128
+    def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    val r = cl(((y << 16) + 91881 * cr1 + 32768) >> 16)
+    val g = cl(((y << 16) - 22554 * cb1 - 46802 * cr1 + 32768) >> 16)
+    val b = cl(((y << 16) + 116130 * cb1 + 32768) >> 16)
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Decode to full-resolution RGB planes: grayscale replicates the gray
+    * plane; color box-upsamples chroma (sample (x,y) reads chroma
+    * (x·hc/hmax, y·vc/vmax) — nearest-neighbor replication, the T.81-
+    * legal filter an exact oracle can mirror) then converts per
+    * [[ycc2rgb]]. Returns (w, h, r, g, b) row-major planes. */
+  private[graft] def decodeRgb(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    decodePlanes(bytes).map { d =>
+      val n = d.w * d.h
+      val r = new Array[Int](n)
+      val g = new Array[Int](n)
+      val b = new Array[Int](n)
+      if (d.planes.length == 1) {
+        System.arraycopy(d.planes(0), 0, r, 0, n)
+        System.arraycopy(d.planes(0), 0, g, 0, n)
+        System.arraycopy(d.planes(0), 0, b, 0, n)
+      } else {
+        val yP = d.planes(0)
+        val cbP = d.planes(1)
+        val crP = d.planes(2)
+        val cw = d.cw(1)
+        var y = 0
+        while (y < d.h) {
+          val cy = y / d.vmax
+          var x = 0
+          while (x < d.w) {
+            val ci = cy * cw + x / d.hmax
+            val rgb = ycc2rgb(yP(y * d.w + x), cbP(ci), crP(ci))
+            r(y * d.w + x) = rgb >> 16
+            g(y * d.w + x) = (rgb >> 8) & 0xff
+            b(y * d.w + x) = rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (d.w, d.h, r, g, b)
     }
 
   // -------------------------------------------------------------------
@@ -534,5 +712,172 @@ object Jpeg {
     val zz = new Array[Int](64)
     zz(0) = (v & 0xff) - 128
     makeJpegGray(w, h, (_, _) => zz)._1
+  }
+
+  /** The chroma fixture quant table (ZIGZAG): q₀ = 8 keeps DC-only
+    * chroma blocks integer-exact (value = 128 + level); 17 elsewhere so
+    * the two-table DQT path is genuinely exercised (a luma/chroma table
+    * swap changes AC pixels and fails the round-trip). */
+  private val FixQuantChromaZz: Array[Int] =
+    Array.tabulate(64)(k => if (k == 0) 8 else 17)
+
+  /** Build a spec-valid baseline YCbCr COLOR JPEG: three components in
+    * one interleaved scan, luma sampling (hs, vs) ∈ {1,2}² with 1×1
+    * chroma (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), separate luma/chroma quant
+    * and Huffman tables, and an optional restart interval `ri` (DRI +
+    * RSTn every ri MCUs, byte-aligned 1-bit padding, DC predictors
+    * reset — B.2.1.1/B.2.1.2). `levels(comp, bx, by)` supplies 64
+    * ZIGZAG-order quantized levels per 8×8 block of component comp
+    * (0 = Y on the luma block grid, 1 = Cb, 2 = Cr on the chroma grid);
+    * position 0 is the DC level, coded as a difference per component.
+    * Returns (file bytes, expected (r, g, b) full-resolution planes) —
+    * the expectation is the encoder's own dequant + IDCT + box-upsample
+    * + [[ycc2rgb]] simulation, sharing the transforms but none of the
+    * entropy path with [[decodePlanes]]. DC-only blocks stay integer-
+    * exact (component sample = clamp(128 + level) under q₀ = 8). */
+  private[graft] def makeJpegColor(w: Int, h: Int, hs: Int, vs: Int,
+      ri: Int, levels: (Int, Int, Int) => Array[Int])
+      : (Array[Byte], (Array[Int], Array[Int], Array[Int])) = {
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096)
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2 && ri >= 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = out += (v & 0xff).toByte
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // JFIF APP0
+    "JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .foreach(b => u8(b & 0xff))
+    u8(0); u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    // DQT: table 0 (luma), table 1 (chroma) — one segment, two tables
+    marker(0xdb); u16(2 + 2 * 65)
+    u8(0x00); FixQuantZz.foreach(u8)
+    u8(0x01); FixQuantChromaZz.foreach(u8)
+    // SOF0: 8-bit, 3 components — Y (hs,vs,q0), Cb/Cr (1,1,q1)
+    marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8((hs << 4) | vs); u8(0)
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    // DHT: DC/AC tables 0 (luma) and 1 (chroma), same canonical shapes
+    val dcCounts = Array.fill(16)(0); dcCounts(4) = FixDcSyms.length
+    val acCounts = Array.fill(16)(0); acCounts(7) = FixAcSyms.length
+    val tblLen = (1 + 16 + FixDcSyms.length) + (1 + 16 + FixAcSyms.length)
+    marker(0xc4); u16(2 + 2 * tblLen)
+    u8(0x00); dcCounts.foreach(u8); FixDcSyms.foreach(u8)
+    u8(0x10); acCounts.foreach(u8); FixAcSyms.foreach(u8)
+    u8(0x01); dcCounts.foreach(u8); FixDcSyms.foreach(u8)
+    u8(0x11); acCounts.foreach(u8); FixAcSyms.foreach(u8)
+    if (ri > 0) { marker(0xdd); u16(4); u16(ri) } // DRI
+    // SOS: 3 components, (dc, ac) table ids 0/0, 1/1, 1/1
+    marker(0xda); u16(6 + 2 * 3); u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    val bwr = new BitWriter(out)
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
+    val compH = Array(hs, 1, 1)
+    val compV = Array(vs, 1, 1)
+    val quantZz = Array(FixQuantZz, FixQuantChromaZz, FixQuantChromaZz)
+    val strides = Array(mcusX * hs * 8, mcusX * 8, mcusX * 8)
+    val planes = Array(
+      new Array[Int](strides(0) * mcusY * vs * 8),
+      new Array[Int](strides(1) * mcusY * 8),
+      new Array[Int](strides(2) * mcusY * 8))
+    val preds = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    def codeBlock(c: Int, bx: Int, by: Int): Unit = {
+      val zz = levels(c, bx, by)
+      require(zz.length == 64)
+      val diff = zz(0) - preds(c)
+      preds(c) = zz(0)
+      val s = category(diff)
+      require(s <= 11, s"DC difference $diff out of category range")
+      bwr.bits(fixDcCode(s), 5)
+      if (s > 0) bwr.bits(receiveBits(diff, s) & ((1 << s) - 1), s)
+      var k = 1
+      var lastNz = 0
+      while (k < 64) { if (zz(k) != 0) lastNz = k; k += 1 }
+      k = 1
+      var run = 0
+      while (k <= lastNz) {
+        if (zz(k) == 0) { run += 1; k += 1 }
+        else {
+          while (run > 15) { bwr.bits(fixAcCode(0xf0), 8); run -= 16 }
+          val sz = category(zz(k))
+          require(sz <= 8, s"fixture AC table covers size<=8: size=$sz")
+          bwr.bits(fixAcCode((run << 4) | sz), 8)
+          bwr.bits(receiveBits(zz(k), sz) & ((1 << sz) - 1), sz)
+          run = 0
+          k += 1
+        }
+      }
+      if (lastNz < 63) bwr.bits(fixAcCode(0x00), 8) // EOB
+      // reconstruction simulation into the component plane
+      java.util.Arrays.fill(coef, 0)
+      k = 0
+      while (k < 64) { coef(Zigzag(k)) = zz(k) * quantZz(c)(k); k += 1 }
+      idct(coef, block)
+      val st = strides(c)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          planes(c)((by * 8 + yy) * st + bx * 8 + xx) = block(yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    var rstIdx = 0
+    var sinceRst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (ri > 0 && sinceRst == ri) {
+          bwr.flush()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          sinceRst = 0
+          java.util.Arrays.fill(preds, 0)
+        }
+        var v = 0
+        while (v < vs) {
+          var u = 0
+          while (u < hs) { codeBlock(0, mx * hs + u, my * vs + v); u += 1 }
+          v += 1
+        }
+        codeBlock(1, mx, my)
+        codeBlock(2, mx, my)
+        sinceRst += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bwr.flush()
+    marker(0xd9) // EOI
+    // expected full-resolution RGB: crop + box-upsample + exact convert
+    val n = w * h
+    val rE = new Array[Int](n)
+    val gE = new Array[Int](n)
+    val bE = new Array[Int](n)
+    var y = 0
+    while (y < h) {
+      val cy = y / vs
+      var x = 0
+      while (x < w) {
+        val rgb = ycc2rgb(
+          planes(0)(y * strides(0) + x),
+          planes(1)(cy * strides(1) + x / hs),
+          planes(2)(cy * strides(2) + x / hs))
+        rE(y * w + x) = rgb >> 16
+        gE(y * w + x) = (rgb >> 8) & 0xff
+        bE(y * w + x) = rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (out.toArray, (rE, gE, bE))
   }
 }

@@ -382,9 +382,11 @@ object Multimodal {
           bytes(14) == '8' &&
           (bytes(15) == 'L' || bytes(15) == ' ')) "pixel"
         else "header_only"
-      // r14: the baseline grayscale subset decoder makes jpeg a pixel
-      // class; files past the subset (color, progressive, restarts)
-      // read neardup_covered = false through the per-payload column
+      // r14: the baseline subset decoder makes jpeg a pixel class —
+      // grayscale AND interleaved YCbCr (4:4:4/4:2:2/4:2:0, restart
+      // intervals included); files past the subset (progressive,
+      // arithmetic, 12-bit) read neardup_covered = false through the
+      // per-payload column
       case "jpeg" => "pixel"
       case _ => "opaque"
     }
@@ -1042,7 +1044,9 @@ object Multimodal {
         } catch { case _: java.util.zip.DataFormatException => None }
       case "gif" => decodeGifGray(bytes, w, h)
       case "jpeg" =>
-        // baseline grayscale subset (graft.ops.Jpeg, r14); header-only
+        // baseline subset (graft.ops.Jpeg, r14): grayscale directly,
+        // color via its full-resolution luma plane (gray = Y, the same
+        // achromatic contract as the other color formats); header-only
         // fixtures (no scan) and out-of-subset files return None
         Jpeg.decodeLumaGray(bytes)
       case "webp" =>

@@ -17,7 +17,10 @@ import java.nio.charset.StandardCharsets
   *
   * DOCUMENTED SUBSET (the VP8L discipline — anything outside returns
   * None, never a crash):
-  *  - key frames only; one DCT coefficient partition; segmentation off;
+  *  - key frames only; segmentation off; ALL token-partition layouts
+  *    (r14: 1/2/4/8 partitions with the §9.5 3-byte size table and
+  *    row-mod-N routing — the layout real encoders emit for
+  *    multithreaded decode);
   *  - BOTH loop filters (r12 "What's missing" #2 — real-world encoders
   *    virtually always leave the filter on): normal and simple, all
   *    levels and sharpnesses, with the mode/ref level deltas parsed and
@@ -1139,7 +1142,10 @@ object Vp8 {
           }
         }
       }
-      if (bd1.literal(2) != 0) return None // >1 coefficient partition
+      // token partitions (§9.5): 1/2/4/8, macroblock row r reads
+      // partition r mod N — the layout real encoders emit for
+      // multithreaded decode (r14, previously a one-partition subset)
+      val nParts = 1 << bd1.literal(2)
       val yacQi = bd1.literal(7)
       val ydcDelta = bd1.signedLiteralIfFlag(4)
       val y2dcDelta = bd1.signedLiteralIfFlag(4)
@@ -1170,9 +1176,27 @@ object Vp8 {
       }
       val mbSkipEnabled = bd1.literal(1) == 1
       val skipProb = if (mbSkipEnabled) bd1.literal(8) else 0
-      // residual partition = remainder of the chunk
+      // residual partitions: after the first (header) partition come
+      // (nParts − 1) 3-byte little-endian sizes, then the partitions
+      // back-to-back; the LAST partition runs to the end of the chunk
       val part2 = part1 + firstPartSize
-      val bd2 = new BoolDecoder(bytes, part2, (20 + chunkSize).toInt)
+      val chunkEnd = (20 + chunkSize).toInt
+      val dataStart = part2 + 3 * (nParts - 1)
+      if (dataStart > chunkEnd) return None
+      val bds = new Array[BoolDecoder](nParts)
+      var partOff = dataStart
+      var pi = 0
+      while (pi < nParts) {
+        val sz =
+          if (pi == nParts - 1) chunkEnd - partOff
+          else (bytes(part2 + 3 * pi) & 0xff) |
+            ((bytes(part2 + 3 * pi + 1) & 0xff) << 8) |
+            ((bytes(part2 + 3 * pi + 2) & 0xff) << 16)
+        if (sz < 0 || partOff + sz > chunkEnd) return None
+        bds(pi) = new BoolDecoder(bytes, partOff, partOff + sz)
+        partOff += sz
+        pi += 1
+      }
       // quantizers (the Y-block DC quantizer applies to B_PRED's
       // no-Y2 blocks, which decode from coefficient 0)
       val ydcQ = DcQLookup(clampQ(yacQi + ydcDelta))
@@ -1209,6 +1233,7 @@ object Vp8 {
       val mbLfInner = new Array[Boolean](mbCols * mbRows)
       var my = 0
       while (my < mbRows) {
+        val bd2 = bds(my % nParts) // §9.5 row→partition routing
         java.util.Arrays.fill(lY, 0)
         java.util.Arrays.fill(lU, 0)
         java.util.Arrays.fill(lV, 0)
@@ -1533,7 +1558,8 @@ object Vp8 {
     * pixels become closed-form functions of the two MB values). */
   private[graft] def makeWebpLossy(w: Int, h: Int,
       mbVal: (Int, Int) => Int, filterType: Int = 0,
-      filterLevel: Int = 0, sharpness: Int = 0): Array[Byte] = {
+      filterLevel: Int = 0, sharpness: Int = 0,
+      nTokenParts: Int = 1): Array[Byte] = {
     // per-MB-constant DC_PRED reconstruction is itself constant, so the
     // decoder's DC prediction is computable from neighbor targets alone
     def tOf(mx: Int, my: Int): Int = clamp255(mbVal(mx, my))
@@ -1555,7 +1581,7 @@ object Vp8 {
       },
       yOf = (_, _, _) => zero,
       filterType = filterType, filterLevel = filterLevel,
-      sharpness = sharpness)._1
+      sharpness = sharpness, nTokenParts = nTokenParts)._1
   }
 
   /** General spec-valid key-frame fixture: per-MB 16×16 intra mode
@@ -1577,12 +1603,13 @@ object Vp8 {
       yOf: (Int, Int, Int) => Array[Int],
       bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
-      lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0)
+      lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0,
+      nTokenParts: Int = 1)
       : (Array[Byte], Array[Int]) = {
     val (bytes, y, _, _) = makeWebpLossyFrameYuv(w, h, mbMode, y2Of, yOf,
       bModeOf = bModeOf, filterType = filterType, filterLevel = filterLevel,
       sharpness = sharpness, lfRefDeltaIntra = lfRefDeltaIntra,
-      lfModeDeltaBpred = lfModeDeltaBpred)
+      lfModeDeltaBpred = lfModeDeltaBpred, nTokenParts = nTokenParts)
     (bytes, y)
   }
 
@@ -1604,9 +1631,12 @@ object Vp8 {
       uvModeOf: (Int, Int) => Int = (_, _) => ModeDc,
       bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
-      lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0)
+      lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0,
+      nTokenParts: Int = 1)
       : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
     require(w > 0 && h > 0 && w <= 16383 && h <= 16383)
+    require(nTokenParts == 1 || nTokenParts == 2 || nTokenParts == 4 ||
+      nTokenParts == 8, s"token partitions must be 1/2/4/8: $nTokenParts")
     require(filterType == 0 || filterType == 1)
     require(filterLevel >= 0 && filterLevel <= 63)
     require(sharpness >= 0 && sharpness <= 7)
@@ -1649,7 +1679,8 @@ object Vp8 {
         i += 1
       }
     }
-    be1.literal(0, 2) // one coefficient partition
+    // token partition count (§9.5): log2, 2 bits
+    be1.literal(Integer.numberOfTrailingZeros(nTokenParts), 2)
     be1.literal(qi, 7) // y_ac_qi
     var i = 0
     while (i < 5) { be1.literal(0, 1); i += 1 } // five zero q deltas
@@ -1672,7 +1703,7 @@ object Vp8 {
     be1.literal(1, 1) // mb_no_coeff_skip enabled
     val skipProb = 128
     be1.literal(skipProb, 8)
-    val be2 = new BoolEncoder
+    val be2s = Array.fill(nTokenParts)(new BoolEncoder)
     val probs = DefaultCoeffProbs
     val aY = new Array[Int](mbCols * 4)
     val aU = new Array[Int](mbCols * 2)
@@ -1697,6 +1728,7 @@ object Vp8 {
     val mbLfLevel = new Array[Int](mbCols * mbRows)
     var my = 0
     while (my < mbRows) {
+      val be2 = be2s(my % nTokenParts) // §9.5 row→partition routing
       java.util.Arrays.fill(lY, 0)
       java.util.Arrays.fill(lU, 0)
       java.util.Arrays.fill(lV, 0)
@@ -2021,13 +2053,17 @@ object Vp8 {
       yy += 1
     }
     val p1 = be1.flush()
-    val p2 = be2.flush()
+    val parts = be2s.map(_.flush())
     // first_part_size is a 19-bit field: a partition that outgrows it
     // would silently wrap in the 3-byte tag and emit a corrupt file
     // whose returned expectation matches no decode
     require(p1.length < (1 << 19),
       s"first partition ${p1.length} B overflows the 19-bit frame-tag field")
-    val payloadLen = 10 + p1.length + p2.length
+    // non-last token partition sizes ride 3-byte fields (§9.5)
+    parts.dropRight(1).foreach(p => require(p.length < (1 << 24),
+      s"token partition ${p.length} B overflows its 3-byte size field"))
+    val sizeTableLen = 3 * (nTokenParts - 1)
+    val payloadLen = 10 + p1.length + sizeTableLen + parts.map(_.length).sum
     val tag = p1.length << 5 | (1 << 4) // key frame, version 0, shown
     val padded = payloadLen + (payloadLen & 1)
     val bb = java.nio.ByteBuffer.allocate(20 + padded)
@@ -2044,7 +2080,12 @@ object Vp8 {
     bb.putShort((w & 0x3fff).toShort)
     bb.putShort((h & 0x3fff).toShort)
     bb.put(p1)
-    bb.put(p2)
+    parts.dropRight(1).foreach { p =>
+      bb.put((p.length & 0xff).toByte)
+      bb.put(((p.length >> 8) & 0xff).toByte)
+      bb.put(((p.length >> 16) & 0xff).toByte)
+    }
+    parts.foreach(bb.put)
     (bb.array(), expected, expU, expV)
   }
 }

@@ -2570,6 +2570,53 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Token-partition layout gate (r14): 20 key frames at 32×96 (2×6
+    * macroblocks) with per-MB planted constants, emitted with 1/2/4/8
+    * token partitions round-robined by doc — the §9.5 layout real
+    * encoders produce for multithreaded decode (3-byte little-endian
+    * size table after the header partition, macroblock row r reading
+    * partition r mod N; the np=8 docs leave two partitions legally
+    * unused). The pixel expectations are partition-layout-INVARIANT, so
+    * the oracle recomputes every sampled macroblock value and the full
+    * gray_sum from the planting formula: any drift in the size-table
+    * walk, partition bounds, or row routing desyncs a bool decoder and
+    * hash-fails. */
+  val multimodalTokenPartitions = QueryDef(
+    "q_ns_multimodal_token_partitions",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |mbs AS (SELECT doc_id, mxs.mx, mys.my,
+      |        (doc_id * 7 + mxs.mx * 19 + mys.my * 37) % 256 AS v
+      |      FROM ids
+      |      CROSS JOIN (VALUES (0), (1)) mxs(mx)
+      |      CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) mys(my))
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+      |       ELSE 8 END AS BIGINT) AS np,
+      |  CAST(max(CASE WHEN mx = 0 AND my = 0 THEN v END) AS BIGINT) AS g_r0,
+      |  CAST(max(CASE WHEN mx = 1 AND my = 1 THEN v END) AS BIGINT) AS g_r1,
+      |  CAST(max(CASE WHEN mx = 0 AND my = 2 THEN v END) AS BIGINT) AS g_r2,
+      |  CAST(max(CASE WHEN mx = 1 AND my = 3 THEN v END) AS BIGINT) AS g_r3,
+      |  CAST(max(CASE WHEN mx = 0 AND my = 4 THEN v END) AS BIGINT) AS g_r4,
+      |  CAST(max(CASE WHEN mx = 1 AND my = 5 THEN v END) AS BIGINT) AS g_r5,
+      |  CAST(sum(v) * 256 AS BIGINT) AS gray_sum
+      |FROM mbs
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val np = 1 << (id % 4).toInt
+      val bytes = graft.ops.Vp8.makeWebpLossy(32, 96,
+        (mx, my) => ((id * 7 + mx * 19 + my * 37) % 256).toInt,
+        nTokenParts = np)
+      val (w, _, g) = Multimodal.decodeGray(bytes).get
+      (id, np.toLong, g(0).toLong, g(16 * w + 16).toLong,
+        g(32 * w).toLong, g(48 * w + 16).toLong, g(64 * w).toLong,
+        g(80 * w + 16).toLong, g.foldLeft(0L)(_ + _))
+    }.toDF("doc_id", "np", "g_r0", "g_r1", "g_r2", "g_r3", "g_r4", "g_r5",
+      "gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** CHROMA-plane pixel gate (r13 verdict #3 — VP8 chroma reconstruction
     * in the GATE, upgrading the codec from luma-only to full key-frame
     * pixel surface): 20 two-MB frames with per-MB-constant planted U and
@@ -2721,6 +2768,92 @@ object NorthStar {
       (id, dw.toLong, dh.toLong, g(0).toLong, g(8).toLong,
         g(8 * dw).toLong, g.foldLeft(0L)(_ + _))
     }.toDF("doc_id", "w", "h", "g_tl", "g_x8", "g_y8", "gray_sum")
+      .orderBy("doc_id")
+  }
+
+  /** Color-JPEG pixel gate (r14): 20 real baseline YCbCr files spanning
+    * the sampling family — 4:4:4 / 4:2:2 / 4:2:0 round-robined by doc —
+    * with restart intervals on every 4th doc, per-8×8-block planted DC
+    * levels on all THREE component grids, sizes off the block AND MCU
+    * grids so edge cropping at both scales is exercised. Decoded by the
+    * from-scratch interleaved-MCU pipeline ([[graft.ops.Jpeg.decodeRgb]]:
+    * Huffman scan → per-component DC prediction (+ RSTn resets) →
+    * dequant per the two-table DQT → IDCT → crop → box chroma upsample →
+    * exact-integer JFIF convert). DC-only blocks make every component
+    * sample EXACTLY 128 + level, and the convert is 16.16 fixed-point
+    * with power-of-two-exact floor, so the oracle recomputes every RGB
+    * pixel — and the full per-channel sums — in closed form from the
+    * planting formulas: a one-bit drift anywhere (interleave order,
+    * restart handling, table selection, upsample indexing, convert
+    * rounding) lands on different integers and hash-fails. */
+  val multimodalJpegColor = QueryDef(
+    "q_ns_multimodal_jpeg_color",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id,
+      |        18 + (doc_id * 3) % 8 AS w, 10 + (doc_id * 5) % 8 AS h,
+      |        CASE doc_id % 3 WHEN 0 THEN 1 ELSE 2 END AS hs,
+      |        CASE doc_id % 3 WHEN 2 THEN 2 ELSE 1 END AS vs
+      |      FROM ids),
+      |px AS (SELECT doc_id, w, h, hs, vs, xs.x, ys.y
+      |      FROM p
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 25)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 17)) AS y) ys
+      |      WHERE xs.x < w AND ys.y < h),
+      |v AS (SELECT doc_id, w, h, x, y,
+      |        128 + (doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 160 - 80
+      |          AS yv,
+      |        128 + (doc_id * 11 + ((x // hs) // 8) * 17
+      |          + ((y // vs) // 8) * 23) % 100 - 50 AS cb,
+      |        128 + (doc_id * 13 + ((x // hs) // 8) * 19
+      |          + ((y // vs) // 8) * 31) % 100 - 50 AS cr
+      |      FROM px),
+      |rgb AS (SELECT doc_id, w, h, x, y,
+      |        GREATEST(0, LEAST(255, CAST(FLOOR((65536 * yv
+      |          + 91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+      |        GREATEST(0, LEAST(255, CAST(FLOOR((65536 * yv
+      |          - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+      |          / 65536.0) AS BIGINT))) AS g,
+      |        GREATEST(0, LEAST(255, CAST(FLOOR((65536 * yv
+      |          + 116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+      |      FROM v)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT) AS r_tl,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS g_tl,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN b END) AS BIGINT) AS b_tl,
+      |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN r END) AS BIGINT)
+      |    AS r_br,
+      |  CAST(max(CASE WHEN x = 9 AND y = 9 THEN g END) AS BIGINT) AS g_mid,
+      |  CAST(sum(r) AS BIGINT) AS r_sum,
+      |  CAST(sum(g) AS BIGINT) AS g_sum,
+      |  CAST(sum(b) AS BIGINT) AS b_sum
+      |FROM rgb
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val w = (18 + (id * 3) % 8).toInt
+      val h = (10 + (id * 5) % 8).toInt
+      val hs = if (id % 3 == 0) 1 else 2
+      val vs = if (id % 3 == 2) 2 else 1
+      val ri = if (id % 4 == 0) 2 else 0
+      val (bytes, _) = graft.ops.Jpeg.makeJpegColor(w, h, hs, vs, ri,
+        (c, bx, by) => {
+          val a = new Array[Int](64)
+          a(0) = (c match {
+            case 0 => (id * 7 + bx * 13 + by * 29) % 160 - 80
+            case 1 => (id * 11 + bx * 17 + by * 23) % 100 - 50
+            case _ => (id * 13 + bx * 19 + by * 31) % 100 - 50
+          }).toInt
+          a
+        })
+      val (dw, dh, r, g, b) = graft.ops.Jpeg.decodeRgb(bytes).get
+      def sum(a: Array[Int]): Long = a.foldLeft(0L)(_ + _)
+      (id, dw.toLong, dh.toLong, r(0).toLong, g(0).toLong, b(0).toLong,
+        r(dw * dh - 1).toLong, g(9 * dw + 9).toLong,
+        sum(r), sum(g), sum(b))
+    }.toDF("doc_id", "w", "h", "r_tl", "g_tl", "b_tl", "r_br", "g_mid",
+      "r_sum", "g_sum", "b_sum")
       .orderBy("doc_id")
   }
 
@@ -3595,7 +3728,8 @@ object NorthStar {
     leakageSafeSplitQ, stratified, epochUpsample, domainCap,
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
-    multimodalChromaPlane, multimodalJpegLuma,
+    multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
+    multimodalTokenPartitions,
     multimodalFeatures,
     multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,

@@ -1874,6 +1874,121 @@ class OpsSpec extends AnyFunSuite {
       "progressive frame type must reject")
   }
 
+  test("JPEG color: YCbCr 4:4:4 / 4:2:2 / 4:2:0 interleaved MCU scans " +
+      "with separate luma/chroma tables, restart intervals, box chroma " +
+      "upsample, and the exact-integer JFIF convert round-trip") {
+    import graft.ops.Jpeg
+    // planted per-component levels: DC everywhere, AC on some blocks so
+    // both quant tables and the interleave order genuinely matter
+    def levels(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = ((c * 41 + bx * 37 - by * 53) % 100)
+      if (c == 0 && (bx + by) % 2 == 0) { a(3) = bx + 1; a(17) = -(by + 2) }
+      if (c == 2 && bx % 2 == 1) a(1) = 5
+      a
+    }
+    for (((hs, vs), ri) <- Seq(((1, 1), 0), ((2, 1), 3), ((2, 2), 2),
+        ((1, 2), 0), ((2, 2), 0), ((1, 1), 1))) {
+      val (bytes, (rE, gE, bE)) = Jpeg.makeJpegColor(37, 22, hs, vs, ri, levels)
+      val (w, h, r, g, b) = Jpeg.decodeRgb(bytes).getOrElse(
+        fail(s"color jpeg $hs x $vs ri=$ri did not decode"))
+      assert(w == 37 && h == 22)
+      assert(r.sameElements(rE) && g.sameElements(gE) && b.sameElements(bE),
+        s"decode != encoder simulation for sampling ${hs}x$vs ri=$ri")
+      // gray contract: decodeLumaGray on a color file returns the luma
+      // plane (achromatic plants → the DC-only Y blocks are exact)
+      val (gw, gh, _) = Jpeg.decodeLumaGray(bytes).get
+      assert(gw == 37 && gh == 22)
+    }
+    // chroma-neutral color file: Cb = Cr = 128 (level 0) makes R=G=B=Y
+    // exactly under the integer convert — the formula's sanity anchor
+    val (nb, (nr, ng, nbl)) = Jpeg.makeJpegColor(16, 16, 2, 2, 0,
+      (c, _, _) => { val a = new Array[Int](64); if (c == 0) a(0) = 31; a })
+    val (_, _, dr, dg, db) = Jpeg.decodeRgb(nb).get
+    assert(dr.forall(_ == 159) && dg.forall(_ == 159) && db.forall(_ == 159))
+    assert(nr.sameElements(dr) && ng.sameElements(dg) && nbl.sameElements(db))
+    // poison: a wrong restart sequence number must reject
+    val (rb, _) = Jpeg.makeJpegColor(37, 22, 2, 2, 2, levels)
+    var i = 2
+    var broke = false
+    while (!broke && i + 1 < rb.length) {
+      if ((rb(i) & 0xff) == 0xff && (rb(i + 1) & 0xff) == 0xd0) {
+        rb(i + 1) = 0xd5.toByte; broke = true // RST0 → RST5 out of order
+      }
+      i += 1
+    }
+    assert(broke && Jpeg.decodeRgb(rb).isEmpty,
+      "out-of-sequence RSTn must reject")
+    // poison: truncation inside the color scan
+    val (tb, _) = Jpeg.makeJpegColor(24, 17, 2, 1, 0, levels)
+    for (cut <- Seq(30, tb.length / 2, tb.length - 1))
+      assert(Jpeg.decodeRgb(tb.take(cut)).isEmpty, s"truncated at $cut")
+    // subset boundary: 2x2 luma with 2x1 chroma (subsampled-luma-like
+    // mismatch outside the JFIF family) must reject — flip Cb's HV
+    val (sb, _) = Jpeg.makeJpegColor(24, 17, 2, 2, 0, levels)
+    var j = 2
+    var flippedHv = false
+    while (!flippedHv && j + 9 < sb.length) {
+      if ((sb(j) & 0xff) == 0xff && (sb(j + 1) & 0xff) == 0xc0) {
+        // SOF0: len(2) P(1) Y(2) X(2) Nf(1) then (id, hv, tq) triples —
+        // Cb's hv byte is marker+14
+        sb(j + 14) = 0x21.toByte // Cb sampling 1x1 → 2x1
+        flippedHv = true
+      }
+      j += 1
+    }
+    assert(flippedHv && Jpeg.decodeRgb(sb).isEmpty,
+      "non-1x1 chroma sampling is out of subset and must reject")
+  }
+
+  test("VP8 token partitions: 2/4/8-partition frames (§9.5 size table + " +
+      "row-mod-N routing) decode identically to the 1-partition stream, " +
+      "and a truncated partition or oversized size field rejects") {
+    import graft.ops.Vp8
+    // AC-textured frame tall enough that every partition of an 8-way
+    // split carries at least one MB row (6 rows of 96px height)
+    def mode(mx: Int, my: Int): Int = (mx + my * 3) % 4
+    def y2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      a(0) = ((mx * 47 + my * 31) % 161) - 80
+      if ((mx + my) % 2 == 0) a(3) = -5
+      a
+    }
+    def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if ((mx + my + b) % 3 == 0) { a(2) = (b % 7) - 3; a(11) = my % 2 }
+      a
+    }
+    val (ref, expected) = Vp8.makeWebpLossyFrame(40, 96, mode, y2, yl)
+    val (_, _, gRef) = Multimodal.decodeGray(ref).get
+    assert(gRef.sameElements(expected))
+    for (np <- Seq(2, 4, 8)) {
+      val (bytes, exp) = Vp8.makeWebpLossyFrame(40, 96, mode, y2, yl,
+        nTokenParts = np)
+      assert(bytes.length > ref.length,
+        s"$np-partition file must carry the size table")
+      val (dw, dh, g) = Multimodal.decodeGray(bytes).getOrElse(
+        fail(s"$np-partition frame did not decode"))
+      assert(dw == 40 && dh == 96)
+      assert(g.sameElements(expected) && exp.sameElements(expected),
+        s"$np-partition decode diverges from the 1-partition reference")
+      // poison: truncating the chunk cuts the LAST partition short
+      assert(Multimodal.decodeGray(bytes.take(bytes.length - 9)).isEmpty,
+        s"$np-partition truncated tail must reject")
+    }
+    // poison: corrupt the first 3-byte size so partition 0 overruns
+    val (b4, _) = Vp8.makeWebpLossyFrame(40, 96, mode, y2, yl,
+      nTokenParts = 4)
+    // locate the size table: 20-byte container header + 10-byte frame
+    // header + first_part_size (from the tag)
+    val tag = (b4(20) & 0xff) | ((b4(21) & 0xff) << 8) | ((b4(22) & 0xff) << 16)
+    val sizeTable = 30 + (tag >> 5)
+    val broken = b4.clone()
+    broken(sizeTable + 2) = 0x7f.toByte // ~8 MB claimed > chunk
+    assert(Multimodal.decodeGray(broken).isEmpty,
+      "a partition size past the chunk end must reject")
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:
