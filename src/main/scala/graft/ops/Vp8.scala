@@ -1088,37 +1088,137 @@ object Vp8 {
     * (4:2:0, so U/V are ⌈w/2⌉×⌈h/2⌉ row-major). Returns
     * (width, height, y, u, v) or None for anything malformed, truncated,
     * or out of subset. */
-  private[graft] def decodeYuv(bytes: Array[Byte])
-      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
-    try {
-      if (bytes.length < 30) return None
-      if (new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
-        new String(bytes, 8, 4, StandardCharsets.US_ASCII) != "WEBP" ||
-        new String(bytes, 12, 4, StandardCharsets.US_ASCII) != "VP8 ")
-        return None
-      def le32(o: Int): Long =
-        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-      val chunkSize = le32(16)
-      if (chunkSize < 10 || 20 + chunkSize > bytes.length) return None
-      val p = 20 // payload offset
+  // -------------------------------------------------------------------
+  // Inter-frame machinery (RFC 6386 §9.7, §16-18): motion-vector
+  // entropy, near-MV survey, and sixtap/whole-pel motion compensation.
+  // The probability CONSTANT tables here are keyed from the spec but —
+  // like DefaultCoeffProbs — cannot be validated against external
+  // encoders in this environment; encoder and decoder share them, and
+  // bool coding round-trips exactly under any model (the file-header
+  // fidelity note applies).
+  // -------------------------------------------------------------------
+
+  /** Default MV entropy contexts (2 components × 19 probs): layout
+    * [0] is-short, [1] sign, [2..8] short tree (7), [9..18] long bits
+    * (10) — entropymv.c in the spec's reference decoder. */
+  private val DefaultMvContext: Array[Array[Int]] = Array(
+    Array(162, 128, 225, 146, 172, 147, 214, 39, 156,
+      128, 129, 132, 75, 145, 178, 206, 239, 254, 254), // row
+    Array(164, 128, 204, 170, 119, 235, 140, 230, 228,
+      128, 130, 130, 74, 148, 180, 203, 236, 254, 254)) // col
+
+  /** Per-slot update probabilities for the MV contexts (§9.10). */
+  private val MvUpdateProbs: Array[Array[Int]] = Array(
+    Array(237, 246, 253, 253, 254, 254, 254, 254, 254,
+      254, 254, 254, 254, 254, 250, 250, 252, 254, 254),
+    Array(231, 243, 245, 253, 254, 254, 254, 254, 254,
+      254, 254, 254, 254, 254, 251, 251, 254, 254, 254))
+
+  /** Short-vector tree: 8 magnitudes 0..7 (small_mvtree, §17.2). */
+  private val SmallMvTree: Array[Int] = Array(
+    2, 8, 4, 6, -0 - 1, -1 - 1, -2 - 1, -3 - 1,
+    10, 12, -4 - 1, -5 - 1, -6 - 1, -7 - 1)
+
+  /** Inter MB mode tree over {ZERO, NEAREST, NEAR, NEW, SPLIT} (§16.1);
+    * leaf encoding -(id+1) with ids 0..4 in that order. */
+  private val MvRefTree: Array[Int] = Array(
+    -0 - 1, 2, -1 - 1, 4, -2 - 1, 6, -3 - 1, -4 - 1)
+  private val MvZero = 0
+  private val MvNearest = 1
+  private val MvNear = 2
+  private val MvNew = 3
+  private val MvSplit = 4
+
+  /** Mode-probability contexts indexed by the near-MV survey counts
+    * (modecont.c; rows = count value 0..5, cols = tree position). Values
+    * clamped into the valid probability range. */
+  private val ModeContexts: Array[Array[Int]] = Array(
+    Array(7, 1, 1, 143),
+    Array(14, 18, 14, 107),
+    Array(135, 64, 57, 68),
+    Array(60, 56, 128, 65),
+    Array(234, 160, 1, 1),
+    Array(255, 255, 1, 2))
+
+  /** The six-tap subpel interpolation filters, 8 phases (filter.c). A
+    * phase's taps sum to 128, so constant regions filter to themselves
+    * exactly — the closed-form anchor the gate oracles use. */
+  private val SixTapFilters: Array[Array[Int]] = Array(
+    Array(0, 0, 128, 0, 0, 0),
+    Array(0, -6, 123, 12, -1, 0),
+    Array(2, -11, 108, 36, -8, 1),
+    Array(0, -9, 93, 50, -6, 0),
+    Array(3, -16, 77, 77, -16, 3),
+    Array(0, -6, 50, 93, -9, 0),
+    Array(1, -8, 36, 108, -11, 2),
+    Array(0, -1, 12, 123, -6, 0))
+
+  /** Persistent VP8 stream state carried across frames: the three
+    * reference buffers (last / golden / altref) on the macroblock-padded
+    * grid, the saved entropy probabilities that refresh_entropy_probs
+    * persists, saved MV contexts, reference sign biases, and the
+    * loop-filter delta state (all of which survive from frame to frame
+    * per RFC 6386 §9). A fresh instance is the stream-start state. */
+  private final class StreamState {
+    var w = 0
+    var h = 0
+    var stride = 0
+    var cStride = 0
+    var yLast: Array[Int] = null
+    var uLast: Array[Int] = null
+    var vLast: Array[Int] = null
+    var yGold: Array[Int] = null
+    var uGold: Array[Int] = null
+    var vGold: Array[Int] = null
+    var yAlt: Array[Int] = null
+    var uAlt: Array[Int] = null
+    var vAlt: Array[Int] = null
+    var signBiasGold = 0
+    var signBiasAlt = 0
+    var probs: Array[Array[Array[Array[Int]]]] = null
+    var mvProbs: Array[Array[Int]] = null
+    val refLfDeltas = new Array[Int](4)
+    val modeLfDeltas = new Array[Int](4)
+    resetEntropy()
+    /** Key-frame reset: coefficient and MV probabilities back to the
+      * spec defaults, sign biases cleared. */
+    def resetEntropy(): Unit = {
+      probs = Array.tabulate(4, 8, 3, 11) { (t, b, c, l) =>
+        DefaultCoeffProbs(t)(b)(c)(l)
+      }
+      mvProbs = Array.tabulate(2, 19)((c, i) => DefaultMvContext(c)(i))
+      signBiasGold = 0
+      signBiasAlt = 0
+    }
+  }
+
+  /** Decode ONE VP8 frame payload at bytes[p, end) into/from the stream
+    * state (planes land in st.yLast/uLast/vLast on the padded grid;
+    * reference buffers, entropy persistence, and loop-filter delta
+    * state update per the refresh rules). Throws [[Malformed]] for
+    * anything malformed, truncated, or out of subset. */
+  private def decodeFramePayload(bytes: Array[Byte], p: Int, end: Int,
+      st: StreamState): Unit = {
       val tag = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
         ((bytes(p + 2) & 0xff) << 16)
-      if ((tag & 1) != 0) return None // inter frame: out of subset
+      if ((tag & 1) != 0) throw Malformed // inter frames: decoded via
+      // the IVF path once implemented; the WebP container is key-only
       val firstPartSize = tag >> 5
+      // a key frame resets the persistent entropy state to defaults
+      st.resetEntropy()
       if ((bytes(p + 3) & 0xff) != 0x9d || (bytes(p + 4) & 0xff) != 0x01 ||
-        (bytes(p + 5) & 0xff) != 0x2a) return None
+        (bytes(p + 5) & 0xff) != 0x2a) throw Malformed
       val w = ((bytes(p + 6) & 0xff) | ((bytes(p + 7) & 0xff) << 8)) & 0x3fff
       val h = ((bytes(p + 8) & 0xff) | ((bytes(p + 9) & 0xff) << 8)) & 0x3fff
-      if (w <= 0 || h <= 0 || w.toLong * h > 16000000L) return None
+      if (w <= 0 || h <= 0 || w.toLong * h > 16000000L) throw Malformed
       val part1 = p + 10
-      if (firstPartSize <= 0 || part1 + firstPartSize > 20 + chunkSize)
-        return None
+      if (firstPartSize <= 0 || part1 + firstPartSize > end)
+        throw Malformed
       val bd1 = new BoolDecoder(bytes, part1, part1 + firstPartSize)
       // header (key frame)
       bd1.literal(1) // color space
       bd1.literal(1) // clamping type
-      if (bd1.literal(1) != 0) return None // segmentation: out of subset
+      if (bd1.literal(1) != 0) throw Malformed // segmentation: out of subset
       val filterType = bd1.literal(1) // 0 normal, 1 simple
       val filterLevel = bd1.literal(6)
       val sharpness = bd1.literal(3)
@@ -1126,22 +1226,23 @@ object Vp8 {
       // delta state starts at zero, so enabled-but-not-updated means
       // deltas 0. Of the 4+4 (ref, mode) slots only INTRA (ref 0) and
       // B_PRED (mode 0) can apply to a key frame's all-intra MBs.
-      var refDeltaIntra = 0
-      var modeDeltaBpred = 0
-      if (bd1.literal(1) != 0) { // mode_ref_lf_delta_enabled
+      val lfDeltaEnabled = bd1.literal(1) != 0
+      if (lfDeltaEnabled) { // mode_ref_lf_delta_enabled
         if (bd1.literal(1) != 0) { // this frame updates the deltas
           var i = 0
           while (i < 8) {
             if (bd1.literal(1) != 0) {
               var v = bd1.literal(6)
               if (bd1.literal(1) != 0) v = -v
-              if (i == 0) refDeltaIntra = v
-              else if (i == 4) modeDeltaBpred = v
+              if (i < 4) st.refLfDeltas(i) = v
+              else st.modeLfDeltas(i - 4) = v
             }
             i += 1
           }
         }
       }
+      val refDeltaIntra = if (lfDeltaEnabled) st.refLfDeltas(0) else 0
+      val modeDeltaBpred = if (lfDeltaEnabled) st.modeLfDeltas(0) else 0
       // token partitions (§9.5): 1/2/4/8, macroblock row r reads
       // partition r mod N — the layout real encoders emit for
       // multithreaded decode (r14, previously a one-partition subset)
@@ -1152,9 +1253,9 @@ object Vp8 {
       val y2acDelta = bd1.signedLiteralIfFlag(4)
       val uvdcDelta = bd1.signedLiteralIfFlag(4)
       val uvacDelta = bd1.signedLiteralIfFlag(4)
-      bd1.literal(1) // refresh entropy probs
+      val refreshEntropy = bd1.literal(1) // refresh entropy probs
       val probs = Array.tabulate(4, 8, 3, 11) { (t, b, c, l) =>
-        DefaultCoeffProbs(t)(b)(c)(l)
+        st.probs(t)(b)(c)(l)
       }
       var t = 0
       while (t < 4) {
@@ -1174,15 +1275,16 @@ object Vp8 {
         }
         t += 1
       }
+      if (refreshEntropy == 1) st.probs = probs
       val mbSkipEnabled = bd1.literal(1) == 1
       val skipProb = if (mbSkipEnabled) bd1.literal(8) else 0
       // residual partitions: after the first (header) partition come
       // (nParts − 1) 3-byte little-endian sizes, then the partitions
       // back-to-back; the LAST partition runs to the end of the chunk
       val part2 = part1 + firstPartSize
-      val chunkEnd = (20 + chunkSize).toInt
+      val chunkEnd = end
       val dataStart = part2 + 3 * (nParts - 1)
-      if (dataStart > chunkEnd) return None
+      if (dataStart > chunkEnd) throw Malformed
       val bds = new Array[BoolDecoder](nParts)
       var partOff = dataStart
       var pi = 0
@@ -1192,7 +1294,7 @@ object Vp8 {
           else (bytes(part2 + 3 * pi) & 0xff) |
             ((bytes(part2 + 3 * pi + 1) & 0xff) << 8) |
             ((bytes(part2 + 3 * pi + 2) & 0xff) << 16)
-        if (sz < 0 || partOff + sz > chunkEnd) return None
+        if (sz < 0 || partOff + sz > chunkEnd) throw Malformed
         bds(pi) = new BoolDecoder(bytes, partOff, partOff + sz)
         partOff += sz
         pi += 1
@@ -1511,6 +1613,46 @@ object Vp8 {
             sharpness, mbLfLevel, mbLfInner)
         }
       }
+      st.w = w
+      st.h = h
+      st.stride = stride
+      st.cStride = cStride
+      st.yLast = plane
+      st.uLast = uPlane
+      st.vLast = vPlane
+      // a key frame refreshes ALL reference buffers (shared by
+      // reference — each frame reconstructs into fresh arrays)
+      st.yGold = plane; st.uGold = uPlane; st.vGold = vPlane
+      st.yAlt = plane; st.uAlt = uPlane; st.vAlt = vPlane
+    }
+
+  /** Decode a lossy-WebP (RIFF/"VP8 ") key frame in the documented
+    * subset — FULL pixel surface since r14: luma AND both chroma planes
+    * (4:2:0, so U/V are ⌈w/2⌉×⌈h/2⌉ row-major). Returns
+    * (width, height, y, u, v) or None for anything malformed, truncated,
+    * or out of subset. */
+  private[graft] def decodeYuv(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    try {
+      if (bytes.length < 30) return None
+      if (new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
+        new String(bytes, 8, 4, StandardCharsets.US_ASCII) != "WEBP" ||
+        new String(bytes, 12, 4, StandardCharsets.US_ASCII) != "VP8 ")
+        return None
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      val chunkSize = le32(16)
+      if (chunkSize < 10 || 20 + chunkSize > bytes.length) return None
+      val st = new StreamState
+      decodeFramePayload(bytes, 20, (20 + chunkSize).toInt, st)
+      val w = st.w
+      val h = st.h
+      val stride = st.stride
+      val cStride = st.cStride
+      val plane = st.yLast
+      val uPlane = st.uLast
+      val vPlane = st.vLast
       val g = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -1538,6 +1680,7 @@ object Vp8 {
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
     }
+
 
   // -------------------------------------------------------------------
   // Fixture encoder
