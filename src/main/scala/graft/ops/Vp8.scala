@@ -17,10 +17,18 @@ import java.nio.charset.StandardCharsets
   *
   * DOCUMENTED SUBSET (the VP8L discipline — anything outside returns
   * None, never a crash):
-  *  - key frames only; segmentation off; ALL token-partition layouts
-  *    (r14: 1/2/4/8 partitions with the §9.5 3-byte size table and
-  *    row-mod-N routing — the layout real encoders emit for
-  *    multithreaded decode);
+  *  - segmentation off; ALL token-partition layouts (r14: 1/2/4/8
+  *    partitions with the §9.5 3-byte size table and row-mod-N
+  *    routing — the layout real encoders emit for multithreaded
+  *    decode);
+  *  - INTER FRAMES via the IVF container (r14, [[decodeIvf]]): all-
+  *    inter macroblocks over any reference (last/golden/altref with
+  *    refresh/copy plans and sign biases), whole-MB ZERO/NEAREST/NEAR/
+  *    NEW modes through the §16.3 near-MV survey, §17.2 MV entropy
+  *    (defaults + header updates, persistence honored), and sixtap
+  *    subpel motion compensation with spec edge clamping; OUT of
+  *    subset: SPLITMV, intra-coded MBs inside inter frames, and NEW
+  *    MVs beyond the clamp window (each None, never approximated);
   *  - BOTH loop filters (r12 "What's missing" #2 — real-world encoders
   *    virtually always leave the filter on): normal and simple, all
   *    levels and sharpnesses, with the mode/ref level deltas parsed and
@@ -1078,6 +1086,24 @@ object Vp8 {
     }
   }
 
+  /** Inter-MB chroma reconstruction: MC prediction + residual (the
+    * intra path lives in [[predictReconChroma]]). */
+  private def addResidChroma(plane: Array[Int], stride: Int, mx: Int,
+      my: Int, pred: Array[Int], resid: Array[Int]): Unit = {
+    val px = mx * 8
+    val py = my * 8
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        plane((py + r) * stride + px + c) =
+          clamp255(pred(r * 8 + c) + resid(r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
   /** Luma-only view of [[decodeYuv]] (the media-pipeline gray path). */
   private[graft] def decodeLumaGray(bytes: Array[Byte])
       : Option[(Int, Int, Array[Int])] =
@@ -1123,11 +1149,11 @@ object Vp8 {
     * leaf encoding -(id+1) with ids 0..4 in that order. */
   private val MvRefTree: Array[Int] = Array(
     -0 - 1, 2, -1 - 1, 4, -2 - 1, 6, -3 - 1, -4 - 1)
-  private val MvZero = 0
-  private val MvNearest = 1
-  private val MvNear = 2
-  private val MvNew = 3
-  private val MvSplit = 4
+  private[graft] val MvZero = 0
+  private[graft] val MvNearest = 1
+  private[graft] val MvNear = 2
+  private[graft] val MvNew = 3
+  private[graft] val MvSplit = 4
 
   /** Mode-probability contexts indexed by the near-MV survey counts
     * (modecont.c; rows = count value 0..5, cols = tree position). Values
@@ -1153,6 +1179,213 @@ object Vp8 {
     Array(1, -8, 36, 108, -11, 2),
     Array(0, -1, 12, 123, -6, 0))
 
+  /** Generic token-tree walk with a probability-array offset (the
+    * BModeTree convention: internal nodes positive, leaves -(id+1)). */
+  private def treeRead(bd: BoolDecoder, tree: Array[Int],
+      probs: Array[Int], pOff: Int): Int = {
+    var node = 0
+    var leaf = -1
+    while (leaf < 0) {
+      val t = tree(node + bd.bool(probs(pOff + (node >> 1))))
+      if (t <= 0) leaf = -t - 1 else node = t
+    }
+    leaf
+  }
+
+  /** One MV component (§17.2): short values 0..7 via [[SmallMvTree]],
+    * long values as 10 raw bits in the spec's 0,1,2,9..4 order with the
+    * sometimes-implicit bit 3; then an optional sign. Returned in the
+    * component's own units (the caller doubles for whole-MB MVs). */
+  private def readMvComponent(bd: BoolDecoder, p: Array[Int]): Int = {
+    var x = 0
+    if (bd.bool(p(0)) == 1) { // long vector
+      var i = 0
+      while (i < 3) { x += bd.bool(p(9 + i)) << i; i += 1 }
+      i = 9
+      while (i > 3) { x += bd.bool(p(9 + i)) << i; i -= 1 }
+      if ((x & 0xfff0) == 0 || bd.bool(p(9 + 3)) == 1) x += 8
+    } else x = treeRead(bd, SmallMvTree, p, 2)
+    if (x != 0 && bd.bool(p(1)) == 1) -x else x
+  }
+
+  /** Encoder mirror of [[readMvComponent]]. */
+  private def writeMvComponent(be: BoolEncoder, p: Array[Int], v: Int): Unit = {
+    val x = math.abs(v)
+    require(x < 1024, s"mv component $v out of the 10-bit range")
+    if (x < 8) {
+      be.bool(p(0), 0)
+      // short tree: walk to the leaf emitting each branch bit
+      writeTree(be, SmallMvTree, p, 2, x)
+    } else {
+      be.bool(p(0), 1)
+      var i = 0
+      while (i < 3) { be.bool(p(9 + i), (x >> i) & 1); i += 1 }
+      i = 9
+      while (i > 3) { be.bool(p(9 + i), (x >> i) & 1); i -= 1 }
+      if ((x & 0xfff0) != 0) be.bool(p(9 + 3), (x >> 3) & 1)
+    }
+    if (x != 0) be.bool(p(1), if (v < 0) 1 else 0)
+  }
+
+  /** Emit the branch bits that lead to `leaf` in `tree`. */
+  private def writeTree(be: BoolEncoder, tree: Array[Int],
+      probs: Array[Int], pOff: Int, leaf: Int): Unit = {
+    // depth-first search for the leaf, recording the branch path
+    def path(node: Int): List[Int] = {
+      var side = 0
+      while (side < 2) {
+        val t = tree(node + side)
+        if (t <= 0) { if (-t - 1 == leaf) return side :: Nil }
+        else {
+          val sub = path(t)
+          if (sub ne null) return side :: sub
+        }
+        side += 1
+      }
+      null
+    }
+    var node = 0
+    var p = path(0)
+    require(p ne null, s"leaf $leaf not in tree")
+    while (p ne Nil) {
+      be.bool(probs(pOff + (node >> 1)), p.head)
+      val t = tree(node + p.head)
+      node = t
+      p = p.tail
+    }
+  }
+
+  /** Packed MV helper (row in the high half for as_int-style equality). */
+  @inline private def packMv(row: Int, col: Int): Int =
+    (row << 16) | (col & 0xffff)
+
+  /** The near-MV survey (§16.3 / findnearmv.c): census of the left,
+    * above, and above-left neighbors with sign-bias correction, distinct-
+    * candidate weighting 2/2/1, the near/nearest swap, best-mv selection,
+    * and edge clamping (±(16<<3) margins beyond the macroblock's frame
+    * edges). Neighbor lookups come from the caller's per-frame arrays
+    * (out-of-frame neighbors read as intra). Returns
+    * (nearestPacked, nearbyPacked, bestPacked, cnt[4]). */
+  private def findNearMvs(mx: Int, my: Int, mbCols: Int, mbRows: Int,
+      refIdx: Int, mbRef: Array[Int], mbMode: Array[Int], mbMv: Array[Int],
+      signBias: Array[Int]): (Int, Int, Int, Array[Int]) = {
+    val cnt = new Array[Int](4)
+    val mvs = new Array[Int](4) // slot 0 stays zero (the "intra/zero" slot)
+    var nMv = 0 // index of the last distinct candidate in mvs
+    var cntIdx = 0
+    def refOf(c: Int, r: Int): Int =
+      if (c < 0 || r < 0 || c >= mbCols || r >= mbRows) 0
+      else mbRef(r * mbCols + c)
+    def mvOf(c: Int, r: Int): Int =
+      if (c < 0 || r < 0 || c >= mbCols || r >= mbRows) 0
+      else mbMv(r * mbCols + c)
+    def modeOf(c: Int, r: Int): Int =
+      if (c < 0 || r < 0 || c >= mbCols || r >= mbRows) -1
+      else mbMode(r * mbCols + c)
+    def biased(mv: Int, candRef: Int): Int =
+      if (signBias(candRef) != signBias(refIdx))
+        packMv(-(mv >> 16), -(mv << 16 >> 16))
+      else mv
+    def survey(c: Int, r: Int, weight: Int): Unit = {
+      val ref = refOf(c, r)
+      if (ref != 0) { // inter-coded neighbor
+        val raw = mvOf(c, r)
+        if (raw != 0) {
+          val mv = biased(raw, ref)
+          if (nMv == 0 || mv != mvs(nMv)) { nMv += 1; mvs(nMv) = mv; cntIdx += 1 }
+          cnt(cntIdx) += weight
+        } else cnt(0) += weight
+      }
+    }
+    survey(mx, my - 1, 2) // above
+    survey(mx - 1, my, 2) // left
+    survey(mx - 1, my - 1, 1) // above-left
+    // three distinct candidates where the third equals nearest: bump it
+    if (cnt(3) > 0 && mvs(nMv) == mvs(1)) cnt(1) += 1
+    cnt(3) = (if (modeOf(mx, my - 1) == MvSplit) 2 else 0) +
+      (if (modeOf(mx - 1, my) == MvSplit) 2 else 0) +
+      (if (modeOf(mx - 1, my - 1) == MvSplit) 1 else 0)
+    if (cnt(2) > cnt(1)) {
+      val t = cnt(1); cnt(1) = cnt(2); cnt(2) = t
+      val m = mvs(1); mvs(1) = mvs(2); mvs(2) = m
+    }
+    if (cnt(1) >= cnt(0)) mvs(0) = mvs(1) // best = nearest
+    def clampPacked(mv: Int): Int = {
+      var row = mv >> 16
+      var col = mv << 16 >> 16
+      val toLeft = -(mx * 16) << 3
+      val toRight = ((mbCols - 1 - mx) * 16) << 3
+      val toTop = -(my * 16) << 3
+      val toBottom = ((mbRows - 1 - my) * 16) << 3
+      if (col < toLeft - 128) col = toLeft - 128
+      if (col > toRight + 128) col = toRight + 128
+      if (row < toTop - 128) row = toTop - 128
+      if (row > toBottom + 128) row = toBottom + 128
+      packMv(row, col)
+    }
+    (clampPacked(mvs(1)), clampPacked(mvs(2)), clampPacked(mvs(0)), cnt)
+  }
+
+  /** Whole-pel/subpel block motion compensation: predict a bw×bh block
+    * whose top-left is (px, py) from the padded reference plane, MV in
+    * 1/8-pel units, sixtap phases (mv & 7), source reads edge-clamped —
+    * exactly the spec's 32-pixel replication border for any MV inside
+    * the §16.3 clamp range. The 2-pass form with the identity phase-0
+    * filter is bit-identical to the reference's 1-pass special cases
+    * (taps sum to 128 and (128·t + 64)≫7 = t). */
+  private def mcPredict(ref: Array[Int], stride: Int, ph: Int,
+      px: Int, py: Int, mvRow: Int, mvCol: Int, bw: Int, bh: Int,
+      out: Array[Int], outStride: Int, outOff: Int): Unit = {
+    val sx = px + (mvCol >> 3)
+    val sy = py + (mvRow >> 3)
+    val fx = mvCol & 7
+    val fy = mvRow & 7
+    val pw = stride
+    @inline def src(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= pw) pw - 1 else x
+      val cy = if (y < 0) 0 else if (y >= ph) ph - 1 else y
+      ref(cy * stride + cx)
+    }
+    if (fx == 0 && fy == 0) {
+      var r = 0
+      while (r < bh) {
+        var c = 0
+        while (c < bw) { out(outOff + r * outStride + c) = src(sx + c, sy + r); c += 1 }
+        r += 1
+      }
+    } else {
+      val fh = SixTapFilters(fx)
+      val fv = SixTapFilters(fy)
+      // first pass: horizontal over bh + 5 rows (2 above, 3 below)
+      val tmp = new Array[Int]((bh + 5) * bw)
+      var r = 0
+      while (r < bh + 5) {
+        var c = 0
+        while (c < bw) {
+          var s = 64
+          var k = 0
+          while (k < 6) { s += fh(k) * src(sx + c + k - 2, sy + r - 2); k += 1 }
+          tmp(r * bw + c) = clamp255(s >> 7)
+          c += 1
+        }
+        r += 1
+      }
+      // second pass: vertical
+      r = 0
+      while (r < bh) {
+        var c = 0
+        while (c < bw) {
+          var s = 64
+          var k = 0
+          while (k < 6) { s += fv(k) * tmp((r + k) * bw + c); k += 1 }
+          out(outOff + r * outStride + c) = clamp255(s >> 7)
+          c += 1
+        }
+        r += 1
+      }
+    }
+  }
+
   /** Persistent VP8 stream state carried across frames: the three
     * reference buffers (last / golden / altref) on the macroblock-padded
     * grid, the saved entropy probabilities that refresh_entropy_probs
@@ -1173,6 +1406,9 @@ object Vp8 {
     var yAlt: Array[Int] = null
     var uAlt: Array[Int] = null
     var vAlt: Array[Int] = null
+    var yCur: Array[Int] = null
+    var uCur: Array[Int] = null
+    var vCur: Array[Int] = null
     var signBiasGold = 0
     var signBiasAlt = 0
     var probs: Array[Array[Array[Array[Int]]]] = null
@@ -1201,23 +1437,31 @@ object Vp8 {
       st: StreamState): Unit = {
       val tag = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
         ((bytes(p + 2) & 0xff) << 16)
-      if ((tag & 1) != 0) throw Malformed // inter frames: decoded via
-      // the IVF path once implemented; the WebP container is key-only
+      val keyFrame = (tag & 1) == 0
       val firstPartSize = tag >> 5
-      // a key frame resets the persistent entropy state to defaults
-      st.resetEntropy()
-      if ((bytes(p + 3) & 0xff) != 0x9d || (bytes(p + 4) & 0xff) != 0x01 ||
-        (bytes(p + 5) & 0xff) != 0x2a) throw Malformed
-      val w = ((bytes(p + 6) & 0xff) | ((bytes(p + 7) & 0xff) << 8)) & 0x3fff
-      val h = ((bytes(p + 8) & 0xff) | ((bytes(p + 9) & 0xff) << 8)) & 0x3fff
-      if (w <= 0 || h <= 0 || w.toLong * h > 16000000L) throw Malformed
-      val part1 = p + 10
+      var w = st.w
+      var h = st.h
+      var part1 = p + 3
+      if (keyFrame) {
+        // a key frame resets the persistent entropy state to defaults
+        st.resetEntropy()
+        if ((bytes(p + 3) & 0xff) != 0x9d || (bytes(p + 4) & 0xff) != 0x01 ||
+          (bytes(p + 5) & 0xff) != 0x2a) throw Malformed
+        w = ((bytes(p + 6) & 0xff) | ((bytes(p + 7) & 0xff) << 8)) & 0x3fff
+        h = ((bytes(p + 8) & 0xff) | ((bytes(p + 9) & 0xff) << 8)) & 0x3fff
+        if (w <= 0 || h <= 0 || w.toLong * h > 16000000L) throw Malformed
+        part1 = p + 10
+      } else {
+        // inter frame: dims inherit from the stream; there must BE one
+        if (st.yLast == null || w <= 0 || h <= 0) throw Malformed
+      }
       if (firstPartSize <= 0 || part1 + firstPartSize > end)
         throw Malformed
       val bd1 = new BoolDecoder(bytes, part1, part1 + firstPartSize)
-      // header (key frame)
-      bd1.literal(1) // color space
-      bd1.literal(1) // clamping type
+      if (keyFrame) {
+        bd1.literal(1) // color space
+        bd1.literal(1) // clamping type
+      }
       if (bd1.literal(1) != 0) throw Malformed // segmentation: out of subset
       val filterType = bd1.literal(1) // 0 normal, 1 simple
       val filterLevel = bd1.literal(6)
@@ -1241,8 +1485,6 @@ object Vp8 {
           }
         }
       }
-      val refDeltaIntra = if (lfDeltaEnabled) st.refLfDeltas(0) else 0
-      val modeDeltaBpred = if (lfDeltaEnabled) st.modeLfDeltas(0) else 0
       // token partitions (§9.5): 1/2/4/8, macroblock row r reads
       // partition r mod N — the layout real encoders emit for
       // multithreaded decode (r14, previously a one-partition subset)
@@ -1253,7 +1495,23 @@ object Vp8 {
       val y2acDelta = bd1.signedLiteralIfFlag(4)
       val uvdcDelta = bd1.signedLiteralIfFlag(4)
       val uvacDelta = bd1.signedLiteralIfFlag(4)
+      // reference-buffer refresh plan (§9.7; inter frames only — a key
+      // frame refreshes all three implicitly)
+      var refreshGold = true
+      var refreshAlt = true
+      var copyToGold = 0
+      var copyToAlt = 0
+      var refreshLast = true
+      if (!keyFrame) {
+        refreshGold = bd1.literal(1) == 1
+        refreshAlt = bd1.literal(1) == 1
+        if (!refreshGold) copyToGold = bd1.literal(2)
+        if (!refreshAlt) copyToAlt = bd1.literal(2)
+        st.signBiasGold = bd1.literal(1)
+        st.signBiasAlt = bd1.literal(1)
+      }
       val refreshEntropy = bd1.literal(1) // refresh entropy probs
+      if (!keyFrame) refreshLast = bd1.literal(1) == 1
       val probs = Array.tabulate(4, 8, 3, 11) { (t, b, c, l) =>
         st.probs(t)(b)(c)(l)
       }
@@ -1275,9 +1533,40 @@ object Vp8 {
         }
         t += 1
       }
-      if (refreshEntropy == 1) st.probs = probs
       val mbSkipEnabled = bd1.literal(1) == 1
       val skipProb = if (mbSkipEnabled) bd1.literal(8) else 0
+      // inter-frame mode/MV entropy (§9.10-9.11)
+      var probIntra = 0
+      var probLast = 0
+      var probGf = 0
+      val mvp = Array.tabulate(2, 19)((c, i) => st.mvProbs(c)(i))
+      if (!keyFrame) {
+        probIntra = bd1.literal(8)
+        probLast = bd1.literal(8)
+        probGf = bd1.literal(8)
+        if (bd1.literal(1) == 1) { // intra 16x16 prob update
+          var i = 0
+          while (i < 4) { bd1.literal(8); i += 1 } // parsed; intra-in-
+          // inter MBs are out of subset so the values are never used
+        }
+        if (bd1.literal(1) == 1) { // intra chroma prob update
+          var i = 0
+          while (i < 3) { bd1.literal(8); i += 1 }
+        }
+        var c = 0
+        while (c < 2) {
+          var i = 0
+          while (i < 19) {
+            if (bd1.bool(MvUpdateProbs(c)(i)) == 1) {
+              val v = bd1.literal(7)
+              mvp(c)(i) = if (v != 0) v << 1 else 1
+            }
+            i += 1
+          }
+          c += 1
+        }
+      }
+      if (refreshEntropy == 1) { st.probs = probs; st.mvProbs = mvp }
       // residual partitions: after the first (header) partition come
       // (nParts − 1) 3-byte little-endian sizes, then the partitions
       // back-to-back; the LAST partition runs to the end of the chunk
@@ -1333,6 +1622,13 @@ object Vp8 {
       // decoded — the eobtotal==0 forced-skip rule)
       val mbLfLevel = new Array[Int](mbCols * mbRows)
       val mbLfInner = new Array[Boolean](mbCols * mbRows)
+      // per-MB mode info for the near-MV survey (inter frames): ref
+      // frame (0 = intra), inter mode id, packed MV
+      val mbRefArr = new Array[Int](mbCols * mbRows)
+      val mbModeArr = Array.fill(mbCols * mbRows)(-1)
+      val mbMvArr = new Array[Int](mbCols * mbRows)
+      val signBias = Array(0, 0, st.signBiasGold, st.signBiasAlt)
+      val refPlaneH = mbRows * 16
       var my = 0
       while (my < mbRows) {
         val bd2 = bds(my % nParts) // §9.5 row→partition routing
@@ -1344,8 +1640,58 @@ object Vp8 {
         var mx = 0
         while (mx < mbCols) {
           val skip = mbSkipEnabled && bd1.bool(skipProb) == 1
-          // key-frame luma mode
           var ymode = ModeB
+          val subModes = new Array[Int](16)
+          var uvmode = ModeDc
+          var interMb = false
+          var refIdx = 0 // 0 intra, 1 last, 2 golden, 3 altref
+          var interMode = -1
+          var mvRow = 0
+          var mvCol = 0
+          if (!keyFrame) {
+            // inter-frame MB: all-inter subset (an intra-coded MB in an
+            // inter frame is out of subset — rejected, never guessed)
+            if (bd1.bool(probIntra) == 0) throw Malformed
+            interMb = true
+            refIdx = if (bd1.bool(probLast) == 0) 1
+              else if (bd1.bool(probGf) == 0) 2 else 3
+            val (nearest, nearby, best, cnt) = findNearMvs(mx, my,
+              mbCols, mbRows, refIdx, mbRefArr, mbModeArr, mbMvArr,
+              signBias)
+            val mp = new Array[Int](4)
+            var j = 0
+            while (j < 4) {
+              mp(j) = ModeContexts(math.min(cnt(j), 5))(j)
+              j += 1
+            }
+            interMode = treeRead(bd1, MvRefTree, mp, 0)
+            interMode match {
+              case MvZero =>
+              case MvNearest =>
+                mvRow = nearest >> 16; mvCol = nearest << 16 >> 16
+              case MvNear =>
+                mvRow = nearby >> 16; mvCol = nearby << 16 >> 16
+              case MvNew =>
+                mvRow = readMvComponent(bd1, mvp(0)) * 2 + (best >> 16)
+                mvCol = readMvComponent(bd1, mvp(1)) * 2 + (best << 16 >> 16)
+                // subset line: a NEWMV outside the §16.3 clamp window
+                // would need the need_to_clamp prediction-time variant;
+                // rejected, never approximated
+                if (mvCol < ((-(mx * 16)) << 3) - 128 ||
+                  mvCol > (((mbCols - 1 - mx) * 16) << 3) + 128 ||
+                  mvRow < ((-(my * 16)) << 3) - 128 ||
+                  mvRow > (((mbRows - 1 - my) * 16) << 3) + 128)
+                  throw Malformed
+              case _ => throw Malformed // SPLITMV: out of subset
+            }
+            mbRefArr(my * mbCols + mx) = refIdx
+            mbModeArr(my * mbCols + mx) = interMode
+            mbMvArr(my * mbCols + mx) = packMv(mvRow, mvCol)
+            // inter MBs reset the (key-frame-only) B sub-mode contexts
+            var b = 0
+            while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
+          } else {
+          // key-frame luma mode
           if (bd1.bool(KfYModeProb(0)) == 1) {
             if (bd1.bool(KfYModeProb(1)) == 0)
               ymode = if (bd1.bool(KfYModeProb(2)) == 0) ModeDc else ModeV
@@ -1355,7 +1701,6 @@ object Vp8 {
           // B_PRED: 16 context-coded sub-modes (spec ids), read between
           // ymode and uvmode; out-of-subset sub-modes reject AFTER the
           // walk so rejection never desyncs a conforming stream early
-          val subModes = new Array[Int](16)
           if (ymode == ModeB) {
             var b = 0
             while (b < 16) {
@@ -1378,20 +1723,33 @@ object Vp8 {
             while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
           }
           // chroma mode (kf tree {-DC, 2, -V, 4, -H, -TM})
-          val uvmode =
+          uvmode =
             if (bd1.bool(KfUvModeProb(0)) == 0) ModeDc
             else if (bd1.bool(KfUvModeProb(1)) == 0) ModeV
             else if (bd1.bool(KfUvModeProb(2)) == 0) ModeH
             else ModeTm
-          // loop-filter level for this MB: base + INTRA ref delta
-          // (+ B_PRED mode delta), clamped to the 6-bit range
-          mbLfLevel(my * mbCols + mx) = math.max(0, math.min(63,
-            filterLevel + refDeltaIntra +
-              (if (ymode == ModeB) modeDeltaBpred else 0)))
+          } // end key-frame mode parse
+          // loop-filter level for this MB: base + ref delta + mode
+          // delta per the mode_lf_lut (B_PRED→slot 0, other intra→no
+          // mode delta, ZEROMV→1, NEAREST/NEAR/NEW→2, SPLIT→3),
+          // clamped to the 6-bit range
+          mbLfLevel(my * mbCols + mx) =
+            if (!lfDeltaEnabled) filterLevel
+            else {
+              var lvl = filterLevel + st.refLfDeltas(refIdx)
+              if (interMb) {
+                lvl += (interMode match {
+                  case MvZero => st.modeLfDeltas(1)
+                  case MvSplit => st.modeLfDeltas(3)
+                  case _ => st.modeLfDeltas(2)
+                })
+              } else if (ymode == ModeB) lvl += st.modeLfDeltas(0)
+              math.max(0, math.min(63, lvl))
+            }
           var mbAnyNz = false
           val px = mx * 16
           val py = my * 16
-          if (ymode == ModeB) {
+          if (!interMb && ymode == ModeB) {
             // B_PRED: no Y2; each 4×4 block decodes type-3 tokens from
             // coefficient 0, predicts from ALREADY-RECONSTRUCTED
             // neighbors (including earlier subblocks of this MB), and
@@ -1442,8 +1800,18 @@ object Vp8 {
               while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
             }
           } else {
-          // 16x16 intra prediction
+          // 16x16 prediction: motion compensation from the selected
+          // reference for inter MBs, the four intra modes otherwise
           val pred = new Array[Int](256)
+          if (interMb) {
+            val refY = refIdx match {
+              case 1 => st.yLast
+              case 2 => st.yGold
+              case _ => st.yAlt
+            }
+            mcPredict(refY, stride, refPlaneH, px, py, mvRow, mvCol,
+              16, 16, pred, 16, 0)
+          } else {
           val haveA = my > 0
           val haveL = mx > 0
           ymode match {
@@ -1485,6 +1853,7 @@ object Vp8 {
                 r += 1
               }
           }
+          } // end intra-vs-MC prediction
           val resid = new Array[Int](256)
           if (!skip) {
             // Y2
@@ -1593,11 +1962,33 @@ object Vp8 {
               k += 1
             }
           }
-          predictReconChroma(uPlane, cStride, mx, my, uvmode, residU)
-          predictReconChroma(vPlane, cStride, mx, my, uvmode, residV)
-          // B_PRED always filters interior edges (§15's skip rule
-          // exempts only non-B/non-split MBs with zero eobtotal)
-          mbLfInner(my * mbCols + mx) = ymode == ModeB || mbAnyNz
+          if (interMb) {
+            // chroma MVs: luma MV halved with round-away-from-zero
+            // (reconinter.c), applied at the 8×8 chroma geometry
+            val cmvRow = (mvRow + (1 | (mvRow >> 31))) / 2
+            val cmvCol = (mvCol + (1 | (mvCol >> 31))) / 2
+            val (refU, refV) = refIdx match {
+              case 1 => (st.uLast, st.vLast)
+              case 2 => (st.uGold, st.vGold)
+              case _ => (st.uAlt, st.vAlt)
+            }
+            val predU = new Array[Int](64)
+            val predV = new Array[Int](64)
+            mcPredict(refU, cStride, mbRows * 8, mx * 8, my * 8,
+              cmvRow, cmvCol, 8, 8, predU, 8, 0)
+            mcPredict(refV, cStride, mbRows * 8, mx * 8, my * 8,
+              cmvRow, cmvCol, 8, 8, predV, 8, 0)
+            addResidChroma(uPlane, cStride, mx, my, predU, residU)
+            addResidChroma(vPlane, cStride, mx, my, predV, residV)
+          } else {
+            predictReconChroma(uPlane, cStride, mx, my, uvmode, residU)
+            predictReconChroma(vPlane, cStride, mx, my, uvmode, residV)
+          }
+          // B_PRED / SPLIT always filter interior edges (§15's skip
+          // rule exempts only other modes with zero eobtotal)
+          mbLfInner(my * mbCols + mx) =
+            (if (interMb) interMode == MvSplit else ymode == ModeB) ||
+              mbAnyNz
           mx += 1
         }
         my += 1
@@ -1617,13 +2008,25 @@ object Vp8 {
       st.h = h
       st.stride = stride
       st.cStride = cStride
-      st.yLast = plane
-      st.uLast = uPlane
-      st.vLast = vPlane
-      // a key frame refreshes ALL reference buffers (shared by
-      // reference — each frame reconstructs into fresh arrays)
-      st.yGold = plane; st.uGold = uPlane; st.vGold = vPlane
-      st.yAlt = plane; st.uAlt = uPlane; st.vAlt = vPlane
+      // reference-buffer refresh (§9.7): copies read the PRE-frame
+      // buffers (golden←last / golden←altref etc.), refreshes take the
+      // new reconstruction; a key frame refreshes all three. Buffers
+      // are shared by reference — each frame reconstructs fresh arrays.
+      val (oldYL, oldUL, oldVL) = (st.yLast, st.uLast, st.vLast)
+      val (oldYA, oldUA, oldVA) = (st.yAlt, st.uAlt, st.vAlt)
+      val (oldYG, oldUG, oldVG) = (st.yGold, st.uGold, st.vGold)
+      if (refreshGold) { st.yGold = plane; st.uGold = uPlane; st.vGold = vPlane }
+      else if (copyToGold == 1) { st.yGold = oldYL; st.uGold = oldUL; st.vGold = oldVL }
+      else if (copyToGold == 2) { st.yGold = oldYA; st.uGold = oldUA; st.vGold = oldVA }
+      if (refreshAlt) { st.yAlt = plane; st.uAlt = uPlane; st.vAlt = vPlane }
+      else if (copyToAlt == 1) { st.yAlt = oldYL; st.uAlt = oldUL; st.vAlt = oldVL }
+      else if (copyToAlt == 2) { st.yAlt = oldYG; st.uAlt = oldUG; st.vAlt = oldVG }
+      if (refreshLast) { st.yLast = plane; st.uLast = uPlane; st.vLast = vPlane }
+      // the frame's own reconstruction (what a shown frame displays,
+      // independent of which reference buffers it refreshed)
+      st.yCur = plane
+      st.uCur = uPlane
+      st.vCur = vPlane
     }
 
   /** Decode a lossy-WebP (RIFF/"VP8 ") key frame in the documented
@@ -1650,9 +2053,9 @@ object Vp8 {
       val h = st.h
       val stride = st.stride
       val cStride = st.cStride
-      val plane = st.yLast
-      val uPlane = st.uLast
-      val vPlane = st.vLast
+      val plane = st.yCur
+      val uPlane = st.uCur
+      val vPlane = st.vCur
       val g = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -2231,4 +2634,425 @@ object Vp8 {
     parts.foreach(bb.put)
     (bb.array(), expected, expU, expV)
   }
+
+  // -------------------------------------------------------------------
+  // IVF container + inter frames (RFC 6386 §9.7/16/17/18)
+  // -------------------------------------------------------------------
+
+  /** Decode an IVF-contained VP8 stream ("DKIF"/"VP80" — the public
+    * libvpx stream format) in the documented subset: a key frame (the
+    * full key-frame surface) followed by inter frames whose MBs are
+    * all inter-coded (any reference, ZERO/NEAREST/NEAR/NEW whole-MB
+    * modes; SPLIT and intra-in-inter are out of subset), with reference
+    * refresh/copy plans, sign biases, entropy persistence, and the loop
+    * filter all honored. Returns (w, h, frames as (y, u, v) cropped
+    * planes) or None. */
+  private[graft] def decodeIvf(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[(Array[Int], Array[Int], Array[Int])])] =
+    try {
+      if (bytes.length < 32) return None
+      if (new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "DKIF")
+        return None
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (le16(4) != 0 || le16(6) != 32) return None // version / hdr size
+      if (new String(bytes, 8, 4, StandardCharsets.US_ASCII) != "VP80")
+        return None
+      val w = le16(12)
+      val h = le16(14)
+      val nFrames = le32(24)
+      if (w <= 0 || h <= 0 || nFrames <= 0 || nFrames > 10000) return None
+      val st = new StreamState
+      val out = Seq.newBuilder[(Array[Int], Array[Int], Array[Int])]
+      var off = 32
+      var i = 0L
+      while (i < nFrames) {
+        if (off + 12 > bytes.length) return None
+        val sz = le32(off)
+        if (sz <= 0 || off + 12 + sz > bytes.length) return None
+        decodeFramePayload(bytes, off + 12, (off + 12 + sz).toInt, st)
+        if (st.w != w || st.h != h) return None // dims must match the container
+        // crop the frame's own reconstruction
+        val g = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { g(y * w + x) = st.yCur(y * st.stride + x); x += 1 }
+          y += 1
+        }
+        val uw = (w + 1) / 2
+        val uh = (h + 1) / 2
+        val u = new Array[Int](uw * uh)
+        val v = new Array[Int](uw * uh)
+        y = 0
+        while (y < uh) {
+          var x = 0
+          while (x < uw) {
+            u(y * uw + x) = st.uCur(y * st.cStride + x)
+            v(y * uw + x) = st.vCur(y * st.cStride + x)
+            x += 1
+          }
+          y += 1
+        }
+        out += ((g, u, v))
+        off += 12 + sz.toInt
+        i += 1
+      }
+      Some((w, h, out.result()))
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  /** Per-MB directive for the inter fixture encoder: the prediction
+    * mode ([[MvZero]]/[[MvNearest]]/[[MvNear]]/[[MvNew]]), the reference
+    * (1 last / 2 golden / 3 altref), and — for NEW — the absolute MV in
+    * 1/8-pel units (components must be even: whole-MB MVs carry a ×2
+    * factor per §17.2). */
+  private[graft] final case class InterMbSpec(mode: Int, refIdx: Int = 1,
+      mvRow: Int = 0, mvCol: Int = 0)
+
+  /** Build one spec-valid INTER frame payload against the given
+    * reference planes (index 1 last / 2 golden / 3 altref, each on the
+    * w×h grid — dims must be multiples of 16 so the padded and cropped
+    * grids coincide). Shares [[findNearMvs]] and [[mcPredict]] with the
+    * decoder, so NEAREST/NEAR resolve identically and the returned
+    * reconstruction simulation is exact. Returns (payload, y, u, v). */
+  private[graft] def makeInterFramePayload(w: Int, h: Int,
+      refs: Int => (Array[Int], Array[Int], Array[Int]),
+      mbOf: (Int, Int) => InterMbSpec,
+      y2Of: (Int, Int) => Array[Int],
+      yOf: (Int, Int, Int) => Array[Int],
+      uvOf: (Int, Int, Int, Int) => Array[Int] = (_, _, _, _) => ZeroScan16,
+      filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
+      refreshGold: Boolean = false, refreshAlt: Boolean = false)
+      : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
+      "inter fixture dims must be multiples of 16")
+    val mbCols = w / 16
+    val mbRows = h / 16
+    val qi = 4
+    val ydcQ = DcQLookup(qi)
+    val yacQ = AcQLookup(qi)
+    val y2dcQ = DcQLookup(qi) * 2
+    val y2acQ = math.max(8, AcQLookup(qi) * 155 / 100)
+    val uvdcQ = math.min(132, DcQLookup(qi))
+    val uvacQ = AcQLookup(qi)
+    val be1 = new BoolEncoder
+    // inter-frame header (no color space / clamping)
+    be1.literal(0, 1) // segmentation off
+    be1.literal(filterType, 1)
+    be1.literal(filterLevel, 6)
+    be1.literal(sharpness, 3)
+    be1.literal(0, 1) // no lf deltas
+    be1.literal(0, 2) // one token partition
+    be1.literal(qi, 7)
+    var i = 0
+    while (i < 5) { be1.literal(0, 1); i += 1 } // zero q deltas
+    be1.literal(if (refreshGold) 1 else 0, 1)
+    be1.literal(if (refreshAlt) 1 else 0, 1)
+    if (!refreshGold) be1.literal(0, 2) // no copy to golden
+    if (!refreshAlt) be1.literal(0, 2) // no copy to altref
+    be1.literal(0, 1) // sign bias golden
+    be1.literal(0, 1) // sign bias altref
+    be1.literal(1, 1) // refresh entropy probs
+    be1.literal(1, 1) // refresh last
+    // no coefficient probability updates
+    var t = 0
+    while (t < 4) {
+      var b = 0
+      while (b < 8) {
+        var c = 0
+        while (c < 3) {
+          var l = 0
+          while (l < 11) { be1.bool(CoeffUpdateProbs(t)(b)(c)(l), 0); l += 1 }
+          c += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    be1.literal(1, 1) // mb_no_coeff_skip enabled
+    val skipProb = 128
+    be1.literal(skipProb, 8)
+    val probIntra = 128
+    val probLast = 128
+    val probGf = 128
+    be1.literal(probIntra, 8)
+    be1.literal(probLast, 8)
+    be1.literal(probGf, 8)
+    be1.literal(0, 1) // no 16x16 intra prob update
+    be1.literal(0, 1) // no chroma prob update
+    // no MV probability updates
+    var c0 = 0
+    while (c0 < 2) {
+      var j = 0
+      while (j < 19) { be1.bool(MvUpdateProbs(c0)(j), 0); j += 1 }
+      c0 += 1
+    }
+    val mvp = DefaultMvContext
+    val be2 = new BoolEncoder
+    val probs = DefaultCoeffProbs
+    val aY = new Array[Int](mbCols * 4)
+    val aU = new Array[Int](mbCols * 2)
+    val aV = new Array[Int](mbCols * 2)
+    val aY2 = new Array[Int](mbCols)
+    val lY = new Array[Int](4)
+    val lU = new Array[Int](2)
+    val lV = new Array[Int](2)
+    val stride = w
+    val cStride = w / 2
+    val plane = new Array[Int](stride * h)
+    val uPlane = new Array[Int](cStride * (h / 2))
+    val vPlane = new Array[Int](cStride * (h / 2))
+    val coeffs = new Array[Int](16)
+    val mbLfInner = new Array[Boolean](mbCols * mbRows)
+    val mbLfLevel = new Array[Int](mbCols * mbRows)
+    val mbRefArr = new Array[Int](mbCols * mbRows)
+    val mbModeArr = Array.fill(mbCols * mbRows)(-1)
+    val mbMvArr = new Array[Int](mbCols * mbRows)
+    val signBias = Array(0, 0, 0, 0)
+    var my = 0
+    while (my < mbRows) {
+      java.util.Arrays.fill(lY, 0)
+      java.util.Arrays.fill(lU, 0)
+      java.util.Arrays.fill(lV, 0)
+      var lY2 = 0
+      var mx = 0
+      while (mx < mbCols) {
+        val spec = mbOf(mx, my)
+        require(spec.mode >= MvZero && spec.mode <= MvNew,
+          s"inter fixture mode ${spec.mode} not in subset")
+        require(spec.refIdx >= 1 && spec.refIdx <= 3, "bad refIdx")
+        val y2Scan = y2Of(mx, my).clone()
+        require(y2Scan.length == 16)
+        val yScans = Array.tabulate(16) { b =>
+          val a = yOf(mx, my, b).clone()
+          require(a.length == 16)
+          a(0) = 0 // owned by Y2 on non-SPLIT inter MBs
+          a
+        }
+        val uvScans = Array.tabulate(2, 4) { (pl, cb) =>
+          val a = uvOf(mx, my, pl, cb).clone()
+          require(a.length == 16)
+          a
+        }
+        val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0)) &&
+          uvScans.forall(_.forall(_.forall(_ == 0)))
+        mbLfInner(my * mbCols + mx) = !skip
+        mbLfLevel(my * mbCols + mx) = filterLevel
+        be1.bool(skipProb, if (skip) 1 else 0)
+        be1.bool(probIntra, 1) // inter-coded
+        if (spec.refIdx == 1) be1.bool(probLast, 0)
+        else {
+          be1.bool(probLast, 1)
+          be1.bool(probGf, if (spec.refIdx == 2) 0 else 1)
+        }
+        val (nearest, nearby, best, cnt) = findNearMvs(mx, my, mbCols,
+          mbRows, spec.refIdx, mbRefArr, mbModeArr, mbMvArr, signBias)
+        val mp = new Array[Int](4)
+        var j = 0
+        while (j < 4) { mp(j) = ModeContexts(math.min(cnt(j), 5))(j); j += 1 }
+        writeTree(be1, MvRefTree, mp, 0, spec.mode)
+        var mvRow = 0
+        var mvCol = 0
+        spec.mode match {
+          case MvZero =>
+          case MvNearest => mvRow = nearest >> 16; mvCol = nearest << 16 >> 16
+          case MvNear => mvRow = nearby >> 16; mvCol = nearby << 16 >> 16
+          case _ => // NEW
+            mvRow = spec.mvRow
+            mvCol = spec.mvCol
+            val bR = best >> 16
+            val bC = best << 16 >> 16
+            require((mvRow - bR) % 2 == 0 && (mvCol - bC) % 2 == 0,
+              "NEW MV delta must be even (whole-MB ×2 coding)")
+            require(mvCol >= ((-(mx * 16)) << 3) - 128 &&
+              mvCol <= (((mbCols - 1 - mx) * 16) << 3) + 128 &&
+              mvRow >= ((-(my * 16)) << 3) - 128 &&
+              mvRow <= (((mbRows - 1 - my) * 16) << 3) + 128,
+              "NEW MV outside the clamp window is out of subset")
+            writeMvComponent(be1, mvp(0), (mvRow - bR) / 2)
+            writeMvComponent(be1, mvp(1), (mvCol - bC) / 2)
+        }
+        mbRefArr(my * mbCols + mx) = spec.refIdx
+        mbModeArr(my * mbCols + mx) = spec.mode
+        mbMvArr(my * mbCols + mx) = packMv(mvRow, mvCol)
+        // prediction: MC from the selected reference
+        val px = mx * 16
+        val py = my * 16
+        val (refY, refU, refV) = refs(spec.refIdx)
+        require(refY.length == w * h, "reference plane geometry mismatch")
+        val pred = new Array[Int](256)
+        mcPredict(refY, stride, h, px, py, mvRow, mvCol, 16, 16, pred, 16, 0)
+        val resid = new Array[Int](256)
+        if (!skip) {
+          val ctxY2 = aY2(mx) + lY2
+          val nzY2 = encodeBlockTokens(be2, probs(1), 0, ctxY2, y2Scan)
+          aY2(mx) = if (nzY2) 1 else 0
+          lY2 = aY2(mx)
+          var k = 0
+          while (k < 16) {
+            coeffs(Zigzag(k)) = y2Scan(k) * (if (k == 0) y2dcQ else y2acQ)
+            k += 1
+          }
+          val dcs = inverseWht(coeffs)
+          var b = 0
+          while (b < 16) {
+            val br = b / 4
+            val bc = b % 4
+            val ctx = aY(mx * 4 + bc) + lY(br)
+            val nz = encodeBlockTokens(be2, probs(0), 1, ctx, yScans(b))
+            aY(mx * 4 + bc) = if (nz) 1 else 0
+            lY(br) = aY(mx * 4 + bc)
+            java.util.Arrays.fill(coeffs, 0)
+            var k2 = 1
+            while (k2 < 16) { coeffs(Zigzag(k2)) = yScans(b)(k2) * yacQ; k2 += 1 }
+            coeffs(0) = dcs(b)
+            val r4 = inverseDct(coeffs)
+            var rr = 0
+            while (rr < 4) {
+              var cc = 0
+              while (cc < 4) {
+                resid((br * 4 + rr) * 16 + bc * 4 + cc) = r4(rr * 4 + cc)
+                cc += 1
+              }
+              rr += 1
+            }
+            b += 1
+          }
+        } else {
+          var k = 0
+          while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
+          aY2(mx) = 0
+          lY2 = 0
+        }
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            plane((py + r) * stride + px + c) =
+              clamp255(pred(r * 16 + c) + resid(r * 16 + c))
+            c += 1
+          }
+          r += 1
+        }
+        // chroma: MC pred + planted residuals
+        val cmvRow = (mvRow + (1 | (mvRow >> 31))) / 2
+        val cmvCol = (mvCol + (1 | (mvCol >> 31))) / 2
+        val predU = new Array[Int](64)
+        val predV = new Array[Int](64)
+        mcPredict(refU, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
+          8, 8, predU, 8, 0)
+        mcPredict(refV, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
+          8, 8, predV, 8, 0)
+        val residU = new Array[Int](64)
+        val residV = new Array[Int](64)
+        if (!skip) {
+          var pl = 0
+          while (pl < 2) {
+            val aC = if (pl == 0) aU else aV
+            val lC = if (pl == 0) lU else lV
+            val residC = if (pl == 0) residU else residV
+            var cb = 0
+            while (cb < 4) {
+              val br = cb / 2
+              val bc = cb % 2
+              val nz = encodeBlockTokens(be2, probs(2), 0,
+                aC(mx * 2 + bc) + lC(br), uvScans(pl)(cb))
+              aC(mx * 2 + bc) = if (nz) 1 else 0
+              lC(br) = aC(mx * 2 + bc)
+              java.util.Arrays.fill(coeffs, 0)
+              var k = 0
+              while (k < 16) {
+                coeffs(Zigzag(k)) =
+                  uvScans(pl)(cb)(k) * (if (k == 0) uvdcQ else uvacQ)
+                k += 1
+              }
+              val r4 = inverseDct(coeffs)
+              var rr = 0
+              while (rr < 4) {
+                var cc = 0
+                while (cc < 4) {
+                  residC((br * 4 + rr) * 8 + bc * 4 + cc) = r4(rr * 4 + cc)
+                  cc += 1
+                }
+                rr += 1
+              }
+              cb += 1
+            }
+            pl += 1
+          }
+        } else {
+          var k = 0
+          while (k < 2) {
+            aU(mx * 2 + k) = 0; lU(k) = 0
+            aV(mx * 2 + k) = 0; lV(k) = 0
+            k += 1
+          }
+        }
+        addResidChroma(uPlane, cStride, mx, my, predU, residU)
+        addResidChroma(vPlane, cStride, mx, my, predV, residV)
+        mx += 1
+      }
+      my += 1
+    }
+    if (filterLevel > 0) {
+      loopFilterPlane(plane, stride, mbCols, mbRows, 16, filterType,
+        sharpness, mbLfLevel, mbLfInner)
+      if (filterType == 0) {
+        loopFilterPlane(uPlane, cStride, mbCols, mbRows, 8, 0,
+          sharpness, mbLfLevel, mbLfInner)
+        loopFilterPlane(vPlane, cStride, mbCols, mbRows, 8, 0,
+          sharpness, mbLfLevel, mbLfInner)
+      }
+    }
+    val p1 = be1.flush()
+    val p2 = be2.flush()
+    require(p1.length < (1 << 19), "first partition overflows the tag")
+    val payload = new Array[Byte](3 + p1.length + p2.length)
+    val tag = (p1.length << 5) | (1 << 4) | 1 // inter, version 0, shown
+    payload(0) = (tag & 0xff).toByte
+    payload(1) = ((tag >> 8) & 0xff).toByte
+    payload(2) = ((tag >> 16) & 0xff).toByte
+    System.arraycopy(p1, 0, payload, 3, p1.length)
+    System.arraycopy(p2, 0, payload, 3 + p1.length, p2.length)
+    (payload, plane, uPlane, vPlane)
+  }
+
+  /** Wrap VP8 frame payloads in an IVF container (DKIF/VP80). */
+  private[graft] def makeIvf(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 32 + frames.map(12 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("DKIF".getBytes(StandardCharsets.US_ASCII))
+    bb.putShort(0) // version
+    bb.putShort(32) // header size
+    bb.put("VP80".getBytes(StandardCharsets.US_ASCII))
+    bb.putShort(w.toShort)
+    bb.putShort(h.toShort)
+    bb.putInt(30) // framerate numerator
+    bb.putInt(1) // denominator
+    bb.putInt(frames.length)
+    bb.putInt(0) // unused
+    var pts = 0L
+    frames.foreach { f =>
+      bb.putInt(f.length)
+      bb.putLong(pts)
+      bb.put(f)
+      pts += 1
+    }
+    bb.array()
+  }
+
+  /** The VP8 payload of a lossy-WebP file (container bytes stripped) —
+    * how the IVF fixtures source their key frame from the existing
+    * key-frame encoder. */
+  private[graft] def webpVp8Payload(webp: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(webp, 20, webp.length)
+
 }

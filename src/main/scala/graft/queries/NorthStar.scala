@@ -2617,6 +2617,109 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** VP8 INTER-frame gate (r14 — the codec's last big surface: motion-
+    * compensated video, the form frame-sampled video payloads actually
+    * take): 20 IVF streams (DKIF/VP80, the public libvpx stream format)
+    * of a key frame + an inter frame at 64×64. The key frame is a 2×2
+    * grid of 32×32 constant regions; the inter frame exercises NEW MVs
+    * with the half-pel sixtap phase, NEAREST resolution through the
+    * §16.3 near-MV survey (three rows of inheritance), ZERO MVs with
+    * planted Y2 and chroma-V residuals, skip MBs, and edge-clamped
+    * windows. Because every source window spans at most two region
+    * constants and the sixtap taps sum to 128, EVERY inter pixel is a
+    * closed-form integer the oracle recomputes with a 6-row taps table
+    * — pred = (64 + Σ tap·region(x+k−2))≫7 — so a drift anywhere in
+    * the inter header parse, mode/MV entropy, survey, MC arithmetic,
+    * edge clamp, or residual add lands on a different gray_sum and
+    * hash-fails. */
+  val multimodalIvfInter = QueryDef(
+    "q_ns_multimodal_ivf_inter",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |px AS (SELECT doc_id, xs.x, ys.y
+      |      FROM ids
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS y) ys),
+      |taps AS (SELECT * FROM (VALUES (0, 3), (1, -16), (2, 77), (3, 77),
+      |        (4, -16), (5, 3)) t(k, tap)),
+      |sixtap AS (SELECT doc_id, x, y,
+      |        CAST(FLOOR((64 + SUM(tap * (28 + (doc_id * 7
+      |          + (LEAST(63, GREATEST(0, x + k - 2)) // 32) * 31
+      |          + (y // 32) * 17) % 200))) / 128.0) AS BIGINT) AS pred
+      |      FROM px CROSS JOIN taps
+      |      GROUP BY doc_id, x, y),
+      |pix AS (SELECT p.doc_id, p.x, p.y,
+      |        CASE
+      |          WHEN p.y // 16 <= 1 AND NOT (p.x // 16 = 3 AND p.y // 16 = 0)
+      |            THEN s.pred
+      |          ELSE 28 + (p.doc_id * 7 + (p.x // 32) * 31
+      |                 + (p.y // 32) * 17) % 200
+      |               + (p.doc_id * 3 + (p.x // 16) * 5
+      |                 + (p.y // 16) * 11) % 41 - 20
+      |        END AS g
+      |      FROM px p JOIN sixtap s
+      |        ON s.doc_id = p.doc_id AND s.x = p.x AND s.y = p.y)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(2 AS BIGINT) AS n_frames,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN
+      |    28 + (doc_id * 7) % 200 END) AS BIGINT) AS key_tl,
+      |  CAST(max(CASE WHEN x = 31 AND y = 3 THEN g END) AS BIGINT)
+      |    AS g_half_pel,
+      |  CAST(max(CASE WHEN x = 33 AND y = 20 THEN g END) AS BIGINT)
+      |    AS g_near,
+      |  CAST(max(CASE WHEN x = 50 AND y = 5 THEN g END) AS BIGINT)
+      |    AS g_zero_resid,
+      |  CAST(max(CASE WHEN x = 20 AND y = 40 THEN g END) AS BIGINT)
+      |    AS g_row2,
+      |  CAST(128 + (doc_id * 13 + 1) % 31 - 15 AS BIGINT) AS v_plant,
+      |  CAST(sum(g) AS BIGINT) AS gray_sum
+      |FROM pix
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.Vp8
+      val w = 64
+      val h = 64
+      def region(bx: Int, by: Int): Int =
+        (28 + (id * 7 + bx * 31 + by * 17) % 200).toInt
+      def dOf(mx: Int, my: Int): Int =
+        ((id * 3 + mx * 5 + my * 11) % 41 - 20).toInt
+      val keyWebp = Vp8.makeWebpLossy(w, h, (mx, my) => region(mx / 2, my / 2))
+      val keyPayload = Vp8.webpVp8Payload(keyWebp)
+      val (kw, kh, keyY, keyU, keyV) = Vp8.decodeYuv(keyWebp).get
+      require(kw == w && kh == h)
+      val zero16 = new Array[Int](16)
+      def mbOf(mx: Int, my: Int): Vp8.InterMbSpec =
+        if (my == 0 && mx <= 2) Vp8.InterMbSpec(Vp8.MvNew, 1, 0, 4)
+        else if (my == 0) Vp8.InterMbSpec(Vp8.MvZero)
+        else if (my == 1) Vp8.InterMbSpec(Vp8.MvNearest)
+        else Vp8.InterMbSpec(Vp8.MvZero)
+      def y2Of(mx: Int, my: Int): Array[Int] = {
+        val a = new Array[Int](16)
+        if (my >= 2 || (my == 0 && mx == 3)) a(0) = 4 * dOf(mx, my)
+        a
+      }
+      def uvOf(mx: Int, my: Int, pl: Int, cb: Int): Array[Int] = {
+        val a = new Array[Int](16)
+        if (pl == 1 && my == 2) a(0) = ((id * 13 + mx) % 31 - 15).toInt
+        a
+      }
+      val (p1, _, _, _) = Vp8.makeInterFramePayload(w, h,
+        _ => (keyY, keyU, keyV), mbOf, y2Of, (_, _, _) => zero16, uvOf)
+      val ivf = Vp8.makeIvf(w, h, Seq(keyPayload, p1))
+      val (dw, dh, frames) = Vp8.decodeIvf(ivf).get
+      require(dw == w && dh == h)
+      val g = frames(1)._1
+      val v = frames(1)._3
+      (id, frames.length.toLong, frames(0)._1(0).toLong,
+        g(3 * w + 31).toLong, g(20 * w + 33).toLong, g(5 * w + 50).toLong,
+        g(40 * w + 20).toLong, v(20 * 32 + 12).toLong,
+        g.foldLeft(0L)(_ + _))
+    }.toDF("doc_id", "n_frames", "key_tl", "g_half_pel", "g_near",
+      "g_zero_resid", "g_row2", "v_plant", "gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** CHROMA-plane pixel gate (r13 verdict #3 — VP8 chroma reconstruction
     * in the GATE, upgrading the codec from luma-only to full key-frame
     * pixel surface): 20 two-MB frames with per-MB-constant planted U and
@@ -3729,7 +3832,7 @@ object NorthStar {
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
-    multimodalTokenPartitions,
+    multimodalTokenPartitions, multimodalIvfInter,
     multimodalFeatures,
     multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,

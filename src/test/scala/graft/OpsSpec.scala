@@ -1989,6 +1989,106 @@ class OpsSpec extends AnyFunSuite {
       "a partition size past the chunk end must reject")
   }
 
+  test("VP8 inter frames: an IVF key+inter stream round-trips — ZERO/" +
+      "NEAREST/NEAR/NEW modes, whole-pel and sixtap subpel MC, planted " +
+      "residuals, reference refresh, and edge-clamped off-frame MVs") {
+    import graft.ops.Vp8
+    val w = 64
+    val h = 48
+    // key frame: AC-textured so the reference planes are non-trivial
+    def kMode(mx: Int, my: Int): Int = (mx + my) % 4
+    def kY2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      a(0) = ((mx * 53 + my * 29) % 161) - 80
+      a
+    }
+    def kYl(mx: Int, my: Int, b: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if ((mx + my + b) % 3 == 0) a(2) = ((b + mx) % 9) - 4
+      a
+    }
+    val (keyWebp, keyY, keyU, keyV) =
+      Vp8.makeWebpLossyFrameYuv(w, h, kMode, kY2, kYl)
+    val keyPayload = Vp8.webpVp8Payload(keyWebp)
+    // inter frame 1: all-skip ZEROMV — must reproduce the key exactly
+    val zero16 = new Array[Int](16)
+    val (p1, y1, u1, v1) = Vp8.makeInterFramePayload(w, h,
+      _ => (keyY, keyU, keyV),
+      (_, _) => Vp8.InterMbSpec(graft.ops.Vp8.MvZero),
+      (_, _) => zero16, (_, _, _) => zero16)
+    assert(y1.sameElements(keyY) && u1.sameElements(keyU) &&
+      v1.sameElements(keyV),
+      "skip-ZEROMV simulation must equal the reference frame")
+    // inter frame 2: mixed modes against frame 1 —
+    //  MB(0,0): NEW whole-pel (+8,+16)/8 = (+1 right, +2 down px)
+    //  MB(1,0): NEW subpel (half-pel horizontal)
+    //  MB(2,0): NEW clamped to the far-left margin (off-frame source)
+    //  MB(3,0): NEAREST (inherits MB(2,0)'s MV via the survey)
+    //  row 1:   ZERO with planted Y2 residuals
+    //  row 2:   NEAR / ZERO mix with chroma residuals
+    def mb2(mx: Int, my: Int): Vp8.InterMbSpec =
+      if (my == 0) mx match {
+        case 0 => Vp8.InterMbSpec(Vp8.MvNew, 1, 16, 8)
+        case 1 => Vp8.InterMbSpec(Vp8.MvNew, 1, 0, 4)
+        case 2 => Vp8.InterMbSpec(Vp8.MvNew, 1, 0, -128 - 2 * 16 * 8)
+        case _ => Vp8.InterMbSpec(Vp8.MvNearest)
+      }
+      else if (my == 1) Vp8.InterMbSpec(Vp8.MvZero)
+      else if (mx % 2 == 0) Vp8.InterMbSpec(Vp8.MvNear)
+      else Vp8.InterMbSpec(Vp8.MvZero)
+    def y2_2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if (my == 1) a(0) = (mx * 23 % 41) - 20
+      a
+    }
+    def uv2(mx: Int, my: Int, pl: Int, cb: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if (my == 2 && pl == 1 && cb == 0) a(0) = 7
+      a
+    }
+    val (p2, y2, u2, v2) = Vp8.makeInterFramePayload(w, h,
+      _ => (y1, u1, v1), mb2, y2_2, (_, _, _) => zero16, uv2)
+    val ivf = Vp8.makeIvf(w, h, Seq(keyPayload, p1, p2))
+    val (dw, dh, frames) = Vp8.decodeIvf(ivf).getOrElse(
+      fail("IVF stream did not decode"))
+    assert(dw == w && dh == h && frames.length == 3)
+    assert(frames(0)._1.sameElements(keyY) &&
+      frames(0)._2.sameElements(keyU) && frames(0)._3.sameElements(keyV))
+    assert(frames(1)._1.sameElements(y1), "ZEROMV frame luma diverged")
+    assert(frames(2)._1.sameElements(y2) && frames(2)._2.sameElements(u2) &&
+      frames(2)._3.sameElements(v2),
+      "mixed-mode inter frame diverged from the encoder simulation")
+    // whole-pel NEW (+1 px right, +2 px down): independent check
+    // against the reference frame itself, no shared MC code
+    for (r <- 0 until 14; c <- 0 until 15)
+      assert(frames(2)._1(r * w + c) == y1((r + 2) * w + c + 1),
+        s"whole-pel MC drifted at ($c,$r)")
+    // subpel half-pel horizontal in MB(1,0): hand-evaluate the
+    // {3,-16,77,77,-16,3} tap on the reference row
+    val fy = 0
+    val r0 = 3
+    val cTest = 20 // inside MB(1,0), window c-2..c+3 in-frame
+    var s = 64
+    val taps = Array(3, -16, 77, 77, -16, 3)
+    for (k <- 0 until 6) s += taps(k) * y1(r0 * w + cTest + k - 2)
+    val expect = math.max(0, math.min(255, s >> 7))
+    assert(frames(2)._1(r0 * w + cTest) == expect,
+      "sixtap half-pel arithmetic drifted")
+    assert(fy == 0)
+    // off-frame clamped MV in MB(2,0): source window fully in the
+    // replicated left border → every pixel equals the row's column-0
+    // value of the reference
+    for (r <- 0 until 16)
+      assert(frames(2)._1(r * w + 32) == y1(r * w),
+        s"edge-replicated MC drifted at row $r")
+    // container poisons: bad fourcc, truncated frame, dim mismatch
+    val bad1 = ivf.clone(); bad1(8) = 'X'.toByte
+    assert(Vp8.decodeIvf(bad1).isEmpty)
+    assert(Vp8.decodeIvf(ivf.take(ivf.length - 7)).isEmpty)
+    val bad2 = ivf.clone(); bad2(12) = ((w + 16) & 0xff).toByte
+    assert(Vp8.decodeIvf(bad2).isEmpty, "container/frame dim mismatch")
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:
