@@ -2707,6 +2707,87 @@ object Vp8 {
       case _: NegativeArraySizeException => None
     }
 
+  /** Header-only IVF frame census: per frame (isKey, payload size) read
+    * from the 12-byte frame headers + 3-byte VP8 frame tags alone — no
+    * entropy decode, no reconstruction. This is the 100 TB sampling
+    * primitive: a corpus-scale video pipeline filters to key frames at
+    * container-walk speed (bytes touched = O(frames), not O(pixels))
+    * BEFORE spending any decode work. Returns None on a malformed
+    * container. */
+  private[graft] def ivfFrameMeta(bytes: Array[Byte])
+      : Option[Seq[(Boolean, Int)]] =
+    try {
+      if (bytes.length < 32 ||
+        new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "DKIF" ||
+        new String(bytes, 8, 4, StandardCharsets.US_ASCII) != "VP80")
+        return None
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      val nFrames = le32(24)
+      if (nFrames <= 0 || nFrames > 10000) return None
+      val out = Seq.newBuilder[(Boolean, Int)]
+      var off = 32
+      var i = 0L
+      while (i < nFrames) {
+        if (off + 12 > bytes.length) return None
+        val sz = le32(off)
+        if (sz <= 0 || off + 12 + sz > bytes.length) return None
+        val isKey = (bytes(off + 12) & 1) == 0
+        out += ((isKey, sz.toInt))
+        off += 12 + sz.toInt
+        i += 1
+      }
+      Some(out.result())
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Decode ONLY the key frames of an IVF stream, skipping inter-frame
+    * payloads entirely (each key frame is self-contained: it resets
+    * entropy state and needs no reference — §9.7). Returns
+    * (w, h, (frameIndex, luma) per key frame). Sampling caveat,
+    * documented: loop-filter DELTA state nominally persists across the
+    * skipped frames; a stream whose key frames rely on deltas carried
+    * from skipped inter frames is out of this path's subset (key frames
+    * that disable deltas or carry their own update decode exactly). */
+  private[graft] def decodeIvfKeyFrames(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] =
+    try {
+      val meta = ivfFrameMeta(bytes) match {
+        case Some(m) => m
+        case None => return None
+      }
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      val w = le16(12)
+      val h = le16(14)
+      val out = Seq.newBuilder[(Int, Array[Int])]
+      var off = 32
+      var idx = 0
+      meta.foreach { case (isKey, sz) =>
+        if (isKey) {
+          val st = new StreamState
+          decodeFramePayload(bytes, off + 12, off + 12 + sz, st)
+          if (st.w != w || st.h != h) throw Malformed
+          val g = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { g(y * w + x) = st.yCur(y * st.stride + x); x += 1 }
+            y += 1
+          }
+          out += ((idx, g))
+        }
+        off += 12 + sz
+        idx += 1
+      }
+      Some((w, h, out.result()))
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
   /** Per-MB directive for the inter fixture encoder: the prediction
     * mode ([[MvZero]]/[[MvNearest]]/[[MvNear]]/[[MvNew]]), the reference
     * (1 last / 2 golden / 3 altref), and — for NEW — the absolute MV in

@@ -2720,6 +2720,64 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** IVF key-frame SAMPLING gate (r14 — the 100 TB video-sampling
+    * primitive): 20 five-frame IVF streams (key + 2 inter + key +
+    * inter). [[graft.ops.Vp8.ivfFrameMeta]] runs the header-only census
+    * (12-byte frame headers + 3-byte VP8 tags, zero entropy decode —
+    * the frame filter a corpus-scale pipeline pushes down before any
+    * pixel work), and [[graft.ops.Vp8.decodeIvfKeyFrames]] decodes ONLY
+    * the key frames, skipping inter payloads entirely. The oracle
+    * recomputes the census and both key frames' planted constants in
+    * closed form; a drift in the container walk, tag parse, key
+    * positions, or the skip-reconstruct logic hash-fails. */
+  val multimodalIvfKeySample = QueryDef(
+    "q_ns_multimodal_ivf_keysample",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(5 AS BIGINT) AS n_frames,
+      |  CAST(2 AS BIGINT) AS n_keys,
+      |  CAST(0 AS BIGINT) AS key0_idx,
+      |  CAST(3 AS BIGINT) AS key1_idx,
+      |  CAST(28 + (doc_id * 11) % 200 AS BIGINT) AS key0_px,
+      |  CAST(28 + (doc_id * 11 + 97) % 200 AS BIGINT) AS key1_px,
+      |  CAST((56 + (doc_id * 11) % 200 + (doc_id * 11 + 97) % 200)
+      |    * 1024 AS BIGINT) AS key_gray_sum
+      |FROM ids
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.Vp8
+      val w = 32
+      val h = 32
+      val a = (28 + (id * 11) % 200).toInt
+      val b = (28 + (id * 11 + 97) % 200).toInt
+      val zero16 = new Array[Int](16)
+      def keyOf(v: Int): (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
+        val webp = Vp8.makeWebpLossy(w, h, (_, _) => v)
+        val (_, _, y, u, cv) = Vp8.decodeYuv(webp).get
+        (Vp8.webpVp8Payload(webp), y, u, cv)
+      }
+      val (kA, yA, uA, vA) = keyOf(a)
+      val (kB, yB, uB, vB) = keyOf(b)
+      def skipInter(refs: (Array[Int], Array[Int], Array[Int])): Array[Byte] =
+        Vp8.makeInterFramePayload(w, h, _ => refs,
+          (_, _) => Vp8.InterMbSpec(Vp8.MvZero),
+          (_, _) => zero16, (_, _, _) => zero16)._1
+      val ivf = Vp8.makeIvf(w, h, Seq(kA,
+        skipInter((yA, uA, vA)), skipInter((yA, uA, vA)),
+        kB, skipInter((yB, uB, vB))))
+      val meta = Vp8.ivfFrameMeta(ivf).get
+      val keyIdx = meta.zipWithIndex.filter(_._1._1).map(_._2)
+      val (_, _, keys) = Vp8.decodeIvfKeyFrames(ivf).get
+      require(keys.map(_._1) == keyIdx, "census/decode key positions differ")
+      (id, meta.length.toLong, keyIdx.length.toLong, keyIdx(0).toLong,
+        keyIdx(1).toLong, keys(0)._2(0).toLong, keys(1)._2(0).toLong,
+        keys.map(_._2.map(_.toLong).sum).sum)
+    }.toDF("doc_id", "n_frames", "n_keys", "key0_idx", "key1_idx",
+      "key0_px", "key1_px", "key_gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** CHROMA-plane pixel gate (r13 verdict #3 — VP8 chroma reconstruction
     * in the GATE, upgrading the codec from luma-only to full key-frame
     * pixel surface): 20 two-MB frames with per-MB-constant planted U and
@@ -3832,7 +3890,7 @@ object NorthStar {
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
-    multimodalTokenPartitions, multimodalIvfInter,
+    multimodalTokenPartitions, multimodalIvfInter, multimodalIvfKeySample,
     multimodalFeatures,
     multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,

@@ -2089,6 +2089,43 @@ class OpsSpec extends AnyFunSuite {
     assert(Vp8.decodeIvf(bad2).isEmpty, "container/frame dim mismatch")
   }
 
+  test("VP8 IVF key-frame sampling: the header-only census finds key " +
+      "positions without entropy decode, and key-only decode survives a " +
+      "corrupted inter payload that kills the full decode") {
+    import graft.ops.Vp8
+    val w = 32
+    val h = 32
+    val zero16 = new Array[Int](16)
+    def keyOf(v: Int) = {
+      val webp = Vp8.makeWebpLossy(w, h, (_, _) => v)
+      val (_, _, y, u, cv) = Vp8.decodeYuv(webp).get
+      (Vp8.webpVp8Payload(webp), y, u, cv)
+    }
+    val (kA, yA, uA, vA) = keyOf(77)
+    val (kB, _, _, _) = keyOf(191)
+    val inter = Vp8.makeInterFramePayload(w, h, _ => (yA, uA, vA),
+      (_, _) => Vp8.InterMbSpec(Vp8.MvZero),
+      (_, _) => zero16, (_, _, _) => zero16)._1
+    val ivf = Vp8.makeIvf(w, h, Seq(kA, inter, kB))
+    val meta = Vp8.ivfFrameMeta(ivf).get
+    assert(meta.map(_._1) == Seq(true, false, true))
+    assert(meta.map(_._2) == Seq(kA.length, inter.length, kB.length))
+    // full decode works on the intact stream
+    assert(Vp8.decodeIvf(ivf).get._3.length == 3)
+    // corrupt the inter frame's interior (past its tag): full decode
+    // dies, the key sampler never reads those bytes
+    val broken = ivf.clone()
+    val interOff = 32 + 12 + kA.length + 12
+    broken(interOff + 8) = (broken(interOff + 8) ^ 0x5a).toByte
+    assert(Vp8.decodeIvf(broken).isEmpty ||
+      Vp8.decodeIvf(broken).get._3(1)._1.sameElements(yA) == false,
+      "corrupted inter payload must not decode to the original")
+    val (sw, sh, keys) = Vp8.decodeIvfKeyFrames(broken).getOrElse(
+      fail("key sampling must survive inter-payload corruption"))
+    assert(sw == w && sh == h && keys.map(_._1) == Seq(0, 2))
+    assert(keys(0)._2.forall(_ == 77) && keys(1)._2.forall(_ == 191))
+  }
+
   test("VP8 bool coder: pseudo-random bit/probability streams round-trip " +
       "exactly (the arithmetic-coding invariant the whole decoder rests on)") {
     // drive the PRIVATE coder through the public fixture path instead:
