@@ -25,10 +25,11 @@ import java.nio.charset.StandardCharsets
   *    inter macroblocks over any reference (last/golden/altref with
   *    refresh/copy plans and sign biases), whole-MB ZERO/NEAREST/NEAR/
   *    NEW modes through the §16.3 near-MV survey, §17.2 MV entropy
-  *    (defaults + header updates, persistence honored), and sixtap
-  *    subpel motion compensation with spec edge clamping; OUT of
-  *    subset: SPLITMV, intra-coded MBs inside inter frames, and NEW
-  *    MVs beyond the clamp window (each None, never approximated);
+  *    (defaults + header updates, persistence honored), sixtap subpel
+  *    motion compensation with spec edge clamping, and INTRA-coded
+  *    16×16 MBs inside inter frames (the §11.2 non-key trees with
+  *    updatable probs); OUT of subset: SPLITMV, B_PRED-in-inter, and
+  *    NEW MVs beyond the clamp window (each None, never approximated);
   *  - BOTH loop filters (r12 "What's missing" #2 — real-world encoders
   *    virtually always leave the filter on): normal and simple, all
   *    levels and sharpnesses, with the mode/ref level deltas parsed and
@@ -1086,6 +1087,58 @@ object Vp8 {
     }
   }
 
+  /** 16×16 intra prediction (§12.2): DC with its partial-average edge
+    * cases, V/H with the 127/129 missing-edge fills, and TM. Shared by
+    * the key-frame decoder/encoder and the inter-frame intra-MB path. */
+  private def predict16(plane: Array[Int], stride: Int, mx: Int,
+      my: Int, mode: Int): Array[Int] = {
+    val px = mx * 16
+    val py = my * 16
+    val haveA = my > 0
+    val haveL = mx > 0
+    val pred = new Array[Int](256)
+    mode match {
+      case ModeDc =>
+        var sum = 0
+        var n = 0
+        if (haveA) { var i = 0; while (i < 16) { sum += plane((py - 1) * stride + px + i); i += 1 }; n += 16 }
+        if (haveL) { var i = 0; while (i < 16) { sum += plane((py + i) * stride + px - 1); i += 1 }; n += 16 }
+        val dc = if (n == 0) 128 else (sum + n / 2) >> (if (n == 32) 5 else 4)
+        java.util.Arrays.fill(pred, dc)
+      case ModeV =>
+        var c = 0
+        while (c < 16) {
+          val v = if (haveA) plane((py - 1) * stride + px + c) else 127
+          var r = 0
+          while (r < 16) { pred(r * 16 + c) = v; r += 1 }
+          c += 1
+        }
+      case ModeH =>
+        var r = 0
+        while (r < 16) {
+          val v = if (haveL) plane((py + r) * stride + px - 1) else 129
+          var c = 0
+          while (c < 16) { pred(r * 16 + c) = v; c += 1 }
+          r += 1
+        }
+      case _ => // TM
+        val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
+          else if (haveA) 129 else 127 // RFC border: 127-row incl. origin, 129-col
+        var r = 0
+        while (r < 16) {
+          val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
+          var c = 0
+          while (c < 16) {
+            val av = if (haveA) plane((py - 1) * stride + px + c) else 127
+            pred(r * 16 + c) = clamp255(lv + av - al)
+            c += 1
+          }
+          r += 1
+        }
+    }
+    pred
+  }
+
   /** Inter-MB chroma reconstruction: MC prediction + residual (the
     * intra path lives in [[predictReconChroma]]). */
   private def addResidChroma(plane: Array[Int], stride: Int, mx: Int,
@@ -1165,6 +1218,18 @@ object Vp8 {
     Array(60, 56, 128, 65),
     Array(234, 160, 1, 1),
     Array(255, 255, 1, 2))
+
+  /** Inter-frame intra-MB mode coding (§11.2, non-key frames): the
+    * ymode tree {-DC, 2, 4, 6, -V, -H, -TM, -B} with updatable default
+    * probs, the uv tree (key shape, its own defaults), and the
+    * context-FREE 4×4 sub-mode probs. */
+  private val YModeTree: Array[Int] = Array(
+    -(ModeDc + 1), 2, 4, 6, -(ModeV + 1), -(ModeH + 1),
+    -(ModeTm + 1), -(ModeB + 1))
+  private val DefaultYModeProb: Array[Int] = Array(112, 86, 140, 37)
+  private val UvModeTree: Array[Int] = Array(
+    -(ModeDc + 1), 2, -(ModeV + 1), 4, -(ModeH + 1), -(ModeTm + 1))
+  private val DefaultUvModeProb: Array[Int] = Array(162, 101, 204)
 
   /** The six-tap subpel interpolation filters, 8 phases (filter.c). A
     * phase's taps sum to 128, so constant regions filter to themselves
@@ -1413,16 +1478,20 @@ object Vp8 {
     var signBiasAlt = 0
     var probs: Array[Array[Array[Array[Int]]]] = null
     var mvProbs: Array[Array[Int]] = null
+    var yModeProbs: Array[Int] = null
+    var uvModeProbs: Array[Int] = null
     val refLfDeltas = new Array[Int](4)
     val modeLfDeltas = new Array[Int](4)
     resetEntropy()
-    /** Key-frame reset: coefficient and MV probabilities back to the
-      * spec defaults, sign biases cleared. */
+    /** Key-frame reset: coefficient, MV, and inter-frame intra-mode
+      * probabilities back to the spec defaults, sign biases cleared. */
     def resetEntropy(): Unit = {
       probs = Array.tabulate(4, 8, 3, 11) { (t, b, c, l) =>
         DefaultCoeffProbs(t)(b)(c)(l)
       }
       mvProbs = Array.tabulate(2, 19)((c, i) => DefaultMvContext(c)(i))
+      yModeProbs = DefaultYModeProb.clone()
+      uvModeProbs = DefaultUvModeProb.clone()
       signBiasGold = 0
       signBiasAlt = 0
     }
@@ -1540,18 +1609,19 @@ object Vp8 {
       var probLast = 0
       var probGf = 0
       val mvp = Array.tabulate(2, 19)((c, i) => st.mvProbs(c)(i))
+      val ymp = st.yModeProbs.clone()
+      val uvmp = st.uvModeProbs.clone()
       if (!keyFrame) {
         probIntra = bd1.literal(8)
         probLast = bd1.literal(8)
         probGf = bd1.literal(8)
         if (bd1.literal(1) == 1) { // intra 16x16 prob update
           var i = 0
-          while (i < 4) { bd1.literal(8); i += 1 } // parsed; intra-in-
-          // inter MBs are out of subset so the values are never used
+          while (i < 4) { ymp(i) = bd1.literal(8); i += 1 }
         }
         if (bd1.literal(1) == 1) { // intra chroma prob update
           var i = 0
-          while (i < 3) { bd1.literal(8); i += 1 }
+          while (i < 3) { uvmp(i) = bd1.literal(8); i += 1 }
         }
         var c = 0
         while (c < 2) {
@@ -1566,7 +1636,12 @@ object Vp8 {
           c += 1
         }
       }
-      if (refreshEntropy == 1) { st.probs = probs; st.mvProbs = mvp }
+      if (refreshEntropy == 1) {
+        st.probs = probs
+        st.mvProbs = mvp
+        st.yModeProbs = ymp
+        st.uvModeProbs = uvmp
+      }
       // residual partitions: after the first (header) partition come
       // (nParts − 1) 3-byte little-endian sizes, then the partitions
       // back-to-back; the LAST partition runs to the end of the chunk
@@ -1648,10 +1723,17 @@ object Vp8 {
           var interMode = -1
           var mvRow = 0
           var mvCol = 0
-          if (!keyFrame) {
-            // inter-frame MB: all-inter subset (an intra-coded MB in an
-            // inter frame is out of subset — rejected, never guessed)
-            if (bd1.bool(probIntra) == 0) throw Malformed
+          if (!keyFrame && bd1.bool(probIntra) == 0) {
+            // intra-coded MB inside an inter frame (§11.2: the non-key
+            // trees and updatable probs). Subset: the four 16×16 modes;
+            // B_PRED-in-inter (context-free sub-modes) stays out.
+            ymode = treeRead(bd1, YModeTree, ymp, 0)
+            if (ymode == ModeB) throw Malformed
+            uvmode = treeRead(bd1, UvModeTree, uvmp, 0)
+            // ref stays intra (0) in the survey arrays; mode/mv defaults
+            var b = 0
+            while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
+          } else if (!keyFrame) {
             interMb = true
             refIdx = if (bd1.bool(probLast) == 0) 1
               else if (bd1.bool(probGf) == 0) 2 else 3
@@ -1802,58 +1884,18 @@ object Vp8 {
           } else {
           // 16x16 prediction: motion compensation from the selected
           // reference for inter MBs, the four intra modes otherwise
-          val pred = new Array[Int](256)
-          if (interMb) {
-            val refY = refIdx match {
-              case 1 => st.yLast
-              case 2 => st.yGold
-              case _ => st.yAlt
-            }
-            mcPredict(refY, stride, refPlaneH, px, py, mvRow, mvCol,
-              16, 16, pred, 16, 0)
-          } else {
-          val haveA = my > 0
-          val haveL = mx > 0
-          ymode match {
-            case ModeDc =>
-              var sum = 0
-              var n = 0
-              if (haveA) { var i = 0; while (i < 16) { sum += plane((py - 1) * stride + px + i); i += 1 }; n += 16 }
-              if (haveL) { var i = 0; while (i < 16) { sum += plane((py + i) * stride + px - 1); i += 1 }; n += 16 }
-              val dc = if (n == 0) 128 else (sum + n / 2) >> (if (n == 32) 5 else 4)
-              java.util.Arrays.fill(pred, dc)
-            case ModeV =>
-              var c = 0
-              while (c < 16) {
-                val v = if (haveA) plane((py - 1) * stride + px + c) else 127
-                var r = 0
-                while (r < 16) { pred(r * 16 + c) = v; r += 1 }
-                c += 1
+          val pred =
+            if (interMb) {
+              val out = new Array[Int](256)
+              val refY = refIdx match {
+                case 1 => st.yLast
+                case 2 => st.yGold
+                case _ => st.yAlt
               }
-            case ModeH =>
-              var r = 0
-              while (r < 16) {
-                val v = if (haveL) plane((py + r) * stride + px - 1) else 129
-                var c = 0
-                while (c < 16) { pred(r * 16 + c) = v; c += 1 }
-                r += 1
-              }
-            case _ => // TM
-              val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
-                else if (haveA) 129 else 127 // RFC border: 127-row incl. origin, 129-col
-              var r = 0
-              while (r < 16) {
-                val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
-                var c = 0
-                while (c < 16) {
-                  val av = if (haveA) plane((py - 1) * stride + px + c) else 127
-                  pred(r * 16 + c) = clamp255(lv + av - al)
-                  c += 1
-                }
-                r += 1
-              }
-          }
-          } // end intra-vs-MC prediction
+              mcPredict(refY, stride, refPlaneH, px, py, mvRow, mvCol,
+                16, 16, out, 16, 0)
+              out
+            } else predict16(plane, stride, mx, my, ymode)
           val resid = new Array[Int](256)
           if (!skip) {
             // Y2
@@ -2413,48 +2455,7 @@ object Vp8 {
           }
         } else {
         // prediction from the simulated plane (the decoder's exact rules)
-        val pred = new Array[Int](256)
-        val haveA = my > 0
-        val haveL = mx > 0
-        mode match {
-          case ModeDc =>
-            var sum = 0
-            var n = 0
-            if (haveA) { var i2 = 0; while (i2 < 16) { sum += plane((py - 1) * stride + px + i2); i2 += 1 }; n += 16 }
-            if (haveL) { var i2 = 0; while (i2 < 16) { sum += plane((py + i2) * stride + px - 1); i2 += 1 }; n += 16 }
-            val dc = if (n == 0) 128 else (sum + n / 2) >> (if (n == 32) 5 else 4)
-            java.util.Arrays.fill(pred, dc)
-          case ModeV =>
-            var c = 0
-            while (c < 16) {
-              val v = if (haveA) plane((py - 1) * stride + px + c) else 127
-              var r = 0
-              while (r < 16) { pred(r * 16 + c) = v; r += 1 }
-              c += 1
-            }
-          case ModeH =>
-            var r = 0
-            while (r < 16) {
-              val v = if (haveL) plane((py + r) * stride + px - 1) else 129
-              var c = 0
-              while (c < 16) { pred(r * 16 + c) = v; c += 1 }
-              r += 1
-            }
-          case _ =>
-            val al = if (haveA && haveL) plane((py - 1) * stride + px - 1)
-              else if (haveA) 129 else 127 // RFC border: 127-row incl. origin, 129-col
-            var r = 0
-            while (r < 16) {
-              val lv = if (haveL) plane((py + r) * stride + px - 1) else 129
-              var c = 0
-              while (c < 16) {
-                val av = if (haveA) plane((py - 1) * stride + px + c) else 127
-                pred(r * 16 + c) = clamp255(lv + av - al)
-                c += 1
-              }
-              r += 1
-            }
-        }
+        val pred = predict16(plane, stride, mx, my, mode)
         val resid = new Array[Int](256)
         if (!skip) {
           // tokens + residual simulation
@@ -2794,7 +2795,8 @@ object Vp8 {
     * 1/8-pel units (components must be even: whole-MB MVs carry a ×2
     * factor per §17.2). */
   private[graft] final case class InterMbSpec(mode: Int, refIdx: Int = 1,
-      mvRow: Int = 0, mvCol: Int = 0)
+      mvRow: Int = 0, mvCol: Int = 0,
+      intraYMode: Int = -1, intraUvMode: Int = 0)
 
   /** Build one spec-valid INTER frame payload against the given
     * reference planes (index 1 last / 2 golden / 3 altref, each on the
@@ -2905,9 +2907,16 @@ object Vp8 {
       var mx = 0
       while (mx < mbCols) {
         val spec = mbOf(mx, my)
-        require(spec.mode >= MvZero && spec.mode <= MvNew,
-          s"inter fixture mode ${spec.mode} not in subset")
-        require(spec.refIdx >= 1 && spec.refIdx <= 3, "bad refIdx")
+        val isIntra = spec.intraYMode >= 0
+        if (isIntra)
+          require(spec.intraYMode <= ModeTm && spec.intraUvMode >= ModeDc &&
+            spec.intraUvMode <= ModeTm,
+            "intra-in-inter fixture supports the four 16x16 modes")
+        else {
+          require(spec.mode >= MvZero && spec.mode <= MvNew,
+            s"inter fixture mode ${spec.mode} not in subset")
+          require(spec.refIdx >= 1 && spec.refIdx <= 3, "bad refIdx")
+        }
         val y2Scan = y2Of(mx, my).clone()
         require(y2Scan.length == 16)
         val yScans = Array.tabulate(16) { b =>
@@ -2926,49 +2935,63 @@ object Vp8 {
         mbLfInner(my * mbCols + mx) = !skip
         mbLfLevel(my * mbCols + mx) = filterLevel
         be1.bool(skipProb, if (skip) 1 else 0)
-        be1.bool(probIntra, 1) // inter-coded
-        if (spec.refIdx == 1) be1.bool(probLast, 0)
-        else {
-          be1.bool(probLast, 1)
-          be1.bool(probGf, if (spec.refIdx == 2) 0 else 1)
-        }
-        val (nearest, nearby, best, cnt) = findNearMvs(mx, my, mbCols,
-          mbRows, spec.refIdx, mbRefArr, mbModeArr, mbMvArr, signBias)
-        val mp = new Array[Int](4)
-        var j = 0
-        while (j < 4) { mp(j) = ModeContexts(math.min(cnt(j), 5))(j); j += 1 }
-        writeTree(be1, MvRefTree, mp, 0, spec.mode)
+        be1.bool(probIntra, if (isIntra) 0 else 1)
         var mvRow = 0
         var mvCol = 0
-        spec.mode match {
-          case MvZero =>
-          case MvNearest => mvRow = nearest >> 16; mvCol = nearest << 16 >> 16
-          case MvNear => mvRow = nearby >> 16; mvCol = nearby << 16 >> 16
-          case _ => // NEW
-            mvRow = spec.mvRow
-            mvCol = spec.mvCol
-            val bR = best >> 16
-            val bC = best << 16 >> 16
-            require((mvRow - bR) % 2 == 0 && (mvCol - bC) % 2 == 0,
-              "NEW MV delta must be even (whole-MB ×2 coding)")
-            require(mvCol >= ((-(mx * 16)) << 3) - 128 &&
-              mvCol <= (((mbCols - 1 - mx) * 16) << 3) + 128 &&
-              mvRow >= ((-(my * 16)) << 3) - 128 &&
-              mvRow <= (((mbRows - 1 - my) * 16) << 3) + 128,
-              "NEW MV outside the clamp window is out of subset")
-            writeMvComponent(be1, mvp(0), (mvRow - bR) / 2)
-            writeMvComponent(be1, mvp(1), (mvCol - bC) / 2)
+        if (isIntra) {
+          // §11.2 non-key intra coding: ymode + uvmode on the inter
+          // trees with the default (un-updated) probabilities
+          writeTree(be1, YModeTree, DefaultYModeProb, 0, spec.intraYMode)
+          writeTree(be1, UvModeTree, DefaultUvModeProb, 0, spec.intraUvMode)
+          // survey arrays keep their intra defaults (ref 0, mv 0)
+        } else {
+          if (spec.refIdx == 1) be1.bool(probLast, 0)
+          else {
+            be1.bool(probLast, 1)
+            be1.bool(probGf, if (spec.refIdx == 2) 0 else 1)
+          }
+          val (nearest, nearby, best, cnt) = findNearMvs(mx, my, mbCols,
+            mbRows, spec.refIdx, mbRefArr, mbModeArr, mbMvArr, signBias)
+          val mp = new Array[Int](4)
+          var j = 0
+          while (j < 4) { mp(j) = ModeContexts(math.min(cnt(j), 5))(j); j += 1 }
+          writeTree(be1, MvRefTree, mp, 0, spec.mode)
+          spec.mode match {
+            case MvZero =>
+            case MvNearest => mvRow = nearest >> 16; mvCol = nearest << 16 >> 16
+            case MvNear => mvRow = nearby >> 16; mvCol = nearby << 16 >> 16
+            case _ => // NEW
+              mvRow = spec.mvRow
+              mvCol = spec.mvCol
+              val bR = best >> 16
+              val bC = best << 16 >> 16
+              require((mvRow - bR) % 2 == 0 && (mvCol - bC) % 2 == 0,
+                "NEW MV delta must be even (whole-MB ×2 coding)")
+              require(mvCol >= ((-(mx * 16)) << 3) - 128 &&
+                mvCol <= (((mbCols - 1 - mx) * 16) << 3) + 128 &&
+                mvRow >= ((-(my * 16)) << 3) - 128 &&
+                mvRow <= (((mbRows - 1 - my) * 16) << 3) + 128,
+                "NEW MV outside the clamp window is out of subset")
+              writeMvComponent(be1, mvp(0), (mvRow - bR) / 2)
+              writeMvComponent(be1, mvp(1), (mvCol - bC) / 2)
+          }
+          mbRefArr(my * mbCols + mx) = spec.refIdx
+          mbModeArr(my * mbCols + mx) = spec.mode
+          mbMvArr(my * mbCols + mx) = packMv(mvRow, mvCol)
         }
-        mbRefArr(my * mbCols + mx) = spec.refIdx
-        mbModeArr(my * mbCols + mx) = spec.mode
-        mbMvArr(my * mbCols + mx) = packMv(mvRow, mvCol)
-        // prediction: MC from the selected reference
+        // prediction: MC from the selected reference, or 16×16 intra
+        // from the frame's own reconstruction
         val px = mx * 16
         val py = my * 16
-        val (refY, refU, refV) = refs(spec.refIdx)
+        val (refY, refU, refV) = refs(if (isIntra) 1 else spec.refIdx)
         require(refY.length == w * h, "reference plane geometry mismatch")
-        val pred = new Array[Int](256)
-        mcPredict(refY, stride, h, px, py, mvRow, mvCol, 16, 16, pred, 16, 0)
+        val pred =
+          if (isIntra) predict16(plane, stride, mx, my, spec.intraYMode)
+          else {
+            val out = new Array[Int](256)
+            mcPredict(refY, stride, h, px, py, mvRow, mvCol, 16, 16, out, 16, 0)
+            out
+          }
         val resid = new Array[Int](256)
         if (!skip) {
           val ctxY2 = aY2(mx) + lY2
@@ -3021,15 +3044,18 @@ object Vp8 {
           }
           r += 1
         }
-        // chroma: MC pred + planted residuals
+        // chroma: MC pred (inter) or 8×8 intra (intra-in-inter), with
+        // planted residuals
         val cmvRow = (mvRow + (1 | (mvRow >> 31))) / 2
         val cmvCol = (mvCol + (1 | (mvCol >> 31))) / 2
         val predU = new Array[Int](64)
         val predV = new Array[Int](64)
-        mcPredict(refU, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
-          8, 8, predU, 8, 0)
-        mcPredict(refV, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
-          8, 8, predV, 8, 0)
+        if (!isIntra) {
+          mcPredict(refU, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
+            8, 8, predU, 8, 0)
+          mcPredict(refV, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
+            8, 8, predV, 8, 0)
+        }
         val residU = new Array[Int](64)
         val residV = new Array[Int](64)
         if (!skip) {
@@ -3075,8 +3101,13 @@ object Vp8 {
             k += 1
           }
         }
-        addResidChroma(uPlane, cStride, mx, my, predU, residU)
-        addResidChroma(vPlane, cStride, mx, my, predV, residV)
+        if (isIntra) {
+          predictReconChroma(uPlane, cStride, mx, my, spec.intraUvMode, residU)
+          predictReconChroma(vPlane, cStride, mx, my, spec.intraUvMode, residV)
+        } else {
+          addResidChroma(uPlane, cStride, mx, my, predU, residU)
+          addResidChroma(vPlane, cStride, mx, my, predV, residV)
+        }
         mx += 1
       }
       my += 1

@@ -2651,6 +2651,12 @@ object NorthStar {
       |        CASE
       |          WHEN p.y // 16 <= 1 AND NOT (p.x // 16 = 3 AND p.y // 16 = 0)
       |            THEN s.pred
+      |          WHEN p.x // 16 = 0 AND p.y // 16 = 3
+      |            THEN 28 + (p.doc_id * 7 + 17) % 200
+      |               + (p.doc_id * 3 + 22) % 41 - 20
+      |          WHEN p.x // 16 = 2 AND p.y // 16 = 3
+      |            THEN 28 + (p.doc_id * 7 + 17) % 200
+      |               + (p.doc_id * 3 + 38) % 41 - 20
       |          ELSE 28 + (p.doc_id * 7 + (p.x // 32) * 31
       |                 + (p.y // 32) * 17) % 200
       |               + (p.doc_id * 3 + (p.x // 16) * 5
@@ -2670,6 +2676,10 @@ object NorthStar {
       |    AS g_zero_resid,
       |  CAST(max(CASE WHEN x = 20 AND y = 40 THEN g END) AS BIGINT)
       |    AS g_row2,
+      |  CAST(max(CASE WHEN x = 4 AND y = 52 THEN g END) AS BIGINT)
+      |    AS g_intra_v,
+      |  CAST(max(CASE WHEN x = 36 AND y = 52 THEN g END) AS BIGINT)
+      |    AS g_intra_h,
       |  CAST(128 + (doc_id * 13 + 1) % 31 - 15 AS BIGINT) AS v_plant,
       |  CAST(sum(g) AS BIGINT) AS gray_sum
       |FROM pix
@@ -2693,10 +2703,16 @@ object NorthStar {
         if (my == 0 && mx <= 2) Vp8.InterMbSpec(Vp8.MvNew, 1, 0, 4)
         else if (my == 0) Vp8.InterMbSpec(Vp8.MvZero)
         else if (my == 1) Vp8.InterMbSpec(Vp8.MvNearest)
+        // intra-in-inter (r14): V-pred from the constant MB above,
+        // H-pred from the constant MB to the left — both closed-form
+        else if (my == 3 && mx == 0) Vp8.InterMbSpec(0, intraYMode = 1)
+        else if (my == 3 && mx == 2) Vp8.InterMbSpec(0, intraYMode = 2)
         else Vp8.InterMbSpec(Vp8.MvZero)
       def y2Of(mx: Int, my: Int): Array[Int] = {
         val a = new Array[Int](16)
-        if (my >= 2 || (my == 0 && mx == 3)) a(0) = 4 * dOf(mx, my)
+        val intraMb = my == 3 && (mx == 0 || mx == 2)
+        if ((my >= 2 || (my == 0 && mx == 3)) && !intraMb)
+          a(0) = 4 * dOf(mx, my)
         a
       }
       def uvOf(mx: Int, my: Int, pl: Int, cb: Int): Array[Int] = {
@@ -2713,10 +2729,11 @@ object NorthStar {
       val v = frames(1)._3
       (id, frames.length.toLong, frames(0)._1(0).toLong,
         g(3 * w + 31).toLong, g(20 * w + 33).toLong, g(5 * w + 50).toLong,
-        g(40 * w + 20).toLong, v(20 * 32 + 12).toLong,
-        g.foldLeft(0L)(_ + _))
+        g(40 * w + 20).toLong, g(52 * w + 4).toLong, g(52 * w + 36).toLong,
+        v(20 * 32 + 12).toLong, g.foldLeft(0L)(_ + _))
     }.toDF("doc_id", "n_frames", "key_tl", "g_half_pel", "g_near",
-      "g_zero_resid", "g_row2", "v_plant", "gray_sum")
+      "g_zero_resid", "g_row2", "g_intra_v", "g_intra_h", "v_plant",
+      "gray_sum")
       .orderBy("doc_id")
   }
 

@@ -2089,6 +2089,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Vp8.decodeIvf(bad2).isEmpty, "container/frame dim mismatch")
   }
 
+  test("VP8 intra-in-inter: 16x16 DC/V/H/TM macroblocks inside an inter " +
+      "frame predict from the frame's own reconstruction and round-trip") {
+    import graft.ops.Vp8
+    val w = 64
+    val h = 32
+    val (keyWebp, keyY, keyU, keyV) = Vp8.makeWebpLossyFrameYuv(w, h,
+      (mx, my) => (mx + my) % 4,
+      (mx, my) => { val a = new Array[Int](16); a(0) = (mx * 31 - my * 17) % 90; a },
+      (_, _, _) => new Array[Int](16))
+    val zero16 = new Array[Int](16)
+    // inter frame: row 0 ZERO (copies the key), row 1 all four intra
+    // modes side by side, predicting from the in-frame row-0 recon
+    def mbOf(mx: Int, my: Int): Vp8.InterMbSpec =
+      if (my == 0) Vp8.InterMbSpec(Vp8.MvZero)
+      else Vp8.InterMbSpec(0, intraYMode = mx % 4, intraUvMode = (mx + 1) % 4)
+    def y2Of(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      if (my == 1 && mx % 2 == 0) a(0) = 11 - mx
+      a
+    }
+    val (p1, y1, u1, v1) = Vp8.makeInterFramePayload(w, h,
+      _ => (keyY, keyU, keyV), mbOf, y2Of, (_, _, _) => zero16)
+    val ivf = Vp8.makeIvf(w, h, Seq(Vp8.webpVp8Payload(keyWebp), p1))
+    val (_, _, frames) = Vp8.decodeIvf(ivf).getOrElse(
+      fail("intra-in-inter stream did not decode"))
+    assert(frames(1)._1.sameElements(y1) && frames(1)._2.sameElements(u1) &&
+      frames(1)._3.sameElements(v1),
+      "intra-in-inter decode diverges from the encoder simulation")
+    // independent pin: the V-pred MB(1,1) column-copies row 15's recon
+    for (c <- 16 until 32)
+      assert(frames(1)._1(20 * w + c) == frames(1)._1(15 * w + c),
+        s"V_PRED in inter frame must copy the row above at col $c")
+  }
+
   test("VP8 IVF key-frame sampling: the header-only census finds key " +
       "positions without entropy decode, and key-only decode survives a " +
       "corrupted inter payload that kills the full decode") {
