@@ -1026,12 +1026,12 @@ object Multimodal {
           val n = inf.inflate(raw)
           inf.end()
           if (n != raw.length) None
+          else if (!pngUnfilter(raw, w, h)) None
           else {
             val g = new Array[Int](w * h)
             var y = 0
             while (y < h) {
               val rowStart = y * (1 + 3 * w)
-              if (raw(rowStart) != 0) return None // only filter-0 rows
               var x = 0
               while (x < w) {
                 g(y * w + x) = raw(rowStart + 1 + 3 * x) & 0xff
@@ -1061,6 +1061,130 @@ object Multimodal {
         else None
       case _ => None
     }
+  }
+
+  /** PNG scanline unfiltering, ALL FIVE filter types (r14 — the
+    * previous subset accepted only filter-0 rows, but real-world
+    * encoders pick Sub/Up/Average/Paeth adaptively per row, so this was
+    * the biggest practical PNG gap): None/Sub/Up/Average/Paeth per the
+    * PNG spec §9, reconstructed in place over the 8-bit RGB scanlines
+    * (bpp = 3, the decode subset's color type). The Paeth predictor
+    * uses the spec's exact tie-breaking (a, then b, then c on equal
+    * distances). Returns false on an unknown filter type. */
+  private[graft] def pngUnfilter(raw: Array[Byte], w: Int, h: Int): Boolean = {
+    val rowLen = 1 + 3 * w
+    val bpp = 3
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a)
+      val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < h) {
+      val rs = y * rowLen
+      val f = raw(rs) & 0xff
+      if (f > 4) return false
+      var i = 0
+      while (i < 3 * w) {
+        val x = raw(rs + 1 + i) & 0xff
+        val a = if (i >= bpp) raw(rs + 1 + i - bpp) & 0xff else 0
+        val b = if (y > 0) raw(rs - rowLen + 1 + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) raw(rs - rowLen + 1 + i - bpp) & 0xff
+          else 0
+        val recon = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case _ => x + paeth(a, b, c)
+        }
+        raw(rs + 1 + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Filtered-PNG fixture encoder: a spec-valid 8-bit RGB PNG whose
+    * scanlines are REALLY filtered (`filterOf(row)` picks the type per
+    * row) and deflate-compressed through the JDK (dynamic huffman — a
+    * different zlib shape than [[buildImage]]'s stored blocks, so the
+    * inflate path is exercised both ways). Gray-plants `pix` into all
+    * three channels like the other fixtures. */
+  private[graft] def makePngFiltered(w: Int, h: Int,
+      pix: (Int, Int) => Int, filterOf: Int => Int): Array[Byte] = {
+    val rowLen = 1 + 3 * w
+    val bpp = 3
+    val recon = new Array[Int](h * 3 * w) // unfiltered reference bytes
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pix(x, y) & 0xff
+        recon(y * 3 * w + 3 * x) = g
+        recon(y * 3 * w + 3 * x + 1) = g
+        recon(y * 3 * w + 3 * x + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a)
+      val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * rowLen)
+    y = 0
+    while (y < h) {
+      val f = filterOf(y) & 0xff
+      require(f <= 4, s"bad PNG filter $f")
+      raw(y * rowLen) = f.toByte
+      var i = 0
+      while (i < 3 * w) {
+        val x = recon(y * 3 * w + i)
+        val a = if (i >= bpp) recon(y * 3 * w + i - bpp) else 0
+        val b = if (y > 0) recon((y - 1) * 3 * w + i) else 0
+        val c = if (y > 0 && i >= bpp) recon((y - 1) * 3 * w + i - bpp) else 0
+        val filt = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case _ => x - paeth(a, b, c)
+        }
+        raw(y * rowLen + 1 + i) = (filt & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val def0 = new java.util.zip.Deflater()
+    def0.setInput(raw)
+    def0.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zn = def0.deflate(zbuf)
+    def0.end()
+    val zlib = java.util.Arrays.copyOf(zbuf, zn)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(StandardCharsets.US_ASCII)
+      val bb = ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t)
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    pngSignature ++ chunk("IHDR", ihdr.array()) ++
+      chunk("IDAT", zlib) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** GIF pixel decode (closing the r9 codec-scope gap for the phash

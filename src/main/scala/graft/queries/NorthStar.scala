@@ -2795,6 +2795,51 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** PNG filter gate (r14 — the previous PNG subset accepted only
+    * filter-0 scanlines; real encoders pick Sub/Up/Average/Paeth
+    * adaptively, so this was the biggest practical PNG gap): 20
+    * deflate-compressed (dynamic-huffman, not stored-block) RGB PNGs
+    * whose rows cycle through ALL FIVE filter types over a textured
+    * plant, decoded by the full unfilter path. The oracle recomputes
+    * every sampled pixel and the gray_sum from the plant formula —
+    * any drift in a filter reconstruction (Paeth tie-breaking
+    * included) lands on different pixels and hash-fails. */
+  val multimodalPngFilters = QueryDef(
+    "q_ns_multimodal_png_filters",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id,
+      |        9 + (doc_id * 3) % 8 AS w, 7 + (doc_id * 5) % 8 AS h
+      |      FROM ids),
+      |px AS (SELECT doc_id, w, h, xs.x, ys.y,
+      |        (doc_id * 3 + xs.x * 7 + ys.y * 11) % 256 AS g
+      |      FROM p
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS y) ys
+      |      WHERE xs.x < w AND ys.y < h)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS g_tl,
+      |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN g END) AS BIGINT)
+      |    AS g_br,
+      |  CAST(max(CASE WHEN x = 3 AND y = 4 THEN g END) AS BIGINT) AS g_mid,
+      |  CAST(sum(g) AS BIGINT) AS gray_sum
+      |FROM px
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val w = (9 + (id * 3) % 8).toInt
+      val h = (7 + (id * 5) % 8).toInt
+      val bytes = Multimodal.makePngFiltered(w, h,
+        (x, y) => ((id * 3 + x * 7 + y * 11) % 256).toInt,
+        y => ((y + id) % 5).toInt)
+      val (dw, dh, g) = Multimodal.decodeGray(bytes).get
+      (id, dw.toLong, dh.toLong, g(0).toLong, g(dw * dh - 1).toLong,
+        g(4 * dw + 3).toLong, g.foldLeft(0L)(_ + _))
+    }.toDF("doc_id", "w", "h", "g_tl", "g_br", "g_mid", "gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** CHROMA-plane pixel gate (r13 verdict #3 — VP8 chroma reconstruction
     * in the GATE, upgrading the codec from luma-only to full key-frame
     * pixel surface): 20 two-MB frames with per-MB-constant planted U and
@@ -3908,6 +3953,7 @@ object NorthStar {
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
     multimodalTokenPartitions, multimodalIvfInter, multimodalIvfKeySample,
+    multimodalPngFilters,
     multimodalFeatures,
     multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,

@@ -2089,6 +2089,29 @@ class OpsSpec extends AnyFunSuite {
     assert(Vp8.decodeIvf(bad2).isEmpty, "container/frame dim mismatch")
   }
 
+  test("PNG filters: Sub/Up/Average/Paeth scanlines (deflate-compressed, " +
+      "per-row adaptive) reconstruct exactly, including Paeth tie-breaks") {
+    // textured plant with sharp jumps so every filter type produces
+    // nontrivial deltas and the Paeth predictor hits all three arms
+    def pix(x: Int, y: Int): Int = (x * 37 + y * 91 + (x * y) % 13 * 55) % 256
+    // each filter type as the sole filter, then the adaptive cycle
+    for (mode <- 0 to 5) {
+      val fOf: Int => Int = if (mode <= 4) _ => mode else y => y % 5
+      val bytes = Multimodal.makePngFiltered(23, 17, pix, fOf)
+      val (w, h, g) = Multimodal.decodeGray(bytes).getOrElse(
+        fail(s"filtered png (mode $mode) did not decode"))
+      assert(w == 23 && h == 17)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g(y * w + x) == pix(x, y),
+          s"filter mode $mode drifted at ($x,$y)")
+    }
+    // poison: an unknown filter type must reject (patch the raw stream
+    // by rebuilding with an illegal type via the unfilter entry point)
+    val raw = new Array[Byte](17 * (1 + 3 * 23))
+    raw(0) = 5 // filter type 5 does not exist
+    assert(!Multimodal.pngUnfilter(raw, 23, 17))
+  }
+
   test("VP8 intra-in-inter: 16x16 DC/V/H/TM macroblocks inside an inter " +
       "frame predict from the frame's own reconstruction and round-trip") {
     import graft.ops.Vp8
