@@ -26,10 +26,15 @@ import java.nio.charset.StandardCharsets
   *    refresh/copy plans and sign biases), whole-MB ZERO/NEAREST/NEAR/
   *    NEW modes through the §16.3 near-MV survey, §17.2 MV entropy
   *    (defaults + header updates, persistence honored), sixtap subpel
-  *    motion compensation with spec edge clamping, and INTRA-coded
-  *    16×16 MBs inside inter frames (the §11.2 non-key trees with
-  *    updatable probs); OUT of subset: SPLITMV, B_PRED-in-inter, and
-  *    NEW MVs beyond the clamp window (each None, never approximated);
+  *    motion compensation with spec edge clamping, INTRA-coded MBs
+  *    inside inter frames — all four 16×16 modes AND B_PRED with its
+  *    context-free non-key sub-mode coding (§11.2, updatable probs) —
+  *    and SPLITMV (r14: all four §16.2 partition styles, the §17.3
+  *    sub-MV reference tree with its five survey contexts, per-block
+  *    MC, and round-away-averaged chroma MVs); OUT of subset: MVs
+  *    beyond the §16.3 clamp window — whole-MB NEW or split block MVs
+  *    that the reference decoder would prediction-time-clamp
+  *    (need_to_clamp) — rejected (None), never approximated;
   *  - BOTH loop filters (r12 "What's missing" #2 — real-world encoders
   *    virtually always leave the filter on): normal and simple, all
   *    levels and sharpnesses, with the mode/ref level deltas parsed and
@@ -1231,6 +1236,45 @@ object Vp8 {
     -(ModeDc + 1), 2, -(ModeV + 1), 4, -(ModeH + 1), -(ModeTm + 1))
   private val DefaultUvModeProb: Array[Int] = Array(162, 101, 204)
 
+  /** Context-FREE 4×4 sub-mode probabilities for B_PRED macroblocks on
+    * NON-key frames (§11.2 — unlike the key frame's above/left-context
+    * table), over the same [[BModeTree]]. */
+  private val InterBModeProbs: Array[Int] =
+    Array(120, 90, 79, 133, 87, 85, 80, 111, 151)
+
+  /** SPLITMV machinery (§16.2/17.3): the partition-style tree over
+    * {16×8, 8×16, 8×8, 4×4} with its probs, the per-style block→
+    * partition fill maps, and the sub-MV reference tree
+    * {LEFT, ABOVE, ZERO, NEW} with its five survey contexts. */
+  private val MbSplitTree: Array[Int] = Array(
+    -(3 + 1), 2, -(2 + 1), 4, -(0 + 1), -(1 + 1))
+  private val MbSplitProbs: Array[Int] = Array(110, 111, 150)
+  private val MbSplits: Array[Array[Int]] = Array(
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1), // two 16×8
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1), // two 8×16
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3), // four 8×8
+    Array.tabulate(16)(identity)) // sixteen 4×4
+  private val MbSplitCount: Array[Int] = Array(2, 2, 4, 16)
+  private val SubMvLeft = 0
+  private val SubMvAbove = 1
+  private val SubMvZero = 2
+  private val SubMvNew = 3
+  private val SubMvRefTree: Array[Int] = Array(
+    -(SubMvLeft + 1), 2, -(SubMvAbove + 1), 4,
+    -(SubMvZero + 1), -(SubMvNew + 1))
+  /** Rows: NORMAL, LEFT_ZED, ABOVE_ZED, LEFT_ABOVE_SAME, LEFT_ABOVE_ZED. */
+  private val SubMvRefProbs: Array[Array[Int]] = Array(
+    Array(147, 136, 18), Array(106, 145, 1), Array(179, 121, 1),
+    Array(223, 1, 34), Array(208, 1, 1))
+
+  /** The sub-MV coding context from the representative block's left and
+    * above packed MVs (decodemv.c). */
+  private def subMvContext(left: Int, above: Int): Int =
+    if (above == left) { if (left == 0) 4 else 3 }
+    else if (above == 0) 2
+    else if (left == 0) 1
+    else 0
+
   /** The six-tap subpel interpolation filters, 8 phases (filter.c). A
     * phase's taps sum to 128, so constant regions filter to themselves
     * exactly — the closed-form anchor the gate oracles use. */
@@ -1702,6 +1746,9 @@ object Vp8 {
       val mbRefArr = new Array[Int](mbCols * mbRows)
       val mbModeArr = Array.fill(mbCols * mbRows)(-1)
       val mbMvArr = new Array[Int](mbCols * mbRows)
+      // per-4×4-block packed MVs for SPLITMV neighbors (non-SPLIT MBs
+      // fall back to their whole-MB MV in the lookup)
+      val mbBlockMvs = new Array[Int](mbCols * mbRows * 16)
       val signBias = Array(0, 0, st.signBiasGold, st.signBiasAlt)
       val refPlaneH = mbRows * 16
       var my = 0
@@ -1723,12 +1770,19 @@ object Vp8 {
           var interMode = -1
           var mvRow = 0
           var mvCol = 0
+          var splitMvs: Array[Int] = null
           if (!keyFrame && bd1.bool(probIntra) == 0) {
             // intra-coded MB inside an inter frame (§11.2: the non-key
-            // trees and updatable probs). Subset: the four 16×16 modes;
-            // B_PRED-in-inter (context-free sub-modes) stays out.
+            // trees and updatable probs); B_PRED sub-modes are context-
+            // FREE here, unlike the key frame's above/left-context table
             ymode = treeRead(bd1, YModeTree, ymp, 0)
-            if (ymode == ModeB) throw Malformed
+            if (ymode == ModeB) {
+              var b = 0
+              while (b < 16) {
+                subModes(b) = treeRead(bd1, BModeTree, InterBModeProbs, 0)
+                b += 1
+              }
+            }
             uvmode = treeRead(bd1, UvModeTree, uvmp, 0)
             // ref stays intra (0) in the survey arrays; mode/mv defaults
             var b = 0
@@ -1764,11 +1818,67 @@ object Vp8 {
                   mvRow < ((-(my * 16)) << 3) - 128 ||
                   mvRow > (((mbRows - 1 - my) * 16) << 3) + 128)
                   throw Malformed
-              case _ => throw Malformed // SPLITMV: out of subset
+              case _ => // SPLITMV (§16.2/17.3)
+                val style = treeRead(bd1, MbSplitTree, MbSplitProbs, 0)
+                val fill = MbSplits(style)
+                val smvs = new Array[Int](16)
+                splitMvs = smvs
+                // neighbor block-MV lookups: earlier blocks of THIS MB,
+                // else the neighbor MB (whole-MB MV unless it was SPLIT)
+                def blockMvAt(c: Int, r: Int, b: Int): Int =
+                  if (c < 0 || r < 0) 0
+                  else if (c == mx && r == my) smvs(b)
+                  else {
+                    val mi = r * mbCols + c
+                    if (mbModeArr(mi) != MvSplit) mbMvArr(mi)
+                    else mbBlockMvs(mi * 16 + b)
+                  }
+                def leftOf(k: Int): Int =
+                  if ((k & 3) != 0) blockMvAt(mx, my, k - 1)
+                  else blockMvAt(mx - 1, my, k + 3)
+                def aboveOf(k: Int): Int =
+                  if (k >= 4) blockMvAt(mx, my, k - 4)
+                  else blockMvAt(mx, my - 1, k + 12)
+                var j = 0
+                while (j < MbSplitCount(style)) {
+                  var k = 0
+                  while (fill(k) != j) k += 1 // partition representative
+                  val l = leftOf(k)
+                  val a = aboveOf(k)
+                  val p = SubMvRefProbs(subMvContext(l, a))
+                  val mv = treeRead(bd1, SubMvRefTree, p, 0) match {
+                    case SubMvLeft => l
+                    case SubMvAbove => a
+                    case SubMvZero => 0
+                    case _ =>
+                      packMv(
+                        readMvComponent(bd1, mvp(0)) * 2 + (best >> 16),
+                        readMvComponent(bd1, mvp(1)) * 2 + (best << 16 >> 16))
+                  }
+                  // subset line: a block MV outside the clamp window
+                  // would be prediction-time-clamped by the reference
+                  // decoder (need_to_clamp) — rejected, never guessed
+                  val bmR = mv >> 16
+                  val bmC = mv << 16 >> 16
+                  if (bmC < ((-(mx * 16)) << 3) - 128 ||
+                    bmC > (((mbCols - 1 - mx) * 16) << 3) + 128 ||
+                    bmR < ((-(my * 16)) << 3) - 128 ||
+                    bmR > (((mbRows - 1 - my) * 16) << 3) + 128)
+                    throw Malformed
+                  var kk = 0
+                  while (kk < 16) { if (fill(kk) == j) smvs(kk) = mv; kk += 1 }
+                  j += 1
+                }
+                // the MB's MV, as neighbors see it, is block 15's (§16.3)
+                mvRow = smvs(15) >> 16
+                mvCol = smvs(15) << 16 >> 16
             }
             mbRefArr(my * mbCols + mx) = refIdx
             mbModeArr(my * mbCols + mx) = interMode
             mbMvArr(my * mbCols + mx) = packMv(mvRow, mvCol)
+            if (interMode == MvSplit)
+              System.arraycopy(splitMvs, 0, mbBlockMvs,
+                (my * mbCols + mx) * 16, 16)
             // inter MBs reset the (key-frame-only) B sub-mode contexts
             var b = 0
             while (b < 4) { aBm(mx * 4 + b) = 0; lBm(b) = 0; b += 1 }
@@ -1878,6 +1988,55 @@ object Vp8 {
               // skipped B_PRED MB: Y contexts reset (UV reset in the
               // shared chroma section); Y2 contexts are left UNCHANGED —
               // this MB has no Y2 block
+              var k = 0
+              while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
+            }
+          } else if (interMb && interMode == MvSplit) {
+            // SPLITMV: no Y2; per-4×4-block MC with the block MVs plus
+            // type-3 tokens from coefficient 0 (the B_PRED token shape)
+            val refY = refIdx match {
+              case 1 => st.yLast
+              case 2 => st.yGold
+              case _ => st.yAlt
+            }
+            val p4 = new Array[Int](16)
+            var b = 0
+            while (b < 16) {
+              val br = b / 4
+              val bc = b % 4
+              val bx = px + bc * 4
+              val by = py + br * 4
+              val bmv = splitMvs(b)
+              mcPredict(refY, stride, refPlaneH, bx, by,
+                bmv >> 16, bmv << 16 >> 16, 4, 4, p4, 4, 0)
+              var r4: Array[Int] = null
+              if (!skip) {
+                val ctx = aY(mx * 4 + bc) + lY(br)
+                val nz = decodeBlockTokens(bd2, probs(3), 0, ctx, levels)
+                if (nz) mbAnyNz = true
+                aY(mx * 4 + bc) = if (nz) 1 else 0
+                lY(br) = aY(mx * 4 + bc)
+                var k = 0
+                while (k < 16) {
+                  coeffs(k) = levels(k) * (if (k == 0) ydcQ else yacQ)
+                  k += 1
+                }
+                r4 = inverseDct(coeffs)
+              }
+              var rr = 0
+              while (rr < 4) {
+                var cc = 0
+                while (cc < 4) {
+                  plane((by + rr) * stride + bx + cc) = clamp255(
+                    p4(rr * 4 + cc) + (if (r4 == null) 0 else r4(rr * 4 + cc)))
+                  cc += 1
+                }
+                rr += 1
+              }
+              b += 1
+            }
+            if (skip) {
+              // skipped SPLIT MB: Y contexts reset, Y2 untouched
               var k = 0
               while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
             }
@@ -2005,10 +2164,6 @@ object Vp8 {
             }
           }
           if (interMb) {
-            // chroma MVs: luma MV halved with round-away-from-zero
-            // (reconinter.c), applied at the 8×8 chroma geometry
-            val cmvRow = (mvRow + (1 | (mvRow >> 31))) / 2
-            val cmvCol = (mvCol + (1 | (mvCol >> 31))) / 2
             val (refU, refV) = refIdx match {
               case 1 => (st.uLast, st.vLast)
               case 2 => (st.uGold, st.vGold)
@@ -2016,10 +2171,40 @@ object Vp8 {
             }
             val predU = new Array[Int](64)
             val predV = new Array[Int](64)
-            mcPredict(refU, cStride, mbRows * 8, mx * 8, my * 8,
-              cmvRow, cmvCol, 8, 8, predU, 8, 0)
-            mcPredict(refV, cStride, mbRows * 8, mx * 8, my * 8,
-              cmvRow, cmvCol, 8, 8, predV, 8, 0)
+            if (interMode == MvSplit) {
+              // SPLIT chroma: each 4×4 chroma block's MV is the round-
+              // away average of its four luma block MVs (reconinter.c)
+              var ci = 0
+              while (ci < 2) {
+                var cj = 0
+                while (cj < 2) {
+                  val b0 = 2 * ci * 4 + 2 * cj
+                  def cavg(sel: Int => Int): Int = {
+                    var t = sel(b0) + sel(b0 + 1) + sel(b0 + 4) + sel(b0 + 5)
+                    if (t < 0) t -= 4 else t += 4
+                    t / 8
+                  }
+                  val cr2 = cavg(b => splitMvs(b) >> 16)
+                  val cc2 = cavg(b => splitMvs(b) << 16 >> 16)
+                  val off = ci * 4 * 8 + cj * 4
+                  mcPredict(refU, cStride, mbRows * 8, mx * 8 + cj * 4,
+                    my * 8 + ci * 4, cr2, cc2, 4, 4, predU, 8, off)
+                  mcPredict(refV, cStride, mbRows * 8, mx * 8 + cj * 4,
+                    my * 8 + ci * 4, cr2, cc2, 4, 4, predV, 8, off)
+                  cj += 1
+                }
+                ci += 1
+              }
+            } else {
+              // chroma MVs: luma MV halved with round-away-from-zero
+              // (reconinter.c), applied at the 8×8 chroma geometry
+              val cmvRow = (mvRow + (1 | (mvRow >> 31))) / 2
+              val cmvCol = (mvCol + (1 | (mvCol >> 31))) / 2
+              mcPredict(refU, cStride, mbRows * 8, mx * 8, my * 8,
+                cmvRow, cmvCol, 8, 8, predU, 8, 0)
+              mcPredict(refV, cStride, mbRows * 8, mx * 8, my * 8,
+                cmvRow, cmvCol, 8, 8, predV, 8, 0)
+            }
             addResidChroma(uPlane, cStride, mx, my, predU, residU)
             addResidChroma(vPlane, cStride, mx, my, predV, residV)
           } else {
@@ -2407,52 +2592,8 @@ object Vp8 {
         val px = mx * 16
         val py = my * 16
         if (isB) {
-          // B_PRED: per-subblock tokens + predict + reconstruct, in the
-          // decoder's exact interleaved order (later subblocks predict
-          // from earlier ones)
-          var b = 0
-          while (b < 16) {
-            val br = b / 4
-            val bc = b % 4
-            val bx = px + bc * 4
-            val by = py + br * 4
-            var r4: Array[Int] = null
-            if (!skip) {
-              val ctx = aY(mx * 4 + bc) + lY(br)
-              val nz = encodeBlockTokens(be2, probs(3), 0, ctx, yScans(b))
-              aY(mx * 4 + bc) = if (nz) 1 else 0
-              lY(br) = aY(mx * 4 + bc)
-              java.util.Arrays.fill(coeffs, 0)
-              var k = 0
-              while (k < 16) {
-                coeffs(Zigzag(k)) = yScans(b)(k) * (if (k == 0) ydcQ else yacQ)
-                k += 1
-              }
-              r4 = inverseDct(coeffs)
-            }
-            val ar =
-              if (bModeUsesAr(subModes(b)))
-                bPredAboveRight(plane, stride, mbCols, mx, my, bc, bx, by)
-              else DummyAr
-            val p4 = predict4(plane, stride, bx, by, subModes(b), ar)
-            var rr = 0
-            while (rr < 4) {
-              var cc = 0
-              while (cc < 4) {
-                plane((by + rr) * stride + bx + cc) = clamp255(
-                  p4(rr * 4 + cc) + (if (r4 == null) 0 else r4(rr * 4 + cc)))
-                cc += 1
-              }
-              rr += 1
-            }
-            b += 1
-          }
-          if (skip) {
-            // skipped B_PRED MB: Y contexts reset (UV reset in the
-            // shared chroma section), Y2 untouched
-            var k = 0
-            while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
-          }
+          encodeRecoBPred(be2, skip, plane, stride, mbCols, mx, my,
+            subModes, yScans, aY, lY, ydcQ, yacQ)
         } else {
         // prediction from the simulated plane (the decoder's exact rules)
         val pred = predict16(plane, stride, mx, my, mode)
@@ -2796,7 +2937,8 @@ object Vp8 {
     * factor per §17.2). */
   private[graft] final case class InterMbSpec(mode: Int, refIdx: Int = 1,
       mvRow: Int = 0, mvCol: Int = 0,
-      intraYMode: Int = -1, intraUvMode: Int = 0)
+      intraYMode: Int = -1, intraUvMode: Int = 0,
+      splitStyle: Int = -1)
 
   /** Build one spec-valid INTER frame payload against the given
     * reference planes (index 1 last / 2 golden / 3 altref, each on the
@@ -2810,6 +2952,8 @@ object Vp8 {
       y2Of: (Int, Int) => Array[Int],
       yOf: (Int, Int, Int) => Array[Int],
       uvOf: (Int, Int, Int, Int) => Array[Int] = (_, _, _, _) => ZeroScan16,
+      bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
+      splitMvOf: (Int, Int, Int) => (Int, Int) = (_, _, _) => (0, 0),
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
       refreshGold: Boolean = false, refreshAlt: Boolean = false)
       : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
@@ -2897,6 +3041,7 @@ object Vp8 {
     val mbRefArr = new Array[Int](mbCols * mbRows)
     val mbModeArr = Array.fill(mbCols * mbRows)(-1)
     val mbMvArr = new Array[Int](mbCols * mbRows)
+    val mbBlockMvs = new Array[Int](mbCols * mbRows * 16)
     val signBias = Array(0, 0, 0, 0)
     var my = 0
     while (my < mbRows) {
@@ -2908,21 +3053,26 @@ object Vp8 {
       while (mx < mbCols) {
         val spec = mbOf(mx, my)
         val isIntra = spec.intraYMode >= 0
+        val isB = isIntra && spec.intraYMode == ModeB
         if (isIntra)
-          require(spec.intraYMode <= ModeTm && spec.intraUvMode >= ModeDc &&
+          require(spec.intraYMode <= ModeB && spec.intraUvMode >= ModeDc &&
             spec.intraUvMode <= ModeTm,
-            "intra-in-inter fixture supports the four 16x16 modes")
+            "bad intra-in-inter fixture mode")
         else {
-          require(spec.mode >= MvZero && spec.mode <= MvNew,
+          require(spec.mode >= MvZero && spec.mode <= MvSplit,
             s"inter fixture mode ${spec.mode} not in subset")
+          require(spec.mode != MvSplit ||
+            (spec.splitStyle >= 0 && spec.splitStyle <= 3), "bad split style")
           require(spec.refIdx >= 1 && spec.refIdx <= 3, "bad refIdx")
         }
-        val y2Scan = y2Of(mx, my).clone()
+        val isSplit = !isIntra && spec.mode == MvSplit
+        val noY2 = isB || isSplit
+        val y2Scan = if (noY2) new Array[Int](16) else y2Of(mx, my).clone()
         require(y2Scan.length == 16)
         val yScans = Array.tabulate(16) { b =>
           val a = yOf(mx, my, b).clone()
           require(a.length == 16)
-          a(0) = 0 // owned by Y2 on non-SPLIT inter MBs
+          if (!noY2) a(0) = 0 // owned by Y2 (except B_PRED/SPLIT: no Y2)
           a
         }
         val uvScans = Array.tabulate(2, 4) { (pl, cb) =>
@@ -2932,16 +3082,33 @@ object Vp8 {
         }
         val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0)) &&
           uvScans.forall(_.forall(_.forall(_ == 0)))
-        mbLfInner(my * mbCols + mx) = !skip
+        mbLfInner(my * mbCols + mx) = isB || isSplit || !skip
         mbLfLevel(my * mbCols + mx) = filterLevel
         be1.bool(skipProb, if (skip) 1 else 0)
         be1.bool(probIntra, if (isIntra) 0 else 1)
         var mvRow = 0
         var mvCol = 0
+        var splitMvs: Array[Int] = null
+        val subModes = new Array[Int](16)
         if (isIntra) {
           // §11.2 non-key intra coding: ymode + uvmode on the inter
-          // trees with the default (un-updated) probabilities
+          // trees with the default (un-updated) probabilities; B_PRED
+          // sub-modes are context-free on non-key frames
           writeTree(be1, YModeTree, DefaultYModeProb, 0, spec.intraYMode)
+          if (isB) {
+            var b = 0
+            while (b < 16) {
+              val sm = bModeOf(mx, my, b)
+              require(sm >= BModeDc && sm <= BModeHu, s"bad 4x4 sub-mode $sm")
+              require(!(bModeUsesAr(sm) && b % 4 == 3 && my > 0 &&
+                mx == mbCols - 1),
+                "above-right sub-mode in the rightmost macroblock column " +
+                  "below the top row: off-frame convention not in subset")
+              subModes(b) = sm
+              writeTree(be1, BModeTree, InterBModeProbs, 0, sm)
+              b += 1
+            }
+          }
           writeTree(be1, UvModeTree, DefaultUvModeProb, 0, spec.intraUvMode)
           // survey arrays keep their intra defaults (ref 0, mv 0)
         } else {
@@ -2960,7 +3127,7 @@ object Vp8 {
             case MvZero =>
             case MvNearest => mvRow = nearest >> 16; mvCol = nearest << 16 >> 16
             case MvNear => mvRow = nearby >> 16; mvCol = nearby << 16 >> 16
-            case _ => // NEW
+            case MvNew =>
               mvRow = spec.mvRow
               mvCol = spec.mvCol
               val bR = best >> 16
@@ -2974,10 +3141,68 @@ object Vp8 {
                 "NEW MV outside the clamp window is out of subset")
               writeMvComponent(be1, mvp(0), (mvRow - bR) / 2)
               writeMvComponent(be1, mvp(1), (mvCol - bC) / 2)
+            case _ => // SPLITMV: style + per-partition sub-MVs, picking
+              // the cheapest legal sub-mode (LEFT/ABOVE/ZERO over NEW)
+              // exactly as the decoder resolves them
+              writeTree(be1, MbSplitTree, MbSplitProbs, 0, spec.splitStyle)
+              val fill = MbSplits(spec.splitStyle)
+              val smvs = new Array[Int](16)
+              splitMvs = smvs
+              def blockMvAt(c: Int, r: Int, b: Int): Int =
+                if (c < 0 || r < 0) 0
+                else if (c == mx && r == my) smvs(b)
+                else {
+                  val mi = r * mbCols + c
+                  if (mbModeArr(mi) != MvSplit) mbMvArr(mi)
+                  else mbBlockMvs(mi * 16 + b)
+                }
+              def leftOf(k: Int): Int =
+                if ((k & 3) != 0) blockMvAt(mx, my, k - 1)
+                else blockMvAt(mx - 1, my, k + 3)
+              def aboveOf(k: Int): Int =
+                if (k >= 4) blockMvAt(mx, my, k - 4)
+                else blockMvAt(mx, my - 1, k + 12)
+              val bR = best >> 16
+              val bC = best << 16 >> 16
+              var j = 0
+              while (j < MbSplitCount(spec.splitStyle)) {
+                var k = 0
+                while (fill(k) != j) k += 1
+                val l = leftOf(k)
+                val a = aboveOf(k)
+                val p = SubMvRefProbs(subMvContext(l, a))
+                val (tR, tC) = splitMvOf(mx, my, j)
+                val target = packMv(tR, tC)
+                val sm =
+                  if (target == l) SubMvLeft
+                  else if (target == a) SubMvAbove
+                  else if (target == 0) SubMvZero
+                  else SubMvNew
+                require(tC >= ((-(mx * 16)) << 3) - 128 &&
+                  tC <= (((mbCols - 1 - mx) * 16) << 3) + 128 &&
+                  tR >= ((-(my * 16)) << 3) - 128 &&
+                  tR <= (((mbRows - 1 - my) * 16) << 3) + 128,
+                  "sub-MV outside the clamp window is out of subset")
+                writeTree(be1, SubMvRefTree, p, 0, sm)
+                if (sm == SubMvNew) {
+                  require((tR - bR) % 2 == 0 && (tC - bC) % 2 == 0,
+                    "sub-MV delta must be even")
+                  writeMvComponent(be1, mvp(0), (tR - bR) / 2)
+                  writeMvComponent(be1, mvp(1), (tC - bC) / 2)
+                }
+                var kk = 0
+                while (kk < 16) { if (fill(kk) == j) smvs(kk) = target; kk += 1 }
+                j += 1
+              }
+              mvRow = smvs(15) >> 16
+              mvCol = smvs(15) << 16 >> 16
           }
           mbRefArr(my * mbCols + mx) = spec.refIdx
           mbModeArr(my * mbCols + mx) = spec.mode
           mbMvArr(my * mbCols + mx) = packMv(mvRow, mvCol)
+          if (isSplit)
+            System.arraycopy(splitMvs, 0, mbBlockMvs,
+              (my * mbCols + mx) * 16, 16)
         }
         // prediction: MC from the selected reference, or 16×16 intra
         // from the frame's own reconstruction
@@ -2985,6 +3210,54 @@ object Vp8 {
         val py = my * 16
         val (refY, refU, refV) = refs(if (isIntra) 1 else spec.refIdx)
         require(refY.length == w * h, "reference plane geometry mismatch")
+        if (isB) {
+          // B_PRED: no Y2, type-3 tokens interleaved with 4×4 intra
+          // prediction — the shared encoder/recon helper
+          encodeRecoBPred(be2, skip, plane, stride, mbCols, mx, my,
+            subModes, yScans, aY, lY, ydcQ, yacQ)
+        } else if (isSplit) {
+          // SPLITMV: per-4×4-block MC + type-3 tokens (decoder's twin)
+          val p4 = new Array[Int](16)
+          var b = 0
+          while (b < 16) {
+            val br = b / 4
+            val bc = b % 4
+            val bx = px + bc * 4
+            val by = py + br * 4
+            val bmv = splitMvs(b)
+            mcPredict(refY, stride, h, bx, by, bmv >> 16, bmv << 16 >> 16,
+              4, 4, p4, 4, 0)
+            var r4: Array[Int] = null
+            if (!skip) {
+              val ctx = aY(mx * 4 + bc) + lY(br)
+              val nz = encodeBlockTokens(be2, probs(3), 0, ctx, yScans(b))
+              aY(mx * 4 + bc) = if (nz) 1 else 0
+              lY(br) = aY(mx * 4 + bc)
+              java.util.Arrays.fill(coeffs, 0)
+              var k = 0
+              while (k < 16) {
+                coeffs(Zigzag(k)) = yScans(b)(k) * (if (k == 0) ydcQ else yacQ)
+                k += 1
+              }
+              r4 = inverseDct(coeffs)
+            }
+            var rr = 0
+            while (rr < 4) {
+              var cc = 0
+              while (cc < 4) {
+                plane((by + rr) * stride + bx + cc) = clamp255(
+                  p4(rr * 4 + cc) + (if (r4 == null) 0 else r4(rr * 4 + cc)))
+                cc += 1
+              }
+              rr += 1
+            }
+            b += 1
+          }
+          if (skip) {
+            var k = 0
+            while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
+          }
+        } else {
         val pred =
           if (isIntra) predict16(plane, stride, mx, my, spec.intraYMode)
           else {
@@ -3044,13 +3317,37 @@ object Vp8 {
           }
           r += 1
         }
+        } // end non-B luma path
         // chroma: MC pred (inter) or 8×8 intra (intra-in-inter), with
         // planted residuals
         val cmvRow = (mvRow + (1 | (mvRow >> 31))) / 2
         val cmvCol = (mvCol + (1 | (mvCol >> 31))) / 2
         val predU = new Array[Int](64)
         val predV = new Array[Int](64)
-        if (!isIntra) {
+        if (isSplit) {
+          // split chroma: round-away average of the four luma block MVs
+          var ci = 0
+          while (ci < 2) {
+            var cj = 0
+            while (cj < 2) {
+              val b0 = 2 * ci * 4 + 2 * cj
+              def cavg(sel: Int => Int): Int = {
+                var t = sel(b0) + sel(b0 + 1) + sel(b0 + 4) + sel(b0 + 5)
+                if (t < 0) t -= 4 else t += 4
+                t / 8
+              }
+              val cr2 = cavg(b => splitMvs(b) >> 16)
+              val cc2 = cavg(b => splitMvs(b) << 16 >> 16)
+              val off = ci * 4 * 8 + cj * 4
+              mcPredict(refU, cStride, h / 2, mx * 8 + cj * 4,
+                my * 8 + ci * 4, cr2, cc2, 4, 4, predU, 8, off)
+              mcPredict(refV, cStride, h / 2, mx * 8 + cj * 4,
+                my * 8 + ci * 4, cr2, cc2, 4, 4, predV, 8, off)
+              cj += 1
+            }
+            ci += 1
+          }
+        } else if (!isIntra) {
           mcPredict(refU, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
             8, 8, predU, 8, 0)
           mcPredict(refV, cStride, h / 2, mx * 8, my * 8, cmvRow, cmvCol,
@@ -3133,6 +3430,62 @@ object Vp8 {
     System.arraycopy(p1, 0, payload, 3, p1.length)
     System.arraycopy(p2, 0, payload, 3 + p1.length, p2.length)
     (payload, plane, uPlane, vPlane)
+  }
+
+  /** B_PRED per-subblock tokens + predict + reconstruct for the
+    * ENCODER simulations (key and inter frames share it; the decoder's
+    * twin lives inline in decodeFramePayload): type-3 tokens from
+    * coefficient 0, interleaved with prediction in the decoder's exact
+    * order (later subblocks predict from earlier ones). Skipped MBs
+    * reset the Y contexts and leave Y2 untouched (no Y2 on B_PRED). */
+  private def encodeRecoBPred(be2: BoolEncoder, skip: Boolean,
+      plane: Array[Int], stride: Int, mbCols: Int, mx: Int, my: Int,
+      subModes: Array[Int], yScans: Array[Array[Int]],
+      aY: Array[Int], lY: Array[Int], ydcQ: Int, yacQ: Int): Unit = {
+    val px = mx * 16
+    val py = my * 16
+    val coeffs = new Array[Int](16)
+    var b = 0
+    while (b < 16) {
+      val br = b / 4
+      val bc = b % 4
+      val bx = px + bc * 4
+      val by = py + br * 4
+      var r4: Array[Int] = null
+      if (!skip) {
+        val ctx = aY(mx * 4 + bc) + lY(br)
+        val nz = encodeBlockTokens(be2, DefaultCoeffProbs(3), 0, ctx, yScans(b))
+        aY(mx * 4 + bc) = if (nz) 1 else 0
+        lY(br) = aY(mx * 4 + bc)
+        java.util.Arrays.fill(coeffs, 0)
+        var k = 0
+        while (k < 16) {
+          coeffs(Zigzag(k)) = yScans(b)(k) * (if (k == 0) ydcQ else yacQ)
+          k += 1
+        }
+        r4 = inverseDct(coeffs)
+      }
+      val ar =
+        if (bModeUsesAr(subModes(b)))
+          bPredAboveRight(plane, stride, mbCols, mx, my, bc, bx, by)
+        else DummyAr
+      val p4 = predict4(plane, stride, bx, by, subModes(b), ar)
+      var rr = 0
+      while (rr < 4) {
+        var cc = 0
+        while (cc < 4) {
+          plane((by + rr) * stride + bx + cc) = clamp255(
+            p4(rr * 4 + cc) + (if (r4 == null) 0 else r4(rr * 4 + cc)))
+          cc += 1
+        }
+        rr += 1
+      }
+      b += 1
+    }
+    if (skip) {
+      var k = 0
+      while (k < 4) { aY(mx * 4 + k) = 0; lY(k) = 0; k += 1 }
+    }
   }
 
   /** Wrap VP8 frame payloads in an IVF container (DKIF/VP80). */

@@ -2649,6 +2649,9 @@ object NorthStar {
       |      GROUP BY doc_id, x, y),
       |pix AS (SELECT p.doc_id, p.x, p.y,
       |        CASE
+      |          WHEN p.x // 16 = 3 AND p.y // 16 = 1
+      |            THEN 28 + (p.doc_id * 7
+      |              + CASE WHEN p.x < 56 THEN 0 ELSE 31 END) % 200
       |          WHEN p.y // 16 <= 1 AND NOT (p.x // 16 = 3 AND p.y // 16 = 0)
       |            THEN s.pred
       |          WHEN p.x // 16 = 0 AND p.y // 16 = 3
@@ -2676,6 +2679,8 @@ object NorthStar {
       |    AS g_zero_resid,
       |  CAST(max(CASE WHEN x = 20 AND y = 40 THEN g END) AS BIGINT)
       |    AS g_row2,
+      |  CAST(max(CASE WHEN x = 50 AND y = 20 THEN g END) AS BIGINT)
+      |    AS g_split,
       |  CAST(max(CASE WHEN x = 4 AND y = 52 THEN g END) AS BIGINT)
       |    AS g_intra_v,
       |  CAST(max(CASE WHEN x = 36 AND y = 52 THEN g END) AS BIGINT)
@@ -2702,12 +2707,20 @@ object NorthStar {
       def mbOf(mx: Int, my: Int): Vp8.InterMbSpec =
         if (my == 0 && mx <= 2) Vp8.InterMbSpec(Vp8.MvNew, 1, 0, 4)
         else if (my == 0) Vp8.InterMbSpec(Vp8.MvZero)
+        // SPLITMV (r14): four 8×8 partitions, the left pair pointing a
+        // whole-pel MV into the OTHER 32×32 region (x −32 px), the
+        // right pair ZERO/ABOVE copies — every pixel one of the two
+        // region constants
+        else if (my == 1 && mx == 3)
+          Vp8.InterMbSpec(Vp8.MvSplit, splitStyle = 2)
         else if (my == 1) Vp8.InterMbSpec(Vp8.MvNearest)
         // intra-in-inter (r14): V-pred from the constant MB above,
         // H-pred from the constant MB to the left — both closed-form
         else if (my == 3 && mx == 0) Vp8.InterMbSpec(0, intraYMode = 1)
         else if (my == 3 && mx == 2) Vp8.InterMbSpec(0, intraYMode = 2)
         else Vp8.InterMbSpec(Vp8.MvZero)
+      def splitMvOf(mx: Int, my: Int, j: Int): (Int, Int) =
+        if (j % 2 == 0) (0, -256) else (0, 0)
       def y2Of(mx: Int, my: Int): Array[Int] = {
         val a = new Array[Int](16)
         val intraMb = my == 3 && (mx == 0 || mx == 2)
@@ -2721,7 +2734,8 @@ object NorthStar {
         a
       }
       val (p1, _, _, _) = Vp8.makeInterFramePayload(w, h,
-        _ => (keyY, keyU, keyV), mbOf, y2Of, (_, _, _) => zero16, uvOf)
+        _ => (keyY, keyU, keyV), mbOf, y2Of, (_, _, _) => zero16, uvOf,
+        splitMvOf = splitMvOf)
       val ivf = Vp8.makeIvf(w, h, Seq(keyPayload, p1))
       val (dw, dh, frames) = Vp8.decodeIvf(ivf).get
       require(dw == w && dh == h)
@@ -2729,11 +2743,12 @@ object NorthStar {
       val v = frames(1)._3
       (id, frames.length.toLong, frames(0)._1(0).toLong,
         g(3 * w + 31).toLong, g(20 * w + 33).toLong, g(5 * w + 50).toLong,
-        g(40 * w + 20).toLong, g(52 * w + 4).toLong, g(52 * w + 36).toLong,
-        v(20 * 32 + 12).toLong, g.foldLeft(0L)(_ + _))
+        g(40 * w + 20).toLong, g(20 * w + 50).toLong, g(52 * w + 4).toLong,
+        g(52 * w + 36).toLong, v(20 * 32 + 12).toLong,
+        g.foldLeft(0L)(_ + _))
     }.toDF("doc_id", "n_frames", "key_tl", "g_half_pel", "g_near",
-      "g_zero_resid", "g_row2", "g_intra_v", "g_intra_h", "v_plant",
-      "gray_sum")
+      "g_zero_resid", "g_row2", "g_split", "g_intra_v", "g_intra_h",
+      "v_plant", "gray_sum")
       .orderBy("doc_id")
   }
 
