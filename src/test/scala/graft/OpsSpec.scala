@@ -2230,6 +2230,57 @@ class OpsSpec extends AnyFunSuite {
         s"split whole-pel MC drifted at ($c,$r)")
   }
 
+  test("VP8 reference buffers: golden refresh/copy plans route MC to the " +
+      "right frame — a stale golden serves pre-update pixels while last " +
+      "tracks the newest reconstruction") {
+    import graft.ops.Vp8
+    val w = 32
+    val h = 32
+    val zero16 = new Array[Int](16)
+    // key frame: constant 100 (refreshes last+golden+altref)
+    val keyWebp = Vp8.makeWebpLossy(w, h, (_, _) => 100)
+    val keyPayload = Vp8.webpVp8Payload(keyWebp)
+    val (_, _, kY, kU, kV) = Vp8.decodeYuv(keyWebp).get
+    // frame 1: ZERO + residual +40 everywhere (→ 140), refreshes LAST
+    // only — golden stays at the key frame's 100
+    val d = new Array[Int](16); d(0) = 4 * 40
+    val (p1, y1, u1, v1) = Vp8.makeInterFramePayload(w, h,
+      _ => (kY, kU, kV), (_, _) => Vp8.InterMbSpec(Vp8.MvZero),
+      (_, _) => d, (_, _, _) => zero16)
+    assert(y1.forall(_ == 140))
+    // frame 2: half the MBs reference GOLDEN (→ 100), half LAST (→ 140)
+    val refs2: Int => (Array[Int], Array[Int], Array[Int]) = {
+      case 2 => (kY, kU, kV) // golden = key
+      case _ => (y1, u1, v1) // last = frame 1
+    }
+    val (p2, y2, _, _) = Vp8.makeInterFramePayload(w, h, refs2,
+      (mx, _) => Vp8.InterMbSpec(Vp8.MvZero, refIdx = if (mx == 0) 2 else 1),
+      (_, _) => zero16, (_, _, _) => zero16)
+    val ivf = Vp8.makeIvf(w, h, Seq(keyPayload, p1, p2))
+    val (_, _, frames) = Vp8.decodeIvf(ivf).getOrElse(
+      fail("golden-reference stream did not decode"))
+    assert(frames(2)._1.sameElements(y2))
+    for (r <- 0 until h) {
+      assert(frames(2)._1(r * w) == 100,
+        "golden-referencing MB must serve the key frame's pixels")
+      assert(frames(2)._1(r * w + 16) == 140,
+        "last-referencing MB must serve frame 1's pixels")
+    }
+    // refresh-golden plan: frame 1' refreshes golden too; then a
+    // golden-referencing frame reads the NEW pixels
+    val (p1g, y1g, u1g, v1g) = Vp8.makeInterFramePayload(w, h,
+      _ => (kY, kU, kV), (_, _) => Vp8.InterMbSpec(Vp8.MvZero),
+      (_, _) => d, (_, _, _) => zero16, refreshGold = true)
+    val (p2g, _, _, _) = Vp8.makeInterFramePayload(w, h,
+      _ => (y1g, u1g, v1g),
+      (_, _) => Vp8.InterMbSpec(Vp8.MvZero, refIdx = 2),
+      (_, _) => zero16, (_, _, _) => zero16)
+    val ivfG = Vp8.makeIvf(w, h, Seq(keyPayload, p1g, p2g))
+    val (_, _, framesG) = Vp8.decodeIvf(ivfG).get
+    assert(framesG(2)._1.forall(_ == 140),
+      "after refresh_golden the golden reference must serve frame 1'")
+  }
+
   test("VP8 IVF key-frame sampling: the header-only census finds key " +
       "positions without entropy decode, and key-only decode survives a " +
       "corrupted inter payload that kills the full decode") {
