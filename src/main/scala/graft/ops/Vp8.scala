@@ -17,7 +17,13 @@ import java.nio.charset.StandardCharsets
   *
   * DOCUMENTED SUBSET (the VP8L discipline — anything outside returns
   * None, never a crash):
-  *  - segmentation off; ALL token-partition layouts (r14: 1/2/4/8
+  *  - SEGMENTATION (r14, previously the first out-of-subset line):
+  *    per-segment quantizer and loop-filter features in absolute or
+  *    delta mode (§9.3), the tree-coded per-MB segment map read FIRST
+  *    in each MB header (§10), feature data persisted across inter
+  *    frames and reset by key frames (libvpx init_frame), and the
+  *    libvpx default of segment 0 when the map is not re-coded in a
+  *    frame; ALL token-partition layouts (r14: 1/2/4/8
   *    partitions with the §9.5 3-byte size table and row-mod-N
   *    routing — the layout real encoders emit for multithreaded
   *    decode);
@@ -688,7 +694,8 @@ object Vp8 {
     * does — display cropping happens after filtering. */
   private[graft] def loopFilterPlane(plane: Array[Int], stride: Int,
       mbCols: Int, mbRows: Int, size: Int, filterType: Int, sharpness: Int,
-      mbLevel: Array[Int], mbInner: Array[Boolean]): Unit = {
+      mbLevel: Array[Int], mbInner: Array[Boolean],
+      keyFrame: Boolean = true): Unit = {
     def u2s(v: Int): Int = v - 128
     def s2u(v: Int): Int = c128(v) + 128
     // edge taps addressed from q0's index `p` with step `d` (1 for a
@@ -758,7 +765,14 @@ object Vp8 {
             if (interior > 9 - sharpness) interior = 9 - sharpness
           }
           if (interior < 1) interior = 1
-          val hevT = if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0 // key frame
+          // §15.2 high-edge-variance thresholds differ by frame type:
+          // key frames have no 20..39 band and cap at 2
+          val hevT =
+            if (keyFrame) { if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0 }
+            else if (lvl >= 40) 3
+            else if (lvl >= 20) 2
+            else if (lvl >= 15) 1
+            else 0
           val mbE = 2 * (lvl + 2) + interior
           val sbE = 2 * lvl + interior
           val inner = mbInner(my * mbCols + mx)
@@ -1526,6 +1540,23 @@ object Vp8 {
     var uvModeProbs: Array[Int] = null
     val refLfDeltas = new Array[Int](4)
     val modeLfDeltas = new Array[Int](4)
+    // segmentation feature data (§9.3; r14): persists across inter
+    // frames until update_segment_feature_data, reset on key frames
+    // (libvpx init_frame resets segment_feature_data, the abs/delta
+    // mode, AND the ref/mode lf deltas together)
+    var segAbs = false
+    val segQ = new Array[Int](4)
+    val segLf = new Array[Int](4)
+    /** The key-frame reset of the PERSISTENT per-frame adjustment
+      * state (libvpx init_frame): segment feature data back to
+      * delta-mode zeros, loop-filter ref/mode deltas back to zero. */
+    def resetAdjustments(): Unit = {
+      segAbs = false
+      java.util.Arrays.fill(segQ, 0)
+      java.util.Arrays.fill(segLf, 0)
+      java.util.Arrays.fill(refLfDeltas, 0)
+      java.util.Arrays.fill(modeLfDeltas, 0)
+    }
     resetEntropy()
     /** Key-frame reset: coefficient, MV, and inter-frame intra-mode
       * probabilities back to the spec defaults, sign biases cleared. */
@@ -1556,8 +1587,11 @@ object Vp8 {
       var h = st.h
       var part1 = p + 3
       if (keyFrame) {
-        // a key frame resets the persistent entropy state to defaults
+        // a key frame resets the persistent entropy state to defaults,
+        // and the persistent adjustment state (segment feature data +
+        // lf deltas) to zero, per libvpx init_frame
         st.resetEntropy()
+        st.resetAdjustments()
         if ((bytes(p + 3) & 0xff) != 0x9d || (bytes(p + 4) & 0xff) != 0x01 ||
           (bytes(p + 5) & 0xff) != 0x2a) throw Malformed
         w = ((bytes(p + 6) & 0xff) | ((bytes(p + 7) & 0xff) << 8)) & 0x3fff
@@ -1575,7 +1609,41 @@ object Vp8 {
         bd1.literal(1) // color space
         bd1.literal(1) // clamping type
       }
-      if (bd1.literal(1) != 0) throw Malformed // segmentation: out of subset
+      // segmentation (§9.3; r14, previously out of subset): per-segment
+      // quantizer and loop-filter features in absolute or delta mode,
+      // with an optionally tree-coded per-MB segment map. Feature data
+      // persists across inter frames in the stream state; an
+      // enabled-but-not-map-updated frame decodes every MB as segment 0
+      // (libvpx read_mbinfo's "reset to 0 above by default" — VP8 does
+      // not carry the map itself across frames).
+      val segEnabled = bd1.literal(1) != 0
+      var segUpdateMap = false
+      val segTreeProbs = Array(255, 255, 255)
+      if (segEnabled) {
+        segUpdateMap = bd1.literal(1) != 0
+        if (bd1.literal(1) != 0) { // update_segment_feature_data
+          // absent per-segment values reset to 0 (libvpx memsets then
+          // reads), they do NOT keep their previous values
+          st.segAbs = bd1.literal(1) != 0
+          var i = 0
+          while (i < 8) {
+            var v = 0
+            if (bd1.literal(1) != 0) {
+              v = bd1.literal(if (i < 4) 7 else 6)
+              if (bd1.literal(1) != 0) v = -v
+            }
+            if (i < 4) st.segQ(i) = v else st.segLf(i - 4) = v
+            i += 1
+          }
+        }
+        if (segUpdateMap) {
+          var i = 0
+          while (i < 3) {
+            if (bd1.literal(1) != 0) segTreeProbs(i) = bd1.literal(8)
+            i += 1
+          }
+        }
+      }
       val filterType = bd1.literal(1) // 0 normal, 1 simple
       val filterLevel = bd1.literal(6)
       val sharpness = bd1.literal(3)
@@ -1708,14 +1776,34 @@ object Vp8 {
         pi += 1
       }
       // quantizers (the Y-block DC quantizer applies to B_PRED's
-      // no-Y2 blocks, which decode from coefficient 0)
-      val ydcQ = DcQLookup(clampQ(yacQi + ydcDelta))
-      val yacQ = AcQLookup(clampQ(yacQi))
-      val y2dcQ = DcQLookup(clampQ(yacQi + y2dcDelta)) * 2
-      val y2acQ = math.max(8, AcQLookup(clampQ(yacQi + y2acDelta)) * 155 / 100)
-      // chroma quantizers (§14.1: the UV DC factor is capped at 132)
-      val uvdcQ = math.min(132, DcQLookup(clampQ(yacQi + uvdcDelta)))
-      val uvacQ = AcQLookup(clampQ(yacQi + uvacDelta))
+      // no-Y2 blocks, which decode from coefficient 0) — one set per
+      // segment: the segment feature replaces (absolute mode) or
+      // offsets (delta mode) the frame's base index, clamped to the
+      // table range, and the per-coefficient-type deltas then apply on
+      // top of the segment base (§9.6/§14.1; libvpx mb_init_dequantizer)
+      val ydcQs = new Array[Int](4)
+      val yacQs = new Array[Int](4)
+      val y2dcQs = new Array[Int](4)
+      val y2acQs = new Array[Int](4)
+      val uvdcQs = new Array[Int](4)
+      val uvacQs = new Array[Int](4)
+      locally {
+        var s = 0
+        while (s < 4) {
+          val base =
+            if (!segEnabled) yacQi
+            else if (st.segAbs) clampQ(st.segQ(s))
+            else clampQ(yacQi + st.segQ(s))
+          ydcQs(s) = DcQLookup(clampQ(base + ydcDelta))
+          yacQs(s) = AcQLookup(clampQ(base))
+          y2dcQs(s) = DcQLookup(clampQ(base + y2dcDelta)) * 2
+          y2acQs(s) = math.max(8, AcQLookup(clampQ(base + y2acDelta)) * 155 / 100)
+          // chroma quantizers (§14.1: the UV DC factor is capped at 132)
+          uvdcQs(s) = math.min(132, DcQLookup(clampQ(base + uvdcDelta)))
+          uvacQs(s) = AcQLookup(clampQ(base + uvacDelta))
+          s += 1
+        }
+      }
       val mbCols = (w + 15) / 16
       val mbRows = (h + 15) / 16
       val stride = mbCols * 16
@@ -1761,6 +1849,21 @@ object Vp8 {
         var lY2 = 0
         var mx = 0
         while (mx < mbCols) {
+          // segment id rides FIRST in the MB header (§10), on the
+          // {2, 4, -0, -1, -2, -3} tree; a frame that does not update
+          // the map decodes every MB as segment 0
+          var segId = 0
+          if (segEnabled && segUpdateMap) {
+            segId =
+              if (bd1.bool(segTreeProbs(0)) == 0) bd1.bool(segTreeProbs(1))
+              else 2 + bd1.bool(segTreeProbs(2))
+          }
+          val ydcQ = ydcQs(segId)
+          val yacQ = yacQs(segId)
+          val y2dcQ = y2dcQs(segId)
+          val y2acQ = y2acQs(segId)
+          val uvdcQ = uvdcQs(segId)
+          val uvacQ = uvacQs(segId)
           val skip = mbSkipEnabled && bd1.bool(skipProb) == 1
           var ymode = ModeB
           val subModes = new Array[Int](16)
@@ -1925,10 +2028,18 @@ object Vp8 {
           // delta per the mode_lf_lut (B_PRED→slot 0, other intra→no
           // mode delta, ZEROMV→1, NEAREST/NEAR/NEW→2, SPLIT→3),
           // clamped to the 6-bit range
+          // segment feature first (absolute replaces, delta offsets,
+          // clamped to 0..63 — libvpx vp8_loop_filter_frame_init),
+          // then the ref/mode deltas on top with one final clamp
+          val segLfBase =
+            if (!segEnabled) filterLevel
+            else math.max(0, math.min(63,
+              if (st.segAbs) st.segLf(segId)
+              else filterLevel + st.segLf(segId)))
           mbLfLevel(my * mbCols + mx) =
-            if (!lfDeltaEnabled) filterLevel
+            if (!lfDeltaEnabled) segLfBase
             else {
-              var lvl = filterLevel + st.refLfDeltas(refIdx)
+              var lvl = segLfBase + st.refLfDeltas(refIdx)
               if (interMb) {
                 lvl += (interMode match {
                   case MvZero => st.modeLfDeltas(1)
@@ -2222,13 +2333,13 @@ object Vp8 {
       }
       if (filterLevel > 0) {
         loopFilterPlane(plane, stride, mbCols, mbRows, 16, filterType,
-          sharpness, mbLfLevel, mbLfInner)
+          sharpness, mbLfLevel, mbLfInner, keyFrame)
         if (filterType == 0) {
           // §15.1: the simple filter applies to LUMA only
           loopFilterPlane(uPlane, cStride, mbCols, mbRows, 8, 0,
-            sharpness, mbLfLevel, mbLfInner)
+            sharpness, mbLfLevel, mbLfInner, keyFrame)
           loopFilterPlane(vPlane, cStride, mbCols, mbRows, 8, 0,
-            sharpness, mbLfLevel, mbLfInner)
+            sharpness, mbLfLevel, mbLfInner, keyFrame)
         }
       }
       st.w = w
@@ -2377,12 +2488,15 @@ object Vp8 {
       bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
       lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0,
-      nTokenParts: Int = 1)
+      nTokenParts: Int = 1,
+      segQIdx: Array[Int] = null, segLfLvl: Array[Int] = null,
+      segOf: (Int, Int) => Int = (_, _) => 0)
       : (Array[Byte], Array[Int]) = {
     val (bytes, y, _, _) = makeWebpLossyFrameYuv(w, h, mbMode, y2Of, yOf,
       bModeOf = bModeOf, filterType = filterType, filterLevel = filterLevel,
       sharpness = sharpness, lfRefDeltaIntra = lfRefDeltaIntra,
-      lfModeDeltaBpred = lfModeDeltaBpred, nTokenParts = nTokenParts)
+      lfModeDeltaBpred = lfModeDeltaBpred, nTokenParts = nTokenParts,
+      segQIdx = segQIdx, segLfLvl = segLfLvl, segOf = segOf)
     (bytes, y)
   }
 
@@ -2405,7 +2519,10 @@ object Vp8 {
       bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
       lfRefDeltaIntra: Int = 0, lfModeDeltaBpred: Int = 0,
-      nTokenParts: Int = 1)
+      nTokenParts: Int = 1,
+      segQIdx: Array[Int] = null, segLfLvl: Array[Int] = null,
+      segOf: (Int, Int) => Int = (_, _) => 0,
+      segDeltaMode: Boolean = false, segCodeMap: Boolean = true)
       : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
     require(w > 0 && h > 0 && w <= 16383 && h <= 16383)
     require(nTokenParts == 1 || nTokenParts == 2 || nTokenParts == 4 ||
@@ -2414,21 +2531,75 @@ object Vp8 {
     require(filterLevel >= 0 && filterLevel <= 63)
     require(sharpness >= 0 && sharpness <= 7)
     require(math.abs(lfRefDeltaIntra) <= 63 && math.abs(lfModeDeltaBpred) <= 63)
+    // segmentation (§9.3): segQIdx non-null enables it — 4 per-segment
+    // y_ac quant values and 4 filter-level values (defaulting to the
+    // frame level so the filterLevel parameter keeps its meaning),
+    // ABSOLUTE by default or SIGNED DELTAS off the frame base with
+    // segDeltaMode, and a fully-coded map (all three tree probs
+    // written) unless segCodeMap = false — the enabled-but-not-updated
+    // layout that decodes every MB as segment 0
+    val segOn = segQIdx != null
+    require(!segOn || (segQIdx.length == 4 && segQIdx.forall(q =>
+      if (segDeltaMode) math.abs(q) <= 127 else q >= 0 && q <= 127)),
+      "segment quant values must be 4 indices in 0..127 (abs) or " +
+        "deltas in -127..127")
+    val segLfL =
+      if (!segOn) null
+      else if (segLfLvl == null) {
+        if (segDeltaMode) new Array[Int](4) else Array.fill(4)(filterLevel)
+      } else segLfLvl
+    require(segLfL == null || (segLfL.length == 4 && segLfL.forall(l =>
+      if (segDeltaMode) math.abs(l) <= 63 else l >= 0 && l <= 63)),
+      "segment filter levels must be 4 values in 0..63 (abs) or " +
+        "deltas in -63..63")
     val mbCols = (w + 15) / 16
     val mbRows = (h + 15) / 16
-    val qi = 4 // dc_qlookup(4) = 8 → y2dc quantizer 16
-    val ydcQ = DcQLookup(qi) // B_PRED blocks dequant coeff 0 with this
-    val yacQ = AcQLookup(qi)
-    val y2dcQ = DcQLookup(qi) * 2
-    val y2acQ = math.max(8, AcQLookup(qi) * 155 / 100)
-    // chroma quantizers: zero uv deltas, §14.1 cap is a no-op at qi 4
-    val uvdcQ = math.min(132, DcQLookup(qi))
-    val uvacQ = AcQLookup(qi)
+    val qi = 4 // dc_qlookup(4) = 8 → y2dc quantizer 16 (segment-off base)
+    def qiOf(s: Int): Int =
+      if (!segOn) qi
+      else if (segDeltaMode) clampQ(qi + segQIdx(s))
+      else segQIdx(s)
+    val ydcQs = Array.tabulate(4)(s => DcQLookup(qiOf(s)))
+    val yacQs = Array.tabulate(4)(s => AcQLookup(qiOf(s)))
+    val y2dcQs = Array.tabulate(4)(s => DcQLookup(qiOf(s)) * 2)
+    val y2acQs =
+      Array.tabulate(4)(s => math.max(8, AcQLookup(qiOf(s)) * 155 / 100))
+    // chroma quantizers: zero uv deltas, §14.1 cap on the DC factor
+    val uvdcQs = Array.tabulate(4)(s => math.min(132, DcQLookup(qiOf(s))))
+    val uvacQs = Array.tabulate(4)(s => AcQLookup(qiOf(s)))
     val be1 = new BoolEncoder
     // header
     be1.literal(0, 1) // color space
     be1.literal(0, 1) // clamping
-    be1.literal(0, 1) // segmentation off
+    if (!segOn) be1.literal(0, 1) // segmentation off
+    else {
+      be1.literal(1, 1) // segmentation_enabled
+      be1.literal(if (segCodeMap) 1 else 0, 1) // update_mb_segmentation_map
+      be1.literal(1, 1) // update_segment_feature_data
+      be1.literal(if (segDeltaMode) 0 else 1, 1) // feature mode
+      var s = 0
+      while (s < 4) { // quantizer features, 7-bit magnitude + sign
+        be1.literal(1, 1)
+        be1.literal(math.abs(segQIdx(s)), 7)
+        be1.literal(if (segQIdx(s) < 0) 1 else 0, 1)
+        s += 1
+      }
+      s = 0
+      while (s < 4) { // loop-filter features, 6-bit magnitude + sign
+        be1.literal(1, 1)
+        be1.literal(math.abs(segLfL(s)), 6)
+        be1.literal(if (segLfL(s) < 0) 1 else 0, 1)
+        s += 1
+      }
+      if (segCodeMap) {
+        s = 0
+        while (s < 3) { // mb_segment_tree_probs, all written as 128
+          be1.literal(1, 1)
+          be1.literal(128, 8)
+          s += 1
+        }
+      }
+    }
     be1.literal(filterType, 1)
     be1.literal(filterLevel, 6)
     be1.literal(sharpness, 3)
@@ -2512,6 +2683,15 @@ object Vp8 {
         val mode = mbMode(mx, my)
         require(mode >= ModeDc && mode <= ModeB, s"bad luma mode $mode")
         val isB = mode == ModeB
+        // a frame that does not code the map decodes as all-segment-0
+        val seg = if (segOn && segCodeMap) segOf(mx, my) else 0
+        require(seg >= 0 && seg < 4, s"bad segment id $seg")
+        val ydcQ = ydcQs(seg)
+        val yacQ = yacQs(seg)
+        val y2dcQ = y2dcQs(seg)
+        val y2acQ = y2acQs(seg)
+        val uvdcQ = uvdcQs(seg)
+        val uvacQ = uvacQs(seg)
         val y2Scan = if (isB) new Array[Int](16) else y2Of(mx, my).clone()
         require(y2Scan.length == 16)
         val yScans = Array.tabulate(16) { b =>
@@ -2530,9 +2710,20 @@ object Vp8 {
         // inner-edge rule, identically to the decoder: B_PRED always,
         // otherwise iff any coefficient lands (skip ⟺ all-zero plants)
         mbLfInner(my * mbCols + mx) = isB || !skip
+        // segment lf base first (absolute replaces, delta offsets,
+        // clamped), then the deltas — the decoder's two-step clamp order
+        val segLfBase =
+          if (!segOn) filterLevel
+          else math.max(0, math.min(63,
+            if (segDeltaMode) filterLevel + segLfL(seg) else segLfL(seg)))
         mbLfLevel(my * mbCols + mx) = math.max(0, math.min(63,
-          filterLevel + lfRefDeltaIntra +
+          segLfBase + lfRefDeltaIntra +
             (if (isB) lfModeDeltaBpred else 0)))
+        // segment id rides FIRST in the MB header (§10), before skip
+        if (segOn && segCodeMap) {
+          be1.bool(128, if (seg >= 2) 1 else 0)
+          be1.bool(128, seg & 1)
+        }
         be1.bool(skipProb, if (skip) 1 else 0)
         // ymode on the key-frame tree {-B, 2, 4, 6, -DC, -V, -H, -TM}:
         // B=0  DC=1,0,0  V=1,0,1  H=1,1,0  TM=1,1,1
@@ -2955,22 +3146,72 @@ object Vp8 {
       bModeOf: (Int, Int, Int) => Int = (_, _, _) => BModeDc,
       splitMvOf: (Int, Int, Int) => (Int, Int) = (_, _, _) => (0, 0),
       filterType: Int = 0, filterLevel: Int = 0, sharpness: Int = 0,
-      refreshGold: Boolean = false, refreshAlt: Boolean = false)
+      refreshGold: Boolean = false, refreshAlt: Boolean = false,
+      segQIdx: Array[Int] = null, segLfLvl: Array[Int] = null,
+      segOf: (Int, Int) => Int = (_, _) => 0,
+      segWriteData: Boolean = true)
       : (Array[Byte], Array[Int], Array[Int], Array[Int]) = {
     require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
       "inter fixture dims must be multiples of 16")
+    // segmentation (§9.3), mirroring the key-frame encoder: absolute
+    // feature mode, fully-coded map. With segWriteData = false the
+    // frame relies on feature data PERSISTED in the decoder's stream
+    // state (a prior frame must have written the same values) — the
+    // cross-frame persistence path the decoder implements
+    val segOn = segQIdx != null
+    require(!segOn ||
+      (segQIdx.length == 4 && segQIdx.forall(q => q >= 0 && q <= 127)),
+      "segment quant indices must be 4 values in 0..127")
+    val segLfL =
+      if (!segOn) null
+      else if (segLfLvl == null) Array.fill(4)(filterLevel)
+      else segLfLvl
+    require(segLfL == null ||
+      (segLfL.length == 4 && segLfL.forall(l => l >= 0 && l <= 63)),
+      "segment filter levels must be 4 values in 0..63")
     val mbCols = w / 16
     val mbRows = h / 16
     val qi = 4
-    val ydcQ = DcQLookup(qi)
-    val yacQ = AcQLookup(qi)
-    val y2dcQ = DcQLookup(qi) * 2
-    val y2acQ = math.max(8, AcQLookup(qi) * 155 / 100)
-    val uvdcQ = math.min(132, DcQLookup(qi))
-    val uvacQ = AcQLookup(qi)
+    def qiOf(s: Int): Int = if (segOn) segQIdx(s) else qi
+    val ydcQs = Array.tabulate(4)(s => DcQLookup(qiOf(s)))
+    val yacQs = Array.tabulate(4)(s => AcQLookup(qiOf(s)))
+    val y2dcQs = Array.tabulate(4)(s => DcQLookup(qiOf(s)) * 2)
+    val y2acQs =
+      Array.tabulate(4)(s => math.max(8, AcQLookup(qiOf(s)) * 155 / 100))
+    val uvdcQs = Array.tabulate(4)(s => math.min(132, DcQLookup(qiOf(s))))
+    val uvacQs = Array.tabulate(4)(s => AcQLookup(qiOf(s)))
     val be1 = new BoolEncoder
     // inter-frame header (no color space / clamping)
-    be1.literal(0, 1) // segmentation off
+    if (!segOn) be1.literal(0, 1) // segmentation off
+    else {
+      be1.literal(1, 1) // segmentation_enabled
+      be1.literal(1, 1) // update_mb_segmentation_map
+      if (!segWriteData) be1.literal(0, 1) // rely on persisted data
+      else {
+        be1.literal(1, 1) // update_segment_feature_data
+        be1.literal(1, 1) // absolute feature mode
+        var s = 0
+        while (s < 4) {
+          be1.literal(1, 1)
+          be1.literal(segQIdx(s), 7)
+          be1.literal(0, 1)
+          s += 1
+        }
+        s = 0
+        while (s < 4) {
+          be1.literal(1, 1)
+          be1.literal(segLfL(s), 6)
+          be1.literal(0, 1)
+          s += 1
+        }
+      }
+      var s = 0
+      while (s < 3) { // mb_segment_tree_probs
+        be1.literal(1, 1)
+        be1.literal(128, 8)
+        s += 1
+      }
+    }
     be1.literal(filterType, 1)
     be1.literal(filterLevel, 6)
     be1.literal(sharpness, 3)
@@ -3052,6 +3293,14 @@ object Vp8 {
       var mx = 0
       while (mx < mbCols) {
         val spec = mbOf(mx, my)
+        val seg = if (segOn) segOf(mx, my) else 0
+        require(seg >= 0 && seg < 4, s"bad segment id $seg")
+        val ydcQ = ydcQs(seg)
+        val yacQ = yacQs(seg)
+        val y2dcQ = y2dcQs(seg)
+        val y2acQ = y2acQs(seg)
+        val uvdcQ = uvdcQs(seg)
+        val uvacQ = uvacQs(seg)
         val isIntra = spec.intraYMode >= 0
         val isB = isIntra && spec.intraYMode == ModeB
         if (isIntra)
@@ -3083,7 +3332,13 @@ object Vp8 {
         val skip = y2Scan.forall(_ == 0) && yScans.forall(_.forall(_ == 0)) &&
           uvScans.forall(_.forall(_.forall(_ == 0)))
         mbLfInner(my * mbCols + mx) = isB || isSplit || !skip
-        mbLfLevel(my * mbCols + mx) = filterLevel
+        mbLfLevel(my * mbCols + mx) =
+          if (segOn) segLfL(seg) else filterLevel
+        // segment id FIRST in the MB header (§10)
+        if (segOn) {
+          be1.bool(128, if (seg >= 2) 1 else 0)
+          be1.bool(128, seg & 1)
+        }
         be1.bool(skipProb, if (skip) 1 else 0)
         be1.bool(probIntra, if (isIntra) 0 else 1)
         var mvRow = 0
@@ -3410,13 +3665,14 @@ object Vp8 {
       my += 1
     }
     if (filterLevel > 0) {
+      // inter frame ⇒ the §15.2 non-key hev-threshold table
       loopFilterPlane(plane, stride, mbCols, mbRows, 16, filterType,
-        sharpness, mbLfLevel, mbLfInner)
+        sharpness, mbLfLevel, mbLfInner, keyFrame = false)
       if (filterType == 0) {
         loopFilterPlane(uPlane, cStride, mbCols, mbRows, 8, 0,
-          sharpness, mbLfLevel, mbLfInner)
+          sharpness, mbLfLevel, mbLfInner, keyFrame = false)
         loopFilterPlane(vPlane, cStride, mbCols, mbRows, 8, 0,
-          sharpness, mbLfLevel, mbLfInner)
+          sharpness, mbLfLevel, mbLfInner, keyFrame = false)
       }
     }
     val p1 = be1.flush()

@@ -2570,6 +2570,81 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** VP8 segmentation gate (r14 — the subset list's first former
+    * out-of-subset line): 20 four-MB key frames with segmentation
+    * ENABLED, a tree-coded per-MB segment map, and four per-segment
+    * quantizer features — even docs in absolute mode (indices
+    * 4/20/60/100), odd docs coding the SAME effective indices as
+    * signed deltas off the frame base, so the two header layouts must
+    * land on identical pixels. Every MB is DC_PRED with one planted
+    * Y2 DC level, so each MB's value is the closed-form chain
+    * t(mx) = t(mx−1) + (((L·y2dcQ(seg) + 3) >> 3) + 4) >> 3 with
+    * y2dcQ = 2·dc_qlookup(qi) ∈ {16, 42, 110, 196} (RFC 6386 §14.1
+    * table values) — the oracle recomputes the chain from those
+    * constants. A drift anywhere — the §9.3 feature-data parse, the
+    * §10 segment-id tree read (which, mis-ordered against the skip
+    * flag, desyncs the whole mode stream), abs-vs-delta mode handling,
+    * or per-segment dequant selection — lands on different pixels and
+    * hash-fails. */
+  val multimodalSegmented = QueryDef(
+    "q_ns_multimodal_segmented",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |mbs AS (SELECT doc_id, m.mx FROM ids
+      |        CROSS JOIN (VALUES (0), (1), (2), (3)) m(mx)),
+      |q AS (SELECT doc_id, mx,
+      |        (mx + doc_id) % 4 AS seg,
+      |        1 + (doc_id * 5 + mx * 3) % 7 AS lvl
+      |      FROM mbs),
+      |d AS (SELECT doc_id, mx, seg,
+      |        ((lvl * CASE seg WHEN 0 THEN 16 WHEN 1 THEN 42
+      |                 WHEN 2 THEN 110 ELSE 196 END + 3) // 8 + 4) // 8
+      |          AS dd
+      |      FROM q),
+      |t AS (SELECT doc_id,
+      |        max(CASE WHEN mx = 0 THEN seg END) AS s0,
+      |        max(CASE WHEN mx = 1 THEN seg END) AS s1,
+      |        max(CASE WHEN mx = 2 THEN seg END) AS s2,
+      |        max(CASE WHEN mx = 3 THEN seg END) AS s3,
+      |        128 + sum(CASE WHEN mx <= 0 THEN dd ELSE 0 END) AS g0,
+      |        128 + sum(CASE WHEN mx <= 1 THEN dd ELSE 0 END) AS g1,
+      |        128 + sum(CASE WHEN mx <= 2 THEN dd ELSE 0 END) AS g2,
+      |        128 + sum(CASE WHEN mx <= 3 THEN dd ELSE 0 END) AS g3
+      |      FROM d GROUP BY doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(doc_id % 2 AS BIGINT) AS dm,
+      |  CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+      |  CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+      |  CAST(g0 AS BIGINT) AS g0, CAST(g1 AS BIGINT) AS g1,
+      |  CAST(g2 AS BIGINT) AS g2, CAST(g3 AS BIGINT) AS g3,
+      |  CAST(256 * (g0 + g1 + g2 + g3) AS BIGINT) AS gray_sum
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val zero = new Array[Int](16)
+      val deltaMode = id % 2 == 1
+      val bytes = graft.ops.Vp8.makeWebpLossyFrameYuv(64, 16,
+        (_, _) => 0,
+        (mx, _) => {
+          val a = new Array[Int](16)
+          a(0) = (1 + (id * 5 + mx * 3) % 7).toInt
+          a
+        },
+        (_, _, _) => zero,
+        segQIdx =
+          if (deltaMode) Array(0, 16, 56, 96) else Array(4, 20, 60, 100),
+        segOf = (mx, _) => ((mx + id) % 4).toInt,
+        segDeltaMode = deltaMode)._1
+      val (w, _, g) = Multimodal.decodeGray(bytes).get
+      def seg(mx: Int): Long = (mx + id) % 4
+      def gAt(mx: Int): Long = g(8 * w + mx * 16 + 8).toLong
+      (id, id % 2, seg(0), seg(1), seg(2), seg(3),
+        gAt(0), gAt(1), gAt(2), gAt(3), g.foldLeft(0L)(_ + _))
+    }.toDF("doc_id", "dm", "s0", "s1", "s2", "s3",
+      "g0", "g1", "g2", "g3", "gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** Token-partition layout gate (r14): 20 key frames at 32×96 (2×6
     * macroblocks) with per-MB planted constants, emitted with 1/2/4/8
     * token partitions round-robined by doc — the §9.5 layout real
@@ -3967,7 +4042,8 @@ object NorthStar {
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
-    multimodalTokenPartitions, multimodalIvfInter, multimodalIvfKeySample,
+    multimodalTokenPartitions, multimodalSegmented,
+    multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,
     multimodalFeatures,
     multimodalResize, multimodalFrames,

@@ -2281,6 +2281,166 @@ class OpsSpec extends AnyFunSuite {
       "after refresh_golden the golden reference must serve frame 1'")
   }
 
+  test("VP8 segmentation: per-segment quantizers in absolute and delta " +
+      "mode, the tree-coded map, the map-off segment-0 default, and the " +
+      "closed-form DC chain per segment") {
+    import graft.ops.Vp8
+    val zero = new Array[Int](16)
+    // 4 MBs across, map mx → segment mx, absolute y_ac quant indices
+    // with very different step sizes; each MB plants one Y2 DC level
+    val qAbs = Array(4, 20, 60, 100)
+    def y2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16); a(0) = 3 + mx; a
+    }
+    val (bAbs, eAbs, _, _) = Vp8.makeWebpLossyFrameYuv(64, 16,
+      (_, _) => 0, y2, (_, _, _) => zero,
+      segQIdx = qAbs, segOf = (mx, _) => mx)
+    val (dw, dh, dy, _, _) = Vp8.decodeYuv(bAbs).getOrElse(
+      fail("segmented (absolute) key frame did not decode"))
+    assert(dw == 64 && dh == 16)
+    assert(dy.sameElements(eAbs), "absolute-mode decode != simulation")
+    // closed-form check, independent of the shared transforms: DC_PRED
+    // chains left-to-right, each MB adds (((L·y2dcQ + 3) >> 3) + 4) >> 3
+    // with y2dcQ = 2·dc_qlookup(qi) = 16/42/110/196 for qi 4/20/60/100
+    val y2dcQ = Array(16, 42, 110, 196)
+    var pred = 128
+    for (mx <- 0 until 4) {
+      val dc = ((3 + mx) * y2dcQ(mx) + 3) >> 3
+      val t = pred + ((dc + 4) >> 3)
+      assert(dy(8 * 64 + mx * 16 + 8) == t,
+        s"segment $mx quantizer drifted: got ${dy(8 * 64 + mx * 16 + 8)}, " +
+          s"want $t")
+      pred = t
+    }
+    // the same effective indices coded as DELTAS off the frame base
+    // (qi 4): identical pixels through a different header layout
+    val (bDel, eDel, _, _) = Vp8.makeWebpLossyFrameYuv(64, 16,
+      (_, _) => 0, y2, (_, _, _) => zero,
+      segQIdx = Array(0, 16, 56, 96), segOf = (mx, _) => mx,
+      segDeltaMode = true)
+    assert(!bDel.sameElements(bAbs), "delta frame must differ in coding")
+    assert(eDel.sameElements(eAbs), "delta-mode simulation diverged")
+    assert(Vp8.decodeYuv(bDel).get._3.sameElements(eAbs),
+      "delta-mode decode diverged from the absolute-mode pixels")
+    // segmentation enabled but the map NOT coded: every MB decodes as
+    // segment 0 (the libvpx default), i.e. the same pixels as a frame
+    // whose four segments all carry segment 0's index
+    val (bOff, eOff, _, _) = Vp8.makeWebpLossyFrameYuv(64, 16,
+      (_, _) => 0, y2, (_, _, _) => zero,
+      segQIdx = qAbs, segOf = (mx, _) => mx, segCodeMap = false)
+    val (bAll0, eAll0, _, _) = Vp8.makeWebpLossyFrameYuv(64, 16,
+      (_, _) => 0, y2, (_, _, _) => zero,
+      segQIdx = Array(4, 4, 4, 4), segOf = (_, _) => 0)
+    assert(eOff.sameElements(eAll0))
+    assert(Vp8.decodeYuv(bOff).get._3.sameElements(eAll0),
+      "map-off frame must decode every MB as segment 0")
+    assert(!eOff.sameElements(eAbs),
+      "fixture must make the map matter (segments differ)")
+    // per-segment loop-filter levels (absolute): segment 1 carries
+    // level 0, so MB 1's left edge must stay sharp while MB 2's (level
+    // 40) filters — the per-MB level routing through the map
+    val vals = Array(100, 110, 100, 110)
+    def y2c(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16)
+      a(0) = (vals(mx) - (if (mx == 0) 128 else vals(mx - 1))) * 4
+      a
+    }
+    val (bLf, eLf, _, _) = Vp8.makeWebpLossyFrameYuv(64, 16,
+      (_, _) => 0, y2c, (_, _, _) => zero,
+      filterLevel = 40, segQIdx = Array(4, 4, 4, 4),
+      segLfLvl = Array(40, 0, 40, 40), segOf = (mx, _) => mx)
+    val gLf = Vp8.decodeYuv(bLf).get._3
+    assert(gLf.sameElements(eLf), "segment-lf decode != simulation")
+    assert(gLf(8 * 64 + 15) == 100 && gLf(8 * 64 + 16) == 110,
+      "a level-0 segment must not filter its left edge")
+    assert(gLf(8 * 64 + 47) != 100 || gLf(8 * 64 + 48) != 110,
+      "a level-40 segment must filter its left edge")
+  }
+
+  test("VP8 segmentation across inter frames: feature data persists in " +
+      "the stream state, a key frame resets it, and the §15.2 non-key " +
+      "hev-threshold table applies to inter frames") {
+    import graft.ops.Vp8
+    val zero = new Array[Int](16)
+    val w = 64
+    val h = 16
+    val qAbs = Array(4, 20, 60, 100)
+    // key frame: segmentation with absolute data, flat 128 luma
+    val (kb, ky, ku, kv) = Vp8.makeWebpLossyFrameYuv(w, h,
+      (_, _) => 0, (_, _) => zero, (_, _, _) => zero,
+      segQIdx = qAbs, segOf = (_, _) => 0)
+    // inter frame: segmentation enabled, map coded, feature data NOT
+    // written — the decoder must serve the key frame's persisted
+    // absolute indices; ZEROMV everywhere with per-MB Y2 plants whose
+    // dequant depends on the per-segment quantizer
+    def iy2(mx: Int, my: Int): Array[Int] = {
+      val a = new Array[Int](16); a(0) = 5; a
+    }
+    val (p1, y1, u1, v1) = Vp8.makeInterFramePayload(w, h,
+      _ => (ky, ku, kv),
+      (_, _) => Vp8.InterMbSpec(Vp8.MvZero),
+      iy2, (_, _, _) => zero,
+      segQIdx = qAbs, segOf = (mx, _) => mx, segWriteData = false)
+    val ivf = Vp8.makeIvf(w, h, Seq(Vp8.webpVp8Payload(kb), p1))
+    val (_, _, frames) = Vp8.decodeIvf(ivf).getOrElse(
+      fail("segmented inter stream did not decode"))
+    assert(frames(0)._1.sameElements(ky))
+    assert(frames(1)._1.sameElements(y1),
+      "persisted segment data must drive the inter frame's quantizers")
+    // the four MBs must differ (same planted level, four quantizers)
+    val mbVals = (0 until 4).map(mx => frames(1)._1(8 * w + mx * 16 + 8))
+    assert(mbVals.distinct.length == 4,
+      s"per-segment quantizers must separate the planted MBs: $mbVals")
+    // a SECOND key frame (segmentation off) resets the persisted data
+    // (libvpx init_frame): an inter frame that then relies on persisted
+    // values sees delta-mode zeros — every segment decodes at the frame
+    // base index and the planted MBs come out EQUAL
+    val (kb2, ky2, ku2, kv2) = Vp8.makeWebpLossyFrameYuv(w, h,
+      (_, _) => 0, (_, _) => zero, (_, _, _) => zero)
+    val (p2, y2b, _, _) = Vp8.makeInterFramePayload(w, h,
+      _ => (ky2, ku2, kv2),
+      (_, _) => Vp8.InterMbSpec(Vp8.MvZero),
+      iy2, (_, _, _) => zero,
+      segQIdx = Array(4, 4, 4, 4), segOf = (mx, _) => mx,
+      segWriteData = false)
+    val ivf2 = Vp8.makeIvf(w, h,
+      Seq(Vp8.webpVp8Payload(kb), Vp8.webpVp8Payload(kb2), p2))
+    val (_, _, frames2) = Vp8.decodeIvf(ivf2).getOrElse(
+      fail("reset stream did not decode"))
+    assert(frames2(2)._1.sameElements(y2b),
+      "post-reset inter frame must decode at the base quantizer")
+    val mbVals2 = (0 until 4).map(mx => frames2(2)._1(8 * w + mx * 16 + 8))
+    assert(mbVals2.distinct.length == 1,
+      s"key-frame reset must zero the segment features: $mbVals2")
+    // §15.2: at level 25 a |p1-p0| = 2 spike is high-variance under the
+    // KEY-frame table (hevT 1 → two-tap) but NOT under the inter table
+    // (hevT 2 → full wide path) — hand-evaluated, no shared code
+    def plane2(): Array[Int] = {
+      val p = new Array[Int](32 * 16)
+      var i = 0
+      while (i < p.length) { p(i) = if (i % 32 < 16) 100 else 110; i += 1 }
+      for (y <- 0 until 16) p(y * 32 + 14) = 102 // p1 spike of 2
+      p
+    }
+    val noInner = Array(false, false)
+    val pInter = plane2()
+    Vp8.loopFilterPlane(pInter, 32, 2, 1, 16, 0, 0, Array(25, 25), noInner,
+      keyFrame = false)
+    for (y <- 0 until 16) {
+      val row = (12 to 19).map(x => pInter(y * 32 + x))
+      assert(row == Seq(100, 102, 105, 105, 105, 107, 108, 110),
+        s"inter hev table (wide path), row $y: $row")
+    }
+    val pKey = plane2()
+    Vp8.loopFilterPlane(pKey, 32, 2, 1, 16, 0, 0, Array(25, 25), noInner,
+      keyFrame = true)
+    for (y <- 0 until 16) {
+      val row = (12 to 19).map(x => pKey(y * 32 + x))
+      assert(row == Seq(100, 100, 102, 103, 107, 110, 110, 110),
+        s"key hev table (two-tap path), row $y: $row")
+    }
+  }
+
   test("VP8 IVF key-frame sampling: the header-only census finds key " +
       "positions without entropy decode, and key-only decode survives a " +
       "corrupted inter payload that kills the full decode") {
