@@ -21,13 +21,18 @@ package graft.ops
   *
   * DOCUMENTED SUBSET (the VP8/VP8L discipline — anything outside
   * returns None, never a crash):
-  *  - baseline sequential DCT (SOF0) only, 8-bit precision, 1 component
-  *    (grayscale, non-interleaved) or 3 components (YCbCr, ONE
-  *    interleaved scan) with luma sampling factors up to 2×2 and 1×1
+  *  - baseline sequential DCT (SOF0) AND progressive DCT (SOF2, r14 —
+  *    the most common real-world variant: multi-scan spectral
+  *    selection + successive approximation per T.81 Annex G, with EOBn
+  *    run coding, AC refinement correction-bit weaving, interleaved DC
+  *    scans on the MCU grid vs single-component scans on the
+  *    ceil(natural/8) grid, and restart intervals inside any scan);
+  *    8-bit precision, 1 component (grayscale, non-interleaved) or 3
+  *    components (YCbCr) with luma sampling factors up to 2×2 and 1×1
   *    chroma — the 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 JFIF family; restart
   *    intervals supported (RSTn required at the exact spec position
   *    with the cyclic sequence number); no arithmetic coding, no
-  *    progressive/hierarchical modes, no subsampled-luma layouts;
+  *    hierarchical/lossless modes, no subsampled-luma layouts;
   *  - chroma upsampling is nearest-neighbor box replication (T.81 does
   *    not mandate a filter; libjpeg's default "fancy" bilinear differs
   *    — cross-decoder chroma-edge equality is NOT claimed, exactness is
@@ -216,6 +221,15 @@ object Jpeg {
     var plane: Array[Int] = null
     var stride = 0
     var pred = 0
+    // progressive state: the full-frame coefficient store (ZIGZAG order
+    // per block, accumulated across scans), block dims on the padded
+    // MCU grid, and the smaller non-interleaved dims (ceil(natural/8),
+    // T.81 A.2.2) that single-component scans walk
+    var coefs: Array[Int] = null
+    var wB = 0
+    var hB = 0
+    var wBNI = 0
+    var hBNI = 0
   }
 
   /** Decoded frame: per-component planes at their NATURAL (subsampled)
@@ -224,6 +238,176 @@ object Jpeg {
   private[graft] final case class Planes(w: Int, h: Int,
       planes: Array[Array[Int]], cw: Array[Int], ch: Array[Int],
       hmax: Int, vmax: Int)
+
+  /** Decode ONE progressive scan's entropy-coded segment (T.81 G.2):
+    * DC first/refinement scans (interleaved MCU order for multi-
+    * component scans, the component's own ceil(natural/8) block grid
+    * otherwise), AC first scans with EOBn run coding (band [Ss, Se],
+    * values shifted by the Al point transform), and AC refinement
+    * scans (correction bits for history-nonzero coefficients woven
+    * through the run/ZRL/EOB structure — the G.7 flow). Restart
+    * markers reset predictors AND the EOB run. Accumulates into each
+    * component's zigzag-order coefficient store and returns the file
+    * position of the marker that follows the segment (skipping pad
+    * bits and 0xFF fill bytes). */
+  private def progScan(bytes: Array[Byte], start: Int,
+      scomps: Array[Comp], ss: Int, se: Int, ah: Int, al: Int,
+      ri: Int, mcusX: Int, mcusY: Int): Int = {
+    val br = new BitReader(bytes, start, bytes.length)
+    var rstIdx = 0
+    var sinceRst = 0
+    var eobrun = 0
+    var c = 0
+    while (c < scomps.length) { scomps(c).pred = 0; c += 1 }
+    def maybeRestart(): Unit =
+      if (ri > 0 && sinceRst == ri) {
+        br.restartTo(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        sinceRst = 0
+        eobrun = 0
+        var cc = 0
+        while (cc < scomps.length) { scomps(cc).pred = 0; cc += 1 }
+      }
+    def dcBlock(cp: Comp, bi: Int): Unit =
+      if (ah == 0) {
+        val s = br.decode(cp.dc)
+        if (s > 11) throw Malformed
+        cp.pred += extend(br.bits(s), s)
+        cp.coefs(bi) = cp.pred << al
+      } else if (br.bit() == 1) cp.coefs(bi) |= 1 << al
+    def acFirstBlock(cp: Comp, bi: Int): Unit =
+      if (eobrun > 0) eobrun -= 1
+      else {
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = br.decode(cp.ac)
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s != 0) {
+            k += r
+            if (k > se) throw Malformed
+            cp.coefs(bi + k) = extend(br.bits(s), s) << al
+            k += 1
+          } else if (r == 15) k += 16 // ZRL
+          else { // EOBn: run of (1 << r) + receive(r) all-done bands
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            done = true
+          }
+        }
+      }
+    def acRefineBlock(cp: Comp, bi: Int): Unit = {
+      val p1 = 1 << al
+      var k = ss
+      // a history-nonzero coefficient consumes one correction bit; a
+      // set bit adds ±2^Al if that bit of the magnitude is still clear
+      def correct(idx: Int): Unit = {
+        val cur = cp.coefs(idx)
+        if (br.bit() == 1 && (cur & p1) == 0)
+          cp.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+      }
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = br.decode(cp.ac)
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) throw Malformed // only ±1·2^Al appears newly
+            newVal = if (br.bit() == 1) p1 else -p1
+          } else if (r != 15) {
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.bits(r)
+            done = true
+          }
+          if (!done) {
+            // advance over r zero-HISTORY positions (history-nonzero
+            // ones take correction bits instead of counting), then
+            // place the new coefficient (ZRL: r = 15, nothing placed)
+            var placed = false
+            while (!placed && k <= se) {
+              if (cp.coefs(bi + k) != 0) correct(bi + k)
+              else if (r == 0) {
+                if (newVal != 0) cp.coefs(bi + k) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run the band's remaining history-nonzero
+        // coefficients still take their correction bits
+        while (k <= se) {
+          if (cp.coefs(bi + k) != 0) correct(bi + k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    if (ss == 0 && scomps.length > 1) {
+      // interleaved DC scan in MCU order
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var cc = 0
+          while (cc < scomps.length) {
+            val cp = scomps(cc)
+            var v = 0
+            while (v < cp.v) {
+              var u = 0
+              while (u < cp.h) {
+                dcBlock(cp, ((my * cp.v + v) * cp.wB + mx * cp.h + u) * 64)
+                u += 1
+              }
+              v += 1
+            }
+            cc += 1
+          }
+          sinceRst += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: one component over its ceil(natural/8) grid
+      // (T.81 A.2.2 — NOT the MCU-padded grid); restart counts blocks
+      val cp = scomps(0)
+      var by = 0
+      while (by < cp.hBNI) {
+        var bx = 0
+        while (bx < cp.wBNI) {
+          maybeRestart()
+          val bi = (by * cp.wB + bx) * 64
+          if (ss == 0) dcBlock(cp, bi)
+          else if (ah == 0) acFirstBlock(cp, bi)
+          else acRefineBlock(cp, bi)
+          sinceRst += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // find the next marker: drop pad bits, allow a trailing stuffed
+    // 0xFF00 and any number of 0xFF fill bytes; anything else rejects
+    var p = br.bytePos
+    var slack = 2
+    var res = -1
+    while (res < 0) {
+      if (p + 1 >= bytes.length) throw Malformed
+      val b0 = bytes(p) & 0xff
+      val b1 = bytes(p + 1) & 0xff
+      if (b0 == 0xff && b1 == 0xff) p += 1 // fill byte
+      else if (b0 == 0xff && b1 != 0) res = p
+      else { p += 1; slack -= 1; if (slack < 0) throw Malformed }
+    }
+    res
+  }
 
   /** Decode a baseline JPEG in the documented subset: grayscale (one
     * component, non-interleaved) or YCbCr (three components, one
@@ -246,13 +430,24 @@ object Jpeg {
       var compIds: Array[Int] = null
       var ri = 0
       var scanStart = -1
-      while (scanStart < 0) {
+      var progressive = false
+      var nScans = 0
+      var progDone = false
+      var hmax = 0
+      var vmax = 0
+      var mcusX = 0
+      var mcusY = 0
+      while (scanStart < 0 && !progDone) {
         if (i + 1 >= bytes.length) return None
         if ((bytes(i) & 0xff) != 0xff) return None
         var m = bytes(i + 1) & 0xff
         while (m == 0xff && i + 2 < bytes.length) { i += 1; m = bytes(i + 1) & 0xff }
-        if (m == 0xd9) return None // EOI before SOS
-        if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+        if (m == 0xd9) {
+          // EOI: closes a progressive stream after ≥1 scan; premature
+          // anywhere else
+          if (progressive && nScans > 0) progDone = true else return None
+        }
+        else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
         else {
           if (i + 3 >= bytes.length) return None
           val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
@@ -293,7 +488,9 @@ object Jpeg {
                 if (tc == 0) huffDc(th) = t else huffAc(th) = t
                 p += 17 + n
               }
-            case 0xc0 => // SOF0 baseline
+            case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+              if (comps != null) return None // one frame header only
+              progressive = m == 0xc2
               if (len < 8) return None
               if ((bytes(seg) & 0xff) != 8) return None // precision
               h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
@@ -321,13 +518,28 @@ object Jpeg {
                 if (comps(1).h != 1 || comps(1).v != 1 ||
                   comps(2).h != 1 || comps(2).v != 1) return None
               }
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+              // grid geometry, needed per scan in the progressive path
+              hmax = comps.map(_.h).max
+              vmax = comps.map(_.v).max
+              mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              c = 0
+              while (c < nc) {
+                val cp = comps(c)
+                cp.wB = mcusX * cp.h
+                cp.hB = mcusY * cp.v
+                cp.wBNI = ((w * cp.h + hmax - 1) / hmax + 7) / 8
+                cp.hBNI = ((h * cp.v + vmax - 1) / vmax + 7) / 8
+                c += 1
+              }
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                 0xcb | 0xcd | 0xce | 0xcf =>
-              return None // non-baseline frame type: out of subset
+              return None // non-baseline/progressive frame: out of subset
             case 0xdd => // DRI: restart interval (any value; 0 disables)
               if (len < 4) return None
               ri = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
-            case 0xda => // SOS: single scan covering every component
+            case 0xda if !progressive =>
+              // baseline SOS: single scan covering every component
               if (comps == null) return None
               val ns = bytes(seg) & 0xff
               if (ns != comps.length) return None
@@ -344,16 +556,61 @@ object Jpeg {
                 c += 1
               }
               scanStart = i + 2 + len
+            case 0xda => // progressive SOS: one of many scans (T.81 G)
+              if (comps == null) return None
+              val ns = bytes(seg) & 0xff
+              if (ns < 1 || ns > comps.length || len != 6 + 2 * ns)
+                return None
+              val scomps = new Array[Comp](ns)
+              var prevIdx = -1
+              var c = 0
+              while (c < ns) {
+                val cs = bytes(seg + 1 + 2 * c) & 0xff
+                val idx = compIds.indexOf(cs)
+                if (idx <= prevIdx) return None // frame-order subset
+                prevIdx = idx
+                val cp = comps(idx)
+                val tt = bytes(seg + 2 + 2 * c) & 0xff
+                cp.dc = huffDc(tt >> 4) // may be null: refinement scans
+                cp.ac = huffAc(tt & 0x0f) // don't touch their tables
+                scomps(c) = cp
+                c += 1
+              }
+              val sSs = bytes(seg + 1 + 2 * ns) & 0xff
+              val sSe = bytes(seg + 2 + 2 * ns) & 0xff
+              val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+              val ah = ahal >> 4
+              val al = ahal & 0x0f
+              // G.1.1.1 progression constraints: DC scans carry the
+              // 0..0 band (any component set), AC scans one component
+              // and a band inside 1..63; successive approximation
+              // refines exactly one bit at a time
+              if (sSe > 63 || sSe < sSs) return None
+              if (sSs == 0 && sSe != 0) return None
+              if (sSs > 0 && ns != 1) return None
+              if (ah != 0 && ah != al + 1) return None
+              if (al > 13) return None
+              if (sSs == 0 && ah == 0 && scomps.exists(_.dc == null))
+                return None
+              if (sSs > 0 && scomps(0).ac == null) return None
+              c = 0
+              while (c < comps.length) {
+                val cp = comps(c)
+                if (cp.coefs == null)
+                  cp.coefs = new Array[Int](cp.wB * cp.hB * 64)
+                c += 1
+              }
+              i = progScan(bytes, i + 2 + len, scomps, sSs, sSe, ah, al,
+                ri, mcusX, mcusY)
+              nScans += 1
             case _ => () // APPn, COM, others: skip
           }
-          if (scanStart < 0) i += 2 + len
+          // a progressive SOS advanced i itself (to the marker after
+          // its entropy segment)
+          if (scanStart < 0 && !(progressive && m == 0xda)) i += 2 + len
         }
       }
       val nc = comps.length
-      val hmax = comps.map(_.h).max
-      val vmax = comps.map(_.v).max
-      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
       var c = 0
       while (c < nc) {
         val cp = comps(c)
@@ -362,9 +619,45 @@ object Jpeg {
         cp.plane = new Array[Int](cp.stride * mcusY * cp.v * 8)
         c += 1
       }
-      val br = new BitReader(bytes, scanStart, bytes.length)
       val coef = new Array[Int](64)
       val block = new Array[Int](64)
+      if (progressive) {
+        // all scans are in the coefficient stores; dequant + IDCT the
+        // whole frame (latest-wins quant tables, as libjpeg does)
+        c = 0
+        while (c < nc) {
+          val cp = comps(c)
+          val q = quant(cp.tq)
+          var by = 0
+          while (by < cp.hB) {
+            var bx = 0
+            while (bx < cp.wB) {
+              val bi = (by * cp.wB + bx) * 64
+              java.util.Arrays.fill(coef, 0)
+              var k = 0
+              while (k < 64) {
+                coef(Zigzag(k)) = cp.coefs(bi + k) * q(k)
+                k += 1
+              }
+              idct(coef, block)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  cp.plane((by * 8 + yy) * cp.stride + bx * 8 + xx) =
+                    block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+      } else {
+      val br = new BitReader(bytes, scanStart, bytes.length)
       var rstIdx = 0
       var sinceRst = 0
       var my = 0
@@ -443,6 +736,7 @@ object Jpeg {
         p += 1
       }
       if (!eoiOk) return None
+      } // end baseline entropy path
       val planes = new Array[Array[Int]](nc)
       val cws = new Array[Int](nc)
       val chs = new Array[Int](nc)
@@ -578,6 +872,20 @@ object Jpeg {
 
   private def fixDcCode(sym: Int): Int = FixDcSyms.indexOf(sym)
   private def fixAcCode(sym: Int): Int = FixAcSyms.indexOf(sym)
+
+  /** Progressive-scan AC symbol set: the baseline set PLUS the EOBn
+    * symbols (r << 4 for r = 1..14 — EOB runs of 2..32767; r = 0 is the
+    * plain EOB already present) that T.81 G.1.2.2 adds. 144 symbols,
+    * all at length 8 (canonical, clear of the all-ones code). */
+  private val FixAcProgSyms: Array[Int] =
+    (0 to 14).map(_ << 4).toArray ++ Array(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 8) yield (r << 4) | s)
+
+  private def fixAcProgCode(sym: Int): Int = {
+    val i = FixAcProgSyms.indexOf(sym)
+    require(i >= 0, f"symbol 0x$sym%02x not in the progressive AC set")
+    i
+  }
 
   /** Category (bit size) of a DC difference / AC level per T.81 F.1.2. */
   private def category(v: Int): Int = {
@@ -858,6 +1166,336 @@ object Jpeg {
     bwr.flush()
     marker(0xd9) // EOI
     // expected full-resolution RGB: crop + box-upsample + exact convert
+    val n = w * h
+    val rE = new Array[Int](n)
+    val gE = new Array[Int](n)
+    val bE = new Array[Int](n)
+    var y = 0
+    while (y < h) {
+      val cy = y / vs
+      var x = 0
+      while (x < w) {
+        val rgb = ycc2rgb(
+          planes(0)(y * strides(0) + x),
+          planes(1)(cy * strides(1) + x / hs),
+          planes(2)(cy * strides(2) + x / hs))
+        rE(y * w + x) = rgb >> 16
+        gE(y * w + x) = (rgb >> 8) & 0xff
+        bE(y * w + x) = rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (out.toArray, (rE, gE, bE))
+  }
+
+  /** Build a spec-valid PROGRESSIVE (SOF2) YCbCr JPEG using libjpeg's
+    * standard 10-scan progression script: an interleaved DC-first scan
+    * (Al = 1), per-component AC-first scans with spectral selection
+    * (Y split 1..5 / 6..63 at Al = 2, chroma 1..63 at Al = 1), a DC
+    * refinement scan, and successive-approximation AC refinement scans
+    * down to Al = 0 (Y twice: 2→1, 1→0). Every coefficient bit is
+    * eventually sent, so the completed frame reconstructs EXACTLY the
+    * planted levels — the expectation is the same dequant + IDCT +
+    * box-upsample + [[ycc2rgb]] simulation as [[makeJpegColor]], and a
+    * decode comparison pins the whole G.2 surface: EOBn run coding
+    * across blocks, ZRL-in-refinement, correction-bit weaving, the
+    * point transforms, spectral band bookkeeping, and the
+    * non-interleaved ceil(natural/8) block walk (≠ the MCU grid when
+    * dims are odd against the sampling). `ri` > 0 adds DRI + RSTn
+    * restarts inside every scan (EOB runs forced closed at each
+    * boundary). `levels(comp, bx, by)` as in [[makeJpegColor]]. */
+  private[graft] def makeJpegProgressive(w: Int, h: Int, hs: Int, vs: Int,
+      ri: Int, levels: (Int, Int, Int) => Array[Int])
+      : (Array[Byte], (Array[Int], Array[Int], Array[Int])) = {
+    require(w > 0 && h > 0 && w <= 4096 && h <= 4096)
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2 && ri >= 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = out += (v & 0xff).toByte
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 2 * 65) // DQT: luma + chroma tables
+    u8(0x00); FixQuantZz.foreach(u8)
+    u8(0x01); FixQuantChromaZz.foreach(u8)
+    // SOF2 (progressive DCT): 8-bit, 3 components
+    marker(0xc2); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8((hs << 4) | vs); u8(0)
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    // DHT: DC 0/1 (shared shape), progressive AC 0/1 (EOBn symbols in)
+    val dcCounts = Array.fill(16)(0); dcCounts(4) = FixDcSyms.length
+    val acCounts = Array.fill(16)(0); acCounts(7) = FixAcProgSyms.length
+    val tblLen = (1 + 16 + FixDcSyms.length) + (1 + 16 + FixAcProgSyms.length)
+    marker(0xc4); u16(2 + 2 * tblLen)
+    u8(0x00); dcCounts.foreach(u8); FixDcSyms.foreach(u8)
+    u8(0x10); acCounts.foreach(u8); FixAcProgSyms.foreach(u8)
+    u8(0x01); dcCounts.foreach(u8); FixDcSyms.foreach(u8)
+    u8(0x11); acCounts.foreach(u8); FixAcProgSyms.foreach(u8)
+    if (ri > 0) { marker(0xdd); u16(4); u16(ri) }
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
+    val compH = Array(hs, 1, 1)
+    val compV = Array(vs, 1, 1)
+    // non-interleaved block dims (T.81 A.2.2) — what AC scans walk
+    val wBNI = Array((w + 7) / 8, (w + hs * 8 - 1) / (hs * 8),
+      (w + hs * 8 - 1) / (hs * 8))
+    val hBNI = Array((h + 7) / 8, (h + vs * 8 - 1) / (vs * 8),
+      (h + vs * 8 - 1) / (vs * 8))
+    val zzOf = Array.tabulate(3) { c =>
+      (bx: Int, by: Int) => {
+        val a = levels(c, bx, by)
+        require(a.length == 64)
+        a
+      }
+    }
+    var bwr: BitWriter = null
+    var rstIdx = 0
+    var sinceRst = 0
+    var eobrun = 0
+    val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def acSym(sym: Int): Unit = bwr.bits(fixAcProgCode(sym), 8)
+    def emitEobrun(): Unit =
+      if (eobrun > 0) {
+        var nbits = 0
+        var t = eobrun
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        acSym(nbits << 4)
+        if (nbits > 0) bwr.bits(eobrun - (1 << nbits), nbits)
+        eobrun = 0
+        beBits.foreach(b => bwr.bits(b, 1))
+        beBits.clear()
+      }
+    val preds = new Array[Int](3)
+    def maybeRestart(): Unit =
+      if (ri > 0 && sinceRst == ri) {
+        emitEobrun()
+        bwr.flush()
+        marker(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        sinceRst = 0
+        java.util.Arrays.fill(preds, 0)
+      }
+    def beginScan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+        : Unit = {
+      marker(0xda); u16(6 + 2 * comps.length); u8(comps.length)
+      comps.foreach { c =>
+        u8(c + 1) // component id
+        u8(if (c == 0) 0x00 else 0x11) // DC/AC table selectors
+      }
+      u8(ss); u8(se); u8((ah << 4) | al)
+      bwr = new BitWriter(out)
+      rstIdx = 0
+      sinceRst = 0
+      eobrun = 0
+      beBits.clear()
+      java.util.Arrays.fill(preds, 0)
+    }
+    def endScan(): Unit = { emitEobrun(); bwr.flush() }
+    // ---- scan 1: interleaved DC first, Al = 1
+    beginScan(Seq(0, 1, 2), 0, 0, 0, 1)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        maybeRestart()
+        var c = 0
+        while (c < 3) {
+          var v = 0
+          while (v < compV(c)) {
+            var u = 0
+            while (u < compH(c)) {
+              val dcT = zzOf(c)(mx * compH(c) + u, my * compV(c) + v)(0) >> 1
+              val diff = dcT - preds(c)
+              preds(c) = dcT
+              val s = category(diff)
+              require(s <= 11, "DC difference out of range")
+              bwr.bits(fixDcCode(s), 5)
+              if (s > 0) bwr.bits(receiveBits(diff, s) & ((1 << s) - 1), s)
+              u += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        sinceRst += 1
+        mx += 1
+      }
+      my += 1
+    }
+    endScan()
+    // ---- AC first scan over one component's NI grid
+    def acFirstScan(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      beginScan(Seq(c), ss, se, 0, al)
+      var by = 0
+      while (by < hBNI(c)) {
+        var bx = 0
+        while (bx < wBNI(c)) {
+          maybeRestart()
+          val zz = zzOf(c)(bx, by)
+          var r = 0
+          var k = ss
+          var any = false
+          while (k <= se) {
+            val t0 = zz(k)
+            val mag = math.abs(t0) >> al
+            if (mag == 0) r += 1
+            else {
+              emitEobrun()
+              while (r > 15) { acSym(0xf0); r -= 16 }
+              val sz = category(mag)
+              require(sz <= 8, "fixture AC table covers size<=8")
+              acSym((r << 4) | sz)
+              val signed = if (t0 < 0) -mag else mag
+              bwr.bits(receiveBits(signed, sz) & ((1 << sz) - 1), sz)
+              r = 0
+              any = true
+            }
+            k += 1
+          }
+          if (r > 0 || !any) {
+            eobrun += 1
+            if (eobrun == 0x7fff) emitEobrun()
+          }
+          sinceRst += 1
+          bx += 1
+        }
+        by += 1
+      }
+      endScan()
+    }
+    // ---- AC refinement scan (the G.7 flow, jcphuff's shape)
+    def acRefineScan(c: Int, ss: Int, se: Int, al: Int): Unit = {
+      beginScan(Seq(c), ss, se, al + 1, al)
+      val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var by = 0
+      while (by < hBNI(c)) {
+        var bx = 0
+        while (bx < wBNI(c)) {
+          maybeRestart()
+          val zz = zzOf(c)(bx, by)
+          // pre-pass: point-transformed magnitudes + last NEW-nonzero
+          val absv = new Array[Int](64)
+          var eobPos = ss - 1
+          var k = ss
+          while (k <= se) {
+            val t = math.abs(zz(k)) >> al
+            absv(k) = t
+            if (t == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          brBits.clear()
+          k = ss
+          while (k <= se) {
+            val temp = absv(k)
+            if (temp == 0) r += 1
+            else {
+              // ZRLs only when they can't fold into the block's EOB
+              while (r > 15 && k <= eobPos) {
+                emitEobrun()
+                acSym(0xf0)
+                r -= 16
+                brBits.foreach(b => bwr.bits(b, 1))
+                brBits.clear()
+              }
+              if (temp > 1) brBits += (temp & 1) // history-nonzero
+              else {
+                emitEobrun()
+                acSym((r << 4) | 1)
+                bwr.bits(if (zz(k) < 0) 0 else 1, 1)
+                brBits.foreach(b => bwr.bits(b, 1))
+                brBits.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || brBits.nonEmpty) {
+            eobrun += 1
+            beBits ++= brBits
+            brBits.clear()
+            if (eobrun == 0x7fff || beBits.length > 900) emitEobrun()
+          }
+          sinceRst += 1
+          bx += 1
+        }
+        by += 1
+      }
+      endScan()
+    }
+    acFirstScan(0, 1, 5, 2) // scan 2
+    acFirstScan(1, 1, 63, 1) // scan 3
+    acFirstScan(2, 1, 63, 1) // scan 4
+    acFirstScan(0, 6, 63, 2) // scan 5
+    // ---- scan 6: DC refinement (interleaved), Ah = 1 → Al = 0
+    beginScan(Seq(0, 1, 2), 0, 0, 1, 0)
+    my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        maybeRestart()
+        var c = 0
+        while (c < 3) {
+          var v = 0
+          while (v < compV(c)) {
+            var u = 0
+            while (u < compH(c)) {
+              bwr.bits(zzOf(c)(mx * compH(c) + u, my * compV(c) + v)(0) & 1, 1)
+              u += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        sinceRst += 1
+        mx += 1
+      }
+      my += 1
+    }
+    endScan()
+    acRefineScan(0, 1, 63, 1) // scan 7: Y 2 → 1
+    acRefineScan(0, 1, 63, 0) // scan 8: Y 1 → 0
+    acRefineScan(1, 1, 63, 0) // scan 9
+    acRefineScan(2, 1, 63, 0) // scan 10
+    marker(0xd9) // EOI
+    // expected pixels: the completed progression reconstructs the full
+    // planted levels, so the simulation is makeJpegColor's exactly
+    val quantZz = Array(FixQuantZz, FixQuantChromaZz, FixQuantChromaZz)
+    val strides = Array(mcusX * hs * 8, mcusX * 8, mcusX * 8)
+    val planes = Array(
+      new Array[Int](strides(0) * mcusY * vs * 8),
+      new Array[Int](strides(1) * mcusY * 8),
+      new Array[Int](strides(2) * mcusY * 8))
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < 3) {
+      var by = 0
+      while (by < hBNI(c)) {
+        var bx = 0
+        while (bx < wBNI(c)) {
+          val zz = zzOf(c)(bx, by)
+          java.util.Arrays.fill(coef, 0)
+          var k = 0
+          while (k < 64) { coef(Zigzag(k)) = zz(k) * quantZz(c)(k); k += 1 }
+          idct(coef, block)
+          val st = strides(c)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(c)((by * 8 + yy) * st + bx * 8 + xx) = block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
     val n = w * h
     val rE = new Array[Int](n)
     val gE = new Array[Int](n)

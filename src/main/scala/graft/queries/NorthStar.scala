@@ -3170,6 +3170,91 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** PROGRESSIVE JPEG gate (r14 — SOF2, the most common real-world
+    * JPEG variant, previously rejected as out of subset): the same
+    * closed-form DC-only YCbCr expectations as the jpeg_color gate,
+    * but coded through the libjpeg 10-scan progression — interleaved
+    * DC first at Al 1, spectral-split AC first scans, DC refinement,
+    * and successive-approximation AC refinement to Al 0 — with in-scan
+    * restart intervals on two thirds of the docs. DC-only plants make
+    * every pixel the exact integer the oracle recomputes, while the AC
+    * scans still ride the full EOBn machinery (each is one giant EOB
+    * run); a drift anywhere in the multi-scan control flow — scan
+    * header parse, coefficient accumulation across scans, point
+    * transforms, EOB runs, restart resets, the non-interleaved block
+    * walk — lands on different pixels and hash-fails. */
+  val multimodalJpegProgressive = QueryDef(
+    "q_ns_multimodal_jpeg_progressive",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id,
+      |        18 + (doc_id * 3) % 8 AS w, 10 + (doc_id * 5) % 8 AS h,
+      |        CASE doc_id % 3 WHEN 0 THEN 1 ELSE 2 END AS hs,
+      |        CASE doc_id % 3 WHEN 2 THEN 2 ELSE 1 END AS vs
+      |      FROM ids),
+      |px AS (SELECT doc_id, w, h, hs, vs, xs.x, ys.y
+      |      FROM p
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 25)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 17)) AS y) ys
+      |      WHERE xs.x < w AND ys.y < h),
+      |v AS (SELECT doc_id, w, h, x, y,
+      |        128 + (doc_id * 9 + (x // 8) * 15 + (y // 8) * 27) % 160 - 80
+      |          AS yv,
+      |        128 + (doc_id * 11 + ((x // hs) // 8) * 17
+      |          + ((y // vs) // 8) * 23) % 100 - 50 AS cb,
+      |        128 + (doc_id * 13 + ((x // hs) // 8) * 19
+      |          + ((y // vs) // 8) * 31) % 100 - 50 AS cr
+      |      FROM px),
+      |rgb AS (SELECT doc_id, w, h, x, y,
+      |        GREATEST(0, LEAST(255, CAST(FLOOR((65536 * yv
+      |          + 91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+      |        GREATEST(0, LEAST(255, CAST(FLOOR((65536 * yv
+      |          - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+      |          / 65536.0) AS BIGINT))) AS g,
+      |        GREATEST(0, LEAST(255, CAST(FLOOR((65536 * yv
+      |          + 116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+      |      FROM v)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(doc_id % 3 AS BIGINT) AS ri,
+      |  CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT) AS r_tl,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS g_tl,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN b END) AS BIGINT) AS b_tl,
+      |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN r END) AS BIGINT)
+      |    AS r_br,
+      |  CAST(max(CASE WHEN x = 9 AND y = 9 THEN g END) AS BIGINT) AS g_mid,
+      |  CAST(sum(r) AS BIGINT) AS r_sum,
+      |  CAST(sum(g) AS BIGINT) AS g_sum,
+      |  CAST(sum(b) AS BIGINT) AS b_sum
+      |FROM rgb
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      val w = (18 + (id * 3) % 8).toInt
+      val h = (10 + (id * 5) % 8).toInt
+      val hs = if (id % 3 == 0) 1 else 2
+      val vs = if (id % 3 == 2) 2 else 1
+      val ri = (id % 3).toInt
+      val (bytes, _) = graft.ops.Jpeg.makeJpegProgressive(w, h, hs, vs, ri,
+        (c, bx, by) => {
+          val a = new Array[Int](64)
+          a(0) = (c match {
+            case 0 => (id * 9 + bx * 15 + by * 27) % 160 - 80
+            case 1 => (id * 11 + bx * 17 + by * 23) % 100 - 50
+            case _ => (id * 13 + bx * 19 + by * 31) % 100 - 50
+          }).toInt
+          a
+        })
+      val (dw, dh, r, g, b) = graft.ops.Jpeg.decodeRgb(bytes).get
+      def sum(a: Array[Int]): Long = a.foldLeft(0L)(_ + _)
+      (id, id % 3, dw.toLong, dh.toLong, r(0).toLong, g(0).toLong,
+        b(0).toLong, r(dw * dh - 1).toLong, g(9 * dw + 9).toLong,
+        sum(r), sum(g), sum(b))
+    }.toDF("doc_id", "ri", "w", "h", "r_tl", "g_tl", "b_tl", "r_br",
+      "g_mid", "r_sum", "g_sum", "b_sum")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -4042,6 +4127,7 @@ object NorthStar {
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
+    multimodalJpegProgressive,
     multimodalTokenPartitions, multimodalSegmented,
     multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,

@@ -1941,6 +1941,69 @@ class OpsSpec extends AnyFunSuite {
       "non-1x1 chroma sampling is out of subset and must reject")
   }
 
+  test("JPEG progressive (SOF2): the libjpeg 10-scan script round-trips — " +
+      "EOBn runs, ZRL-in-refinement, correction-bit weaving, point " +
+      "transforms, spectral bands, the NI-vs-MCU block grids, and " +
+      "in-scan restarts") {
+    import graft.ops.Jpeg
+    // sparse plants: all-zero-AC blocks (EOB runs span blocks), high-k
+    // coefficients (ZRL + band-end), small magnitudes that vanish under
+    // the Al point transform and only appear in refinement scans,
+    // negatives and odd DC values (two's-complement refinement bits)
+    def levels(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = ((bx * 7 + by * 5 + c * 11) % 61) - 30
+      if ((bx + by + c) % 3 != 0) {
+        a(1 + (bx + c) % 4) = ((bx + by) % 15) - 7
+        a(20 + (by % 3) * 11) = if ((bx + by + c) % 2 == 0) 5 else -6
+        a(63) = ((bx + c) % 3) - 1
+      }
+      a
+    }
+    // the (2,2,…,17,23) case makes the Y non-interleaved grid (3×3
+    // blocks) genuinely smaller than the MCU grid (4×4) — AC scans must
+    // walk the former while DC scans cover the latter
+    for ((hs, vs, ri, w, h) <- Seq((2, 2, 0, 48, 32), (1, 1, 3, 40, 24),
+        (2, 1, 0, 44, 28), (1, 2, 2, 24, 40), (2, 2, 5, 17, 23))) {
+      val (bytes, (er, eg, eb)) =
+        Jpeg.makeJpegProgressive(w, h, hs, vs, ri, levels)
+      val (dw, dh, r, g, b) = Jpeg.decodeRgb(bytes).getOrElse(
+        fail(s"progressive ($hs,$vs,ri=$ri,${w}x$h) did not decode"))
+      assert(dw == w && dh == h)
+      assert(r.sameElements(er) && g.sameElements(eg) && b.sameElements(eb),
+        s"progressive ($hs,$vs,ri=$ri,${w}x$h) decode != simulation")
+    }
+    // the progression is complete (every bit sent), so progressive and
+    // baseline files of the SAME levels must decode to the SAME pixels
+    val (pb, _) = Jpeg.makeJpegProgressive(32, 24, 1, 1, 0, levels)
+    val (bb, _) = Jpeg.makeJpegColor(32, 24, 1, 1, 0, levels)
+    val (_, _, pr, pg, pbl) = Jpeg.decodeRgb(pb).get
+    val (_, _, br2, bg2, bb2) = Jpeg.decodeRgb(bb).get
+    assert(pr.sameElements(br2) && pg.sameElements(bg2) &&
+      pbl.sameElements(bb2),
+      "completed progression must equal the baseline decode")
+    // poisons: EOI before any scan; truncation inside a scan; a
+    // refinement Ah that is not Al+1 (patched scan header)
+    val (fullB, _) = Jpeg.makeJpegProgressive(24, 16, 1, 1, 0, levels)
+    var sos = -1
+    var j = 2
+    while (sos < 0 && j + 1 < fullB.length) {
+      if ((fullB(j) & 0xff) == 0xff && (fullB(j + 1) & 0xff) == 0xda) sos = j
+      j += 1
+    }
+    assert(sos > 0)
+    val noScan = fullB.take(sos) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Jpeg.decodeRgb(noScan).isEmpty, "EOI before any scan")
+    for (cut <- Seq(sos + 5, fullB.length / 2, fullB.length - 1))
+      assert(Jpeg.decodeRgb(fullB.take(cut)).isEmpty, s"truncated at $cut")
+    val badAh = fullB.clone()
+    // first SOS is the interleaved DC scan: len 12, AhAl at sos+13;
+    // Ah=3 with Al=1 violates the one-bit-at-a-time rule
+    assert((badAh(sos + 13) & 0xff) == 0x01)
+    badAh(sos + 13) = 0x31.toByte
+    assert(Jpeg.decodeRgb(badAh).isEmpty, "Ah != Al+1 must reject")
+  }
+
   test("VP8 token partitions: 2/4/8-partition frames (§9.5 size table + " +
       "row-mod-N routing) decode identically to the 1-partition stream, " +
       "and a truncated partition or oversized size field rejects") {
