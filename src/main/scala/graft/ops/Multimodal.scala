@@ -866,7 +866,28 @@ object Multimodal {
     else if (bytes.length >= 12 &&
       new String(bytes, 4, 4, StandardCharsets.US_ASCII) == "ftyp")
       mp4Meta(bytes)
+    else if (bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C') flacMeta(bytes)
     else RawAv
+  }
+
+  /** FLAC STREAMINFO metadata (r14, next to the [[graft.ops.Flac]]
+    * sample decoder): the spec requires STREAMINFO as the first block,
+    * so rate/channels/duration read from fixed offsets — header-only,
+    * the same cost class as the WAV/MP4 walks. */
+  private def flacMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    val btype = bytes(4) & 0x7f
+    val len = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+      (bytes(7) & 0xff)
+    if (btype != 0 || len != 34 || bytes.length < 8 + 34) RawAv
+    else {
+      def b(i: Int): Int = bytes(8 + i) & 0xff
+      val rate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+      val ch = ((b(12) >> 1) & 7) + 1
+      val total = ((b(13) & 0x0f).toLong << 32) | (b(14).toLong << 24) |
+        (b(15) << 16) | (b(16) << 8) | b(17)
+      if (rate <= 0) RawAv else ("flac", ch, rate, total * 1000L / rate)
+    }
   }
 
   /** Batch A/V feature extraction — the audio/video twin of

@@ -3255,6 +3255,78 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** FLAC sample-decode gate (r14 — the audio codec surface past
+    * container headers): 20 from-scratch FLAC streams (RFC 9639) with
+    * planted integer samples, mono and stereo docs cycling the three
+    * decorrelation modes (left/side, right/side, mid/side — the side
+    * channel coded at bps+1), fixed-predictor and LPC/verbatim
+    * subframes, rice-coded residuals, CRC-8/CRC-16 verification, and
+    * variable-blocksize sample numbering. FLAC is lossless, so every
+    * decoded sample equals the planting formula exactly and the oracle
+    * recomputes first/mid/last samples and the full per-doc sum — a
+    * one-bit drift anywhere (bit reader, rice zigzag, predictor
+    * arithmetic, decorrelation, CRC) changes samples or rejects the
+    * stream and hash-fails. */
+  val multimodalFlac = QueryDef(
+    "q_ns_multimodal_flac",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id, 1 + doc_id % 2 AS nch,
+      |        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |          ELSE 32000 END AS rate
+      |      FROM ids),
+      |s AS (SELECT doc_id, nch, rate, cs.c, i.i,
+      |        ((doc_id * 7 + (CASE WHEN i.i < 192 THEN 0 ELSE 13 END)
+      |          + cs.c * 31
+      |          + (CASE WHEN i.i < 192 THEN i.i ELSE i.i - 192 END) * 3)
+      |          % 200) - 100 AS v
+      |      FROM p
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 447)) AS i) i
+      |      CROSS JOIN (VALUES (0), (1)) cs(c)
+      |      WHERE cs.c < nch)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(max(nch) AS BIGINT) AS nch,
+      |  CAST(max(rate) AS BIGINT) AS rate,
+      |  CAST(count(*) / max(nch) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN c = 0 AND i = 0 THEN v END) AS BIGINT) AS s0,
+      |  CAST(max(CASE WHEN c = 0 AND i = 300 THEN v END) AS BIGINT)
+      |    AS s_mid,
+      |  CAST(max(CASE WHEN c = nch - 1 AND i = 447 THEN v END) AS BIGINT)
+      |    AS s_last,
+      |  CAST(sum(v) AS BIGINT) AS samp_sum
+      |FROM s
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.Flac
+      val nch = 1 + (id % 2).toInt
+      val rate = (id % 3) match {
+        case 0 => 44100
+        case 1 => 48000
+        case _ => 32000
+      }
+      val asgn0 = if (nch == 1) 0 else 8 + (id % 3).toInt
+      val asgn1 = if (nch == 1) 0 else 8 + ((id / 2) % 3).toInt
+      val specs = Seq(
+        Flac.FlacFrameSpec(192, asgn0, 2, riceParam = 6),
+        if (id % 4 == 0) Flac.FlacFrameSpec(256, asgn1, 1)
+        else Flac.FlacFrameSpec(256, asgn1, 3, lpcOrder = 2,
+          lpcShift = 2, riceParam = 7))
+      val (bytes, _) = Flac.makeFlac(rate, nch, 16, specs,
+        (f, c, k) => (((id * 7 + f * 13 + c * 31 + k * 3) % 200) - 100).toInt,
+        variableBlocks = true)
+      val dec = Flac.decodeFlac(bytes).get
+      val n = dec.samples(0).length
+      var sum = 0L
+      dec.samples.foreach(_.foreach(sum += _))
+      (id, dec.channels.toLong, dec.sampleRate.toLong, n.toLong,
+        dec.samples(0)(0).toLong, dec.samples(0)(300).toLong,
+        dec.samples(nch - 1)(447).toLong, sum)
+    }.toDF("doc_id", "nch", "rate", "n", "s0", "s_mid", "s_last",
+      "samp_sum")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -4127,7 +4199,7 @@ object NorthStar {
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
-    multimodalJpegProgressive,
+    multimodalJpegProgressive, multimodalFlac,
     multimodalTokenPartitions, multimodalSegmented,
     multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,

@@ -2004,6 +2004,90 @@ class OpsSpec extends AnyFunSuite {
     assert(Jpeg.decodeRgb(badAh).isEmpty, "Ah != Al+1 must reject")
   }
 
+  test("FLAC: constant/verbatim/fixed/LPC subframes, rice partitions and " +
+      "escapes, all three stereo decorrelations, wasted bits, UTF-8 coded " +
+      "numbers, and both CRCs round-trip sample-exactly") {
+    import graft.ops.Flac
+    import graft.ops.Flac.FlacFrameSpec
+    // mono, variable-blocksize (sample-number coding, multi-byte UTF-8
+    // from frame 2 on): one frame per subframe type, varied rice shapes
+    def mono(f: Int, c: Int, k: Int): Int = f match {
+      case 0 => 100
+      case 1 => ((k * 37 + 11) % 200) - 100
+      case 2 => (k * 3) % 50 - 25 + k / 7
+      case _ => ((k * k) % 89) - 44
+    }
+    val specs = Seq(
+      FlacFrameSpec(192, 0, 0),
+      FlacFrameSpec(256, 0, 1),
+      FlacFrameSpec(576, 0, 2, fixedOrder = 2, riceMethod = 1,
+        partOrder = 2, riceParam = 6),
+      FlacFrameSpec(320, 0, 3, lpcOrder = 3, lpcShift = 2, partOrder = 3,
+        riceParam = 7, escapePartitions = true))
+    val (bytes, expected) = Flac.makeFlac(44100, 1, 16, specs, mono,
+      variableBlocks = true)
+    val dec = Flac.decodeFlac(bytes).getOrElse(fail("mono flac rejected"))
+    assert(dec.sampleRate == 44100 && dec.channels == 1 && dec.bps == 16)
+    assert(dec.samples(0).sameElements(expected(0)),
+      "mono decode != planted samples")
+    assert(dec.samples(0).length == 192 + 256 + 576 + 320)
+    // stereo, fixed-blocksize: independent + left/side + right/side +
+    // mid/side (the side channel rides bps+1), fixed and LPC predictors
+    def st(f: Int, c: Int, k: Int): Int =
+      if (c == 0) ((k * 13 + f * 7) % 120) - 60
+      else ((k * 5 + 3) % 90) - 45
+    val sspecs = Seq(
+      FlacFrameSpec(256, 1, 1),
+      FlacFrameSpec(256, 8, 2, riceParam = 5),
+      FlacFrameSpec(256, 9, 2, riceParam = 5),
+      FlacFrameSpec(256, 10, 3, lpcOrder = 2, partOrder = 1,
+        riceParam = 6))
+    val (b2, e2) = Flac.makeFlac(48000, 2, 16, sspecs, st)
+    val d2 = Flac.decodeFlac(b2).getOrElse(fail("stereo flac rejected"))
+    assert(d2.samples(0).sameElements(e2(0)), "left channel drifted")
+    assert(d2.samples(1).sameElements(e2(1)), "right channel drifted")
+    // wasted bits: 12-bit samples all divisible by 4 → coded at 10 bits
+    // with a 2-bit shift, and the file must be smaller than without
+    val (b3, e3) = Flac.makeFlac(32000, 1, 12,
+      Seq(FlacFrameSpec(192, 0, 2, wastedBits = 2, riceParam = 3)),
+      (_, _, k) => (((k * 7) % 100) - 50) * 4)
+    val d3 = Flac.decodeFlac(b3).getOrElse(fail("wasted-bits rejected"))
+    assert(d3.samples(0).sameElements(e3(0)), "wasted-bits drifted")
+    // 4 channels at 20-bit, non-table rate (uncommon 16-bit Hz form)
+    val (b4, e4) = Flac.makeFlac(11025, 4, 20,
+      Seq(FlacFrameSpec(192, 3, 2, riceParam = 6)),
+      (_, c, k) => ((k * 11 + c * 29) % 1000 - 500) * 16)
+    val d4 = Flac.decodeFlac(b4).getOrElse(fail("4ch/20-bit rejected"))
+    assert(d4.channels == 4 && d4.bps == 20 && d4.sampleRate == 11025)
+    for (c <- 0 until 4)
+      assert(d4.samples(c).sameElements(e4(c)), s"channel $c drifted")
+    // 130 fixed-blocksize frames: frame numbers cross the multi-byte
+    // UTF-8 boundary at 128
+    val many = Seq.tabulate(130)(_ =>
+      FlacFrameSpec(192, 0, 2, riceParam = 4))
+    val (b5, e5) = Flac.makeFlac(8000, 1, 16, many,
+      (f, _, k) => ((f * 31 + k * 3) % 256) - 128)
+    val d5 = Flac.decodeFlac(b5).getOrElse(fail("130-frame stream rejected"))
+    assert(d5.samples(0).sameElements(e5(0)))
+    // poisons: any bit flip lands on a CRC/sync failure; truncation and
+    // magic corruption reject
+    for (off <- Seq(bytes.length - 9, bytes.length / 2, 60)) {
+      val bad = bytes.clone()
+      bad(off) = (bad(off) ^ 0x10).toByte
+      assert(Flac.decodeFlac(bad).isEmpty, s"bit flip at $off must reject")
+    }
+    assert(Flac.decodeFlac(bytes.take(bytes.length - 3)).isEmpty)
+    assert(Flac.decodeFlac(bytes.take(50)).isEmpty)
+    val badMagic = bytes.clone(); badMagic(0) = 'g'.toByte
+    assert(Flac.decodeFlac(badMagic).isEmpty)
+    // the A/V metadata sniff serves FLAC STREAMINFO header-only:
+    // 44100 Hz mono, 1344 total samples → 30 ms
+    assert(Multimodal.decodeAvMeta(bytes) == (("flac", 1, 44100,
+      1344L * 1000 / 44100)))
+    assert(Multimodal.decodeAvMeta(b2) == (("flac", 2, 48000,
+      1024L * 1000 / 48000)))
+  }
+
   test("VP8 token partitions: 2/4/8-partition frames (§9.5 size table + " +
       "row-mod-N routing) decode identically to the 1-partition stream, " +
       "and a truncated partition or oversized size field rejects") {
