@@ -463,4 +463,160 @@ class PropertySpec extends AnyFunSuite {
           "decode != encoder reconstruction")
     }
   }
+
+  test("VP8 segmentation law: arbitrary segment maps, quant/filter " +
+      "features (absolute and delta), and map-off frames decode " +
+      "bit-exactly") {
+    import graft.ops.{Multimodal, Vp8}
+    val gen = for {
+      w <- Gen.choose(17, 70)
+      h <- Gen.choose(17, 50)
+      seed <- Gen.choose(0, 100000)
+      deltaMode <- Gen.oneOf(true, false)
+      codeMap <- Gen.oneOf(true, true, false)
+      fLevel <- Gen.oneOf(0, 10, 40)
+      fSharp <- Gen.choose(0, 7)
+    } yield (w, h, seed, deltaMode, codeMap, fLevel, fSharp)
+    forSamples(gen, n = 8) { case (w, h, seed, deltaMode, codeMap,
+        fLevel, fSharp) =>
+      def rnd(i: Int): Int =
+        ((i * 1103515245 + seed * 12345 + 6789) & 0x7fffffff)
+      val segQ =
+        if (deltaMode) Array.tabulate(4)(s => rnd(s * 3) % 33 - 16)
+        else Array.tabulate(4)(s => rnd(s * 3) % 128)
+      val segLf =
+        if (deltaMode) Array.tabulate(4)(s => rnd(s * 5) % 31 - 15)
+        else Array.tabulate(4)(s => rnd(s * 5) % 64)
+      def segOf(mx: Int, my: Int): Int = rnd(mx * 7 + my * 11) % 4
+      def mode(mx: Int, my: Int): Int = rnd(mx * 13 + my * 17) % 4 // 16×16
+      def y2(mx: Int, my: Int): Array[Int] = {
+        val a = new Array[Int](16)
+        if ((mx + my + seed) % 2 == 0) {
+          a(0) = rnd(mx * 31 + my * 57) % 161 - 80
+          a(3) = rnd(mx + my * 3) % 9 - 4
+        }
+        a
+      }
+      def yl(mx: Int, my: Int, b: Int): Array[Int] = {
+        val a = new Array[Int](16)
+        if ((mx + my + b) % 3 == 0) a(1 + b % 5) = rnd(b * 17 + mx) % 13 - 6
+        a
+      }
+      val (bytes, expected, eu, ev) = Vp8.makeWebpLossyFrameYuv(w, h,
+        mode, y2, yl, filterType = 0, filterLevel = fLevel,
+        sharpness = fSharp, segQIdx = segQ, segLfLvl = segLf,
+        segOf = segOf, segDeltaMode = deltaMode, segCodeMap = codeMap)
+      val out = Vp8.decodeYuv(bytes)
+      assert(out.isDefined,
+        s"${w}x$h seed=$seed delta=$deltaMode map=$codeMap undecodable")
+      val (dw, dh, dy, du, dv) = out.get
+      assert(dw == w && dh == h)
+      assert(dy.sameElements(expected) && du.sameElements(eu) &&
+        dv.sameElements(ev),
+        s"${w}x$h seed=$seed delta=$deltaMode map=$codeMap " +
+          s"lvl=$fLevel sharp=$fSharp: decode != reconstruction")
+    }
+  }
+
+  test("JPEG progressive law: arbitrary planted frames decode equal to " +
+      "the encoder simulation AND to the baseline coding of the same " +
+      "levels") {
+    import graft.ops.Jpeg
+    val gen = for {
+      w <- Gen.choose(9, 60)
+      h <- Gen.choose(9, 50)
+      hs <- Gen.choose(1, 2)
+      vs <- Gen.choose(1, 2)
+      ri <- Gen.oneOf(0, 0, 2, 5)
+      seed <- Gen.choose(0, 100000)
+      density <- Gen.choose(1, 4)
+    } yield (w, h, hs, vs, ri, seed, density)
+    forSamples(gen, n = 8) { case (w, h, hs, vs, ri, seed, density) =>
+      def rnd(i: Int): Int =
+        ((i * 1103515245 + seed * 12345 + 6789) & 0x7fffffff)
+      def levels(c: Int, bx: Int, by: Int): Array[Int] = {
+        val a = new Array[Int](64)
+        a(0) = rnd(c * 41 + bx * 7 + by * 19) % 121 - 60
+        if ((bx + by + c) % density == 0) {
+          a(1 + rnd(bx + c) % 5) = rnd(bx * 3 + by) % 15 - 7
+          a(15 + rnd(by * 3 + c) % 40) = rnd(bx + by * 5) % 13 - 6
+          a(63) = rnd(bx * 11 + by + c) % 5 - 2
+        }
+        a
+      }
+      val (pb, (er, eg, eb)) =
+        Jpeg.makeJpegProgressive(w, h, hs, vs, ri, levels)
+      val out = Jpeg.decodeRgb(pb)
+      assert(out.isDefined,
+        s"${w}x$h $hs x$vs ri=$ri seed=$seed undecodable")
+      val (dw, dh, r, g, b) = out.get
+      assert(dw == w && dh == h)
+      assert(r.sameElements(er) && g.sameElements(eg) &&
+        b.sameElements(eb),
+        s"${w}x$h $hs x$vs ri=$ri seed=$seed: decode != simulation")
+      // cross-coding law: the completed progression equals the baseline
+      val (bb, _) = Jpeg.makeJpegColor(w, h, hs, vs, 0, levels)
+      val (_, _, br2, bg2, bb2) = Jpeg.decodeRgb(bb).get
+      assert(r.sameElements(br2) && g.sameElements(bg2) &&
+        b.sameElements(bb2),
+        s"${w}x$h $hs x$vs ri=$ri seed=$seed: progressive != baseline")
+    }
+  }
+
+  test("FLAC codec law: arbitrary streams (channels, depths, subframe " +
+      "types, rice shapes, stereo modes, wasted bits) round-trip " +
+      "sample-exactly") {
+    import graft.ops.Flac
+    import graft.ops.Flac.FlacFrameSpec
+    val gen = for {
+      nch <- Gen.choose(1, 2)
+      bps <- Gen.oneOf(8, 12, 16)
+      nFrames <- Gen.choose(1, 4)
+      seed <- Gen.choose(0, 100000)
+      varBlocks <- Gen.oneOf(true, false)
+    } yield (nch, bps, nFrames, seed, varBlocks)
+    forSamples(gen, n = 10) { case (nch, bps, nFrames, seed, varBlocks) =>
+      def rnd(i: Int): Int =
+        ((i * 1103515245 + seed * 12345 + 6789) & 0x7fffffff)
+      val bsOpts = Array(192, 256, 320, 512)
+      val specs = Seq.tabulate(nFrames) { f =>
+        val asgn =
+          if (nch == 2) { val a = rnd(f * 11) % 4; if (a == 3) 1 else 8 + a }
+          else 0
+        FlacFrameSpec(
+          blockSize = if (varBlocks) bsOpts(rnd(f * 3) % 4) else 256,
+          chAsgn = asgn,
+          subframeType = rnd(f * 7) % 4,
+          fixedOrder = rnd(f * 5) % 5,
+          lpcOrder = 1 + rnd(f * 13) % 4,
+          lpcShift = rnd(f * 17) % 4,
+          riceMethod = rnd(f * 19) % 2,
+          partOrder = rnd(f * 23) % 3,
+          riceParam = 6 + rnd(f * 29) % 3,
+          escapePartitions = rnd(f * 31) % 3 == 0,
+          // mid = (L+R)>>1 may be odd even for even channels, so
+          // wasted bits never ride the mid/side assignment here
+          wastedBits = if (asgn != 10 && rnd(f * 37) % 4 == 0) 1 else 0)
+      }
+      def samp(f: Int, c: Int, k: Int): Int = {
+        val bound = if (bps == 8) 40 else 100
+        val base =
+          if (specs(f).subframeType == 0)
+            rnd(f * 43 + c * 7) % (2 * bound + 1) - bound
+          else rnd(f * 101 + c * 53 + k * 3) % (2 * bound + 1) - bound
+        base * (1 << specs(f).wastedBits)
+      }
+      val (bytes, expected) =
+        Flac.makeFlac(44100, nch, bps, specs, samp, varBlocks)
+      val out = Flac.decodeFlac(bytes)
+      assert(out.isDefined, s"nch=$nch bps=$bps n=$nFrames seed=$seed " +
+        s"var=$varBlocks undecodable")
+      val dec = out.get
+      assert(dec.channels == nch && dec.bps == bps)
+      for (c <- 0 until nch)
+        assert(dec.samples(c).sameElements(expected(c)),
+          s"nch=$nch bps=$bps n=$nFrames seed=$seed var=$varBlocks: " +
+            s"channel $c drifted")
+    }
+  }
 }
