@@ -1023,7 +1023,13 @@ object Multimodal {
           Some((w, h, g))
         }
       case "png" =>
-        if ((bytes(24) & 0xff) != 8 || (bytes(25) & 0xff) != 2) None
+        // IHDR: depth 8, color type 2 (RGB), interlace 0 (sequential)
+        // or 1 (Adam7 — r14; previously an interlaced stream would
+        // inflate to the wrong length or, worse, a coincidentally-sized
+        // buffer misread as sequential rows)
+        val interlace = bytes(28) & 0xff
+        if ((bytes(24) & 0xff) != 8 || (bytes(25) & 0xff) != 2 ||
+          interlace > 1) None
         else try {
           // concatenate IDAT chunk payloads, then inflate (handles any
           // zlib stream, stored or compressed)
@@ -1041,26 +1047,70 @@ object Multimodal {
               i += 12 + len
             }
           }
+          val rawLen =
+            if (interlace == 0) h * (1 + 3 * w)
+            else (0 until 7).map { p =>
+              val pw = (w - A7X0(p) + A7DX(p) - 1) / A7DX(p)
+              val ph = (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p)
+              if (pw <= 0 || ph <= 0) 0 else ph * (1 + 3 * pw)
+            }.sum
           val inf = new java.util.zip.Inflater()
           inf.setInput(idat.toByteArray)
-          val raw = new Array[Byte](h * (1 + 3 * w))
+          val raw = new Array[Byte](rawLen)
           val n = inf.inflate(raw)
+          val exhausted = inf.finished || inf.getRemaining == 0
           inf.end()
-          if (n != raw.length) None
-          else if (!pngUnfilter(raw, w, h)) None
-          else {
-            val g = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              val rowStart = y * (1 + 3 * w)
-              var x = 0
-              while (x < w) {
-                g(y * w + x) = raw(rowStart + 1 + 3 * x) & 0xff
-                x += 1
+          if (n != raw.length || !exhausted) None
+          else if (interlace == 0) {
+            if (!pngUnfilter(raw, w, h)) None
+            else {
+              val g = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val rowStart = y * (1 + 3 * w)
+                var x = 0
+                while (x < w) {
+                  g(y * w + x) = raw(rowStart + 1 + 3 * x) & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              Some((w, h, g))
             }
-            Some((w, h, g))
+          } else {
+            // Adam7: seven independently-filtered sub-images (each
+            // pass's rows predict only from rows of the SAME pass),
+            // scattered onto the 8×8 grid
+            val g = new Array[Int](w * h)
+            var off = 0
+            var p = 0
+            var bad = false
+            while (!bad && p < 7) {
+              val pw = (w - A7X0(p) + A7DX(p) - 1) / A7DX(p)
+              val ph = (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p)
+              if (pw > 0 && ph > 0) {
+                val passLen = ph * (1 + 3 * pw)
+                val pass = java.util.Arrays.copyOfRange(raw, off,
+                  off + passLen)
+                if (!pngUnfilter(pass, pw, ph)) bad = true
+                else {
+                  var py = 0
+                  while (py < ph) {
+                    var px = 0
+                    while (px < pw) {
+                      g((A7Y0(p) + py * A7DY(p)) * w +
+                        A7X0(p) + px * A7DX(p)) =
+                        pass(py * (1 + 3 * pw) + 1 + 3 * px) & 0xff
+                      px += 1
+                    }
+                    py += 1
+                  }
+                }
+                off += passLen
+              }
+              p += 1
+            }
+            if (bad) None else Some((w, h, g))
           }
         } catch { case _: java.util.zip.DataFormatException => None }
       case "gif" => decodeGifGray(bytes, w, h)
@@ -1092,6 +1142,12 @@ object Multimodal {
     * (bpp = 3, the decode subset's color type). The Paeth predictor
     * uses the spec's exact tie-breaking (a, then b, then c on equal
     * distances). Returns false on an unknown filter type. */
+  // Adam7 pass geometry (PNG §8.2): x/y origins and steps per pass
+  private val A7X0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7Y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7DX = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7DY = Array(8, 8, 8, 4, 4, 2, 2)
+
   private[graft] def pngUnfilter(raw: Array[Byte], w: Int, h: Int): Boolean = {
     val rowLen = 1 + 3 * w
     val bpp = 3
@@ -1134,24 +1190,13 @@ object Multimodal {
     * row) and deflate-compressed through the JDK (dynamic huffman — a
     * different zlib shape than [[buildImage]]'s stored blocks, so the
     * inflate path is exercised both ways). Gray-plants `pix` into all
-    * three channels like the other fixtures. */
+    * three channels like the other fixtures. With `interlaced` the
+    * raster is the Adam7 pass sequence (each sub-image filtered
+    * independently, `filterOf` fed a running global row index) and the
+    * IHDR interlace byte is 1. */
   private[graft] def makePngFiltered(w: Int, h: Int,
-      pix: (Int, Int) => Int, filterOf: Int => Int): Array[Byte] = {
-    val rowLen = 1 + 3 * w
-    val bpp = 3
-    val recon = new Array[Int](h * 3 * w) // unfiltered reference bytes
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val g = pix(x, y) & 0xff
-        recon(y * 3 * w + 3 * x) = g
-        recon(y * 3 * w + 3 * x + 1) = g
-        recon(y * 3 * w + 3 * x + 2) = g
-        x += 1
-      }
-      y += 1
-    }
+      pix: (Int, Int) => Int, filterOf: Int => Int,
+      interlaced: Boolean = false): Array[Byte] = {
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a)
@@ -1159,30 +1204,71 @@ object Multimodal {
       val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val raw = new Array[Byte](h * rowLen)
-    y = 0
-    while (y < h) {
-      val f = filterOf(y) & 0xff
-      require(f <= 4, s"bad PNG filter $f")
-      raw(y * rowLen) = f.toByte
-      var i = 0
-      while (i < 3 * w) {
-        val x = recon(y * 3 * w + i)
-        val a = if (i >= bpp) recon(y * 3 * w + i - bpp) else 0
-        val b = if (y > 0) recon((y - 1) * 3 * w + i) else 0
-        val c = if (y > 0 && i >= bpp) recon((y - 1) * 3 * w + i - bpp) else 0
-        val filt = f match {
-          case 0 => x
-          case 1 => x - a
-          case 2 => x - b
-          case 3 => x - ((a + b) >> 1)
-          case _ => x - paeth(a, b, c)
+    val bpp = 3
+    // filter one pw×ph sub-image of gray values into PNG scanlines
+    def filterPass(gOf: (Int, Int) => Int, pw: Int, ph: Int,
+        rowBase: Int): Array[Byte] = {
+      val recon = new Array[Int](ph * 3 * pw)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          val g = gOf(x, y) & 0xff
+          recon(y * 3 * pw + 3 * x) = g
+          recon(y * 3 * pw + 3 * x + 1) = g
+          recon(y * 3 * pw + 3 * x + 2) = g
+          x += 1
         }
-        raw(y * rowLen + 1 + i) = (filt & 0xff).toByte
-        i += 1
+        y += 1
       }
-      y += 1
+      val rowLen = 1 + 3 * pw
+      val raw = new Array[Byte](ph * rowLen)
+      y = 0
+      while (y < ph) {
+        val f = filterOf(rowBase + y) & 0xff
+        require(f <= 4, s"bad PNG filter $f")
+        raw(y * rowLen) = f.toByte
+        var i = 0
+        while (i < 3 * pw) {
+          val x = recon(y * 3 * pw + i)
+          val a = if (i >= bpp) recon(y * 3 * pw + i - bpp) else 0
+          val b = if (y > 0) recon((y - 1) * 3 * pw + i) else 0
+          val c = if (y > 0 && i >= bpp) recon((y - 1) * 3 * pw + i - bpp)
+            else 0
+          val filt = f match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case _ => x - paeth(a, b, c)
+          }
+          raw(y * rowLen + 1 + i) = (filt & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      raw
     }
+    val raw: Array[Byte] =
+      if (!interlaced) filterPass(pix, w, h, 0)
+      else {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var rowBase = 0
+        var p = 0
+        while (p < 7) {
+          val pw = (w - A7X0(p) + A7DX(p) - 1) / A7DX(p)
+          val ph = (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p)
+          if (pw > 0 && ph > 0) {
+            val x0 = A7X0(p); val y0 = A7Y0(p)
+            val dx = A7DX(p); val dy = A7DY(p)
+            parts ++= filterPass(
+              (px, py) => pix(x0 + px * dx, y0 + py * dy), pw, ph, rowBase)
+            rowBase += ph
+          }
+          p += 1
+        }
+        parts.toArray
+      }
     val def0 = new java.util.zip.Deflater()
     def0.setInput(raw)
     def0.finish()
@@ -1203,7 +1289,8 @@ object Multimodal {
     val ihdr = ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
       .put(8.toByte).put(2.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put(if (interlaced) 1.toByte else 0.toByte)
     pngSignature ++ chunk("IHDR", ihdr.array()) ++
       chunk("IDAT", zlib) ++ chunk("IEND", Array.emptyByteArray)
   }

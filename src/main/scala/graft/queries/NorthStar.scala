@@ -2890,10 +2890,14 @@ object NorthStar {
     * adaptively, so this was the biggest practical PNG gap): 20
     * deflate-compressed (dynamic-huffman, not stored-block) RGB PNGs
     * whose rows cycle through ALL FIVE filter types over a textured
-    * plant, decoded by the full unfilter path. The oracle recomputes
-    * every sampled pixel and the gray_sum from the plant formula —
-    * any drift in a filter reconstruction (Paeth tie-breaking
-    * included) lands on different pixels and hash-fails. */
+    * plant, decoded by the full unfilter path — and, on the odd docs
+    * (r14 cont.), coded ADAM7 INTERLACED: seven independently-filtered
+    * sub-images scattered on the 8×8 grid, which a drift in pass
+    * geometry, per-pass filter context, or the scatter would scramble.
+    * Interlacing is pixel-invariant, so one oracle pins both codings:
+    * it recomputes every sampled pixel and the gray_sum from the plant
+    * formula — any drift in a filter reconstruction (Paeth
+    * tie-breaking included) lands on different pixels and hash-fails. */
   val multimodalPngFilters = QueryDef(
     "q_ns_multimodal_png_filters",
     """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
@@ -2907,6 +2911,7 @@ object NorthStar {
       |      CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS y) ys
       |      WHERE xs.x < w AND ys.y < h)
       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(doc_id % 2 AS BIGINT) AS il,
       |  CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
       |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS g_tl,
       |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN g END) AS BIGINT)
@@ -2922,11 +2927,12 @@ object NorthStar {
       val h = (7 + (id * 5) % 8).toInt
       val bytes = Multimodal.makePngFiltered(w, h,
         (x, y) => ((id * 3 + x * 7 + y * 11) % 256).toInt,
-        y => ((y + id) % 5).toInt)
+        y => ((y + id) % 5).toInt,
+        interlaced = id % 2 == 1)
       val (dw, dh, g) = Multimodal.decodeGray(bytes).get
-      (id, dw.toLong, dh.toLong, g(0).toLong, g(dw * dh - 1).toLong,
+      (id, id % 2, dw.toLong, dh.toLong, g(0).toLong, g(dw * dh - 1).toLong,
         g(4 * dw + 3).toLong, g.foldLeft(0L)(_ + _))
-    }.toDF("doc_id", "w", "h", "g_tl", "g_br", "g_mid", "gray_sum")
+    }.toDF("doc_id", "il", "w", "h", "g_tl", "g_br", "g_mid", "gray_sum")
       .orderBy("doc_id")
   }
 

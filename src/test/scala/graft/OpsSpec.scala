@@ -2252,6 +2252,26 @@ class OpsSpec extends AnyFunSuite {
         assert(g(y * w + x) == pix(x, y),
           s"filter mode $mode drifted at ($x,$y)")
     }
+    // Adam7 (r14): interlaced files carry 7 independently-filtered
+    // sub-images scattered on the 8×8 grid — pixel-identical to the
+    // sequential coding; odd dims leave some passes empty
+    for ((w, h) <- Seq((23, 17), (8, 8), (7, 5), (1, 1), (16, 3), (3, 16))) {
+      val b = Multimodal.makePngFiltered(w, h, pix, y => y % 5,
+        interlaced = true)
+      assert((b(28) & 0xff) == 1, "IHDR interlace byte must be 1")
+      val (dw, dh, g) = Multimodal.decodeGray(b).getOrElse(
+        fail(s"adam7 ${w}x$h rejected"))
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g(y * w + x) == pix(x, y), s"adam7 ${w}x$h drifted at ($x,$y)")
+    }
+    // the two codings differ on the wire but not in pixels
+    val seq0 = Multimodal.makePngFiltered(23, 17, pix, _ => 0)
+    val il0 = Multimodal.makePngFiltered(23, 17, pix, _ => 0,
+      interlaced = true)
+    assert(!seq0.sameElements(il0))
+    assert(Multimodal.decodeGray(seq0).get._3.sameElements(
+      Multimodal.decodeGray(il0).get._3))
     // poison: an unknown filter type must reject (patch the raw stream
     // by rebuilding with an illegal type via the unfilter entry point)
     val raw = new Array[Byte](17 * (1 + 3 * 23))
