@@ -1307,6 +1307,257 @@ object Multimodal {
     * formats. WebP stays header-only — VP8/VP8L payloads are
     * entropy-coded like jpeg, the documented codec boundary. Poison-blob
     * contract: any structural violation returns None, never a crash. */
+  /** One composited animation frame: the FULL-CANVAS grayscale
+    * snapshot after the frame renders, plus its GCE timing/disposal. */
+  private[graft] final case class GifFrame(delayCs: Int, disposal: Int,
+      gray: Array[Int])
+
+  /** ANIMATED GIF decode (r14 — the 2D-animation analog of the IVF
+    * video stream surface): full GIF89a multi-frame walk with Graphic
+    * Control Extensions (delay, disposal methods 0–3 incl.
+    * restore-to-background and restore-to-previous, transparency
+    * index), sub-rectangle frames composited onto the logical-screen
+    * canvas, per-frame local color tables, per-frame interlacing, and
+    * the trailer check. The canvas initializes to the background
+    * index's global-palette gray (the spec reading; browsers differ by
+    * treating it as transparent — documented, deterministic here).
+    * Returns full-canvas snapshots per frame. Poison contract as the
+    * rest of the codec surface: malformed anywhere → None. */
+  private[graft] def decodeGifFrames(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[GifFrame])] = {
+    if (bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = u16(6)
+    val h = u16(8)
+    if (w <= 0 || h <= 0 || w.toLong * h > 16000000L) return None
+    val packed = bytes(10) & 0xff
+    val bgIdx = bytes(11) & 0xff
+    var gct = -1
+    var gctSize = 0
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      gct = 13
+      gctSize = 2 << (packed & 7)
+      i += 3 * gctSize
+    }
+    val bgGray =
+      if (gct >= 0 && bgIdx < gctSize) bytes(gct + 3 * bgIdx) & 0xff else 0
+    val canvas = Array.fill(w * h)(bgGray)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    // pending GCE state (applies to the next image descriptor only)
+    var delayCs = 0
+    var disposal = 0
+    var transIdx = -1
+    // previous frame's restore info
+    var prevDisposal = 0
+    var prevRect = (0, 0, 0, 0)
+    var prevSnapshot: Array[Int] = null
+    while (i < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x3b => // trailer
+          return if (frames.isEmpty) None else Some((w, h, frames.toSeq))
+        case 0x21 => // extension
+          if (i + 1 >= bytes.length) return None
+          val label = bytes(i + 1) & 0xff
+          if (label == 0xf9) { // Graphic Control Extension
+            if (i + 7 >= bytes.length || (bytes(i + 2) & 0xff) != 4)
+              return None
+            val gp = bytes(i + 3) & 0xff
+            disposal = (gp >> 2) & 7
+            if (disposal > 3) return None
+            delayCs = u16(i + 4)
+            transIdx = if ((gp & 1) != 0) bytes(i + 6) & 0xff else -1
+            if ((bytes(i + 7) & 0xff) != 0) return None
+            i += 8
+          } else { // application/comment/plain-text: skip sub-blocks
+            i += 2
+            while (i < bytes.length && (bytes(i) & 0xff) != 0)
+              i += 1 + (bytes(i) & 0xff)
+            if (i >= bytes.length) return None
+            i += 1
+          }
+        case 0x2c => // image descriptor
+          if (i + 10 > bytes.length) return None
+          val (left, top, fw, fh) =
+            (u16(i + 1), u16(i + 3), u16(i + 5), u16(i + 7))
+          if (fw <= 0 || fh <= 0 || left + fw > w || top + fh > h)
+            return None
+          val ipacked = bytes(i + 9) & 0xff
+          i += 10
+          var pal = gct
+          var palSize = gctSize
+          if ((ipacked & 0x80) != 0) {
+            pal = i
+            palSize = 2 << (ipacked & 7)
+            i += 3 * palSize
+          }
+          if (pal < 0 || pal + 3 * palSize > bytes.length ||
+            i >= bytes.length) return None
+          val interlaced = (ipacked & 0x40) != 0
+          val minCode = bytes(i) & 0xff
+          i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var ok = true
+          while (ok && i < bytes.length && (bytes(i) & 0xff) != 0) {
+            val len = bytes(i) & 0xff
+            if (i + 1 + len > bytes.length) ok = false
+            else { data.write(bytes, i + 1, len); i += 1 + len }
+          }
+          if (!ok || i >= bytes.length) return None
+          i += 1 // sub-block terminator
+          // dispose of the PREVIOUS frame before rendering this one
+          prevDisposal match {
+            case 2 =>
+              val (pl, pt, pw2, ph2) = prevRect
+              var y = 0
+              while (y < ph2) {
+                var x = 0
+                while (x < pw2) {
+                  canvas((pt + y) * w + pl + x) = bgGray; x += 1
+                }
+                y += 1
+              }
+            case 3 =>
+              if (prevSnapshot != null)
+                System.arraycopy(prevSnapshot, 0, canvas, 0, w * h)
+            case _ => ()
+          }
+          val preRender =
+            if (disposal == 3) canvas.clone() else null
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = new Array[Int](fh)
+              var r = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                  y <- start until fh by step) { order(r) = y; r += 1 }
+              order
+            }
+          gifLzwDecode(data.toByteArray, minCode, fw * fh) match {
+            case None => return None
+            case Some(idx) =>
+              var k = 0
+              while (k < idx.length) {
+                val v = idx(k)
+                if (v >= palSize) return None
+                if (v != transIdx) {
+                  canvas((top + rowOf(k / fw)) * w + left + k % fw) =
+                    bytes(pal + 3 * v) & 0xff
+                }
+                k += 1
+              }
+          }
+          frames += GifFrame(delayCs, disposal, canvas.clone())
+          prevDisposal = disposal
+          prevRect = (left, top, fw, fh)
+          prevSnapshot = preRender
+          delayCs = 0
+          disposal = 0
+          transIdx = -1
+        case _ => return None
+      }
+    }
+    None // no trailer
+  }
+
+  /** Per-frame directive for the animated-GIF fixture encoder: a
+    * sub-rectangle, GCE fields, an optional local palette (grayscale
+    * shifted by `palShift`; −1 = use the global identity palette),
+    * optional interlacing, and the palette-index plant over LOCAL
+    * coordinates. */
+  private[graft] final case class GifAnimFrameSpec(left: Int, top: Int,
+      fw: Int, fh: Int, delayCs: Int, disposal: Int,
+      transIdx: Int = -1, palShift: Int = -1, interlaced: Boolean = false,
+      idxOf: (Int, Int) => Int)
+
+  /** Animated-GIF fixture: GIF89a, 256-entry grayscale identity GCT,
+    * background index 0, one GCE + image descriptor per spec, local
+    * palettes as shifted-gray ((i + palShift) & 0xff), and the naive
+    * clear-per-pixel LZW coding (spec-valid; dictionary growth is
+    * covered by the JDK-writer cross-test). */
+  private[graft] def makeGifAnimated(w: Int, h: Int,
+      frames: Seq[GifAnimFrameSpec]): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    out.write(0xf7) // GCT present, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // aspect
+    var ci = 0
+    while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.fw > 0 && f.fh > 0 &&
+        f.left + f.fw <= w && f.top + f.fh <= h, "frame rect out of canvas")
+      require(f.disposal >= 0 && f.disposal <= 3)
+      // GCE
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transIdx >= 0) 1 else 0))
+      out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)
+      out.write(if (f.transIdx >= 0) f.transIdx else 0)
+      out.write(0)
+      // image descriptor
+      out.write(0x2c)
+      out.write(f.left & 0xff); out.write((f.left >> 8) & 0xff)
+      out.write(f.top & 0xff); out.write((f.top >> 8) & 0xff)
+      out.write(f.fw & 0xff); out.write((f.fw >> 8) & 0xff)
+      out.write(f.fh & 0xff); out.write((f.fh >> 8) & 0xff)
+      if (f.palShift < 0) out.write(if (f.interlaced) 0x40 else 0x00)
+      else {
+        out.write(0x87 | (if (f.interlaced) 0x40 else 0x00)) // LCT, 256
+        var k = 0
+        while (k < 256) {
+          val g = (k + f.palShift) & 0xff
+          out.write(g); out.write(g); out.write(g)
+          k += 1
+        }
+      }
+      out.write(8) // LZW minimum code size
+      // naive clear-per-pixel 9-bit stream, LSB-first (stream order is
+      // interlace-permuted when the frame is interlaced)
+      val codes = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nbits = 0
+      def putCode(c: Int): Unit = {
+        acc |= c.toLong << nbits
+        nbits += 9
+        while (nbits >= 8) {
+          codes.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
+        }
+      }
+      val rows: Seq[Int] =
+        if (!f.interlaced) 0 until f.fh
+        else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+          case (s, st) => s until f.fh by st
+        }
+      rows.foreach { y =>
+        var x = 0
+        while (x < f.fw) {
+          putCode(256)
+          putCode(f.idxOf(x, y) & 0xff)
+          x += 1
+        }
+      }
+      putCode(257) // end of information
+      if (nbits > 0) codes.write((acc & 0xff).toInt)
+      val cb = codes.toByteArray
+      var off = 0
+      while (off < cb.length) {
+        val n = math.min(255, cb.length - off)
+        out.write(n)
+        out.write(cb, off, n)
+        off += n
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   private[graft] def decodeGifGray(bytes: Array[Byte], w: Int,
       h: Int): Option[(Int, Int, Array[Int])] = {
     if (bytes.length < 14) return None

@@ -3333,6 +3333,80 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Animated-GIF gate (r14 — multi-frame compositing in the GATE, the
+    * 2D-animation analog of the IVF video rows): 20 three-frame GIF89a
+    * files per doc — a full-canvas base (disposal keep), a transparent
+    * sub-rect frame (index 13 keeps the base; restore-to-background
+    * after display), and a shifted-local-palette frame (interlaced on
+    * odd docs — pixel-invariant, so one oracle covers both codings).
+    * The oracle recomputes each composited canvas in closed form:
+    * frame 1 = base except non-transparent rect pixels, frame 2 = the
+    * restored-to-background rect + the local-palette rect over the
+    * base. A drift in GCE parsing, disposal order, transparency,
+    * local-palette selection, the interlace walk, or LZW lands on
+    * different canvas sums and hash-fails. */
+  val multimodalGifAnim = QueryDef(
+    "q_ns_multimodal_gif_anim",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |px AS (SELECT doc_id, xs.x, ys.y,
+      |        (doc_id * 3 + xs.x * 5 + ys.y * 7) % 256 AS c0
+      |      FROM ids
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys),
+      |cv AS (SELECT doc_id, x, y, c0,
+      |        CASE WHEN x BETWEEN 8 AND 15 AND y BETWEEN 4 AND 11
+      |               AND (doc_id * 7 + (x - 8) * 3 + (y - 4) * 11) % 256
+      |                 <> 13
+      |             THEN (doc_id * 7 + (x - 8) * 3 + (y - 4) * 11) % 256
+      |             ELSE c0 END AS c1,
+      |        CASE WHEN x < 12 AND y >= 8
+      |             THEN ((doc_id * 5 + x * 9 + (y - 8) * 3) % 256 + 64)
+      |                  % 256
+      |             WHEN x BETWEEN 8 AND 15 AND y BETWEEN 4 AND 11 THEN 0
+      |             ELSE c0 END AS c2
+      |      FROM px)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(3 AS BIGINT) AS nf,
+      |  CAST(2 + doc_id % 5 AS BIGINT) AS d0,
+      |  CAST(3 + doc_id % 7 AS BIGINT) AS d1,
+      |  CAST(1 + doc_id % 4 AS BIGINT) AS d2,
+      |  CAST(max(CASE WHEN x = 10 AND y = 6 THEN c1 END) AS BIGINT)
+      |    AS f1_px,
+      |  CAST(max(CASE WHEN x = 5 AND y = 10 THEN c2 END) AS BIGINT)
+      |    AS f2_px,
+      |  CAST(sum(c0) AS BIGINT) AS f0_sum,
+      |  CAST(sum(c1) AS BIGINT) AS f1_sum,
+      |  CAST(sum(c2) AS BIGINT) AS f2_sum
+      |FROM cv
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.Multimodal
+      val specs = Seq(
+        Multimodal.GifAnimFrameSpec(0, 0, 24, 16,
+          delayCs = (2 + id % 5).toInt, disposal = 1,
+          idxOf = (x, y) => ((id * 3 + x * 5 + y * 7) % 256).toInt),
+        Multimodal.GifAnimFrameSpec(8, 4, 8, 8,
+          delayCs = (3 + id % 7).toInt, disposal = 2, transIdx = 13,
+          idxOf = (u, v) => ((id * 7 + u * 3 + v * 11) % 256).toInt),
+        Multimodal.GifAnimFrameSpec(0, 8, 12, 8,
+          delayCs = (1 + id % 4).toInt, disposal = 0, palShift = 64,
+          interlaced = id % 2 == 1,
+          idxOf = (u, v) => ((id * 5 + u * 9 + v * 3) % 256).toInt))
+      val bytes = Multimodal.makeGifAnimated(24, 16, specs)
+      val (w, _, frames) = Multimodal.decodeGifFrames(bytes).get
+      def sum(a: Array[Int]): Long = a.foldLeft(0L)(_ + _)
+      (id, frames.length.toLong, frames(0).delayCs.toLong,
+        frames(1).delayCs.toLong, frames(2).delayCs.toLong,
+        frames(1).gray(6 * w + 10).toLong,
+        frames(2).gray(10 * w + 5).toLong,
+        sum(frames(0).gray), sum(frames(1).gray), sum(frames(2).gray))
+    }.toDF("doc_id", "nf", "d0", "d1", "d2", "f1_px", "f2_px",
+      "f0_sum", "f1_sum", "f2_sum")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -4205,7 +4279,7 @@ object NorthStar {
     budgetSelect, textScrub, textScrubPii,
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
-    multimodalJpegProgressive, multimodalFlac,
+    multimodalJpegProgressive, multimodalFlac, multimodalGifAnim,
     multimodalTokenPartitions, multimodalSegmented,
     multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,

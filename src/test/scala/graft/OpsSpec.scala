@@ -948,6 +948,76 @@ class OpsSpec extends AnyFunSuite {
       "LZW-decoded pixels differ from the planted pattern")
   }
 
+  test("animated GIF: multi-frame compositing with disposal 0-3, " +
+      "transparency, sub-rects, local palettes, per-frame interlace, " +
+      "and delays round-trips against hand-composited canvases") {
+    import graft.ops.Multimodal.{GifAnimFrameSpec, decodeGifFrames,
+      makeGifAnimated}
+    val (w, h) = (24, 16)
+    def p0(x: Int, y: Int) = (x * 5 + y * 7 + 3) % 256
+    def p1(u: Int, v: Int) = (u * 3 + v * 11 + 1) % 256
+    def p2(u: Int, v: Int) = (u * 9 + v * 3 + 5) % 256
+    def p3(u: Int, v: Int) = (u + v * 2 + 40) % 256
+    val specs = Seq(
+      // full-canvas base, keep
+      GifAnimFrameSpec(0, 0, w, h, delayCs = 4, disposal = 1, idxOf = p0),
+      // sub-rect with transparency (index 13 keeps the base),
+      // restore-to-background after display
+      GifAnimFrameSpec(8, 4, 8, 8, delayCs = 6, disposal = 2,
+        transIdx = 13, idxOf = p1),
+      // sub-rect with a +64 shifted local palette, interlaced rows,
+      // restore-to-PREVIOUS after display
+      GifAnimFrameSpec(0, 8, 12, 8, delayCs = 10, disposal = 3,
+        palShift = 64, interlaced = true, idxOf = p2),
+      // final frame over whatever disposal 3 restored
+      GifAnimFrameSpec(20, 0, 4, 4, delayCs = 2, disposal = 0, idxOf = p3))
+    val bytes = makeGifAnimated(w, h, specs)
+    val (dw, dh, frames) = decodeGifFrames(bytes).getOrElse(
+      fail("animated gif rejected"))
+    assert(dw == w && dh == h && frames.length == 4)
+    assert(frames.map(_.delayCs) == Seq(4, 6, 10, 2))
+    // hand-composite, no shared code: canvas0 = p0 everywhere
+    val c0 = Array.tabulate(w * h)(i => p0(i % w, i / w))
+    assert(frames(0).gray.sameElements(c0), "frame 0 drifted")
+    // frame 1: p1 over the rect except transparent 13 keeps p0
+    val c1 = c0.clone()
+    for (v <- 0 until 8; u <- 0 until 8) {
+      val g = p1(u, v)
+      if (g != 13) c1((4 + v) * w + 8 + u) = g
+    }
+    assert(frames(1).gray.sameElements(c1), "frame 1 drifted")
+    // frame 2: frame 1's rect restored to background (index 0 → gray
+    // 0), then p2 + 64 over its own rect
+    val c2 = c1.clone()
+    for (v <- 0 until 8; u <- 0 until 8) c2((4 + v) * w + 8 + u) = 0
+    for (v <- 0 until 8; u <- 0 until 12)
+      c2((8 + v) * w + u) = (p2(u, v) + 64) % 256
+    assert(frames(2).gray.sameElements(c2), "frame 2 drifted")
+    // frame 3: disposal 3 restores the PRE-frame-2 canvas (= c1 with
+    // the background restore applied), then p3 in the corner
+    val c3 = c1.clone()
+    for (v <- 0 until 8; u <- 0 until 8) c3((4 + v) * w + 8 + u) = 0
+    for (v <- 0 until 4; u <- 0 until 4) c3(v * w + 20 + u) = p3(u, v)
+    assert(frames(3).gray.sameElements(c3), "frame 3 drifted")
+    // poisons: missing trailer, truncated sub-blocks, oversize rect
+    assert(decodeGifFrames(bytes.take(bytes.length - 1)).isEmpty)
+    assert(decodeGifFrames(bytes.take(bytes.length / 2)).isEmpty)
+    val badRect = makeGifAnimated(w, h,
+      Seq(GifAnimFrameSpec(0, 0, w, h, 0, 0, idxOf = p0)))
+    // patch the first image descriptor's width beyond the canvas
+    var j = 13 + 768
+    var patched = false
+    while (!patched && j + 9 < badRect.length) {
+      if ((badRect(j) & 0xff) == 0x2c) {
+        badRect(j + 5) = ((w + 1) & 0xff).toByte
+        patched = true
+      }
+      j += 1
+    }
+    assert(patched && decodeGifFrames(badRect).isEmpty,
+      "rect beyond canvas must reject")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
