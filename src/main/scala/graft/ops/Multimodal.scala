@@ -856,6 +856,230 @@ object Multimodal {
     } else RawAv
   }
 
+  // ---------------------------------------------------------------------
+  // Audio stream census: MP3 frame walk + Ogg/Opus page walk (r14 — the
+  // audio analog of the IVF key-frame census: per-payload header-only
+  // scans that recover timing without entropy decode)
+  // ---------------------------------------------------------------------
+
+  // MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by 4-bit index
+  // (0 = free, 15 = bad — both rejected), sample rate by 2-bit index
+  private val Mp3Bitrates: Array[Int] = Array(-1, 32, 40, 48, 56, 64, 80,
+    96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3Rates: Array[Int] = Array(44100, 48000, 32000, -1)
+
+  /** MP3 census: optional ID3v2 prefix (syncsafe size) skipped, then a
+    * strict MPEG-1 Layer III frame walk — 11-bit sync, version/layer
+    * pinned, bitrate/rate tables, padding bit, frame size
+    * 144·bitrate/rate + padding — to EOF or an ID3v1 "TAG" trailer.
+    * Every frame must parse and rates must agree (VBR bitrates may
+    * vary); duration = frames · 1152 / rate. Anything else → raw. */
+  private[graft] def mp3Meta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    var i = 0
+    // ID3v2: "ID3" + ver(2) + flags + 4-byte syncsafe size
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      i = 10 + sz
+    }
+    var nFrames = 0L
+    var rate = -1
+    var channels = 0
+    while (i + 4 <= bytes.length) {
+      // ID3v1 trailer ends the stream
+      if (i + 3 <= bytes.length && bytes(i) == 'T' && bytes(i + 1) == 'A' &&
+        bytes(i + 2) == 'G' && bytes.length - i == 128) {
+        i = bytes.length
+      } else {
+        val h0 = bytes(i) & 0xff
+        val h1 = bytes(i + 1) & 0xff
+        val h2 = bytes(i + 2) & 0xff
+        val h3 = bytes(i + 3) & 0xff
+        // sync + MPEG-1 (version bits 11) + Layer III (01)
+        if (h0 != 0xff || (h1 & 0xfe) != 0xfa) return RawAv
+        val brIdx = h2 >> 4
+        val srIdx = (h2 >> 2) & 3
+        val padding = (h2 >> 1) & 1
+        val mode = h3 >> 6
+        val br = Mp3Bitrates(brIdx)
+        val sr = Mp3Rates(srIdx)
+        if (br < 0 || sr < 0) return RawAv
+        if (rate < 0) rate = sr else if (rate != sr) return RawAv
+        val ch = if (mode == 3) 1 else 2
+        if (channels == 0) channels = ch else if (channels != ch) return RawAv
+        val frameLen = 144 * br * 1000 / sr + padding
+        if (frameLen < 4 || i + frameLen > bytes.length) return RawAv
+        nFrames += 1
+        i += frameLen
+      }
+    }
+    if (nFrames == 0 || i != bytes.length) RawAv
+    else ("mp3", channels, rate, nFrames * 1152L * 1000 / rate)
+  }
+
+  /** Ogg page CRC (poly 0x04c11db7, init 0, MSB-first, no reflection —
+    * the Ogg spec's own variant) over a page with its CRC field zeroed. */
+  private[graft] def oggCrc(bytes: Array[Byte], from: Int, until: Int,
+      crcFieldAt: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val b = if (i >= crcFieldAt && i < crcFieldAt + 4) 0 else bytes(i) & 0xff
+      crc ^= b << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+          else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Ogg/Opus census: the page walk ("OggS", version 0, CRC verified
+    * per page, lacing table) plus the OpusHead identification packet
+    * (channels, pre-skip, input rate); duration from the LAST page's
+    * granule position minus pre-skip at the Opus-mandated 48 kHz clock.
+    * Non-Opus Ogg streams report ("ogg", 0, 0, 0) — container
+    * recognized, codec timing out of scope. */
+  private[graft] def oggMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    var i = 0
+    var lastGranule = 0L
+    var nPages = 0
+    var opusCh = 0
+    var opusRate = 0
+    var preSkip = 0
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    while (i + 27 <= bytes.length) {
+      if (bytes(i) != 'O' || bytes(i + 1) != 'g' || bytes(i + 2) != 'g' ||
+        bytes(i + 3) != 'S' || bytes(i + 4) != 0) return RawAv
+      var granule = 0L
+      var k = 7
+      while (k >= 0) { granule = (granule << 8) | (bytes(i + 6 + k) & 0xffL); k -= 1 }
+      val nSegs = bytes(i + 26) & 0xff
+      if (i + 27 + nSegs > bytes.length) return RawAv
+      var bodyLen = 0
+      var s = 0
+      while (s < nSegs) { bodyLen += bytes(i + 27 + s) & 0xff; s += 1 }
+      val pageEnd = i + 27 + nSegs + bodyLen
+      if (pageEnd > bytes.length) return RawAv
+      if (u32(i + 22).toInt != oggCrc(bytes, i, pageEnd, i + 22))
+        return RawAv
+      if (nPages == 0 && bodyLen >= 19) {
+        val b0 = i + 27 + nSegs
+        if (new String(bytes, b0, 8, StandardCharsets.US_ASCII) == "OpusHead") {
+          opusCh = bytes(b0 + 9) & 0xff
+          preSkip = (bytes(b0 + 10) & 0xff) | ((bytes(b0 + 11) & 0xff) << 8)
+          opusRate = u32(b0 + 12).toInt
+        }
+      }
+      // granule −1 marks a page with no completed packets; skip it
+      if (granule != -1L) lastGranule = granule
+      nPages += 1
+      i = pageEnd
+    }
+    if (nPages == 0 || i != bytes.length) RawAv
+    else if (opusCh == 0) ("ogg", 0, 0, 0L)
+    else ("opus", opusCh, opusRate,
+      math.max(0L, lastGranule - preSkip) * 1000 / 48000)
+  }
+
+  /** MP3 fixture: `nFrames` spec-valid MPEG-1 Layer III frames (zeroed
+    * payloads — timing is what a census recovers) with a per-frame
+    * bitrate index (VBR when it varies) and padding on every third
+    * frame, behind an optional ID3v2 prefix and before an optional
+    * ID3v1 "TAG" trailer. */
+  private[graft] def makeMp3(nFrames: Int, srIdx: Int,
+      brIdxOf: Int => Int, mono: Boolean, id3v2Bytes: Int = 0,
+      id3v1: Boolean = false): Array[Byte] = {
+    require(nFrames > 0 && srIdx >= 0 && srIdx <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((id3v2Bytes >> 21) & 0x7f)
+      out.write((id3v2Bytes >> 14) & 0x7f)
+      out.write((id3v2Bytes >> 7) & 0x7f)
+      out.write(id3v2Bytes & 0x7f)
+      var k = 0
+      while (k < id3v2Bytes) { out.write(0); k += 1 }
+    }
+    val sr = Mp3Rates(srIdx)
+    var f = 0
+    while (f < nFrames) {
+      val brIdx = brIdxOf(f)
+      val br = Mp3Bitrates(brIdx)
+      require(br > 0, s"bad bitrate index $brIdx")
+      val pad = if (f % 3 == 0) 1 else 0
+      val len = 144 * br * 1000 / sr + pad
+      out.write(0xff)
+      out.write(0xfb) // MPEG-1, Layer III, no CRC
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(if (mono) 0xc0 else 0x00)
+      var k = 4
+      while (k < len) { out.write(0); k += 1 }
+      f += 1
+    }
+    if (id3v1) {
+      out.write('T'); out.write('A'); out.write('G')
+      var k = 3
+      while (k < 128) { out.write(0); k += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Ogg/Opus fixture: a BOS page carrying a spec-valid OpusHead
+    * (version 1, channel count, pre-skip, input rate, zero gain,
+    * mapping family 0), then one page per granule value (zeroed
+    * single-segment packets, the last flagged EOS), every page CRC'd
+    * with the Ogg polynomial. */
+  private[graft] def makeOggOpus(channels: Int, preSkip: Int,
+      inputRate: Int, pageGranules: Seq[Long]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && pageGranules.nonEmpty)
+    val serial = 0x47524654 // arbitrary stream serial
+    def page(seq: Int, granule: Long, headerType: Int,
+        body: Array[Byte]): Array[Byte] = {
+      require(body.length <= 255)
+      val p = new Array[Byte](28 + body.length)
+      p(0) = 'O'; p(1) = 'g'; p(2) = 'g'; p(3) = 'S'
+      p(4) = 0
+      p(5) = headerType.toByte
+      var k = 0
+      while (k < 8) { p(6 + k) = ((granule >> (8 * k)) & 0xff).toByte; k += 1 }
+      k = 0
+      while (k < 4) { p(14 + k) = ((serial >> (8 * k)) & 0xff).toByte; k += 1 }
+      k = 0
+      while (k < 4) { p(18 + k) = ((seq >> (8 * k)) & 0xff).toByte; k += 1 }
+      p(26) = 1 // one lacing segment
+      p(27) = body.length.toByte
+      System.arraycopy(body, 0, p, 28, body.length)
+      val crc = oggCrc(p, 0, p.length, 22)
+      k = 0
+      while (k < 4) { p(22 + k) = ((crc >> (8 * k)) & 0xff).toByte; k += 1 }
+      p
+    }
+    val head = new Array[Byte](19)
+    System.arraycopy("OpusHead".getBytes(StandardCharsets.US_ASCII), 0,
+      head, 0, 8)
+    head(8) = 1 // version
+    head(9) = channels.toByte
+    head(10) = (preSkip & 0xff).toByte
+    head(11) = ((preSkip >> 8) & 0xff).toByte
+    var k = 0
+    while (k < 4) { head(12 + k) = ((inputRate >> (8 * k)) & 0xff).toByte; k += 1 }
+    // gain (16) + mapping family already zero
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(0, 0L, 0x02, head)) // BOS
+    pageGranules.zipWithIndex.foreach { case (g, idx) =>
+      val eos = idx == pageGranules.length - 1
+      out.write(page(idx + 1, g, if (eos) 0x04 else 0x00, new Array[Byte](8)))
+    }
+    out.toByteArray
+  }
+
   /** Real A/V metadata decode: WAV via the RIFF chunk walk, MP4 via the
     * ISO BMFF box walk. Same poison-blob contract as [[decodeMeta]]:
     * unrecognized or malformed payloads are ("raw", 0, 0, 0), never a
@@ -868,6 +1092,12 @@ object Multimodal {
       mp4Meta(bytes)
     else if (bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C') flacMeta(bytes)
+    else if (bytes.length >= 27 && bytes(0) == 'O' && bytes(1) == 'g' &&
+      bytes(2) == 'g' && bytes(3) == 'S') oggMeta(bytes)
+    else if (bytes.length >= 4 && (((bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xfe) == 0xfa) ||
+      (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')))
+      mp3Meta(bytes)
     else RawAv
   }
 

@@ -3407,6 +3407,58 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Audio stream census gate (r14 — the audio analog of the IVF
+    * key-frame census: header-only timing recovery at corpus scale):
+    * even docs are MP3 streams (MPEG-1 Layer III frame walk — CBR and
+    * VBR bitrate sequences, per-frame padding, ID3v2 prefixes and
+    * ID3v1 trailers) and odd docs Ogg/Opus (page walk with the Ogg
+    * CRC-32 verified per page, OpusHead channels/pre-skip/input-rate,
+    * duration from the last granule at the 48 kHz Opus clock). The
+    * oracle recomputes format, channels, rate, and millisecond
+    * duration in closed form — a drift in a frame-size formula, table,
+    * syncsafe size, lacing walk, CRC, or pre-skip subtraction changes
+    * a value and hash-fails. */
+  val multimodalAudioCensus = QueryDef(
+    "q_ns_multimodal_audio_census",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'opus' END AS fmt,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |       THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END
+      |       ELSE 1 + doc_id % 3 END AS BIGINT) AS ch,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |       THEN CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |            ELSE 32000 END
+      |       ELSE 48000 END AS BIGINT) AS rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |       THEN (20 + doc_id * 3) * 1152 * 1000
+      |            // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |                ELSE 32000 END)
+      |       ELSE (doc_id + 1) * 100 END AS BIGINT) AS dur_ms
+      |FROM ids
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.Multimodal
+      val bytes =
+        if (id % 2 == 0)
+          Multimodal.makeMp3((20 + id * 3).toInt, (id % 3).toInt,
+            f => 1 + ((id + f * (id % 2 + 1)) % 14).toInt,
+            mono = id % 4 == 0,
+            id3v2Bytes = ((id % 5) * 13).toInt,
+            id3v1 = id % 3 == 0)
+        else {
+          val preSkip = (312 + id * 7).toInt
+          val last = preSkip + (id + 1) * 4800
+          Multimodal.makeOggOpus((1 + id % 3).toInt, preSkip, 48000,
+            Seq(last / 3, 2 * last / 3, last))
+        }
+      val (fmt, ch, rate, durMs) = Multimodal.decodeAvMeta(bytes)
+      (id, fmt, ch.toLong, rate.toLong, durMs)
+    }.toDF("doc_id", "fmt", "ch", "rate", "dur_ms")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -4280,6 +4332,7 @@ object NorthStar {
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
     multimodalJpegProgressive, multimodalFlac, multimodalGifAnim,
+    multimodalAudioCensus,
     multimodalTokenPartitions, multimodalSegmented,
     multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,

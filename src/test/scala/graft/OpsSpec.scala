@@ -1018,6 +1018,45 @@ class OpsSpec extends AnyFunSuite {
       "rect beyond canvas must reject")
   }
 
+  test("audio stream census: MP3 frame walk (CBR/VBR, ID3v2/v1, padding) " +
+      "and Ogg/Opus page walk (per-page CRC, OpusHead, granule timing) " +
+      "recover exact timing header-only") {
+    import graft.ops.Multimodal
+    // CBR mono 128 kbps @ 44.1 kHz, 38 frames
+    val cbr = Multimodal.makeMp3(38, 0, _ => 9, mono = true)
+    assert(Multimodal.decodeAvMeta(cbr) ==
+      (("mp3", 1, 44100, 38L * 1152 * 1000 / 44100)))
+    // VBR stereo @ 48 kHz behind ID3v2, before an ID3v1 trailer
+    val vbr = Multimodal.makeMp3(25, 1, f => 1 + f % 14, mono = false,
+      id3v2Bytes = 77, id3v1 = true)
+    assert(Multimodal.decodeAvMeta(vbr) ==
+      (("mp3", 2, 48000, 25L * 1152 * 1000 / 48000)))
+    // poisons: truncation mid-frame; a sample-rate flip mid-stream
+    // (frame 0 is 418 bytes at 128 kbps + padding, so frame 1's header
+    // starts at 418)
+    assert(Multimodal.decodeAvMeta(cbr.take(cbr.length - 3))._1 == "raw")
+    val badSr = cbr.clone()
+    badSr(418 + 2) = (badSr(418 + 2) ^ 0x08).toByte // srIdx 0 → 2
+    assert(Multimodal.decodeAvMeta(badSr)._1 == "raw",
+      "mid-stream rate change must reject")
+    // Opus: pre-skip 312, last granule 48312 → exactly 1000 ms
+    val opus = Multimodal.makeOggOpus(2, 312, 48000,
+      Seq(960L, 1920L, 48312L))
+    assert(Multimodal.decodeAvMeta(opus) == (("opus", 2, 48000, 1000L)))
+    // a flipped body byte breaks that page's CRC
+    val badO = opus.clone()
+    badO(40) = (badO(40) ^ 1).toByte
+    assert(Multimodal.decodeAvMeta(badO)._1 == "raw",
+      "Ogg page CRC must catch a body flip")
+    // non-Opus Ogg: container recognized, codec timing out of scope
+    // (patch the OpusHead magic and re-CRC the first page)
+    val nonOpus = opus.clone()
+    nonOpus(28) = 'X'.toByte
+    val crc = Multimodal.oggCrc(nonOpus, 0, 47, 22)
+    for (k <- 0 until 4) nonOpus(22 + k) = ((crc >> (8 * k)) & 0xff).toByte
+    assert(Multimodal.decodeAvMeta(nonOpus) == (("ogg", 0, 0, 0L)))
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
