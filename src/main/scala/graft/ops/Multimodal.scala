@@ -1537,6 +1537,299 @@ object Multimodal {
     * formats. WebP stays header-only — VP8/VP8L payloads are
     * entropy-coded like jpeg, the documented codec boundary. Poison-blob
     * contract: any structural violation returns None, never a crash. */
+  // ---------------------------------------------------------------------
+  // TIFF (r14): baseline 6.0 — IFD walk in both byte orders, gray/RGB
+  // 8-bit, strip layout, Compression 1 (none) and 32773 (PackBits)
+  // ---------------------------------------------------------------------
+
+  /** Baseline TIFF decode: header ("II*\0" little / "MM\0*" big), the
+    * first IFD's tag walk (ImageWidth/Length, BitsPerSample 8,
+    * PhotometricInterpretation 1 gray / 2 RGB, SamplesPerPixel,
+    * RowsPerStrip, StripOffsets/ByteCounts — SHORT or LONG, inline or
+    * offset-stored), strip-by-strip raster assembly, and PackBits
+    * (32773) decompression. Gray = first channel (the achromatic
+    * contract of the other color formats). Returns None for anything
+    * malformed or outside the subset (tiled layouts, other depths,
+    * palette/CMYK, LZW/JPEG-in-TIFF). */
+  private[graft] def decodeTiffGray(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 8) return None
+    val little =
+      if (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 &&
+        bytes(3) == 0) true
+      else if (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        bytes(3) == 42) false
+      else return None
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val nTags = u16(ifd.toInt)
+    if (nTags <= 0 || ifd + 2 + 12L * nTags > bytes.length) return None
+    var w = 0
+    var h = 0
+    var bps = 8 // default per spec
+    var compression = 1
+    var photometric = -1
+    var spp = 1
+    var rowsPerStrip = Int.MaxValue
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    // a tag's count values: SHORT (3) or LONG (4), inline when they fit
+    // in the 4-byte value field, else at the stored offset
+    def values(entry: Int, typ: Int, count: Int): Array[Long] = {
+      val sz = if (typ == 3) 2 else 4
+      val at =
+        if (count * sz <= 4) entry + 8
+        else u32(entry + 8).toInt
+      if (at < 0 || at + count.toLong * sz > bytes.length) return null
+      Array.tabulate(count)(k =>
+        if (typ == 3) u16(at + 2 * k).toLong else u32(at + 4 * k))
+    }
+    var t = 0
+    var bad = false
+    while (!bad && t < nTags) {
+      val e = ifd.toInt + 2 + 12 * t
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      if (cnt < 0 || cnt > 65536) bad = true
+      else if (typ == 3 || typ == 4) {
+        val c = cnt.toInt
+        def one(): Long = {
+          val v = values(e, typ, 1)
+          if (v == null) { bad = true; 0L } else v(0)
+        }
+        tag match {
+          case 256 => w = one().toInt
+          case 257 => h = one().toInt
+          case 258 =>
+            val v = values(e, typ, c)
+            if (v == null || v.exists(_ != 8)) bad = true
+          case 259 => compression = one().toInt
+          case 262 => photometric = one().toInt
+          case 273 =>
+            stripOffsets = values(e, typ, c)
+            if (stripOffsets == null) bad = true
+          case 277 => spp = one().toInt
+          case 278 => rowsPerStrip = math.min(one(), Int.MaxValue).toInt
+          case 279 =>
+            stripCounts = values(e, typ, c)
+            if (stripCounts == null) bad = true
+          case _ => () // orientation, resolution, etc.: ignored
+        }
+      }
+      t += 1
+    }
+    if (bad || w <= 0 || h <= 0 || w.toLong * h > 16000000L) return None
+    if (bps != 8) return None
+    if (!(photometric == 1 && spp == 1) && !(photometric == 2 && spp == 3))
+      return None
+    if (compression != 1 && compression != 32773) return None
+    if (stripOffsets == null || stripCounts == null ||
+      stripOffsets.length != stripCounts.length) return None
+    if (rowsPerStrip <= 0) return None
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    if (stripOffsets.length != nStrips) return None
+    val rowBytes = w * spp
+    val raster = new Array[Byte](rowBytes * h)
+    var s = 0
+    while (s < nStrips) {
+      val off = stripOffsets(s)
+      val len = stripCounts(s)
+      if (off < 0 || len < 0 || off + len > bytes.length) return None
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      val want = rows * rowBytes
+      val dst = s * rowsPerStrip * rowBytes
+      if (compression == 1) {
+        if (len != want) return None
+        System.arraycopy(bytes, off.toInt, raster, dst, want)
+      } else {
+        // PackBits: n∈[0,127] copy n+1 literals; n∈[-127,-1] repeat the
+        // next byte 1−n times; −128 is a no-op
+        var p = off.toInt
+        val end = (off + len).toInt
+        var q = dst
+        val qEnd = dst + want
+        while (p < end && q < qEnd) {
+          val n = bytes(p)
+          p += 1
+          if (n >= 0) {
+            if (p + n + 1 > end || q + n + 1 > qEnd) return None
+            System.arraycopy(bytes, p, raster, q, n + 1)
+            p += n + 1
+            q += n + 1
+          } else if (n != -128) {
+            if (p >= end || q + (1 - n) > qEnd) return None
+            java.util.Arrays.fill(raster, q, q + 1 - n, bytes(p))
+            p += 1
+            q += 1 - n
+          }
+        }
+        if (q != qEnd || p != end) return None
+      }
+      s += 1
+    }
+    val g = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) { g(i) = raster(i * spp) & 0xff; i += 1 }
+    Some((w, h, g))
+  }
+
+  /** TIFF fixture: gray or RGB (gray-planted channels), either byte
+    * order, multi-strip with `rowsPerStrip`, uncompressed or PackBits
+    * (runs emitted for repeats ≥ 3, literals otherwise — both branch
+    * types appear on any textured plant). */
+  private[graft] def makeTiff(w: Int, h: Int, pix: (Int, Int) => Int,
+      little: Boolean, rgb: Boolean, rowsPerStrip: Int,
+      packBits: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && rowsPerStrip > 0)
+    val spp = if (rgb) 3 else 1
+    val rowBytes = w * spp
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      val raw = new Array[Byte](rows * rowBytes)
+      var r = 0
+      while (r < rows) {
+        var x = 0
+        while (x < w) {
+          val g = (pix(x, s * rowsPerStrip + r) & 0xff).toByte
+          var c = 0
+          while (c < spp) { raw(r * rowBytes + x * spp + c) = g; c += 1 }
+          x += 1
+        }
+        r += 1
+      }
+      if (!packBits) raw
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < raw.length) {
+          // find a run of ≥3 equal bytes, else emit a literal block
+          var run = 1
+          while (i + run < raw.length && run < 128 &&
+            raw(i + run) == raw(i)) run += 1
+          if (run >= 3) {
+            out.write(1 - run) // repeat count byte
+            out.write(raw(i))
+            i += run
+          } else {
+            var lit = run
+            while (i + lit < raw.length && lit < 128 &&
+              !(i + lit + 2 < raw.length && raw(i + lit) == raw(i + lit + 1)
+                && raw(i + lit) == raw(i + lit + 2))) lit += 1
+            out.write(lit - 1)
+            out.write(raw, i, lit)
+            i += lit
+          }
+        }
+        out.toByteArray
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (little) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (little) {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      } else {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+    out.write(if (little) 'I' else 'M')
+    out.write(if (little) 'I' else 'M')
+    if (little) { out.write(42); out.write(0) } else { out.write(0); out.write(42) }
+    w32(8) // IFD right after the header
+    val tags = 9
+    val ifdSize = 2 + 12 * tags + 4
+    // layout: header(8) + IFD + [BitsPerSample array if rgb] + strips
+    val bpsArrayOff = 8 + ifdSize
+    val stripsStart = bpsArrayOff + (if (rgb) 6 else 0)
+    val stripOffs = strips.scanLeft(stripsStart.toLong)(_ + _.length)
+    w16(tags)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) {
+        // a SHORT value sits in the value field's FIRST two bytes
+        w16(value.toInt); w16(0)
+      } else w32(value)
+    }
+    entry(256, 4, 1, w) // ImageWidth
+    entry(257, 4, 1, h) // ImageLength
+    if (rgb) entry(258, 3, 3, bpsArrayOff) // BitsPerSample offset-stored
+    else entry(258, 3, 1, 8)
+    entry(259, 3, 1, if (packBits) 32773 else 1)
+    entry(262, 3, 1, if (rgb) 2 else 1)
+    if (nStrips == 1) entry(273, 4, 1, stripOffs(0))
+    else entry(273, 4, nStrips, -1L) // patched below
+    entry(277, 3, 1, spp)
+    entry(278, 4, 1, rowsPerStrip)
+    if (nStrips == 1) entry(279, 4, 1, strips(0).length)
+    else entry(279, 4, nStrips, -1L)
+    w32(0) // next IFD
+    if (rgb) { w16(8); w16(8); w16(8) }
+    // multi-strip offset/count arrays ride AFTER the strips; easier to
+    // just re-emit the file when nStrips > 1 with proper offsets
+    if (nStrips == 1) {
+      strips.foreach(s => out.write(s, 0, s.length))
+      out.toByteArray
+    } else {
+      // second pass: arrays after strips
+      val arraysAt = stripOffs.last
+      val bytes0 = out.toByteArray
+      val fixed = new java.io.ByteArrayOutputStream()
+      fixed.write(bytes0, 0, bytes0.length)
+      strips.foreach(s => fixed.write(s, 0, s.length))
+      // strip offsets array, then counts array
+      val offArrAt = arraysAt
+      val cntArrAt = arraysAt + 4L * nStrips
+      val f = fixed.toByteArray
+      def patch32(at: Int, v: Long): Unit = {
+        if (little) {
+          f(at) = (v & 0xff).toByte; f(at + 1) = ((v >> 8) & 0xff).toByte
+          f(at + 2) = ((v >> 16) & 0xff).toByte
+          f(at + 3) = ((v >> 24) & 0xff).toByte
+        } else {
+          f(at) = ((v >> 24) & 0xff).toByte
+          f(at + 1) = ((v >> 16) & 0xff).toByte
+          f(at + 2) = ((v >> 8) & 0xff).toByte; f(at + 3) = (v & 0xff).toByte
+        }
+      }
+      // entries are at 8 + 2 + 12*k; tag order above: 273 is index 5,
+      // 279 is index 8
+      patch32(8 + 2 + 12 * 5 + 8, offArrAt)
+      patch32(8 + 2 + 12 * 8 + 8, cntArrAt)
+      val out2 = new java.io.ByteArrayOutputStream()
+      out2.write(f, 0, f.length)
+      (0 until nStrips).foreach(s => {
+        val bb = java.nio.ByteBuffer.allocate(4)
+          .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(stripOffs(s).toInt)
+        out2.write(bb.array(), 0, 4)
+      })
+      (0 until nStrips).foreach(s => {
+        val bb = java.nio.ByteBuffer.allocate(4)
+          .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(strips(s).length)
+        out2.write(bb.array(), 0, 4)
+      })
+      out2.toByteArray
+    }
+  }
+
   /** One composited animation frame: the FULL-CANVAS grayscale
     * snapshot after the frame renders, plus its GCE timing/disposal. */
   private[graft] final case class GifFrame(delayCs: Int, disposal: Int,

@@ -3459,6 +3459,60 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** TIFF gate (r14 — the document-scan raster family): 20 baseline
+    * TIFF 6.0 files cycling byte order (II/MM), gray vs RGB,
+    * uncompressed vs PackBits strips, and multi-strip row groupings.
+    * Decoding is the full IFD walk (inline vs offset-stored values,
+    * SHORT/LONG types, strip assembly, PackBits runs/literals); the
+    * oracle recomputes sampled pixels and the gray_sum from the plant
+    * formula — a drift in endianness handling, a tag offset, strip
+    * bounds, or a PackBits count lands on different pixels and
+    * hash-fails. */
+  val multimodalTiff = QueryDef(
+    "q_ns_multimodal_tiff",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |p AS (SELECT doc_id,
+      |        11 + (doc_id * 3) % 8 AS w, 9 + (doc_id * 5) % 6 AS h
+      |      FROM ids),
+      |px AS (SELECT doc_id, w, h, xs.x, ys.y,
+      |        CASE WHEN ((xs.x // 4) + (ys.y // 3)) % 2 = 0
+      |             THEN (doc_id * 9 + 180) % 256
+      |             ELSE (doc_id * 3 + xs.x * 7 + ys.y * 11) % 256
+      |        END AS g
+      |      FROM p
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 18)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS y) ys
+      |      WHERE xs.x < w AND ys.y < h)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(doc_id % 2 AS BIGINT) AS mm,
+      |  CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS BIGINT) AS g_tl,
+      |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN g END) AS BIGINT)
+      |    AS g_br,
+      |  CAST(sum(g) AS BIGINT) AS gray_sum
+      |FROM px
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.Multimodal
+      val w = (11 + (id * 3) % 8).toInt
+      val h = (9 + (id * 5) % 6).toInt
+      val bytes = Multimodal.makeTiff(w, h,
+        (x, y) =>
+          (if ((x / 4 + y / 3) % 2 == 0) (id * 9 + 180) % 256
+          else (id * 3 + x * 7 + y * 11) % 256).toInt,
+        little = id % 2 == 0,
+        rgb = id % 3 == 0,
+        rowsPerStrip = (id % 4 + 3).toInt,
+        packBits = id % 2 == 1)
+      val (dw, dh, g) = Multimodal.decodeTiffGray(bytes).get
+      (id, id % 2, dw.toLong, dh.toLong, g(0).toLong,
+        g(dw * dh - 1).toLong, g.foldLeft(0L)(_ + _))
+    }.toDF("doc_id", "mm", "w", "h", "g_tl", "g_br", "gray_sum")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -4332,7 +4386,7 @@ object NorthStar {
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
     multimodalJpegProgressive, multimodalFlac, multimodalGifAnim,
-    multimodalAudioCensus,
+    multimodalAudioCensus, multimodalTiff,
     multimodalTokenPartitions, multimodalSegmented,
     multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,

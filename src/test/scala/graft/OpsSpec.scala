@@ -1057,6 +1057,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeAvMeta(nonOpus) == (("ogg", 0, 0, 0L)))
   }
 
+  test("TIFF baseline: II/MM byte orders, gray and RGB, multi-strip " +
+      "layouts, and PackBits strips round-trip pixel-exactly") {
+    import graft.ops.Multimodal
+    // alternating flat patches (PackBits runs) and texture (literals)
+    def pix(x: Int, y: Int): Int =
+      if ((x / 4 + y / 3) % 2 == 0) 200 else (x * 7 + y * 13) % 256
+    for (little <- Seq(true, false); rgb <- Seq(false, true);
+        pb <- Seq(false, true); rps <- Seq(5, 100)) {
+      val bytes = Multimodal.makeTiff(23, 17, pix, little, rgb, rps, pb)
+      val (w, h, g) = Multimodal.decodeTiffGray(bytes).getOrElse(
+        fail(s"tiff little=$little rgb=$rgb pb=$pb rps=$rps rejected"))
+      assert(w == 23 && h == 17)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g(y * w + x) == pix(x, y),
+          s"($x,$y) little=$little rgb=$rgb pb=$pb rps=$rps")
+    }
+    // poisons: truncation, magic corruption, depth patch (BitsPerSample
+    // entry is IFD slot 2; its inline SHORT value sits at +8)
+    val ok = Multimodal.makeTiff(23, 17, pix, little = true, rgb = false,
+      rowsPerStrip = 5, packBits = false)
+    assert(Multimodal.decodeTiffGray(ok.take(40)).isEmpty)
+    val badMagic = ok.clone(); badMagic(2) = 41
+    assert(Multimodal.decodeTiffGray(badMagic).isEmpty)
+    val badDepth = ok.clone()
+    badDepth(8 + 2 + 12 * 2 + 8) = 16
+    assert(Multimodal.decodeTiffGray(badDepth).isEmpty,
+      "non-8-bit depth is out of subset")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
