@@ -45,7 +45,12 @@ package graft.ops
   *    with the fixture encoder's reconstruction simulation for
   *    AC-bearing blocks (T.81 does not mandate a bit-exact IDCT, so
   *    cross-decoder AC equality is explicitly NOT claimed; the subset
-  *    claim is self-consistency plus exact DC).
+  *    claim is self-consistency plus exact DC). CROSS-VALIDATED (r14):
+  *    the JDK's independent ImageIO reader decodes the fixture
+  *    encoders' files — grayscale DC-only EXACTLY, 4:4:4 color
+  *    (baseline and progressive) within ±1/channel (YCbCr→RGB rounding
+  *    conventions differ across decoders) — so the emitted bitstreams
+  *    are validated by a second implementation, not only this one.
   *
   * Reference behavior being reimplemented: the reference warehouse
   * stores image URLs only (`ufc/models/staging/stg_fighters.sql` — the

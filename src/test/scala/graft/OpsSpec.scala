@@ -1086,6 +1086,105 @@ class OpsSpec extends AnyFunSuite {
       "non-8-bit depth is out of subset")
   }
 
+  test("cross-decoder validation: the JDK's independent ImageIO readers " +
+      "reproduce our PNG (exact, incl. Adam7), TIFF (exact), and JPEG " +
+      "fixtures (DC-exact gray, near-exact color) — the encoders emit " +
+      "files OTHER decoders agree on, not just our own") {
+    import graft.ops.{Jpeg, Multimodal}
+    def readImg(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO could not read the fixture")
+      img
+    }
+    def pix(x: Int, y: Int): Int = (x * 37 + y * 91 + (x * y) % 13 * 55) % 256
+    // PNG: lossless, so cross-decoder equality is EXACT — sequential
+    // with all five filters, and Adam7 interlaced
+    for (il <- Seq(false, true)) {
+      val b = Multimodal.makePngFiltered(23, 17, pix, y => y % 5,
+        interlaced = il)
+      val img = readImg(b)
+      assert(img.getWidth == 23 && img.getHeight == 17)
+      for (y <- 0 until 17; x <- 0 until 23)
+        assert((img.getRGB(x, y) & 0xff) == pix(x, y),
+          s"ImageIO PNG (interlaced=$il) differs at ($x,$y)")
+    }
+    // TIFF: lossless — both byte orders, PackBits, multi-strip
+    for ((little, pb) <- Seq((true, false), (false, true))) {
+      val b = Multimodal.makeTiff(23, 17, pix, little, rgb = true,
+        rowsPerStrip = 5, packBits = pb)
+      val img = readImg(b)
+      assert(img.getWidth == 23 && img.getHeight == 17)
+      for (y <- 0 until 17; x <- 0 until 23)
+        assert((img.getRGB(x, y) & 0xff) == pix(x, y),
+          s"ImageIO TIFF (little=$little pb=$pb) differs at ($x,$y)")
+    }
+    // JPEG grayscale, DC-only blocks: the IDCT is exact for flat
+    // blocks in any conforming decoder → cross-decoder EXACT
+    def dcOnly(bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = ((bx * 37 + by * 91) % 200) - 100
+      a
+    }
+    val (gb, ge) = Jpeg.makeJpegGray(40, 24, dcOnly)
+    val gi = readImg(gb)
+    assert(gi.getWidth == 40 && gi.getHeight == 24)
+    // raw raster samples — getRGB would push gray through a
+    // linear-gray→sRGB gamma conversion
+    for (y <- 0 until 24; x <- 0 until 40)
+      assert(gi.getRaster.getSample(x, y, 0) == ge(y * 40 + x),
+        s"ImageIO gray JPEG differs at ($x,$y)")
+    // JPEG color (baseline AND progressive), DC-only: the YCbCr→RGB
+    // rounding conventions differ across decoders, so allow ±1/channel
+    def dcColor(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = (c match {
+        case 0 => (bx * 13 + by * 29) % 160 - 80
+        case 1 => (bx * 17 + by * 23) % 100 - 50
+        case _ => (bx * 19 + by * 31) % 100 - 50
+      })
+      a
+    }
+    def checkColor(bytes: Array[Byte], er: Array[Int], eg: Array[Int],
+        eb: Array[Int], label: String): Unit = {
+      val img = readImg(bytes)
+      assert(img.getWidth == 37 && img.getHeight == 22, label)
+      for (y <- 0 until 22; x <- 0 until 37) {
+        val rgb = img.getRGB(x, y)
+        val i = y * 37 + x
+        assert(math.abs(((rgb >> 16) & 0xff) - er(i)) <= 1 &&
+          math.abs(((rgb >> 8) & 0xff) - eg(i)) <= 1 &&
+          math.abs((rgb & 0xff) - eb(i)) <= 1,
+          s"$label differs beyond ±1 at ($x,$y)")
+      }
+    }
+    // 4:4:4 keeps chroma upsampling out of the comparison — T.81 does
+    // not mandate an upsampling filter (libjpeg's "fancy" bilinear vs
+    // our box replication), so subsampled layouts stay self-consistency
+    val (cb, (cr2, cg2, cb2)) = Jpeg.makeJpegColor(37, 22, 1, 1, 2, dcColor)
+    checkColor(cb, cr2, cg2, cb2, "ImageIO baseline color JPEG")
+    val (pb2, (pr2, pg2, pbl2)) =
+      Jpeg.makeJpegProgressive(37, 22, 1, 1, 0, dcColor)
+    checkColor(pb2, pr2, pg2, pbl2, "ImageIO progressive JPEG")
+    // reverse direction: ImageIO-WRITTEN files through our decoders
+    // (PNG is exercised here; GIF has its own cross-test above)
+    val src = new java.awt.image.BufferedImage(31, 19,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 19; x <- 0 until 31) {
+      val g = pix(x, y)
+      src.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "png", baos))
+    val ours = Multimodal.decodeGray(baos.toByteArray)
+    assert(ours.nonEmpty, "our decoder rejected an ImageIO PNG")
+    val (dw, dh, dg) = ours.get
+    assert(dw == 31 && dh == 19)
+    for (y <- 0 until 19; x <- 0 until 31)
+      assert(dg(y * 31 + x) == pix(x, y),
+        s"our decode of an ImageIO PNG differs at ($x,$y)")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
