@@ -371,7 +371,7 @@ object Multimodal {
   private[graft] def codecScopeOf(bytes: Array[Byte]): String = {
     val (fmt, _, _, _) = decodeMeta(bytes)
     fmt match {
-      case "bmp" | "ppm" | "pgm" | "png" | "gif" => "pixel"
+      case "bmp" | "ppm" | "pgm" | "png" | "gif" | "tiff" => "pixel"
       case "webp" =>
         // VP8L (lossless subset) AND, since r12, lossy "VP8 " key frames
         // (graft.ops.Vp8's documented luma subset) are pixel-scoped;
@@ -382,11 +382,11 @@ object Multimodal {
           bytes(14) == '8' &&
           (bytes(15) == 'L' || bytes(15) == ' ')) "pixel"
         else "header_only"
-      // r14: the baseline subset decoder makes jpeg a pixel class —
+      // r14: the jpeg subset decoder makes it a pixel class —
       // grayscale AND interleaved YCbCr (4:4:4/4:2:2/4:2:0, restart
-      // intervals included); files past the subset (progressive,
-      // arithmetic, 12-bit) read neardup_covered = false through the
-      // per-payload column
+      // intervals) AND, since the progressive work, SOF2 multi-scan
+      // files; what remains past the subset (arithmetic, 12-bit,
+      // hierarchical) reads neardup_covered = false per payload
       case "jpeg" => "pixel"
       case _ => "opaque"
     }
@@ -419,9 +419,12 @@ object Multimodal {
       val w = (id % 61 + 4).toInt
       val h = (id % 47 + 4).toInt
       val v = (id % 251).toByte
-      val payload = (id % 8) match {
+      val payload = (id % 9) match {
         case 6L => Vp8.makeWebpLossy(w, h, (_, _) => v & 0xff) // lossy webp
         case 7L => buildImage(w, h, 6, (_, _) => v) // webp vp8l
+        case 8L => makeTiff(w, h, (_, _) => v & 0xff, // tiff (r14)
+          little = id % 2 == 0, rgb = id % 3 == 0,
+          rowsPerStrip = (id % 5 + 2).toInt, packBits = id % 2 == 1)
         case 5L => buildImage(w, h, 5, (_, _) => v) // gif
         case 4L => Jpeg.makeJpegConst(w, h, v & 0xff) // real baseline jpeg (r14)
         case f => buildImage(w, h, f.toInt, (_, _) => v) // bmp/ppm/pgm/png
@@ -612,7 +615,54 @@ object Multimodal {
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
         bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P') {
       webpMeta(bytes)
+    } else if (bytes.length >= 8 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 &&
+          bytes(3) == 0) ||
+         (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+          bytes(3) == 42))) {
+      tiffMeta(bytes)
     } else Raw
+  }
+
+  /** TIFF geometry (r14): a light first-IFD walk for
+    * ImageWidth/ImageLength/SamplesPerPixel — header-only, the same
+    * cost class as the other meta parses. */
+  private def tiffMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    val little = bytes(0) == 'I'
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return Raw
+    val nTags = u16(ifd.toInt)
+    if (nTags <= 0 || ifd + 2 + 12L * nTags > bytes.length) return Raw
+    var w = 0
+    var h = 0
+    var spp = 1
+    var t = 0
+    while (t < nTags) {
+      val e = ifd.toInt + 2 + 12 * t
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      if (typ == 3 || typ == 4) {
+        val v = if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+        tag match {
+          case 256 => w = v.toInt
+          case 257 => h = v.toInt
+          case 277 => spp = v.toInt
+          case _ => ()
+        }
+      }
+      t += 1
+    }
+    if (w <= 0 || h <= 0 || spp <= 0) Raw else ("tiff", w, h, spp)
   }
 
   private def decodeRow(row: MediaRow): MediaFeatures = {
@@ -1344,6 +1394,7 @@ object Multimodal {
           }
         } catch { case _: java.util.zip.DataFormatException => None }
       case "gif" => decodeGifGray(bytes, w, h)
+      case "tiff" => decodeTiffGray(bytes)
       case "jpeg" =>
         // baseline subset (graft.ops.Jpeg, r14): grayscale directly,
         // color via its full-resolution luma plane (gray = Y, the same

@@ -3546,12 +3546,13 @@ object NorthStar {
     "q_ns_multimodal_codec_scope",
     """WITH p AS (
       |  SELECT doc_id, doc_id % 61 + 4 AS w, doc_id % 47 + 4 AS h,
-      |         doc_id % 8 AS f, doc_id % 251 AS v
+      |         doc_id % 9 AS f, doc_id % 251 AS v
       |  FROM documents
       |)
       |SELECT doc_id,
       |       CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'pgm'
       |              WHEN 3 THEN 'png' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif'
+      |              WHEN 8 THEN 'tiff'
       |              ELSE 'webp' END AS format,
       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
       |       'pixel' AS codec_scope,
