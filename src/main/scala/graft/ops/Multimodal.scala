@@ -334,6 +334,13 @@ object Multimodal {
     * start code and real 14-bit geometry, no coefficient data) — the
     * fixture for the header_only side of the codec-scope contract, the
     * lossy twin of the 41-byte synthetic JPEG. */
+  /** Standalone VP8L (lossless WebP) fixture — [[buildImage]]'s f = 6
+    * form with an Int-pixel signature, for the animation fixtures and
+    * tests that embed lossless frames. */
+  private[graft] def makeVp8l(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] =
+    buildImage(w, h, 6, (x, y) => (pix(x, y) & 0xff).toByte)
+
   private[graft] def makeWebpLossyHeader(w: Int, h: Int): Array[Byte] = {
     val bb = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
@@ -373,14 +380,19 @@ object Multimodal {
     fmt match {
       case "bmp" | "ppm" | "pgm" | "png" | "gif" | "tiff" => "pixel"
       case "webp" =>
-        // VP8L (lossless subset) AND, since r12, lossy "VP8 " key frames
-        // (graft.ops.Vp8's documented luma subset) are pixel-scoped;
-        // VP8X extended stays header-only. A payload outside either
-        // subset still reads neardup_covered = false — the per-payload
-        // truth column catching what the static scope can't.
+        // VP8L (lossless subset), lossy "VP8 " key frames (r12), and —
+        // r14 — VP8X ANIMATIONS (ANMF compositing over those decoders)
+        // are pixel-scoped; non-animated VP8X (still images behind the
+        // extended container, e.g. with alpha) stays header-only. A
+        // payload outside a subset still reads neardup_covered = false
+        // — the per-payload truth column catching what the static
+        // scope can't.
         if (bytes.length >= 16 && bytes(12) == 'V' && bytes(13) == 'P' &&
           bytes(14) == '8' &&
           (bytes(15) == 'L' || bytes(15) == ' ')) "pixel"
+        else if (bytes.length >= 21 && bytes(12) == 'V' &&
+          bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'X' &&
+          (bytes(20) & 0x02) != 0) "pixel"
         else "header_only"
       // r14: the jpeg subset decoder makes it a pixel class —
       // grayscale AND interleaved YCbCr (4:4:4/4:2:2/4:2:0, restart
@@ -1404,12 +1416,19 @@ object Multimodal {
       case "webp" =>
         // dispatch on the chunk fourcc: lossless → the VP8L subset
         // decoder; lossy "VP8 " → the key-frame luma subset decoder
-        // (graft.ops.Vp8, r12); VP8X extended stays header-only
+        // (graft.ops.Vp8, r12); VP8X ANIMATIONS (r14) → first composited
+        // frame, the same contract as GIF; still VP8X stays header-only
         if (bytes.length >= 16 && bytes(12) == 'V' && bytes(13) == 'P' &&
           bytes(14) == '8' && bytes(15) == 'L') decodeVp8lGray(bytes)
         else if (bytes.length >= 16 && bytes(12) == 'V' &&
           bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == ' ')
           Vp8.decodeLumaGray(bytes)
+        else if (bytes.length >= 21 && bytes(12) == 'V' &&
+          bytes(13) == 'P' && bytes(14) == '8' && bytes(15) == 'X' &&
+          (bytes(20) & 0x02) != 0)
+          decodeWebpAnim(bytes).map { case (cw, ch2, fr) =>
+            (cw, ch2, fr.head._2)
+          }
         else None
       case _ => None
     }
@@ -1879,6 +1898,180 @@ object Multimodal {
       })
       out2.toByteArray
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Animated WebP (r14): VP8X + ANIM + ANMF compositing over the
+  // existing VP8 (lossy) and VP8L (lossless) frame decoders
+  // ---------------------------------------------------------------------
+
+  /** Animated-WebP decode: the VP8X extended container with the
+    * animation flag, the ANIM chunk (background color, loop count),
+    * and ANMF frame chunks — sub-rectangle frames at even offsets,
+    * per-frame millisecond durations, dispose-to-background vs keep,
+    * embedded "VP8 " (lossy key-frame subset) or "VP8L" payloads
+    * decoded by wrapping them back into standalone containers.
+    * Returns (canvas w, h, frames as (duration_ms, full-canvas gray
+    * snapshot)). OPAQUE subset: frames with ALPH chunks (and the blend
+    * semantics that only matter with alpha) are out of scope → None;
+    * the canvas initializes to the ANIM background's blue channel
+    * (achromatic fixtures plant equal channels). */
+  private[graft] def decodeWebpAnim(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] = {
+    if (bytes.length < 30 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'E' || bytes(10) != 'B' || bytes(11) != 'P') return None
+    if (new String(bytes, 12, 4, StandardCharsets.US_ASCII) != "VP8X")
+      return None
+    def u24(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) |
+      ((bytes(o + 1) & 0xffL) << 8) | ((bytes(o + 2) & 0xffL) << 16) |
+      ((bytes(o + 3) & 0xffL) << 24)
+    val flags = bytes(20) & 0xff
+    if ((flags & 0x02) == 0) return None // not an animation
+    val w = u24(24) + 1
+    val h = u24(27) + 1
+    if (w.toLong * h > 16000000L) return None
+    var canvas: Array[Int] = null
+    var bgGray = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var pendingDispose: (Int, Int, Int, Int) = null
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val four = new String(bytes, i, 4, StandardCharsets.US_ASCII)
+      val size = u32(i + 4)
+      val data = i + 8
+      if (size < 0 || data + size > bytes.length) return None
+      four match {
+        case "VP8X" => ()
+        case "ANIM" =>
+          if (size < 6) return None
+          // background color rides [B, G, R, A]; achromatic contract
+          bgGray = bytes(data) & 0xff
+          canvas = Array.fill(w * h)(bgGray)
+        case "ANMF" =>
+          if (canvas == null || size < 24) return None
+          val fx = u24(data) * 2
+          val fy = u24(data + 3) * 2
+          val fw = u24(data + 6) + 1
+          val fh = u24(data + 9) + 1
+          val dur = u24(data + 12)
+          val fflags = bytes(data + 15) & 0xff
+          val disposeBg = (fflags & 1) != 0
+          if (fx + fw > w || fy + fh > h) return None
+          // embedded frame chunk (ALPH → out of the opaque subset)
+          val efour =
+            new String(bytes, data + 16, 4, StandardCharsets.US_ASCII)
+          if (efour != "VP8 " && efour != "VP8L") return None
+          val esize = u32(data + 20)
+          if (esize < 0 || data + 24 + esize > data + size) return None
+          // rewrap as a standalone file for the single-frame decoders
+          val inner = (12 + 8 + esize + (esize & 1)).toInt
+          val bb = ByteBuffer.allocate(8 + inner)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+          bb.putInt(inner)
+          bb.put("WEBP".getBytes(StandardCharsets.US_ASCII))
+          bb.put(bytes, data + 16, (8 + esize + (esize & 1)).toInt)
+          decodeGray(bb.array()) match {
+            case None => return None
+            case Some((dw, dh, g)) =>
+              if (dw != fw || dh != fh) return None
+              // previous frame's deferred background dispose
+              if (pendingDispose != null) {
+                val (pl, pt, pw2, ph2) = pendingDispose
+                var y = 0
+                while (y < ph2) {
+                  var x = 0
+                  while (x < pw2) {
+                    canvas((pt + y) * w + pl + x) = bgGray; x += 1
+                  }
+                  y += 1
+                }
+              }
+              var y = 0
+              while (y < fh) {
+                var x = 0
+                while (x < fw) {
+                  canvas((fy + y) * w + fx + x) = g(y * fw + x)
+                  x += 1
+                }
+                y += 1
+              }
+              frames += ((dur, canvas.clone()))
+              pendingDispose = if (disposeBg) (fx, fy, fw, fh) else null
+          }
+        case _ => () // ICCP/EXIF/XMP: skip
+      }
+      i = data + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (frames.isEmpty || i != bytes.length) None
+    else Some((w, h, frames.toSeq))
+  }
+
+  /** One animation frame for the fixture: an even-aligned position,
+    * duration, the dispose-to-background bit, and a COMPLETE
+    * single-frame WebP file (lossy or lossless) whose chunk gets
+    * embedded. */
+  private[graft] final case class WebpAnimFrameSpec(fx: Int, fy: Int,
+      durMs: Int, disposeBg: Boolean, file: Array[Byte])
+
+  /** Animated-WebP fixture: VP8X (animation flag, canvas dims), ANIM
+    * (achromatic background, infinite loop), and one ANMF per spec
+    * embedding the spec's file's own VP8 /VP8L chunk. */
+  private[graft] def makeWebpAnimated(w: Int, h: Int, bgGray: Int,
+      frames: Seq[WebpAnimFrameSpec]): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty)
+    def chunk(four: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(four.getBytes(StandardCharsets.US_ASCII))
+      bb.putInt(payload.length)
+      bb.put(payload)
+      bb.array()
+    }
+    def u24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation
+    System.arraycopy(u24(w - 1), 0, vp8x, 4, 3)
+    System.arraycopy(u24(h - 1), 0, vp8x, 7, 3)
+    val anim = new Array[Byte](6)
+    anim(0) = bgGray.toByte // B
+    anim(1) = bgGray.toByte // G
+    anim(2) = bgGray.toByte // R
+    anim(3) = 0xff.toByte // A (opaque)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(chunk("VP8X", vp8x))
+    body.write(chunk("ANIM", anim))
+    frames.foreach { f =>
+      require(f.fx % 2 == 0 && f.fy % 2 == 0, "ANMF offsets are 2px units")
+      // the embedded chunk starts at byte 12 of the standalone file
+      val innerSize = ((f.file(16) & 0xff) | ((f.file(17) & 0xff) << 8) |
+        ((f.file(18) & 0xff) << 16) | ((f.file(19) & 0xff) << 24))
+      val embedded = java.util.Arrays.copyOfRange(f.file, 12,
+        12 + 8 + innerSize + (innerSize & 1))
+      val (_, fw, fh, _) = decodeMeta(f.file)
+      val payload = new java.io.ByteArrayOutputStream()
+      payload.write(u24(f.fx / 2), 0, 3)
+      payload.write(u24(f.fy / 2), 0, 3)
+      payload.write(u24(fw - 1), 0, 3)
+      payload.write(u24(fh - 1), 0, 3)
+      payload.write(u24(f.durMs), 0, 3)
+      payload.write(if (f.disposeBg) 0x01 else 0x00)
+      payload.write(embedded, 0, embedded.length)
+      body.write(chunk("ANMF", payload.toByteArray))
+    }
+    val b = body.toByteArray
+    val out = ByteBuffer.allocate(12 + b.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(4 + b.length)
+    out.put("WEBP".getBytes(StandardCharsets.US_ASCII))
+    out.put(b)
+    out.array()
   }
 
   /** One composited animation frame: the FULL-CANVAS grayscale

@@ -3513,6 +3513,75 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Animated-WebP gate (r14 — closing the VP8X header-only class for
+    * animations, the WebP twin of the GIF animation gate): 20
+    * three-frame files per doc — a full-canvas LOSSY (VP8 key-frame)
+    * base, a textured LOSSLESS (VP8L) sub-rect frame with
+    * dispose-to-background, and a lossy sub-rect frame after the
+    * restore — so one payload exercises BOTH embedded codecs, the
+    * ANMF 2px-unit offsets, per-frame durations, and the ANIM
+    * background. The oracle recomputes every composited canvas in
+    * closed form; a drift in the chunk walk, rewrap, compositing
+    * order, or either codec lands on different sums and hash-fails. */
+  val multimodalWebpAnim = QueryDef(
+    "q_ns_multimodal_webp_anim",
+    """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id),
+      |px AS (SELECT doc_id, xs.x, ys.y,
+      |        (doc_id * 7 + 40) % 200 + 28 AS c0,
+      |        (doc_id * 11 + 5) % 256 AS bg
+      |      FROM ids
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) xs
+      |      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) ys),
+      |cv AS (SELECT doc_id, x, y, c0,
+      |        CASE WHEN x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 15
+      |             THEN (doc_id * 3 + (x - 8) * 5 + (y - 8) * 11) % 256
+      |             ELSE c0 END AS c1,
+      |        CASE WHEN x BETWEEN 16 AND 27 AND y BETWEEN 16 AND 25
+      |             THEN (doc_id * 13 + 90) % 200 + 28
+      |             WHEN x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 15 THEN bg
+      |             ELSE c0 END AS c2
+      |      FROM px)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(3 AS BIGINT) AS nf,
+      |  CAST(30 + doc_id % 7 AS BIGINT) AS d0,
+      |  CAST(50 + doc_id % 11 AS BIGINT) AS d1,
+      |  CAST(20 + doc_id % 5 AS BIGINT) AS d2,
+      |  CAST(max(CASE WHEN x = 10 AND y = 10 THEN c1 END) AS BIGINT)
+      |    AS f1_px,
+      |  CAST(max(CASE WHEN x = 20 AND y = 20 THEN c2 END) AS BIGINT)
+      |    AS f2_px,
+      |  CAST(sum(c0) AS BIGINT) AS f0_sum,
+      |  CAST(sum(c1) AS BIGINT) AS f1_sum,
+      |  CAST(sum(c2) AS BIGINT) AS f2_sum
+      |FROM cv
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    s.range(0, 20).as[Long].map { id =>
+      import graft.ops.{Multimodal, Vp8}
+      val v0 = ((id * 7 + 40) % 200 + 28).toInt
+      val v2 = ((id * 13 + 90) % 200 + 28).toInt
+      val bg = ((id * 11 + 5) % 256).toInt
+      val bytes = Multimodal.makeWebpAnimated(32, 32, bg, Seq(
+        Multimodal.WebpAnimFrameSpec(0, 0, (30 + id % 7).toInt,
+          disposeBg = false, Vp8.makeWebpLossy(32, 32, (_, _) => v0)),
+        Multimodal.WebpAnimFrameSpec(8, 8, (50 + id % 11).toInt,
+          disposeBg = true,
+          Multimodal.makeVp8l(16, 8,
+            (x, y) => ((id * 3 + x * 5 + y * 11) % 256).toInt)),
+        Multimodal.WebpAnimFrameSpec(16, 16, (20 + id % 5).toInt,
+          disposeBg = false, Vp8.makeWebpLossy(12, 10, (_, _) => v2))))
+      val (w, _, frames) = Multimodal.decodeWebpAnim(bytes).get
+      def sum(a: Array[Int]): Long = a.foldLeft(0L)(_ + _)
+      (id, frames.length.toLong, frames(0)._1.toLong, frames(1)._1.toLong,
+        frames(2)._1.toLong,
+        frames(1)._2(10 * w + 10).toLong, frames(2)._2(20 * w + 20).toLong,
+        sum(frames(0)._2), sum(frames(1)._2), sum(frames(2)._2))
+    }.toDF("doc_id", "nf", "d0", "d1", "d2", "f1_px", "f2_px",
+      "f0_sum", "f1_sum", "f2_sum")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal metadata path: binary payload length + digest (oracle-
     * checkable slice of the media pipeline). */
   val multimodalMeta = QueryDef(
@@ -4387,7 +4456,7 @@ object NorthStar {
     multimodalMeta, multimodalCodecScope, multimodalLossyFiltered,
     multimodalChromaPlane, multimodalJpegLuma, multimodalJpegColor,
     multimodalJpegProgressive, multimodalFlac, multimodalGifAnim,
-    multimodalAudioCensus, multimodalTiff,
+    multimodalAudioCensus, multimodalTiff, multimodalWebpAnim,
     multimodalTokenPartitions, multimodalSegmented,
     multimodalIvfInter, multimodalIvfKeySample,
     multimodalPngFilters,

@@ -1185,6 +1185,55 @@ class OpsSpec extends AnyFunSuite {
         s"our decode of an ImageIO PNG differs at ($x,$y)")
   }
 
+  test("animated WebP: VP8X/ANIM/ANMF compositing over the VP8 and VP8L " +
+      "decoders — sub-rect frames, dispose-to-background, durations, " +
+      "and the first-frame decodeGray contract") {
+    import graft.ops.{Multimodal, Vp8}
+    import graft.ops.Multimodal.WebpAnimFrameSpec
+    val (w, h) = (48, 32)
+    // frame 0: full-canvas LOSSY constant; frame 1: LOSSLESS sub-rect
+    // with dispose-to-background; frame 2: lossy sub-rect after the
+    // restore
+    val f0 = Vp8.makeWebpLossy(w, h, (_, _) => 90)
+    val f1 = Multimodal.makeVp8l(16, 10, (x, y) => (x * 5 + y * 9 + 30) % 256)
+    val f2 = Vp8.makeWebpLossy(20, 12, (_, _) => 210)
+    val bytes = Multimodal.makeWebpAnimated(w, h, bgGray = 17, Seq(
+      WebpAnimFrameSpec(0, 0, 40, disposeBg = false, f0),
+      WebpAnimFrameSpec(8, 4, 70, disposeBg = true, f1),
+      WebpAnimFrameSpec(24, 16, 55, disposeBg = false, f2)))
+    val (dw, dh, frames) = Multimodal.decodeWebpAnim(bytes).getOrElse(
+      fail("animated webp rejected"))
+    assert(dw == w && dh == h && frames.length == 3)
+    assert(frames.map(_._1) == Seq(40, 70, 55))
+    // hand-composite
+    val c0 = Array.fill(w * h)(90)
+    assert(frames(0)._2.sameElements(c0), "frame 0 drifted")
+    val c1 = c0.clone()
+    for (y <- 0 until 10; x <- 0 until 16)
+      c1((4 + y) * w + 8 + x) = (x * 5 + y * 9 + 30) % 256
+    assert(frames(1)._2.sameElements(c1), "frame 1 drifted")
+    // frame 1's rect restored to the BACKGROUND gray, then frame 2
+    val c2 = c0.clone()
+    for (y <- 0 until 10; x <- 0 until 16) c2((4 + y) * w + 8 + x) = 17
+    for (y <- 0 until 12; x <- 0 until 20) c2((16 + y) * w + 24 + x) = 210
+    assert(frames(2)._2.sameElements(c2), "frame 2 drifted")
+    // decodeGray serves the FIRST composited frame (the GIF contract),
+    // and the scope classifier promotes animations to pixel
+    val g1 = Multimodal.decodeGray(bytes)
+    assert(g1.exists(_._3.sameElements(c0)))
+    assert(Multimodal.codecScopeOf(bytes) == "pixel")
+    // geometry mismatch between the ANMF rect and the embedded frame,
+    // truncation, and a non-animation VP8X all reject
+    assert(Multimodal.decodeWebpAnim(bytes.take(bytes.length - 5)).isEmpty)
+    val badFlags = bytes.clone()
+    badFlags(20) = 0x10.toByte // alpha, not animation
+    assert(Multimodal.decodeWebpAnim(badFlags).isEmpty)
+    val badRect = Multimodal.makeWebpAnimated(w, h, 0, Seq(
+      WebpAnimFrameSpec(40, 28, 10, disposeBg = false, f2))) // 20x12 at (40,28) overflows
+    assert(Multimodal.decodeWebpAnim(badRect).isEmpty,
+      "out-of-canvas frame rect must reject")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
