@@ -663,7 +663,10 @@ object Multimodal {
       val e = ifd.toInt + 2 + 12 * t
       val tag = u16(e)
       val typ = u16(e + 2)
-      if (typ == 3 || typ == 4) {
+      val cnt = u32(e + 4)
+      // only a count-1 SHORT/LONG stores its value inline; count>1 stores
+      // an offset there, which would be misread as bogus geometry
+      if ((typ == 3 || typ == 4) && cnt == 1L) {
         val v = if (typ == 3) u16(e + 8).toLong else u32(e + 8)
         tag match {
           case 256 => w = v.toInt
@@ -1966,14 +1969,19 @@ object Multimodal {
           if (efour != "VP8 " && efour != "VP8L") return None
           val esize = u32(data + 20)
           if (esize < 0 || data + 24 + esize > data + size) return None
-          // rewrap as a standalone file for the single-frame decoders
-          val inner = (12 + 8 + esize + (esize & 1)).toInt
+          // rewrap as a standalone file for the single-frame decoders.
+          // RIFF size = bytes after the 8-byte RIFF header: "WEBP" (4) +
+          // chunk header (8) + payload + pad. Copy only header+payload from
+          // the source (the pad byte, if any, stays zero in the fresh
+          // buffer) — a final odd-sized chunk may legally omit its pad,
+          // so reading it from `bytes` could run past the file.
+          val inner = (4 + 8 + esize + (esize & 1)).toInt
           val bb = ByteBuffer.allocate(8 + inner)
             .order(ByteOrder.LITTLE_ENDIAN)
           bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
           bb.putInt(inner)
           bb.put("WEBP".getBytes(StandardCharsets.US_ASCII))
-          bb.put(bytes, data + 16, (8 + esize + (esize & 1)).toInt)
+          bb.put(bytes, data + 16, (8 + esize).toInt)
           decodeGray(bb.array()) match {
             case None => return None
             case Some((dw, dh, g)) =>
@@ -2107,6 +2115,9 @@ object Multimodal {
     if ((packed & 0x80) != 0) {
       gct = 13
       gctSize = 2 << (packed & 7)
+      // a header can advertise a GCT larger than the remaining file —
+      // malformed-anywhere returns None, never throws
+      if (13 + 3 * gctSize > bytes.length) return None
       i += 3 * gctSize
     }
     val bgGray =

@@ -1234,6 +1234,72 @@ class OpsSpec extends AnyFunSuite {
       "out-of-canvas frame rect must reject")
   }
 
+  test("codec poison regressions (r15): unpadded final ANMF, oversized " +
+      "GIF GCT on a truncated file, and count>1 TIFF geometry tags all " +
+      "reject instead of crashing or misreading") {
+    // 1. ANMF whose embedded chunk has ODD esize and NO pad byte, as the
+    //    final chunk of the file (size-24 == esize). The pre-fix rewrap
+    //    copied 8+esize+1 bytes and read one past the array.
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u24le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    val body = new java.io.ByteArrayOutputStream()
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation flag
+    System.arraycopy(u24le(15), 0, vp8x, 4, 3) // w-1
+    System.arraycopy(u24le(15), 0, vp8x, 7, 3) // h-1
+    body.write("VP8X".getBytes); body.write(le32(10)); body.write(vp8x)
+    val anim = Array[Byte](9, 9, 9, -1, 0, 0)
+    body.write("ANIM".getBytes); body.write(le32(6)); body.write(anim)
+    val esize = 3 // odd, garbage VP8L payload
+    val anmf = new java.io.ByteArrayOutputStream()
+    anmf.write(u24le(0)); anmf.write(u24le(0)) // fx, fy
+    anmf.write(u24le(15)); anmf.write(u24le(15)) // fw-1, fh-1
+    anmf.write(u24le(40)); anmf.write(0x00) // duration, flags
+    anmf.write("VP8L".getBytes); anmf.write(le32(esize))
+    anmf.write(Array[Byte](1, 2, 3)) // odd payload, NO pad byte follows
+    body.write("ANMF".getBytes); body.write(le32(24 + esize))
+    body.write(anmf.toByteArray)
+    val b = body.toByteArray
+    val out = java.nio.ByteBuffer.allocate(12 + b.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(4 + b.length)
+    out.put("WEBP".getBytes); out.put(b)
+    val poison = out.array()
+    assert(poison.length == 12 + 8 + 10 + 8 + 6 + 8 + 24 + esize)
+    // must return None (garbage VP8L), NOT throw IndexOutOfBounds
+    assert(Multimodal.decodeWebpAnim(poison).isEmpty,
+      "unpadded final ANMF with garbage payload must reject cleanly")
+    assert(Multimodal.decodeGray(poison).isEmpty)
+
+    // 2. GIF header advertising a 256-entry global color table on a file
+    //    truncated before the table ends — pre-fix the background-gray
+    //    read at 13+3*bgIdx threw ArrayIndexOutOfBounds.
+    val gif = new Array[Byte](20)
+    System.arraycopy("GIF89a".getBytes, 0, gif, 0, 6)
+    gif(6) = 8; gif(7) = 0 // w=8
+    gif(8) = 8; gif(9) = 0 // h=8
+    gif(10) = 0xf7.toByte // GCT present, size bits 7 → 256 entries
+    gif(11) = 0xff.toByte // bgIdx 255 → read at 13+765, far past EOF
+    assert(Multimodal.decodeGifFrames(gif).isEmpty,
+      "truncated GCT must reject, not crash")
+    assert(Multimodal.decodeGray(gif).isEmpty)
+
+    // 3. TIFF geometry tag with count=2: the inline value field stores an
+    //    OFFSET, not the value — tiffMeta must skip it (w stays 0 → raw),
+    //    not report the offset as a 9999-px width.
+    val t = java.nio.ByteBuffer.allocate(8 + 2 + 12 * 2 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    t.putShort(2) // two tags
+    t.putShort(256).putShort(3).putInt(2).putInt(9999) // width, count=2!
+    t.putShort(257).putShort(3).putInt(1).putInt(5) // height, count=1
+    t.putInt(0) // next-IFD terminator
+    assert(Multimodal.decodeMeta(t.array())._1 == "raw",
+      "count>1 geometry tag must not be misread as an inline value")
+  }
+
   test("perceptual dHash: byte decode matches the planted formula; " +
       "banded near-dups stay within the pattern class") {
     implicit val s: SparkSession = spark
