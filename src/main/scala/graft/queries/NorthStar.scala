@@ -3417,7 +3417,17 @@ object NorthStar {
     * oracle recomputes format, channels, rate, and millisecond
     * duration in closed form — a drift in a frame-size formula, table,
     * syncsafe size, lacing walk, CRC, or pre-skip subtraction changes
-    * a value and hash-fails. */
+    * a value and hash-fails.
+    *
+    * FINAL AUDIO SUBSET (r15, deliberate): the sample-exact decode
+    * surface is FLAC only ([[graft.ops.Flac]]); MP3 and Ogg/Opus stay
+    * census-only (frame/page walk, CRC, timing, channel recovery). A
+    * training-data pipeline needs triage (what is this blob, how long,
+    * is it intact) and dedup keys from container metadata — not a
+    * psychoacoustic synthesis filterbank or a CELT/SILK decoder, whose
+    * thousands of lines would add no pipeline leverage. Documented in
+    * COVERAGE.md; revisit only if a concrete sample-level MP3/Opus use
+    * case (e.g. waveform-hash near-dup across codecs) is articulated. */
   val multimodalAudioCensus = QueryDef(
     "q_ns_multimodal_audio_census",
     """WITH ids AS (SELECT unnest(generate_series(0, 19)) AS doc_id)
