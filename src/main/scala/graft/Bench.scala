@@ -181,9 +181,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partitions default to cores; the scale sweep overrides them upward
+    // so per-task working sets stay memory-sized as sf grows (the r15 sf1
+    // sweep OOM'd shuffle tasks at 32 partitions / 8g heap — partition
+    // count, like executor count, is a function of DATA, not cores)
+    val shufParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.ui.enabled", "false")
       // parity with Verify/tests: the NTZ→TIMESTAMP cast in T.events is
       // only value-preserving under UTC, so bench must pin it too
@@ -382,7 +388,7 @@ object Bench {
       "artifact-level contended bit fires iff any probe in either " +
       "series exceeds its threshold"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"shuffle_partitions":$shufParts,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

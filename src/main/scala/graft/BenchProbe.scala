@@ -53,6 +53,8 @@ final class BenchProbe(spark: SparkSession, val enabled: Boolean = true) {
   private val taskGcMs = new AtomicLong(0L)
   private val shReadBytes = new AtomicLong(0L)
   private val shWriteBytes = new AtomicLong(0L)
+  private val shReadRows = new AtomicLong(0L)
+  private val shWriteRows = new AtomicLong(0L)
   private val planHashes = new ConcurrentLinkedQueue[String]()
   private var gcMsAtReset = 0L
   private var heapMbAtReset = 0L
@@ -66,6 +68,11 @@ final class BenchProbe(spark: SparkSession, val enabled: Boolean = true) {
         taskGcMs.addAndGet(m.jvmGCTime)
         shReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        // shuffle ROW counts (r15): the scale sweep's primary evidence —
+        // candidate-pair and exchange volumes must follow the predicted
+        // curve across sf, and rows are comparable across compression
+        shReadRows.addAndGet(m.shuffleReadMetrics.recordsRead)
+        shWriteRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     }
     override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -128,6 +135,7 @@ final class BenchProbe(spark: SparkSession, val enabled: Boolean = true) {
     settle() // drain in-flight events from the PREVIOUS action first
     tasks.set(0); jobs.set(0); execRunMs.set(0L); taskGcMs.set(0L)
     shReadBytes.set(0L); shWriteBytes.set(0L)
+    shReadRows.set(0L); shWriteRows.set(0L)
     planHashes.clear()
     gcMsAtReset = jvmGcMs
     val rt = Runtime.getRuntime
@@ -157,7 +165,9 @@ final class BenchProbe(spark: SparkSession, val enabled: Boolean = true) {
       jvmGcMs = jvmGcMs - gcMsAtReset,
       heapMb = heapMbAtReset,
       shReadMb = shReadBytes.get / 1048576.0,
-      shWriteMb = shWriteBytes.get / 1048576.0)
+      shWriteMb = shWriteBytes.get / 1048576.0,
+      shReadRows = shReadRows.get,
+      shWriteRows = shWriteRows.get)
   }
 }
 
@@ -172,12 +182,14 @@ object BenchProbe {
   final case class Snap(planFp: String, actions: Seq[String], nPlans: Int,
       tasks: Int, jobs: Int,
       execRunMs: Long, taskGcMs: Long, jvmGcMs: Long, heapMb: Long,
-      shReadMb: Double, shWriteMb: Double) {
+      shReadMb: Double, shWriteMb: Double,
+      shReadRows: Long = 0L, shWriteRows: Long = 0L) {
     def json: String =
       s"""{"plan_fp":"$planFp","n_plans":$nPlans,"tasks":$tasks,""" +
         s""""jobs":$jobs,"exec_run_ms":$execRunMs,"task_gc_ms":$taskGcMs,""" +
         s""""jvm_gc_ms":$jvmGcMs,"heap_mb":$heapMb,""" +
-        f""""sh_read_mb":$shReadMb%.2f,"sh_write_mb":$shWriteMb%.2f}"""
+        f""""sh_read_mb":$shReadMb%.2f,"sh_write_mb":$shWriteMb%.2f,""" +
+        s""""sh_read_rows":$shReadRows,"sh_write_rows":$shWriteRows}"""
   }
 
   /** The disabled-probe sentinel: `plan_fp = "off"` distinguishes "the

@@ -41,6 +41,9 @@ import org.apache.spark.sql.functions._
   *             scaling contracts measured
   *  - prefix   two-pass bucketed prefix sum vs the naive single-partition
   *             global window on 40M points — the ScaleOps.prefixSum A/B
+  *  - skew     dominant-duplicate-class dedup (naive pairs vs maxBucket
+  *             drop vs hub-verified star edges) + one interval covering
+  *             the whole price domain through the j11 bucket join
   */
 object ScaleEvidence {
 
@@ -86,6 +89,7 @@ object ScaleEvidence {
         bloomJoinEvidence(spark, sfDir); spark.stop(); return
       case Some("phrase") => phraseEvidence(spark, sfDir); spark.stop(); return
       case Some("prefix") => prefixEvidence(spark, sfDir); spark.stop(); return
+      case Some("skew") => skewEvidence(spark, sfDir); spark.stop(); return
       case _ => ()
     }
     val out = "/tmp/graft_scale10"
@@ -898,5 +902,93 @@ object ScaleEvidence {
     println(s"""PREFIX {"rows":$n,"naive_s":${"%.2f".format(tn)},""" +
       s""""twopass_s":${"%.2f".format(tf)},""" +
       s""""speedup":${"%.2f".format(tn / tf)},"checksum":$r0}""")
+  }
+
+  /** `skew` mode (r14 verdict #5): the dominant-duplicate-class and
+    * hot-interval hazards, measured. Plants a near-dup class owning HALF
+    * of sf0.1's documents (2500 docs at pairwise J≈0.96 — every band
+    * routes them to the same LSH bucket) and compares three candidate
+    * policies: naive full pair enumeration (the quadratic blow-up),
+    * maxBucket drop (bounded but the class never collapses), and
+    * hub-verified star edges (linear AND closure-identical —
+    * [[graft.ops.Neutral.minHashEdgesSkewSafe]], pinned by ScaleSpec).
+    * Then the j11 analog: ONE interval covering the whole price domain
+    * joins against every lineitem point through the SAME bucket-explode
+    * equi key — the giant range spreads over all its buckets (the
+    * explode IS the salting), so cost stays |points| + |buckets|, no hot
+    * partition, no cartesian. */
+  private def skewEvidence(spark: SparkSession, sfDir: String): Unit = {
+    import graft.ops.{Dedup, Neutral, ScaleOps}
+    val docs = queries.T.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") === 1)
+      .select(col("text").as("base_text"))
+    val skewed = docs.crossJoin(broadcast(base))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("base_text"), lit(" zz"),
+            (col("doc_id") % 5).cast("string")))
+          .otherwise(col("text")).as("text"))
+    skewed.write.mode("overwrite").parquet("/tmp/graft_skew_docs")
+    val sk = spark.read.parquet("/tmp/graft_skew_docs")
+    val nDocs = sk.count()
+    val nClass = nDocs / 2
+    def run(label: String)(edges: => DataFrame): (Long, Long, Double) = {
+      val (pairsAndComps, t) = timed {
+        val e = edges.cache()
+        val n = e.count()
+        val nc = Dedup.connectedComponents(e)
+          .agg(countDistinct(col("component"))).head().getLong(0)
+        e.unpersist()
+        (n, nc)
+      }
+      println(s"""SKEW_DEDUP {"policy":"$label","docs":$nDocs,""" +
+        s""""class_size":$nClass,"edges":${pairsAndComps._1},""" +
+        s""""components":${pairsAndComps._2},""" +
+        s""""wall_s":${"%.2f".format(t)}}""")
+      (pairsAndComps._1, pairsAndComps._2, t)
+    }
+    val (nNaive, cNaive, _) = run("naive_full_pairs") {
+      Neutral.minHashCandidates(sk).filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    }
+    val (nCap, cCap, _) = run("max_bucket_drop") {
+      Neutral.minHashCandidates(sk, maxBucket = Some(16))
+        .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    }
+    val (nStar, cStar, _) = run("skew_safe_star") {
+      Neutral.minHashEdgesSkewSafe(sk, maxBucket = 16)
+    }
+    println(s"""SKEW_DEDUP_SUMMARY {"quadratic_pairs":$nNaive,""" +
+      s""""star_edges":$nStar,"edge_ratio":${nNaive / math.max(1L, nStar)},""" +
+      s""""components_naive":$cNaive,"components_star":$cStar,""" +
+      s""""components_equal":${cNaive == cStar},""" +
+      s""""capped_components":$cCap,"capped_edges":$nCap}""")
+
+    // hot interval: one range covering the entire price domain vs the
+    // usual j11 ±1 bands — same bucket-explode equi join, output rows =
+    // |points| for the giant range, cost linear, no cartesian in the plan
+    val points = queries.T.lineitem(spark, sfDir)
+      .filter(col("l_extendedprice").isNotNull)
+      .select("l_extendedprice")
+    val nPts = points.count()
+    val ranges = queries.T.orders(spark, sfDir)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice") / lit(4.0) - lit(1.0)).as("lo"),
+        (col("o_totalprice") / lit(4.0) + lit(1.0)).as("hi"))
+      .unionByName(spark.range(1).select(lit("HOT").as("o_orderpriority"),
+        lit(0.0).as("lo"), lit(200000.0).as("hi")))
+    val (hotRows, tHot) = timed {
+      ScaleOps.intervalBucketJoin(points, "l_extendedprice",
+          ranges, "lo", "hi", bucketWidth = 100.0)
+        .filter(col("o_orderpriority") === "HOT").count()
+    }
+    val plan = ScaleOps.intervalBucketJoin(points, "l_extendedprice",
+        ranges, "lo", "hi", bucketWidth = 100.0)
+      .queryExecution.executedPlan.toString
+    require(!plan.contains("Cartesian"), "hot interval must not cartesian")
+    println(s"""SKEW_INTERVAL {"points":$nPts,"hot_matches":$hotRows,""" +
+      s""""all_points_matched":${hotRows == nPts},""" +
+      s""""wall_s":${"%.2f".format(tHot)},"cartesian":false}""")
   }
 }

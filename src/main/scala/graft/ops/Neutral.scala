@@ -152,6 +152,90 @@ object Neutral {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Skew-safe near-dup EDGES for closure under a DOMINANT duplicate
+    * class (r14 verdict #5 — the one scale hazard uniform fixtures never
+    * exercise). Buckets at or under `maxBucket` emit full verified pairs
+    * (exactly [[minHashCandidates]]'s behavior); OVERSIZED buckets emit
+    * hub-verified STAR edges instead: each member is verified against the
+    * bucket's min-doc_id representative only, O(size) per bucket instead
+    * of O(size²). A class owning half the corpus lands in the same
+    * buckets in every band — full pair enumeration there is ~n²/8
+    * verified pairs (measured: ScaleEvidence `skew` mode), while the star
+    * form emits n−1 edges that yield the IDENTICAL connected components
+    * for a genuine duplicate class (every member ~ the hub, so the hub
+    * links them transitively). The trade, documented like `maxBucket`'s
+    * drop: a pathological bucket mixing DISSIMILAR docs loses member↔
+    * member edges whose hub verification fails; `maxBucket=None`-style
+    * completeness is not claimed, component EQUALITY on duplicate-class
+    * skew is (pinned by ScaleSpec). Both small-bucket size/pair and
+    * big-bucket rep derivations reuse the (band, bucket) shuffle
+    * partitioning — one exchange feeds the size window, the rep window,
+    * and the self-join. Returns undirected verified (doc_a < doc_b)
+    * edges. */
+  def minHashEdgesSkewSafe(docs: DataFrame, textCol: String = "text",
+      shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = 64, minJaccard: Double = 0.8): DataFrame = {
+    require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
+    import org.apache.spark.sql.expressions.Window
+    val sh = sigTable(docs, textCol, shingleN)
+    val w = Window.partitionBy("band", "bucket")
+    val sized = bandedOf(sh, bands, rows)
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsize") <= maxBucket)
+      .select("band", "bucket", "doc_id")
+    val pairsSmall = small.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_a"))
+      .join(small.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // star edges: rep = min(doc_id) over the bucket, so rep < member and
+    // the (doc_a < doc_b) orientation is already canonical
+    val star = sized.filter(col("bsize") > maxBucket &&
+        col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val cand = pairsSmall.unionByName(star).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
+      .filter(jaccardSorted(col("sh_a"), col("sh_b")) >= minJaccard)
+      .select("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[minHashEdgesSkewSafe]]'s edge set over `docsRel`:
+    * CTE chain ending in `hits(doc_a, doc_b)` — compose with a recursive
+    * closure for component oracles. */
+  private[graft] def skewSafeEdgeCtes(docsRel: String, minJaccard: Double,
+      maxBucket: Int, shingleN: Int = 3, bands: Int = 16,
+      rows: Int = 4): String =
+    s"""${bandedCtes(docsRel, "", shingleN, bands, rows)},
+       |bsz AS (
+       |  SELECT band, bucket, count(*) AS bsize, min(doc_id) AS rep
+       |  FROM banded GROUP BY band, bucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM banded a
+       |    JOIN bsz z ON a.band = z.band AND a.bucket = z.bucket
+       |    JOIN banded b ON b.band = a.band AND b.bucket = a.bucket
+       |    WHERE z.bsize <= $maxBucket AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT z.rep AS doc_a, b.doc_id AS doc_b
+       |    FROM banded b JOIN bsz z ON b.band = z.band AND b.bucket = z.bucket
+       |    WHERE z.bsize > $maxBucket AND b.doc_id <> z.rep
+       |  ) u
+       |),
+       |hits AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN shn sa ON sa.doc_id = c.doc_a
+       |  JOIN shn sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |          / len(list_distinct(sa.s || sb.s)) >= $minJaccard
+       |)""".stripMargin
+
   /** Ingest-time dedup: keep only incoming docs that neither exactly
     * duplicate (content digest) nor near-duplicate (md5-MinHash banding,
     * verified Jaccard >= minJaccard) ANY document already in `corpus` —

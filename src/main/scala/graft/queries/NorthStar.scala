@@ -177,6 +177,63 @@ object NorthStar {
     * over-drops transitive chains A~B~C with A!~C — component ids are what
     * a cluster-aware dedup keeps one doc per. Oracle: the same pair set
     * fed through a recursive-CTE transitive closure. */
+  /** Skew-stress dedup (r15 — the dominant-duplicate-class hazard): a
+    * corpus where ONE near-dup class owns HALF the rows, built
+    * deterministically in both engines (every even doc becomes doc 1's
+    * text + a 1-word `zzK` suffix, K = doc_id % 5, so class members sit
+    * at pairwise Jaccard ≈ 0.96 and land in the same LSH buckets in
+    * every band). Full pair enumeration there is ~n²/8 verified pairs —
+    * the quadratic blow-up uniform fixtures never exercise (measured in
+    * ScaleEvidence `skew`); [[graft.ops.Neutral.minHashEdgesSkewSafe]]
+    * emits hub-verified STAR edges for oversized buckets instead, O(n)
+    * edges with identical closure on a genuine duplicate class. Output:
+    * per-doc component id. Oracle: the same size-gated edge semantics in
+    * SQL + recursive-CTE transitive closure. */
+  val dedupSkewSafe = QueryDef(
+    "q_ns_dedup_skew_safe",
+    s"""WITH RECURSIVE skewed AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN d.doc_id % 2 = 0
+      |              THEN b.text || ' zz' || CAST(d.doc_id % 5 AS VARCHAR)
+      |              ELSE d.text END AS text
+      |  FROM documents d, (SELECT text FROM documents WHERE doc_id = 1) b
+      |),
+      |${graft.ops.Neutral.skewSafeEdgeCtes("skewed", 0.8, 16)},
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM hits
+      |  UNION
+      |  SELECT doc_b, doc_a FROM hits
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+      |         FROM reach GROUP BY a)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+      |FROM documents d LEFT JOIN comp c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val base = docs.filter(col("doc_id") === 1)
+      .select(col("text").as("base_text"))
+    val skewed = docs.crossJoin(broadcast(base))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("base_text"), lit(" zz"),
+            (col("doc_id") % 5).cast("string")))
+          .otherwise(col("text")).as("text"))
+    val edges = graft.ops.Neutral.minHashEdgesSkewSafe(skewed,
+      maxBucket = 16, minJaccard = 0.8)
+    val comp = graft.ops.Dedup.connectedComponents(edges)
+    docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
   val dedupComponents = QueryDef(
     "q_ns_dedup_components",
     """WITH RECURSIVE tok AS (
@@ -4442,7 +4499,8 @@ object NorthStar {
 
   val defs: Seq[QueryDef] = Seq(
     sourceOverlap,
-    dedupExact, dedupMinHash, minHashRecall, dedupSimHash, dedupNgram,
+    dedupExact, dedupMinHash, minHashRecall, dedupSkewSafe, dedupSimHash,
+    dedupNgram,
     dedupComponents, dedupComponentsIncremental, dedupComponentsCompacted,
     spanDedup, spanScrub,
     decontaminate, decontaminateFuzzy, dedupCosine, dedupThresholdCurve,

@@ -290,4 +290,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
       s"JSON scan must prune columns:\n$scan")
   }
+
+  test("skew-safe minhash edges: a dominant duplicate class yields the " +
+      "SAME components as full pair enumeration, at linear (not " +
+      "quadratic) edge cost") {
+    import graft.ops.{Dedup, Neutral}
+    // corpus where one near-dup class owns half the rows: every even doc
+    // becomes doc 1's text + a 1-word suffix (pairwise J ~ 0.96), odd
+    // docs keep their natural text (incl. the planted ' dup' pairs)
+    val docs = queries.T.documents(spark, sf).limit(200)
+    val base = docs.filter(col("doc_id") === 1)
+      .select(col("text").as("base_text"))
+    val skewed = docs.crossJoin(broadcast(base))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("base_text"), lit(" zz"),
+            (col("doc_id") % 5).cast("string")))
+          .otherwise(col("text")).as("text"))
+      .cache()
+    val nClass = skewed.filter(col("doc_id") % 2 === 0).count()
+
+    // full enumeration: ~nClass^2/2 verified pairs (the quadratic hazard)
+    val fullPairs = Neutral.minHashCandidates(skewed)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b")
+      .cache()
+    val nFull = fullPairs.count()
+    assert(nFull >= nClass * (nClass - 1) / 4,
+      s"expected a quadratic pair set from the planted class, got $nFull")
+
+    // skew-safe: oversized buckets emit star edges — O(class size)
+    val safeEdges = Neutral.minHashEdgesSkewSafe(skewed, maxBucket = 16)
+      .cache()
+    val nSafe = safeEdges.count()
+    assert(nSafe < nFull / 10,
+      s"star edges must be far below the pair count ($nSafe vs $nFull)")
+    assert(nSafe < 8 * nClass,
+      s"edge count must be linear in the class size ($nSafe vs $nClass)")
+
+    // identical closure: the star hub links the class transitively
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cFull = comps(fullPairs)
+    val cSafe = comps(safeEdges)
+    assert(cSafe == cFull,
+      "components from star edges must equal full-pair components on a " +
+        "duplicate-class skew")
+    skewed.unpersist(); fullPairs.unpersist(); safeEdges.unpersist()
+  }
 }
