@@ -2839,9 +2839,15 @@ object Multimodal {
   /** Verified near-dup pairs (doc_a < doc_b) via the banded candidate
     * join + exact bit_count Hamming check — shared by the count and
     * survivor forms, and exposed for cross-modal compositions
-    * ([[jointDedupSurvivors]]). */
-  def phashPairsOf(hashes: DataFrame, maxHamming: Int = 7): DataFrame =
-    phashPairs(hashes, maxHamming)
+    * ([[jointDedupSurvivors]]). `maxBucket` (closure consumers) switches
+    * oversized buckets to hub-verified star candidates — see
+    * [[phashPairs]]; identical components on a genuine duplicate class
+    * (ScaleSpec), O(n) instead of O(n²) bucket cost. Pair-COUNT
+    * consumers ([[phashNearDups]]) keep full enumeration: their output
+    * is per-doc degree, which star edges would change. */
+  def phashPairsOf(hashes: DataFrame, maxHamming: Int = 7,
+      maxBucket: Option[Int] = None): DataFrame =
+    phashPairs(hashes, maxHamming, maxBucket)
 
   /** Joint multimodal dedup (the paired-corpus shape: every document
     * carries both text and an image, and a pair is a duplicate when
@@ -2862,7 +2868,8 @@ object Multimodal {
     docs.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
   }
 
-  private def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private def phashPairs(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     val tables = maxHamming + 1
     val width = 64 / tables
     require(tables >= 2 && 64 % tables == 0 && 32 % width == 0,
@@ -2873,15 +2880,46 @@ object Multimodal {
       val half = if (bitpos < 32) col("ph_lo") else col("ph_hi")
       shiftright(half, bitpos % 32).bitwiseAND(lit(mask))
     }
-    val bucketed = hashes.select(col("doc_id"), col("ph_lo"), col("ph_hi"),
+    val bucketed0 = hashes.select(col("doc_id"), col("ph_lo"), col("ph_hi"),
       posexplode(array(buckets: _*)).as(Seq("t", "bucket")))
+    // r15 scale fix (measured: the sf1 sweep put this family at rows
+    // exponent ~2.0 — 1.7G+ shuffle rows — because a boilerplate-shaped
+    // corpus concentrates a LINEAR share of docs per (t, bucket)): with
+    // maxBucket set, oversized buckets emit hub-verified STAR candidates
+    // (bucket-min rep → member, O(size)) instead of all pairs (O(size²)).
+    // The final bit_count filter verifies star rows exactly like pairs.
+    // Both windows reuse the (t, bucket) shuffle partitioning.
+    val (bucketed, star) = maxBucket match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("t", "bucket")
+        val sized = bucketed0
+          .withColumn("bsize", count(lit(1)).over(w))
+          .withColumn("rep", min(col("doc_id")).over(w))
+        val small = sized.filter(col("bsize") <= cap)
+          .select("t", "bucket", "doc_id", "ph_lo", "ph_hi")
+        // rep = min(doc_id), so doc_a < doc_b is already canonical; the
+        // rep's own hash rides back in via a narrow self-join on doc_id
+        val starRaw = sized.filter(col("bsize") > cap &&
+            col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+            col("ph_lo").as("lo_b"), col("ph_hi").as("hi_b"))
+          .join(hashes.select(col("doc_id").as("doc_a"),
+            col("ph_lo").as("lo_a"), col("ph_hi").as("hi_a")), Seq("doc_a"))
+          .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        (small, starRaw)
+      case None => (bucketed0, null)
+    }
     val a = bucketed.select(col("t"), col("bucket"),
       col("doc_id").as("doc_a"), col("ph_lo").as("lo_a"), col("ph_hi").as("hi_a"))
     val b = bucketed.select(col("t"), col("bucket"),
       col("doc_id").as("doc_b"), col("ph_lo").as("lo_b"), col("ph_hi").as("hi_b"))
-    a.join(b, Seq("t", "bucket"))
-      .filter(col("doc_a") < col("doc_b") &&
-        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+    val cand0 = a.join(b, Seq("t", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+    val cand = if (star == null) cand0 else cand0.unionByName(star)
+    cand
+      .filter((bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b")))) <= maxHamming)
       .select("doc_a", "doc_b")
       .distinct()
@@ -3137,9 +3175,17 @@ object Multimodal {
     * rounds) closing the pair graph so hub-shaped duplicate clusters
     * collapse to exactly one kept image. Returns the surviving doc_ids
     * with their hashes. */
-  def phashDedupImages(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+  def phashDedupImages(hashes: DataFrame, maxHamming: Int = 7,
+      maxBucket: Option[Int] = Some(256)): DataFrame = {
+    // survivors are COMPONENT-level, so the skew-safe star policy applies
+    // (r15): buckets over maxBucket contribute hub-verified star edges —
+    // the closure of a genuine duplicate class is unchanged while the
+    // candidate volume stays linear (the sf1 sweep measured the full-pair
+    // form at rows exponent ~2.0). 256 never engages at sf0.01 oracle
+    // scale (largest planted bucket ~62), so the driver gate's results
+    // are bit-identical; at sf0.1+ the policy bounds the blow-up.
     val dropped = Dedup
-      .connectedComponents(phashPairs(hashes, maxHamming))
+      .connectedComponents(phashPairs(hashes, maxHamming, maxBucket))
       .filter(col("doc_id") =!= col("component"))
       .select("doc_id")
     hashes.join(dropped, Seq("doc_id"), "left_anti")

@@ -4096,8 +4096,12 @@ object NorthStar {
     val docs = T.documents(s, d)
     val textPairs = graft.ops.Neutral.minHashCandidates(docs)
       .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    // component-level output → the skew-safe star policy applies (r15);
+    // 256 never engages at sf0.01 oracle scale, so the gate result is
+    // bit-identical while sf0.1+ candidate volume stays linear
     val imagePairs = Multimodal.phashPairsOf(
-      Multimodal.imageDHash(Multimodal.syntheticTexturedImageTable(docs)))
+      Multimodal.imageDHash(Multimodal.syntheticTexturedImageTable(docs)),
+      maxBucket = Some(256))
     val edges = textPairs.unionByName(imagePairs).distinct()
     docs.select("doc_id")
       .join(graft.ops.Dedup.connectedComponents(edges), Seq("doc_id"), "left")
