@@ -185,8 +185,14 @@ object Bench {
     // so per-task working sets stay memory-sized as sf grows (the r15 sf1
     // sweep OOM'd shuffle tasks at 32 partitions / 8g heap — partition
     // count, like executor count, is a function of DATA, not cores)
-    val shufParts =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // parsed to Int up front: the value is interpolated into the bench
+    // JSON artifact, so a non-numeric env var must fail HERE with a
+    // clear message, not downstream as malformed JSON (r15 ADVICE)
+    val shufParts: Int =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toIntOption
+        .getOrElse(sys.error(
+          "SPARK_GRAFT_SHUFFLE_PARTITIONS/SPARK_GRAFT_CPUS must be an integer, got " +
+            s"'${sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)}'"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
@@ -387,8 +393,18 @@ object Bench {
       "threshold is within normal host jitter and does NOT flag; the " +
       "artifact-level contended bit fires iff any probe in either " +
       "series exceeds its threshold"
+    // scale-sweep comparability (r15 verdict #7): synthetic sf dirs carry
+    // a _meta.json (generator version + seed + row counts) written by
+    // tools/gen_scale.py; embedding it makes every sweep artifact say
+    // exactly which data it measured. Driver-shipped dirs have none → null.
+    val genMeta = {
+      val p = java.nio.file.Paths.get(sfDir, "_meta.json")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "null"
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"shuffle_partitions":$shufParts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","generator":$genMeta,"queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"shuffle_partitions":$shufParts,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

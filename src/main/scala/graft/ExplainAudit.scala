@@ -16,6 +16,20 @@ object ExplainAudit {
     for (n <- args) {
       val df = graft.queries.Registry.byName(n).fn(spark, sfDir)
       println(s"===== $n =====")
+      // the same typed live-exchange count PlanSpec's budget gate uses,
+      // so new budgets are measured with the gate's own ruler
+      val ep = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      val sh = ep.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      }.size
+      val bc = ep.collect {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => 1
+      }.size
+      println(s"live_exchanges: shuffles=$sh broadcasts=$bc")
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       // operator tree only by default (the formatted mode appends

@@ -964,6 +964,45 @@ object ScaleEvidence {
       s""""components_equal":${cNaive == cStar},""" +
       s""""capped_components":$cCap,"capped_edges":$nCap}""")
 
+    // r16: the REAL pipeline entry points under the same dominant-class
+    // shape. The suffix here is unique PER DOC (not doc_id % 5) so the
+    // exact-dedup stage cannot collapse the class before the near-dup
+    // stage — the pipelines must survive the skew themselves. Measures
+    // the default (starCap 256, engaged: class 2500 ≫ 256) against
+    // exact full enumeration, pinning survivor-set equality and walls.
+    val skewedU = docs.crossJoin(broadcast(base))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("base_text"), lit(" zz"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+    skewedU.write.mode("overwrite").parquet("/tmp/graft_skew_docs_u")
+    val sku = spark.read.parquet("/tmp/graft_skew_docs_u")
+    def runPipe(label: String)(survivors: => DataFrame): (Long, Double) = {
+      val (n, t) = timed { survivors.count() }
+      println(s"""SKEW_PIPELINE {"entry":"$label","docs":$nDocs,""" +
+        s""""survivors":$n,"wall_s":${"%.2f".format(t)}}""")
+      (n, t)
+    }
+    val (sClusterStar, tClusterStar) = runPipe("dedupCorpusClustered_star256") {
+      Neutral.dedupCorpusClustered(sku)
+    }
+    val (sClusterFull, tClusterFull) = runPipe("dedupCorpusClustered_full") {
+      Neutral.dedupCorpusClustered(sku, starCap = None)
+    }
+    val (sDropStar, tDropStar) = runPipe("dedupCorpus_star256") {
+      Dedup.dedupCorpus(sku)
+    }
+    val (sDropFull, tDropFull) = runPipe("dedupCorpus_full") {
+      Dedup.dedupCorpus(sku, starCap = None)
+    }
+    // count equality here (cheap at sweep scale); survivor SET equality
+    // is pinned by ScaleSpec's star-default test on the same fixture shape
+    println(s"""SKEW_PIPELINE_SUMMARY {"clustered_count_equal":${sClusterStar == sClusterFull},""" +
+      s""""clustered_speedup":${"%.2f".format(tClusterFull / math.max(0.01, tClusterStar))},""" +
+      s""""pairdrop_count_equal":${sDropStar == sDropFull},""" +
+      s""""pairdrop_speedup":${"%.2f".format(tDropFull / math.max(0.01, tDropStar))}}""")
+
     // hot interval: one range covering the entire price domain vs the
     // usual j11 ±1 bands — same bucket-explode equi join, output rows =
     // |points| for the giant range, cost linear, no cartesian in the plan

@@ -81,11 +81,22 @@ object Dedup {
     * buckets. Capping skips buckets larger than `maxBucket` — a documented
     * recall trade (members of a skipped bucket usually co-occur in other,
     * smaller buckets of their 15 remaining bands). Default off: exact
-    * reference behavior, and what the dedupCorpus oracle reproduces. */
+    * reference behavior, and what the dedupCorpus oracle reproduces.
+    *
+    * `starCap` (r16) is the closure/drop-decision-preserving alternative
+    * (the [[graft.ops.Neutral.minHashEdgesSkewSafe]] policy): oversized
+    * buckets emit hub-verified STAR candidates (bucket-min rep → member,
+    * O(size)) instead of being skipped; every candidate still pays exact
+    * Jaccard verification. Only member↔member pairs meeting EXCLUSIVELY
+    * inside over-cap buckets are traded for the hub edge. At most one of
+    * maxBucket/starCap may be set. */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      starCap: Option[Int] = None): DataFrame = {
     require(bands * rows == 64, "bands*rows must equal the 64-slot signature")
+    require(maxBucket.isEmpty || starCap.isEmpty,
+      "maxBucket (drop) and starCap (star) are alternative bucket policies")
     import org.apache.spark.sql.expressions.Window
     val sig = shingleTable(docs, textCol, shingleN)
       .withColumn("sig", minhashSignature(col("hs")))
@@ -107,14 +118,42 @@ object Dedup {
           .drop("bsize")
       case None => banded0
     }
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("hs").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("hs").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .distinct()
+    val cand = starCap match {
+      case Some(cap) =>
+        // candidates travel as narrow (doc_a, doc_b) here and the shingle
+        // arrays re-attach afterwards: star dedup must not carry `hs`
+        // through the union/distinct
+        val w = Window.partitionBy("band", "bucket")
+        val sized = banded0
+          .withColumn("bsize", count(lit(1)).over(w))
+          .withColumn("rep", min(col("doc_id")).over(w))
+        val small = sized.filter(col("bsize") <= cap)
+          .select("band", "bucket", "doc_id")
+        val pairsSmall = small.select(col("band"), col("bucket"),
+            col("doc_id").as("doc_a"))
+          .join(small.select(col("band"), col("bucket"),
+            col("doc_id").as("doc_b")), Seq("band", "bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        val star = sized.filter(col("bsize") > cap &&
+            col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+        pairsSmall.unionByName(star).distinct()
+          .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")),
+            Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")),
+            Seq("doc_b"))
+      case None =>
+        val a = banded.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_a"), col("hs").as("sh_a"))
+        val b = banded.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_b"), col("hs").as("sh_b"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sh_a", "sh_b")
+          .distinct()
+    }
+    cand
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -398,15 +437,25 @@ object Dedup {
   /** End-to-end corpus dedup — the API a training-data pipeline calls:
     * drop exact duplicates (keep min doc_id per digest), then drop the
     * larger id of every MinHash-verified near-dup pair at `minJaccard`.
-    * Returns the retained rows of `docs` unchanged. */
+    * Returns the retained rows of `docs` unchanged.
+    *
+    * Defaults to the skew-safe star candidates (r16): a dominant
+    * duplicate class measured quadratic under full enumeration (r15 sf1
+    * sweep), while star edges keep the drop decision on genuine classes —
+    * every member is the greater side of its hub edge, so all but the
+    * hub still drop — at O(size) bucket cost. The cap never engages at
+    * driver-oracle scale (largest fixture bucket ≪ 256), so the oracle's
+    * full-enumeration pair set yields bit-identical results there;
+    * `starCap = None` restores exact enumeration at any scale. */
   def dedupCorpus(docs: DataFrame, textCol: String = "text",
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      starCap: Option[Int] = Some(256)): DataFrame = {
     val exactKeep = exactGroups(docs, textCol)
       .select(col("keep_doc_id").as("doc_id"))
     // kept feeds both the near-dup candidate search and the final anti
     // join — uncached, the exact-dedup digest groupBy re-executes twice
     val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
-    val nearDrop = minHashCandidates(kept, textCol)
+    val nearDrop = minHashCandidates(kept, textCol, starCap = starCap)
       .filter(col("jaccard") >= minJaccard)
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
       .distinct()

@@ -2823,11 +2823,19 @@ object Multimodal {
     * equi join on (block, value) and only candidates pay the exact
     * bit_count verification. The image twin of Neutral.simHashNearDups:
     * banded, never all-pairs; blocks must align with the 32-bit halves.
-    * At 100 TB true-dup cliques concentrate buckets — the same documented
-    * cap trade as minHashCandidates applies (default uncapped: the
-    * oracle reproduces the full candidate set). */
-  def phashNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
-    val pairs = phashPairs(hashes, maxHamming)
+    * At 100 TB true-dup cliques concentrate buckets, so the degree output
+    * defaults to the star-capped edge set too (r16 — the r15 sf1 sweep
+    * measured full enumeration at rows exponent ~2.0 on a dominant-class
+    * corpus): `n_near` is the EXACT near-dup degree whenever no (t,
+    * bucket) exceeds `maxBucket` (all driver-oracle scales), and degrades
+    * to the hub-verified lower bound when one does — every member of a
+    * genuine oversized duplicate class keeps its rep edge, so the
+    * has-near-dup signal (n_near > 0) survives; only the exact count of
+    * an over-cap clique is traded. Exact degree at any scale is opt-in
+    * via maxBucket = None. */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 7,
+      maxBucket: Option[Int] = Some(256)): DataFrame = {
+    val pairs = phashPairs(hashes, maxHamming, maxBucket)
     hashes.join(
         pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
@@ -2843,8 +2851,9 @@ object Multimodal {
     * oversized buckets to hub-verified star candidates — see
     * [[phashPairs]]; identical components on a genuine duplicate class
     * (ScaleSpec), O(n) instead of O(n²) bucket cost. Pair-COUNT
-    * consumers ([[phashNearDups]]) keep full enumeration: their output
-    * is per-doc degree, which star edges would change. */
+    * consumers ([[phashNearDups]]) share the default cap since r16:
+    * below the cap the degree is exact, above it the count of an
+    * over-cap clique degrades to the hub-verified lower bound. */
   def phashPairsOf(hashes: DataFrame, maxHamming: Int = 7,
       maxBucket: Option[Int] = None): DataFrame =
     phashPairs(hashes, maxHamming, maxBucket)
@@ -3063,9 +3072,12 @@ object Multimodal {
   /** Audio near-dup counts: the fingerprint drops into the SAME
     * Hamming-banded machinery as the image hash ([[phashNearDups]] —
     * disjoint 8-bit blocks, pigeonhole recall 1 at distance ≤ 7, exact
-    * bit_count verify on candidates only; never all-pairs). */
-  def audioNearDups(media: DataFrame, maxHamming: Int = 7)(implicit spark: SparkSession): DataFrame =
-    phashNearDups(audioFingerprint(media), maxHamming)
+    * bit_count verify on candidates only; never all-pairs). Shares
+    * [[phashNearDups]]'s star-capped degree default — exact below the
+    * bucket cap, hub-verified lower bound above it. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 7,
+      maxBucket: Option[Int] = Some(256))(implicit spark: SparkSession): DataFrame =
+    phashNearDups(audioFingerprint(media), maxHamming, maxBucket)
       .withColumnRenamed("ph_lo", "af_lo")
       .withColumnRenamed("ph_hi", "af_hi")
 
@@ -3146,27 +3158,89 @@ object Multimodal {
     * hash — only videos SHARING a frame ever meet, never all-pairs; the
     * per-pair match count then scores exactly). Returns per-video
     * (doc_id, n_frames, n_near). At 100 TB ubiquitous frames (intros,
-    * slates) concentrate hash buckets — the same documented df-cap trade
-    * as minHashCandidates/winnow applies (default uncapped: the oracle
-    * reproduces the full candidate set). */
-  def videoNearDups(frameHashes: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    * slates) and dominant re-upload classes concentrate posting lists —
+    * the r15 sf1 sweep measured the uncapped form at rows exponent ~2.05
+    * (598 M shuffle rows) because the per-hash pair grouping is Θ(k²) in
+    * the posting-list length k. Since r16 the default caps posting lists
+    * (`maxPosting`): oversized lists emit hub star candidates (list-min
+    * rep → member, O(k)) and every candidate's match count `m` is then
+    * recomputed EXACTLY against the two videos' full keyframe sets (a
+    * narrow equi join bounded by keyframes-per-video, the same
+    * verify-the-candidate shape as the bit_count Hamming check), so a
+    * surviving pair's Jaccard is never approximated — only pairs meeting
+    * EXCLUSIVELY inside over-cap posting lists are traded for the hub
+    * edge, which keeps has-near-dup (n_near > 0) for genuine duplicate
+    * classes while the degree of an over-cap clique degrades to a lower
+    * bound. Uncapped exact enumeration is opt-in via maxPosting = None
+    * (single-pass: m falls out of the posting join itself). */
+  def videoNearDups(frameHashes: DataFrame, minJaccard: Double = 0.5,
+      maxPosting: Option[Int] = Some(256)): DataFrame = {
     val sets = frameHashes.select("doc_id", "ph_lo", "ph_hi").distinct()
     val nf = sets.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("ph_lo"), col("ph_hi"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("ph_lo"), col("ph_hi"))
-    val pairs = a.join(b, Seq("ph_lo", "ph_hi"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("m"))
-      .join(nf.select(col("doc_id").as("doc_a"), col("n_frames").as("nfa")), "doc_a")
-      .join(nf.select(col("doc_id").as("doc_b"), col("n_frames").as("nfb")), "doc_b")
-      .filter(col("m").cast("double") /
-        (col("nfa") + col("nfb") - col("m")) >= minJaccard)
+    val pairs = videoNearDupPairs(frameHashes, minJaccard, maxPosting)
     nf.join(
         pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
         Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_near"))
       .select("doc_id", "n_frames", "n_near")
+  }
+
+  /** Verified video near-dup pairs (doc_a < doc_b, Jaccard of distinct
+    * frame-hash sets ≥ `minJaccard`) — the edge set behind
+    * [[videoNearDups]], exposed for component-level consumers the way
+    * [[phashPairsOf]] is for images. See [[videoNearDups]] for the
+    * `maxPosting` star-cap semantics; every emitted pair is exactly
+    * verified regardless of how it was proposed. */
+  def videoNearDupPairs(frameHashes: DataFrame, minJaccard: Double = 0.5,
+      maxPosting: Option[Int] = Some(256)): DataFrame = {
+    val sets = frameHashes.select("doc_id", "ph_lo", "ph_hi").distinct()
+    val nf = sets.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val scored = maxPosting match {
+      case None =>
+        // single-pass exact form: the posting join's own multiplicity IS
+        // the shared-frame count
+        val a = sets.select(col("doc_id").as("doc_a"), col("ph_lo"), col("ph_hi"))
+        val b = sets.select(col("doc_id").as("doc_b"), col("ph_lo"), col("ph_hi"))
+        a.join(b, Seq("ph_lo", "ph_hi"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("m"))
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        // posting-list size + rep over the SAME (hash) key the candidate
+        // join shuffles on — one exchange feeds both windows and the join
+        val w = Window.partitionBy("ph_lo", "ph_hi")
+        val sized = sets
+          .withColumn("psize", count(lit(1)).over(w))
+          .withColumn("rep", min(col("doc_id")).over(w))
+        val small = sized.filter(col("psize") <= cap)
+          .select("ph_lo", "ph_hi", "doc_id")
+        val pairsSmall = small.select(col("ph_lo"), col("ph_hi"),
+            col("doc_id").as("doc_a"))
+          .join(small.select(col("ph_lo"), col("ph_hi"),
+            col("doc_id").as("doc_b")), Seq("ph_lo", "ph_hi"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        // rep = min(doc_id) over the posting, so doc_a < doc_b already
+        val star = sized.filter(col("psize") > cap &&
+            col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+        val cand = pairsSmall.unionByName(star).distinct()
+        // exact m per candidate: explode by doc_a's (bounded) keyframe
+        // set, then equi-join doc_b's set on the hash — candidate-linear
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"),
+            col("ph_lo"), col("ph_hi")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"),
+            col("ph_lo"), col("ph_hi")), Seq("doc_b", "ph_lo", "ph_hi"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("m"))
+    }
+    scored
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_frames").as("nfa")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_frames").as("nfb")), "doc_b")
+      .filter(col("m").cast("double") /
+        (col("nfa") + col("nfb") - col("m")) >= minJaccard)
+      .select("doc_a", "doc_b")
   }
 
   /** Image-corpus dedup: ONE survivor (min doc_id) per transitive phash

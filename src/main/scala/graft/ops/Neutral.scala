@@ -113,12 +113,29 @@ object Neutral {
     * few buckets; capping skips oversized buckets — a documented recall
     * trade (skipped members usually co-occur in other, smaller buckets of
     * their remaining bands). Default off: the oracle reproduces the
-    * uncapped candidate set. */
+    * uncapped candidate set.
+    *
+    * `starCap` (r16) is the closure-preserving alternative to the drop
+    * cap: oversized buckets emit hub-verified STAR candidates (bucket-min
+    * rep → member, O(size)) instead of being skipped — every candidate,
+    * pair or star, still pays the exact Jaccard verification, so emitted
+    * edges are never approximate; only member↔member pairs meeting
+    * EXCLUSIVELY inside over-cap buckets are traded for the hub edge (the
+    * [[minHashEdgesSkewSafe]] policy — component-equal on a genuine
+    * duplicate class, pinned by ScaleSpec). Component-level consumers
+    * ([[dedupCorpusClustered]], [[leakageSafeSplit]], joint multimodal
+    * dedup) default to Some(256) since r16: real boilerplate corpora have
+    * the dominant-class shape the r15 sf1 sweep measured quadratic, and
+    * the pair-shaped driver fixtures never reach the cap, so oracle
+    * results are bit-identical. At most one of maxBucket/starCap. */
   def minHashCandidates(docs: DataFrame, textCol: String = "text",
       shingleN: Int = 3, bands: Int = 16, rows: Int = 4,
       maxBucket: Option[Int] = None,
-      precomputedSig: Option[DataFrame] = None): DataFrame = {
+      precomputedSig: Option[DataFrame] = None,
+      starCap: Option[Int] = None): DataFrame = {
     require(bands * rows == 64, "bands*rows must equal the 64-lane signature")
+    require(maxBucket.isEmpty || starCap.isEmpty,
+      "maxBucket (drop) and starCap (star) are alternative bucket policies")
     // precomputedSig: a sigTable already restricted to `docs` (signatures
     // are a pure function of text, so reuse is result-identical) — lets
     // composite pipelines skip re-hashing every shingle per stage
@@ -139,12 +156,34 @@ object Neutral {
           .drop("bsize")
       case None => banded0
     }
-    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
-        Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val cand = starCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("band", "bucket")
+        val sized = banded0
+          .withColumn("bsize", count(lit(1)).over(w))
+          .withColumn("rep", min(col("doc_id")).over(w))
+        val small = sized.filter(col("bsize") <= cap)
+          .select("band", "bucket", "doc_id")
+        val pairsSmall = small.select(col("band"), col("bucket"),
+            col("doc_id").as("doc_a"))
+          .join(small.select(col("band"), col("bucket"),
+            col("doc_id").as("doc_b")), Seq("band", "bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        // rep = min(doc_id) over the bucket, so doc_a < doc_b is canonical
+        val star = sized.filter(col("bsize") > cap &&
+            col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+        pairsSmall.unionByName(star).distinct()
+      case None =>
+        banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+            Seq("band", "bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+    }
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
@@ -756,7 +795,8 @@ object Neutral {
 
   def dedupCorpusClustered(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.8,
-      precomputedSig: Option[DataFrame] = None): DataFrame = {
+      precomputedSig: Option[DataFrame] = None,
+      starCap: Option[Int] = Some(256)): DataFrame = {
     val exactKeep = Dedup.exactGroups(docs, textCol)
       .select(col("keep_doc_id").as("doc_id"))
     val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
@@ -765,7 +805,12 @@ object Neutral {
     // so reuse is result-identical and skips the per-shingle md5 pass
     val keptSig = precomputedSig.map(
       _.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"))
-    val pairs = minHashCandidates(kept, textCol, precomputedSig = keptSig)
+    // component-level output → the skew-safe star policy is the default
+    // (r16): components are provably equal on genuine duplicate classes
+    // (ScaleSpec) and the cap never engages at driver-oracle scale, so
+    // the full-enumeration oracle stays bit-identical there
+    val pairs = minHashCandidates(kept, textCol, precomputedSig = keptSig,
+        starCap = starCap)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
     val dropped = Dedup.connectedComponents(pairs)
@@ -810,12 +855,16 @@ object Neutral {
     * Survivor selection is one row_number window partitioned by component
     * — a single extra shuffle on the component label. */
   def dedupCorpusClusteredQuality(docs: DataFrame, textCol: String = "text",
-      minJaccard: Double = 0.8, scoreCol: String = "n_chars"): DataFrame = {
+      minJaccard: Double = 0.8, scoreCol: String = "n_chars",
+      starCap: Option[Int] = Some(256)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val exactKeep = Dedup.exactGroups(docs, textCol)
       .select(col("keep_doc_id").as("doc_id"))
     val kept = Pins.track(docs.join(exactKeep, Seq("doc_id"), "left_semi").cache())
-    val pairs = minHashCandidates(kept, textCol)
+    // component-level consumer → star-capped candidates (see
+    // [[dedupCorpusClustered]]); survivor CHOICE within a component uses
+    // scoreCol, which star edges don't affect — the component sets match
+    val pairs = minHashCandidates(kept, textCol, starCap = starCap)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
     val labels = Dedup.connectedComponents(pairs)
@@ -933,9 +982,11 @@ object Neutral {
     * and partitionings. */
   def leakageSafeSplit(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.8, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+      valPct: Int = 10, starCap: Option[Int] = Some(256)): DataFrame = {
     require(trainPct + valPct <= 100, "train + val must leave room for test")
-    val pairs = minHashCandidates(docs, textCol)
+    // component-level consumer → star-capped candidates (the split unit
+    // is the CLUSTER; star closure is component-equal on genuine classes)
+    val pairs = minHashCandidates(docs, textCol, starCap = starCap)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
     val labels = Dedup.connectedComponents(pairs)

@@ -4094,11 +4094,13 @@ object NorthStar {
       |ORDER BY dd.doc_id""".stripMargin) { (s, d) =>
     implicit val spark = s
     val docs = T.documents(s, d)
-    val textPairs = graft.ops.Neutral.minHashCandidates(docs)
+    // component-level output → the skew-safe star policy applies to BOTH
+    // modalities (text since r16, image since r15); 256 never engages at
+    // sf0.01 oracle scale, so the gate result is bit-identical while
+    // sf0.1+ candidate volume stays linear
+    val textPairs = graft.ops.Neutral.minHashCandidates(docs,
+        starCap = Some(256))
       .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
-    // component-level output → the skew-safe star policy applies (r15);
-    // 256 never engages at sf0.01 oracle scale, so the gate result is
-    // bit-identical while sf0.1+ candidate volume stays linear
     val imagePairs = Multimodal.phashPairsOf(
       Multimodal.imageDHash(Multimodal.syntheticTexturedImageTable(docs)),
       maxBucket = Some(256))
@@ -4181,6 +4183,132 @@ object NorthStar {
     Multimodal.videoNearDups(
         Multimodal.videoFrameDHash(
           Multimodal.syntheticVideoFrameTable(T.documents(s, d))))
+      .orderBy("doc_id")
+  }
+
+  /** Phash dedup with the star branch ENGAGED (r16 — the r15 verdict's
+    * one process miss: the branch that rescued sf1 shipped with no gate
+    * that exercises it). maxBucket = 12 is far below the planted class
+    * size at oracle scale (~62 docs per (t, bucket) at sf0.01), so
+    * oversized buckets here DO emit hub-verified star candidates, and the
+    * oracle mirrors the size-gated union exactly (small buckets → full
+    * pairs, oversized → bucket-min rep → member, both bit_count-verified)
+    * before closing to components — the image twin of
+    * q_ns_dedup_skew_safe. */
+  val phashDedupStar = QueryDef(
+    "q_ns_multimodal_phash_star",
+    s"""WITH RECURSIVE $phashCtes,
+      |bsz AS (
+      |  SELECT t, bucket, count(*) AS bsize, min(doc_id) AS rep
+      |  FROM bk GROUP BY t, bucket
+      |),
+      |scand AS (
+      |  SELECT DISTINCT doc_a, doc_b, lo_a, hi_a, lo_b, hi_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           a.ph_lo AS lo_a, a.ph_hi AS hi_a,
+      |           b.ph_lo AS lo_b, b.ph_hi AS hi_b
+      |    FROM bk a
+      |    JOIN bsz z ON a.t = z.t AND a.bucket = z.bucket
+      |    JOIN bk b ON b.t = a.t AND b.bucket = a.bucket
+      |    WHERE z.bsize <= 12 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT z.rep, b.doc_id, h.ph_lo, h.ph_hi, b.ph_lo, b.ph_hi
+      |    FROM bk b
+      |    JOIN bsz z ON b.t = z.t AND b.bucket = z.bucket
+      |    JOIN hh h ON h.doc_id = z.rep
+      |    WHERE z.bsize > 12 AND b.doc_id <> z.rep
+      |  ) u
+      |),
+      |spairs AS (
+      |  SELECT DISTINCT doc_a, doc_b FROM scand
+      |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 7
+      |),
+      |sedges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM spairs
+      |  UNION
+      |  SELECT doc_b, doc_a FROM spairs
+      |),
+      |sreach(a, b) AS (
+      |  SELECT a, b FROM sedges
+      |  UNION
+      |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a
+      |),
+      |scomp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+      |          FROM sreach GROUP BY a)
+      |SELECT hh.doc_id,
+      |       CAST(coalesce(scomp.component, hh.doc_id) AS BIGINT) AS component
+      |FROM hh LEFT JOIN scomp USING (doc_id)
+      |ORDER BY hh.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    val hashes = Multimodal.imageDHash(
+      Multimodal.syntheticTexturedImageTable(T.documents(s, d)))
+    val comp = graft.ops.Dedup.connectedComponents(
+      Multimodal.phashPairsOf(hashes, maxBucket = Some(12)))
+    hashes.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Video dedup with the posting-list star cap ENGAGED (r16): at oracle
+    * scale a shared keyframe's posting list is the whole planted class
+    * (~62 videos), so maxPosting = 8 routes every class frame through the
+    * star branch — hub star candidates, then the EXACT match-count
+    * verification join — and the oracle mirrors the same size-gated
+    * candidate union plus exact re-count. Output is the per-video degree
+    * over the capped verified pair set (the scale-safe has-near-dup
+    * form). */
+  val videoDedupStar = QueryDef(
+    "q_ns_multimodal_video_star",
+    s"""WITH $videoCtes,
+      |psz AS (
+      |  SELECT ph_lo, ph_hi, count(*) AS psize, min(doc_id) AS rep
+      |  FROM vsets GROUP BY ph_lo, ph_hi
+      |),
+      |vcand AS (
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM vsets a
+      |    JOIN psz z ON a.ph_lo = z.ph_lo AND a.ph_hi = z.ph_hi
+      |    JOIN vsets b ON b.ph_lo = a.ph_lo AND b.ph_hi = a.ph_hi
+      |    WHERE z.psize <= 8 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT z.rep, b.doc_id
+      |    FROM vsets b
+      |    JOIN psz z ON b.ph_lo = z.ph_lo AND b.ph_hi = z.ph_hi
+      |    WHERE z.psize > 8 AND b.doc_id <> z.rep
+      |  ) u
+      |),
+      |vm2 AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS m
+      |  FROM vcand c
+      |  JOIN vsets a ON a.doc_id = c.doc_a
+      |  JOIN vsets b ON b.doc_id = c.doc_b
+      |             AND b.ph_lo = a.ph_lo AND b.ph_hi = a.ph_hi
+      |  GROUP BY c.doc_a, c.doc_b
+      |),
+      |vpairs2 AS (
+      |  SELECT doc_a, doc_b FROM vm2
+      |  JOIN nfs na ON na.doc_id = vm2.doc_a
+      |  JOIN nfs nb ON nb.doc_id = vm2.doc_b
+      |  WHERE CAST(m AS DOUBLE) / (na.n_frames + nb.n_frames - m) >= 0.5
+      |),
+      |nn2 AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+      |    SELECT doc_a AS doc_id FROM vpairs2
+      |    UNION ALL SELECT doc_b FROM vpairs2
+      |  ) u GROUP BY doc_id
+      |)
+      |SELECT nfs.doc_id, nfs.n_frames,
+      |       CAST(coalesce(nn2.n_near, 0) AS BIGINT) AS n_near
+      |FROM nfs LEFT JOIN nn2 USING (doc_id)
+      |ORDER BY nfs.doc_id""".stripMargin) { (s, d) =>
+    implicit val spark = s
+    Multimodal.videoNearDups(
+        Multimodal.videoFrameDHash(
+          Multimodal.syntheticVideoFrameTable(T.documents(s, d))),
+        maxPosting = Some(8))
       .orderBy("doc_id")
   }
 
@@ -4535,5 +4663,6 @@ object NorthStar {
     multimodalFeatures,
     multimodalResize, multimodalFrames,
     multimodalAv, multimodalAvFrames, phashDedup, phashDedupSurvivors,
+    phashDedupStar, videoDedupStar,
     audioFpDedup, audioFpSurvivors, videoDedup, jointDedup)
 }

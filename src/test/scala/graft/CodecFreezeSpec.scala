@@ -24,11 +24,13 @@ class CodecFreezeSpec extends AnyFunSuite {
       "8d08f9baddec942278b7751f8f2425bff899516eeb1bcb76cbceeefcd259c0c6",
     "src/main/scala/graft/ops/Flac.scala" ->
       "6959f932db25dc804aafabf824d9d8af6e846c2849139c73f025c013f04f68c7",
-    // repinned r15: deliberate change — skew-safe star candidates in
-    // phashPairs (the measured sf1 quadratic fix); OpsSpec + Verify
+    // repinned r16: deliberate change — star-capped degree defaults
+    // (phashNearDups/audioNearDups) and the posting-list star cap +
+    // exact match-count verify join in videoNearDups (the remaining
+    // measured sf1 quadratics); OpsSpec + PropertySpec + full Verify
     // re-run green in the same commit
     "src/main/scala/graft/ops/Multimodal.scala" ->
-      "7e4612a3b56af9ea7195959a3248880031c39b506721fe7ceffc734869df4e93")
+      "5edd81c77747f4c18402d67637486bb23036a648207937f99c72459a59b7112d")
 
   private def sha256(path: java.nio.file.Path): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -569,8 +569,14 @@ class PlanSpec extends AnyFunSuite {
       // output sort — every shuffle except the gram agg moves <=512 rows.
       // The SERVED form is pinned separately (broadcast + single Generate).
       "q_ns_dsir_weights"           -> ((8, 5)),
-      "q_ns_multimodal_audio_dedup" -> ((4, 1)),
-      "q_ns_multimodal_video_dedup" -> ((11, 2)))
+      // r16: the dedup degree/pair stages default to the star cap — the
+      // (t,bucket)/posting size+rep window and (for video) the exact
+      // match-count verification join add candidate-linear exchanges;
+      // measured with ExplainAudit's live_exchanges at sf0.001
+      "q_ns_multimodal_audio_dedup" -> ((7, 2)),
+      "q_ns_multimodal_video_dedup" -> ((17, 5)),
+      "q_ns_multimodal_phash_star"  -> ((3, 0)),
+      "q_ns_multimodal_video_star"  -> ((17, 5)))
     for ((name, (maxSh, minBc)) <- budget) {
       val plan = queries.Registry.byName(name).fn(spark, sf)
         .queryExecution.executedPlan match {

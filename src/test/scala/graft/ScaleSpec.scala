@@ -339,4 +339,143 @@ class ScaleSpec extends AnyFunSuite {
         "duplicate-class skew")
     skewed.unpersist(); fullPairs.unpersist(); safeEdges.unpersist()
   }
+
+  private def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    graft.ops.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("phash star branch: an over-cap hash bucket yields the SAME " +
+      "components as full enumeration, at linear (not quadratic) cost") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // a dominant duplicate class of 60 images: every hash is the base
+    // hash with ONE flipped low bit (pairwise Hamming <= 2, well under
+    // the verify threshold 7), so all 60 land in the same (t, bucket)
+    // for at least 6 of the 8 banding tables — the boilerplate-corpus
+    // shape the r15 sf1 sweep measured quadratic. Plus 30 unrelated
+    // images with alternating-pattern hashes (pairwise Hamming >> 7).
+    val base = 0x5a5a5a5aL
+    val cls = (1L to 60L).map { i =>
+      (i, base ^ (1L << ((i % 16) + 8)), base)
+    }
+    val other = (1L to 30L).map { i =>
+      (1000L + i, (i * 0x9e3779b9L) & 0xffffffffL,
+        (i * 0x85ebca6bL) & 0xffffffffL)
+    }
+    val hashes = (cls ++ other).toDF("doc_id", "ph_lo", "ph_hi").cache()
+
+    val full = Multimodal.phashPairsOf(hashes, maxBucket = None).cache()
+    val star = Multimodal.phashPairsOf(hashes, maxBucket = Some(8)).cache()
+    val nFull = full.count(); val nStar = star.count()
+    assert(nFull >= 60L * 59 / 2,
+      s"the planted class must fully enumerate uncapped, got $nFull")
+    assert(nStar < nFull / 5,
+      s"star pairs must be far below full enumeration ($nStar vs $nFull)")
+    assert(comps(star) == comps(full),
+      "phash star components must equal full-enumeration components on " +
+        "a duplicate-class bucket")
+    // the capped DEGREE output keeps the has-near-dup signal: exactly
+    // the docs with a near-dup under full enumeration have n_near > 0
+    def flagged(maxBucket: Option[Int]): Set[Long] =
+      Multimodal.phashNearDups(hashes, maxBucket = maxBucket)
+        .filter(col("n_near") > 0).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    assert(flagged(Some(8)) == flagged(None),
+      "star-capped degree must preserve the has-near-dup flag set")
+    hashes.unpersist(); full.unpersist(); star.unpersist()
+  }
+
+  test("video posting-list star cap: exact verification keeps the " +
+      "Jaccard decisions, and capped components equal full enumeration") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 40 videos of one duplicate class sharing frame CONTENT, trimmed to
+    // 4..8 keyframes (pairwise Jaccard = min/max >= 0.5 — all near-dups),
+    // so every shared frame's posting list has 8..40 entries; plus 20
+    // unrelated videos with unique frames (singleton postings)
+    val cls = for {
+      i <- 1L to 40L
+      j <- 0 until (4 + (i % 5)).toInt
+    } yield (i, j, 100L + j, 200L + j)
+    val other = for {
+      i <- 1L to 20L
+      j <- 0 until 5
+    } yield (500L + i, j, 10000L + i * 100 + j, 20000L + i * 100 + j)
+    val fh = (cls ++ other).toDF("doc_id", "frame_idx", "ph_lo", "ph_hi")
+      .cache()
+
+    // a cap that never engages must reproduce the uncapped single-pass
+    // form EXACTLY (pins the candidate+verify path against the old one)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Multimodal.videoNearDups(fh, maxPosting = Some(1000)))
+        == rows(Multimodal.videoNearDups(fh, maxPosting = None)),
+      "an unengaged posting cap must be bit-identical to uncapped")
+
+    // engaged: star candidates + exact m re-count — every emitted pair's
+    // Jaccard is exact, and the closure matches full enumeration
+    val full = Multimodal.videoNearDupPairs(fh, maxPosting = None).cache()
+    val star = Multimodal.videoNearDupPairs(fh, maxPosting = Some(8)).cache()
+    val nFull = full.count(); val nStar = star.count()
+    assert(nFull >= 40L * 39 / 2,
+      s"the planted class must fully enumerate uncapped, got $nFull")
+    assert(nStar < nFull / 5,
+      s"star pairs must be far below full enumeration ($nStar vs $nFull)")
+    assert(comps(star) == comps(full),
+      "video star components must equal full-enumeration components on " +
+        "a duplicate-class posting list")
+    val flaggedStar = Multimodal.videoNearDups(fh, maxPosting = Some(8))
+      .filter(col("n_near") > 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val flaggedFull = Multimodal.videoNearDups(fh, maxPosting = None)
+      .filter(col("n_near") > 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(flaggedStar == flaggedFull,
+      "star-capped video degree must preserve the has-near-dup flag set")
+    fh.unpersist(); full.unpersist(); star.unpersist()
+  }
+
+  test("dedupCorpusClustered via the star default equals full " +
+      "enumeration on a dominant duplicate class (real entry point)") {
+    import graft.ops.Neutral
+    val docs = queries.T.documents(spark, sf).limit(200)
+    val base = docs.filter(col("doc_id") === 1)
+      .select(col("text").as("base_text"))
+    // suffix is UNIQUE per doc (doc_id, not doc_id % 5): the clustered
+    // pipeline's exact-dedup stage must NOT collapse the class before
+    // the near-dup stage, or the star branch never engages
+    val skewed = docs.crossJoin(broadcast(base))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("base_text"), lit(" zz"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      .cache()
+    def survivors(starCap: Option[Int]): Set[Long] =
+      Neutral.dedupCorpusClustered(skewed, starCap = starCap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // starCap = 16 engages on the planted class (~100 members share all
+    // 16 band buckets); survivors must match exact full enumeration
+    assert(survivors(Some(16)) == survivors(None),
+      "star-capped clustered dedup must keep the same survivors as full " +
+        "enumeration on a duplicate-class skew")
+    // cross-implementation pin: the star candidate generator filtered at
+    // the verify threshold IS the skew-safe edge set
+    val viaCandidates = Neutral.minHashCandidates(skewed, starCap = Some(16))
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaEdges = Neutral.minHashEdgesSkewSafe(skewed, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCandidates == viaEdges,
+      "minHashCandidates(starCap) must emit exactly the skew-safe edges")
+    // and the pair-drop entry point: all but the hub of the planted
+    // class drop under the star default exactly as under full pairs
+    def pairDropSurvivors(starCap: Option[Int]): Set[Long] =
+      graft.ops.Dedup.dedupCorpus(skewed, starCap = starCap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairDropSurvivors(Some(16)) == pairDropSurvivors(None),
+      "star-capped pair-drop dedup must keep the same survivors on a " +
+        "duplicate-class skew")
+    skewed.unpersist()
+  }
 }

@@ -209,7 +209,13 @@ def main():
             if cal_ratio and raw_moved and not norm_moved:
                 verdict = "HOST_DRIFT"
             else:
-                verdict = attribute(q, r_raw, old, new, flips_old,
+                # attribute on the SAME ratio movers are selected on:
+                # under cal normalization the proportionality tests
+                # (JVM_STATE/CONTENTION) must compare executor-CPU
+                # against the host-drift-corrected wall ratio, not the
+                # raw one (r15 ADVICE)
+                verdict = attribute(q, r_norm if cal_ratio else r_raw,
+                                    old, new, flips_old,
                                     flips_new, oa_all, na_all)
             extra = f" (cal-norm {r_norm:.2f}x)" if cal_ratio else ""
             rows.append((r_norm, q, verdict,

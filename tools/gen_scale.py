@@ -15,9 +15,15 @@ itself (dev-tool side; the engine never sees this script):
                    size U(1,50), retailprice 900 + (k%1000)/10
   orders           sf*1.5M; status U{P,O,F}, priority U{5}, totalprice
                    U(1000,500000), orderdate U(1995-01-01, 2001-08-01)
-  lineitem         sf*6M;   l_orderkey U over orders (zero-truncated-
-                   Poisson lines/order like the driver data: avg 4.08,
-                   max ~17), linenumber U(1,7), qty U(1,50), extprice
+  lineitem         sf*6M;   l_orderkey drawn UNIFORMLY over orders, so
+                   lines/order is Binomial(6M, 1/1.5M) ~ Poisson(4.0)
+                   INCLUDING zero-line orders — close to, but not the
+                   same as, the driver data's zero-truncated shape
+                   (avg 4.08, no empty orders). Scaling exponents are
+                   unaffected (both are mean-4 constant-fanout);
+                   per-query absolute walls at a given sf can differ a
+                   few % from true driver-shaped data. linenumber
+                   U(1,7), qty U(1,50), extprice
                    U(900,105000), disc U(0,0.1), tax U(0,0.08),
                    flags U{A,N,R}xU{F,O}, shipdate U(1995-01-02,2001-11-04)
   events           sf*1M;   ts U over 2024-01 (30 days), user_id U over
@@ -56,10 +62,28 @@ PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 DAY_US = 86_400_000_000
 
 
+GEN_VERSION = "gen_scale-v2"  # bump on ANY distribution change
+
+_row_counts = {}
+
+
 def write(outdir, name, table):
     path = f"{outdir}/{name}.parquet"
     pq.write_table(table, path, compression="snappy")
+    _row_counts[name] = table.num_rows
     print(f"  {name}: {table.num_rows} rows -> {path}")
+
+
+def write_meta(outdir, sf, seed):
+    """Freeze the provenance next to the data (r15 verdict #7): bench
+    artifacts embed this verbatim, and scale_table.py refuses to mix
+    artifacts measured against different generator versions/seeds."""
+    import json
+    meta = {"generator": GEN_VERSION, "sf": sf, "seed": seed,
+            "rows": _row_counts}
+    with open(f"{outdir}/_meta.json", "w") as f:
+        json.dump(meta, f)
+    print(f"  _meta.json: {meta}")
 
 
 def ts_col(us):
@@ -178,6 +202,8 @@ def main():
         "vec_id": pa.array(np.arange(n_emb), pa.int64()),
         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
         "label": pa.array(rng.integers(0, 10, n_emb), pa.int32())}))
+
+    write_meta(outdir, sf, seed)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,15 @@ def warm_probe_rows(art, q):
 
 def main():
     arts = [json.load(open(p)) for p in sys.argv[1:4]]
+    # provenance gate (r15 verdict #7): artifacts carry the sf dir's
+    # generator metadata since r16 — refuse to build an exponent table
+    # over mixed generator versions/seeds, where ratios are meaningless
+    gens = [a.get("generator") for a in arts]
+    tagged = [(g.get("generator"), g.get("seed")) for g in gens if g]
+    if len(set(tagged)) > 1:
+        sys.exit(f"REFUSING: mixed generator provenance: {sorted(set(tagged))}")
+    print(f"# generator: {sorted(set(tagged)) or 'untagged (pre-r16 artifacts)'}"
+          f"  untagged_artifacts: {gens.count(None)}")
     cals = [a.get("cal_start_sec") for a in arts]
     parts = [a.get("shuffle_partitions", a.get("cpus")) for a in arts]
     print(f"# cal_start per scale: {cals}  shuffle_partitions: {parts}")
@@ -51,7 +60,8 @@ def main():
     print(hdr)
     for q in names:
         w = [qd[q] for qd in qs]
-        wexp = math.log10(w[2] / w[0]) / 2 if w[0] > 0 else float("nan")
+        wexp = (math.log10(w[2] / w[0]) / 2
+                if w[0] > 0 and w[2] > 0 else float("nan"))
         rows = [warm_probe_rows(a, q) for a in arts]
         if all(r is not None and r > 0 for r in rows):
             rexp = math.log10(rows[2] / rows[0]) / 2
@@ -63,7 +73,10 @@ def main():
         # rows are the attributable axis (host-speed-free); wall is noisy
         # at the small end (fixed per-query overhead dominates sf0.01)
         basis = rexp if not math.isnan(rexp) else wexp
-        verdict = "OK" if abs(basis - pred) <= 0.35 else "DIVERGES"
+        if math.isnan(basis):
+            verdict = "NO_DATA"  # neither axis measured — not a diverge
+        else:
+            verdict = "OK" if abs(basis - pred) <= 0.35 else "DIVERGES"
         print(f"{q:42s} {w[0]:6.2f} {w[1]:6.2f} {w[2]:7.2f} "
               f"{wexp:5.2f} {rtxt[0]:>9s} {rtxt[1]:>10s} {rtxt[2]:>11s} "
               f"{rexp:5.2f} {pred:4.1f} {verdict:>8s}")
