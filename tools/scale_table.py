@@ -75,8 +75,14 @@ def main():
         basis = rexp if not math.isnan(rexp) else wexp
         if math.isnan(basis):
             verdict = "NO_DATA"  # neither axis measured — not a diverge
+        elif abs(basis - pred) <= 0.35:
+            verdict = "OK"
+        elif basis < pred:
+            # growing SLOWER than predicted is not the scale hazard the
+            # table exists to catch (log-round CC, bounded-output aggs)
+            verdict = "SUBLIN"
         else:
-            verdict = "OK" if abs(basis - pred) <= 0.35 else "DIVERGES"
+            verdict = "DIVERGES"
         print(f"{q:42s} {w[0]:6.2f} {w[1]:6.2f} {w[2]:7.2f} "
               f"{wexp:5.2f} {rtxt[0]:>9s} {rtxt[1]:>10s} {rtxt[2]:>11s} "
               f"{rexp:5.2f} {pred:4.1f} {verdict:>8s}")
