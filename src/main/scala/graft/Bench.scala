@@ -399,9 +399,20 @@ object Bench {
     // exactly which data it measured. Driver-shipped dirs have none → null.
     val genMeta = {
       val p = java.nio.file.Paths.get(sfDir, "_meta.json")
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else "null"
+      if (java.nio.file.Files.exists(p)) {
+        val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        // fail FAST on a corrupt/hand-edited _meta.json instead of
+        // interpolating garbage into the artifact and breaking every
+        // downstream parse (r17 advisor — the same failure mode the
+        // partitions env var got in r16). A full JSON parser is overkill
+        // for a dev-tool-written file; object shape + balanced quotes is
+        // the cheap invariant that catches truncation and stray text.
+        require(raw.startsWith("{") && raw.endsWith("}") &&
+            raw.count(_ == '"') % 2 == 0,
+          s"$p is not a JSON object — regenerate the sf dir with " +
+            "tools/gen_scale.py or delete the corrupt _meta.json")
+        raw
+      } else "null"
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","generator":$genMeta,"queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"shuffle_partitions":$shufParts,"sf":"$sfDir"}"""

@@ -2827,15 +2827,15 @@ object Multimodal {
     * defaults to the star-capped edge set too (r16 — the r15 sf1 sweep
     * measured full enumeration at rows exponent ~2.0 on a dominant-class
     * corpus): `n_near` is the EXACT near-dup degree whenever no (t,
-    * bucket) exceeds `maxBucket` (all driver-oracle scales), and degrades
+    * bucket) exceeds `starCap` (all driver-oracle scales), and degrades
     * to the hub-verified lower bound when one does — every member of a
     * genuine oversized duplicate class keeps its rep edge, so the
     * has-near-dup signal (n_near > 0) survives; only the exact count of
     * an over-cap clique is traded. Exact degree at any scale is opt-in
-    * via maxBucket = None. */
+    * via starCap = None. */
   def phashNearDups(hashes: DataFrame, maxHamming: Int = 7,
-      maxBucket: Option[Int] = Some(256)): DataFrame = {
-    val pairs = phashPairs(hashes, maxHamming, maxBucket)
+      starCap: Option[Int] = Some(256)): DataFrame = {
+    val pairs = phashPairs(hashes, maxHamming, starCap)
     hashes.join(
         pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_near")),
@@ -2847,7 +2847,7 @@ object Multimodal {
   /** Verified near-dup pairs (doc_a < doc_b) via the banded candidate
     * join + exact bit_count Hamming check — shared by the count and
     * survivor forms, and exposed for cross-modal compositions
-    * ([[jointDedupSurvivors]]). `maxBucket` (closure consumers) switches
+    * ([[jointDedupSurvivors]]). `starCap` (closure consumers) switches
     * oversized buckets to hub-verified star candidates — see
     * [[phashPairs]]; identical components on a genuine duplicate class
     * (ScaleSpec), O(n) instead of O(n²) bucket cost. Pair-COUNT
@@ -2855,8 +2855,8 @@ object Multimodal {
     * below the cap the degree is exact, above it the count of an
     * over-cap clique degrades to the hub-verified lower bound. */
   def phashPairsOf(hashes: DataFrame, maxHamming: Int = 7,
-      maxBucket: Option[Int] = None): DataFrame =
-    phashPairs(hashes, maxHamming, maxBucket)
+      starCap: Option[Int] = None): DataFrame =
+    phashPairs(hashes, maxHamming, starCap)
 
   /** Joint multimodal dedup (the paired-corpus shape: every document
     * carries both text and an image, and a pair is a duplicate when
@@ -2878,7 +2878,7 @@ object Multimodal {
   }
 
   private def phashPairs(hashes: DataFrame, maxHamming: Int,
-      maxBucket: Option[Int] = None): DataFrame = {
+      starCap: Option[Int] = None): DataFrame = {
     val tables = maxHamming + 1
     val width = 64 / tables
     require(tables >= 2 && 64 % tables == 0 && 32 % width == 0,
@@ -2894,11 +2894,11 @@ object Multimodal {
     // r15 scale fix (measured: the sf1 sweep put this family at rows
     // exponent ~2.0 — 1.7G+ shuffle rows — because a boilerplate-shaped
     // corpus concentrates a LINEAR share of docs per (t, bucket)): with
-    // maxBucket set, oversized buckets emit hub-verified STAR candidates
+    // starCap set, oversized buckets emit hub-verified STAR candidates
     // (bucket-min rep → member, O(size)) instead of all pairs (O(size²)).
     // The final bit_count filter verifies star rows exactly like pairs.
     // Both windows reuse the (t, bucket) shuffle partitioning.
-    val (bucketed, star) = maxBucket match {
+    val (bucketed, star) = starCap match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("t", "bucket")
@@ -3076,8 +3076,8 @@ object Multimodal {
     * [[phashNearDups]]'s star-capped degree default — exact below the
     * bucket cap, hub-verified lower bound above it. */
   def audioNearDups(media: DataFrame, maxHamming: Int = 7,
-      maxBucket: Option[Int] = Some(256))(implicit spark: SparkSession): DataFrame =
-    phashNearDups(audioFingerprint(media), maxHamming, maxBucket)
+      starCap: Option[Int] = Some(256))(implicit spark: SparkSession): DataFrame =
+    phashNearDups(audioFingerprint(media), maxHamming, starCap)
       .withColumnRenamed("ph_lo", "af_lo")
       .withColumnRenamed("ph_hi", "af_hi")
 
@@ -3250,16 +3250,16 @@ object Multimodal {
     * collapse to exactly one kept image. Returns the surviving doc_ids
     * with their hashes. */
   def phashDedupImages(hashes: DataFrame, maxHamming: Int = 7,
-      maxBucket: Option[Int] = Some(256)): DataFrame = {
+      starCap: Option[Int] = Some(256)): DataFrame = {
     // survivors are COMPONENT-level, so the skew-safe star policy applies
-    // (r15): buckets over maxBucket contribute hub-verified star edges —
+    // (r15): buckets over starCap contribute hub-verified star edges —
     // the closure of a genuine duplicate class is unchanged while the
     // candidate volume stays linear (the sf1 sweep measured the full-pair
     // form at rows exponent ~2.0). 256 never engages at sf0.01 oracle
     // scale (largest planted bucket ~62), so the driver gate's results
     // are bit-identical; at sf0.1+ the policy bounds the blow-up.
     val dropped = Dedup
-      .connectedComponents(phashPairs(hashes, maxHamming, maxBucket))
+      .connectedComponents(phashPairs(hashes, maxHamming, starCap))
       .filter(col("doc_id") =!= col("component"))
       .select("doc_id")
     hashes.join(dropped, Seq("doc_id"), "left_anti")

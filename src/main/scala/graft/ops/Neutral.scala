@@ -123,8 +123,10 @@ object Neutral {
     * EXCLUSIVELY inside over-cap buckets are traded for the hub edge (the
     * [[minHashEdgesSkewSafe]] policy — component-equal on a genuine
     * duplicate class, pinned by ScaleSpec). Component-level consumers
-    * ([[dedupCorpusClustered]], [[leakageSafeSplit]], joint multimodal
-    * dedup) default to Some(256) since r16: real boilerplate corpora have
+    * ([[dedupCorpusClustered]], joint multimodal dedup — but NOT
+    * [[leakageSafeSplit]], whose contamination guarantee makes exactness
+    * the right default; see its doc) default to Some(256) since r16:
+    * real boilerplate corpora have
     * the dominant-class shape the r15 sf1 sweep measured quadratic, and
     * the pair-shaped driver fixtures never reach the cap, so oracle
     * results are bit-identical. At most one of maxBucket/starCap. */
@@ -979,13 +981,26 @@ object Neutral {
     * own component — for them this degenerates to exactly withSplit's
     * assignment on doc_id. Same split stability contract as withSplit:
     * content-independent arithmetic, reproducible across runs, engines,
-    * and partitionings. */
+    * and partitionings.
+    *
+    * `starCap` defaults to None here — UNLIKE the other component-level
+    * consumers (r17, advisor finding): this function's entire purpose is
+    * the contamination guarantee, and under a star cap a member↔member
+    * near-dup pair whose every shared band bucket is over-cap AND whose
+    * hub verification fails is silently lost, i.e. two genuine near-dups
+    * can land in different splits. Star closure is only component-equal
+    * on GENUINE duplicate classes (members within `minJaccard` of the
+    * bucket hub); eval-set integrity should not inherit that caveat by
+    * default. `starCap = Some(n)` is the explicit scale opt-in for
+    * corpora whose dominant-class skew makes full enumeration quadratic
+    * (the r15 sf1 measurement) — the residual risk is bounded by the
+    * bands: a J >= 0.8 pair shares ~J⁴·16 ≈ 6.6 of 16 band buckets in
+    * expectation, and the pair is lost only if EVERY shared bucket is
+    * over-cap and the hub chain fails. */
   def leakageSafeSplit(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.8, trainPct: Int = 80,
-      valPct: Int = 10, starCap: Option[Int] = Some(256)): DataFrame = {
+      valPct: Int = 10, starCap: Option[Int] = None): DataFrame = {
     require(trainPct + valPct <= 100, "train + val must leave room for test")
-    // component-level consumer → star-capped candidates (the split unit
-    // is the CLUSTER; star closure is component-equal on genuine classes)
     val pairs = minHashCandidates(docs, textCol, starCap = starCap)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b")
@@ -1262,25 +1277,97 @@ object Neutral {
        |           (a, b) -> a + b) >= 0
        |         THEN CAST(1 AS BIGINT) << bb ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
+  /** Sign-LSH candidate pairs over a `(t, bucket)`-exploded table, with
+    * the house star/cap skew policy (r16 verdict #1 — the last measured
+    * quadratic): buckets at or under `starCap` enumerate full pairs
+    * (exactly the uncapped behavior); OVERSIZED buckets emit hub →
+    * member STAR candidates only (hub = min vec_id of the bucket),
+    * O(size) per bucket instead of O(size²). Under fixed `nbits` the
+    * per-bucket occupancy grows ∝ n, so uncapped within-bucket pairs
+    * grow ∝ n² — measured rows-exponent 1.95–2.00 on the sf0.1→sf1
+    * decade (SCALE_SWEEP_r16all). The cap bounds candidates at
+    * ~`starCap`·occupied + n per table. The bucket-size window rides the
+    * SAME (t, bucket) key the self-join shuffles on, so sizing adds no
+    * extra exchange. Every candidate — pair or star — still pays the
+    * exact cosine verification downstream; the policy only trades
+    * member↔member pairs that meet EXCLUSIVELY inside over-cap buckets
+    * for the hub edge ([[minHashCandidates]]'s starCap contract; star ==
+    * full components on a genuine duplicate class, pinned by ScaleSpec). */
+  private[ops] def cosineCandidates(bucketed: DataFrame,
+      starCap: Option[Int]): DataFrame = starCap match {
+    case Some(cap) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("t", "bucket")
+      val sized = bucketed
+        .withColumn("bsize", count(lit(1)).over(w))
+        .withColumn("rep", min(col("vec_id")).over(w))
+      val small = sized.filter(col("bsize") <= cap)
+        .select("t", "bucket", "vec_id")
+      val pairsSmall = small.select(col("t"), col("bucket"),
+          col("vec_id").as("id_a"))
+        .join(small.select(col("t"), col("bucket"),
+          col("vec_id").as("id_b")), Seq("t", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      // rep = min(vec_id) over the bucket, so id_a < id_b is canonical
+      val star = sized.filter(col("bsize") > cap &&
+          col("vec_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("vec_id").as("id_b"))
+      pairsSmall.unionByName(star).distinct()
+    case None =>
+      bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+        .join(bucketed.select(col("t"), col("bucket"),
+          col("vec_id").as("id_b")), Seq("t", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+  }
+
+  /** Exact-cosine-verified near-dup PAIRS at `minCos` from the
+    * star-capped sign-LSH blocking — the edge stream component-level
+    * consumers close over ([[Dedup.connectedComponents]] after renaming
+    * to doc_a/doc_b). Emitted pairs are never approximate (every
+    * candidate is verified with the exact cosine kernel); `starCap`
+    * only bounds WHICH candidates are generated in over-cap buckets. */
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double,
+      nbits: Int = 8, tables: Int = 4,
+      starCap: Option[Int] = Some(256)): DataFrame = {
+    val bucketed = emb.select(col("vec_id"),
+      posexplode(lshBuckets(col("embedding"), nbits, tables))
+        .as(Seq("t", "bucket")))
+    cosineCandidates(bucketed, starCap)
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
+      .filter(Similarity.cosine("e_a", "e_b") >= minCos)
+      .select("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup counts at `minCos`, blocked by md5-seeded
     * multi-table sign-LSH — same pipeline as
     * [[Similarity.cosineNearDupCounts]], oracle-reproducible buckets. The
     * per-table bucket ids ride along in the output so the hash gate
     * validates the cross-engine bucket computation DIRECTLY — on a corpus
     * with no qualifying pair, count parity alone would not prove the
-    * candidate generation matches. */
+    * candidate generation matches.
+    *
+    * Skew/scale contract (mirrors the phash/audio degree outputs,
+    * Multimodal.scala): with the default `starCap = Some(256)`, buckets
+    * over the cap emit hub-verified star candidates only, so `n_near`
+    * for members of an over-cap near-dup class is a documented LOWER
+    * BOUND (the has-near-dup signal is preserved for any member within
+    * `minCos` of the bucket hub); below the cap — including the whole
+    * driver oracle scale, where random sign-buckets hold a handful of
+    * vectors — counts are exact and bit-identical to the uncapped form.
+    * `starCap = None` restores exact full enumeration (quadratic in
+    * bucket occupancy; opt-in). */
   def cosineNearDupCounts(emb: DataFrame, minCos: Double,
-      nbits: Int = 8, tables: Int = 4): DataFrame = {
+      nbits: Int = 8, tables: Int = 4,
+      starCap: Option[Int] = Some(256)): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
       lshBuckets(col("embedding"), nbits, tables).as("bks"))
     val bucketed = withB.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("t", "bucket")))
-    val cand = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-      .join(bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("t", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cand = cosineCandidates(bucketed, starCap)
     val pairs = cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
@@ -1345,20 +1432,23 @@ object Neutral {
     * SEEN BY THIS BLOCKING — LSH recall decays toward lower thresholds
     * (the S-curve), which is the right instrument for tuning the
     * pipeline's own threshold and NOT an exhaustive pair census (the
-    * bounded all-pairs anchor q_ns_dedup_cosine_exact is that). */
+    * bounded all-pairs anchor q_ns_dedup_cosine_exact is that). The
+    * default `starCap = Some(256)` extends "as seen by this blocking" to
+    * the skew axis: over-cap sign-buckets contribute hub-verified star
+    * pairs only, so the curve's pair/doc counts are lower bounds under a
+    * dominant near-dup class — the same candidate stream the production
+    * dedup at that cap would verify, which is exactly what the tuning
+    * instrument should see. Below the cap (all of oracle scale) the
+    * curve is bit-identical to uncapped. */
   def cosineThresholdCurve(emb: DataFrame, thresholds: Seq[Double],
-      nbits: Int = 8, tables: Int = 4): DataFrame = {
+      nbits: Int = 8, tables: Int = 4,
+      starCap: Option[Int] = Some(256)): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
     val spark = emb.sparkSession
     val bucketed = emb.select(col("vec_id"),
       posexplode(lshBuckets(col("embedding"), nbits, tables))
         .as(Seq("t", "bucket")))
-    val cand = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-      .join(bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("t", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cand = cosineCandidates(bucketed, starCap)
     // scored once, consumed by the pair and doc aggregates
     val scored = Pins.track(cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")),
@@ -1413,6 +1503,124 @@ object Neutral {
        |  JOIN e ea ON ea.vec_id = c.id_a
        |  JOIN e eb ON eb.vec_id = c.id_b
        |  WHERE list_cosine_similarity(ea.v, eb.v) >= ${thresholds.min}
+       |),
+       |th(threshold) AS (VALUES $thValues),
+       |fanned AS (
+       |  SELECT th.threshold, s.id_a, s.id_b
+       |  FROM scored s JOIN th ON s.cos >= th.threshold
+       |),
+       |pa AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM fanned GROUP BY threshold
+       |),
+       |da AS (
+       |  SELECT threshold, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs
+       |  FROM (SELECT threshold, id_a AS vid FROM fanned
+       |        UNION ALL SELECT threshold, id_b FROM fanned) u
+       |  GROUP BY threshold
+       |)
+       |SELECT th.threshold,
+       |       COALESCE(pa.n_pairs, 0) AS n_pairs,
+       |       COALESCE(da.n_docs, 0) AS n_docs
+       |FROM th LEFT JOIN pa USING (threshold) LEFT JOIN da USING (threshold)
+       |ORDER BY th.threshold""".stripMargin
+  }
+
+  /** Shared CTE chain for the ENGAGED-star cosine gates (r17): a slice of
+    * the embeddings table plus `plantN` planted same-direction copies of
+    * vec 0 (vec 0's vector scaled by i + 2.0 — sign projections, and
+    * therefore buckets, are identical to vec 0's for every scale factor,
+    * so the class lands in ONE bucket per table and blows past `cap`),
+    * then the size-gated candidate union the Spark star policy emits:
+    * buckets <= cap → full pairs, oversized → bucket-min rep → member.
+    * Scale factors are exact doubles and both engines multiply
+    * double-by-double elementwise, so planted vectors are bit-identical
+    * cross-engine. Ends with `pairs` = exact-cosine-verified candidates. */
+  private def cosineStarCtes(minCos: Double, nbits: Int, tables: Int,
+      cap: Int, plantN: Int, sliceMax: Int): String =
+    s"""e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id < $sliceMax
+       |),
+       |base AS (SELECT v AS bv FROM e0 WHERE vec_id = 0),
+       |planted AS (
+       |  SELECT CAST(1000 + i AS BIGINT) AS vec_id,
+       |         list_transform(bv, x -> x * (CAST(i AS DOUBLE) + 2.0)) AS v
+       |  FROM base, (SELECT unnest(generate_series(1, $plantN)) AS i)
+       |),
+       |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM planted),
+       |bl AS (
+       |  SELECT vec_id, v, list_transform(generate_series(0, ${tables - 1}), tt ->
+       |    ${duckBucket("v", "tt", nbits)}) AS bks
+       |  FROM e
+       |),
+       |bk AS (
+       |  SELECT vec_id, ts.t AS t, bks[ts.t + 1] AS bucket
+       |  FROM bl, (SELECT unnest(generate_series(0, ${tables - 1})) AS t) ts
+       |),
+       |bsz AS (
+       |  SELECT t, bucket, count(*) AS bsize, min(vec_id) AS rep
+       |  FROM bk GROUP BY t, bucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |    FROM bk a
+       |    JOIN bsz z ON a.t = z.t AND a.bucket = z.bucket
+       |    JOIN bk b ON b.t = a.t AND b.bucket = a.bucket
+       |    WHERE z.bsize <= $cap AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT z.rep, b.vec_id
+       |    FROM bk b
+       |    JOIN bsz z ON b.t = z.t AND b.bucket = z.bucket
+       |    WHERE z.bsize > $cap AND b.vec_id <> z.rep
+       |  ) u
+       |),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.id_a
+       |  JOIN e eb ON eb.vec_id = c.id_b
+       |  WHERE list_cosine_similarity(ea.v, eb.v) >= $minCos
+       |)""".stripMargin
+
+  /** DuckDB oracle for the engaged-star cosine COMPONENTS gate: the
+    * size-gated star-union candidates of [[cosineStarCtes]], verified,
+    * closed to connected components with a recursive CTE (the
+    * q_ns_multimodal_phash_star pattern). */
+  def cosineStarComponentsOracleSql(minCos: Double, nbits: Int = 8,
+      tables: Int = 4, cap: Int = 12, plantN: Int = 60,
+      sliceMax: Int = 300): String =
+    s"""WITH RECURSIVE ${cosineStarCtes(minCos, nbits, tables, cap, plantN, sliceMax)},
+       |sedges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |),
+       |sreach(a, b) AS (
+       |  SELECT a, b FROM sedges
+       |  UNION
+       |  SELECT r.a, e2.b FROM sreach r JOIN sedges e2 ON r.b = e2.a
+       |),
+       |scomp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+       |          FROM sreach GROUP BY a)
+       |SELECT e.vec_id,
+       |       CAST(coalesce(scomp.component, e.vec_id) AS BIGINT) AS component
+       |FROM e LEFT JOIN scomp USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** DuckDB oracle for the engaged-star threshold-curve gate: the same
+    * star-union verified pair stream fanned across thresholds. */
+  def cosineStarCurveOracleSql(thresholds: Seq[Double], nbits: Int = 8,
+      tables: Int = 4, cap: Int = 12, plantN: Int = 60,
+      sliceMax: Int = 300): String = {
+    val thValues = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH ${cosineStarCtes(thresholds.min, nbits, tables, cap, plantN, sliceMax)},
+       |scored AS (
+       |  SELECT p.id_a, p.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+       |  FROM pairs p
+       |  JOIN e ea ON ea.vec_id = p.id_a
+       |  JOIN e eb ON eb.vec_id = p.id_b
        |),
        |th(threshold) AS (VALUES $thValues),
        |fanned AS (

@@ -519,18 +519,21 @@ object Similarity {
     * pair flips any given hyperplane with p = angle/pi ~ 0.1) while the only
     * shuffle is the equi-join on (table, bucket) — candidate volume scales
     * with bucket occupancy, never all-pairs. Pairs are deduped on narrow
-    * (id, id) keys before embeddings are re-attached for scoring. */
+    * (id, id) keys before embeddings are re-attached for scoring.
+    *
+    * `starCap` (default 256, the house skew policy — [[Neutral]]'s
+    * cosineCandidates): under a FIXED bit width, bucket occupancy grows
+    * ∝ n, so uncapped within-bucket pairs grow ∝ n² (measured 1.95–2.00
+    * on the sf0.1→sf1 decade, r16); over-cap buckets emit hub-verified
+    * star candidates instead, making `n_near` a documented lower bound
+    * there (exact below the cap; `None` restores full enumeration). */
   def cosineNearDupCounts(emb: DataFrame, minCos: Double,
-      nbits: Int = 8, tables: Int = 4): DataFrame = {
+      nbits: Int = 8, tables: Int = 4,
+      starCap: Option[Int] = Some(256)): DataFrame = {
     val bucketed = emb.select(col("vec_id"),
       posexplode(VecExprs.lshBuckets(col("embedding"), nbits, tables))
         .as(Seq("t", "bucket")))
-    val cand = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-      .join(bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("t", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cand = Neutral.cosineCandidates(bucketed, starCap)
     val pairs = cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))

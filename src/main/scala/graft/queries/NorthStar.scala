@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -527,6 +528,69 @@ object NorthStar {
     graft.ops.Neutral.cosineThresholdCurve(T.embeddings(s, d),
         Seq(0.5, 0.6, 0.7, 0.8, 0.9))
       .orderBy("threshold")
+  }
+
+  /** Cosine dedup with the star branch ENGAGED (r17 — the verdict's
+    * headline: the embedding-cosine LSH family was the last measured
+    * quadratic, and like the r15 phash case its rescue branch must ship
+    * WITH a gate that exercises it). The fixture plants 60 same-direction
+    * copies of vec 0 (vec 0's vector scaled by i + 2.0 — sign
+    * projections, hence buckets, are scale-invariant, so the whole class
+    * lands in ONE bucket per table), which blows past cap = 12 while the
+    * ~300 random vectors stay in of-a-few-sized buckets; oversized
+    * buckets emit hub-verified star candidates (hub = vec 0, the global
+    * min id, cos(hub, member) ≡ 1 ≥ 0.8 so the class closes to one
+    * component), small buckets full pairs, and the oracle mirrors the
+    * size-gated union exactly before recursive-CTE closure — the
+    * embedding twin of q_ns_multimodal_phash_star. */
+  val dedupCosineStar = QueryDef(
+    "q_ns_dedup_cosine_star",
+    graft.ops.Neutral.cosineStarComponentsOracleSql(0.8, cap = 12)) { (s, d) =>
+    val embAll = starPlantedEmbeddings(s, d)
+    val pairs = graft.ops.Neutral
+      .cosineNearDupPairs(embAll, 0.8, starCap = Some(12))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    embAll.select("vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .orderBy("vec_id")
+  }
+
+  /** Threshold curve over the SAME engaged-star planted fixture: the
+    * star-capped candidate stream (60 hub pairs at cos ≡ 1, plus
+    * whatever random pairs survive their bucket co-occurrence) fanned
+    * across thresholds — pins the curve's capped candidate generation
+    * cross-engine where the cap actually fires. */
+  val dedupCurveStar = QueryDef(
+    "q_ns_dedup_curve_star",
+    graft.ops.Neutral.cosineStarCurveOracleSql(
+      Seq(0.5, 0.8, 0.95), cap = 12)) { (s, d) =>
+    graft.ops.Neutral.cosineThresholdCurve(starPlantedEmbeddings(s, d),
+        Seq(0.5, 0.8, 0.95), starCap = Some(12))
+      .orderBy("threshold")
+  }
+
+  /** The engaged-star cosine fixture: embeddings slice (vec_id < 300,
+    * elementwise-cast to double so planted rows union cleanly) plus 60
+    * planted copies of vec 0 scaled by i + 2.0. Double-by-double
+    * elementwise products are bit-identical cross-engine, and scaling
+    * preserves every sign projection, so Spark and DuckDB derive the
+    * same buckets for the planted class. */
+  private def starPlantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val emb0 = T.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val base = emb0.filter(col("vec_id") === 0)
+      .select(col("embedding").as("be"))
+    val planted = s.range(1, 61).toDF("i")
+      .crossJoin(broadcast(base))
+      .select((col("i") + 1000L).as("vec_id"),
+        transform(col("be"),
+          x => x * (col("i").cast("double") + lit(2.0))).as("embedding"))
+    emb0.unionByName(planted)
   }
 
   /** Exact all-pairs cosine near-dup counts on a bounded slice — the oracle
@@ -4103,7 +4167,7 @@ object NorthStar {
       .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
     val imagePairs = Multimodal.phashPairsOf(
       Multimodal.imageDHash(Multimodal.syntheticTexturedImageTable(docs)),
-      maxBucket = Some(256))
+      starCap = Some(256))
     val edges = textPairs.unionByName(imagePairs).distinct()
     docs.select("doc_id")
       .join(graft.ops.Dedup.connectedComponents(edges), Seq("doc_id"), "left")
@@ -4188,7 +4252,7 @@ object NorthStar {
 
   /** Phash dedup with the star branch ENGAGED (r16 — the r15 verdict's
     * one process miss: the branch that rescued sf1 shipped with no gate
-    * that exercises it). maxBucket = 12 is far below the planted class
+    * that exercises it). starCap = 12 is far below the planted class
     * size at oracle scale (~62 docs per (t, bucket) at sf0.01), so
     * oversized buckets here DO emit hub-verified star candidates, and the
     * oracle mirrors the size-gated union exactly (small buckets → full
@@ -4243,7 +4307,7 @@ object NorthStar {
     val hashes = Multimodal.imageDHash(
       Multimodal.syntheticTexturedImageTable(T.documents(s, d)))
     val comp = graft.ops.Dedup.connectedComponents(
-      Multimodal.phashPairsOf(hashes, maxBucket = Some(12)))
+      Multimodal.phashPairsOf(hashes, starCap = Some(12)))
     hashes.select("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -4636,6 +4700,7 @@ object NorthStar {
     dedupComponents, dedupComponentsIncremental, dedupComponentsCompacted,
     spanDedup, spanScrub,
     decontaminate, decontaminateFuzzy, dedupCosine, dedupThresholdCurve,
+    dedupCosineStar, dedupCurveStar,
     dedupCosineExact, dedupCorpusQ, dedupCorpusClusteredQ,
     dedupSurvivorQuality, dedupIncremental, dedupIncrementalServed,
     dedupAdmitDaily, dedupAdmitDailyServed, dedupAdmitCompacted,

@@ -24,13 +24,15 @@ class CodecFreezeSpec extends AnyFunSuite {
       "8d08f9baddec942278b7751f8f2425bff899516eeb1bcb76cbceeefcd259c0c6",
     "src/main/scala/graft/ops/Flac.scala" ->
       "6959f932db25dc804aafabf824d9d8af6e846c2849139c73f025c013f04f68c7",
-    // repinned r16: deliberate change — star-capped degree defaults
-    // (phashNearDups/audioNearDups) and the posting-list star cap +
-    // exact match-count verify join in videoNearDups (the remaining
-    // measured sf1 quadratics); OpsSpec + PropertySpec + full Verify
-    // re-run green in the same commit
+    // repinned r17: rename-only change — the phash-family bucket-policy
+    // parameter maxBucket -> starCap (advisor finding: the same name
+    // meant the DROP policy in Dedup/Neutral but the STAR policy here);
+    // no logic or literal changed, OpsSpec + PropertySpec re-run green
+    // in the same commit. (Prior r16 repin: star-capped degree defaults
+    // and the posting-list star cap + exact match-count verify join in
+    // videoNearDups.)
     "src/main/scala/graft/ops/Multimodal.scala" ->
-      "5edd81c77747f4c18402d67637486bb23036a648207937f99c72459a59b7112d")
+      "68cf78ed983d3ce283c1c393cd076888d78b91a5bc8a60dbf6486186bc7c7b92")
 
   private def sha256(path: java.nio.file.Path): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -143,6 +143,11 @@ class PlanSpec extends AnyFunSuite {
       // all-pairs BY DESIGN: the oracle anchor for the LSH-blocked form,
       // input capped at 200 vectors regardless of sf
       "q_ns_dedup_cosine_exact" -> "bounded all-pairs oracle anchor",
+      // engaged-star fixtures: the planted class derives from ONE base
+      // row crossed against range(1,61) — a 60×1 broadcast cross, fixed
+      // size at any sf
+      "q_ns_dedup_cosine_star" -> "1-row base vector × 60-row range plant",
+      "q_ns_dedup_curve_star" -> "1-row base vector × 60-row range plant",
       // ground-truth side of the recall metric: <=500-doc anchor all-pairs
       // plus the two 1-row count combines
       "q_ns_minhash_recall" -> "bounded exact-anchor all-pairs + 1-row combines",

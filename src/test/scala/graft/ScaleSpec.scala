@@ -364,8 +364,8 @@ class ScaleSpec extends AnyFunSuite {
     }
     val hashes = (cls ++ other).toDF("doc_id", "ph_lo", "ph_hi").cache()
 
-    val full = Multimodal.phashPairsOf(hashes, maxBucket = None).cache()
-    val star = Multimodal.phashPairsOf(hashes, maxBucket = Some(8)).cache()
+    val full = Multimodal.phashPairsOf(hashes, starCap = None).cache()
+    val star = Multimodal.phashPairsOf(hashes, starCap = Some(8)).cache()
     val nFull = full.count(); val nStar = star.count()
     assert(nFull >= 60L * 59 / 2,
       s"the planted class must fully enumerate uncapped, got $nFull")
@@ -376,8 +376,8 @@ class ScaleSpec extends AnyFunSuite {
         "a duplicate-class bucket")
     // the capped DEGREE output keeps the has-near-dup signal: exactly
     // the docs with a near-dup under full enumeration have n_near > 0
-    def flagged(maxBucket: Option[Int]): Set[Long] =
-      Multimodal.phashNearDups(hashes, maxBucket = maxBucket)
+    def flagged(starCap: Option[Int]): Set[Long] =
+      Multimodal.phashNearDups(hashes, starCap = starCap)
         .filter(col("n_near") > 0).select("doc_id").collect()
         .map(_.getLong(0)).toSet
     assert(flagged(Some(8)) == flagged(None),
@@ -477,5 +477,62 @@ class ScaleSpec extends AnyFunSuite {
       "star-capped pair-drop dedup must keep the same survivors on a " +
         "duplicate-class skew")
     skewed.unpersist()
+  }
+
+  test("cosine-LSH star branch: an over-cap sign bucket yields the SAME " +
+      "components as full enumeration, at linear (not quadratic) cost") {
+    import spark.implicits._
+    import graft.ops.Neutral
+    // a dominant near-dup class of 60 embeddings: ONE base direction
+    // scaled by (i + 1) — sign projections are scale-invariant, so all 60
+    // land in the SAME (t, bucket) for every table, the dense-corpus
+    // shape the r16 two-point screen measured quadratic (rows slope
+    // 1.95–2.00, SCALE_SWEEP_r16all). Plus 40 unrelated random vectors
+    // (pairwise cos ~ N(0, 1/64), never near 0.8).
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val cls = (1L to 60L).map { i =>
+      (i, base.map(_ * (i + 1).toDouble).toSeq)
+    }
+    val other = (1L to 40L).map { i =>
+      (100L + i, Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq)
+    }
+    val emb = (cls ++ other).toDF("vec_id", "embedding").cache()
+
+    def pairs(starCap: Option[Int]) =
+      Neutral.cosineNearDupPairs(emb, 0.8, starCap = starCap)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // an unengaged cap must be bit-identical to uncapped
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(pairs(Some(10000))) == rows(pairs(None)),
+      "an unengaged star cap must be bit-identical to uncapped")
+
+    val full = pairs(None).cache()
+    val star = pairs(Some(8)).cache()
+    val nFull = full.count(); val nStar = star.count()
+    assert(nFull >= 60L * 59 / 2,
+      s"the planted class must fully enumerate uncapped, got $nFull")
+    assert(nStar < nFull / 5,
+      s"star pairs must be far below full enumeration ($nStar vs $nFull)")
+    assert(comps(star) == comps(full),
+      "cosine star components must equal full-enumeration components on " +
+        "a duplicate-class sign bucket")
+    // the capped DEGREE output keeps the has-near-dup signal: exactly
+    // the vectors with a near-dup under full enumeration have n_near > 0
+    def flagged(starCap: Option[Int]): Set[Long] =
+      Neutral.cosineNearDupCounts(emb, 0.8, starCap = starCap)
+        .filter(col("n_near") > 0).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+    assert(flagged(Some(8)) == flagged(None),
+      "star-capped cosine degree must preserve the has-near-dup flag set")
+    // the threshold curve under the cap sees the star candidate stream:
+    // n_docs at the verify floor must still cover the whole class
+    val curve = Neutral.cosineThresholdCurve(emb, Seq(0.8),
+        starCap = Some(8)).collect()
+    assert(curve.head.getAs[Long]("n_docs") == 60L,
+      "capped curve must still see every member of the planted class")
+    emb.unpersist(); full.unpersist(); star.unpersist()
   }
 }

@@ -3,6 +3,8 @@
 
 Usage: python3 tools/diff_bench.py [--median] [--ctrl CTRL.json] \
            OLD.json NEW.json [ratio_threshold]
+       python3 tools/diff_bench.py --abba A1.json B1.json B2.json A2.json \
+           [ratio_threshold]   (paired both-orders protocol, r17)
 
 --ctrl CTRL.json (r14 verdict #3) subtracts HOST drift mechanically:
 CTRL is the OLD code swept on the NEW host (same day, same machine as
@@ -112,8 +114,55 @@ def attribute(q, r, base, side, flips_base, flips_side, acts_base_all,
     return "UNEXPLAINED"
 
 
+def abba_main(argv):
+    """Paired-ordering consumer for tools/bench_abba.py runs (r16 verdict
+    #2): A1 B1 B2 A2 artifacts; movers are selected on the per-query
+    GEOMEAN of the two per-order code ratios (B1/A1, B2/A2), which
+    cancels linear host drift exactly, and attributed on the closest-in-
+    time pair (A2 vs B2 — adjacent runs, minimal drift between them)."""
+    arts = [json.load(open(p)) for p in argv[:4]]
+    thr = float(argv[4]) if len(argv) > 4 else 1.2
+    a1, b1, b2, a2 = arts
+    med = [a.get("queries_median") or a["queries"] for a in arts]
+    shared = sorted(q for q in med[0]
+                    if all(q in m and m[q] > 0 for m in med))
+    tot = [sum(m[q] for q in shared) for m in med]
+    code_ab, code_ba = tot[1] / tot[0], tot[2] / tot[3]
+    code = (code_ab * code_ba) ** 0.5
+    print(f"ABBA {len(shared)} shared queries: "
+          f"A1 {tot[0]:.1f}s B1 {tot[1]:.1f}s B2 {tot[2]:.1f}s A2 {tot[3]:.1f}s")
+    print(f"code A->B {code_ab:.3f}x  code B->A {code_ba:.3f}x  "
+          f"geomean {code:.3f}x  "
+          f"order disagreement {code_ab / code_ba:.3f}")
+    cals = [a.get("cal_start_sec") for a in arts]
+    print(f"cals along the protocol: {cals}")
+    flips_a2 = set(a2.get("plan_flips", []))
+    flips_b2 = set(b2.get("plan_flips", []))
+    aa_all, ba_all = a2.get("plan_actions", {}), b2.get("plan_actions", {})
+    rows = []
+    for q in shared:
+        r = ((med[1][q] / med[0][q]) * (med[2][q] / med[3][q])) ** 0.5
+        if r < thr and 1 / r < thr:
+            continue
+        verdict = attribute(q, med[2][q] / med[3][q], a2, b2,
+                            flips_a2, flips_b2, aa_all, ba_all)
+        rows.append((r, q, verdict,
+                     f"{med[0][q]:.2f}/{med[1][q]:.2f}/"
+                     f"{med[2][q]:.2f}/{med[3][q]:.2f} (paired {r:.2f}x)"))
+    rows.sort(reverse=True)
+    if not rows:
+        print(f"no query moved past {thr}x on the paired code ratio")
+        return
+    print(f"\nqueries past {thr}x paired (either direction), "
+          f"most-regressed first:")
+    for r, q, verdict, desc in rows:
+        print(f"  {q}: {desc}  {verdict}")
+
+
 def main():
     argv = list(sys.argv[1:])
+    if "--abba" in argv:
+        return abba_main([a for a in argv if a != "--abba"])
     want_median = "--median" in argv
     argv = [a for a in argv if a != "--median"]
     ctrl = None

@@ -39,14 +39,25 @@ def warm_probe_rows(art, q):
 
 
 def main():
-    arts = [json.load(open(p)) for p in sys.argv[1:4]]
+    allow_untagged = "--allow-untagged" in sys.argv
+    paths = [p for p in sys.argv[1:] if p != "--allow-untagged"][:3]
+    arts = [json.load(open(p)) for p in paths]
     # provenance gate (r15 verdict #7): artifacts carry the sf dir's
     # generator metadata since r16 — refuse to build an exponent table
-    # over mixed generator versions/seeds, where ratios are meaningless
+    # over mixed generator versions/seeds, where ratios are meaningless.
+    # r17 (advisor): ALSO refuse when tagged and untagged (pre-r16)
+    # artifacts are mixed — a generator-null artifact could hide a
+    # cross-generator mix; --allow-untagged is the explicit override for
+    # deliberately comparing against a pre-r16 artifact.
     gens = [a.get("generator") for a in arts]
     tagged = [(g.get("generator"), g.get("seed")) for g in gens if g]
     if len(set(tagged)) > 1:
         sys.exit(f"REFUSING: mixed generator provenance: {sorted(set(tagged))}")
+    if tagged and gens.count(None) and not allow_untagged:
+        sys.exit(f"REFUSING: {gens.count(None)} untagged artifact(s) mixed "
+                 "with tagged ones — provenance unverifiable; pass "
+                 "--allow-untagged to compare against pre-r16 artifacts "
+                 "deliberately")
     print(f"# generator: {sorted(set(tagged)) or 'untagged (pre-r16 artifacts)'}"
           f"  untagged_artifacts: {gens.count(None)}")
     cals = [a.get("cal_start_sec") for a in arts]
