@@ -1323,17 +1323,56 @@ object Neutral {
         .distinct()
   }
 
+  /** Sign-LSH depth for a corpus of `n` vectors: `2·log2(n) − 16` bits
+    * (ceil), floored at `base` (so every driver-oracle scale — n ≤ 4096
+    * — derives exactly the oracle's static 8) and capped at 30. This is
+    * the DENSITY half of the scale fix (r17): with FIXED depth, bucket
+    * occupancy grows ∝ n and within-bucket pairs grow ∝ n² even when no
+    * bucket reaches the star cap — the r17 first sweep measured rows
+    * slope 1.35–1.39 with the cap alone. The depth must grow with
+    * 2·log2(n), not log2(n): enumeration is over the n²/2 PAIR space,
+    * so pinning expected random collisions (n²·2^−b per table) constant
+    * needs b = 2·log2(n) − const — the all-pairs form of the standard
+    * k = O(log n) LSH parameter rule (Indyk & Motwani 1998; Datar et
+    * al. 2004 pick k against the far-pair collision prob the same way).
+    * An occupancy-pinned b = log2(n/16) was measured at rows-exponent
+    * 1.57 on the sf1→sf10 decade — Gaussian sign-bucket occupancy is
+    * heavy-tailed (hyperplane bits are correlated), so the n²·2^−b term
+    * must be killed outright, not merely thinned. The star cap remains
+    * the SKEW backstop: near-identical cliques land in one bucket at
+    * ANY depth (scaling preserves every sign), and only the cap bounds
+    * those. Recall contract: per-table collision probability for a true
+    * pair at angle θ is (1 − θ/π)^b, so deeper codes trade recall at
+    * fixed `tables` — the documented S-curve steepens with corpus size
+    * (the fixed-compute-per-row production trade; `tables` is the
+    * recall dial — near-identical pairs, cos ≥ 0.99, keep ≥ ~85%
+    * recall at b = 20 — and the bounded exact anchor is the census
+    * instrument). */
+  def lshBitsFor(n: Long, base: Int = 8): Int = {
+    val needed =
+      math.ceil(2.0 * math.log(n.max(1L).toDouble) / math.log(2.0)).toInt - 16
+    math.min(30, math.max(base, needed))
+  }
+
+  /** `nbits` if positive, else the auto depth for `emb`'s row count
+    * (one count job — metadata-cheap on a table scan). */
+  private def resolveBits(emb: DataFrame, nbits: Int): Int =
+    if (nbits > 0) nbits else lshBitsFor(emb.count())
+
   /** Exact-cosine-verified near-dup PAIRS at `minCos` from the
     * star-capped sign-LSH blocking — the edge stream component-level
     * consumers close over ([[Dedup.connectedComponents]] after renaming
     * to doc_a/doc_b). Emitted pairs are never approximate (every
     * candidate is verified with the exact cosine kernel); `starCap`
-    * only bounds WHICH candidates are generated in over-cap buckets. */
+    * only bounds WHICH candidates are generated in over-cap buckets.
+    * `nbits = 0` (the default) derives the depth from the corpus size
+    * ([[lshBitsFor]]) so candidate volume stays linear in n. */
   def cosineNearDupPairs(emb: DataFrame, minCos: Double,
-      nbits: Int = 8, tables: Int = 4,
+      nbits: Int = 0, tables: Int = 4,
       starCap: Option[Int] = Some(256)): DataFrame = {
+    val bits = resolveBits(emb, nbits)
     val bucketed = emb.select(col("vec_id"),
-      posexplode(lshBuckets(col("embedding"), nbits, tables))
+      posexplode(lshBuckets(col("embedding"), bits, tables))
         .as(Seq("t", "bucket")))
     cosineCandidates(bucketed, starCap)
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
@@ -1359,12 +1398,16 @@ object Neutral {
     * driver oracle scale, where random sign-buckets hold a handful of
     * vectors — counts are exact and bit-identical to the uncapped form.
     * `starCap = None` restores exact full enumeration (quadratic in
-    * bucket occupancy; opt-in). */
+    * bucket occupancy; opt-in). `nbits = 0` (default) derives the LSH
+    * depth from the corpus size ([[lshBitsFor]] — the density half of
+    * the scale fix; every driver-oracle scale derives the oracle's
+    * static 8, so hash parity is unaffected). */
   def cosineNearDupCounts(emb: DataFrame, minCos: Double,
-      nbits: Int = 8, tables: Int = 4,
+      nbits: Int = 0, tables: Int = 4,
       starCap: Option[Int] = Some(256)): DataFrame = {
+    val bits = resolveBits(emb, nbits)
     val withB = emb.select(col("vec_id"), col("embedding"),
-      lshBuckets(col("embedding"), nbits, tables).as("bks"))
+      lshBuckets(col("embedding"), bits, tables).as("bks"))
     val bucketed = withB.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("t", "bucket")))
     val cand = cosineCandidates(bucketed, starCap)
@@ -1439,14 +1482,16 @@ object Neutral {
     * dominant near-dup class — the same candidate stream the production
     * dedup at that cap would verify, which is exactly what the tuning
     * instrument should see. Below the cap (all of oracle scale) the
-    * curve is bit-identical to uncapped. */
+    * curve is bit-identical to uncapped. `nbits = 0` (default) derives
+    * the depth from the corpus size ([[lshBitsFor]]). */
   def cosineThresholdCurve(emb: DataFrame, thresholds: Seq[Double],
-      nbits: Int = 8, tables: Int = 4,
+      nbits: Int = 0, tables: Int = 4,
       starCap: Option[Int] = Some(256)): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    val bits = resolveBits(emb, nbits)
     val spark = emb.sparkSession
     val bucketed = emb.select(col("vec_id"),
-      posexplode(lshBuckets(col("embedding"), nbits, tables))
+      posexplode(lshBuckets(col("embedding"), bits, tables))
         .as(Seq("t", "bucket")))
     val cand = cosineCandidates(bucketed, starCap)
     // scored once, consumed by the pair and doc aggregates

@@ -526,12 +526,16 @@ object Similarity {
     * ∝ n, so uncapped within-bucket pairs grow ∝ n² (measured 1.95–2.00
     * on the sf0.1→sf1 decade, r16); over-cap buckets emit hub-verified
     * star candidates instead, making `n_near` a documented lower bound
-    * there (exact below the cap; `None` restores full enumeration). */
+    * there (exact below the cap; `None` restores full enumeration).
+    * `nbits = 0` (default) derives the depth from the corpus size
+    * ([[Neutral.lshBitsFor]] — pins expected bucket occupancy so
+    * candidates stay linear in n; the density half of the r17 fix). */
   def cosineNearDupCounts(emb: DataFrame, minCos: Double,
-      nbits: Int = 8, tables: Int = 4,
+      nbits: Int = 0, tables: Int = 4,
       starCap: Option[Int] = Some(256)): DataFrame = {
+    val bits = if (nbits > 0) nbits else Neutral.lshBitsFor(emb.count())
     val bucketed = emb.select(col("vec_id"),
-      posexplode(VecExprs.lshBuckets(col("embedding"), nbits, tables))
+      posexplode(VecExprs.lshBuckets(col("embedding"), bits, tables))
         .as(Seq("t", "bucket")))
     val cand = Neutral.cosineCandidates(bucketed, starCap)
     val pairs = cand

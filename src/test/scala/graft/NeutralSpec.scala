@@ -88,6 +88,26 @@ class NeutralSpec extends AnyFunSuite {
     assert(counts(100000L) >= 1)
   }
 
+  test("auto LSH depth: base 8 at every oracle scale, occupancy-pinned " +
+      "above, and auto == explicit-8 on small corpora") {
+    // the static-oracle contract: every driver scale derives exactly 8
+    assert(Neutral.lshBitsFor(500) == 8)      // sf0.01 embeddings
+    assert(Neutral.lshBitsFor(2000) == 8)     // sf0.1 embeddings
+    assert(Neutral.lshBitsFor(4096) == 8)     // last n where 8 suffices
+    // above that, depth tracks ceil(2·log2(n)) - 16 (the all-pairs LSH
+    // parameter rule: pins expected random collisions, not occupancy)
+    assert(Neutral.lshBitsFor(20000) == 13)   // sf1 generated
+    assert(Neutral.lshBitsFor(200000) == 20)  // sf10 generated
+    assert(Neutral.lshBitsFor(1L << 40) == 30) // hard cap
+    // auto nbits=0 must be bit-identical to explicit 8 at oracle scale
+    val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(nbits: Int) =
+      Neutral.cosineNearDupCounts(emb, 0.8, nbits = nbits)
+        .collect().map(_.toSeq).toSet
+    assert(rows(0) == rows(8),
+      "auto depth must reproduce the static oracle depth at small n")
+  }
+
   test("md5 sign-LSH topk ranks the planted colinear copy first") {
     val emb = graft.queries.T.embeddings(spark, "/root/testdata/sf0.001")
     val planted = emb.filter(col("vec_id") === 0)
