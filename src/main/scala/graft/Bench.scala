@@ -234,6 +234,10 @@ object Bench {
     val extraReps = Map("q_graph_pagerank" -> 5, "q_e_scd2" -> 5,
       "q_ns_dedup_ingest_e2e" -> 5)
     var errors = List.empty[String]
+    // first failure message per query (r17): a -1.0 wall with no cause
+    // in the artifact forces a manual re-run to diagnose; the root
+    // exception class+message is cheap to carry
+    val errorDetail = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Per-RUN isolation: several operators intentionally return a cached
     // result (pageRank, kmeans/semDedup) or keep an internal intermediate
     // cached (dedup's shingle table, bm25's postings). In a single-JVM bench
@@ -272,7 +276,13 @@ object Bench {
         all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         ((System.nanoTime() - t0) / 1e9, probe.snapshot())
       }
-      catch { case _: Throwable => (-1.0, probe.snapshot()) }
+      catch { case e: Throwable =>
+        var root = e
+        while (root.getCause != null && root.getCause != root) root = root.getCause
+        errorDetail.getOrElseUpdate(name,
+          s"${root.getClass.getSimpleName}: ${String.valueOf(root.getMessage).take(300)}")
+        (-1.0, probe.snapshot())
+      }
     }
     // one probe before each query + one after the last: probe i and
     // probe i+1 bracket query i, so a contaminated span is attributable
@@ -351,6 +361,12 @@ object Bench {
           .map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errDetailJson = errorDetail
+      .map { case (q, m) =>
+        "\"" + q + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ") + "\""
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     probes += calibrate(spark)
     probesPar += calibratePar(spark, cpus.toInt)
@@ -415,7 +431,7 @@ object Bench {
       } else "null"
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","generator":$genMeta,"queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"shuffle_partitions":$shufParts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","generator":$genMeta,"queries":$qs,"queries_cold":$cold,"queries_reps":$allReps,"queries_median":$medians,"queries_probe":$probeJson,"plan_flips":$planFlips,"plan_actions":$planActions,"reps":$reps,"errors":$errJson,"errors_detail":$errDetailJson,"cal_start_sec":$calStart,"cal_end_sec":$calEnd,"cal_envelope_sec":$CalEnvelopeSec,"cal_flag_threshold_sec":${2 * CalEnvelopeSec},"queries_cal":$calJson,"cal_par_envelope_sec":$CalParEnvelopeSec,"cal_par_flag_threshold_sec":${2 * CalParEnvelopeSec},"queries_cal_par":$calParJson,"contended_rule":"$rule","contended_queries":$contQJson,"contended_queries_par":$contQParJson,"contended":$contended,"probe_enabled":$probeEnabled,"cpus":$cpus,"shuffle_partitions":$shufParts,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a well-known file: the driver's parser must not depend
     // on stdout surviving sbt/log4j decoration.

@@ -180,12 +180,21 @@ object Evolve {
 
   /** The ΔJ term of one maintenance batch — exposed so the map-only
     * claim is plan-testable (LifecycleSpec asserts every join in here is
-    * a broadcast join, no shuffle join, no exchange on the base side). */
+    * a broadcast join, no shuffle join, no exchange on the base side
+    * for batch-sized deltas). The broadcast is NOT forced (r17): a
+    * hard `broadcast()` hint turned a catch-up-sized delta (half the
+    * corpus in the driver fixture at sf10) into a driver OOM —
+    * "Not enough memory to build and broadcast the table". Deltas are
+    * left unhinted so the planner broadcasts daily-batch-sized deltas
+    * (static size estimate or AQE runtime re-plan) and degrades to a
+    * sort-merge join when a delta genuinely outgrows memory — slower
+    * but correct, which is the right failure mode for a maintenance
+    * job. */
   private[graft] def joinViewDelta(l: DataFrame, r: DataFrame,
       dLeft: DataFrame, dRight: DataFrame, key: String): DataFrame =
-    broadcast(dLeft).join(r, key)
-      .unionByName(l.join(broadcast(dRight), key))
-      .unionByName(broadcast(dLeft).join(dRight, key))
+    dLeft.join(r, key)
+      .unionByName(l.join(dRight, key))
+      .unionByName(dLeft.join(dRight, key))
 
   /** Fold one insert batch per side into the maintained join view (either
     * delta may be empty). Scans the BASES once each (map-only broadcast
