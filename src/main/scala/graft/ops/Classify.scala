@@ -73,7 +73,12 @@ object Classify {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = docs.select(col(idCol), explode(words(textCol)).as("word"))
     val nw = w.groupBy(idCol).agg(count(lit(1)).as("n_words"))
-    val present = w.join(ll, "word")
+    // broadcast: ll is (classes x vocabulary)-bounded — kilobytes here,
+    // megabytes at 100 TB — but it reaches this join as a multi-stage
+    // aggregate whose size ESTIMATE exceeds the auto threshold, so the
+    // planner was shuffling the corpus-sized token table into a sort-merge
+    // join (guide §3.1: hint when you know a side is small)
+    val present = w.join(broadcast(ll), "word")
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("ll")).as("sum_ll"), count(lit(1)).as("n_present"))
     nw.join(broadcast(priors))

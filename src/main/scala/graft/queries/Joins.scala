@@ -345,8 +345,16 @@ object Joins {
     val points = T.lineitem(s, d)
       .filter(col("l_extendedprice").isNotNull)
       .select("l_extendedprice")
+    // bucketWidth = the interval width (hi − lo = 2), not 100: the bucket
+    // is the equi key, so every point meets every range sharing its
+    // bucket and the BETWEEN residual then discards the non-matches — at
+    // width 100 that enumerated ~50x more candidate pairs than the ±1
+    // band can ever match (guide §2.3: shuffle/enumerate fewer bytes).
+    // Width == band keeps range fan-out at ≤2 buckets while candidates
+    // shrink to the 2-unit neighborhood; result is width-independent
+    // (the residual is exact), only the candidate volume changes.
     graft.ops.ScaleOps.intervalBucketJoin(points, "l_extendedprice",
-        ranges, "lo", "hi", bucketWidth = 100.0)
+        ranges, "lo", "hi", bucketWidth = 2.0)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("l_extendedprice")

@@ -343,14 +343,31 @@ object TrainPrep {
     val sc = Classify.nbScoresWith(docs, priors, ll)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("label"))
+    // ONE window pass + a per-doc aggregate, not a rank-1 ⋈ rank-2
+    // self-join: the join form recomputed the entire NB scoring chain
+    // (tokenize → likelihood join → per-(doc,label) agg) once per branch
+    // — 51 live shuffles, 28.5 s cold / 9.6 s warm at sf0.1. Filtering
+    // rn <= 2 first also lets Spark plan a WindowGroupLimit (per-
+    // partition top-2 before the full sort). Each group has exactly one
+    // rn=1 and at most one rn=2 row, so max(when(...)) IS that row's
+    // value — same DECIMAL subtraction, bit-identical margins; docs with
+    // a single scored label (no rn=2) drop exactly like the inner join
+    // dropped them.
     val ranked = sc.withColumn("rn", row_number().over(w))
-    val mg = ranked.filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("pred_label"),
-        col("score").as("sc1"))
-      .join(ranked.filter(col("rn") === 2)
-        .select(col("doc_id"), col("score").as("sc2")), "doc_id")
+      .filter(col("rn") <= 2)
+    // mg is consumed twice (the global min/max bounds AND the binned
+    // aggregate); without the pin the bounds branch recomputed the whole
+    // chain a second time — the two subtrees don't canonicalize equal, so
+    // exchange reuse never fires. mg is 3 narrow columns per doc (the
+    // nbModel-cw pin pattern; Bench's clearState releases it per run).
+    val mg = graft.ops.Pins.track(ranked.groupBy("doc_id")
+      .agg(max(when(col("rn") === 1, col("label"))).as("pred_label"),
+        max(when(col("rn") === 1, col("score"))).as("sc1"),
+        max(when(col("rn") === 2, col("score"))).as("sc2"))
+      .filter(col("sc2").isNotNull)
       .select(col("doc_id"), col("pred_label"),
         (col("sc1") - col("sc2")).cast("double").as("margin"))
+      .cache())
     val bounds = mg.agg(min(col("margin")).as("lo"),
       when(max(col("margin")) > min(col("margin")),
         max(col("margin")) - min(col("margin"))).otherwise(lit(1.0))
