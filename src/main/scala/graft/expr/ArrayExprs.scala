@@ -116,10 +116,78 @@ object MinHashSignature {
   }
 }
 
+/** Occurrence count of an exact token phrase in a token array: positions i
+  * with ws[i..i+L-1] == phrase, in one compiled walk. The composable form —
+  * `size(filter(sequence(1, n-L+1), i -> element_at(ws,i)=w1 AND ...))` —
+  * allocates the position array and re-enters the interpreted lambda
+  * evaluator per position (HigherOrderFunctions are CodegenFallback);
+  * measured ~3.5 s for the sf0.1 phrase query vs sub-second here. Null
+  * array elements never match (the lambda's null-equality yields null,
+  * which filter drops — same outcome). Returns 0 when the array is shorter
+  * than the phrase.
+  */
+case class PhraseCount(child: Expression, phrase: Seq[String])
+    extends UnaryExpression {
+
+  require(phrase.nonEmpty, "phrase must be non-empty")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phrase_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"phrase_count requires array<string>, got $t")
+  }
+
+  @transient private lazy val words: Array[org.apache.spark.unsafe.types.UTF8String] =
+    phrase.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    PhraseCount.compute(input.asInstanceOf[ArrayData], words)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseWords", words,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.PhraseCount.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PhraseCount =
+    copy(child = newChild)
+}
+
+object PhraseCount {
+  def compute(arr: ArrayData,
+      words: Array[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    val n = arr.numElements()
+    val l = words.length
+    var count = 0L
+    var i = 0
+    val last = n - l
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < l) {
+        if (arr.isNullAt(i + j) || !words(j).equals(arr.getUTF8String(i + j)))
+          ok = false
+        j += 1
+      }
+      if (ok) count += 1
+      i += 1
+    }
+    count
+  }
+}
+
 object ArrayExprs {
   def jaccardSorted(a: Column, b: Column): Column =
     exprToColumn(JaccardSorted(columnToExpr(a), columnToExpr(b)))
 
   def minhashSignature(hs: Column, slots: Int = 64): Column =
     exprToColumn(MinHashSignature(columnToExpr(hs), slots))
+
+  def phraseCount(ws: Column, phrase: Seq[String]): Column =
+    exprToColumn(PhraseCount(columnToExpr(ws), phrase))
 }

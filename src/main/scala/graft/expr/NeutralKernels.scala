@@ -112,6 +112,99 @@ object NeutralKernels {
   }
 }
 
+/** (lowered, trimmed) text → DSIR hashed-gram bucket ids (array<long>),
+  * one element per unigram+bigram occurrence, unigram block first — the
+  * compiled twin of
+  *   `explode(concat(ws, zip_with(slice(ws,1,n-1), slice(ws,2,n-1),
+  *      (a,b) -> concat(a,' ',b)))) |> conv(substring(md5('dsir:'||gram),1,4),16,10) % B`.
+  * That form re-enters the interpreted lambda evaluator per bigram and
+  * materializes a 32-char hex string per gram only to parse 4 chars back
+  * out; this computes `(d[0]<<8 | d[1]) % B` straight off the digest —
+  * identical values (the first 4 hex chars ARE the first 2 md5 bytes).
+  * Like [[TrigramLang]], lower(trim(...)) stays OUTSIDE as builtins so
+  * SQL trim/lower semantics are Spark's own; the split here is the same
+  * Java regex split ("\\s+", limit -1, empties dropped) the built-in
+  * split+filter performs. Null in → null out (explode drops it, as it
+  * dropped the null grams array). */
+case class DsirGramBuckets(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+
+  require(numBuckets >= 1 && 65536 % numBuckets == 0,
+    "numBuckets must divide 2^16 (the md5 prefix width)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dsir_gram_buckets requires a string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_gram_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    DsirGramBuckets.compute(input.asInstanceOf[UTF8String], numBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.DsirGramBuckets.compute($c, $numBuckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirGramBuckets =
+    copy(child = newChild)
+}
+
+object DsirGramBuckets {
+  def dsirGramBuckets(c: Column, numBuckets: Int): Column =
+    exprToColumn(DsirGramBuckets(columnToExpr(c), numBuckets))
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val prefix = "dsir:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val space = ' '.toByte
+
+  private def bucketOf(md: java.security.MessageDigest, g1: Array[Byte],
+      g2: Array[Byte], numBuckets: Int): Long = {
+    md.reset()
+    md.update(prefix)
+    md.update(g1)
+    if (g2 != null) { md.update(space); md.update(g2) }
+    val d = md.digest()
+    (((d(0) & 0xffL) << 8) | (d(1) & 0xffL)) % numBuckets
+  }
+
+  def compute(input: UTF8String, numBuckets: Int): ArrayData = {
+    // same split the built-in runs: Java regex "\s+", limit -1, then the
+    // x <> '' filter
+    val toks = ws.split(input.toString, -1)
+    var nWords = 0
+    val words = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        words(nWords) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        nWords += 1
+      }
+      i += 1
+    }
+    val nBi = if (nWords >= 2) nWords - 1 else 0
+    val out = new Array[Long](nWords + nBi)
+    val md = md5Local.get()
+    i = 0
+    while (i < nWords) {
+      out(i) = bucketOf(md, words(i), null, numBuckets)
+      i += 1
+    }
+    i = 0
+    while (i < nBi) {
+      out(nWords + i) = bucketOf(md, words(i), words(i + 1), numBuckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** array<string> shingles → 64-lane md5-MinHash signature (array<long>);
   * null on an empty shingle set (mirrors array_min-over-empty). */
 case class Md5MinHashSig(child: Expression) extends UnaryExpression {

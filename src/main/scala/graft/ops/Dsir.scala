@@ -59,9 +59,23 @@ object Dsir {
     conv(substring(md5(concat(lit("dsir:"), gram)), 1, 4), 16, 10)
       .cast("long") % numBuckets
 
-  /** (id, bucket) — one row per gram occurrence. Map-only. */
+  /** (id, bucket) — one row per gram occurrence. Map-only. The compiled
+    * [[graft.expr.DsirGramBuckets]] kernel replaces the
+    * explode(grams)+md5-hex+conv chain: the composable form re-entered
+    * the interpreted zip_with lambda per bigram and round-tripped every
+    * gram through a 32-char hex string to read 2 bytes back out
+    * (ExprSpec pins the kernel bit-identical to [[bucketedRef]]). */
   private def bucketed(docs: DataFrame, idCol: String, textCol: String,
       numBuckets: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.expr.DsirGramBuckets.dsirGramBuckets(
+        lower(trim(col(textCol))), numBuckets)).as("bucket"))
+
+  /** Built-in-functions reference form of [[bucketed]] — the semantic
+    * spec the kernel must match bit-for-bit (ExprSpec). Operators run
+    * the kernel. */
+  private[graft] def bucketedRef(docs: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int): DataFrame =
     docs.select(col(idCol), explode(gramsCol(textCol)).as("gram"))
       .select(col(idCol), bucketCol(col("gram"), numBuckets).as("bucket"))
 
@@ -153,9 +167,9 @@ object Dsir {
     // totals — pin it so the corpus gram pass runs once (the lmBigramModel
     // n12 precedent; the cache is bucket-bounded, never corpus-sized)
     val counts = Pins.track(raw
-      .select(col(idCol), targetWhere.as("__t"),
-        explode(gramsCol(textCol)).as("gram"))
-      .select(col("__t"), bucketCol(col("gram"), numBuckets).as("bucket"))
+      .select(targetWhere.as("__t"),
+        explode(graft.expr.DsirGramBuckets.dsirGramBuckets(
+          lower(trim(col(textCol))), numBuckets)).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("nr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("nt"))

@@ -164,19 +164,16 @@ object Retrieval {
     // lower(); a default-locale toLowerCase would diverge under e.g. a
     // Turkish JVM locale ('I' -> dotless 'ı') and silently match nothing
     val folded = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
-    // per-position match as a short-circuiting AND of element_at lookups
-    // (a slice-and-compare builds an l-element array per position — this
-    // form allocates nothing and bails at the first mismatching word)
-    def matchAt(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      folded.zipWithIndex.map {
-      case (w, j) => element_at(col("__ws"), i + lit(j)) === lit(w)
-    }.reduce(_ && _)
+    // compiled single-walk kernel ([[graft.expr.PhraseCount]]): the
+    // composable sequence+filter+element_at form re-entered the
+    // interpreted lambda evaluator per token position (ExprSpec pins the
+    // kernel bit-identical to that form, including null-element and
+    // short-array behavior)
     df.select(col(idCol), ws.as("__ws"))
       .filter(size(col("__ws")) >= l)
       .select(col(idCol),
-        size(filter(sequence(lit(1), size(col("__ws")) - (l - 1)),
-          i => matchAt(i)))
-          .cast("long").as("n_occurrences"))
+        graft.expr.ArrayExprs.phraseCount(col("__ws"), folded)
+          .as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(desc("n_occurrences"), asc(idCol))
       .limit(k)

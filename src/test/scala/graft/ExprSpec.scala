@@ -71,6 +71,60 @@ class ExprSpec extends AnyFunSuite {
     assert(out.forall(_.isEmpty))
   }
 
+  test("DsirGramBuckets matches the explode+md5-hex+conv reference bit-for-bit") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (920001L, ""), (920002L, "one"), (920003L, "  two  words  "),
+        (920004L, "tabs\tand\nnewlines here"), (920005L, "ünïcode wörds τρία")
+      ).toDF("doc_id", "text"))
+    // kernel emits unigrams then bigrams; the reference concat does the
+    // same — compare the full multiset per doc via sorted collect_list
+    val kernel = docs.select(col("doc_id"),
+      explode(graft.expr.DsirGramBuckets.dsirGramBuckets(
+        lower(trim(col("text"))), 512)).as("bucket"))
+      .groupBy("doc_id").agg(sort_array(collect_list("bucket")).as("bs"))
+      .orderBy("doc_id").collect()
+    val ref = graft.ops.Dsir.bucketedRef(docs, "doc_id", "text", 512)
+      .groupBy("doc_id").agg(sort_array(collect_list("bucket")).as("bs"))
+      .orderBy("doc_id").collect()
+    assert(kernel.length == ref.length && kernel.length > 0)
+    kernel.zip(ref).foreach { case (k, r) => assert(k == r) }
+  }
+
+  test("PhraseCount matches the sequence/filter/element_at form bit-for-bit") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (910001L, "value table"), (910002L, "value table value table"),
+        (910003L, "value value table table value table"),
+        (910004L, "value"), (910005L, ""), (910006L, "table value"),
+        (910007L, "x value table value table value")
+      ).toDF("doc_id", "text"))
+    val ws = filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "")
+    val phrase = Seq("value", "table")
+    def matchAt(i: org.apache.spark.sql.Column) = phrase.zipWithIndex.map {
+      case (w, j) => element_at(col("__ws"), i + lit(j)) === lit(w)
+    }.reduce(_ && _)
+    val base = docs.select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= phrase.size)
+    val kernel = base.select(col("doc_id"),
+      graft.expr.ArrayExprs.phraseCount(col("__ws"), phrase).as("n"))
+      .orderBy("doc_id").collect()
+    val ref = base.select(col("doc_id"),
+      size(filter(sequence(lit(1), size(col("__ws")) - (phrase.size - 1)),
+        i => matchAt(i))).cast("long").as("n"))
+      .orderBy("doc_id").collect()
+    assert(kernel.length == ref.length && kernel.length > 0)
+    kernel.zip(ref).foreach { case (k, r) => assert(k == r) }
+    // null elements never match (the lambda's null equality drops the
+    // position); short arrays count zero
+    val edge = Seq((1L, Seq[String]("value", null, "table", "value", "table")))
+      .toDF("id", "__ws")
+    assert(edge.select(graft.expr.ArrayExprs.phraseCount(col("__ws"), phrase))
+      .head().getLong(0) == 1L)
+  }
+
   test("JaccardSorted equals array_intersect/array_union jaccard") {
     val df = Seq(
       (Array(1L, 2L, 3L, 5L), Array(2L, 3L, 4L, 5L)),
