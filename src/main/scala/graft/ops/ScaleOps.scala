@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Scale-adaptive fan-out for heavy per-row compute downstream of an
+    * under-split scan (guide §2.5 "input skew: one unsplittable file —
+    * repartition immediately after the read"): the bench corpora are
+    * single-row-group parquet files, so Spark's scan gives them ONE task
+    * regardless of split settings, and every compute-heavy map stage
+    * (minhash signatures, winnow fingerprints, codec decode, regex
+    * stacks) serialized on one core — measured 9.5 s of 1-task executor
+    * time inside a 3.0 s-wall winnow query at sf0.1/32 cores. A
+    * deterministic hash repartition on the id column spreads the compute;
+    * the exchange moves only the rows the caller selected (text/ids, KB
+    * to MB here). SCALE-ADAPTIVE: when the source already carries at
+    * least `defaultParallelism` partitions (any real multi-split table —
+    * a 100 TB corpus has ~10⁵ splits), this is the identity, so no
+    * cluster-scale query pays a gratuitous full-corpus shuffle. */
+  def fanOutCompute(df: DataFrame, byCol: String = "doc_id"): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // size probe from the ANALYZED plan's statistics (footer-based for
+    // scans — no physical planning, no jobs; an .rdd.getNumPartitions
+    // probe measured ~0.5 s of driver planning per call). A source under
+    // one scan-split-per-core of bytes cannot fan out on its own; above
+    // that, Spark's own split sizing already parallelizes and the
+    // repartition would be a gratuitous corpus shuffle — identity there.
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val maxSplit = df.sparkSession.conf
+      .get("spark.sql.files.maxPartitionBytes", "134217728")
+      .replaceAll("[^0-9]", "").toLong
+    if (bytes >= BigInt(target) * maxSplit) df
+    else df.repartition(target, col(byCol))
+  }
+
   /** Salted equi-join for a skewed LEFT side: the left side deterministically
     * salts each row by hashing `saltBy` into `salts` buckets; the right side
     * replicates `salts`× via explode. One hot key now spreads over `salts`

@@ -299,6 +299,9 @@ object TextAnalysis {
     * algebra is engine-neutral integer math, so the whole chain
     * reproduces verbatim in the oracle. */
   def withPiiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // the regex stack + checksum folds are the heaviest per-row string
+    // work in the repo — fan them out of the 1-task scan stage
+    val docsF = ScaleOps.fanOutCompute(docs)
     val urlSql = urlRe.replace("\\", "\\\\")
     val emailSql = emailRe.replace("\\", "\\\\")
     val e164Sql = phoneE164Re.replace("\\", "\\\\")
@@ -331,7 +334,7 @@ object TextAnalysis {
         s"aggregate(sequence(1, size($repl)), element_at($parts, 1), " +
         s"(acc, i) -> concat(acc, element_at($repl, i), " +
         s"element_at($parts, i + 1))) END"
-    docs
+    docsF
       .withColumn("__s1", regexp_replace(col(textCol), urlRe, "<URL>"))
       .withColumn("n_urls",
         size(expr(s"regexp_extract_all($textCol, '$urlSql', 0)"))
@@ -379,7 +382,9 @@ object TextAnalysis {
     * path — same selection algorithm, O(1) incremental gram hash. */
   def withWinnowedFingerprint(docs: DataFrame, textCol: String = "text",
       k: Int = 8, w: Int = 8): DataFrame =
-    docs
+    // fan the per-char md5 fingerprint kernel out of the 1-task scan
+    // stage (ScaleOps.fanOutCompute: identity on multi-split sources)
+    ScaleOps.fanOutCompute(docs)
       .withColumn("winnow_fp",
         graft.expr.Md5Winnow.md5Winnow(col(textCol), k, w))
       .withColumn("n_fp",
