@@ -205,6 +205,76 @@ object DsirGramBuckets {
   }
 }
 
+/** (lowered, trimmed) text → word-list statistics in ONE compiled token
+  * walk: element 1 = token count of the raw whitespace split (empties
+  * included — `size(split(s,'\\s+'))` semantics), element 2 = Σ token
+  * code-point lengths (`aggregate(transform(split, length), 0, +)`), and
+  * element 2+i = occurrences of tokens contained in `lists(i-1)`
+  * (`size(filter(split, x in (...)))`). The composable forms re-enter the
+  * interpreted lambda evaluator once per token PER CONSUMER — the
+  * language gate alone ran four separate filter lambdas over the same
+  * split. Same Java-regex split as the built-in; membership is exact
+  * string equality like IN. Null in → null out (each consumer's
+  * size/aggregate over a null split is null too). */
+case class WordListStats(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_list_stats requires a string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_list_stats"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lists.map { l =>
+      val s = new java.util.HashSet[String]()
+      l.foreach(s.add)
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    WordListStats.compute(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSets", sets,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.WordListStats.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordListStats =
+    copy(child = newChild)
+}
+
+object WordListStats {
+  def wordListStats(c: Column, lists: Seq[Seq[String]]): Column =
+    exprToColumn(WordListStats(columnToExpr(c), lists))
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(input: UTF8String,
+      sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = ws.split(input.toString, -1)
+    val out = new Array[Long](2 + sets.length)
+    out(0) = toks.length.toLong
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      out(1) += t.codePointCount(0, t.length).toLong
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(t)) out(2 + j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** array<string> shingles → 64-lane md5-MinHash signature (array<long>);
   * null on an empty shingle set (mirrors array_min-over-empty). */
 case class Md5MinHashSig(child: Expression) extends UnaryExpression {

@@ -28,6 +28,37 @@ object TextAnalysis {
     * stopword ratios, plus a weighted score. Per-row double math only —
     * bit-identical across engines. */
   def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // ONE compiled token walk (WordListStats kernel) replaces three
+    // interpreted lambda passes over the same split (transform+aggregate
+    // for word lengths, filter for stopwords) — ExprSpec pins the kernel
+    // against [[withQualityRef]] bit-for-bit; the score arithmetic below
+    // is unchanged double math over the same exact integers
+    val st = graft.expr.WordListStats.wordListStats(
+      lower(trim(col(textCol))), Seq(qualityStopwords))
+    val nChars = length(col(textCol)).cast("double")
+    val nWords = element_at(col("__wls"), 1).cast("double")
+    val sumWordLen = element_at(col("__wls"), 2).cast("double")
+    val nPunct = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")).cast("double")
+    val nStop = element_at(col("__wls"), 3).cast("double")
+    docs
+      .withColumn("__wls", st)
+      .withColumn("n_words", nWords.cast("bigint"))
+      .withColumn("mean_word_len", sumWordLen / nWords)
+      .withColumn("punct_ratio", nPunct / nChars)
+      .withColumn("stopword_ratio", nStop / nWords)
+      .withColumn("quality_score",
+        (sumWordLen / nWords) * lit(0.2) + (nStop / nWords) * lit(2.0) -
+          (nPunct / nChars) * lit(5.0))
+      .drop("__wls")
+  }
+
+  private[graft] val qualityStopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  /** Built-in-functions reference form of [[withQuality]] — the semantic
+    * spec the kernel path must match bit-for-bit (ExprSpec). */
+  private[graft] def withQualityRef(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
     val w = words(textCol)
     val nChars = length(col(textCol)).cast("double")
     val nWords = size(w).cast("double")
@@ -35,9 +66,8 @@ object TextAnalysis {
       s"aggregate(transform(split(lower(trim($textCol)), '\\\\s+'), x -> length(x)), 0, (a, x) -> a + x)")
       .cast("double")
     val nPunct = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")).cast("double")
-    val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
     val nStop = expr(
-      s"size(filter(split(lower(trim($textCol)), '\\\\s+'), x -> x in (${stopwords.map("'" + _ + "'").mkString(",")})))")
+      s"size(filter(split(lower(trim($textCol)), '\\\\s+'), x -> x in (${qualityStopwords.map("'" + _ + "'").mkString(",")})))")
       .cast("double")
     docs
       .withColumn("n_words", nWords.cast("bigint"))
@@ -105,23 +135,45 @@ object TextAnalysis {
   /** Language ID: hit count per marker set, predicted = argmax
     * (score desc, lang asc), 'und' when nothing hits. */
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
-      df.withColumn(s"score_$lang", expr(
-        s"size(filter(split(lower(trim($textCol)), '\\\\s+'), " +
-          s"x -> x in (${markers.map("'" + _ + "'").mkString(",")})))").cast("bigint"))
-    }
-    // argmax via lambda-comparator array_sort: score desc, lang asc tiebreak
+    // all four marker counts from ONE compiled token walk (WordListStats
+    // kernel) — the composable form ran a separate interpreted filter
+    // lambda over the same split per language (ExprSpec pins this path
+    // against [[withLangIdRef]] bit-for-bit)
+    val st = graft.expr.WordListStats.wordListStats(
+      lower(trim(col(textCol))), langMarkers.map(_._2))
+    val scored = langMarkers.zipWithIndex.foldLeft(
+        docs.withColumn("__wls", st)) {
+      case (df, ((lang, _), i)) =>
+        df.withColumn(s"score_$lang", element_at(col("__wls"), i + 3))
+    }.drop("__wls")
+    scored.withColumn("predicted_lang", langIdArgmax)
+  }
+
+  /** Shared argmax tail: score desc, lang asc tie-break, 'und' when
+    * nothing hits. */
+  private def langIdArgmax: Column = {
     val total = langMarkers.map(m => s"score_${m._1}").mkString(" + ")
     val arr = langMarkers
       .map { case (lang, _) => s"named_struct('s', score_$lang, 'l', '$lang')" }
       .mkString(", ")
-    val pred = expr(
+    expr(
       s"""CASE WHEN $total = 0 THEN 'und'
          |ELSE array_sort(array($arr), (x, y) ->
          |  CASE WHEN x.s > y.s THEN -1 WHEN x.s < y.s THEN 1
          |       WHEN x.l < y.l THEN -1 WHEN x.l > y.l THEN 1 ELSE 0 END)[0].l
          |END""".stripMargin)
-    scored.withColumn("predicted_lang", pred)
+  }
+
+  /** Built-in-functions reference form of [[withLangId]] — the semantic
+    * spec the kernel path must match bit-for-bit (ExprSpec). */
+  private[graft] def withLangIdRef(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", expr(
+        s"size(filter(split(lower(trim($textCol)), '\\\\s+'), " +
+          s"x -> x in (${markers.map("'" + _ + "'").mkString(",")})))").cast("bigint"))
+    }
+    scored.withColumn("predicted_lang", langIdArgmax)
   }
 
   /** Per-language character-trigram weight profiles — the ONE source of

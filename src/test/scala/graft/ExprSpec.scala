@@ -71,6 +71,34 @@ class ExprSpec extends AnyFunSuite {
     assert(out.forall(_.isEmpty))
   }
 
+  test("WordListStats-backed quality/langid match their built-in reference forms") {
+    val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        // no empty-text row: nChars = 0 divides by zero in BOTH the kernel
+        // and reference forms (pre-existing domain contract of the op)
+        (930002L, "the"), (930003L, "  the  a  "),
+        (930004L, "der la le the und y"), (930005L, "no markers here xx"),
+        (930006L, "tabs\tand\nnewlines the"), (930007L, "ünïcode the wörds")
+      ).toDF("doc_id", "text"))
+    val qCols = Seq("n_words", "mean_word_len", "punct_ratio",
+      "stopword_ratio", "quality_score")
+    val qk = graft.ops.TextAnalysis.withQuality(docs)
+      .select("doc_id", qCols: _*).orderBy("doc_id").collect()
+    val qr = graft.ops.TextAnalysis.withQualityRef(docs)
+      .select("doc_id", qCols: _*).orderBy("doc_id").collect()
+    assert(qk.length == qr.length && qk.length > 0)
+    qk.zip(qr).foreach { case (k, r) => assert(k == r) }
+    val lCols = graft.ops.TextAnalysis.langMarkers.map(m => s"score_${m._1}") :+
+      "predicted_lang"
+    val lk = graft.ops.TextAnalysis.withLangId(docs)
+      .select("doc_id", lCols: _*).orderBy("doc_id").collect()
+    val lr = graft.ops.TextAnalysis.withLangIdRef(docs)
+      .select("doc_id", lCols: _*).orderBy("doc_id").collect()
+    assert(lk.length == lr.length && lk.length > 0)
+    lk.zip(lr).foreach { case (k, r) => assert(k == r) }
+  }
+
   test("DsirGramBuckets matches the explode+md5-hex+conv reference bit-for-bit") {
     val docs = graft.queries.T.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
