@@ -434,9 +434,7 @@ object TextAnalysis {
     * path — same selection algorithm, O(1) incremental gram hash. */
   def withWinnowedFingerprint(docs: DataFrame, textCol: String = "text",
       k: Int = 8, w: Int = 8): DataFrame =
-    // fan the per-char md5 fingerprint kernel out of the 1-task scan
-    // stage (ScaleOps.fanOutCompute: identity on multi-split sources)
-    ScaleOps.fanOutCompute(docs)
+    docs
       .withColumn("winnow_fp",
         graft.expr.Md5Winnow.md5Winnow(col(textCol), k, w))
       .withColumn("n_fp",
